@@ -1,0 +1,46 @@
+"""Fixture catalog: typed parquet tables + SQL view registration.
+
+Tables are the driver-provided TPC-H-ish star schema plus events / documents /
+embeddings (FIXTURES.md §2). At 100 TB these reads are partitioned columnar
+scans; Catalyst pushes filters/projections into the parquet reader, so every
+operator should express predicates declaratively rather than materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Keeps the scan lazy so pushdown applies."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name}")
+    tune(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for the spark.sql entry path."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

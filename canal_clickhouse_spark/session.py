@@ -1,0 +1,62 @@
+"""SparkSession factory + defensive per-session tuning (SURVEY.md §4).
+
+Two paths:
+- ``get_spark()`` builds our own session (tests, bench): local[N], AQE, UTC.
+- ``tune(spark)`` applies the runtime-settable subset to a session we did NOT
+  build (the driver hands us one) — timezone and AQE are runtime-settable
+  SQLConf entries, so correctness-critical settings hold either way.
+
+100 TB posture: everything here is configuration Catalyst honors on a real
+cluster — AQE coalesce/skew-join, CBO, broadcast threshold. Nothing is
+local-mode-specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs: safe to apply to any session, including the driver's.
+RUNTIME_CONF: dict[str, str] = {
+    # UTC is load-bearing: parquet timestamps are tz-naive and the DuckDB
+    # oracle runs in UTC; every date_trunc/window oracle depends on this.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.cbo.enabled": "true",
+    # Fixture dims (region/nation/customer/part) are far under this; at 100 TB
+    # the explicit broadcast() hints in operator code carry the intent.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: reference pipelines are permissive (stringly-typed CDC values,
+    # NULL on bad cast) and DuckDB TRY_CAST is the oracle analog.
+    "spark.sql.ansi.enabled": "false",
+}
+
+_STATIC_CONF: dict[str, str] = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
+    "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-provided session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable in some builds — keep going
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "canal-clickhouse-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in {**_STATIC_CONF, **RUNTIME_CONF}.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

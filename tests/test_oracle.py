@@ -1,0 +1,36 @@
+"""Differential tests: every oracle-checkable key, Spark vs DuckDB.
+
+This mirrors the driver's t2 gate locally so mismatches are caught
+pre-submission. Parametrized over the registry, so newly registered operators
+are covered automatically.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_compare import assert_frames_match
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    missing = sorted(set(ORACLES) - set(QUERIES))
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_match(key, spark, duck, sf_dir):
+    sdf = QUERIES[key](spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = duck.sql(ORACLES[key]).df()
+    assert_frames_match(spark_pdf, duck_pdf, key)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
