@@ -1,0 +1,249 @@
+"""§2 C — Joins (ClickHouse hash/GLOBAL join surface → Spark join strategies).
+
+Strategy notes for 100 TB:
+- Dimension joins carry an explicit ``broadcast()`` hint — at scale the dims
+  (part/customer/nation) stay far below executor memory while the fact side
+  streams through, so no shuffle of the big side.
+- Fact-fact joins (orders ⋈ lineitem) rely on sort-merge with AQE; both sides
+  shuffle on the join key once, and skew is handled by AQE skew-join.
+- The as-of join is emulated with a range condition + row_number window —
+  the candidate explosion is bounded by range-bucketing at scale (§7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..exprs import dsum
+from ..registry import query
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type LIKE 'PROMO%'
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(dsum(dp, "revenue", scale=6), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "join_inner_shuffle",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN (
+        SELECT * FROM orders WHERE o_totalprice > 400000
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, l.l_orderkey, l.l_linenumber
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+    RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    p = table(spark, sf_dir, "part")
+    return li.join(p, li.l_partkey == p.p_partkey, "right").select(
+        "p_partkey", "p_brand", "l_orderkey", "l_linenumber"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, seg FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    segs = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(segs)
+
+
+@query(
+    "join_multikey",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM lineitem l
+    JOIN (SELECT l_orderkey AS k1, MAX(l_linenumber) AS k2
+          FROM lineitem GROUP BY l_orderkey) last
+      ON l.l_orderkey = last.k1 AND l.l_linenumber = last.k2
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    last = li.groupBy(F.col("l_orderkey").alias("k1")).agg(
+        F.max("l_linenumber").alias("k2")
+    )
+    return li.join(
+        last, (li.l_orderkey == last.k1) & (li.l_linenumber == last.k2), "inner"
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_acctbal >= c_acctbal - 10 AND s_acctbal < c_acctbal + 10
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Non-equi band join: broadcast nested loop with the small side hinted.
+    # At 100 TB this becomes a range-bucketed join (bucket both sides by
+    # floor(acctbal/width), equi-join on bucket ± 1, re-filter the band).
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = (s.s_acctbal >= c.c_acctbal - 10) & (s.s_acctbal < c.c_acctbal + 10)
+    return F.broadcast(s).join(c, cond, "inner").select(
+        "s_suppkey", "c_custkey", "s_acctbal", "c_acctbal"
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts, b.event_id AS prior_even_event, b.ts AS prior_ts
+    FROM (SELECT * FROM events WHERE event_id % 2 = 1) a
+    ASOF JOIN (SELECT * FROM events WHERE event_id % 2 = 0) b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN emulation (ClickHouse ASOF JOIN; no native Spark op, §7.4).
+
+    Odd events match the latest even event of the same user at-or-before ts.
+    Emulation: range join on (user, b.ts <= a.ts) then keep the latest
+    candidate per left row via row_number. DuckDB's native ASOF is the oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    b = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    joined = a.join(
+        b, (a.user_id == b.b_user_id) & (b.b_ts <= a.ts), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("b_ts").desc(), F.col("b_event_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("b_event_id").alias("prior_even_event"),
+            F.col("b_ts").alias("prior_ts"),
+        )
+    )

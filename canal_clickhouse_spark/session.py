@@ -31,6 +31,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert in catalog.table (ns -> us floor,
+    # matching DuckDB's own ns -> us truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: reference pipelines are permissive (stringly-typed CDC values,
     # NULL on bad cast) and DuckDB TRY_CAST is the oracle analog.
     "spark.sql.ansi.enabled": "false",
