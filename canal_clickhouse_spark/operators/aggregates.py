@@ -14,6 +14,9 @@ from ..catalog import table
 from ..exprs import charge, disc_price, dsum, ravg
 from ..registry import query
 
+_DSUM_QTY = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE)"
+_DSUM_PRICE = "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE)"
+
 
 @query(
     "agg_groupby",
@@ -54,4 +57,344 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {_DSUM_QTY} AS sum_qty,
+           {_DSUM_PRICE} AS sum_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        ravg("l_discount", "avg_disc", 4),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(ROUND(SUM(DISTINCT CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.round(F.sum_distinct(F.col("l_quantity").cast("decimal(28,2)")), 2)
+            .cast("double")
+            .alias("sum_distinct_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniq()`` analog — HyperLogLog++ cardinality estimate."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15 ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_DSUM_QTY} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_DSUM_PRICE} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse groupArray; sort_array for determinism (§7.5.4).
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse groupUniqArray.
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_returnflag")).alias("flags"))
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+           ROUND(var_samp(l_tax), 6) AS var_tax,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stats run on small-magnitude columns so 6-8dp rounding dominates any
+    # cross-engine accumulation drift (exprs.py module doc).
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+            F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS median,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.75) / 100.0 AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse quantileExact: exact (non-sketch) interpolated percentile.
+    # Computed over integer cents at dyadic fractions: interpolation between
+    # ints at f in {1/4,1/2,3/4} is exact in double under ANY formula
+    # (a+(b-a)f vs a(1-f)+bf differ by 1 ulp on generic doubles — observed
+    # flipping a cent at the rounding boundary when run on raw doubles).
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.percentile(cents, 0.25) / 100.0).alias("p25"),
+            (F.percentile(cents, 0.5) / 100.0).alias("median"),
+            (F.percentile(cents, 0.75) / 100.0).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse argMax/argMin. o_totalprice ties at the group extreme would
+    # be nondeterministic; verified unique at fixture scales.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_first_last",
+    oracle="""
+    SELECT user_id,
+           min_by(event_type, event_id) AS first_event,
+           max_by(event_type, event_id) AS last_event,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First/last per group with a deterministic order key (unique event_id).
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "event_id").alias("first_event"),
+            F.max_by("event_type", "event_id").alias("last_event"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_countif",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse countIf combinator.
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_sumif",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_extendedprice AS DECIMAL(28,2)) END), 2) AS DOUBLE)
+             AS returned_value,
+           ROUND(AVG(CASE WHEN l_discount > 0 THEN l_extendedprice END), 2)
+             AS avg_discounted_price
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def agg_sumif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse sumIf/avgIf combinators.
+    li = table(spark, sf_dir, "lineitem")
+    returned = F.when(
+        F.col("l_returnflag") == "R", F.col("l_extendedprice").cast("decimal(28,2)")
+    )
+    discounted = F.when(F.col("l_discount") > 0, F.col("l_extendedprice"))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum(returned), 2).cast("double").alias("returned_value"),
+            F.round(F.avg(discounted), 2).alias("avg_discounted_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)  # pivot yields NULL for absent combos; oracle has 0
+        .orderBy("user_id")
     )
