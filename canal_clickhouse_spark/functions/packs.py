@@ -1,0 +1,417 @@
+"""§2 H — Scalar function packs (ClickHouse function library parity).
+
+One query per pack exercising every listed builtin, so each function is
+hash-checked against DuckDB. All JVM-side `pyspark.sql.functions` — no Python
+UDFs — so every pack stays inside whole-stage codegen.
+
+Cross-engine notes baked in below:
+- Spark dayofweek() is 1=Sunday; DuckDB dayofweek() is 0=Sunday → shift.
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+- libm transcendentals (ln/log10/exp) differ by ulps across runtimes → 6dp.
+- pmod: DuckDB lacks it → ((a % b) + b) % b.
+- zip_with: DuckDB list_zip yields unnamed structs; emulate with an index
+  list_transform instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lo, upper(p_brand) AS up,
+           substr(p_name, 2, 5) AS sub,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           ltrim(concat('  ', p_name)) AS l_trimmed,
+           rtrim(concat(p_name, '  ')) AS r_trimmed,
+           concat(p_brand, '/', p_type) AS cat,
+           concat_ws('-', p_brand, p_type) AS cat_ws,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_us,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           rpad(p_brand, 12, '.') AS brand_pad,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           ends_with(p_type, 'STEEL') AS is_steel,
+           strpos(p_name, 'a') AS pos_a
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), F.col("p_name"))).alias("l_trimmed"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("  "))).alias("r_trimmed"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("cat"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cat_ws"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+        F.startswith("p_type", F.lit("PROMO")).alias("is_promo"),
+        F.endswith("p_type", F.lit("STEEL")).alias("is_steel"),
+        F.locate("a", "p_name").cast("long").alias("pos_a"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           regexp_matches(p_type, '^(PROMO|ECONOMY)') AS promo_or_eco
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse extract()/replaceRegexpAll(); Spark regexp_replace is
+    # replace-all, hence DuckDB's 'g' flag in the oracle.
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("starred"),
+        F.col("p_type").rlike(r"^(PROMO|ECONOMY)").alias("promo_or_eco"),
+    )
+
+
+@query(
+    "fn_split_array",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_tok,
+           len(string_split(text, ' ')) AS n_toks,
+           string_split(text, ' ')[len(string_split(text, ' '))] AS last_tok
+    FROM documents
+    """,
+)
+def fn_split_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse splitByChar + arrayElement (1-based, negative = from end).
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           dayofweek(o_orderdate) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE)::VARCHAR AS minus7,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2mo
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.quarter(od).alias("q"),
+        (F.dayofweek(od) - 1).alias("dow"),  # Spark 1=Sun; DuckDB 0=Sun
+        F.date_trunc("month", od).alias("month_start"),
+        F.date_add(od.cast("date"), 30).cast("string").alias("plus30"),
+        F.date_sub(od.cast("date"), 7).cast("string").alias("minus7"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.last_day(od).cast("string").alias("month_end"),
+        F.add_months(od.cast("date"), 2).cast("string").alias("plus2mo"),
+    )
+
+
+@query(
+    "fn_timestamp",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS as_date,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           strftime(CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS roundtrip,
+           hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+           ts + INTERVAL 1 HOUR AS plus_1h,
+           ts - INTERVAL 90 MINUTE AS minus_90m
+    FROM events
+    """,
+)
+def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    unix_s = ts.cast("timestamp").cast("long")  # NTZ -> LTZ(UTC) -> epoch
+    return ev.select(
+        "event_id",
+        F.to_date(ts).cast("string").alias("as_date"),
+        unix_s.alias("unix_s"),
+        F.from_unixtime(unix_s).alias("roundtrip"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("s"),
+        (ts + F.expr("INTERVAL 1 HOUR")).alias("plus_1h"),
+        (ts - F.expr("INTERVAL 90 MINUTE")).alias("minus_90m"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           floor(l_extendedprice) AS flr,
+           ceil(l_extendedprice) AS cl,
+           abs(l_quantity - 25) AS centered,
+           pow(l_quantity, 2) AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           ((CAST(l_quantity AS BIGINT) - 25) % 7 + 7) % 7 AS qmod,
+           sign(l_quantity - 25) AS sgn,
+           greatest(l_quantity, 25.0) AS hi,
+           least(l_quantity, 25.0) AS lo
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 1).alias("r1"),
+        F.floor(p).cast("double").alias("flr"),
+        F.ceil(p).cast("double").alias("cl"),
+        F.abs(q - 25).alias("centered"),
+        F.pow(q, 2).alias("qty_sq"),
+        F.sqrt(q).alias("qty_sqrt"),  # IEEE-exact, no rounding needed
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.log10(p), 6).alias("log10_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.pmod(q.cast("long") - 25, F.lit(7)).alias("qmod"),
+        F.signum(q - 25).alias("sgn"),
+        F.greatest(q, F.lit(25.0)).alias("hi"),
+        F.least(q, F.lit(25.0)).alias("lo"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_filled,
+           NULLIF(o_orderpriority, '5-LOW') AS prio_or_null,
+           coalesce(NULLIF(o_orderpriority, '5-LOW'), 'LOWEST') AS nvl_prio,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS if_like,
+           CASE WHEN o_orderstatus = 'F' THEN 'done'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'partial' END AS multi_if
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse if()/multiIf()/ifNull().
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_filled"
+        ),
+        F.nullif("o_orderpriority", F.lit("5-LOW")).alias("prio_or_null"),
+        F.nvl(F.nullif("o_orderpriority", F.lit("5-LOW")), F.lit("LOWEST")).alias(
+            "nvl_prio"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .otherwise("small")
+        .alias("if_like"),
+        F.when(F.col("o_orderstatus") == "F", "done")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("multi_if"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content hashing for dedup: hex digests are engine-independent.
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@query("fn_hash_fast")  # rows-only: xxhash64 seeds/variants differ per engine
+def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse cityHash64 analog — fast non-crypto hash for partitioning."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("h"),
+        (F.pmod(F.xxhash64("text", "lang"), F.lit(1024))).alias("bucket"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n,
+           array_contains(toks, 'data') AS has_data,
+           list_sort(list_distinct(toks))[1] AS first_distinct,
+           list_slice(toks, 1, 3) AS head3,
+           flatten([toks[1:2], toks[3:4]]) AS recombined,
+           list_concat(toks[1:1], toks[2:2]) AS first_two,
+           generate_series(1, 3) AS seq
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.element_at(F.sort_array(F.array_distinct(toks)), 1).alias("first_distinct"),
+        F.slice(toks, 1, 3).alias("head3"),
+        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias(
+            "recombined"
+        ),
+        F.concat(F.slice(toks, 1, 1), F.slice(toks, 2, 1)).alias("first_two"),
+        F.sequence(F.lit(1), F.lit(3)).alias("seq"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           list_transform(list_slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE) * 2, 6)) AS doubled4,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS total,
+           round(list_reduce(list_transform(list_zip(embedding, embedding),
+                 s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b), 4) AS sq_norm,
+           len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
+           len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding) AS all_unit
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse arrayMap/arrayFilter/arrayFold/arrayExists/arrayAll.
+    # Left-fold order is deterministic in both engines -> rounding absorbs
+    # float32->float64 promotion noise only at the last digit.
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    embd = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.slice(emb, 1, 4), lambda x: F.round(x.cast("double") * 2, 6)
+        ).alias("doubled4"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("total"),
+        F.round(
+            F.aggregate(
+                F.zip_with(embd, embd, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+        F.exists(emb, lambda x: x > 0.5).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                                 (x, i) -> {'word': x, 'pos': CAST(i - 1 AS INT)}),
+                  recursive := true)
+    FROM documents
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse arrayJoin: token fan-out with position (0-based in Spark).
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", "word", "pos")
+
+
+@query("fn_map")  # rows-only: map value typing/ordering differs across engines
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.sort_array(F.map_keys(m)).alias("keys"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.map_contains_key(m, "uid").alias("has_uid"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing,
+           json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse JSONExtract*: events.props is a JSON string {"k": <int>}.
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = F.from_json("props", schema)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+        parsed.isNotNull().alias("is_valid"),
+    )
