@@ -28,6 +28,18 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def fix_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), read as long via nanosAsLong
+    conf; floor-divide to microseconds exactly like DuckDB truncates ns.
+    Applies to batch and streaming reads alike."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Keeps the scan lazy so pushdown applies."""
     if name not in TABLES:
@@ -35,13 +47,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as long via nanosAsLong conf;
-        # floor-divide to microseconds exactly like DuckDB truncates ns.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = fix_events_ts(df)
     return df
 
 
