@@ -1,0 +1,213 @@
+"""Deduplication: exact hash, token-set Jaccard kernel, MinHash+LSH scale path.
+
+The derived ``doc_dups`` fixture (FIXTURES.md §3) is built identically here
+and in each oracle: documents ∪ exact copies (doc_id%5=0, id+1,000,000, text
+unchanged) ∪ near copies (doc_id%7=0, id+2,000,000, first token dropped).
+
+Scale posture:
+- ``dedup_exact`` is one hash-groupBy on a 16-byte digest — partial-agg
+  shuffles digests, not text. At 100 TB this is the cheapest possible dedup.
+- ``dedup_near_jaccard`` is the *verification kernel*: exact Jaccard on
+  candidate pairs. Run standalone it blocks on `lang` to bound the self-join;
+  the real scale path is LSH candidates → this kernel.
+- ``dedup_minhash_lsh`` is the scale path: per-doc signature (k=32 hashes,
+  one pass over shingles), band→bucket shuffle keyed on (band, bandhash) —
+  cost O(docs·k), never O(docs²). Hash seeds make signatures
+  engine-specific, so the key is rows-only; the property test asserts
+  LSH candidates ⊇ all true-Jaccard≥τ pairs (tests/test_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# -- doc_dups derivation (must stay in lockstep with _DOC_DUPS_SQL) ----------
+
+
+def doc_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.array_join(F.slice(F.split("text", " "), 2, 100_000), " "),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def shingle_set() -> F.Column:
+    """Distinct word-2-shingles of ``text`` — the dedup granularity.
+
+    Array-side (`transform` over an index `sequence`): built inside the
+    scan's codegen'd projection, no explode. Assumes ≥2 tokens per doc
+    (fixture minimum is ~8; a 1-token doc would yield its lone token).
+    """
+    return F.expr(
+        "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1])))"
+    )
+
+
+_DOC_DUPS_SQL = """
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               array_to_string(string_split(text, ' ')[2:], ' '),
+               lang
+        FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH doc_dups AS ({_DOC_DUPS_SQL}),
+    hashed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h FROM doc_dups
+    )
+    SELECT h AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM hashed
+    GROUP BY h
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 of normalized text: keep the smallest doc_id.
+
+    groupBy-on-digest rather than dropDuplicates: the survivor choice
+    (min id) is explicit and deterministic, and the digest (16 bytes) is what
+    shuffles — not the document body.
+    """
+    dups = doc_dups(spark, sf_dir)
+    return (
+        dups.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH doc_dups AS ({_DOC_DUPS_SQL}),
+    toksets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1])) AS toks
+        FROM doc_dups
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
+    FROM toksets a JOIN toksets b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: word-2-shingle-set Jaccard ≥ 0.8 (lang-blocked).
+
+    Shingles, not single tokens: the fixture vocabulary is tiny, so token
+    SETS of unrelated long docs overlap almost completely — bigram shingles
+    keep word order and make Jaccard discriminative (the standard MinHash
+    granularity). Intersection/union sizes are set-exact integers, so the
+    only float is one division — rounded at 6dp for the oracle hash.
+    """
+    dups = doc_dups(spark, sf_dir)
+    toks = dups.select("doc_id", "lang", shingle_set().alias("toks"))
+    a = toks.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("toks").alias("a_toks"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("toks").alias("b_toks"),
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    jac = inter.cast("double") / uni
+    return (
+        a.join(b, (F.col("a_lang") == F.col("b_lang")) & (F.col("a_id") < F.col("b_id")))
+        .filter(jac >= 0.8)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+    )
+
+
+N_HASHES = 32
+N_BANDS = 8  # r = 4 rows/band → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: k seeded xxhash64 mins over word 2-shingles.
+
+    One pass, array-side (`transform` over seeds × `aggregate` over
+    shingles): no explode, no shuffle — the signature column is computed
+    inside codegen during the scan projection.
+    """
+    shingles = shingle_set()
+    sig = F.expr(
+        f"transform(sequence(0, {N_HASHES - 1}), s -> "
+        " aggregate(shingles, cast(9223372036854775807 as bigint),"
+        "           (acc, sh) -> least(acc, xxhash64(sh, s))))"
+    )
+    return docs.withColumn("shingles", shingles).withColumn("sig", sig)
+
+
+@query("dedup_minhash_lsh")  # rows-only: signatures are hash-seed-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, verified by exact Jaccard ≥ 0.8.
+
+    shingle → 32-hash signature → 8 bands of 4 → bucket-join on
+    (band, hash(band rows)) → distinct candidate pairs → exact-Jaccard
+    verification on just those pairs. The only shuffles are the band
+    explode's groupBy and the final pair join — both keyed on digests.
+    """
+    dups = doc_dups(spark, sf_dir)
+    sigs = minhash_signatures(dups)
+    r = N_HASHES // N_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}),"
+                f" b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * {r} + 1, {r}))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    toks = dups.select("doc_id", shingle_set().alias("toks"))
+    verified = (
+        cand.join(toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")), "a_id")
+        .join(toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")), "b_id")
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    jac = inter.cast("double") / uni
+    return verified.filter(jac >= 0.8).select(
+        "a_id", "b_id", F.round(jac, 6).alias("jac")
+    )

@@ -1,0 +1,138 @@
+"""Multimodal columns: opaque binary payloads + typed metadata structs.
+
+The engine's contract for image/audio/video at 100 TB: the payload is a
+`binary` column that is NEVER parsed JVM-side — only sliced, hashed,
+length-checked, filtered, and routed; decode/feature-extraction happens in
+Arrow-batched Python (`mapInPandas`), one batch at a time, so a 1000-executor
+cluster decodes in parallel with zero driver involvement and the JVM plan
+(filter → project → repartition) still prunes and pushes down around the
+opaque column.
+
+The decode step itself is a STUB (no image/audio libs in this container —
+SURVEY.md §2K): `decode_payload` raises NotImplementedError unless the
+deterministic fake decoder is requested; the Spark-side plumbing — schema,
+batch iteration, partition mapping — is real and oracle/unit-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "multimodal_struct",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           lang,
+           n_chars
+    FROM documents
+    WHERE octet_length(encode(text)) >= 200 AND lang <> 'zh'
+    -- md5(text) == md5 of the utf-8 payload: texts are pure ASCII
+    """,
+)
+def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct, filtered/projected without decoding.
+
+    Text bytes stand in for media payloads (same BinaryType column shape).
+    Every operation — length, digest, predicate — runs on the opaque bytes
+    JVM-side; the oracle checks the digest so the byte path is hash-verified
+    end-to-end.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.struct(
+            F.encode("text", "utf-8").alias("bytes"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("media"),
+    )
+    return media.filter(
+        (F.length("media.bytes") >= 200) & (F.col("media.lang") != "zh")
+    ).select(
+        "doc_id",
+        F.md5("media.bytes").alias("payload_md5"),
+        F.length("media.bytes").alias("n_bytes"),
+        F.col("media.lang").alias("lang"),
+        F.col("media.n_chars").alias("n_chars"),
+    )
+
+
+def decode_payload(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
+    """Decode one media payload into features.
+
+    Real decoders (PIL/ffmpeg/torchaudio) are not available in this
+    container; ``fake=True`` selects the deterministic stand-in used by
+    tests: features derived purely from the byte content, so the pipeline
+    shape (schema, batching, parallelism) is exercised for real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires an image/audio library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": 1 + payload[0] % 64 if n else 0,
+        "height": 1 + payload[-1] % 64 if n else 0,
+        "checksum": sum(payload) % 65536,
+    }
+
+
+DECODED_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, checksum int"
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches of (doc_id, bytes) → feature rows.
+
+    This is the real plumbing a production decoder drops into — swap the
+    fake decoder for the library call and nothing else changes.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [decode_payload(b, fake=True) for b in pdf["bytes"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(1 + ascii(text[1]) % 64 AS INT) AS width,
+           CAST(1 + ascii(text[-1]) % 64 AS INT) AS height,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                         i -> ascii(text[i]))) % 65536 AS INT) AS checksum
+    FROM documents
+    -- texts are pure ASCII (verified per scale factor), so char codes ==
+    -- utf-8 byte values and length == octet_length
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pipeline end-to-end with the deterministic fake decoder.
+
+    Because the fake features are pure functions of the bytes, the Python
+    decode path is hash-checkable against a SQL recomputation — proving the
+    Arrow round-trip preserves the payload bit-for-bit.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
+    return decode_features(media)

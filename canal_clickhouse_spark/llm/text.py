@@ -1,0 +1,198 @@
+"""Text analysis over the ``documents`` corpus: stats, quality, n-grams, TF-IDF.
+
+ClickHouse ships tokenization/string analytics as scalar functions
+(`splitByChar`, `ngrams`, `arrayJoin`) [P-ch]; the Spark-native shape is
+`split` + higher-order array functions + `explode`, all JVM-side builtins —
+no Python in any of these paths.
+
+Scale notes (100 TB posture): every operator here is embarrassingly parallel
+per document until the final aggregate; token explosion multiplies rows ~60×
+(avg tokens/doc) but the exploded stream aggregates map-side before the
+shuffle (partial hash agg on (token) / (doc_id, token)), so the shuffle
+carries only distinct-key partials. TF-IDF's doc-frequency join broadcasts
+the term→df side when small; at full vocabulary scale it's a shuffle join on
+`term` — both sides pre-aggregated, so the join input is |vocab| + |doc×term|
+rows, not raw tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# Tokenization convention shared by every text operator and its oracle:
+# documents.text is space-separated (FIXTURES.md §2), so a single-space split
+# is the exact tokenizer in both engines. (Function, not constant — Column
+# construction needs an active SparkContext.)
+def tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(CAST(n_chars - len(string_split(text, ' ')) + 1
+                          AS DOUBLE) / len(string_split(text, ' '))), 4)
+               AS avg_token_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc/token/char counts, token length.
+
+    avg_token_len derives from n_chars minus the (tokens-1) separator spaces
+    — pure arithmetic, no second pass over the text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    return (
+        docs.select("lang", "n_chars", ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(
+                F.avg((F.col("n_chars") - F.col("ntok") + 1).cast("double") / F.col("ntok")),
+                4,
+            ).alias("avg_token_len"),
+        )
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 120 AND 480
+      AND lang IN ('en', 'de', 'fr')
+      AND len(string_split(text, ' ')) >= 20
+      AND n_chars - len(string_split(text, ' ')) + 1
+          <= 8 * len(string_split(text, ' '))
+      AND NOT contains(text, 'error')
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality gate: length bounds, language allowlist,
+    minimum token count, mean-word-length cap, badword exclusion.
+
+    All predicates are scan-level conjuncts — at scale the length/lang ones
+    push into the parquet reader (row-group stats prune on n_chars).
+    """
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    return docs.filter(
+        F.col("n_chars").between(120, 480)
+        & F.col("lang").isin("en", "de", "fr")
+        & (ntok >= 20)
+        & ((F.col("n_chars") - ntok + 1) <= 8 * ntok)
+        & ~F.col("text").contains("error")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT t[i] || ' ' || t[i + 1] AS ngram
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    )
+    SELECT ngram, COUNT(*) AS freq
+    FROM grams
+    GROUP BY ngram
+    ORDER BY freq DESC, ngram
+    LIMIT 25
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word bigrams.
+
+    Bigrams are built array-side (one `transform` over an index `sequence`)
+    before the explode, so the per-doc work stays in whole-stage codegen; the
+    frequency count partial-aggregates map-side. Tie-break on the ngram
+    string makes the top-k deterministic.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "ngram")
+        .limit(25)
+    )
+
+
+@query(
+    "tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln(N/df), raw tf).
+
+    Plan shape at scale: explode → two partial-aggregated shuffles (tf keyed
+    on (doc_id, term), df keyed on term) → join on term with the df side
+    orders-of-magnitude smaller than the tf side (|vocab| rows) → windowed
+    top-k per doc. The df side is broadcast at fixture scale; at 100 TB the
+    join is shuffle-on-term with both sides already aggregated.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
