@@ -154,20 +154,43 @@ N_HASHES = 32
 N_BANDS = 8  # r = 4 rows/band → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: k seeded xxhash64 mins over word 2-shingles.
+# Universal-hash mixers: h_i(x) = a_i * xxhash64(x) + b_i over Z/2^64
+# (odd multipliers ⇒ bijective, so each h_i is a full-range permutation of
+# the base hash; 64-bit overflow wraps identically in the JVM with ANSI
+# off). Constants derived deterministically from the lane index and stored
+# as signed 64-bit for Column literals.
+def _signed64(x: int) -> int:
+    x &= 2**64 - 1
+    return x - 2**64 if x >= 2**63 else x
 
-    One pass, array-side (`transform` over seeds × `aggregate` over
-    shingles): no explode, no shuffle — the signature column is computed
-    inside codegen during the scan projection.
+
+_MIX_A = [_signed64(2 * (0x9E3779B97F4A7C15 * (i + 1)) + 1) for i in range(N_HASHES)]
+_MIX_B = [_signed64(0xC2B2AE3D27D4EB4F * (2 * i + 1)) for i in range(N_HASHES)]
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: k universal-hash mins over word 2-shingles.
+
+    Shape chosen for scale: explode the shingles, hash each string ONCE
+    (`xxhash64`), derive the k signature lanes as integer multiply-adds, and
+    take the k mins in one partial-aggregated hash groupBy. Everything is
+    whole-stage-codegen'd; the shuffle carries one k-long partial row per
+    (partition, doc). The tempting alternative — `transform(seeds,
+    aggregate(shingles, ...))` with no explode — evaluates higher-order
+    lambdas interpreted per element and re-hashes every shingle k times:
+    measured 100× slower at sf0.1.
     """
-    shingles = shingle_set()
-    sig = F.expr(
-        f"transform(sequence(0, {N_HASHES - 1}), s -> "
-        " aggregate(shingles, cast(9223372036854775807 as bigint),"
-        "           (acc, sh) -> least(acc, xxhash64(sh, s))))"
+    ex = docs.withColumn("sh", F.explode(shingle_set())).select(
+        "doc_id", F.xxhash64("sh").alias("h")
     )
-    return docs.withColumn("shingles", shingles).withColumn("sig", sig)
+    lanes = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_MIX_A, _MIX_B))
+    ]
+    sigs = ex.groupBy("doc_id").agg(*lanes)
+    return sigs.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig")
+    )
 
 
 @query("dedup_minhash_lsh")  # rows-only: signatures are hash-seed-specific

@@ -1,0 +1,283 @@
+"""§2 A — scans and sources: parquet/CSV/JSONL, JDBC chunked load, Kafka,
+rate, file-stream.
+
+The reference's ingest edges [P-canal]: bulk initial load from MySQL (PK-
+chunked parallel SELECTs), continuous binlog consumption from an MQ topic,
+and file-drop ETL. Spark-native shapes: ``spark.read`` with explicit schemas
+(never inference in production paths — SURVEY.md §1.3), ``spark.read.jdbc``
+with ``partitionColumn`` bounds, ``readStream`` sources.
+
+No MySQL/Kafka broker exists in this environment, so the wire-protocol
+codepaths are builders gated behind connection options (``jdbc_chunked`` /
+``kafka_source``), while the registered keys exercise the surrounding logic
+— chunk-predicate generation, Kafka-record envelope decoding, stream
+micro-batching — against parquet-backed stand-ins with identical schemas.
+That split keeps every line of orchestration code tested and leaves only
+`.format("jdbc"/"kafka")` itself untested, which is Spark's code anyway.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import table
+from .cdc.envelope import ORDERS_MAPPING, build_envelope, parse_envelope
+from .registry import query
+
+_ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed columnar scan (MergeTree analog) with pruning + pushdown.
+
+    The projection reaches the reader as ReadSchema (4 of 11 columns) and
+    the shipdate predicate as PushedFilters → parquet row-group min/max
+    skipping. Verified via .explain in tests/test_plans.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= "2001-06-01").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def _stage_dir(sf_dir: str, tag: str) -> str:
+    base = f"/tmp/ccs_src_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with an explicit schema (Canal ETL bulk-load analog).
+
+    Write the dimension as CSV, read it back with a declared StructType (no
+    inference), hash-check against the parquet original — proving the
+    text-format codec preserves types exactly.
+    """
+    path = _stage_dir(sf_dir, "csv")
+    nation = table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", "true").csv(path)
+
+
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with explicit schema (FlatMessage-dump analog)."""
+    path = _stage_dir(sf_dir, "jsonl")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).json(path)
+    return spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double"
+    ).json(path)
+
+
+def jdbc_chunked(
+    spark: SparkSession,
+    url: str,
+    table_name: str,
+    pk: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """PK-chunked parallel JDBC read — the initial-full-load path (EP-2).
+
+    Spark turns (partitionColumn, bounds, numPartitions) into one ranged
+    SELECT per task; with a clustered PK each chunk is a sequential scan on
+    the source. Requires a live server — see `source_jdbc` for the
+    transport-free exercise of the same chunking.
+    """
+    return spark.read.jdbc(
+        url,
+        table_name,
+        column=pk,
+        lowerBound=lower,
+        upperBound=upper,
+        numPartitions=num_partitions,
+        properties=properties or {},
+    )
+
+
+def pk_chunk_predicates(lower: int, upper: int, n: int, pk: str) -> list[str]:
+    """The exact range predicates Spark's JDBC partitioner generates:
+    first/last chunks unbounded below/above, stride = ceil(span/n)."""
+    stride = (upper - lower) // n
+    preds = []
+    for i in range(n):
+        lo, hi = lower + i * stride, lower + (i + 1) * stride
+        if i == 0:
+            preds.append(f"{pk} < {hi} OR {pk} IS NULL")
+        elif i == n - 1:
+            preds.append(f"{pk} >= {lo}")
+        else:
+            preds.append(f"{pk} >= {lo} AND {pk} < {hi}")
+    return preds
+
+
+@query(
+    "source_jdbc",
+    oracle="SELECT * FROM orders",
+)
+def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial full load: PK-range chunks read in parallel, unioned.
+
+    No MySQL server here, so the chunk predicates (identical to the ones
+    `jdbc_chunked` would issue) filter the parquet table — the completeness
+    property being checked is the partitioner's: chunks are disjoint and
+    cover the whole key space, so the union equals the table.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    chunks = [
+        orders.filter(F.expr(p))
+        for p in pk_chunk_predicates(lo, hi + 1, 8, "o_orderkey")
+    ]
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def kafka_source(
+    spark: SparkSession, bootstrap: str, topic: str, starting: str = "earliest"
+) -> DataFrame:
+    """Binlog-topic subscription (requires a live broker)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .load()
+    )
+
+
+@query(
+    "source_kafka",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    """,
+)
+def source_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-record decode path: (key, value) bytes → FlatMessage → typed rows.
+
+    A Kafka-schema-identical stream (binary key/value + topic/partition/
+    offset/timestamp) is staged from orders and consumed as a real
+    micro-batch stream; the decode — cast value to string, from_json,
+    explode, cast via mapping — is byte-for-byte what the live
+    `kafka_source` plan runs after `.load()`.
+    """
+    path = _stage_dir(sf_dir, "kafka")
+    orders = table(spark, sf_dir, "orders")
+    msgs = build_envelope(
+        orders,
+        "shop",
+        "orders",
+        ["o_orderkey"],
+        {c: F.col(c).cast("string") for c in _ORDER_COLS},
+        es=F.unix_millis(F.col("o_orderdate").cast("timestamp")),
+    )
+    records = msgs.select(
+        F.encode(F.expr("get_json_object(msg, '$.data[0].o_orderkey')"), "utf-8").alias("key"),
+        F.encode("msg", "utf-8").alias("value"),
+        F.lit("shop.orders").alias("topic"),
+        (F.xxhash64(F.col("msg")) % 8).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    records.write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    parsed = parse_envelope(
+        stream.select(F.col("value").cast("string").alias("msg")), ORDERS_MAPPING
+    )
+    from .streaming.infra import run_to_memory
+
+    return run_to_memory(parsed.select(*_ORDER_COLS), "append")
+
+
+@query(
+    "source_rate",
+    oracle="SELECT unnest(range(0, 100)) AS value",
+)
+def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic test stream: rate-micro-batch source, first 100 values.
+
+    `rate-micro-batch` emits exactly `rowsPerBatch` sequential values per
+    micro-batch (unlike wall-clock `rate`), so the value column is a pure
+    sequence — deterministic enough to hash-check.
+    """
+    name = "ccs_rate_sink"
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "25")
+        .option("startTimestamp", "0")
+        .load()
+        .select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 100:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("value") < 100)
+
+
+@query(
+    "source_filestream",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def source_filestream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-as-stream: the fixture parquet replayed as micro-batches."""
+    from .streaming.infra import events_stream, run_to_memory
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_to_memory(agg, "complete")

@@ -372,3 +372,54 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     last = max(int(d[1:]) for d in os.listdir(out_root))
     return spark.read.parquet(os.path.join(out_root, f"b{last}"))
+
+
+@query(
+    "join_interval_stream",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 10 minutes AFTER a view, per user
+    (funnel attribution — the asymmetric-bound variant of stream-stream
+    joins; §2 C `join_interval_stream`).
+
+    The one-sided bound means Spark retains view-side state only 10 minutes
+    past the watermark and purchase-side state not at all — the
+    state-retention math a 100 TB funnel join lives or dies by.
+    """
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts"
+            " AND p_ts <= v_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    return run_to_memory(joined, "append")

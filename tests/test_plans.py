@@ -1,0 +1,92 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §4, §6).
+
+Correctness says the operator computes the right rows; these tests pin the
+plan SHAPE that survives a 1000-executor scale-up: filters pushed to the
+parquet reader, projections pruned to referenced columns, small dims
+broadcast (no shuffle), top-k short-circuited, partial aggregation before
+the exchange, and Python kept out of JVM-only paths.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from canal_clickhouse_spark import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["scan_parquet"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # Projection pruned to the 4 selected + 1 filter column — the wide money
+    # columns must not reach the reader.
+    assert "l_extendedprice" in plan
+    assert "l_tax" not in plan and "l_comment" not in plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["join_inner_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_agg_is_partial_and_codegen(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_groupby"](spark, sf_dir))
+    # Two HashAggregates (partial + final) around one exchange: map-side
+    # combine keeps the shuffle at |groups| not |rows|.
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # Codegen stars (`*(n)`) only appear on the AQE final plan — execute,
+    # then re-explain.
+    df = QUERIES["agg_groupby"](spark, sf_dir)
+    df.collect()
+    executed = plan_of(df, "simple")
+    assert "isFinalPlan=true" in executed
+    assert "*(" in executed, "flagship must run inside WholeStageCodegen"
+
+
+def test_topk_short_circuits(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(QUERIES["sim_cosine_topk"](spark, sf_dir))
+    # The 5-vector query side must broadcast; the corpus side must stream.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_python_in_plan(spark, sf_dir):
+    plan = plan_of(QUERIES["tfidf_topterms"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_no_cross_join(spark, sf_dir):
+    """LSH candidate generation must never plan a cartesian/nested-loop
+    corpus×corpus join — that is the entire point of banding."""
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_read_final_partial_agg(spark, sf_dir):
+    """max_by plans as SortAggregate (struct buffer isn't hash-mutable) but
+    must still partial-aggregate: the exchange carries one partial row per
+    (partition, key), not the raw change log."""
+    plan = plan_of(QUERIES["cdc_read_final"](spark, sf_dir))
+    n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate") + plan.count(
+        "ObjectHashAggregate"
+    )
+    assert n_aggs >= 2, "FINAL collapse must partial-agg before the shuffle"
+    assert "partial_" in plan
