@@ -249,3 +249,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(jac >= 0.8).select(
         "a_id", "b_id", F.round(jac, 6).alias("jac")
     )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 bit patterns are engine-private
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature, Hamming ≤ 3, banded search.
+
+    Per doc: explode tokens, hash once, and for each of 32 bits sum ±1
+    contributions (+1 if the token hash has the bit set) — one partial-
+    aggregated groupBy, exactly the MinHash lanes shape. The signature bit
+    is the contribution's sign. Candidate search never compares all pairs:
+    the 32 bits split into 4 bands of 8; Hamming ≤ 3 implies at least one
+    band is identical (pigeonhole), so an equi-join per band finds every
+    such pair, verified with bit_count(xor) ≤ 3. Property-tested in
+    tests/test_llm.py (near-dups collide, unrelated docs don't).
+    """
+    dups = doc_dups(spark, sf_dir)
+    ex = dups.withColumn("tok", F.explode(F.split("text", " "))).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    bits = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    contrib = ex.groupBy("doc_id").agg(*bits)
+    sig = contrib.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)),
+            F.lit(0),
+        ).cast("bigint").alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i ->"
+                " named_struct('band', i,"
+                "  'bv', shiftright(sig, i * 8) & 255))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bv")
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("x.sig").bitwiseXOR(F.col("y.sig"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.filter(F.col("hamming") <= 3)

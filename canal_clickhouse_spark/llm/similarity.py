@@ -220,3 +220,179 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(emb, x -> round(x / sqrt({_DOT.format(a='emb', b='emb')}), 6))"
         ).alias("unit"),
     )
+
+
+# Derived near-dup embeddings (FIXTURES.md §3 pattern): every 10th vector
+# re-emitted (vec_id+10000) through the same element-wise linear map in both
+# engines — the scale is cosine-invariant and the small offset leaves
+# cosine ≈ 0.996, far above any natural pair (the fixture's max same-label
+# cosine is 0.47).
+_VEC_DUPS_SQL = """
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, label,
+               list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01)
+        FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", emb_d().alias("emb")
+    )
+    jit = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.expr("transform(emb, x -> x * 1.1 + 0.01)").alias("emb"),
+    )
+    return vecs.unionByName(jit)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH vd AS ({_VEC_DUPS_SQL}),
+    unit AS (
+        SELECT vec_id, label,
+               list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))
+                   AS u
+        FROM vd
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.u, b.u), 6) AS cos
+    FROM unit a JOIN unit b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.95, centroid-blocked.
+
+    Vectors are unit-normalized ONCE (per row, in the scan projection), so
+    each candidate pair costs a single 64-wide fold instead of three. The
+    label block stands in for the IVF cell assignment a 100 TB pipeline
+    blocks on (`sim_ivf_topk` shows the probe side); brute-forcing inside a
+    block is exactly what FAISS-style dedup does after coarse quantization.
+    """
+    vd = vec_dups(spark, sf_dir)
+    unit = vd.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(emb, x -> x / sqrt({_DOT.format(a='emb', b='emb')}))"
+        ).alias("u"),
+    )
+    a = unit.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("al"), F.col("u").alias("au")
+    )
+    b = unit.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("bl"), F.col("u").alias("bu")
+    )
+    cos = F.expr(_DOT.format(a="au", b="bu"))
+    return (
+        a.join(b, (F.col("al") == F.col("bl")) & (F.col("a_id") < F.col("b_id")))
+        .filter(cos >= 0.95)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, label, unnest(emb) AS x,
+               generate_subscripts(emb, 1) AS pos
+        FROM vecs
+    ),
+    cent AS (
+        SELECT label AS cell, pos, AVG(x) AS c FROM ex GROUP BY label, pos
+    ),
+    q AS (SELECT * FROM vecs WHERE vec_id < 5),
+    qcell AS (
+        SELECT vec_id AS q_id, cell,
+               SUM(qx.x * cent.c) AS dot
+        FROM (SELECT vec_id, unnest(emb) AS x,
+                     generate_subscripts(emb, 1) AS pos FROM q) qx
+        JOIN cent USING (pos)
+        GROUP BY q_id, cell
+    ),
+    probe AS (
+        SELECT q_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY dot DESC, cell) AS rc
+            FROM qcell
+        ) WHERE rc <= 2
+    ),
+    scored AS (
+        SELECT p.q_id, c.vec_id AS c_id,
+               ROUND(list_dot_product(q.emb, c.emb)
+                     / (sqrt(list_dot_product(q.emb, q.emb))
+                        * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos
+        FROM probe p
+        JOIN vecs c ON c.label = p.cell
+        JOIN q ON q.vec_id = p.q_id
+        WHERE c.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, cos, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, c_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse-quantize into cells
+    (per-label centroids), probe the 2 best cells per query, exact top-5
+    inside the probed cells only.
+
+    The scale path for corpus-sized query sets: the corpus is scanned once
+    to build centroids (64·|cells| floats — broadcastable forever), each
+    query scores |cells| centroids instead of |corpus| vectors, and the
+    exact search touches ~nprobe/|cells| of the data. On the fixture the
+    labels are random (no geometric cluster structure), so absolute recall
+    is data-bound at ~nprobe/|cells|; the property test pins the ANN
+    contract instead (full result set, never beats brute force) — on real
+    clustered embeddings the identical plan delivers high recall.
+    """
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", emb_d().alias("emb")
+    )
+    ex = vecs.select("vec_id", "label", F.posexplode("emb").alias("pos", "x"))
+    cent = (
+        ex.groupBy(F.col("label").alias("cell"), "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    q = vecs.filter(F.col("vec_id") < 5)
+    qx = q.select(
+        F.col("vec_id").alias("q_id"), F.posexplode("emb").alias("pos", "x")
+    )
+    qcell = (
+        qx.join(F.broadcast(cent), "pos")
+        .groupBy("q_id", "cell")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.desc("dot"), "cell")
+    probe = (
+        qcell.withColumn("rc", F.row_number().over(wprobe))
+        .filter(F.col("rc") <= 2)
+        .select("q_id", "cell")
+    )
+    qv = q.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    cand = (
+        F.broadcast(probe.join(qv, "q_id"))
+        .join(vecs, (vecs.label == F.col("cell")) & (vecs.vec_id != F.col("q_id")))
+        .select("q_id", F.col("vec_id").alias("c_id"), "q_emb", F.col("emb").alias("c_emb"))
+    )
+    cos = _dot("q_emb", "c_emb") / (
+        F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))
+    )
+    scored = cand.select("q_id", "c_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "c_id", "cos", "rn")
+    )

@@ -196,3 +196,146 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'data', 'query'], t))) AS s_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['stream', 'batch', 'merge'], t))) AS s_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['join', 'filter', 'sort'], t))) AS s_es,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['table', 'column', 'vector'], t))) AS s_fr,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['hash', 'scan', 'window'], t))) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
+           CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS score
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: score each doc against per-language
+    marker-token sets, predict the argmax (ties break alphabetically via
+    the CASE evaluation order — identical in both engines).
+
+    The real-world shape (character n-gram profiles × class scores ×
+    argmax) with profiles drawn from the fixture vocabulary. One
+    codegen'd projection per doc — embarrassingly parallel, no shuffle.
+    """
+    markers = {
+        "de": ("stream", "batch", "merge"),
+        "en": ("the", "data", "query"),
+        "es": ("join", "filter", "sort"),
+        "fr": ("table", "column", "vector"),
+        "zh": ("hash", "scan", "window"),
+    }
+    docs = table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.expr(
+            "size(filter(split(text, ' '), t -> array_contains(array({}), t)))".format(
+                ", ".join(f"'{w}'" for w in ws)
+            )
+        ).alias(f"s_{lang}")
+        for lang, ws in markers.items()
+    }
+    scored = docs.select("doc_id", *scores.values())
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in markers])
+    pred = F.when(F.col("s_de") == best, "de")
+    for lg in ("en", "es", "fr"):
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    pred = pred.otherwise("zh")
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("bigint").alias("score")
+    )
+
+
+@query(
+    "text_tokens_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT)
+               AS n_subtokens,
+           ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+                      w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS subtoken_ratio
+    FROM documents
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish: subword count models each word
+    as ceil(len/4) merge units (the byte-pair regime where trained merges
+    cap subwords at ~4 chars). The ratio is the tokens-per-word inflation
+    an LLM pipeline budgets context length with.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    nsub = F.expr(
+        "aggregate(split(text, ' '), cast(0 as bigint),"
+        " (acc, w) -> acc + cast(ceil(length(w) / 4.0) as bigint))"
+    )
+    return docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        nsub.alias("n_subtokens"),
+        F.round(nsub.cast("double") / ntok, 4).alias("subtoken_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   w -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, len(w) + 1),
+                                          i -> CAST(ascii(w[i]) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+               list_transform(range(1, len(h) - 1),
+                   i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007)
+           ))[:4] AS fingerprint
+    FROM th
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: rolling polynomial hash over
+    token trigrams, keep the 4 smallest distinct values.
+
+    The hash is an engine-portable polynomial fold ((a·31+c) mod 1e9+7 over
+    ascii codes, then a trigram combine) so the fingerprint is
+    hash-checkable against DuckDB — unlike xxhash64, whose seeds are
+    engine-private (cf. dedup_simhash, which uses the fast path and is
+    rows-only). MOSS-style near-dup detection then compares fingerprint
+    overlap instead of full shingle sets.
+    """
+    docs = table(spark, sf_dir, "documents")
+    th = F.expr(
+        "transform(split(text, ' '), w ->"
+        " aggregate(transform(sequence(1, length(w)),"
+        "                     i -> cast(ascii(substring(w, i, 1)) as bigint)),"
+        "           cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007))"
+    )
+    fp = F.expr(
+        "slice(array_sort(array_distinct("
+        " transform(sequence(0, size(h) - 3),"
+        "           i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007)"
+        ")), 1, 4)"
+    )
+    return docs.select("doc_id", th.alias("h")).select("doc_id", fp.alias("fingerprint"))

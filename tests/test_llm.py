@@ -57,3 +57,62 @@ def test_embed_normalize_unit_norm(spark, sf_dir):
     for r in rows:
         norm = math.sqrt(sum(x * x for x in r.unit))
         assert abs(norm - 1.0) < 1e-4, (r.vec_id, norm)
+
+
+def test_simhash_recall_of_near_dups(spark, sf_dir):
+    """Every constructed duplicate pair must collide in SimHash space.
+
+    Exact copies (doc_id+1M) share the token multiset → Hamming 0; near
+    copies (doc_id+2M, first token dropped) differ by one token → at most a
+    few bits flip. Both must appear among the Hamming≤3 pairs.
+    """
+    pairs = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    bykey = {(a, b): h for a, b, h in pairs}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact_ids = [r.doc_id for r in docs.filter("doc_id % 5 = 0").collect()]
+    near_ids = [r.doc_id for r in docs.filter("doc_id % 7 = 0").collect()]
+    for i in exact_ids:
+        assert bykey.get((i, i + 1_000_000)) == 0, f"exact dup {i} not Hamming-0"
+    missed = [i for i in near_ids if (i, i + 2_000_000) not in bykey]
+    assert len(missed) <= len(near_ids) // 10, f"near dups missed: {missed[:10]}"
+
+
+def test_ivf_approximation_contract(spark, sf_dir):
+    """IVF must honor the ANN contract: full result set, scores bounded by
+    the exact search, never a better-than-brute hit.
+
+    Absolute recall is data-bound here: the fixture's labels (= cells) are
+    random, not geometric clusters, so probing 2/10 cells can only capture
+    ~20% of the true top-5 no matter the implementation. What must hold
+    regardless: 5 results per query, each score ≤ the brute-force score at
+    the same rank (an approximate index can miss neighbors, never invent
+    them).
+    """
+    brute = {
+        (r.q_id, r.rn): r.cos
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf_rows = QUERIES["sim_ivf_topk"](spark, sf_dir).collect()
+    per_q = {}
+    for r in ivf_rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for q_id, rows in per_q.items():
+        assert len(rows) == 5
+        for r in rows:
+            assert r.cos <= brute[(q_id, r.rn)] + 1e-9, (
+                f"IVF rank {r.rn} for q{q_id} beats brute force"
+            )
+
+
+def test_embedding_dedup_finds_all_planted_pairs(spark, sf_dir):
+    """Every planted jittered vector must pair with its source at cos≥0.95."""
+    res = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    found = {(r.a_id, r.b_id) for r in res.collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = [r.vec_id for r in emb.filter("vec_id % 10 = 0").collect()]
+    missed = [v for v in planted if (v, v + 10000) not in found]
+    assert not missed, f"planted near-dups missed: {missed[:10]}"
