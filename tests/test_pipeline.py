@@ -1,0 +1,108 @@
+"""End-to-end CDC pipeline test (SURVEY.md §5.4): FlatMessage JSON → routed,
+typed, version-merged state → FINAL read equals the directly-computed truth.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from canal_clickhouse_spark.cdc.envelope import ORDERS_MAPPING, build_envelope
+from canal_clickhouse_spark.pipeline import CdcPipeline, TableSync
+
+
+COLS = list(ORDERS_MAPPING)
+
+
+def envelopes(spark, sf_dir, op, flt, status=None, day_offset=0):
+    """FlatMessage batch from orders rows matching ``flt``."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(flt)
+    if status is not None:
+        orders = orders.withColumn("o_orderstatus", F.lit(status))
+    return build_envelope(
+        orders,
+        "shop",
+        "orders",
+        ["o_orderkey"],
+        {c: F.col(c).cast("string") for c in COLS},
+        es=F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        + F.lit(day_offset * 86_400_000),
+        op=F.lit(op),
+    )
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    rule = TableSync("shop", "orders", pk="o_orderkey", mapping=dict(ORDERS_MAPPING))
+    root = str(tmp_path / "state")
+    yield CdcPipeline(spark, [rule], root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def expected_final(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.filter("o_orderkey % 100 != 0")
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 10 == 0, "F").otherwise(F.col("o_orderstatus")),
+        )
+        .select(*COLS)
+    )
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_batch_pipeline_end_to_end(spark, sf_dir, pipe):
+    """INSERT all → UPDATE %10 → DELETE %100, applied batch-wise."""
+    pipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "true"))
+    pipe.apply_messages(
+        envelopes(spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0", status="F", day_offset=1)
+    )
+    pipe.apply_messages(
+        envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=2)
+    )
+    got = pipe.read_table("shop", "orders").select(*COLS)
+    assert rows_set(got) == rows_set(expected_final(spark, sf_dir))
+
+
+def test_batch_replay_is_idempotent(spark, sf_dir, pipe):
+    """Re-applying an already-applied batch must not change state."""
+    pipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "true"))
+    upd = envelopes(spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0", status="F", day_offset=1)
+    pipe.apply_messages(upd)
+    before = rows_set(pipe.read_table("shop", "orders"))
+    pipe.apply_messages(upd)  # at-least-once redelivery
+    assert rows_set(pipe.read_table("shop", "orders")) == before
+
+
+def test_unrouted_tables_are_ignored(spark, sf_dir, pipe):
+    other = envelopes(spark, sf_dir, "INSERT", "true").withColumn(
+        "msg", F.regexp_replace("msg", '"table":"orders"', '"table":"other"')
+    )
+    pipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "o_orderkey <= 100"))
+    n = pipe.read_table("shop", "orders").count()
+    pipe.apply_messages(other)
+    assert pipe.read_table("shop", "orders").count() == n
+
+
+def test_streaming_pipeline(spark, sf_dir, pipe, tmp_path):
+    """The same three rounds through the checkpointed streaming path."""
+    src = str(tmp_path / "msgs")
+    for i, env in enumerate(
+        [
+            envelopes(spark, sf_dir, "INSERT", "true"),
+            envelopes(spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0", status="F", day_offset=1),
+            envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=2),
+        ]
+    ):
+        env.coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema("msg string").json(src)
+    q = pipe.stream(stream)
+    q.awaitTermination()
+    got = pipe.read_table("shop", "orders").select(*COLS)
+    assert rows_set(got) == rows_set(expected_final(spark, sf_dir))
