@@ -59,3 +59,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for the spark.sql entry path."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """EP-3 SQL entry: run a query over the registered fixture views.
+
+    Same Catalyst path as the DataFrame API with one extra parser stage —
+    exposed so reference users can keep their SQL verbatim.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(query)

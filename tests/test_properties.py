@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY.md §5.3): invariants golden fixtures miss.
+
+Each example builds a tiny change log and checks algebraic laws of the CDC
+merge and of the relational operators. Spark jobs are slow per example, so
+examples are capped and the data is small — hypothesis's shrinking still
+finds minimal counterexamples within those bounds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from canal_clickhouse_spark.cdc.apply import apply_replacing, latest_per_key
+
+CHANGE = st.tuples(
+    st.integers(min_value=0, max_value=5),          # pk
+    st.integers(min_value=0, max_value=9),          # version
+    st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+    st.integers(min_value=-100, max_value=100),     # payload
+)
+
+# Unique (pk, version) per log: at-least-once duplicates are modeled
+# explicitly by replaying slices, not by ambiguous same-version rows with
+# different payloads (which no version-resolved store can order).
+CHANGE_LOG = st.lists(CHANGE, min_size=1, max_size=12, unique_by=lambda c: (c[0], c[1]))
+
+
+def log_df(spark, log):
+    return spark.createDataFrame(log, "pk int, version int, op string, payload int")
+
+
+def final_state(spark, log):
+    return {
+        (r.pk, r.payload)
+        for r in apply_replacing(log_df(spark, log), pk="pk").collect()
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(log=CHANGE_LOG, split=st.integers(min_value=0, max_value=12))
+def test_batch_split_invariance(spark, log, split):
+    """Applying a log in one batch == applying any two-way split then
+    merging: micro-batch boundaries must be invisible."""
+    split = min(split, len(log))
+    whole = final_state(spark, log)
+    parts = [log_df(spark, part) for part in (log[:split], log[split:]) if part]
+    # two-phase: collapse each part, then collapse the collapsed parts
+    staged = latest_per_key(
+        parts[0] if len(parts) == 1
+        else latest_per_key(parts[0], pk="pk").unionByName(
+            latest_per_key(parts[1], pk="pk")
+        ),
+        pk="pk",
+    )
+    got = {
+        (r.pk, r.payload)
+        for r in staged.filter(F.col("op") != "DELETE").drop("op", "version").collect()
+    }
+    assert got == whole
+
+
+@settings(max_examples=10, deadline=None)
+@given(log=CHANGE_LOG, start=st.integers(min_value=0, max_value=11))
+def test_suffix_replay_idempotent(spark, log, start):
+    """Replaying any suffix of an applied log changes nothing
+    (at-least-once transport safety)."""
+    start = min(start, len(log) - 1)
+    whole = final_state(spark, log)
+    replayed = log + log[start:]
+    assert final_state(spark, replayed) == whole
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 3)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_semi_join_is_inner_distinct_on_keys(spark, rows):
+    """left_semi(a, b) == distinct keys of inner(a, b) projected to a."""
+    a = spark.createDataFrame([(k, v) for k, v in rows], "k int, v int")
+    b = spark.createDataFrame([(v,) for _, v in rows[::2]], "k int")
+    semi = {tuple(r) for r in a.join(b, "k", "left_semi").collect()}
+    inner = {
+        tuple(r)
+        for r in a.join(b.distinct(), "k", "inner").select("k", "v").collect()
+    }
+    assert semi == inner
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=15))
+def test_stringly_typed_cast_roundtrip(spark, vals):
+    """The CDC mapping contract: value → string (wire) → typed cast is
+    lossless for integer payloads (FlatMessage data is stringly-typed)."""
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    wire = df.select(F.col("x").cast("string").alias("s"))
+    back = wire.select(F.col("s").cast("long").alias("x"))
+    assert sorted(r.x for r in back.collect()) == sorted(vals)
