@@ -272,14 +272,36 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_fast")  # rows-only: xxhash64 seeds/variants differ per engine
+@query(
+    "fn_hash_fast",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT text) AS n_texts,
+           CAST(COUNT(DISTINCT hash(text)) AS BIGINT) AS n_hashes,
+           MIN(hash(text) % 1024 >= 0 AND hash(text) % 1024 < 1024)
+               AS buckets_ok
+    FROM documents
+    """,
+)
 def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse cityHash64 analog — fast non-crypto hash for partitioning."""
+    """ClickHouse cityHash64 analog — fast non-crypto hash for partitioning.
+
+    Hash VALUES are engine-private (xxhash64 vs DuckDB's hash), so the
+    oracle checks the partitioner contract instead: the hash is injective
+    on this corpus (distinct hashes == distinct texts — both engines are
+    collision-free at this size) and the derived bucket stays in range.
+    """
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
+    hashed = d.select(
+        "text",
         F.xxhash64("text").alias("h"),
-        (F.pmod(F.xxhash64("text", "lang"), F.lit(1024))).alias("bucket"),
+        F.pmod(F.xxhash64("text", "lang"), F.lit(1024)).alias("bucket"),
+    )
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text").alias("n_texts"),
+        F.countDistinct("h").alias("n_hashes"),
+        F.min((F.col("bucket") >= 0) & (F.col("bucket") < 1024)).alias("buckets_ok"),
     )
 
 
@@ -375,8 +397,23 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "word", "pos")
 
 
-@query("fn_map")  # rows-only: map value typing/ordering differs across engines
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           m['type'][1] AS type_val,
+           list_sort(map_keys(m)) AS keys,
+           CAST(cardinality(m) AS BIGINT) AS n_entries,
+           list_contains(map_keys(m), 'uid') AS has_uid
+    FROM (SELECT event_id,
+                 MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+          FROM events)
+    """,
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map build/access (CH Map type): raw map columns stay out of the
+    output (engine map ordering differs); every derived scalar/sorted-array
+    is hash-checked."""
     ev = table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")

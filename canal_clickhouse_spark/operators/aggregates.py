@@ -109,14 +109,32 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+             <= 0.1 * COUNT(DISTINCT user_id) AS within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse ``uniq()`` analog — HyperLogLog++ cardinality estimate."""
+    """ClickHouse ``uniq()`` analog — HyperLogLog++ cardinality estimate.
+
+    Raw HLL estimates are engine-specific, so the hash-checked output is
+    the estimator CONTRACT: each engine's own estimate lands within 10% of
+    the exact count it computes alongside (rsd here is 2%, so the margin is
+    5 sigma)."""
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
-        .orderBy("event_type")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id")
+            )
+            <= 0.1 * F.countDistinct("user_id")
+        ).alias("within_10pct"),
     )
 
 
