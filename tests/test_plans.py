@@ -90,3 +90,49 @@ def test_cdc_read_final_partial_agg(spark, sf_dir):
     )
     assert n_aggs >= 2, "FINAL collapse must partial-agg before the shuffle"
     assert "partial_" in plan
+
+
+# Keys whose callables execute streaming queries / stage side files rather
+# than returning a lazy plan — excluded from the static sweep (their rigs
+# are exercised by their own oracle/unit tests).
+_EAGER_PREFIXES = ("stream_", "source_", "sink_", "scan_csv", "scan_jsonl")
+_EAGER_KEYS = {
+    "cdc_stream_apply", "cdc_checkpoint_resume", "cdc_schema_evolve",
+    "join_interval_stream",
+}
+# Python-on-purpose keys (§2 L surface + the sanctioned decode path).
+_PYTHON_OK = {
+    "udf_python", "udf_pandas_scalar", "udaf_pandas_agg",
+    "udtf_map_in_pandas", "udtf_apply_in_pandas", "udtf_python",
+    "multimodal_decode", "stream_stateful",
+}
+# Cartesian/broadcast-nested-loop by design: explicit cross join, tiny
+# broadcast probe sides, or non-equi range predicates.
+_CARTESIAN_OK = {
+    "join_cross", "join_theta_range", "join_asof",
+    "sim_cosine_topk", "knn_classify", "sim_ivf_topk",
+}
+
+
+def test_no_accidental_cartesian_or_python(spark, sf_dir):
+    """Repo-wide invariant sweep: no batch key may plan a cartesian product
+    or drop into Python evaluation unless it is one by design."""
+    from canal_clickhouse_spark import QUERIES
+
+    offenders = {}
+    for key, fn in sorted(QUERIES.items()):
+        if key.startswith(_EAGER_PREFIXES) or key in _EAGER_KEYS:
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        bad = []
+        if key not in _CARTESIAN_OK and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            bad.append("cartesian")
+        if key not in _PYTHON_OK and (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+        ):
+            bad.append("python")
+        if bad:
+            offenders[key] = bad
+    assert not offenders, f"plan smells: {offenders}"
