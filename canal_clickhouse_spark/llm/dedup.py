@@ -109,12 +109,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> string_split(text, ' ')[i] || ' '
                         || string_split(text, ' ')[i + 1])) AS toks
         FROM doc_dups
-    )
+    ),
+    sized AS (SELECT *, len(toks) AS n FROM toksets)
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
-    FROM toksets a JOIN toksets b
+    FROM sized a JOIN sized b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4
     WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
     """,
@@ -127,24 +129,39 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep word order and make Jaccard discriminative (the standard MinHash
     granularity). Intersection/union sizes are set-exact integers, so the
     only float is one division — rounded at 6dp for the oracle hash.
+
+    The size predicate is the LOSSLESS length filter: J(A,B) ≥ 0.8 forces
+    |A|/|B| ∈ [0.8, 1.25] (since |A∩B| ≤ min ≤ max ≤ |A∪B|), so mismatched
+    pairs are discarded on two integers before any array intersection —
+    integer-only (n·5 ≥ m·4) so both engines evaluate it identically.
     """
     dups = doc_dups(spark, sf_dir)
-    toks = dups.select("doc_id", "lang", shingle_set().alias("toks"))
+    toks = dups.select("doc_id", "lang", shingle_set().alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
     a = toks.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
         F.col("toks").alias("a_toks"),
+        F.col("n").alias("a_n"),
     )
     b = toks.select(
         F.col("doc_id").alias("b_id"),
         F.col("lang").alias("b_lang"),
         F.col("toks").alias("b_toks"),
+        F.col("n").alias("b_n"),
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     uni = F.size(F.array_union("a_toks", "b_toks"))
     jac = inter.cast("double") / uni
     return (
-        a.join(b, (F.col("a_lang") == F.col("b_lang")) & (F.col("a_id") < F.col("b_id")))
+        a.join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_n") * 5 >= F.col("b_n") * 4)
+            & (F.col("b_n") * 5 >= F.col("a_n") * 4),
+        )
         .filter(jac >= 0.8)
         .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
     )
