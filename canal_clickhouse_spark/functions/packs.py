@@ -452,3 +452,62 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing"),
         parsed.isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "fn_bit",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS b_and,
+           user_id | 4096 AS b_or,
+           xor(user_id, event_id) AS b_xor,
+           user_id << 2 AS b_shl,
+           user_id >> 1 AS b_shr,
+           CAST(bit_count(user_id) AS INT) AS b_cnt
+    FROM events
+    """,
+)
+def fn_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation pack (CH bitAnd/bitOr/bitXor/bitShift*/bitCount)."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("b_and"),
+        u.bitwiseOR(F.lit(4096)).alias("b_or"),
+        u.bitwiseXOR(F.col("event_id")).alias("b_xor"),
+        F.shiftleft(u, 2).alias("b_shl"),
+        F.shiftright(u, 1).alias("b_shr"),
+        F.bit_count(u).alias("b_cnt"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           s.price AS price,
+           s.status AS status,
+           s.price > 100000 AS is_big,
+           CAST(s = {'price': o_totalprice, 'status': o_orderstatus} AS BOOLEAN)
+               AS self_eq
+    FROM (SELECT o_orderkey,
+                 {'price': o_totalprice, 'status': o_orderstatus} AS s,
+                 o_totalprice, o_orderstatus
+          FROM orders)
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple/Nested pack (CH Tuple): build a struct, extract fields, compare
+    structs — the composite-type surface MergeTree nested columns need."""
+    o = table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("price"), F.col("o_orderstatus").alias("status")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("price").alias("price"),
+        s.getField("status").alias("status"),
+        (s.getField("price") > 100000).alias("is_big"),
+        (s == s).alias("self_eq"),
+    )
