@@ -226,3 +226,138 @@ __all__ = [
     "cdc_route",
     "_COLS",
 ]
+
+
+@query(
+    "cdc_apply_versioned_collapsing",
+    oracle=f"""
+    WITH {SIGN_STREAM_CTE},
+    net AS (
+        SELECT o_orderkey, version, {", ".join(f"any_value({c}) AS {c}" for c in PAYLOAD_COLS)},
+               SUM(sign) AS net_sign
+        FROM sign_stream
+        GROUP BY o_orderkey, version
+        HAVING SUM(sign) > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC) AS rn
+        FROM net
+    )
+    SELECT {_COLS} FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_apply_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree: signs cancel WITHIN a version, then the
+    latest surviving version wins per key.
+
+    The engine ClickHouse recommends when the collapse must tolerate
+    out-of-order writes: (pk, version) pairs net their +1/−1 rows
+    independently (order-free — a SUM), so late sign rows can arrive in any
+    sequence; the version axis then resolves which surviving state is
+    current. Two hash aggregations, both partial-aggregated; payload rows
+    within one (pk, version) are identical by construction, so any_value is
+    deterministic.
+    """
+    signs = sign_log(spark, sf_dir)
+    net = (
+        signs.groupBy(PK, "version")
+        .agg(
+            *[F.any_value(c).alias(c) for c in PAYLOAD_COLS],
+            F.sum("sign").alias("net_sign"),
+        )
+        .filter(F.col("net_sign") > 0)
+    )
+    return (
+        net.groupBy(PK)
+        .agg(F.max_by(F.struct(*PAYLOAD_COLS), F.col("version")).alias("_s"))
+        .select(PK, "_s.*")
+    )
+
+
+@query(
+    "cdc_apply_aggregating",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE)
+               AS total,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def cdc_apply_aggregating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree: merge pre-aggregated partial states from
+    independent parts into the final aggregate.
+
+    Each MergeTree part holds partial aggregation states; background merges
+    combine them without touching raw rows. Modeled exactly: the table
+    splits into 3 'parts' (o_orderkey % 3), each pre-aggregates
+    (count/sum/min/max states), and the merge re-aggregates states only —
+    countable because every state here is re-associative (sum-of-sums,
+    min-of-mins). The oracle is the direct aggregation of the raw table:
+    state-merge must be indistinguishable from it.
+    """
+    o = table(spark, sf_dir, "orders")
+    parts = [
+        o.filter(F.col(PK) % 3 == i)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("total_state"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        for i in range(3)
+    ]
+    states = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return states.groupBy("o_orderstatus").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("total_state"), 2).cast("double").alias("total"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+    )
+
+
+@query(
+    "mv_refresh",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY month
+    """,
+)
+def mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental refresh: MV(base) ⊕ agg(delta) ==
+    agg(base ∪ delta).
+
+    ClickHouse materialized views apply the aggregation to each inserted
+    block and merge into the target table. Modeled: the monthly-totals MV is
+    built from the 'already loaded' orders (6/7 of rows), the late-arriving
+    delta (o_orderkey % 7 = 0) is aggregated alone, and the refresh merges
+    the two aggregate states. The oracle recomputes from scratch — the
+    incremental path must be exactly equivalent, which is what makes
+    streaming continuous aggregates (§2 J) trustworthy.
+    """
+    o = table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+
+    def agg_states(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("total_state"),
+        )
+
+    mv = agg_states(o.filter(F.col(PK) % 7 != 0))
+    delta = agg_states(o.filter(F.col(PK) % 7 == 0))
+    return (
+        mv.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("total_state"), 2).cast("double").alias("total"),
+        )
+    )
