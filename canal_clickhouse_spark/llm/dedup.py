@@ -45,16 +45,29 @@ def doc_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(exact).unionByName(near)
 
 
-def shingle_set() -> F.Column:
-    """Distinct word-2-shingles of ``text`` — the dedup granularity.
+def with_tokens(df: DataFrame) -> DataFrame:
+    """Materialize the token array ONCE in a codegen'd projection (`_w`).
 
-    Array-side (`transform` over an index `sequence`): built inside the
-    scan's codegen'd projection, no explode. Assumes ≥2 tokens per doc
-    (fixture minimum is ~8; a 1-token doc would yield its lone token).
+    Higher-order-function lambdas are evaluated interpreted, per element,
+    with no subexpression elimination — a `split(text)` INSIDE the shingle
+    lambda re-splits the whole document for every shingle (O(tokens²) per
+    doc; measured 6× slower at sf0.1). Splitting here makes the lambda body
+    two O(1) array indexes.
+    """
+    return df.withColumn("_w", F.split("text", " "))
+
+
+def shingle_set() -> F.Column:
+    """Distinct word-2-shingles over the pre-split `_w` array — the dedup
+    granularity. Callers must apply :func:`with_tokens` first.
+
+    Array-side (`transform` over an index `sequence`), no explode. Assumes
+    ≥2 tokens per doc (fixture minimum is ~8; a 1-token doc would yield its
+    lone token).
     """
     return F.expr(
-        "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),"
-        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1])))"
+        "array_distinct(transform(sequence(0, greatest(size(_w) - 2, 0)),"
+        " i -> concat_ws(' ', _w[i], _w[i + 1])))"
     )
 
 
@@ -99,6 +112,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALT = 32  # spreads each lang block over the cluster; see docstring
+
+
 @query(
     "dedup_near_jaccard",
     oracle=f"""
@@ -130,39 +146,60 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity). Intersection/union sizes are set-exact integers, so the
     only float is one division — rounded at 6dp for the oracle hash.
 
-    The size predicate is the LOSSLESS length filter: J(A,B) ≥ 0.8 forces
-    |A|/|B| ∈ [0.8, 1.25] (since |A∩B| ≤ min ≤ max ≤ |A∪B|), so mismatched
-    pairs are discarded on two integers before any array intersection —
-    integer-only (n·5 ≥ m·4) so both engines evaluate it identically.
+    Three measured scale levers (212s → 4s at sf0.1, local[32]):
+
+    - **Salted self-join.** Blocking on `lang` alone hash-partitions the
+      join on ~5 distinct keys, so ~5 tasks do all the work no matter how
+      many executors exist. One side keeps salt = hash(id) mod 32, the
+      other replicates over all 32 salts (`shuffle_hash` hint — the
+      replicated side must not be broadcast back into one stream): lang×salt
+      spreads every block across the cluster. Same trick a 1000-executor
+      run needs, with a bigger salt.
+    - **Derived union.** These are sets, so |A∪B| = |A|+|B|−|A∩B|: one
+      `array_intersect` per pair, never an `array_union` (which builds a
+      second hash table per candidate pair).
+    - **Cheap predicates first.** The threshold is the integer form
+      9·|A∩B| ≥ 4·(|A|+|B|) placed LAST in the join condition, after the
+      id-order and LOSSLESS length filter — J ≥ 0.8 forces |A|/|B| ∈
+      [0.8, 1.25] (|A∩B| ≤ min ≤ max ≤ |A∪B|) — so mismatched pairs die on
+      two integer compares before any array is touched. A post-join
+      `.filter(jac ≥ 0.8)` instead gets merged into the join condition
+      ahead of the cheap tests and runs the intersect for every
+      lang-colliding pair (measured 9× slower).
     """
     dups = doc_dups(spark, sf_dir)
-    toks = dups.select("doc_id", "lang", shingle_set().alias("toks")).withColumn(
-        "n", F.size("toks")
-    )
+    toks = with_tokens(dups).select(
+        "doc_id", "lang", shingle_set().alias("toks")
+    ).withColumn("n", F.size("toks"))
     a = toks.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
         F.col("toks").alias("a_toks"),
         F.col("n").alias("a_n"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_SALT)).alias("a_salt"),
     )
     b = toks.select(
         F.col("doc_id").alias("b_id"),
         F.col("lang").alias("b_lang"),
         F.col("toks").alias("b_toks"),
         F.col("n").alias("b_n"),
+    ).withColumn(
+        "b_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<bigint>")),
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    uni = F.size(F.array_union("a_toks", "b_toks"))
-    jac = inter.cast("double") / uni
+    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
     return (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_salt") == F.col("b_salt"))
             & (F.col("a_id") < F.col("b_id"))
             & (F.col("a_n") * 5 >= F.col("b_n") * 4)
-            & (F.col("b_n") * 5 >= F.col("a_n") * 4),
+            & (F.col("b_n") * 5 >= F.col("a_n") * 4)
+            & (inter * 9 >= (F.col("a_n") + F.col("b_n")) * 4),
         )
-        .filter(jac >= 0.8)
         .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
     )
 
@@ -197,7 +234,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     lambdas interpreted per element and re-hashes every shingle k times:
     measured 100× slower at sf0.1.
     """
-    ex = docs.withColumn("sh", F.explode(shingle_set())).select(
+    ex = with_tokens(docs).withColumn("sh", F.explode(shingle_set())).select(
         "doc_id", F.xxhash64("sh").alias("h")
     )
     lanes = [
@@ -260,11 +297,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+    # Sets: |A∪B| = |A|+|B|−|A∩B| — one intersect per candidate, no union
+    # build; threshold in integer form so the length check and the verify
+    # share the same arithmetic (cf. dedup_near_jaccard's lever notes).
+    a_n, b_n = F.size("a_set"), F.size("b_set")
     inter = F.size(F.array_intersect("a_set", "b_set"))
-    uni = F.size(F.array_union("a_set", "b_set"))
-    jac = inter.cast("double") / uni
-    return pairs.filter(jac >= 0.8).select(
-        "a_id", "b_id", F.round(jac, 6).alias("jac")
+    jac = inter.cast("double") / (a_n + b_n - inter)
+    return (
+        pairs.filter((a_n * 5 >= b_n * 4) & (b_n * 5 >= a_n * 4))
+        .filter(inter * 9 >= (a_n + b_n) * 4)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
     )
 
 

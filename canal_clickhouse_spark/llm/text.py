@@ -127,11 +127,14 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     string makes the top-k deterministic.
     """
     docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # Pre-split in a codegen'd projection: HOF lambdas run interpreted with
+    # no subexpression elimination, so split(text) INSIDE the lambda would
+    # re-split the doc per bigram (O(tokens²) per doc).
+    grams = docs.withColumn("_w", F.split("text", " ")).select(
         F.explode(
             F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+                "transform(sequence(0, size(_w) - 2),"
+                " i -> concat_ws(' ', _w[i], _w[i + 1]))"
             )
         ).alias("ngram")
     )
