@@ -282,16 +282,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(emb, x -> x / sqrt({_DOT.format(a='emb', b='emb')}))"
         ).alias("u"),
     )
+    # Salted self-join + threshold LAST in the join condition, after the
+    # cheap id-order test: ~10 label blocks alone pin the work to ~10 tasks,
+    # and a post-join .filter would get merged into the join condition AHEAD
+    # of the cheap predicate, running the 64-wide fold for every
+    # label-colliding pair (measured 2.5× slower). Same levers as
+    # dedup_near_jaccard.
+    s = 32
     a = unit.select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("al"), F.col("u").alias("au")
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("al"),
+        F.col("u").alias("au"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(s)).alias("a_salt"),
     )
     b = unit.select(
         F.col("vec_id").alias("b_id"), F.col("label").alias("bl"), F.col("u").alias("bu")
+    ).withColumn(
+        "b_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<bigint>"))
     )
     cos = F.expr(_DOT.format(a="au", b="bu"))
     return (
-        a.join(b, (F.col("al") == F.col("bl")) & (F.col("a_id") < F.col("b_id")))
-        .filter(cos >= 0.95)
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("al") == F.col("bl"))
+            & (F.col("a_salt") == F.col("b_salt"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (cos >= 0.95),
+        )
         .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
     )
 
