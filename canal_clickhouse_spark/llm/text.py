@@ -175,23 +175,28 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (idf = ln(N/df), raw tf).
 
-    Plan shape at scale: explode → two partial-aggregated shuffles (tf keyed
-    on (doc_id, term), df keyed on term) → join on term with the df side
-    orders-of-magnitude smaller than the tf side (|vocab| rows) → windowed
-    top-k per doc. The df side is broadcast at fixture scale; at 100 TB the
-    join is shuffle-on-term with both sides already aggregated.
+    Plan shape at scale: ONE explode → tf keyed on (doc_id, term) → df
+    derived FROM tf (tf has exactly one row per (doc, term), so df(term) is
+    a count over tf — no second explode, no countDistinct) → broadcast df
+    (|vocab| rows) into the tf side → windowed top-k per doc. N comes from
+    a broadcast 1-row aggregate instead of an eager .count() so the whole
+    key is one lazily-planned job.
     """
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ).alias("tfidf"),
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (

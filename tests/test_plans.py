@@ -107,10 +107,12 @@ _PYTHON_OK = {
     "multimodal_decode", "stream_stateful",
 }
 # Cartesian/broadcast-nested-loop by design: explicit cross join, tiny
-# broadcast probe sides, or non-equi range predicates.
+# broadcast probe sides, non-equi range predicates, or a broadcast 1-row
+# aggregate (tfidf's corpus-size N) attached via cross join.
 _CARTESIAN_OK = {
-    "join_cross", "join_theta_range", "join_asof",
+    "join_cross", "join_theta_range",
     "sim_cosine_topk", "knn_classify", "sim_ivf_topk",
+    "tfidf_topterms",
 }
 
 
