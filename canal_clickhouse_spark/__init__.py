@@ -18,7 +18,13 @@ from .session import get_spark, tune  # noqa: F401
 
 # Operator modules self-register on import (SURVEY.md §2 categories).
 from . import cdc, llm, sinks, sources, streaming, udfs  # noqa: F401,E402
-from .functions import packs  # noqa: F401,E402
-from .operators import aggregates, joins, relational, windows  # noqa: F401,E402
+from .functions import packs, web  # noqa: F401,E402
+from .operators import (  # noqa: F401,E402
+    aggregates,
+    analytics,
+    joins,
+    relational,
+    windows,
+)
 
 __all__ = ["ORACLES", "QUERIES", "get_spark", "tune"]

@@ -387,3 +387,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a_id", "b_id"])
     )
     return pairs
+
+
+# -- connected-components cluster assignment ---------------------------------
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (after registrations)
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT a_id, b_id FROM ({_ORACLES["dedup_near_jaccard"]})
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach AS (
+    SELECT s AS node, d AS r FROM edges
+    UNION
+    SELECT rr.node, e.d FROM reach rr JOIN edges e ON rr.r = e.s
+)
+SELECT node AS doc_id, least(node, min(r)) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    pair graph; component id = min doc_id in the cluster (the canonical doc
+    a training pipeline keeps — everything else is dropped).
+
+    Spark-side algorithm: iterative min-label propagation to a fixpoint —
+    each round every node takes min(own label, neighbors' labels); rounds
+    needed = graph diameter (dup clusters are near-cliques, so 2-4). The
+    edge list is materialized once (`localCheckpoint`) so the expensive
+    Jaccard self-join never re-runs, and each round is one shuffle join on
+    node id. Convergence is tracked by the monotonically-decreasing label
+    sum (one tiny aggregate per round, not a full frame diff). At 100 TB
+    the same loop holds (it is GraphX/GraphFrames' CC skeleton); the
+    large-star/small-star optimization [Kiveris et al., "Connected
+    Components in MapReduce and Beyond"] cuts rounds on high-diameter
+    graphs, which dup clusters are not.
+
+    Oracle: DuckDB recursive CTE computing min-reachable-id (exact
+    transitive closure — feasible because dup components are tiny).
+    """
+    pairs = dedup_near_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+            )
+        )
+        .toDF("s", "d")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(20):  # diameter bound; fixture graphs converge in <= 3
+        prop = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")

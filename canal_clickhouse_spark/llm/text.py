@@ -347,3 +347,110 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ")), 1, 4)"
     )
     return docs.select("doc_id", th.alias("h")).select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    WITH noisy AS (
+        SELECT doc_id,
+               concat('  ', upper(substr(text, 1, 40)), '!!!   ', text,
+                      ' (v', CAST(doc_id % 3 AS VARCHAR), ')') AS raw
+        FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm,
+           md5(trim(regexp_replace(
+                regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g'))) AS norm_md5
+    FROM noisy ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup keys: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim — then the md5 content key
+    `dedup_exact` would group on. The fixture corpus is already clean, so
+    noise (case flips, punctuation, padding, a version suffix) is injected
+    deterministically first and the normalizer must erase it.
+
+    Pure per-row projection (codegen'd, no shuffle); the md5 key is what
+    ships to the dedup shuffle — 16 bytes per doc, never the text.
+    """
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 40)),
+        F.lit("!!!   "),
+        F.col("text"),
+        F.lit(" (v"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(")"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm"), F.md5(norm.cast("binary")).alias("norm_md5")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH noisy AS (
+        SELECT doc_id,
+               concat(substr(text, 1, 60), ' contact user', CAST(doc_id AS VARCHAR),
+                      '@mail.example.com or +1-555-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                      ' id ', CAST(1000000 + doc_id AS VARCHAR)) AS raw
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+               '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g'),
+               '[0-9]{7,}', '<ID>', 'g') AS scrubbed,
+           len(regexp_extract_all(raw, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+'))
+             AS n_emails
+    FROM noisy ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: replace emails, phone-shaped
+    numbers, and long digit runs with typed placeholder tags, and count the
+    redactions. PII is injected deterministically (the fixture corpus has
+    none), and both engines run the same conservative RE2-compatible
+    patterns — no lookarounds, so Java and RE2 agree.
+
+    Per-row regexp projection, codegen'd; at 100 TB this is the map-side
+    scrub pass that runs fused with the scan before any shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" id "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    email = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+    phone = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+    longid = r"[0-9]{7,}"
+    noisy = d.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        longid,
+        "<ID>",
+    )
+    return noisy.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{email}', 0)")).alias(
+            "n_emails"
+        ),
+    ).orderBy("doc_id")

@@ -1,0 +1,462 @@
+"""§2-extension — behavioral / sketch analytics (ClickHouse signature ops).
+
+ClickHouse ships a family of event-analytics aggregates that have no direct
+Spark builtin but decompose cleanly into window + conditional-aggregate plans
+(reference identity: /root/reference/README.md:1; semantics are the public
+ClickHouse function surface [P-ch]):
+
+- ``windowFunnel(w)(ts, c1, c2, c3)``  -> `funnel_window`
+- ``retention(c1, c2, ...)``           -> `retention_cohort`
+- ``sequenceMatch('(?1).*(?2).*(?3)')``-> `sequence_match`
+- ``histogram(n)``                     -> `agg_histogram`
+- ``topK / approxTopK``                -> `agg_freq_items` (Karp-style sketch
+                                          candidates + exact rescan)
+- ``quantileTDigest``                  -> `agg_approx_percentile`
+- ``ORDER BY ... WITH FILL``           -> `order_with_fill`
+- ``SAMPLE k`` (deterministic)         -> `sample_hash`, `sample_stratified`
+
+Scale posture (100 TB): every key is one shuffle on the natural partition key
+(`user_id` for the behavioral ops — windows and the follow-up groupBy reuse
+the same hash exchange), or a broadcast of a 1-row global aggregate; nothing
+collects unbounded data to the driver (`freqItems` collects <= 1/support
+candidate items by construction).
+
+Funnel semantics note: the funnel is anchored at each user's FIRST step-1
+event (deterministic, oracle-expressible). ClickHouse's windowFunnel scans
+chains from every step-1 event; the anchored variant is the common product
+metric and is what we hash-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_BY_USER = "PARTITION BY user_id"
+
+
+@query(
+    "funnel_window",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+        FROM events),
+    w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                            AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                    OVER (PARTITION BY user_id) AS t2
+        FROM w1),
+    w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                            AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                    OVER (PARTITION BY user_id) AS t3
+        FROM w2),
+    pu AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+           FROM w3 GROUP BY user_id)
+    SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+           COUNT(*) AS n_users
+    FROM pu GROUP BY 1 ORDER BY 1
+    """,
+)
+def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel: max step of view→click→purchase reached within 24h of
+    each user's first view.
+
+    Plan: three chained unordered windows over the same `user_id`
+    partitioning (one hash exchange, reused by the follow-up groupBy — no
+    self-joins, no per-step passes over the events table). Conditional-min
+    windows are partial-aggregation-free but stay O(rows) per user.
+    """
+    w = Window.partitionBy("user_id")
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    day = F.expr("INTERVAL 24 HOURS")
+    e = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t1") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = e.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    level = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        pu.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    w AS (SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS d0 FROM d),
+    pu AS (SELECT user_id, max(d0) AS d0,
+                  max(CASE WHEN day = d0 + 1 THEN 1 ELSE 0 END) AS r1,
+                  max(CASE WHEN day = d0 + 7 THEN 1 ELSE 0 END) AS r7
+           FROM w GROUP BY user_id)
+    SELECT CAST(d0 AS VARCHAR) AS d0, COUNT(*) AS n_users,
+           CAST(SUM(r1) AS BIGINT) AS d1_retained,
+           CAST(SUM(r7) AS BIGINT) AS d7_retained,
+           ROUND(SUM(r1) * 1.0 / COUNT(*), 4) AS d1_rate,
+           ROUND(SUM(r7) * 1.0 / COUNT(*), 4) AS d7_rate
+    FROM pu GROUP BY d0 ORDER BY d0
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention(): day-1 / day-7 return rates per first-seen-day cohort.
+
+    One `user_id` exchange: window min for the cohort day, per-user flag
+    collapse, then a tiny cohort-level aggregate.
+    """
+    w = Window.partitionBy("user_id")
+    d = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    d = d.withColumn("d0", F.min("day").over(w))
+    pu = d.groupBy("user_id").agg(
+        F.max("d0").alias("d0"),
+        F.max(
+            F.when(F.col("day") == F.date_add(F.col("d0"), 1), 1).otherwise(0)
+        ).alias("r1"),
+        F.max(
+            F.when(F.col("day") == F.date_add(F.col("d0"), 7), 1).otherwise(0)
+        ).alias("r7"),
+    )
+    return (
+        pu.groupBy(F.col("d0").cast("string").alias("d0"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("r1").alias("d1_retained"),
+            F.sum("r7").alias("d7_retained"),
+            F.round(F.sum("r1") * 1.0 / F.count(F.lit(1)), 4).alias("d1_rate"),
+            F.round(F.sum("r7") * 1.0 / F.count(F.lit(1)), 4).alias("d7_rate"),
+        )
+        .orderBy("d0")
+    )
+
+
+@query(
+    "sequence_match",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+        FROM events),
+    w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                    OVER (PARTITION BY user_id) AS t2
+        FROM w1),
+    w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                    OVER (PARTITION BY user_id) AS t3
+        FROM w2),
+    pu AS (SELECT user_id, max(t3) AS t3 FROM w3 GROUP BY user_id)
+    SELECT COUNT(*) AS n_users, COUNT(t3) AS n_matched FROM pu
+    """,
+)
+def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch('(?1).*(?2).*(?3)'): users with an ordered
+    signup → click → purchase subsequence (greedy earliest-match, which is
+    exact for subsequence existence). Same one-exchange window plan as the
+    funnel, without the time bound.
+    """
+    w = Window.partitionBy("user_id")
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    e = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = e.groupBy("user_id").agg(F.max("t3").alias("t3"))
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"), F.count("t3").alias("n_matched")
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+               FROM orders),
+    b AS (SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9)
+                      AS INT) AS bin,
+                 mn, (mx - mn) / 10 AS w
+          FROM orders, s)
+    SELECT bin, ROUND(max(mn) + bin * max(w), 2) AS lo,
+           ROUND(max(mn) + (bin + 1) * max(w), 2) AS hi, COUNT(*) AS n
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram(10): fixed-width bins over the global [min, max] price range.
+
+    Two-pass plan that survives scale: a 1-row global min/max aggregate is
+    broadcast onto the scan (no single-partition window over raw rows), then
+    an ordinary partial+final count per bin. Bin edges use identical IEEE op
+    order in both engines; edges rounded at 2dp for the hash.
+    """
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    s = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    b = (
+        o.crossJoin(F.broadcast(s))
+        .withColumn("w", (F.col("mx") - F.col("mn")) / 10)
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / F.col("w")),
+                F.lit(9),
+            ).cast("int"),
+        )
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.round(F.max("mn") + F.col("bin") * F.max("w"), 2).alias("lo"),
+            F.round(F.max("mn") + (F.col("bin") + 1) * F.max("w"), 2).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "agg_freq_items",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM events)
+    ORDER BY event_type
+    """,
+)
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approxTopK/topK: heavy hitters above 10% support.
+
+    Scale path: `df.stat.freqItems` (a single-pass Karp/Misra-Gries-style
+    sketch) returns <= 1/support candidates — a bounded driver-side list that
+    is guaranteed a SUPERSET of every item above support. An exact count
+    rescan restricted to the candidates then makes the result deterministic
+    (= the exact frequent set), so the sketch is hash-checkable against a
+    plain SQL oracle. The post-agg `total` window runs over |distinct types|
+    rows, not raw events.
+    """
+    e = table(spark, sf_dir, "events").select("event_type")
+    [row] = e.stat.freqItems(["event_type"], support=0.1).collect()
+    candidates = list(row["event_type_freqItems"])
+    counts = (
+        e.filter(F.col("event_type").isin(candidates))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = (
+        table(spark, sf_dir, "events")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > 0.1 * F.col("total"))
+        .select("event_type", "n")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
+                              0.5) * 2 AS BIGINT) AS p50_x2_cents,
+           abs(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+             <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS p50_within_5pct,
+           abs(approx_quantile(l_extendedprice, 0.9)
+               - quantile_cont(l_extendedprice, 0.9))
+             <= 0.05 * quantile_cont(l_extendedprice, 0.9) AS p90_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileTDigest analog: mergeable approximate quantile sketch.
+
+    Hash-checked contract (same pattern as `agg_approx_distinct`): both
+    engines emit an EXACT median anchor plus booleans asserting their own
+    sketch lands within 5% of their own exact quantile — the booleans agree
+    as long as both sketches meet the envelope, without requiring
+    sketch-for-sketch equality across engines.
+
+    The anchor is integer-exact by construction: median over CENTS (prices
+    carry <= 2dp) doubled — p=0.5 interpolation is `a + 0.5*(b-a)` on
+    integer-valued doubles, exact half-integer arithmetic in IEEE754, so
+    both engines produce the identical integer. A rounded float median is
+    NOT safe: Spark's shortest-repr HALF_UP round and DuckDB's binary round
+    split on .5-cent boundaries (observed at sf0.001).
+
+    At 100 TB only the sketch path survives (exact percentile needs a full
+    sort); `approx_percentile` partial-aggregates and merges per partition.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact90 = F.expr("percentile(l_extendedprice, 0.9)")
+    appr50 = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    appr90 = F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"CAST(percentile({cents}, 0.5) * 2 AS BIGINT)").alias(
+                "p50_x2_cents"
+            ),
+            (F.abs(appr50 - exact50) <= 0.05 * exact50).alias("p50_within_5pct"),
+            (F.abs(appr90 - exact90) <= 0.05 * exact90).alias("p90_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "order_with_fill",
+    oracle="""
+    WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS mn,
+                           CAST(max(ts) AS DATE) AS mx FROM events),
+    cal AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+            FROM bounds),
+    base AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT CAST(CAST(cal.day AS DATE) AS VARCHAR) AS day, COALESCE(base.n, 0) AS n
+    FROM cal LEFT JOIN base ON CAST(cal.day AS DATE) = base.day
+    ORDER BY day
+    """,
+)
+def order_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY day WITH FILL: dense daily error counts, gaps as 0.
+
+    The calendar spine is generated from a 1-row min/max aggregate
+    (`sequence` + `explode` — O(days) rows), then left-joins the grouped
+    counts; the spine side is tiny so Spark broadcasts it.
+    """
+    e = table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cal = e.agg(
+        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
+    ).select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return (
+        cal.join(base, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    ORDER BY o_orderkey
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE clause analog: deterministic 2/16 hash sample on the key.
+
+    Content-hash sampling (vs `TABLESAMPLE`) is reproducible across engines,
+    partitionings, and reruns — the property a training-data pipeline needs
+    for holdout splits. md5 (not xxhash64) because the bytes must agree with
+    the oracle engine; use `fn_hash_fast` for the intra-Spark bucketing path.
+    """
+    o = table(spark, sf_dir, "orders")
+    digest = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    return (
+        o.filter(F.substring(digest, 1, 1).isin("0", "1"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, doc_id, rn FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 10 ORDER BY lang, rn
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 10 docs per language, chosen by
+    key-hash order (uniform within stratum, stable across runs/engines).
+    One shuffle on `lang`; per-stratum top-N short-circuits via the
+    row_number filter.
+    """
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .orderBy("lang", "rn")
+    )
