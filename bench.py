@@ -50,6 +50,8 @@ HEADLINE: tuple[str, ...] = (
     "dedup_minhash_lsh",    # LSH banding
     "sim_cosine_topk",      # vector search
     "udf_pandas_scalar",    # Arrow UDF path
+    "funnel_window",        # behavioral analytics (one user_id exchange)
+    "agg_histogram",        # broadcast global-range binning
 )
 
 
