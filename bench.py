@@ -52,6 +52,8 @@ HEADLINE: tuple[str, ...] = (
     "udf_pandas_scalar",    # Arrow UDF path
     "funnel_window",        # behavioral analytics (one user_id exchange)
     "agg_histogram",        # broadcast global-range binning
+    "q3_shipping_priority", # multi-join star query, top-k short-circuit
+    "q18_large_orders",     # pre-aggregate reduction before wide join
 )
 
 

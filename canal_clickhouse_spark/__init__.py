@@ -22,6 +22,7 @@ from .functions import packs, web  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
     aggregates,
     analytics,
+    composite,
     joins,
     relational,
     windows,
