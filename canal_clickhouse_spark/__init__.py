@@ -25,6 +25,7 @@ from .operators import (  # noqa: F401,E402
     composite,
     joins,
     relational,
+    subqueries,
     windows,
 )
 
