@@ -26,6 +26,7 @@ from .operators import (  # noqa: F401,E402
     joins,
     relational,
     subqueries,
+    table_mgmt,
     windows,
 )
 

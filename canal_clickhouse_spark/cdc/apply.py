@@ -361,3 +361,52 @@ def mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("total_state"), 2).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "cdc_apply_summing",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,2))), 2)
+                AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def cdc_apply_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree semantics: parts hold per-key partial sums of every
+    numeric non-key column; a merge sums the partials. Modeled by splitting
+    lineitem into three 'parts' (l_orderkey % 3), pre-summing each per
+    supplier key, then merging part states with a second-stage sum. The
+    oracle aggregates the base table directly — merge-of-partials must be
+    exactly equivalent (decimal accumulation makes the sums order-free).
+
+    Scale note: this two-stage shape is literally what Spark's partial+final
+    HashAggregate does inside one groupBy; keeping the intermediate state
+    mergeable (sums + counts, never averages) is the invariant that lets
+    AggregatingMergeTree, MVs, and streaming continuous aggregates all
+    compose.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part_states = (
+        li.withColumn("_part", F.col("l_orderkey") % 3)
+        .groupBy("l_suppkey", "_part")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("_price"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        part_states.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum("_qty"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("_price"), 2).cast("double").alias("sum_price"),
+            F.sum("_n").alias("n_rows"),
+        )
+        .orderBy("l_suppkey")
+    )

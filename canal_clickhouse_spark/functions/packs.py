@@ -511,3 +511,73 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s.getField("price") > 100000).alias("is_big"),
         (s == s).alias("self_eq"),
     )
+
+
+@query(
+    "fn_array_series",
+    oracle="""
+    WITH series AS (
+        -- l_linenumber repeats within an order in this fixture; tie-break on
+        -- the full payload to mirror Spark's whole-struct sort_array order.
+        SELECT l_orderkey,
+               list(l_quantity ORDER BY l_linenumber, l_quantity, l_returnflag)
+                 AS qtys,
+               list(l_returnflag ORDER BY l_linenumber, l_quantity, l_returnflag)
+                 AS flags
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, qtys,
+           CAST(len(qtys) AS BIGINT) AS n,
+           list_transform(range(1, len(qtys) + 1), i -> i) AS enum,
+           list_transform(range(1, len(qtys) + 1),
+                          i -> ROUND(list_sum(qtys[1:i]), 2)) AS cumsum,
+           list_transform(range(1, len(qtys) + 1),
+                          i -> CASE WHEN i = 1 THEN CAST(0 AS DOUBLE)
+                                    ELSE qtys[i] - qtys[i - 1] END) AS diffs,
+           list_filter(flags, (x, i) -> i = 1 OR x <> flags[i - 1]) AS compacted
+    FROM series ORDER BY l_orderkey
+    """,
+)
+def fn_array_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH array-series pack over each order's line-number-ordered quantity
+    array: ``arrayEnumerate`` (1..n), ``arrayCumSum`` (prefix sums),
+    ``arrayDifference`` (adjacent deltas, first = 0), ``arrayCompact``
+    (drop consecutive duplicate return flags).
+
+    Quantities are integer-valued doubles (FIXTURES.md), so prefix sums are
+    exact in both engines regardless of fold order. The per-element
+    ``slice`` fold is O(n²) per array — fine because n = lines-per-order
+    (≤7); for long arrays the scale path is posexplode → running-sum window
+    → re-collect.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    series = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_quantity", "l_returnflag"))
+            ).alias("_s")
+        )
+        .select(
+            "l_orderkey",
+            F.col("_s.l_quantity").alias("qtys"),
+            F.col("_s.l_returnflag").alias("flags"),
+        )
+    )
+    return series.select(
+        "l_orderkey",
+        "qtys",
+        F.size("qtys").cast("bigint").alias("n"),
+        F.expr("sequence(1L, cast(size(qtys) AS BIGINT))").alias("enum"),
+        F.expr(
+            "transform(sequence(1, size(qtys)),"
+            " i -> round(aggregate(slice(qtys, 1, i), 0D, (acc, x) -> acc + x), 2))"
+        ).alias("cumsum"),
+        F.expr(
+            "transform(sequence(1, size(qtys)),"
+            " i -> if(i = 1, 0D, element_at(qtys, i) - element_at(qtys, i - 1)))"
+        ).alias("diffs"),
+        F.expr(
+            "filter(flags, (x, i) -> i = 0 OR x != element_at(flags, i))"
+        ).alias("compacted"),
+    ).orderBy("l_orderkey")

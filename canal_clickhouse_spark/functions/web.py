@@ -178,3 +178,58 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lat1").between(-60, 60) & F.col("lon1").between(-90, 90)
         ).alias("in_bbox"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_ip",
+    oracle="""
+    WITH addr AS (
+        SELECT event_id,
+               10 * 16777216 + (user_id % 256) * 65536
+                 + ((event_id // 256) % 256) * 256 + event_id % 256 AS num,
+               user_id
+        FROM events
+    )
+    SELECT event_id, num,
+           (num // 16777216) || '.' || ((num // 65536) % 256) || '.'
+             || ((num // 256) % 256) || '.' || (num % 256) AS ip,
+           num // 256 AS subnet24,
+           (num // 65536) = 10 * 256 + 5 AS in_10_5_16,
+           (num // 16777216) = 10 AS is_private
+    FROM addr ORDER BY event_id
+    """,
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH IP function pack on a deterministically derived address per event:
+    ``IPv4NumToString`` (octet join), ``IPv4StringToNum`` (the `num` column
+    is the round-trip anchor), ``isIPAddressInRange(ip, '10.5.0.0/16')``
+    (prefix compare via shift), RFC1918 check (first octet).
+
+    Pure integer shift/mask arithmetic — whole-stage codegen, no UDF; CIDR
+    membership is one shift + one equality, which is also the right
+    partition-pruning form for ip-keyed tables at scale.
+    """
+    e = table(spark, sf_dir, "events")
+    addr = e.select(
+        "event_id",
+        (
+            F.lit(10 * 16777216)
+            + (F.col("user_id") % 256) * 65536
+            + (F.expr("event_id div 256") % 256) * 256
+            + F.col("event_id") % 256
+        ).alias("num"),
+    )
+    return addr.select(
+        "event_id",
+        "num",
+        F.concat_ws(
+            ".",
+            F.shiftright("num", 24).cast("string"),
+            (F.shiftright("num", 16) % 256).cast("string"),
+            (F.shiftright("num", 8) % 256).cast("string"),
+            (F.col("num") % 256).cast("string"),
+        ).alias("ip"),
+        F.shiftright("num", 8).cast("bigint").alias("subnet24"),
+        (F.shiftright("num", 16) == 10 * 256 + 5).alias("in_10_5_16"),
+        (F.shiftright("num", 24) == 10).alias("is_private"),
+    ).orderBy("event_id")

@@ -470,3 +470,79 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH doc_dups AS ({_DOC_DUPS_SQL}),
+    grams AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(text[1:120]) - 1),
+                   i -> text[1:120][i:i + 2])) AS gs
+        FROM doc_dups
+    ),
+    sized AS (SELECT *, len(gs) AS n FROM grams)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.gs, b.gs))), 6) AS jac
+    FROM sized a JOIN sized b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+     AND len(list_intersect(a.gs, b.gs)) * 17 >= (a.n + b.n) * 7
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs (τ = 0.7) over the first 120
+    chars — the n-gram-level dedup granularity (catches reorderings and
+    near-identical prefixes that word-shingle Jaccard misses, the classic
+    web-dedup complement to `dedup_near_jaccard`).
+
+    Same scale levers as the word-shingle kernel: lang + salt blocking,
+    derived union (|A∪B| = |A|+|B|−|A∩B|), integer threshold
+    17·|A∩B| ≥ 7·(|A|+|B|) ordered after the lossless length-ratio bound.
+    The 120-char cap bounds the gram set (≤118 entries) so pair cost is
+    constant — the full-text path would make the intersect O(doc length).
+    """
+    dups = doc_dups(spark, sf_dir)
+    grams = dups.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(substr(text, 1, 120)) - 2),"
+            " i -> substr(substr(text, 1, 120), i, 3)))"
+        ).alias("gs"),
+    ).withColumn("n", F.size("gs"))
+    a = grams.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("gs").alias("a_gs"),
+        F.col("n").alias("a_n"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_SALT)).alias("a_salt"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("gs").alias("b_gs"),
+        F.col("n").alias("b_n"),
+    ).withColumn(
+        "b_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<bigint>")),
+    )
+    inter = F.size(F.array_intersect("a_gs", "b_gs"))
+    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
+    return (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_salt") == F.col("b_salt"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_n") * 10 >= F.col("b_n") * 7)
+            & (F.col("b_n") * 10 >= F.col("a_n") * 7)
+            & (inter * 17 >= (F.col("a_n") + F.col("b_n")) * 7),
+        )
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+        .orderBy("a_id", "b_id")
+    )

@@ -454,3 +454,69 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_emails"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+        -- Every ratio here is a small-denominator rational, so float ROUND
+        -- lands on exact .00005 boundaries with real probability and the two
+        -- engines' rounding modes disagree (Spark HALF_UP on the decimal
+        -- repr vs DuckDB on the binary value — observed at docs 386, 349).
+        -- All rounding is therefore exact integer half-up:
+        --   round(p/q, 4) = (p*20000 + q) // (2q) / 10000.0
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('data', 'model', 'query', 'user', 'the')))
+                     AS BIGINT) AS c
+        FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           ((chars * 20000 + n) // (2 * n)) / 10000.0 AS avg_wlen,
+           ((c * 20000 + n) // (2 * n)) / 10000.0 AS common_ratio,
+           (((2 * n * LEAST(n, 60) + 9 * LEAST(chars, 8 * n) + 48 * (n - c))
+             * 20000 + 240 * n) // (480 * n)) / 10000.0 AS quality
+    FROM feat ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous document quality score (Gopher/C4-style): length credit,
+    mean-word-length credit, repetitive-common-token penalty, combined into
+    one [0,1] score. The binary gate variant is `text_quality_filter`; this
+    is the trainable-weights form a curation pipeline thresholds per corpus.
+
+    One projection pass — the token array is computed once per branch by
+    Catalyst CSE. Every emitted ratio is produced by exact integer half-up
+    rounding (p*20000 + q) div (2q) / 1e4 rather than float ROUND: the
+    features are small-denominator rationals that land exactly on rounding
+    boundaries where engine ROUND modes diverge (see oracle comment).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # All integer feature extraction; rounding is exact integer half-up —
+    # see the oracle comment (float ROUND diverges on these rationals).
+    feat = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("chars"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("data", "model", "query", "user", "the"))
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    return feat.selectExpr(
+        "doc_id",
+        "n AS n_tokens",
+        # 10000.0D: the plain 10000.0 literal is a DECIMAL in Spark SQL and
+        # would make these columns decimal instead of double.
+        "((chars * 20000 + n) div (2 * n)) / 10000.0D AS avg_wlen",
+        "((c * 20000 + n) div (2 * n)) / 10000.0D AS common_ratio",
+        "(((2 * n * LEAST(n, 60L) + 9 * LEAST(chars, 8 * n) + 48 * (n - c))"
+        " * 20000 + 240 * n) div (480 * n)) / 10000.0D AS quality",
+    ).orderBy("doc_id")

@@ -7,7 +7,7 @@ expressions JVM-side. Every query here is whole-stage-codegen'd end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -415,4 +415,119 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)  # pivot yields NULL for absent combos; oracle has 0
         .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_map",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, ROUND(SUM(value), 2) AS s,
+               MIN(value) AS mn, MAX(value) AS mx
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS ktypes,
+           list(s ORDER BY event_type) AS vsums,
+           list(mn ORDER BY event_type) AS vmins,
+           list(mx ORDER BY event_type) AS vmaxs
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``sumMap / minMap / maxMap``: per-group key→value maps where
+    values of equal keys are summed/min'd/max'd. Emitted as parallel
+    key-sorted arrays (cross-engine map literals don't hash-compare;
+    the arrays ARE the canonical map encoding).
+
+    One shuffle on (user_id, event_type) with map-side partial aggregation,
+    then a user_id-only regroup of ≤5 rows per user — AQE coalesces both
+    exchanges; nothing is O(map-size²).
+    """
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    packed = per.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "s", "mn", "mx"))).alias("_e")
+    )
+    return packed.select(
+        "user_id",
+        F.col("_e.event_type").alias("ktypes"),
+        F.col("_e.s").alias("vsums"),
+        F.col("_e.mn").alias("vmins"),
+        F.col("_e.mx").alias("vmaxs"),
+    ).orderBy("user_id")
+
+
+@query(
+    "agg_quantiles_multi",
+    oracle="""
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
+                          q -> ROUND(q, 4)) AS price_quantiles
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``quantiles(0.25, 0.5, 0.75, 0.9)(x)``: multiple exact quantiles
+    in ONE aggregation pass (one sort-free percentile state per group, not
+    four scans). Spark's `percentile(col, array(...))` and DuckDB's
+    `quantile_cont(x, [...])` both use linear interpolation; 4dp rounding
+    absorbs division ulp.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D)),"
+                " q -> round(q, 4))"
+            ).alias("price_quantiles")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "topk_weighted",
+    oracle="""
+    WITH weighted AS (
+        SELECT event_type, user_id, ROUND(SUM(value), 2) AS weight
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY weight DESC, user_id) AS rn
+        FROM weighted
+    )
+    SELECT event_type, user_id, weight, rn
+    FROM ranked WHERE rn <= 3 ORDER BY event_type, rn
+    """,
+)
+def topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``topKWeighted(3)(user_id, value)``: heavy hitters by summed
+    weight per event_type, computed exactly (the sketch's candidate set is
+    engine-specific; the exact weighted top-k is the checkable contract —
+    same convention as `agg_freq_items`). Tie-break on user_id; ranking on
+    the ROUNDED weight so both engines order identical values.
+
+    Scale: the pre-aggregation shrinks events to (types × users) rows
+    before the window; the window partitions by event_type (5 partitions)
+    — at real scale swap the final window for per-partition top-k
+    + merge (TakeOrderedAndProject shape).
+    """
+    e = table(spark, sf_dir, "events")
+    weighted = e.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("weight")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("weight"), F.asc("user_id")
+    )
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("event_type", "rn")
     )

@@ -460,3 +460,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "sequence_count",
+    oracle="""
+    WITH vc AS (
+        SELECT user_id, event_id, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS views_before
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    clicks AS (
+        SELECT user_id, views_before,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS r
+        FROM vc WHERE event_type = 'click'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) - GREATEST(0, MAX(r - views_before)) AS BIGINT)
+             AS seq_count
+    FROM clicks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``sequenceCount('(?1)(?2)')(ts, view, click)``: non-overlapping
+    view→click matchings per user (each view consumed by at most one later
+    click).
+
+    Closed form instead of a sequential scan: with clicks in time order,
+    the maximum matching is ``C − max(0, max_r(r − views_before_r))`` —
+    König/Hall on this prefix-structured bipartite graph, where any click
+    prefix of size r can match at most views_before_r views (verified
+    against the sequential greedy scan in tests/test_properties.py). Two
+    windows + one aggregate over a single user_id exchange — no per-row
+    Python, no iteration, scales as one shuffle.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    w_time = Window.partitionBy("user_id").orderBy("event_id")
+    vb = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "view", 1)).over(
+            w_time.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    vc = e.select("user_id", "event_id", "event_type", vb.alias("views_before"))
+    clicks = vc.filter(F.col("event_type") == "click").withColumn(
+        "r", F.row_number().over(Window.partitionBy("user_id").orderBy("event_id"))
+    )
+    return (
+        clicks.groupBy("user_id")
+        .agg(
+            (
+                F.count(F.lit(1))
+                - F.greatest(F.lit(0), F.max(F.col("r") - F.col("views_before")))
+            )
+            .cast("long")
+            .alias("seq_count")
+        )
+        .orderBy("user_id")
+    )

@@ -113,9 +113,9 @@ _CARTESIAN_OK = {
     "join_cross", "join_theta_range",
     "sim_cosine_topk", "knn_classify", "sim_ivf_topk",
     "tfidf_topterms",
-    # broadcast 1-row global aggregate (min/max range, corpus total)
-    # attached via cross join — O(1) rows on the broadcast side.
-    "agg_histogram", "agg_freq_items",
+    # broadcast 1-row global aggregate (min/max range, corpus total,
+    # TTL horizon) attached via cross join — O(1) rows on the broadcast side.
+    "agg_histogram", "agg_freq_items", "ttl_expire",
 }
 
 

@@ -100,3 +100,32 @@ def test_stringly_typed_cast_roundtrip(spark, vals):
     wire = df.select(F.col("x").cast("string").alias("s"))
     back = wire.select(F.col("s").cast("long").alias("x"))
     assert sorted(r.x for r in back.collect()) == sorted(vals)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seq=st.lists(st.sampled_from(["view", "click"]), min_size=1, max_size=40))
+def test_sequence_count_closed_form_equals_greedy(seq):
+    """`sequence_count`'s König/Hall closed form C − max(0, max_r(r − vb_r))
+    must equal the sequential greedy matcher (each click consumes the
+    earliest unconsumed preceding view) — pure-Python check of the formula
+    the Spark/DuckDB twins both evaluate."""
+    # greedy non-overlapping view→click matching
+    unmatched_views = matched = 0
+    for ev in seq:
+        if ev == "view":
+            unmatched_views += 1
+        elif unmatched_views > 0:
+            unmatched_views -= 1
+            matched += 1
+    # closed form over click ranks
+    views_before = 0
+    rank = 0
+    max_deficiency = 0
+    for ev in seq:
+        if ev == "view":
+            views_before += 1
+        else:
+            rank += 1
+            max_deficiency = max(max_deficiency, rank - views_before)
+    closed = rank - max(0, max_deficiency)
+    assert closed == matched
