@@ -581,3 +581,40 @@ def fn_array_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filter(flags, (x, i) -> i = 0 OR x != element_at(flags, i))"
         ).alias("compacted"),
     ).orderBy("l_orderkey")
+
+
+@query(
+    "fn_format_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m') AS yyyymm,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_fmt,
+           strftime(o_orderdate, '%A') AS day_name,
+           strftime(o_orderdate, '%B') AS month_name,
+           CAST(week(o_orderdate) AS INT) AS iso_week,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(to_timestamp((epoch(o_orderdate)::BIGINT // 900) * 900)
+                AS TIMESTAMP) AS start_of_15min
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_format_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``formatDateTime`` / ``toYYYYMM`` / ``toStartOfInterval`` /
+    ``toISOWeek`` pack: pattern formatting (Java patterns ↔ strftime,
+    en-locale names on both engines), ISO week/day numbering (Spark's
+    `dayofweek` is 1=Sunday, so ISO dow is derived), and 15-minute interval
+    flooring via epoch integer division (UTC session — §7.4 timezone rule).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMM").alias("yyyymm"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("full_fmt"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+        F.date_format("o_orderdate", "MMMM").alias("month_name"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("iso_dow"),
+        F.timestamp_seconds(
+            F.expr("unix_timestamp(o_orderdate) div 900") * 900
+        ).alias("start_of_15min"),
+    ).orderBy("o_orderkey")

@@ -414,3 +414,127 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "c_id", "cos", "rn")
     )
+
+
+# Random-hyperplane LSH: NBITS deterministic pseudo-random hyperplanes whose
+# components come from an LCG over (lane, dim) — pure integer arithmetic, so
+# Spark and DuckDB derive bit-identical planes with no hash-seed divergence.
+_LSH_BITS = 8
+# The CAST to BIGINT is load-bearing: without it Spark multiplies int32s
+# and silently wraps (non-ANSI) while DuckDB promotes — different planes.
+_LSH_PLANE = (
+    "(((1103515245 * CAST({lane} * 64 + {d} + 1 AS BIGINT) + 12345)"
+    " % 2147483648) / 2147483648.0 - 0.5)"
+)
+
+
+def _lsh_bucket_spark() -> str:
+    """SQL expr: bucket id = Σ_i (dot(emb, h_i) >= 0) << i over `emb`."""
+    bits = []
+    for lane in range(_LSH_BITS):
+        plane = _LSH_PLANE.format(lane=lane, d="d")
+        dot = (
+            f"aggregate(sequence(0, 63), 0D,"
+            f" (acc, d) -> acc + element_at(emb, d + 1) * {plane})"
+        )
+        bits.append(f"CAST(IF({dot} >= 0, {1 << lane}, 0) AS BIGINT)")
+    return " + ".join(bits)
+
+
+def _lsh_bucket_duck() -> str:
+    bits = []
+    for lane in range(_LSH_BITS):
+        plane = _LSH_PLANE.format(lane=lane, d="d")
+        dot = (
+            f"list_sum(list_transform(range(0, 64),"
+            f" d -> emb[d + 1] * {plane}))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << lane} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@query(
+    "sim_lsh_ann",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, emb, CAST({_lsh_bucket_duck()} AS BIGINT) AS bucket
+        FROM vecs
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM bucketed
+          WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               ROUND(list_dot_product(q.q_emb, c.emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos
+        FROM q JOIN bucketed c USING (bucket)
+        WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, c_id, cos, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, c_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the hash-bucketed scale path beside
+    `sim_ivf_topk`'s quantizer: sign-of-dot against 8 deterministic
+    hyperplanes → 256 buckets; candidates = same-bucket vectors; exact
+    cosine top-3 inside the bucket (rounded-score + id tie-break).
+
+    Scale shape: bucket assignment is one embarrassingly-parallel
+    projection; the candidate join shuffles on the bucket id (≈ N/256 per
+    bucket, multi-probe = OR over Hamming-1 buckets when recall needs it);
+    no pair ever forms across buckets, so cost is Σ|bucket|² not N².
+    Angular-recall contract (SimHash cousin) is property-tested; this key's
+    oracle pins the bucket math and the in-bucket exact ranking.
+    """
+    # Both sides fully renamed BEFORE the join and the broadcast side on
+    # the left (the `sim_cosine_topk` shape): a version that kept the
+    # corpus columns un-renamed hit Catalyst scan-dedup attribute
+    # mis-binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) on the first
+    # execution of a fresh session.
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", emb_d().alias("emb")
+    )
+    c = vecs.selectExpr(
+        "vec_id AS c_id",
+        "emb AS c_emb",
+        f"CAST({_lsh_bucket_spark()} AS BIGINT) AS bucket",
+    )
+    # localCheckpoint (lazy) severs the q-side lineage: with BOTH sides
+    # carrying the same heavy bucket projection over one dedup'd scan,
+    # Catalyst mis-binds the broadcast side on the first execution of a
+    # fresh session (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The checkpoint
+    # materializes ≤5 rows once, executor-local.
+    q = (
+        vecs.filter(F.col("vec_id") < 5)
+        .selectExpr(
+            "vec_id AS q_id",
+            "emb AS q_emb",
+            f"CAST({_lsh_bucket_spark()} AS BIGINT) AS q_bucket",
+        )
+        .localCheckpoint(eager=False)
+    )
+    cos = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (
+        F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+        * F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb")))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .select("q_id", "c_id", F.round(cos, 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )

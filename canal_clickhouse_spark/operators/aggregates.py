@@ -531,3 +531,203 @@ def topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("event_type", "rn")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS wt,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS total
+        FROM lineitem
+    )
+    SELECT l_returnflag, MIN(l_extendedprice) AS wmedian
+    FROM w WHERE 2 * cum >= total
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``quantileExactWeighted(0.5)(price, quantity)``: the smallest
+    price whose cumulative quantity weight reaches half the total.
+
+    Determinism by construction: weights are integer-valued (cast BIGINT →
+    exact cumulative sums), the cumulative window uses a RANGE frame so
+    price ties share one cumulative value (a ROWS frame would give peers
+    order-dependent partials), and the 2·cum ≥ total compare is pure
+    integer. One shuffle on l_returnflag; the window sort is the same sort
+    a distributed exact-quantile needs anyway.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    wspec = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cum = F.sum("wt").over(
+        wspec.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("wt").over(Window.partitionBy("l_returnflag"))
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        cum.alias("cum"),
+        total.alias("total"),
+    )
+    return (
+        w.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("wmedian"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_delta_sum",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               value - LAG(value) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS delta
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(COALESCE(SUM(CASE WHEN delta > 0 THEN delta END), 0), 2)
+             AS delta_sum
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``deltaSum``: sum of positive adjacent increases of a per-user
+    value sequence (counter-reset-tolerant rate aggregation). lag + a
+    conditional sum over one user_id exchange.
+    """
+    e = table(spark, sf_dir, "events")
+    delta = F.col("value") - F.lag("value").over(
+        Window.partitionBy("user_id").orderBy("event_id")
+    )
+    return (
+        e.select("user_id", delta.alias("delta"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("delta") > 0, F.col("delta"))), F.lit(0)),
+                2,
+            ).alias("delta_sum")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type, user_id, COUNT(*) AS c
+        FROM events GROUP BY event_type, user_id
+    ),
+    tot AS (
+        SELECT event_type, c,
+               SUM(c) OVER (PARTITION BY event_type) AS t
+        FROM cnt
+    )
+    SELECT event_type,
+           ROUND(-SUM((c / CAST(t AS DOUBLE)) * ln(c / CAST(t AS DOUBLE))), 4)
+             AS entropy
+    FROM tot GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``entropy``: Shannon entropy (nats) of the user distribution per
+    event type. Two-stage: exact integer counts, then −Σ p·ln p over
+    ≤ |users| terms; log terms are irrational, so the 4dp round sits far
+    from any engine-rounding boundary.
+    """
+    e = table(spark, sf_dir, "events")
+    cnt = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.withColumn(
+        "t", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        tot.groupBy("event_type")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,0)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    -- var*sqrt(var) / var*var, NOT pow(var, 1.5/2): libm pow differs by
+    -- ulps across runtimes while *, sqrt are IEEE correctly-rounded — a
+    -- pow-based denominator flipped the 4dp round at sf0.001.
+    -- "+ 0.0" after ROUND canonicalizes IEEE negative zero: a skew a hair
+    -- below 0 rounds to -0.0 in DuckDB but 0.0 in Spark (observed sf0.001).
+    SELECT l_returnflag,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+                  * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * sqrt(s2 / n - (s1 / n) * (s1 / n))), 4) + 0.0
+             AS skew_pop,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))), 4) + 0.0 AS kurt_pop
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``skewPop`` / ``kurtPop``: population skewness and kurtosis of
+    quantities per return flag, from raw power sums.
+
+    Not the builtin `skewness`/`kurtosis` — engines disagree on
+    sample-vs-population corrections AND their merge order perturbs floats.
+    Quantities are integers, so Σx..Σx⁴ are EXACT decimal integers in any
+    aggregation order; the central-moment algebra then runs in identical
+    IEEE754 on both engines' exact inputs. Same mergeable-power-sum state a
+    streaming/MV variant would keep.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2r = F.col("s2") / F.col("n")
+    m3r = F.col("s3") / F.col("n")
+    m4r = F.col("s4") / F.col("n")
+    var = m2r - m1 * m1
+    # var*sqrt(var) / var*var instead of pow — see oracle comment (libm
+    # pow ulp drift flips the 4dp round).
+    skew = (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    kurt = (
+        m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
+    ) / (var * var)
+    # + 0.0 canonicalizes -0.0 — see oracle comment.
+    return s.select(
+        "l_returnflag",
+        (F.round(skew, 4) + 0.0).alias("skew_pop"),
+        (F.round(kurt, 4) + 0.0).alias("kurt_pop"),
+    ).orderBy("l_returnflag")

@@ -240,3 +240,36 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           nth_value(value, 3) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_val,
+           LEAD(value, 2, -1.0) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS lead2,
+           LAG(value, 3) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS lag3
+    FROM events ORDER BY event_id
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``nth_value`` + offset lead/lag with defaults: the 3rd value seen
+    so far per user (running frame), the value 2 ahead with a −1 default,
+    and the value 3 back (NULL default). event_id is unique per user, so
+    the frame order is total.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.nth_value("value", 3).over(running).alias("third_val"),
+        F.lead("value", 2, -1.0).over(w).alias("lead2"),
+        F.lag("value", 3).over(w).alias("lag3"),
+    ).orderBy("event_id")
