@@ -520,3 +520,60 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(((2 * n * LEAST(n, 60L) + 9 * LEAST(chars, 8 * n) + 48 * (n - c))"
         " * 20000 + 240 * n) div (480 * n)) / 10000.0D AS quality",
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_text_search",
+    oracle="""
+    SELECT doc_id,
+           contains(text, 'data') AS has_data,
+           position('model' IN text) AS pos_model,
+           len(regexp_extract_all(text, 'the', 0)) AS n_the,
+           contains(text, 'data') OR contains(text, 'model')
+             OR contains(text, 'query') AS multi_any,
+           len(list_filter(string_split(text, ' '), t -> t = 'user')) > 0
+             AS has_token_user,
+           ROUND(1.0 - CAST(len(list_intersect(
+                   list_distinct(list_transform(range(1, len(text[1:80]) - 2),
+                       i -> text[1:80][i:i + 3])),
+                   list_distinct(list_transform(range(1, len('data model query') - 2),
+                       i -> 'data model query'[i:i + 3]))))
+                 AS DOUBLE)
+                 / greatest(len(list_distinct(list_transform(
+                       range(1, len(text[1:80]) - 2),
+                       i -> text[1:80][i:i + 3]))), 1), 6) AS ngram_dist
+    FROM documents ORDER BY doc_id
+    """,
+)
+def fn_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH string-search family: ``position``/``hasSubsequence`` analogs
+    (contains, locate), ``countSubstrings`` (regexp count),
+    ``multiSearchAny`` (OR of contains), ``hasToken`` (whole-word match on
+    the token array, not substring), and ``ngramDistance`` against a fixed
+    needle — 1 − |shared 4-grams|/|text 4-grams| over an 80-char prefix.
+
+    All scan-side codegen'd projections; the n-gram distance reuses the
+    same bounded-prefix trick as `dedup_ngram_jaccard` so per-row cost is
+    constant.
+    """
+    d = table(spark, sf_dir, "documents")
+    prefix_grams = (
+        "array_distinct(transform(sequence(1, length(substr(text, 1, 80)) - 3),"
+        " i -> substr(substr(text, 1, 80), i, 4)))"
+    )
+    needle_grams = (
+        "array_distinct(transform(sequence(1, length('data model query') - 3),"
+        " i -> substr('data model query', i, 4)))"
+    )
+    return d.selectExpr(
+        "doc_id",
+        "contains(text, 'data') AS has_data",
+        "CAST(locate('model', text) AS BIGINT) AS pos_model",
+        "CAST(size(regexp_extract_all(text, 'the', 0)) AS BIGINT) AS n_the",
+        "contains(text, 'data') OR contains(text, 'model')"
+        " OR contains(text, 'query') AS multi_any",
+        "array_contains(split(text, ' '), 'user') AS has_token_user",
+        f"round(1.0D - CAST(size(array_intersect({prefix_grams},"
+        f" {needle_grams})) AS DOUBLE)"
+        f" / greatest(size({prefix_grams}), 1), 6) AS ngram_dist",
+    ).orderBy("doc_id")

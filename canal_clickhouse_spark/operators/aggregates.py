@@ -731,3 +731,84 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(skew, 4) + 0.0).alias("skew_pop"),
         (F.round(kurt, 4) + 0.0).alias("kurt_pop"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_bitmap_ops",
+    oracle="""
+    WITH v AS (
+        SELECT list_sort(list(DISTINCT user_id)) AS s FROM events
+        WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT list_sort(list(DISTINCT user_id)) AS s FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT len(v.s) AS card_view,
+           len(p.s) AS card_purchase,
+           len(list_intersect(v.s, p.s)) AS card_and,
+           len(list_distinct(list_concat(v.s, p.s))) AS card_or,
+           len(list_filter(v.s, x -> NOT list_contains(p.s, x))) AS card_andnot,
+           list_sort(list_intersect(v.s, p.s))[1:5] AS first_common
+    FROM v, p
+    """,
+)
+def agg_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupBitmap`` + ``bitmapAnd/Or/AndnotCardinality``: audience-set
+    algebra between viewers and purchasers. The "bitmap" is a sorted
+    distinct-id array — the cross-engine-checkable encoding; a production
+    Spark path swaps in roaring bitmaps behind the same cardinality
+    contract.
+
+    Each side is one distinct-aggregate (map-side partial) collapsing to a
+    single row, so the set algebra runs once on the driver-sized result —
+    at 100 TB the arrays become sketches/bitmaps but the plan shape
+    (pre-aggregate per side, combine tiny states) is unchanged.
+    """
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").agg(
+        F.sort_array(F.collect_set("user_id")).alias("vs")
+    )
+    p = e.filter(F.col("event_type") == "purchase").agg(
+        F.sort_array(F.collect_set("user_id")).alias("ps")
+    )
+    both = v.crossJoin(F.broadcast(p))
+    inter = F.array_intersect("vs", "ps")
+    return both.select(
+        F.size("vs").alias("card_view"),
+        F.size("ps").alias("card_purchase"),
+        F.size(inter).alias("card_and"),
+        F.size(F.array_union("vs", "ps")).alias("card_or"),
+        F.size(F.array_except("vs", "ps")).alias("card_andnot"),
+        F.slice(F.sort_array(inter), 1, 5).alias("first_common"),
+    )
+
+
+@query(
+    "topk_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+                 AS rk
+        FROM orders
+    ) WHERE rk <= 2 ORDER BY o_custkey, o_orderkey
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LIMIT n BY key`` / SQL ``FETCH FIRST n ROWS WITH TIES``: top-2
+    orders per customer by price, keeping ties (rank, not row_number — the
+    tie-insensitive complement of `topk_per_group`). Ranking on the decimal
+    cast so equal 2dp prices are exact ties in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )

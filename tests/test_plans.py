@@ -115,7 +115,7 @@ _CARTESIAN_OK = {
     "tfidf_topterms",
     # broadcast 1-row global aggregate (min/max range, corpus total,
     # TTL horizon) attached via cross join — O(1) rows on the broadcast side.
-    "agg_histogram", "agg_freq_items", "ttl_expire",
+    "agg_histogram", "agg_freq_items", "ttl_expire", "agg_bitmap_ops",
 }
 
 
