@@ -8,4 +8,4 @@ columns. All are plain DataFrame compositions (JVM-side, codegen-friendly)
 except the deliberately-Python multimodal decode plumbing.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import curation, dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,233 @@
+"""Dataset-curation operators: chunking, packing, splits, quantization.
+
+The training-data half of the engine's north star ([B] BASELINE.json: "add
+the LLM-data-pipeline operators … design every operator for 100 TB scale"):
+after dedup/quality (dedup.py, text.py) a corpus is chunked into model-sized
+windows, packed into fixed token budgets, split train/val/test, and its
+embeddings quantized for the ANN index. All four are pure DataFrame ops —
+per-document/projection work plus at most one keyed window — so they scale
+as scans, not shuffles.
+
+Determinism conventions (SURVEY.md §7.5): chunk/pack arithmetic is integer;
+the split assignment compares md5 hex PREFIX STRINGS (no hex→int conversion,
+which DuckDB lacks portably); quantization uses floor(x + 0.5) instead of
+ROUND so both engines round identically at .5 boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # chunk start stride (CHUNK - STRIDE = 8 token overlap)
+BIN = 512  # pack_sequences token budget per bin
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_id,
+               t[i * {STRIDE} + 1 : i * {STRIDE} + {CHUNK}] AS ctoks
+        FROM toks, UNNEST(range(0, CAST((n - 1) // {STRIDE} AS BIGINT) + 1))
+             AS r(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (CHUNK=32 tokens, STRIDE=24) —
+    the RAG/pretraining window fan-out. Chunk starts are i·stride for
+    i ∈ [0, ⌊(n−1)/stride⌋], so every token lands in ≥1 chunk and the
+    trailing partial chunk is kept.
+
+    Built array-side: one `transform` over the chunk-index sequence, then
+    one explode — per-doc cost is O(n_chunks), no per-token rows until the
+    single fan-out, and the whole key is an embarrassingly parallel scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("t"), F.size(F.split("text", " ")).alias("n")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0L, CAST((n - 1) div {STRIDE} AS BIGINT)),"
+                f" i -> slice(t, CAST(i * {STRIDE} + 1 AS INT), {CHUNK}))"
+            )
+        ).alias("chunk_id", "ctoks"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size("ctoks").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {BIN} AS BIGINT) AS bin
+        FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin ORDER BY lang, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream documents (doc_id order, per lang) into
+    BIN=512-token training bins — bin = ⌊tokens-before/BIN⌋, the standard
+    contiguous-packing used by streaming pretraining loaders (a doc whose
+    start crosses the boundary opens the next bin).
+
+    One cumulative-sum window per lang partition, integer arithmetic
+    throughout; at 100 TB packing runs per shard/partition in parallel
+    exactly like this per-lang window (the bin id is local to the
+    partition, as in real loaders).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    before = F.coalesce(
+        F.sum("n").over(
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    packed = toks.withColumn("before", before).selectExpr(
+        "doc_id", "lang", "n", f"CAST(before div {BIN} AS BIGINT) AS bin"
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n,
+               CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~80/10/10): the
+    assignment keys on md5(text), so exact duplicates always land in the
+    same split (no train→test leakage) and the split is stable under
+    re-shuffling/re-partitioning — the property a 100 TB curation run
+    needs for reproducible ablations.
+
+    Hex-prefix STRING comparison ('cc' ≈ 204/256, 'e6' ≈ 230/256) avoids
+    hex→integer conversion, which has no portable cross-engine form.
+    """
+    d = table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    assigned = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        F.when(pref < "cc", "train").when(pref < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    rng AS (
+        SELECT vec_id, emb,
+               list_min(emb) AS mn,
+               (list_max(emb) - list_min(emb)) / 255.0 AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           ROUND(mn, 6) AS mn,
+           ROUND(scale, 6) AS scale,
+           list_transform(emb, x -> CAST(floor((x - mn) / scale + 0.5)
+                                         AS BIGINT)) AS q,
+           ROUND(list_max(list_transform(emb,
+                 x -> abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))),
+                 6) AS max_err
+    FROM rng ORDER BY vec_id
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization (FAISS SQ8 shape): q =
+    ⌊(x−min)/scale + 0.5⌋ with scale = range/255, plus the dequantization
+    max-error — the storage path that shrinks a 100 TB float corpus 4×
+    before ANN indexing.
+
+    floor(x + 0.5), not ROUND: both engines' floor is IEEE-exact on
+    identical doubles, while their ROUND modes differ at .5. One
+    projection, no shuffle.
+    """
+    v = table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    rng = v.selectExpr(
+        "vec_id",
+        "emb",
+        "array_min(emb) AS mn",
+        "(array_max(emb) - array_min(emb)) / 255.0D AS scale",
+    )
+    return rng.selectExpr(
+        "vec_id",
+        "round(mn, 6) AS mn",
+        "round(scale, 6) AS scale",
+        "transform(emb, x -> CAST(floor((x - mn) / scale + 0.5D) AS BIGINT)) AS q",
+        "round(array_max(transform(emb,"
+        " x -> abs(x - (mn + floor((x - mn) / scale + 0.5D) * scale)))), 6)"
+        " AS max_err",
+    ).orderBy("vec_id")

@@ -281,3 +281,21 @@ def source_filestream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     return run_to_memory(agg, "complete")
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip with explicit schema — the second columnar on-disk
+    format beside parquet (ClickHouse reads/writes ORC natively via its
+    format layer; Spark's reader is vectorized the same way). Hash-checked
+    against the parquet original to prove codec/type fidelity.
+    """
+    path = _stage_dir(sf_dir, "orc")
+    sup = table(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").orc(path)
+    return spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ).orc(path)
