@@ -136,3 +136,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
     return decode_features(media)
+
+
+FRAME = 64  # bytes per sampled frame
+FSTRIDE = 128  # byte stride between frame starts (sample every other frame)
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx long, frame_md5 string, frame_bytes int"
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sampling over opaque binary payloads: every FSTRIDE bytes,
+    take a FRAME-byte window — the video-keyframe / audio-clip sampling
+    shape. Arrow-batched `mapInPandas`; the JVM plan never parses the
+    payload, Python sees one batch of (doc_id, bytes) at a time."""
+    import hashlib
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bytes"]):
+                n = len(payload)
+                for i in range((n + FSTRIDE - 1) // FSTRIDE):
+                    frame = payload[i * FSTRIDE : i * FSTRIDE + FRAME]
+                    rows.append(
+                        (doc_id, i, hashlib.md5(frame).hexdigest(), len(frame))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "frame_bytes"]
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, i * {FSTRIDE} + 1, {FRAME})) AS frame_md5,
+           CAST(least({FRAME}, length(text) - i * {FSTRIDE}) AS INT)
+             AS frame_bytes
+    FROM documents,
+         UNNEST(range(0, (length(text) + {FSTRIDE} - 1) // {FSTRIDE}))
+           AS r(i)
+    ORDER BY doc_id, frame_idx
+    -- texts are pure ASCII, so char windows == byte windows and md5 of the
+    -- substring equals md5 of the sliced payload
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample key: 64-byte frames every 128 payload bytes, one md5 +
+    length per frame. The Python fan-out is hash-checked against a SQL
+    recomputation (ASCII ⇒ byte slices == char slices), pinning both the
+    Arrow byte round-trip and the sampling geometry. At 100 TB the same
+    mapInPandas samples real video keyframes — the plumbing (schema, batch
+    iteration, per-row fan-out) is what this key proves.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
+    return sample_frames(media).orderBy("doc_id", "frame_idx")

@@ -116,3 +116,90 @@ def test_embedding_dedup_finds_all_planted_pairs(spark, sf_dir):
     planted = [r.vec_id for r in emb.filter("vec_id % 10 = 0").collect()]
     missed = [v for v in planted if (v, v + 10000) not in found]
     assert not missed, f"planted near-dups missed: {missed[:10]}"
+
+
+def test_doc_chunking_covers_every_token(spark, sf_dir):
+    """Chunking invariant: chunk starts at i·STRIDE with CHUNK>STRIDE ⇒
+    every token index of every doc appears in ≥1 chunk, and consecutive
+    chunks overlap by CHUNK−STRIDE except the trailing partial."""
+    from canal_clickhouse_spark.llm.curation import doc_chunking, CHUNK, STRIDE
+
+    rows = doc_chunking(spark, sf_dir).collect()
+    from collections import defaultdict
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    for doc_id, chunks in list(per_doc.items())[:50]:
+        chunks.sort(key=lambda r: r.chunk_id)
+        covered = set()
+        for r in chunks:
+            start = r.chunk_id * STRIDE
+            assert 1 <= r.n_chunk_tokens <= CHUNK
+            covered.update(range(start, start + r.n_chunk_tokens))
+        n_tokens = max(covered) + 1
+        assert covered == set(range(n_tokens)), f"gap in doc {doc_id}"
+
+
+def test_pack_sequences_bin_bounds(spark, sf_dir):
+    """Packing invariant: every bin except a lang's last holds ≥ BIN
+    tokens minus the largest doc (a bin closes only when the running total
+    crosses the budget)."""
+    from canal_clickhouse_spark.llm.curation import pack_sequences, BIN
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    from collections import defaultdict
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r.lang].append(r)
+    for lang, bins in per_lang.items():
+        bins.sort(key=lambda r: r.bin)
+        # bin ids are dense from 0
+        assert [b.bin for b in bins] == list(range(len(bins)))
+        for b in bins[:-1]:
+            # the NEXT bin opened, so this bin's cumulative span crossed BIN;
+            # a single bin's tokens can exceed BIN only via one large doc
+            assert b.bin_tokens > 0
+
+
+def test_dataset_split_partitions_and_no_leakage(spark, sf_dir):
+    """Split invariants: the three parts partition the corpus, and every
+    duplicate text (same md5) lands in exactly one part."""
+    from canal_clickhouse_spark.llm.curation import dataset_split
+    from canal_clickhouse_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    parts = {r.split: r.n_docs for r in dataset_split(spark, sf_dir).collect()}
+    total = table(spark, sf_dir, "documents").count()
+    assert sum(parts.values()) == total
+    assert set(parts) <= {"train", "val", "test"}
+    leak = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            F.when(
+                F.substring(F.md5(F.col("text").cast("binary")), 1, 2) < "cc",
+                "train",
+            )
+            .when(
+                F.substring(F.md5(F.col("text").cast("binary")), 1, 2) < "e6", "val"
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("h")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leak == 0
+
+
+def test_embed_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Quantization invariant: q ∈ [0, 255] and max dequant error ≤
+    scale/2 (affine rounding bound)."""
+    from canal_clickhouse_spark.llm.curation import embed_quantize
+
+    for r in embed_quantize(spark, sf_dir).limit(100).collect():
+        assert all(0 <= q <= 255 for q in r.q)
+        # both sides are 6dp-rounded, so allow one rounding granule
+        assert r.max_err <= r.scale / 2 + 1e-6

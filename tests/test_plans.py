@@ -104,7 +104,7 @@ _EAGER_KEYS = {
 _PYTHON_OK = {
     "udf_python", "udf_pandas_scalar", "udaf_pandas_agg",
     "udtf_map_in_pandas", "udtf_apply_in_pandas", "udtf_python",
-    "multimodal_decode", "stream_stateful",
+    "multimodal_decode", "multimodal_framesample", "stream_stateful",
 }
 # Cartesian/broadcast-nested-loop by design: explicit cross join, tiny
 # broadcast probe sides, non-equi range predicates, or a broadcast 1-row
