@@ -1,0 +1,308 @@
+"""ClickHouse-dialect SQL → Spark SQL translation (the migration surface).
+
+A user of the reference pipeline queries the sink in ClickHouse SQL
+(/root/reference/README.md:1 — canal→ClickHouse; dialect semantics are
+public knowledge [P-ch]). This module lets those queries run on the Spark
+engine unmodified: ``ch_sql(spark, sf_dir, query)`` translates the
+documented CH function surface to Spark SQL and executes through the same
+EP-3 entry as `catalog.sql`, so Catalyst sees an ordinary plan (every
+rewrite is name/argument-level — no semantic indirection, no UDFs).
+
+Translation is a paren-aware function-call rewriter, not a regex soup:
+nested calls, quoted strings, and commas inside arguments are handled by
+actual argument parsing. Unknown functions pass through untouched (Spark
+shares most ANSI names), so the mapping only lists genuinely CH-specific
+spellings.
+
+Covered (one entry per CH name):
+  rename:    toYear toMonth toDayOfMonth toHour toMinute toSecond toDate
+             groupArray groupUniqArray uniqExact uniqCombined/uniq
+             argMax argMin countIf avgIf has splitByChar position empty
+             notEmpty arrayJoin toInt32 toInt64 toFloat64 toString
+             intDiv modulo toYYYYMM toStartOfMonth toStartOfDay
+             toStartOfHour toStartOfWeek multiIf sumIf minIf maxIf
+             arrayMap arrayFilter arrayExists arrayAll arraySum
+             arrayDistinct arraySort arrayReverse length/lengthUTF8
+             lcase ucase concatAssumeInjective ifNull assumeNotNull
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import sql as run_sql
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument string at top-level commas (quote- and
+    paren-aware)."""
+    args, depth, buf, i, q = [], 0, [], 0, None
+    while i < len(s):
+        c = s[i]
+        if q:
+            buf.append(c)
+            if c == q and (i + 1 >= len(s) or s[i + 1] != q):
+                q = None
+            elif c == q:  # doubled quote inside literal
+                buf.append(s[i + 1])
+                i += 1
+        elif c in "'\"":
+            q = c
+            buf.append(c)
+        elif c in "([":
+            depth += 1
+            buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        args.append("".join(buf).strip())
+    return args
+
+
+# handler: args (already translated) -> Spark SQL text
+_RENAME = {
+    "toyear": "year",
+    "tomonth": "month",
+    "todayofmonth": "day",
+    "tohour": "hour",
+    "tominute": "minute",
+    "tosecond": "second",
+    "todate": "to_date",
+    "grouparray": "collect_list",
+    "groupuniqarray": "collect_set",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    "countif": "count_if",
+    "has": "array_contains",
+    "arrayjoin": "explode",
+    "arraydistinct": "array_distinct",
+    "arraysort": "sort_array",
+    "arrayreverse": "reverse",
+    "lengthutf8": "length",
+    "lcase": "lower",
+    "ucase": "upper",
+    "concatassumeinjective": "concat",
+    "ifnull": "coalesce",
+    "assumenotnull": "",  # identity in a NOT NULL engine
+    "arraysum": "aggregate",  # special-cased below
+}
+
+
+def _translate_call(name: str, args: list[str]) -> str:
+    low = name.lower()
+    if low == "uniq" or low == "uniqcombined":
+        return f"approx_count_distinct({', '.join(args)})"
+    if low == "uniqexact":
+        return f"count(DISTINCT {', '.join(args)})"
+    if low == "position":  # position(haystack, needle) -> locate(needle, hay)
+        return f"locate({args[1]}, {args[0]})"
+    if low == "splitbychar":  # splitByChar(sep, s) -> split(s, sep)
+        return f"split({args[1]}, {args[0]})"
+    if low == "empty":
+        return f"(length({args[0]}) = 0)"
+    if low == "notempty":
+        return f"(length({args[0]}) > 0)"
+    if low in ("sumif", "avgif", "minif", "maxif"):
+        agg = low[:-2]
+        return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
+    if low == "multiif":  # multiIf(c1, v1, c2, v2, ..., else)
+        parts = ["CASE"]
+        for i in range(0, len(args) - 1, 2):
+            parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        parts.append(f"ELSE {args[-1]} END")
+        return " ".join(parts)
+    if low == "toint32":
+        return f"CAST({args[0]} AS INT)"
+    if low == "toint64":
+        return f"CAST({args[0]} AS BIGINT)"
+    if low == "tofloat64":
+        return f"CAST({args[0]} AS DOUBLE)"
+    if low == "tostring":
+        return f"CAST({args[0]} AS STRING)"
+    if low == "intdiv":
+        return f"({args[0]} div {args[1]})"
+    if low == "modulo":
+        return f"({args[0]} % {args[1]})"
+    if low == "toyyyymm":
+        return f"date_format({args[0]}, 'yyyyMM')"
+    if low == "tostartofmonth":
+        return f"date_trunc('month', {args[0]})"
+    if low == "tostartofday":
+        return f"date_trunc('day', {args[0]})"
+    if low == "tostartofhour":
+        return f"date_trunc('hour', {args[0]})"
+    if low == "tostartofweek":
+        return f"date_trunc('week', {args[0]})"
+    if low == "arraymap":  # arrayMap(x -> e, arr) -> transform(arr, x -> e)
+        return f"transform({args[1]}, {args[0]})"
+    if low == "arrayfilter":
+        return f"filter({args[1]}, {args[0]})"
+    if low == "arrayexists":
+        return f"exists({args[1]}, {args[0]})"
+    if low == "arrayall":
+        return f"forall({args[1]}, {args[0]})"
+    if low == "arraysum":
+        return f"aggregate({args[0]}, 0D, (acc, x) -> acc + x)"
+    if low == "assumenotnull":
+        return args[0]
+    if low in _RENAME:
+        return f"{_RENAME[low]}({', '.join(args)})"
+    return f"{name}({', '.join(args)})"
+
+
+_CH_NAMES = set(_RENAME) | {
+    "uniq", "uniqcombined", "uniqexact", "position", "splitbychar", "empty",
+    "notempty", "sumif", "avgif", "minif", "maxif", "multiif", "toint32",
+    "toint64", "tofloat64", "tostring", "intdiv", "modulo", "toyyyymm",
+    "tostartofmonth", "tostartofday", "tostartofhour", "tostartofweek",
+    "arraymap", "arrayfilter", "arrayexists", "arrayall", "arraysum",
+}
+
+
+def translate(ch_query: str) -> str:
+    """Rewrite every known CH function call in ``ch_query`` to Spark SQL.
+
+    Single left-to-right scan with explicit call parsing: on `ident(`, if
+    ident is a known CH name, the matching close paren is found (quote- and
+    depth-aware), the argument text is translated RECURSIVELY, then the
+    call is rewritten. Anything else is copied through verbatim.
+    """
+    out, i, n = [], 0, len(ch_query)
+    while i < n:
+        c = ch_query[i]
+        if c in "'\"":  # copy string literal wholesale
+            j = i + 1
+            while j < n:
+                if ch_query[j] == c:
+                    if j + 1 < n and ch_query[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(ch_query[i : j + 1])
+            i = j + 1
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (ch_query[j].isalnum() or ch_query[j] == "_"):
+                j += 1
+            ident = ch_query[i:j]
+            k = j
+            while k < n and ch_query[k].isspace():
+                k += 1
+            if k < n and ch_query[k] == "(" and ident.lower() in _CH_NAMES:
+                depth, m, q = 1, k + 1, None
+                while m < n and depth:
+                    ch = ch_query[m]
+                    if q:
+                        if ch == q:
+                            q = None
+                    elif ch in "'\"":
+                        q = ch
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    m += 1
+                inner = translate(ch_query[k + 1 : m])
+                out.append(_translate_call(ident, _split_args(inner)))
+                i = m + 1
+                continue
+            out.append(ident)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def ch_sql(spark: SparkSession, sf_dir: str, ch_query: str) -> DataFrame:
+    """Run a ClickHouse-dialect query against the fixture views."""
+    return run_sql(spark, sf_dir, translate(ch_query))
+
+
+from .registry import query  # noqa: E402
+
+_CH_ORDERS = """
+SELECT toStartOfMonth(o_orderdate) AS month,
+       countIf(o_orderstatus = 'F') AS n_f,
+       uniqExact(o_custkey) AS n_cust,
+       argMax(o_custkey, o_orderkey) AS latest_cust,
+       round(sumIf(o_totalprice, o_orderpriority = '1-URGENT'), 2)
+         AS urgent_total,
+       toYYYYMM(toStartOfMonth(o_orderdate)) AS ym
+FROM orders
+GROUP BY toStartOfMonth(o_orderdate)
+ORDER BY month
+"""
+
+
+@query(
+    "chsql_orders",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           arg_max(o_custkey, o_orderkey) AS latest_cust,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'),
+                 2) AS urgent_total,
+           strftime(date_trunc('month', o_orderdate), '%Y%m') AS ym
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    ORDER BY month
+    """,
+)
+def chsql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ClickHouse-dialect monthly rollup (toStartOfMonth / countIf /
+    uniqExact / argMax / sumIf / toYYYYMM) run VERBATIM through the
+    translator — the oracle is the same query hand-written in ANSI SQL, so
+    the key pins that translation preserves semantics, not just parses.
+    argMax keys on the unique o_orderkey so the choice is deterministic.
+    """
+    return ch_sql(spark, sf_dir, _CH_ORDERS)
+
+
+_CH_TEXT = """
+SELECT doc_id,
+       arraySum(arrayMap(x -> 1.0, splitByChar(' ', text))) AS n_toks_d,
+       has(splitByChar(' ', text), 'data') AS has_data,
+       toInt64(position(text, 'model')) AS pos_model,
+       multiIf(lang = 'en', 'english', lang = 'de', 'german', 'other')
+         AS lang_name,
+       empty(text) AS is_empty,
+       toInt64(n_chars) AS chars64
+FROM documents ORDER BY doc_id
+"""
+
+
+@query(
+    "chsql_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks_d,
+           list_contains(string_split(text, ' '), 'data') AS has_data,
+           CAST(position('model' IN text) AS BIGINT) AS pos_model,
+           CASE WHEN lang = 'en' THEN 'english'
+                WHEN lang = 'de' THEN 'german'
+                ELSE 'other' END AS lang_name,
+           length(text) = 0 AS is_empty,
+           CAST(n_chars AS BIGINT) AS chars64
+    FROM documents ORDER BY doc_id
+    """,
+)
+def chsql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH-dialect text-side surface through the translator: higher-order
+    arrayMap/arraySum (→ transform/aggregate), splitByChar's swapped
+    argument order, position's swapped argument order, multiIf → CASE,
+    empty/toInt64 — each a rewrite a pure rename table cannot express.
+    """
+    return ch_sql(spark, sf_dir, _CH_TEXT)

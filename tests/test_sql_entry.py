@@ -46,3 +46,54 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert q.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_chsql_translate_units():
+    """Paren-aware CH→Spark rewrites: nested calls, literals containing
+    commas/parens/quotes, swapped-argument functions, variadic multiIf,
+    unknown functions untouched."""
+    from canal_clickhouse_spark.chsql import translate
+
+    cases = {
+        "countIf(a = 'x,(y')": "count_if(a = 'x,(y')",
+        "position(text, 'model')": "locate('model', text)",
+        "splitByChar(' ', text)": "split(text, ' ')",
+        "arraySum(arrayMap(x -> 1.0, splitByChar(' ', t)))":
+            "aggregate(transform(split(t, ' '), x -> 1.0), 0D,"
+            " (acc, x) -> acc + x)",
+        "multiIf(a, 1, b, 2, 3)": "CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END",
+        "toStartOfMonth(d)": "date_trunc('month', d)",
+        "sumIf(x, y > position(s, 'a'))": "sum(IF(y > locate('a', s), x, NULL))",
+        "SELECT unknownFn(a, b) FROM t": "SELECT unknownFn(a, b) FROM t",
+        "argMax(k, v)": "max_by(k, v)",
+        "uniqExact(u)": "count(DISTINCT u)",
+        "empty(s) OR notEmpty(t)": "(length(s) = 0) OR (length(t) > 0)",
+        "intDiv(a, modulo(b, 7))": "(a div (b % 7))",
+        "'toYear(untouched literal)'": "'toYear(untouched literal)'",
+    }
+    for src, want in cases.items():
+        assert translate(src) == want, (src, translate(src))
+
+
+def test_chsql_runs_on_spark(spark, sf_dir):
+    """A CH-dialect query executes end-to-end through the translator and
+    returns the same rows as the native-Spark formulation."""
+    from pyspark.sql import functions as F
+    from canal_clickhouse_spark.chsql import ch_sql
+    from canal_clickhouse_spark.catalog import table
+
+    got = {
+        (r.lang, r.n)
+        for r in ch_sql(
+            spark, sf_dir,
+            "SELECT lang, uniqExact(doc_id) AS n FROM documents GROUP BY lang",
+        ).collect()
+    }
+    want = {
+        (r.lang, r.n)
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert got == want
