@@ -812,3 +812,36 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "agg_group_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS by_key_desc
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``arrayStringConcat(groupArray(x), sep)`` / SQL GROUP_CONCAT with
+    an explicit order — name-ordered and key-descending variants. Spark has
+    no ordered string_agg, so the deterministic form is
+    sort-then-join over the collected array (values ride a struct so the
+    sort key can differ from the emitted value).
+    """
+    n = table(spark, sf_dir, "nation")
+    by_key = F.transform(
+        F.reverse(F.sort_array(F.collect_list(F.struct("n_nationkey", "n_name")))),
+        lambda s: s["n_name"],
+    )
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.array_join(by_key, "|").alias("by_key_desc"),
+        )
+        .orderBy("n_regionkey")
+    )

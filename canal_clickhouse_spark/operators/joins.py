@@ -252,3 +252,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(
         (F.col("par") == 1) & F.col("prior_even_event").isNotNull()
     ).select("event_id", "user_id", "ts", "prior_even_event", "prior_ts")
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts,
+           b.event_id AS next_even_event, b.ts AS next_ts
+    FROM (SELECT * FROM events WHERE event_id % 2 = 1) a
+    ASOF JOIN (SELECT * FROM events WHERE event_id % 2 = 0) b
+      ON a.user_id = b.user_id AND b.ts >= a.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward ASOF (ClickHouse ASOF JOIN with >= direction): odd events
+    match the EARLIEST even event of the same user at-or-after ts.
+
+    Mirror of `join_asof`: same single-relation tag-and-scan, reversed
+    frame — sort within user by (ts, par DESC, event_id) so at equal ts the
+    candidate even sorts AFTER the odd row that may claim it, then take
+    `first(..., ignorenulls)` over the current-row→unbounded-following
+    frame. Still one shuffle, no pair fan-out.
+    """
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id", "user_id", "ts", (F.col("event_id") % 2).alias("par")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("par").desc(), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    even_id = F.when(F.col("par") == 0, F.col("event_id"))
+    even_ts = F.when(F.col("par") == 0, F.col("ts"))
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "par",
+        F.first(even_id, ignorenulls=True).over(w).alias("next_even_event"),
+        F.first(even_ts, ignorenulls=True).over(w).alias("next_ts"),
+    )
+    return enriched.filter(
+        (F.col("par") == 1) & F.col("next_even_event").isNotNull()
+    ).select("event_id", "user_id", "ts", "next_even_event", "next_ts")

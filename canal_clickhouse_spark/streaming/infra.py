@@ -218,6 +218,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch the emission equals the global per-user aggregate. Python is on the
     state path by design here (this is the custom-stateful-operator surface);
     everything else in this module stays JVM-side.
+
+    Spark 4's ``transformWithStateInPandas`` (the modern API, SURVEY.md
+    §7.4) was probed and crashes in this container: its driver worker
+    imports google.protobuf, which is broken here ("cannot import name
+    'descriptor'") and cannot be reinstalled — so the engine standardizes
+    on the applyInPandasWithState surface, per the §7.4 fallback plan.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
