@@ -146,3 +146,78 @@ def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         es=F.unix_millis(F.col("o_orderdate").cast("timestamp")),
     )
     return parse_envelope(msgs, ORDERS_MAPPING)
+
+
+@query(
+    "cdc_parse_ddl",
+    oracle="""
+    WITH ddl AS (
+        SELECT n_nationkey AS seq,
+               'ALTER TABLE shop.t' || CAST(n_nationkey % 5 AS VARCHAR)
+                 || CASE WHEN n_nationkey % 3 = 0
+                         THEN ' ADD COLUMN c' || CAST(n_nationkey AS VARCHAR)
+                              || ' BIGINT'
+                         WHEN n_nationkey % 3 = 1
+                         THEN ' DROP COLUMN c' || CAST(n_nationkey AS VARCHAR)
+                         ELSE ' MODIFY COLUMN c' || CAST(n_nationkey AS VARCHAR)
+                              || ' VARCHAR(64)' END AS sql_text
+        FROM nation
+    )
+    SELECT seq, sql_text,
+           regexp_extract(sql_text,
+               'ALTER TABLE (\\S+) (ADD|DROP|MODIFY) COLUMN (\\w+)\\s*(.*)', 1)
+             AS target_table,
+           regexp_extract(sql_text,
+               'ALTER TABLE (\\S+) (ADD|DROP|MODIFY) COLUMN (\\w+)\\s*(.*)', 2)
+             AS ddl_op,
+           regexp_extract(sql_text,
+               'ALTER TABLE (\\S+) (ADD|DROP|MODIFY) COLUMN (\\w+)\\s*(.*)', 3)
+             AS column_name,
+           regexp_extract(sql_text,
+               'ALTER TABLE (\\S+) (ADD|DROP|MODIFY) COLUMN (\\w+)\\s*(.*)', 4)
+             AS column_type
+    FROM ddl ORDER BY seq
+    """,
+)
+def cdc_parse_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal DDL passthrough parsing: FlatMessage carries ``isDdl: true``
+    with the raw statement in ``sql`` [P-canal]; the consumer must extract
+    (table, op, column, type) to evolve the sink mapping
+    (`cdc_schema_evolve` exercises the resulting behavior — this key pins
+    the parse itself). DDL statements are synthesized deterministically
+    from `nation`, covering ADD/DROP/MODIFY COLUMN shapes.
+    """
+    n = table(spark, sf_dir, "nation")
+    sql_text = F.concat(
+        F.lit("ALTER TABLE shop.t"),
+        (F.col("n_nationkey") % 5).cast("string"),
+        F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.concat(
+                F.lit(" ADD COLUMN c"),
+                F.col("n_nationkey").cast("string"),
+                F.lit(" BIGINT"),
+            ),
+        )
+        .when(
+            F.col("n_nationkey") % 3 == 1,
+            F.concat(F.lit(" DROP COLUMN c"), F.col("n_nationkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" MODIFY COLUMN c"),
+                F.col("n_nationkey").cast("string"),
+                F.lit(" VARCHAR(64)"),
+            )
+        ),
+    )
+    pat = r"ALTER TABLE (\S+) (ADD|DROP|MODIFY) COLUMN (\w+)\s*(.*)"
+    ddl = n.select(F.col("n_nationkey").alias("seq"), sql_text.alias("sql_text"))
+    return ddl.select(
+        "seq",
+        "sql_text",
+        F.regexp_extract("sql_text", pat, 1).alias("target_table"),
+        F.regexp_extract("sql_text", pat, 2).alias("ddl_op"),
+        F.regexp_extract("sql_text", pat, 3).alias("column_name"),
+        F.regexp_extract("sql_text", pat, 4).alias("column_type"),
+    ).orderBy("seq")
