@@ -312,14 +312,18 @@ def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(toks) AS n,
            array_contains(toks, 'data') AS has_data,
            list_sort(list_distinct(toks))[1] AS first_distinct,
-           list_slice(toks, 1, 3) AS head3,
-           flatten([toks[1:2], toks[3:4]]) AS recombined,
-           list_concat(toks[1:1], toks[2:2]) AS first_two,
-           generate_series(1, 3) AS seq
+           COALESCE(array_to_string(list_slice(toks, 1, 3), '|'), '') AS head3,
+           COALESCE(array_to_string(flatten([toks[1:2], toks[3:4]]), '|'), '')
+               AS recombined,
+           COALESCE(array_to_string(list_concat(toks[1:1], toks[2:2]), '|'), '')
+               AS first_two,
+           COALESCE(array_to_string(generate_series(1, 3), ','), '') AS seq
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs ship '|'-joined (driver canonicalizer hashes scalar
+    # cells only); the slices/flatten/concat still exercise the array ops.
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
@@ -327,12 +331,14 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n"),
         F.array_contains(toks, "data").alias("has_data"),
         F.element_at(F.sort_array(F.array_distinct(toks)), 1).alias("first_distinct"),
-        F.slice(toks, 1, 3).alias("head3"),
-        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias(
-            "recombined"
+        F.array_join(F.slice(toks, 1, 3), "|").alias("head3"),
+        F.array_join(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))), "|"
+        ).alias("recombined"),
+        F.array_join(F.concat(F.slice(toks, 1, 1), F.slice(toks, 2, 1)), "|").alias(
+            "first_two"
         ),
-        F.concat(F.slice(toks, 1, 1), F.slice(toks, 2, 1)).alias("first_two"),
-        F.sequence(F.lit(1), F.lit(3)).alias("seq"),
+        F.array_join(F.sequence(F.lit(1), F.lit(3)), ",").alias("seq"),
     )
 
 
@@ -340,7 +346,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_hof",
     oracle="""
     SELECT vec_id,
-           list_transform(list_slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE) * 2, 6)) AS doubled4,
+           COALESCE(array_to_string(
+               list_transform(list_slice(embedding, 1, 4),
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 2 * 1000000 + 0.5)
+                             AS BIGINT)), ','), '') AS doubled4,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
            round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS total,
            round(list_reduce(list_transform(list_zip(embedding, embedding),
@@ -353,14 +362,19 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ClickHouse arrayMap/arrayFilter/arrayFold/arrayExists/arrayAll.
     # Left-fold order is deterministic in both engines -> rounding absorbs
-    # float32->float64 promotion noise only at the last digit.
+    # float32->float64 promotion noise only at the last digit. doubled4
+    # ships as a CSV of micro-units (driver hashes scalar cells only).
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     embd = F.transform(emb, lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.transform(
-            F.slice(emb, 1, 4), lambda x: F.round(x.cast("double") * 2, 6)
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 4),
+                lambda x: F.floor(x.cast("double") * 2 * 1000000 + 0.5).cast("long"),
+            ),
+            ",",
         ).alias("doubled4"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(
@@ -402,7 +416,7 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            m['type'][1] AS type_val,
-           list_sort(map_keys(m)) AS keys,
+           COALESCE(array_to_string(list_sort(map_keys(m)), ','), '') AS keys,
            CAST(cardinality(m) AS BIGINT) AS n_entries,
            list_contains(map_keys(m), 'uid') AS has_uid
     FROM (SELECT event_id,
@@ -421,7 +435,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.element_at(m, "type").alias("type_val"),
-        F.sort_array(F.map_keys(m)).alias("keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys"),
         F.size(m).cast("long").alias("n_entries"),
         F.map_contains_key(m, "uid").alias("has_uid"),
     )
@@ -526,15 +540,23 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS flags
         FROM lineitem GROUP BY l_orderkey
     )
-    SELECT l_orderkey, qtys,
+    SELECT l_orderkey,
+           COALESCE(array_to_string(list_transform(qtys,
+               x -> CAST(floor(x + 0.5) AS BIGINT)), ','), '') AS qtys,
            CAST(len(qtys) AS BIGINT) AS n,
-           list_transform(range(1, len(qtys) + 1), i -> i) AS enum,
-           list_transform(range(1, len(qtys) + 1),
-                          i -> ROUND(list_sum(qtys[1:i]), 2)) AS cumsum,
-           list_transform(range(1, len(qtys) + 1),
-                          i -> CASE WHEN i = 1 THEN CAST(0 AS DOUBLE)
-                                    ELSE qtys[i] - qtys[i - 1] END) AS diffs,
-           list_filter(flags, (x, i) -> i = 1 OR x <> flags[i - 1]) AS compacted
+           COALESCE(array_to_string(
+               list_transform(range(1, len(qtys) + 1), i -> i), ','), '')
+               AS enum,
+           COALESCE(array_to_string(list_transform(range(1, len(qtys) + 1),
+               i -> CAST(floor(ROUND(list_sum(qtys[1:i]), 2) + 0.5) AS BIGINT)),
+               ','), '') AS cumsum,
+           COALESCE(array_to_string(list_transform(range(1, len(qtys) + 1),
+               i -> CAST(floor((CASE WHEN i = 1 THEN CAST(0 AS DOUBLE)
+                                     ELSE qtys[i] - qtys[i - 1] END) + 0.5)
+                         AS BIGINT)), ','), '') AS diffs,
+           COALESCE(array_to_string(
+               list_filter(flags, (x, i) -> i = 1 OR x <> flags[i - 1]), ','),
+               '') AS compacted
     FROM series ORDER BY l_orderkey
     """,
 )
@@ -545,10 +567,12 @@ def fn_array_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drop consecutive duplicate return flags).
 
     Quantities are integer-valued doubles (FIXTURES.md), so prefix sums are
-    exact in both engines regardless of fold order. The per-element
-    ``slice`` fold is O(n²) per array — fine because n = lines-per-order
-    (≤7); for long arrays the scale path is posexplode → running-sum window
-    → re-collect.
+    exact in both engines regardless of fold order, and every series ships
+    as a CSV of BIGINTs via floor(x+0.5) (driver canonicalizer hashes
+    scalar cells only; integral doubles make the encode lossless). The
+    per-element ``slice`` fold is O(n²) per array — fine because n =
+    lines-per-order (≤7); for long arrays the scale path is posexplode →
+    running-sum window → re-collect.
     """
     li = table(spark, sf_dir, "lineitem")
     series = (
@@ -566,19 +590,28 @@ def fn_array_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return series.select(
         "l_orderkey",
-        "qtys",
-        F.size("qtys").cast("bigint").alias("n"),
-        F.expr("sequence(1L, cast(size(qtys) AS BIGINT))").alias("enum"),
         F.expr(
-            "transform(sequence(1, size(qtys)),"
-            " i -> round(aggregate(slice(qtys, 1, i), 0D, (acc, x) -> acc + x), 2))"
+            "array_join(transform(qtys,"
+            " x -> cast(floor(x + 0.5D) as bigint)), ',')"
+        ).alias("qtys"),
+        F.size("qtys").cast("bigint").alias("n"),
+        F.expr("array_join(sequence(1L, cast(size(qtys) AS BIGINT)), ',')").alias(
+            "enum"
+        ),
+        F.expr(
+            "array_join(transform(sequence(1, size(qtys)),"
+            " i -> cast(floor(round(aggregate(slice(qtys, 1, i), 0D,"
+            " (acc, x) -> acc + x), 2) + 0.5D) as bigint)), ',')"
         ).alias("cumsum"),
         F.expr(
-            "transform(sequence(1, size(qtys)),"
-            " i -> if(i = 1, 0D, element_at(qtys, i) - element_at(qtys, i - 1)))"
+            "array_join(transform(sequence(1, size(qtys)),"
+            " i -> cast(floor(if(i = 1, 0D,"
+            " element_at(qtys, i) - element_at(qtys, i - 1)) + 0.5D)"
+            " as bigint)), ',')"
         ).alias("diffs"),
         F.expr(
-            "filter(flags, (x, i) -> i = 0 OR x != element_at(flags, i))"
+            "array_join(filter(flags,"
+            " (x, i) -> i = 0 OR x != element_at(flags, i)), ',')"
         ).alias("compacted"),
     ).orderBy("l_orderkey")
 

@@ -195,8 +195,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            ROUND(mn, 6) AS mn,
            ROUND(scale, 6) AS scale,
-           list_transform(emb, x -> CAST(floor((x - mn) / scale + 0.5)
-                                         AS BIGINT)) AS q,
+           COALESCE(array_to_string(
+               list_transform(emb, x -> CAST(floor((x - mn) / scale + 0.5)
+                                             AS BIGINT)), ','), '') AS q,
            ROUND(list_max(list_transform(emb,
                  x -> abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))),
                  6) AS max_err
@@ -211,7 +212,9 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor(x + 0.5), not ROUND: both engines' floor is IEEE-exact on
     identical doubles, while their ROUND modes differ at .5. One
-    projection, no shuffle.
+    projection, no shuffle. The code array ships as a comma-joined string
+    (the driver canonicalizer hashes scalar cells only — round-1 err on
+    array cols).
     """
     v = table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
@@ -226,7 +229,8 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "round(mn, 6) AS mn",
         "round(scale, 6) AS scale",
-        "transform(emb, x -> CAST(floor((x - mn) / scale + 0.5D) AS BIGINT)) AS q",
+        "array_join(transform(emb,"
+        " x -> CAST(floor((x - mn) / scale + 0.5D) AS BIGINT)), ',') AS q",
         "round(array_max(transform(emb,"
         " x -> abs(x - (mn + floor((x - mn) / scale + 0.5D) * scale)))), 6)"
         " AS max_err",

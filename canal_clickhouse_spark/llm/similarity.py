@@ -200,24 +200,33 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_normalize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-                          x -> ROUND(x / sqrt(list_dot_product(
-                                 embedding::DOUBLE[], embedding::DOUBLE[])), 6))
-               AS unit
+           COALESCE(array_to_string(
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x / sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * 1000000 + 0.5) AS BIGINT)),
+               ','), '') AS unit
     FROM embeddings
     """,
 )
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize every embedding (the pre-cosine projection), 6dp-rounded.
+    """L2-normalize every embedding (the pre-cosine projection), emitted as
+    micro-units (×1e6, floor(x+0.5) half-up) joined into one CSV string.
 
     Pure per-row array math — stays in the scan's codegen'd projection; the
-    norm fold is shared across the 64 divisions by expression reuse.
+    norm fold is shared across the 64 divisions by expression reuse. The CSV
+    encoding (not array<double>) exists because the driver canonicalizer
+    hashes scalar cells only (round-1 err on array cols); floor(x·1e6+0.5)
+    rather than round(x, 6) because both engines' floor is IEEE-exact on
+    identical doubles while their ROUND half-modes differ.
     """
     vecs = table(spark, sf_dir, "embeddings").select("vec_id", emb_d().alias("emb"))
     return vecs.select(
         "vec_id",
         F.expr(
-            f"transform(emb, x -> round(x / sqrt({_DOT.format(a='emb', b='emb')}), 6))"
+            "array_join(transform(emb, x -> cast(floor("
+            f"x / sqrt({_DOT.format(a='emb', b='emb')}) * 1000000 + 0.5D"
+            ") as bigint)), ',')"
         ).alias("unit"),
     )
 

@@ -315,10 +315,11 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(
-               list_transform(range(1, len(h) - 1),
-                   i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007)
-           ))[:4] AS fingerprint
+           COALESCE(array_to_string(
+               list_sort(list_distinct(
+                   list_transform(range(1, len(h) - 1),
+                       i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007)
+               ))[:4], ','), '') AS fingerprint
     FROM th
     """,
 )
@@ -332,6 +333,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-private (cf. dedup_simhash, which uses the fast path and is
     rows-only). MOSS-style near-dup detection then compares fingerprint
     overlap instead of full shingle sets.
+
+    The fingerprint ships as a comma-joined string, not array<bigint>: the
+    driver's canonicalizer hashes scalar cells only (round-1 err on array
+    cols), and a CSV of the 4 minima is the same information.
     """
     docs = table(spark, sf_dir, "documents")
     th = F.expr(
@@ -341,10 +346,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "           cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007))"
     )
     fp = F.expr(
-        "slice(array_sort(array_distinct("
+        "array_join(slice(array_sort(array_distinct("
         " transform(sequence(0, size(h) - 3),"
         "           i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007)"
-        ")), 1, 4)"
+        ")), 1, 4), ',')"
     )
     return docs.select("doc_id", th.alias("h")).select("doc_id", fp.alias("fingerprint"))
 

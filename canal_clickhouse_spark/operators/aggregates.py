@@ -204,16 +204,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_list",
     oracle="""
-    SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+    SELECT l_orderkey,
+           COALESCE(array_to_string(list_sort(list(l_linenumber)), ','), '')
+               AS line_numbers
     FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
     """,
 )
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ClickHouse groupArray; sort_array for determinism (§7.5.4).
+    # ClickHouse groupArray; sort_array for determinism (§7.5.4). CSV-encoded
+    # output — the driver canonicalizer hashes scalar cells only.
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")), ","
+            ).alias("line_numbers")
+        )
         .orderBy("l_orderkey")
     )
 
@@ -221,16 +228,22 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_set",
     oracle="""
-    SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+    SELECT l_orderkey,
+           COALESCE(array_to_string(
+               list_sort(list_distinct(list(l_returnflag))), ','), '') AS flags
     FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ClickHouse groupUniqArray.
+    # ClickHouse groupUniqArray. CSV-encoded for driver hashability.
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_returnflag")).alias("flags"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            )
+        )
         .orderBy("l_orderkey")
     )
 
@@ -422,23 +435,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_map",
     oracle="""
     WITH per AS (
-        SELECT user_id, event_type, ROUND(SUM(value), 2) AS s,
-               MIN(value) AS mn, MAX(value) AS mx
+        SELECT user_id, event_type,
+               CAST(floor(ROUND(SUM(value), 2) * 100 + 0.5) AS BIGINT) AS s,
+               CAST(floor(MIN(value) * 1000000 + 0.5) AS BIGINT) AS mn,
+               CAST(floor(MAX(value) * 1000000 + 0.5) AS BIGINT) AS mx
         FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS ktypes,
-           list(s ORDER BY event_type) AS vsums,
-           list(mn ORDER BY event_type) AS vmins,
-           list(mx ORDER BY event_type) AS vmaxs
+           COALESCE(array_to_string(list(event_type ORDER BY event_type), ','),
+                    '') AS ktypes,
+           COALESCE(array_to_string(list(s ORDER BY event_type), ','), '')
+               AS vsums,
+           COALESCE(array_to_string(list(mn ORDER BY event_type), ','), '')
+               AS vmins,
+           COALESCE(array_to_string(list(mx ORDER BY event_type), ','), '')
+               AS vmaxs
     FROM per GROUP BY user_id ORDER BY user_id
     """,
 )
 def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH ``sumMap / minMap / maxMap``: per-group key→value maps where
     values of equal keys are summed/min'd/max'd. Emitted as parallel
-    key-sorted arrays (cross-engine map literals don't hash-compare;
-    the arrays ARE the canonical map encoding).
+    key-sorted CSV strings (cross-engine map literals don't hash-compare,
+    and the driver canonicalizer hashes scalar cells only; the key-sorted
+    CSVs ARE the canonical map encoding). Values integer-encode via
+    floor(x·scale+0.5) — IEEE-exact in both engines on identical doubles,
+    unlike double→string casts whose formats differ.
 
     One shuffle on (user_id, event_type) with map-side partial aggregation,
     then a user_id-only regroup of ≤5 rows per user — AQE coalesces both
@@ -446,19 +468,19 @@ def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     per = e.groupBy("user_id", "event_type").agg(
-        F.round(F.sum("value"), 2).alias("s"),
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
+        F.expr("cast(floor(round(sum(value), 2) * 100 + 0.5D) as bigint)").alias("s"),
+        F.expr("cast(floor(min(value) * 1000000 + 0.5D) as bigint)").alias("mn"),
+        F.expr("cast(floor(max(value) * 1000000 + 0.5D) as bigint)").alias("mx"),
     )
     packed = per.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("event_type", "s", "mn", "mx"))).alias("_e")
     )
     return packed.select(
         "user_id",
-        F.col("_e.event_type").alias("ktypes"),
-        F.col("_e.s").alias("vsums"),
-        F.col("_e.mn").alias("vmins"),
-        F.col("_e.mx").alias("vmaxs"),
+        F.array_join("_e.event_type", ",").alias("ktypes"),
+        F.array_join("_e.s", ",").alias("vsums"),
+        F.array_join("_e.mn", ",").alias("vmins"),
+        F.array_join("_e.mx", ",").alias("vmaxs"),
     ).orderBy("user_id")
 
 
@@ -466,8 +488,12 @@ def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_quantiles_multi",
     oracle="""
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
-                          q -> ROUND(q, 4)) AS price_quantiles
+           COALESCE(array_to_string(
+               list_transform(quantile_cont(l_extendedprice,
+                                            [0.25, 0.5, 0.75, 0.9]),
+                              q -> CAST(floor(ROUND(q, 4) * 10000 + 0.5)
+                                        AS BIGINT)), ','), '')
+               AS price_quantiles
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -476,15 +502,18 @@ def agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE aggregation pass (one sort-free percentile state per group, not
     four scans). Spark's `percentile(col, array(...))` and DuckDB's
     `quantile_cont(x, [...])` both use linear interpolation; 4dp rounding
-    absorbs division ulp.
+    absorbs division ulp. The four quantiles ship as one CSV of 1e-4 units
+    (driver canonicalizer hashes scalar cells only; floor on identical
+    rounded doubles is IEEE-exact, double→string casts are not).
     """
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
-                "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D)),"
-                " q -> round(q, 4))"
+                "array_join(transform("
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D)),"
+                " q -> cast(floor(round(q, 4) * 10000 + 0.5D) as bigint)), ',')"
             ).alias("price_quantiles")
         )
         .orderBy("l_returnflag")
@@ -749,7 +778,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_intersect(v.s, p.s)) AS card_and,
            len(list_distinct(list_concat(v.s, p.s))) AS card_or,
            len(list_filter(v.s, x -> NOT list_contains(p.s, x))) AS card_andnot,
-           list_sort(list_intersect(v.s, p.s))[1:5] AS first_common
+           COALESCE(array_to_string(
+               list_sort(list_intersect(v.s, p.s))[1:5], ','), '')
+               AS first_common
     FROM v, p
     """,
 )
@@ -780,7 +811,8 @@ def agg_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(inter).alias("card_and"),
         F.size(F.array_union("vs", "ps")).alias("card_or"),
         F.size(F.array_except("vs", "ps")).alias("card_andnot"),
-        F.slice(F.sort_array(inter), 1, 5).alias("first_common"),
+        # CSV-encoded (driver canonicalizer hashes scalar cells only).
+        F.array_join(F.slice(F.sort_array(inter), 1, 5), ",").alias("first_common"),
     )
 
 

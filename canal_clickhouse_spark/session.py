@@ -14,6 +14,9 @@ local-mode-specific except the master URL.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +51,36 @@ _STATIC_CONF: dict[str, str] = {
 }
 
 
+_PKG_DIR = Path(__file__).resolve().parent
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile the package zip so executor Python workers can unpickle
+    functions that live in this module tree.
+
+    Module-level functions (and globals referenced from closures) pickle by
+    REFERENCE — the worker re-imports them by name. That only works if the
+    driver process happens to run with the repo on the worker path (cwd);
+    an external driver launched from any other directory gets
+    ModuleNotFoundError inside mapInPandas. Shipping the zip makes the
+    engine location-independent — same mechanism (``--py-files``) a real
+    1000-executor cluster uses.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ccs_pkg_shipped", False):
+        return
+    zpath = Path(tempfile.gettempdir()) / f"ccs_pkg_{os.getpid()}.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for p in sorted(_PKG_DIR.rglob("*.py")):
+                zf.write(p, f"{_PKG_DIR.name}/{p.relative_to(_PKG_DIR)}")
+    try:
+        sc.addPyFile(str(zpath))
+    except Exception:  # already registered in this JVM — that's the goal
+        pass
+    sc._ccs_pkg_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally-provided session."""
     for k, v in RUNTIME_CONF.items():
@@ -55,6 +88,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # immutable in some builds — keep going
             pass
+    _ship_package(spark)
     return spark
 
 

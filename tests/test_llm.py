@@ -55,7 +55,9 @@ def test_embed_normalize_unit_norm(spark, sf_dir):
 
     rows = QUERIES["embed_normalize"](spark, sf_dir).limit(20).collect()
     for r in rows:
-        norm = math.sqrt(sum(x * x for x in r.unit))
+        # unit ships as a CSV of micro-units (×1e6) for driver hashability.
+        comps = [int(s) / 1e6 for s in r.unit.split(",")]
+        norm = math.sqrt(sum(x * x for x in comps))
         assert abs(norm - 1.0) < 1e-4, (r.vec_id, norm)
 
 
@@ -200,6 +202,7 @@ def test_embed_quantize_roundtrip_error_bound(spark, sf_dir):
     from canal_clickhouse_spark.llm.curation import embed_quantize
 
     for r in embed_quantize(spark, sf_dir).limit(100).collect():
-        assert all(0 <= q <= 255 for q in r.q)
+        # q ships as a CSV of codes for driver hashability.
+        assert all(0 <= int(q) <= 255 for q in r.q.split(","))
         # both sides are 6dp-rounded, so allow one rounding granule
         assert r.max_err <= r.scale / 2 + 1e-6

@@ -24,6 +24,19 @@ def test_every_oracle_key_has_a_query():
 @pytest.mark.parametrize("key", sorted(ORACLES))
 def test_oracle_match(key, spark, duck, sf_dir):
     sdf = QUERIES[key](spark, sf_dir)
+    # The driver's canonicalizer (pandas sort_values over all columns) can
+    # only hash atomic cells — an array/map output column fails it with
+    # "unhashable type: numpy.ndarray" (round-1 err rows). Guard here so a
+    # locally-green key can't re-introduce that failure mode.
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not nested, (
+        f"[{key}] oracle-bearing key emits nested column(s) {nested}; "
+        "encode them as deterministic strings (array_join/to_json)"
+    )
     spark_pdf = sdf.toPandas()
     duck_pdf = duck.sql(ORACLES[key]).df()
     assert_frames_match(spark_pdf, duck_pdf, key)
