@@ -34,14 +34,17 @@ from .catalog import sql as run_sql
 
 
 def _split_args(s: str) -> list[str]:
-    """Split a call's argument string at top-level commas (quote- and
-    paren-aware)."""
+    """Split a call's argument string at top-level commas (quote-, escape-
+    and paren-aware)."""
     args, depth, buf, i, q = [], 0, [], 0, None
     while i < len(s):
         c = s[i]
         if q:
             buf.append(c)
-            if c == q and (i + 1 >= len(s) or s[i + 1] != q):
+            if c == "\\" and i + 1 < len(s):  # backslash-escaped char
+                buf.append(s[i + 1])
+                i += 1
+            elif c == q and (i + 1 >= len(s) or s[i + 1] != q):
                 q = None
             elif c == q:  # doubled quote inside literal
                 buf.append(s[i + 1])
@@ -64,6 +67,28 @@ def _split_args(s: str) -> list[str]:
     if buf:
         args.append("".join(buf).strip())
     return args
+
+
+# Array-producing spellings (post-translation) — used by the empty()/
+# notEmpty() rewrite to pick size() (arrays) vs length() (strings), since a
+# text-level rewriter cannot resolve types. An argument that is a bracket
+# literal or an outermost call to one of these is treated as an array;
+# everything else as a string (CH empty() on a bare array COLUMN is the one
+# shape this heuristic cannot see — documented limitation).
+_ARRAY_FNS = {
+    "split", "array", "sequence", "collect_list", "collect_set",
+    "array_distinct", "sort_array", "reverse", "transform", "filter",
+    "flatten", "slice", "array_union", "array_intersect", "array_except",
+    "map_keys", "map_values", "explode",
+}
+
+
+def _looks_array(expr: str) -> bool:
+    e = expr.strip()
+    if e.startswith("["):
+        return True
+    head = e.split("(", 1)[0].strip().lower()
+    return "(" in e and head in _ARRAY_FNS
 
 
 # handler: args (already translated) -> Spark SQL text
@@ -101,14 +126,18 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"approx_count_distinct({', '.join(args)})"
     if low == "uniqexact":
         return f"count(DISTINCT {', '.join(args)})"
-    if low == "position":  # position(haystack, needle) -> locate(needle, hay)
+    if low == "position":  # position(haystack, needle[, start]) -> locate
+        if len(args) == 3:
+            return f"locate({args[1]}, {args[0]}, {args[2]})"
         return f"locate({args[1]}, {args[0]})"
     if low == "splitbychar":  # splitByChar(sep, s) -> split(s, sep)
         return f"split({args[1]}, {args[0]})"
     if low == "empty":
-        return f"(length({args[0]}) = 0)"
+        fn = "size" if _looks_array(args[0]) else "length"
+        return f"({fn}({args[0]}) = 0)"
     if low == "notempty":
-        return f"(length({args[0]}) > 0)"
+        fn = "size" if _looks_array(args[0]) else "length"
+        return f"({fn}({args[0]}) > 0)"
     if low in ("sumif", "avgif", "minif", "maxif"):
         agg = low[:-2]
         return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
@@ -139,7 +168,11 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "tostartofhour":
         return f"date_trunc('hour', {args[0]})"
     if low == "tostartofweek":
-        return f"date_trunc('week', {args[0]})"
+        # CH default mode 0 starts weeks on SUNDAY; Spark's
+        # date_trunc('week') starts on Monday. Floor to the on-or-before
+        # Sunday explicitly (Spark dayofweek: Sunday=1..Saturday=7).
+        a = args[0]
+        return f"date_sub(to_date({a}), dayofweek({a}) - 1)"
     if low == "arraymap":  # arrayMap(x -> e, arr) -> transform(arr, x -> e)
         return f"transform({args[1]}, {args[0]})"
     if low == "arrayfilter":
@@ -177,9 +210,12 @@ def translate(ch_query: str) -> str:
     out, i, n = [], 0, len(ch_query)
     while i < n:
         c = ch_query[i]
-        if c in "'\"":  # copy string literal wholesale
+        if c in "'\"":  # copy string literal wholesale (handles \' and '')
             j = i + 1
             while j < n:
+                if ch_query[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
                 if ch_query[j] == c:
                     if j + 1 < n and ch_query[j + 1] == c:
                         j += 2
@@ -202,7 +238,9 @@ def translate(ch_query: str) -> str:
                 while m < n and depth:
                     ch = ch_query[m]
                     if q:
-                        if ch == q:
+                        if ch == "\\":  # backslash-escaped char in literal
+                            m += 1
+                        elif ch == q:
                             q = None
                     elif ch in "'\"":
                         q = ch

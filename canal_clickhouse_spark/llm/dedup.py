@@ -513,9 +513,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = dups.select(
         "doc_id",
         "lang",
+        # Guarded: sequence(1, n) with n < 1 yields a DESCENDING [1, 0] in
+        # Spark while the DuckDB oracle's range(1, <=1) is empty — texts
+        # shorter than the gram size must produce an empty gram set.
         F.expr(
-            "array_distinct(transform(sequence(1, length(substr(text, 1, 120)) - 2),"
-            " i -> substr(substr(text, 1, 120), i, 3)))"
+            "if(length(text) < 3, array(),"
+            " array_distinct(transform(sequence(1, length(substr(text, 1, 120)) - 2),"
+            " i -> substr(substr(text, 1, 120), i, 3))))"
         ).alias("gs"),
     ).withColumn("n", F.size("gs"))
     a = grams.select(

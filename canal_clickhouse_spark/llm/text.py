@@ -562,9 +562,12 @@ def fn_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant.
     """
     d = table(spark, sf_dir, "documents")
+    # Guarded against texts shorter than the gram size: Spark sequence(1, 0)
+    # is DESCENDING [1, 0] (junk grams) while DuckDB range(1, <=1) is empty.
     prefix_grams = (
-        "array_distinct(transform(sequence(1, length(substr(text, 1, 80)) - 3),"
-        " i -> substr(substr(text, 1, 80), i, 4)))"
+        "if(length(text) < 4, array(),"
+        " array_distinct(transform(sequence(1, length(substr(text, 1, 80)) - 3),"
+        " i -> substr(substr(text, 1, 80), i, 4))))"
     )
     needle_grams = (
         "array_distinct(transform(sequence(1, length('data model query') - 3),"
