@@ -29,14 +29,24 @@ TABLES: tuple[str, ...] = (
 
 
 def fix_events_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), read as long via nanosAsLong
-    conf; floor-divide to microseconds exactly like DuckDB truncates ns.
+    """Normalize events.ts to session-tz TIMESTAMP whatever the fixture wrote.
+
+    Shapes seen across driver-regenerated fixtures:
+    - parquet TIMESTAMP(NANOS): read as long (nanosAsLong conf); floor-divide
+      to microseconds exactly like DuckDB truncates ns.
+    - tz-naive timestamp[us]: Spark 4 infers TIMESTAMP_NTZ, which
+      withWatermark rejects; cast to TIMESTAMP (session tz is UTC, so values
+      are identical). The inferTimestampNTZ=false conf normally prevents this
+      branch from being needed, but an externally-built session may not carry
+      that conf.
     Applies to batch and streaming reads alike."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -38,6 +38,11 @@ RUNTIME_CONF: dict[str, str] = {
     # rejects; read as long and convert in catalog.table (ns -> us floor,
     # matching DuckDB's own ns -> us truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # events.parquet (current fixture) is tz-naive timestamp[us]; Spark 4
+    # infers that as TIMESTAMP_NTZ, which withWatermark rejects. With the
+    # session tz pinned UTC the LTZ reading is value-identical, so disable NTZ
+    # inference — this covers every read path incl. readStream.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # ANSI off: reference pipelines are permissive (stringly-typed CDC values,
     # NULL on bad cast) and DuckDB TRY_CAST is the oracle analog.
     "spark.sql.ansi.enabled": "false",
