@@ -19,7 +19,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -112,7 +112,132 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_SALT = 32  # spreads each lang block over the cluster; see docstring
+def _set_sim_join(items: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (τ = num/den).
+
+    ``items``: (doc_id, lang, toks: array<string>, n = size(toks)). Returns
+    every same-lang pair (a_id < b_id) with Jaccard(toks_a, toks_b) ≥ τ as
+    (a_id, b_id, jac) — jac rounded 6dp, identical arithmetic to the
+    all-pairs oracles.
+
+    This is the MapReduce prefix-filter shape [Vernica et al., SIGMOD'10;
+    Bayardo et al., WWW'07] — DETERMINISTICALLY complete, unlike MinHash
+    banding: order the token universe totally by (global frequency asc,
+    token); a doc's *prefix* is its first p = n − ⌈τ·n⌉ + 1 tokens under
+    that order. If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ = o, and two
+    sets sharing o elements must collide within their first |x| − o + 1
+    elements (pigeonhole on the total order: were the prefixes disjoint,
+    every common element would sit in the ≤ o−1 suffix of the side whose
+    prefix ends earlier). Candidates = prefix-token equi-join; the exact
+    Jaccard verification then runs on candidates only.
+
+    Scale posture vs the old salted lang-block self-join: the quadratic
+    blow-up was pairs-per-block ~ (N/|langs|)²; here every shuffle is keyed
+    on a token or a doc_id — frequency-ASCENDING prefixes mean candidate
+    buckets form on each doc's *rarest* tokens, so bucket sizes track token
+    rarity, not corpus size. Near-dup families still meet (they share rare
+    tokens); unrelated docs collide only on coincidentally-shared rare
+    tokens. Cost: one freq aggregate over exploded prefixes, one window for
+    per-doc ordering, a slim (a_id, b_id) distinct, two hash joins back for
+    the verify arrays — all linear-ish shuffles, no block², matching what a
+    1000-executor run needs. ``items`` is lazily localCheckpoint'd: three
+    branches (prefix, verify-a, verify-b) would otherwise re-tokenize the
+    corpus; a 100 TB pipeline would persist the token table instead.
+
+    Cheap-predicate ordering carried over from the measured levers: the
+    LOSSLESS length-ratio bound (J ≥ τ ⟹ τ·|B| ≤ |A| ≤ |B|/τ, integer
+    form) prunes at candidate time on two int compares; the integer-form
+    threshold (den+num)·|A∩B| ≥ num·(|A|+|B|) sits in the verify-join
+    condition so mismatches die before the division.
+    """
+    # Everything downstream works on xxhash64-hashed tokens: 8-byte longs
+    # shuffle, bucket, and intersect far cheaper than token strings, and the
+    # Jaccard on hashed sets is exact up to 64-bit collisions within one
+    # pair's union (~|toks|²/2⁶⁴ — the same accepted bound as
+    # `dedup_minhash_lsh`'s hashed-set verify).
+    items = items.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.expr("transform(toks, t -> xxhash64(t))").alias("toks"),
+    ).localCheckpoint(eager=False)
+    ex = items.select("doc_id", "lang", "n", F.explode("toks").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    # p = n − ⌈τn⌉ + 1;  ⌈num·n/den⌉ = (num·n + den − 1) div den  (n ≥ 0)
+    pref = (
+        ex.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.expr(f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1")
+        )
+        .select("doc_id", "lang", "n", "rn", "tok")
+        # Shared by both join sides — without the checkpoint the freq
+        # aggregate + window rebuild once per side.
+        .localCheckpoint(eager=False)
+    )
+    a = pref.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("n").alias("a_n"),
+        F.col("rn").alias("a_rn"),
+        "tok",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("n").alias("b_n"),
+        F.col("rn").alias("b_rn"),
+        "tok",
+    )
+    # PPJoin positional filter [Xiao et al., WWW'08]: at the FIRST token two
+    # prefixes share, overlap(A,B) ≤ 1 + min(|A|−i, |B|−j). A qualifying
+    # pair needs o = ⌈τ/(1+τ)·(|A|+|B|)⌉, so any pair whose every shared
+    # prefix token fails the bound is pruned before the pair-distinct (the
+    # first-shared emission carries the valid bound, and keeping any-passing
+    # pairs is sound because that emission passes for true pairs).
+    cand = (
+        # shuffle_hash: the bucket-key domain is the token universe — small
+        # alphabets (char-grams) make it low-cardinality and skewed, where a
+        # sort-merge join degrades to giant per-key sorted groups; hash
+        # probing keeps per-row cost flat.
+        a.hint("shuffle_hash")
+        .join(b, "tok")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_n") * tau_den >= F.col("b_n") * tau_num)
+            & (F.col("b_n") * tau_den >= F.col("a_n") * tau_num)
+            & (
+                (F.lit(1) + F.least(F.col("a_n") - F.col("a_rn"), F.col("b_n") - F.col("b_rn")))
+                * (tau_den + tau_num)
+                >= (F.col("a_n") + F.col("b_n")) * tau_num
+            )
+        )
+        # Slim pair-dedup: a pair sharing k prefix tokens surfaces k times;
+        # the distinct shuffles 16-byte id pairs, never the token arrays.
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ta = items.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        F.col("n").alias("a_n"),
+    )
+    tb = items.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        F.col("n").alias("b_n"),
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .filter(inter * (tau_den + tau_num) >= (F.col("a_n") + F.col("b_n")) * tau_num)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+    )
 
 
 @query(
@@ -138,7 +263,7 @@ N_SALT = 32  # spreads each lang block over the cluster; see docstring
     """,
 )
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: word-2-shingle-set Jaccard ≥ 0.8 (lang-blocked).
+    """Near-duplicate pairs: word-2-shingle-set Jaccard ≥ 0.8, same lang.
 
     Shingles, not single tokens: the fixture vocabulary is tiny, so token
     SETS of unrelated long docs overlap almost completely — bigram shingles
@@ -146,62 +271,18 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity). Intersection/union sizes are set-exact integers, so the
     only float is one division — rounded at 6dp for the oracle hash.
 
-    Three measured scale levers (212s → 4s at sf0.1, local[32]):
-
-    - **Salted self-join.** Blocking on `lang` alone hash-partitions the
-      join on ~5 distinct keys, so ~5 tasks do all the work no matter how
-      many executors exist. One side keeps salt = hash(id) mod 32, the
-      other replicates over all 32 salts (`shuffle_hash` hint — the
-      replicated side must not be broadcast back into one stream): lang×salt
-      spreads every block across the cluster. Same trick a 1000-executor
-      run needs, with a bigger salt.
-    - **Derived union.** These are sets, so |A∪B| = |A|+|B|−|A∩B|: one
-      `array_intersect` per pair, never an `array_union` (which builds a
-      second hash table per candidate pair).
-    - **Cheap predicates first.** The threshold is the integer form
-      9·|A∩B| ≥ 4·(|A|+|B|) placed LAST in the join condition, after the
-      id-order and LOSSLESS length filter — J ≥ 0.8 forces |A|/|B| ∈
-      [0.8, 1.25] (|A∩B| ≤ min ≤ max ≤ |A∪B|) — so mismatched pairs die on
-      two integer compares before any array is touched. A post-join
-      `.filter(jac ≥ 0.8)` instead gets merged into the join condition
-      ahead of the cheap tests and runs the intersect for every
-      lang-colliding pair (measured 9× slower).
+    Candidate generation is the exact prefix-filter join (`_set_sim_join`):
+    this replaced a salted lang-blocked all-pairs self-join whose pair count
+    grew as (N/|langs|)² — correct answers, anti-pattern asymptotics. The
+    prefix path keeps the measured micro-levers (derived union
+    |A∪B| = |A|+|B|−|A∩B|, integer-form threshold, lossless length-ratio
+    prune) while making every shuffle key on a token or an id.
     """
     dups = doc_dups(spark, sf_dir)
     toks = with_tokens(dups).select(
         "doc_id", "lang", shingle_set().alias("toks")
     ).withColumn("n", F.size("toks"))
-    a = toks.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("lang").alias("a_lang"),
-        F.col("toks").alias("a_toks"),
-        F.col("n").alias("a_n"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(N_SALT)).alias("a_salt"),
-    )
-    b = toks.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("lang").alias("b_lang"),
-        F.col("toks").alias("b_toks"),
-        F.col("n").alias("b_n"),
-    ).withColumn(
-        "b_salt",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<bigint>")),
-    )
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
-    return (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a_lang") == F.col("b_lang"))
-            & (F.col("a_salt") == F.col("b_salt"))
-            & (F.col("a_id") < F.col("b_id"))
-            & (F.col("a_n") * 5 >= F.col("b_n") * 4)
-            & (F.col("b_n") * 5 >= F.col("a_n") * 4)
-            & (inter * 9 >= (F.col("a_n") + F.col("b_n")) * 4),
-        )
-        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
-    )
+    return _set_sim_join(toks, 4, 5)
 
 
 N_HASHES = 32
@@ -503,11 +584,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical prefixes that word-shingle Jaccard misses, the classic
     web-dedup complement to `dedup_near_jaccard`).
 
-    Same scale levers as the word-shingle kernel: lang + salt blocking,
-    derived union (|A∪B| = |A|+|B|−|A∩B|), integer threshold
-    17·|A∩B| ≥ 7·(|A|+|B|) ordered after the lossless length-ratio bound.
-    The 120-char cap bounds the gram set (≤118 entries) so pair cost is
-    constant — the full-text path would make the intersect O(doc length).
+    Candidates come from the exact prefix-filter join (`_set_sim_join`,
+    τ = 0.7 ⇒ prefix ≈ 0.3·n + 1 grams) instead of the old lang+salt
+    all-pairs block. The 120-char cap bounds the gram set (≤118 entries) so
+    pair cost is constant — the full-text path would make the intersect
+    O(doc length).
     """
     dups = doc_dups(spark, sf_dir)
     grams = dups.select(
@@ -520,37 +601,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "if(length(text) < 3, array(),"
             " array_distinct(transform(sequence(1, length(substr(text, 1, 120)) - 2),"
             " i -> substr(substr(text, 1, 120), i, 3))))"
-        ).alias("gs"),
-    ).withColumn("n", F.size("gs"))
-    a = grams.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("lang").alias("a_lang"),
-        F.col("gs").alias("a_gs"),
-        F.col("n").alias("a_n"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(N_SALT)).alias("a_salt"),
-    )
-    b = grams.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("lang").alias("b_lang"),
-        F.col("gs").alias("b_gs"),
-        F.col("n").alias("b_n"),
-    ).withColumn(
-        "b_salt",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<bigint>")),
-    )
-    inter = F.size(F.array_intersect("a_gs", "b_gs"))
-    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter)
-    return (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a_lang") == F.col("b_lang"))
-            & (F.col("a_salt") == F.col("b_salt"))
-            & (F.col("a_id") < F.col("b_id"))
-            & (F.col("a_n") * 10 >= F.col("b_n") * 7)
-            & (F.col("b_n") * 10 >= F.col("a_n") * 7)
-            & (inter * 17 >= (F.col("a_n") + F.col("b_n")) * 7),
-        )
-        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
-        .orderBy("a_id", "b_id")
-    )
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    return _set_sim_join(grams, 7, 10).orderBy("a_id", "b_id")

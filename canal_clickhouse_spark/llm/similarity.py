@@ -257,6 +257,36 @@ def vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.unionByName(jit)
 
 
+def _grid_cells(u_col: str, lanes: tuple[int, int] = (0, 1)) -> list[str]:
+    """SQL exprs for the 2-D projection-grid cell ids of unit vector ``u_col``.
+
+    Completeness math (what lets the candidate join stay EXACT): for unit
+    vectors, cos(a,b) ≥ 0.95 ⟺ ‖a−b‖ ≤ √(2·0.05) ≈ 0.31623. A projection
+    p(x) = ⟨x, h⟩ is ‖h‖-Lipschitz, so |p(a) − p(b)| ≤ 0.31623·‖h‖ < W for
+    cell width W = 0.317·‖h‖ ⟹ floor(p/W) cells differ by at most 1 per
+    lane. Candidates therefore only need same-or-adjacent cells in both
+    lanes. Planes are the deterministic LCG hyperplanes shared with
+    `sim_lsh_ann`; ‖h‖ is reproduced bit-exactly in Python (pure integer
+    LCG + power-of-two division), so W is a plain double literal.
+    """
+    exprs = []
+    for lane in lanes:
+        comps = [
+            ((1103515245 * (lane * 64 + d + 1) + 12345) % 2147483648)
+            / 2147483648.0
+            - 0.5
+            for d in range(64)
+        ]
+        w = 0.317 * sum(c * c for c in comps) ** 0.5
+        plane = _LSH_PLANE.format(lane=lane, d="d")
+        dot = (
+            f"aggregate(sequence(0, 63), 0D,"
+            f" (acc, d) -> acc + element_at({u_col}, d + 1) * {plane})"
+        )
+        exprs.append(f"CAST(floor({dot} / {w!r}) AS BIGINT)")
+    return exprs
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -275,50 +305,77 @@ def vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.95, centroid-blocked.
+    """Embedding near-duplicate pairs: cosine ≥ 0.95, grid-bucketed candidates.
 
     Vectors are unit-normalized ONCE (per row, in the scan projection), so
-    each candidate pair costs a single 64-wide fold instead of three. The
-    label block stands in for the IVF cell assignment a 100 TB pipeline
-    blocks on (`sim_ivf_topk` shows the probe side); brute-forcing inside a
-    block is exactly what FAISS-style dedup does after coarse quantization.
+    each candidate pair costs a single 64-wide fold. Candidate generation is
+    a (label, cell₀, cell₁) equi-join on a 2-D projection grid — provably
+    complete for the 0.95 threshold (see `_grid_cells`), so the all-pairs
+    oracle is matched exactly; one side replicates to its 3×3 cell
+    neighborhood (9×, vs the 32× salt replication this replaced) and each
+    qualifying pair meets in exactly one cell (replica cells are distinct),
+    so no pair-dedup shuffle exists.
+
+    Scale posture: the old label-only block was all-pairs within ~10 blocks —
+    pair count grew (N/10)². Grid cells add real selectivity wherever the
+    corpus is clustered (every production embedding space; FAISS range search
+    is this exact shape — coarse cells + adjacent-cell probe). On
+    isotropic-random fixtures the projection spread (σ ≈ ‖h‖/8 for 64-dim
+    unit vectors) spans only a few W-wide cells, which is the information-
+    theoretic floor: exact range search on uniform random data IS
+    near-quadratic; no generator can beat it without losing recall.
     """
     vd = vec_dups(spark, sf_dir)
+    # localCheckpoint (lazy) is a projection-collapse barrier: without it
+    # Catalyst inlines the u expression into the grid-cell folds and the
+    # norm fold re-runs per lambda element (interpreted HOFs do no
+    # subexpression elimination — the O(64²)-per-row trap; measured 24×
+    # slower). At 100 TB the equivalent is persisting the normalized
+    # vectors once, which an embedding pipeline does anyway.
     unit = vd.select(
         "vec_id",
         "label",
         F.expr(
             f"transform(emb, x -> x / sqrt({_DOT.format(a='emb', b='emb')}))"
         ).alias("u"),
-    )
-    # Salted self-join + threshold LAST in the join condition, after the
-    # cheap id-order test: ~10 label blocks alone pin the work to ~10 tasks,
-    # and a post-join .filter would get merged into the join condition AHEAD
-    # of the cheap predicate, running the 64-wide fold for every
-    # label-colliding pair (measured 2.5× slower). Same levers as
-    # dedup_near_jaccard.
-    s = 32
+    ).localCheckpoint(eager=False)
+    c0, c1 = _grid_cells("u")
     a = unit.select(
         F.col("vec_id").alias("a_id"),
-        F.col("label").alias("al"),
+        F.col("label").alias("label"),
         F.col("u").alias("au"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(s)).alias("a_salt"),
+        F.expr(c0).alias("cell0"),
+        F.expr(c1).alias("cell1"),
     )
-    b = unit.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("bl"), F.col("u").alias("bu")
-    ).withColumn(
-        "b_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<bigint>"))
+    b = (
+        unit.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("label").alias("label"),
+            F.col("u").alias("bu"),
+            F.expr(c0).alias("bc0"),
+            F.expr(c1).alias("bc1"),
+        )
+        .withColumn(
+            "nb",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 8), i ->"
+                    " named_struct('d0', i div 3 - 1, 'd1', i % 3 - 1))"
+                )
+            ),
+        )
+        .select(
+            "b_id",
+            "label",
+            "bu",
+            (F.col("bc0") + F.col("nb.d0")).alias("cell0"),
+            (F.col("bc1") + F.col("nb.d1")).alias("cell1"),
+        )
     )
     cos = F.expr(_DOT.format(a="au", b="bu"))
     return (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("al") == F.col("bl"))
-            & (F.col("a_salt") == F.col("b_salt"))
-            & (F.col("a_id") < F.col("b_id"))
-            & (cos >= 0.95),
-        )
+        a.join(b, ["label", "cell0", "cell1"])
+        .filter((F.col("a_id") < F.col("b_id")) & (cos >= 0.95))
         .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
     )
 

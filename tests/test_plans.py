@@ -80,6 +80,36 @@ def test_minhash_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pair_kernels_are_bucketed(spark, sf_dir):
+    """The exact pair kernels must form candidates via a bucketed equi-join
+    (prefix token / projection-grid cell), never an all-pairs block self-join:
+    a join keyed only on the block column (lang/label) is the (N/blocks)²
+    shape that dies at 100×."""
+    import re
+
+    for key, bucket_col in [
+        ("dedup_near_jaccard", "tok"),
+        ("dedup_ngram_jaccard", "tok"),
+        ("dedup_embedding_cosine", "cell0"),
+    ]:
+        plan = plan_of(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        key_lines = [
+            ln for ln in plan.splitlines() if re.match(r"\s*(Left|Right) keys", ln)
+        ]
+        assert any(
+            f"{bucket_col}#" in ln for ln in key_lines
+        ), f"{key}: no join keyed on bucket column {bucket_col!r}:\n" + "\n".join(key_lines)
+        # No join may be keyed on the block column alone.
+        solo_block = [
+            ln
+            for ln in key_lines
+            if re.search(r"keys \[1\]: \[(a_|b_)?(lang|label)#", ln)
+        ]
+        assert not solo_block, f"{key}: block-only join keys: {solo_block}"
+
+
 def test_cdc_read_final_partial_agg(spark, sf_dir):
     """max_by plans as SortAggregate (struct buffer isn't hash-mutable) but
     must still partial-aggregate: the exchange carries one partial row per
