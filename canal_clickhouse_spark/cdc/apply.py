@@ -50,6 +50,38 @@ def latest_per_key(
     )
 
 
+def collapse_signs(
+    signs: DataFrame,
+    pk: str = PK,
+    payload: tuple[str, ...] | list[str] = PAYLOAD_COLS,
+    sign: str = "sign",
+    version: str = "version",
+) -> DataFrame:
+    """CollapsingMergeTree MERGE: compact a sign ledger to ≤1 row per key.
+
+    net > 0 → one +1 row carrying the latest +1 payload; net ≤ 0 → one −1
+    tombstone row carrying the latest payload (NOT dropped: the tombstone
+    preserves the key's version watermark so an at-least-once replay of
+    pre-delete messages cannot resurrect the row — see
+    ``CdcPipeline.apply_messages``). FINAL readers filter ``sign = 1``.
+    ``cdc_apply_collapsing`` is the query-side single-aggregation variant of
+    the same semantics (net > 0 only, no state carried).
+    """
+    plus_version = F.when(F.col(sign) == 1, F.col(version)).otherwise(F.lit(-1))
+    agg = signs.groupBy(pk).agg(
+        F.sum(sign).alias("_net"),
+        F.max_by(F.struct(*payload), plus_version).alias("_plus"),
+        F.max_by(F.struct(*payload), version).alias("_any"),
+        F.max(version).alias(version),
+    )
+    return agg.select(
+        pk,
+        F.when(F.col("_net") > 0, F.col("_plus")).otherwise(F.col("_any")).alias("_s"),
+        F.when(F.col("_net") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(sign),
+        version,
+    ).select(pk, "_s.*", sign, version)
+
+
 def apply_replacing(
     changes: DataFrame, pk: str = PK, version: str = "version", op: str = "op"
 ) -> DataFrame:
@@ -217,6 +249,7 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = [
     "latest_per_key",
+    "collapse_signs",
     "apply_replacing",
     "cdc_apply_replacing",
     "cdc_apply_collapsing",

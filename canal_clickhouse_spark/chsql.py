@@ -28,6 +28,8 @@ Covered (one entry per CH name):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import sql as run_sql
@@ -72,9 +74,9 @@ def _split_args(s: str) -> list[str]:
 # Array-producing spellings (post-translation) — used by the empty()/
 # notEmpty() rewrite to pick size() (arrays) vs length() (strings), since a
 # text-level rewriter cannot resolve types. An argument that is a bracket
-# literal or an outermost call to one of these is treated as an array;
-# everything else as a string (CH empty() on a bare array COLUMN is the one
-# shape this heuristic cannot see — documented limitation).
+# literal, an outermost call to one of these, or a fixture column the
+# catalog knows to be array-typed is treated as an array; everything else as
+# a string.
 _ARRAY_FNS = {
     "split", "array", "sequence", "collect_list", "collect_set",
     "array_distinct", "sort_array", "reverse", "transform", "filter",
@@ -82,10 +84,18 @@ _ARRAY_FNS = {
     "map_keys", "map_values", "explode",
 }
 
+# Fixture-catalog column-type lookup: the array-typed columns of the
+# registered views (FIXTURES.md §2). This closes the bare-array-COLUMN gap
+# the pure spelling heuristic could not see — in a live deployment this set
+# comes from the sink table DDL the pipeline already owns.
+_ARRAY_COLS = {"embedding"}
+
 
 def _looks_array(expr: str) -> bool:
     e = expr.strip()
     if e.startswith("["):
+        return True
+    if e.split(".")[-1].strip().lower() in _ARRAY_COLS:
         return True
     head = e.split("(", 1)[0].strip().lower()
     return "(" in e and head in _ARRAY_FNS
@@ -122,6 +132,8 @@ _RENAME = {
 
 def _translate_call(name: str, args: list[str]) -> str:
     low = name.lower()
+    if low == "count" and not [a for a in args if a]:
+        return "count(*)"  # CH's zero-arg count()
     if low == "uniq" or low == "uniqcombined":
         return f"approx_count_distinct({', '.join(args)})"
     if low == "uniqexact":
@@ -196,10 +208,121 @@ _CH_NAMES = set(_RENAME) | {
     "toint64", "tofloat64", "tostring", "intdiv", "modulo", "toyyyymm",
     "tostartofmonth", "tostartofday", "tostartofhour", "tostartofweek",
     "arraymap", "arrayfilter", "arrayexists", "arrayall", "arraysum",
+    "count",
 }
 
 
+# -- clause-level translation: FINAL / SAMPLE k / LIMIT n BY k ----------------
+#
+# These are per-TABLE clauses, so the translator owns the table metadata a
+# live ClickHouse would read from DDL: the sharding/sample key, and (for
+# FINAL-able changelogs) the version/op columns of the Replacing contract.
+# `cdc_changes` is the derived change-log view `ch_sql` registers alongside
+# the fixture tables.
+_TABLE_META: dict[str, dict[str, str]] = {
+    "orders": {"key": "o_orderkey"},
+    "lineitem": {"key": "l_orderkey"},
+    "customer": {"key": "c_custkey"},
+    "part": {"key": "p_partkey"},
+    "supplier": {"key": "s_suppkey"},
+    "events": {"key": "event_id"},
+    "documents": {"key": "doc_id"},
+    "embeddings": {"key": "vec_id"},
+    "cdc_changes": {"key": "o_orderkey", "version": "version", "op": "op"},
+}
+
+# Engine-portable sampling hash (Knuth multiplicative over the sample key):
+# pure 64-bit integer arithmetic both Spark and DuckDB evaluate identically,
+# mirroring CH's intHash32-based SAMPLE. Sampling keys, not rows — every
+# version of a key lands on the same side of the cut, which is why SAMPLE
+# composes with FINAL.
+_SAMPLE_MOD = 4294967296  # 2^32
+
+
+def _from_replacement(tbl: str, has_final: bool, frac: float | None) -> str:
+    meta = _TABLE_META.get(tbl)
+    if meta is None:
+        raise ValueError(f"FINAL/SAMPLE on unknown table {tbl!r}")
+    src = tbl
+    if frac is not None:
+        if not 0 < frac < 1:
+            raise ValueError(f"SAMPLE supports fractions in (0,1), got {frac}")
+        cut = int(frac * _SAMPLE_MOD)
+        src = (
+            f"(SELECT * FROM {src}"
+            f" WHERE (({meta['key']} * 2654435761) % {_SAMPLE_MOD}) < {cut})"
+        )
+    if has_final:
+        version = meta.get("version")
+        if version is None:
+            raise ValueError(f"FINAL on table {tbl!r} without version metadata")
+        cond = "_rn = 1"
+        if meta.get("op"):
+            cond += f" AND {meta['op']} <> 'DELETE'"
+        src = (
+            f"(SELECT * EXCEPT(_rn) FROM (SELECT *, ROW_NUMBER() OVER"
+            f" (PARTITION BY {meta['key']} ORDER BY {version} DESC) AS _rn"
+            f" FROM {src}) WHERE {cond})"
+        )
+    return f"FROM {src} {tbl}" if src != tbl else f"FROM {tbl}"
+
+
+_FROM_RE = re.compile(
+    r"\bFROM\s+(\w+)(\s+FINAL\b)?(?:\s+SAMPLE\s+(0?\.\d+))?(\s+FINAL\b)?",
+    re.IGNORECASE,
+)
+_LIMIT_BY_RE = re.compile(
+    r"\bORDER\s+BY\s+(?P<ord>.+?)\s+LIMIT\s+(?P<n>\d+)\s+BY\s+"
+    r"(?P<cols>.+?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_clauses(q: str) -> str:
+    """Rewrite CH table clauses to the equivalent Spark relational shapes.
+
+    - ``FROM t FINAL``        → latest-version-per-key subquery minus
+      tombstones (the `cdc_read_final` collapse inlined as SQL text).
+    - ``FROM t SAMPLE 0.1``   → deterministic hash cut on the table's sample
+      key (`sample_hash` semantics).
+    - ``ORDER BY o LIMIT n BY cols [LIMIT m]`` → ROW_NUMBER window per
+      ``cols`` ordered by ``o``, kept ≤ n (`topk_per_group` shape).
+
+    Top-level clauses only (no subquery recursion), and LIMIT BY's ORDER BY
+    must reference select-list columns/aliases (the window is applied OVER
+    the query's output) — the scope a sink-table migration actually
+    exercises; string literals containing clause keywords are out of scope
+    for the text rewriter.
+    """
+
+    def from_sub(m: re.Match) -> str:
+        has_final = bool(m.group(2) or m.group(4))
+        frac = float(m.group(3)) if m.group(3) else None
+        if not has_final and frac is None:
+            return m.group(0)
+        return _from_replacement(m.group(1), has_final, frac)
+
+    q = _FROM_RE.sub(from_sub, q)
+    lb = _LIMIT_BY_RE.search(q)
+    if lb:
+        inner = q[: lb.start()].strip()
+        ord_clause, n, cols = lb["ord"].strip(), int(lb["n"]), lb["cols"].strip()
+        tail = f" LIMIT {lb['m']}" if lb["m"] else ""
+        q = (
+            f"SELECT * EXCEPT(_rn) FROM (SELECT *, ROW_NUMBER() OVER"
+            f" (PARTITION BY {cols} ORDER BY {ord_clause}) AS _rn"
+            f" FROM ({inner})) WHERE _rn <= {n} ORDER BY {ord_clause}{tail}"
+        )
+    return q
+
+
 def translate(ch_query: str) -> str:
+    """CH-dialect → Spark SQL: clause-level rewrites (FINAL / SAMPLE /
+    LIMIT BY) on the raw text first, then the recursive function rewrite."""
+    return _translate_fns(_rewrite_clauses(ch_query))
+
+
+def _translate_fns(ch_query: str) -> str:
     """Rewrite every known CH function call in ``ch_query`` to Spark SQL.
 
     Single left-to-right scan with explicit call parsing: on `ident(`, if
@@ -251,7 +374,7 @@ def translate(ch_query: str) -> str:
                         if depth == 0:
                             break
                     m += 1
-                inner = translate(ch_query[k + 1 : m])
+                inner = _translate_fns(ch_query[k + 1 : m])
                 out.append(_translate_call(ident, _split_args(inner)))
                 i = m + 1
                 continue
@@ -264,7 +387,11 @@ def translate(ch_query: str) -> str:
 
 
 def ch_sql(spark: SparkSession, sf_dir: str, ch_query: str) -> DataFrame:
-    """Run a ClickHouse-dialect query against the fixture views."""
+    """Run a ClickHouse-dialect query against the fixture views (plus the
+    ``cdc_changes`` change-log view, the FINAL-able Replacing table)."""
+    from .cdc.changes import change_log
+
+    change_log(spark, sf_dir).createOrReplaceTempView("cdc_changes")
     return run_sql(spark, sf_dir, translate(ch_query))
 
 
@@ -344,3 +471,95 @@ def chsql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty/toInt64 — each a rewrite a pure rename table cannot express.
     """
     return ch_sql(spark, sf_dir, _CH_TEXT)
+
+
+# The CDC_CHANGES derivation, duplicated from cdc/changes.py's CTE contract
+# (kept in lockstep) so the chsql oracles are self-contained.
+_CDC_CTE = """cdc_changes AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority, 'INSERT' AS op, 0 AS version FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'F', o_totalprice, o_orderdate,
+           o_orderpriority, 'UPDATE', 1 FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority, 'DELETE', 2 FROM orders WHERE o_orderkey % 100 = 0
+)"""
+
+_CH_FINAL = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+FROM cdc_changes FINAL
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "chsql_final",
+    oracle=f"""
+    WITH {_CDC_CTE},
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC) AS rn
+        FROM cdc_changes
+    )
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+    ORDER BY o_orderkey
+    """,
+)
+def chsql_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM t FINAL`` clause translation: the CH read-time Replacing
+    collapse, rewritten to the latest-version-per-key window the engine's
+    `cdc_read_final` operator uses. The oracle hand-writes that collapse."""
+    return ch_sql(spark, sf_dir, _CH_FINAL)
+
+
+_CH_SAMPLE = """
+SELECT count() AS n, uniqExact(o_custkey) AS n_cust,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders SAMPLE 0.1
+"""
+
+
+@query(
+    "chsql_sample",
+    oracle=f"""
+    SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % {_SAMPLE_MOD}) < {int(0.1 * _SAMPLE_MOD)}
+    """,
+)
+def chsql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SAMPLE 0.1`` clause translation: deterministic multiplicative-hash
+    cut on the table's sample key (every engine sees the same ~10% of KEYS —
+    CH's SAMPLE-BY contract, which is what lets sampled aggregates compose
+    with FINAL and joins). Aggregates chosen integer/min/max-exact so the
+    oracle hash is float-order-free."""
+    return ch_sql(spark, sf_dir, _CH_SAMPLE)
+
+
+_CH_LIMIT_BY = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+ORDER BY price DESC, o_orderkey LIMIT 2 BY o_custkey
+"""
+
+
+@query(
+    "chsql_limit_by",
+    oracle="""
+    SELECT o_custkey, o_orderkey, price FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY round(o_totalprice, 2) DESC,
+                                           o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT n BY k`` clause translation: CH's per-group head, rewritten
+    to the ROW_NUMBER window `topk_per_group` uses (deterministic via the
+    o_orderkey tiebreak)."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_BY)

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cdc.apply import latest_per_key
+from .cdc.apply import collapse_signs, latest_per_key
 from .cdc.envelope import parse_envelope
 
 
@@ -51,17 +51,14 @@ class TableSync:
     mode: str = "replacing"  # "replacing" | "collapsing"
 
     def __post_init__(self) -> None:
-        if self.mode != "replacing":
-            # Collapsing (sign-ledger) semantics exist as query-side
-            # operators (cdc.apply.cdc_apply_collapsing); the pipeline's
-            # version-resolved merge subsumes them for FINAL reads, so a
-            # separate sink mode would add state without adding semantics.
-            raise NotImplementedError(
-                "pipeline sink supports replacing mode; use "
-                "cdc.apply.cdc_apply_collapsing for sign-collapse queries"
-            )
+        if self.mode not in ("replacing", "collapsing"):
+            raise ValueError(f"unknown sync mode {self.mode!r}")
         if self.pk not in self.mapping:
             raise ValueError(f"pk {self.pk!r} missing from mapping")
+
+    @property
+    def payload_cols(self) -> list[str]:
+        return [c for c in self.mapping if c != self.pk]
 
     @property
     def qualified(self) -> str:
@@ -143,8 +140,52 @@ class CdcPipeline:
                 F.col("op"),
                 F.unix_millis("event_time").alias("version"),
             )
-            merged = latest_per_key(merge_base(self._state(rule), batch), rule.pk)
+            if rule.mode == "replacing":
+                merged = latest_per_key(merge_base(self._state(rule), batch), rule.pk)
+            else:
+                merged = self._merge_collapsing(rule, batch)
             self._write_snapshot(rule, merged)
+
+    def _merge_collapsing(self, rule: TableSync, batch: DataFrame) -> DataFrame:
+        """Collapsing-mode merge: ops → sign rows → watermarked compaction.
+
+        Op translation (the CollapsingMergeTree sink contract): INSERT → +1,
+        UPDATE → (−1, +1) at the new version, DELETE → −1. The −1 half of an
+        update nets out the prior +1; its payload never wins a FINAL read
+        (``collapse_signs`` votes with +1 rows only), so carrying the
+        after-image on both halves is sound even without the envelope's
+        ``old`` deltas.
+
+        Idempotency: state is kept COMPACTED (≤1 signed row per key — the
+        post-merge MergeTree shape, bounded by live keys not history), which
+        means a replayed batch can no longer cancel against its own −1 rows.
+        The per-key version watermark restores exactly-once application:
+        incoming sign rows at-or-below the key's compacted version are
+        already reflected in state and are dropped. Deleted keys persist as
+        −1 tombstones precisely to keep their watermark (a replayed
+        pre-delete INSERT must not resurrect them); a TTL sweep reclaims
+        tombstones at scale.
+        """
+        signs = batch.select(
+            *rule.mapping.keys(),
+            "version",
+            F.explode(
+                F.when(F.col("op") == "INSERT", F.array(F.lit(1)))
+                .when(F.col("op") == "UPDATE", F.array(F.lit(-1), F.lit(1)))
+                .otherwise(F.array(F.lit(-1)))
+            ).alias("sign"),
+        ).dropDuplicates([rule.pk, "version", "sign"])
+        state = self._state(rule)
+        if state is not None:
+            wm = state.select(rule.pk, F.col("version").alias("_wm"))
+            signs = (
+                signs.join(wm, rule.pk, "left")
+                .filter(F.col("_wm").isNull() | (F.col("version") > F.col("_wm")))
+                .drop("_wm")
+            )
+        return collapse_signs(
+            merge_base(state, signs), rule.pk, rule.payload_cols
+        )
 
     def stream(self, msgs, msg_col: str = "msg", available_now: bool = True):
         """Continuous tail: checkpointed foreachBatch over the message stream."""
@@ -169,7 +210,9 @@ class CdcPipeline:
         state = self._state(rule)
         if state is None:
             raise KeyError(f"no state yet for {rule.qualified}")
-        return state.filter(F.col("op") != "DELETE").drop("op", "version")
+        if rule.mode == "replacing":
+            return state.filter(F.col("op") != "DELETE").drop("op", "version")
+        return state.filter(F.col("sign") == 1).drop("sign", "version")
 
 
 def merge_base(state: DataFrame | None, batch: DataFrame) -> DataFrame:

@@ -206,3 +206,20 @@ def test_embed_quantize_roundtrip_error_bound(spark, sf_dir):
         assert all(0 <= int(q) <= 255 for q in r.q.split(","))
         # both sides are 6dp-rounded, so allow one rounding granule
         assert r.max_err <= r.scale / 2 + 1e-6
+
+
+def test_connected_components_deep_chain(spark, sf_dir):
+    """A 101-node path graph (diameter 100 — far past the old 20-round
+    propagation bound) must converge to a single component labeled by the
+    min node: the pointer-doubling flattening makes rounds O(log diameter),
+    and a non-converged run now raises instead of returning partial labels."""
+    from canal_clickhouse_spark.llm.dedup import connected_components
+
+    n = 101
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], "s bigint, d bigint"
+    )
+    labels = connected_components(edges).collect()
+    assert len(labels) == n
+    assert {r.comp for r in labels} == {0}

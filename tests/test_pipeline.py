@@ -106,3 +106,61 @@ def test_streaming_pipeline(spark, sf_dir, pipe, tmp_path):
     q.awaitTermination()
     got = pipe.read_table("shop", "orders").select(*COLS)
     assert rows_set(got) == rows_set(expected_final(spark, sf_dir))
+
+
+@pytest.fixture()
+def cpipe(spark, tmp_path):
+    """Collapsing-mode pipeline over the same orders rule."""
+    rule = TableSync(
+        "shop", "orders", pk="o_orderkey", mapping=dict(ORDERS_MAPPING),
+        mode="collapsing",
+    )
+    root = str(tmp_path / "cstate")
+    yield CdcPipeline(spark, [rule], root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_collapsing_pipeline_end_to_end(spark, sf_dir, cpipe):
+    """INSERT all → UPDATE %10 → DELETE %100 through the sign-ledger sink:
+    FINAL read equals the replacing-mode truth."""
+    cpipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "true"))
+    cpipe.apply_messages(
+        envelopes(spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0", status="F", day_offset=1)
+    )
+    cpipe.apply_messages(
+        envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=2)
+    )
+    got = cpipe.read_table("shop", "orders").select(*COLS)
+    assert rows_set(got) == rows_set(expected_final(spark, sf_dir))
+
+
+def test_collapsing_replay_is_idempotent(spark, sf_dir, cpipe):
+    """Replaying applied batches (incl. a pre-delete INSERT) must not change
+    state: the version watermark keeps compacted state exactly-once, and −1
+    tombstones stop deleted keys from resurrecting."""
+    ins = envelopes(spark, sf_dir, "INSERT", "true")
+    upd = envelopes(spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0", status="F", day_offset=1)
+    dele = envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=2)
+    for env in (ins, upd, dele):
+        cpipe.apply_messages(env)
+    before = rows_set(cpipe.read_table("shop", "orders"))
+    cpipe.apply_messages(upd)   # redelivered update
+    cpipe.apply_messages(ins)   # redelivered pre-delete inserts
+    assert rows_set(cpipe.read_table("shop", "orders")) == before
+
+
+def test_collapsing_state_is_compacted(spark, sf_dir, cpipe):
+    """State stays ≤1 row per key (post-merge MergeTree shape), with −1
+    tombstones for deleted keys."""
+    cpipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "true"))
+    cpipe.apply_messages(
+        envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=1)
+    )
+    rule = cpipe.tables["shop.orders"]
+    state = cpipe._state(rule)
+    n_keys = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert state.count() == n_keys
+    assert state.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    assert state.filter("sign = -1").count() == state.filter(
+        "o_orderkey % 100 = 0"
+    ).count()

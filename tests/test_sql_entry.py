@@ -97,3 +97,33 @@ def test_chsql_runs_on_spark(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_chsql_clause_rewrites():
+    """Clause-level translation: FINAL → versioned-window collapse, SAMPLE →
+    deterministic key-hash cut, LIMIT n BY k → per-group ROW_NUMBER head,
+    empty() on a catalog-known array column → size()."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT a FROM orders SAMPLE 0.1")
+    assert "(o_orderkey * 2654435761) % 4294967296" in t and "< 429496729" in t
+    assert t.endswith(" orders")
+
+    t = translate("SELECT a FROM cdc_changes FINAL")
+    assert "ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC)" in t
+    assert "op <> 'DELETE'" in t and t.endswith(" cdc_changes")
+
+    t = translate("SELECT a, b FROM orders ORDER BY b DESC LIMIT 3 BY a LIMIT 7")
+    assert "PARTITION BY a ORDER BY b DESC" in t
+    assert "_rn <= 3" in t and t.endswith("LIMIT 7")
+
+    # FINAL composes with SAMPLE: sampling cuts whole keys, then collapses.
+    t = translate("SELECT a FROM cdc_changes FINAL SAMPLE 0.25")
+    assert "2654435761" in t and "ROW_NUMBER()" in t
+
+    # Fixture-catalog type lookup: bare array COLUMN now resolves to size().
+    assert translate("empty(embedding)") == "(size(embedding) = 0)"
+    assert translate("notEmpty(e.embedding)") == "(size(e.embedding) > 0)"
+    assert translate("empty(text)") == "(length(text) = 0)"
+    # CH zero-arg count()
+    assert translate("count()") == "count(*)"
