@@ -224,6 +224,8 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     imports google.protobuf, which is broken here ("cannot import name
     'descriptor'") and cannot be reinstalled — so the engine standardizes
     on the applyInPandasWithState surface, per the §7.4 fallback plan.
+    Re-probed 2026-08-13 (round 3): ``import google.protobuf`` now fails
+    with ModuleNotFoundError outright — still unavailable, fallback stands.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -1,0 +1,115 @@
+"""ClickHouseSink HTTP-transport contract tests against a mock CH server.
+
+The mock implements the two server behaviors the transport contract leans
+on: transient 500s (exercising bounded retry) and query_id block dedup
+(ClickHouse's ``insert_deduplicate`` — a re-sent insert identity is
+acknowledged but not re-applied). No real ClickHouse exists in this
+environment; these tests pin the non-parquet codepath end-to-end through
+real executor-side POSTs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from canal_clickhouse_spark.sinks.clickhouse import ClickHouseSink
+
+
+class _MockCH(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802 (http.server API)
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        srv = self.server
+        with srv.lock:
+            if srv.fail_budget > 0:
+                srv.fail_budget -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            qid = q["query_id"][0]
+            srv.requests.append((qid, q["query"][0], body))
+            if qid not in srv.seen:  # CH block dedup: ack, don't re-apply
+                srv.seen.add(qid)
+                srv.rows.extend(ln for ln in body.splitlines() if ln)
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+
+@pytest.fixture()
+def mock_ch():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _MockCH)
+    srv.lock = threading.Lock()
+    srv.requests, srv.rows, srv.seen = [], [], set()
+    srv.fail_budget = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    t.join(timeout=5)
+
+
+def _frame(spark):
+    return spark.range(10).selectExpr("id", "id * 2 AS v").repartition(2)
+
+
+def _url(srv) -> str:
+    return f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def _delivered(srv) -> set[tuple[int, int]]:
+    return {(d["id"], d["v"]) for d in map(json.loads, srv.rows)}
+
+
+def test_http_sink_batches_and_delivers(spark, mock_ch):
+    sink = ClickHouseSink(_url(mock_ch), "t1", mode="http", batch_rows=3)
+    sink.write_batch(_frame(spark), batch_id=0)
+    assert _delivered(mock_ch) == {(i, 2 * i) for i in range(10)}
+    # 2 partitions × 5 rows at ≤3 rows/POST → 2 chunks per partition.
+    assert len(mock_ch.requests) == 4
+    assert all(
+        len(body.splitlines()) <= 3 for _, _, body in mock_ch.requests
+    ), "chunking must respect batch_rows"
+    assert all(
+        q == "INSERT INTO t1 FORMAT JSONEachRow" for _, q, _ in mock_ch.requests
+    )
+
+
+def test_http_sink_retries_transient_failures(spark, mock_ch):
+    mock_ch.fail_budget = 2  # first two POSTs 500; retries must recover
+    sink = ClickHouseSink(
+        _url(mock_ch), "t2", mode="http", batch_rows=100, backoff_s=0.01
+    )
+    sink.write_batch(_frame(spark), batch_id=0)
+    assert _delivered(mock_ch) == {(i, 2 * i) for i in range(10)}
+    assert len(mock_ch.seen) == 2  # one chunk per partition, exactly once
+
+
+def test_http_sink_replay_is_deduplicated(spark, mock_ch):
+    """A foreachBatch replay re-sends the same (batch, partition, chunk)
+    query_ids; the server acks but keeps one copy — CH insert_deduplicate."""
+    sink = ClickHouseSink(_url(mock_ch), "t3", mode="http", batch_rows=3)
+    df = _frame(spark)
+    sink.write_batch(df, batch_id=7)
+    first = list(mock_ch.rows)
+    sink.write_batch(df, batch_id=7)  # at-least-once redelivery
+    assert mock_ch.rows == first, "replayed blocks must not duplicate rows"
+    assert len(mock_ch.requests) == 8 and len(mock_ch.seen) == 4
+
+
+def test_http_sink_gives_up_after_max_retries(spark, mock_ch):
+    mock_ch.fail_budget = 10**6
+    sink = ClickHouseSink(
+        _url(mock_ch), "t4", mode="http", batch_rows=100,
+        max_retries=1, backoff_s=0.01,
+    )
+    with pytest.raises(Exception):
+        sink.write_batch(_frame(spark), batch_id=0)
+    assert not mock_ch.rows
