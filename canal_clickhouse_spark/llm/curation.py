@@ -238,6 +238,148 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_ngram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    eg AS (
+        SELECT DISTINCT array_to_string(w[i + 1 : i + 8], ' ') AS g
+        FROM t, UNNEST(range(0, GREATEST(n - 7, 0))) AS r(i)
+        WHERE doc_id % 50 = 0
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i + 1 : i + 8], ' ') AS g
+        FROM t, UNNEST(range(0, GREATEST(n - 7, 0))) AS r(i)
+        WHERE doc_id % 50 <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM cg JOIN eg USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    8-gram with the held-out eval set (doc_id % 50 = 0 stands in for the
+    benchmark), reporting the count of distinct leaked 8-grams per doc —
+    the standard n-gram-overlap test-set-leakage check a pretraining corpus
+    runs before training.
+
+    Scale shape: the eval side is tiny by construction (benchmarks are KBs
+    against a 100 TB corpus), so its distinct-gram set BROADCASTS and the
+    corpus side never shuffles raw text — one explode, a broadcast hash
+    semi-join-then-count, one groupBy on doc_id. 8-gram strings are joined
+    directly for oracle parity; at 100 TB the join key would be xxhash64 of
+    the gram (same plan, 8-byte keys).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    grams = F.expr(
+        "if(n < 8, array(), transform(sequence(0, n - 8),"
+        " i -> concat_ws(' ', slice(w, i + 1, 8))))"
+    )
+    eg = (
+        toks.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    cg = (
+        toks.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "source_mix_sample",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(sqrt(n)) AS wsum, SUM(n) AS total FROM cnt
+    ),
+    target AS (
+        SELECT source, n,
+               LEAST(n, CAST(ceil(sqrt(n) / wsum * total * 0.5) AS BIGINT))
+                 AS t
+        FROM cnt, tot
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY md5(d.text), d.doc_id) AS rn
+        FROM documents d
+    )
+    SELECT r.source, t.n AS n_docs, t.t AS n_target,
+           CAST(SUM(r.doc_id) AS BIGINT) AS sampled_id_sum
+    FROM ranked r JOIN target t USING (source)
+    WHERE r.rn <= t.t
+    GROUP BY r.source, t.n, t.t
+    ORDER BY r.source
+    """,
+)
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture temperature resampling (α = 0.5): per-source targets
+    ∝ √count — the standard flattening that up-weights small sources when
+    composing a pretraining mixture — then a deterministic content-hash
+    pick of exactly `target` docs per source (smallest md5 first, doc_id
+    tiebreak), totaling ~50% of the corpus. `sampled_id_sum` pins WHICH
+    docs were chosen, not just how many.
+
+    Scale shape: per-source counts are a tiny aggregate (broadcast back);
+    the pick is one window per source partition ordered by content hash —
+    stable under re-partitioning, so two runs of a 100 TB mixture job
+    select the same documents. All float steps (sqrt, ÷, ×) are single
+    correctly-rounded IEEE ops on identical inputs, so both engines'
+    ceil() agree.
+    """
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(
+        F.sum(F.sqrt("n")).alias("wsum"), F.sum("n").alias("total")
+    )
+    target = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.least(
+                F.col("n"),
+                F.ceil(F.sqrt("n") / F.col("wsum") * F.col("total") * 0.5).cast(
+                    "bigint"
+                ),
+            ).alias("t"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(target), "source")
+        .filter(F.col("rn") <= F.col("t"))
+        .groupBy("source", "n", "t")
+        .agg(F.sum("doc_id").cast("bigint").alias("sampled_id_sum"))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("t").alias("n_target"),
+            "sampled_id_sum",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "pipeline_curate",
     oracle=f"""
     WITH gated AS (

@@ -585,6 +585,47 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH doc_dups AS ({_DOC_DUPS_SQL})
+    SELECT doc_id, lang FROM doc_dups
+    WHERE doc_id NOT IN (
+        SELECT doc_id FROM ({_CC_ORACLE}) c WHERE c.component <> c.doc_id
+    )
+    ORDER BY doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: pair graph → connected components → keep ONLY
+    each cluster's canonical doc (min doc_id) plus everything unpaired — the
+    full \"dedup this corpus\" composite a training pipeline runs, not just
+    the pair list. Exact copies have Jaccard 1.0, so one pass subsumes both
+    exact- and near-dedup: survivors = corpus minus non-canonical members.
+
+    Scale shape: the drop set is (component member, component) slimmed to
+    bare ids — tiny relative to the corpus (only docs with a near-dup) — and
+    the final anti-join shuffles on doc_id only; document text never moves.
+    At 100 TB: persisted pair graph → CC (log-diameter rounds) → one
+    left_anti hash join, each stage linear in its own input.
+    """
+    dups = doc_dups(spark, sf_dir)
+    pairs = dedup_near_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    dropped = (
+        connected_components(edges)
+        .filter(F.col("comp") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        dups.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH doc_dups AS ({_DOC_DUPS_SQL}),
