@@ -276,6 +276,41 @@ _LIMIT_BY_RE = re.compile(
     r"(?P<cols>.+?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ARRAY_JOIN_RE = re.compile(
+    r"\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)",
+    re.IGNORECASE | re.DOTALL,
+)
+_PREWHERE_RE = re.compile(
+    r"\bPREWHERE\s+(?P<cond>.+?)"
+    r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHERE_RE = re.compile(
+    r"\s*WHERE\s+(?P<w>.+?)"
+    r"(?=\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_prewhere(q: str) -> str:
+    """``PREWHERE cond`` → merged into ``WHERE``. CH evaluates PREWHERE
+    before column materialization as an I/O optimization; Spark's parquet
+    scan already pushes every conjunct down (plan-asserted in
+    tests/test_plans.py), so the semantically-exact translation is plain
+    predicate conjunction: ``PREWHERE a WHERE b`` ⇒ ``WHERE (a) AND (b)``.
+    """
+    m = _PREWHERE_RE.search(q)
+    if not m:
+        return q
+    cond = m.group("cond").strip()
+    head, tail = q[: m.start()], q[m.end() :]
+    wm = _WHERE_RE.match(tail)
+    if wm:
+        return (
+            f"{head} WHERE ({cond}) AND ({wm.group('w').strip()}) "
+            + tail[wm.end() :]
+        )
+    return f"{head} WHERE {cond} {tail}"
 
 
 def _rewrite_clauses(q: str) -> str:
@@ -287,6 +322,9 @@ def _rewrite_clauses(q: str) -> str:
       key (`sample_hash` semantics).
     - ``ORDER BY o LIMIT n BY cols [LIMIT m]`` → ROW_NUMBER window per
       ``cols`` ordered by ``o``, kept ≤ n (`topk_per_group` shape).
+    - ``[LEFT] ARRAY JOIN expr AS x`` → ``LATERAL VIEW explode[_outer]``.
+    - ``PREWHERE cond``       → conjoined into ``WHERE`` (Spark pushes all
+      conjuncts to the scan, which is what PREWHERE hand-optimizes in CH).
 
     Top-level clauses only (no subquery recursion), and LIMIT BY's ORDER BY
     must reference select-list columns/aliases (the window is applied OVER
@@ -303,6 +341,19 @@ def _rewrite_clauses(q: str) -> str:
         return _from_replacement(m.group(1), has_final, frac)
 
     q = _FROM_RE.sub(from_sub, q)
+    # ARRAY JOIN before PREWHERE: in CH text order the array clause sits
+    # between the table and the predicates, and neither rewrite touches the
+    # other's text. `LEFT ARRAY JOIN` keeps empty-array rows → explode_outer.
+    # Scope: one `expr AS alias` per clause (CH's zipped multi-array form
+    # `ARRAY JOIN a AS x, b AS y` is out of scope for the text rewriter).
+    q = _ARRAY_JOIN_RE.sub(
+        lambda m: (
+            f" LATERAL VIEW {'explode_outer' if m.group('left') else 'explode'}"
+            f"({m.group('expr').strip()}) _aj AS {m.group('alias')}"
+        ),
+        q,
+    )
+    q = _rewrite_prewhere(q)
     lb = _LIMIT_BY_RE.search(q)
     if lb:
         inner = q[: lb.start()].strip()
@@ -563,3 +614,52 @@ def chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the ROW_NUMBER window `topk_per_group` uses (deterministic via the
     o_orderkey tiebreak)."""
     return ch_sql(spark, sf_dir, _CH_LIMIT_BY)
+
+
+_CH_PREWHERE = """
+SELECT o_orderpriority, count() AS n, round(sum(o_totalprice), 2) AS total
+FROM orders PREWHERE o_orderstatus = 'F' WHERE o_totalprice > 50000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "chsql_prewhere",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def chsql_prewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREWHERE`` clause translation: CH's scan-time predicate merged
+    into WHERE as a conjunction — semantically identical, and Spark's
+    parquet pushdown recovers the I/O-skipping intent automatically."""
+    return ch_sql(spark, sf_dir, _CH_PREWHERE)
+
+
+_CH_ARRAY_JOIN = """
+SELECT doc_id, tok, count() AS c
+FROM documents ARRAY JOIN splitByChar(' ', text) AS tok
+PREWHERE doc_id < 50
+GROUP BY doc_id, tok ORDER BY doc_id, tok
+"""
+
+
+@query(
+    "chsql_arrayjoin",
+    oracle="""
+    SELECT doc_id, t AS tok, COUNT(*) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    WHERE doc_id < 50
+    GROUP BY doc_id, t ORDER BY doc_id, tok
+    """,
+)
+def chsql_arrayjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ARRAY JOIN`` clause translation (CH's row-expanding array unnest)
+    → ``LATERAL VIEW explode``; composes with PREWHERE and with function
+    rewriting inside the array expression (splitByChar's swapped args run
+    through the recursive fn translator AFTER the clause rewrite)."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN)

@@ -455,3 +455,132 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "lang")
     )
+
+
+_KM_K = 8       # clusters
+_KM_ITERS = 3   # fixed Lloyd assignment rounds (deterministic, no collect)
+# Assignment distance: squared euclidean, sequential fold over the zipped
+# arrays (index order — deterministic on the Spark side).
+_KM_D2 = (
+    "aggregate(zip_with(emb, carr, (x, c) -> (x - c) * (x - c)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _km_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration for the DuckDB oracle: distances from
+    cent{i-1}, argmin assignment a{i}, recomputed cent{i}."""
+    return f"""
+    d{i} AS (
+        SELECT e.vec_id, c.cluster,
+               ROUND(SUM((e.x - c.c) * (e.x - c.c)), 6) AS d
+        FROM ex e JOIN cent{i - 1} c USING (pos)
+        GROUP BY e.vec_id, c.cluster
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster, d FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cluster) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    cent{i} AS (
+        SELECT a.cluster, e.pos, ROUND(AVG(e.x), 6) AS c
+        FROM a{i} a JOIN ex e USING (vec_id)
+        GROUP BY a.cluster, e.pos
+    )"""
+
+
+@query(
+    "embed_kmeans",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+        FROM vecs
+    ),
+    seeds AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS cluster
+        FROM vecs
+        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                   vec_id) <= {_KM_K}
+    ),
+    cent0 AS (
+        SELECT s.cluster, e.pos, ROUND(e.x, 6) AS c
+        FROM seeds s JOIN ex e USING (vec_id)
+    ),
+    {",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1))}
+    SELECT vec_id, cluster, ROUND(d, 4) AS dist2
+    FROM a{_KM_ITERS} ORDER BY vec_id
+    """,
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding corpus (k = 8, 3 fixed Lloyd
+    rounds) — the clustering step a curation pipeline uses for semantic
+    dedup buckets, data-mixture balancing, and IVF coarse quantizers.
+    Everything that could diverge between engines is pinned: seeds are the
+    k vectors with smallest md5(vec_id) (content-independent, engine-
+    portable), every centroid coordinate is rounded at 6dp per round, and
+    the argmin compares (round(dist², 6), cluster) — so both engines walk
+    the identical centroid trajectory with no RNG and no driver collect.
+
+    Scale shape: centroids are k·64 doubles — a broadcast literal — so each
+    assignment round is a map-side crossJoin(k rows) + per-row fold with NO
+    shuffle; the centroid update is one posexplode + partial-agg groupBy on
+    (cluster, pos) — 64·k result rows. Plan depth grows linearly with the
+    (fixed) iteration count and the loop never collects, so a 1000-executor
+    run is 3 scan+reduce passes. The fixture's labels are random, so
+    cluster quality is data-bound; the oracle pins the exact trajectory.
+    """
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    ).localCheckpoint(eager=False)
+    ex = vecs.select("vec_id", F.posexplode("emb").alias("pos", "x"))
+    h = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    seeds = (
+        vecs.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_KM_K)
+        # Window over k rows only (post-limit) — the single-partition sort
+        # is 8 rows, not the corpus.
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        )
+        .drop("h")
+    )
+    cent = seeds.join(vecs, "vec_id").select(
+        "cluster", F.expr("transform(emb, x -> round(x, 6))").alias("carr")
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        if assigned is not None:
+            cent = (
+                ex.join(assigned.select("vec_id", "cluster"), "vec_id")
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+                .groupBy("cluster")
+                .agg(
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(pos, c))),"
+                        " s -> s.c)"
+                    ).alias("carr")
+                )
+            )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .withColumn("d2", F.expr(_KM_D2))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.round("d2", 6).alias("d"), F.col("cluster"))
+                ).alias("m")
+            )
+            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
+        )
+    return assigned.select(
+        "vec_id", "cluster", F.round("d", 4).alias("dist2")
+    ).orderBy("vec_id")

@@ -528,6 +528,223 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_entropy",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy,
+           ROUND((log2(SUM(c)) - SUM(c * log2(c)) / SUM(c))
+                 / log2(GREATEST(COUNT(*), 2)), 4) AS entropy_norm
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy — the
+    perplexity-proxy quality signal (machine-generated / template text has
+    low entropy, natural prose sits near the normalized ceiling). Uses the
+    algebraic form H = log2(n) − Σc·log2(c)/n so every term is a function
+    of integer counts; `entropy_norm` divides by the max possible
+    (log2 distinct) for a [0,1] score.
+
+    Scale shape: one explode → partial-aggregated (doc_id, token) count →
+    one groupBy doc_id. Both shuffles key on doc_id/token; entropy math is
+    codegen'd projection arithmetic. Transcendental outputs rounded at 4dp
+    (float-sum reorder drift is ulp-scale; log2 values never sit on
+    rounding boundaries, unlike the rational ratios in
+    `text_quality_score`).
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    h = F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(h, 4).alias("entropy"),
+            F.round(
+                h / F.log2(F.greatest(F.count(F.lit(1)), F.lit(2))), 4
+            ).alias("entropy_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_repetition",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        GROUP BY doc_id, t
+    ),
+    words AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(MAX(c) AS BIGINT) AS top
+        FROM tf GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               CAST(GREATEST(n - 1, 0) AS BIGINT) AS g_total,
+               CAST(len(list_distinct(list_transform(range(1, n),
+                   i -> w[i] || ' ' || w[i + 1]))) AS BIGINT) AS g_distinct
+        FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS n
+              FROM documents)
+    )
+    SELECT w.doc_id,
+           ((( w.n - w.nd) * 20000 + w.n) // (2 * w.n)) / 10000.0
+             AS dup_word_frac,
+           ((w.top * 20000 + w.n) // (2 * w.n)) / 10000.0 AS top_word_frac,
+           (((g.g_total - g.g_distinct) * 20000 + GREATEST(g.g_total, 1))
+             // (2 * GREATEST(g.g_total, 1))) / 10000.0 AS dup_gram_frac,
+           w.top * 5 > w.n OR (g.g_total - g.g_distinct) * 5 > g.g_total
+             AS is_repetitive
+    FROM words w JOIN grams g USING (doc_id) ORDER BY w.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    fraction (1 − distinct/total), top-word fraction (most frequent word's
+    share), duplicate-2-gram fraction, and the repetitive flag
+    (top word > 20% OR dup 2-grams > 20%) — the filters a pretraining
+    corpus applies before any cross-document dedup.
+
+    Scale shape: word stats via one explode + partial-agg (the same tf
+    stream `text_entropy` uses); the 2-gram side stays array-side per row
+    (no second explode — distinct-count of n−1 grams is O(n) per doc).
+    All fractions are small-denominator rationals, so rounding is the
+    exact integer half-up form (see `text_quality_score`), and the flag
+    compares integers — no float in any decision.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.max("c").cast("bigint").alias("top"),
+    )
+    grams = d.selectExpr(
+        "doc_id",
+        "CAST(greatest(size(split(text, ' ')) - 1, 0) AS BIGINT) AS g_total",
+        # Guarded: a 1-token doc must yield zero 2-grams (Spark sequence
+        # with stop < start DESCENDS instead of returning empty).
+        "CAST(if(size(split(text, ' ')) < 2, 0,"
+        " size(array_distinct(transform("
+        " sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i])))))"
+        " AS BIGINT) AS g_distinct",
+    )
+    return (
+        words.join(grams, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "(((n - nd) * 20000 + n) div (2 * n)) / 10000.0D AS dup_word_frac",
+            "((top * 20000 + n) div (2 * n)) / 10000.0D AS top_word_frac",
+            "(((g_total - g_distinct) * 20000 + greatest(g_total, 1))"
+            " div (2 * greatest(g_total, 1))) / 10000.0D AS dup_gram_frac",
+            "top * 5 > n OR (g_total - g_distinct) * 5 > g_total"
+            " AS is_repetitive",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_boilerplate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i + 1 : i + 3], ' ') AS g
+        FROM t, UNNEST(range(0, GREATEST(n - 2, 0))) AS r(i)
+    ),
+    boiler AS (
+        SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 5
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (WHERE b.g IS NOT NULL) AS BIGINT)
+                 AS n_boiler
+        FROM g LEFT JOIN boiler b USING (g)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_boiler,
+           ((n_boiler * 20000 + GREATEST(n_grams, 1))
+             // (2 * GREATEST(n_grams, 1))) / 10000.0 AS boiler_frac
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: a word-3-gram appearing in ≥ 5
+    distinct documents is boilerplate (headers, footers, license blurbs —
+    the cross-document repeated-passage signal); per doc, report how many
+    of its distinct 3-grams are boilerplate and the fraction.
+
+    Scale shape: distinct (doc, gram) pairs via one explode, gram
+    doc-frequency via partial-agg groupBy on the gram, boilerplate set
+    joined back on the gram key, then one groupBy doc_id — every shuffle
+    keys on an 8-byte-hashable gram or doc_id, text never moves twice. At
+    100 TB the gram key would be xxhash64(gram) (16-byte shuffle rows) and
+    the df aggregate is the same two-level partial-agg; the boilerplate
+    set (df ≥ K survivors) is small enough to broadcast.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = F.expr(
+        # if-guard: sequence(0, -1) would DESCEND — sub-3-token docs must
+        # produce an empty gram set (they then vanish from the explode on
+        # both engines).
+        "if(size(split(text, ' ')) < 3, array(),"
+        " array_distinct(transform("
+        " sequence(0, size(split(text, ' ')) - 3),"
+        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1],"
+        " split(text, ' ')[i + 2]))))"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    boiler = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("g", F.lit(1).alias("is_b"))
+    )
+    return (
+        g.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("is_b").cast("bigint").alias("n_boiler"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            "((n_boiler * 20000 + greatest(n_grams, 1))"
+            " div (2 * greatest(n_grams, 1))) / 10000.0D AS boiler_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "fn_text_search",
     oracle="""
     SELECT doc_id,

@@ -127,3 +127,16 @@ def test_chsql_clause_rewrites():
     assert translate("empty(text)") == "(length(text) = 0)"
     # CH zero-arg count()
     assert translate("count()") == "count(*)"
+
+    # PREWHERE merges into WHERE as a conjunction (or becomes WHERE alone).
+    t = translate("SELECT a FROM orders PREWHERE x = 1 WHERE y > 2 GROUP BY a")
+    assert "WHERE (x = 1) AND (y > 2)" in t and "PREWHERE" not in t
+    t = translate("SELECT a FROM orders PREWHERE x = 1 ORDER BY a")
+    assert "WHERE x = 1" in t and "PREWHERE" not in t
+
+    # ARRAY JOIN → LATERAL VIEW explode; LEFT keeps empty arrays (outer);
+    # the array expression still goes through the fn rewriter afterwards.
+    t = translate("SELECT doc_id, tok FROM documents ARRAY JOIN splitByChar(' ', text) AS tok")
+    assert "LATERAL VIEW explode(split(text, ' ')) _aj AS tok" in t
+    t = translate("SELECT v FROM embeddings LEFT ARRAY JOIN embedding AS v")
+    assert "LATERAL VIEW explode_outer(embedding) _aj AS v" in t
