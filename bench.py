@@ -64,6 +64,10 @@ EXTENDED: tuple[str, ...] = (
     "dedup_near_jaccard",     # prefix-filter set-similarity join
     "dedup_simhash",          # banded Hamming search
     "dedup_embedding_cosine", # projection-grid cosine pairs
+    "dedup_survivors",        # end-to-end pairs -> CC -> anti-join composite
+    "decontam_ngram",         # broadcast eval-set 8-gram leakage check
+    "doc_boilerplate",        # corpus gram doc-frequency + join-back
+    "embed_kmeans",           # 3-round deterministic Lloyd's
 )
 
 

@@ -640,15 +640,18 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("nd"),
         F.max("c").cast("bigint").alias("top"),
     )
+    # `w` materialized ONCE before the lambda (a split inside the transform
+    # re-tokenizes the doc per element — the measured O(tokens²) HOF trap).
     grams = d.selectExpr(
+        "doc_id", "split(text, ' ') AS w", "size(split(text, ' ')) AS n"
+    ).selectExpr(
         "doc_id",
-        "CAST(greatest(size(split(text, ' ')) - 1, 0) AS BIGINT) AS g_total",
+        "CAST(greatest(n - 1, 0) AS BIGINT) AS g_total",
         # Guarded: a 1-token doc must yield zero 2-grams (Spark sequence
         # with stop < start DESCENDS instead of returning empty).
-        "CAST(if(size(split(text, ' ')) < 2, 0,"
-        " size(array_distinct(transform("
-        " sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i])))))"
+        "CAST(if(n < 2, 0,"
+        " size(array_distinct(transform(sequence(1, n - 1),"
+        " i -> concat_ws(' ', w[i - 1], w[i])))))"
         " AS BIGINT) AS g_distinct",
     )
     return (
@@ -712,14 +715,20 @@ def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         # if-guard: sequence(0, -1) would DESCEND — sub-3-token docs must
         # produce an empty gram set (they then vanish from the explode on
-        # both engines).
-        "if(size(split(text, ' ')) < 3, array(),"
-        " array_distinct(transform("
-        " sequence(0, size(split(text, ' ')) - 3),"
-        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1],"
-        " split(text, ' ')[i + 2]))))"
+        # both engines). `w`/`n` are pre-materialized (split inside the
+        # lambda would re-tokenize per element — the O(tokens²) HOF trap,
+        # measured 5× on this key).
+        "if(n < 3, array(),"
+        " array_distinct(transform(sequence(0, n - 3),"
+        " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))))"
     )
-    g = d.select("doc_id", F.explode(grams).alias("g"))
+    g = (
+        d.selectExpr("doc_id", "split(text, ' ') AS w", "size(split(text, ' ')) AS n")
+        .select("doc_id", F.explode(grams).alias("g"))
+        # Shared by the df aggregate AND the join-back side — without the
+        # lazy checkpoint the gram explode runs twice.
+        .localCheckpoint(eager=False)
+    )
     boiler = (
         g.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -523,3 +523,75 @@ def sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_max_intersections",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, ts,
+               ts + GREATEST(CAST(FLOOR(value) AS BIGINT), 1)
+                    * INTERVAL 1 SECOND AS te
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, ts AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT event_type, te AS t, -1 AS d FROM iv
+    ),
+    run AS (
+        SELECT event_type, t, d,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS conc
+        FROM pts
+    ),
+    mx AS (
+        SELECT *, MAX(conc) OVER (PARTITION BY event_type) AS m FROM run
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           MIN(t) AS ts_at_max
+    FROM mx WHERE conc = m
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition``: the
+    maximum number of concurrently-open intervals per event_type (each event
+    spans [ts, ts + floor(value) seconds), ends exclusive) and the first
+    instant that maximum is reached — the concurrency / peak-load aggregate.
+
+    Sweep-line as a window plan: every interval contributes a +1 at its
+    start and a −1 at its end; the running sum ordered by (t, d) is the
+    live-interval count. Ordering d = −1 before +1 at equal t makes ends
+    exclusive, and the default RANGE frame (peers included) makes the count
+    at duplicate timestamps well-defined identically in both engines.
+
+    Scale shape: one shuffle on event_type (both windows and the final
+    groupBy reuse the same hash exchange); the union doubles rows before
+    the exchange but carries only (type, t, ±1). At 100 TB the partition
+    key would include a coarse time bucket (day) with per-bucket carry-in
+    counts — the standard distributed sweep-line split.
+    """
+    iv = table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "ts",
+        "timestampadd(SECOND, GREATEST(CAST(FLOOR(value) AS BIGINT), 1L), ts)"
+        " AS te",
+    )
+    pts = iv.selectExpr("event_type", "ts AS t", "1 AS d").unionByName(
+        iv.selectExpr("event_type", "te AS t", "-1 AS d")
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "d")
+    run = pts.withColumn("conc", F.sum("d").over(w))
+    mx = run.withColumn(
+        "m", F.max("conc").over(Window.partitionBy("event_type"))
+    )
+    return (
+        mx.filter(F.col("conc") == F.col("m"))
+        .groupBy("event_type")
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.min("t").alias("ts_at_max"),
+        )
+        .orderBy("event_type")
+    )

@@ -113,3 +113,26 @@ def test_http_sink_gives_up_after_max_retries(spark, mock_ch):
     with pytest.raises(Exception):
         sink.write_batch(_frame(spark), batch_id=0)
     assert not mock_ch.rows
+
+
+def test_streaming_foreachbatch_to_http_sink(spark, mock_ch, tmp_path):
+    """End-to-end composition: Structured Streaming micro-batches delivered
+    through the HTTP transport — the actual CDC→ClickHouse user path
+    (readStream → foreachBatch(sink.write_batch) → chunked POSTs with
+    per-chunk query_id dedup). availableNow drains the source and the
+    delivered row set must equal it exactly."""
+    src = str(tmp_path / "src")
+    _frame(spark).write.parquet(src)
+    sink = ClickHouseSink(_url(mock_ch), "t5", mode="http", batch_rows=4)
+    sdf = spark.readStream.schema(_frame(spark).schema).parquet(src)
+    q = (
+        sdf.writeStream.foreachBatch(sink.write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _delivered(mock_ch) == {(i, 2 * i) for i in range(10)}
+    assert all(
+        q0 == "INSERT INTO t5 FORMAT JSONEachRow" for _, q0, _ in mock_ch.requests
+    )

@@ -152,6 +152,17 @@ _CARTESIAN_OK = {
 }
 
 
+def test_curation_ops_broadcast_small_sides(spark, sf_dir):
+    """The scale-critical join sides of the round-3 curation ops must plan
+    as broadcasts: decontam's eval-set gram table (KBs vs a 100 TB corpus),
+    boilerplate's df≥K survivor set, and source-mix's per-source target
+    table. A shuffle join on any of these would couple corpus-side cost to
+    a table that is tiny by construction."""
+    for key in ("decontam_ngram", "doc_boilerplate", "source_mix_sample"):
+        plan = plan_of(QUERIES[key](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{key}: small side not broadcast"
+
+
 def test_no_accidental_cartesian_or_python(spark, sf_dir):
     """Repo-wide invariant sweep: no batch key may plan a cartesian product
     or drop into Python evaluation unless it is one by design."""

@@ -140,3 +140,32 @@ def test_chsql_clause_rewrites():
     assert "LATERAL VIEW explode(split(text, ' ')) _aj AS tok" in t
     t = translate("SELECT v FROM embeddings LEFT ARRAY JOIN embedding AS v")
     assert "LATERAL VIEW explode_outer(embedding) _aj AS v" in t
+
+    # GLOBAL JOIN strips: Spark owns the broadcast/shuffle decision.
+    t = translate("SELECT a FROM orders GLOBAL LEFT JOIN customer ON x = y")
+    assert "GLOBAL" not in t and "LEFT JOIN customer" in t
+
+    # Parameterized aggregates: CH fn(params)(args) double-call syntax.
+    assert translate("quantile(0.9)(x)") == "percentile(x, 0.9)"
+    assert translate("quantiles(0.5, 0.9)(x)") == "percentile(x, array(0.5, 0.9))"
+    assert translate("quantileTDigest(0.95)(v)") == "percentile(v, 0.95)"
+    assert translate("quantile(x)") == "percentile(x, 0.5)"  # CH median default
+
+    # Bracket array literals become array(); subscripts stay subscripts.
+    assert translate("arraySum([1, 2, 3])") == \
+        "aggregate(array(1, 2, 3), 0D, (acc, x) -> acc + x)"
+    assert translate("arr[1] + [4][1]") == "arr[1] + array(4)[1]"
+
+    # Round-3 rename/special batch.
+    assert translate("indexOf(arr, 3)") == "array_position(arr, 3)"
+    assert translate("arrayCount(x -> x > 2, arr)") == "size(filter(arr, x -> x > 2))"
+    assert translate("arrayFirst(x -> x > 2, arr)") == "filter(arr, x -> x > 2)[0]"
+    assert translate("arrayUniq(arr)") == "size(array_distinct(arr))"
+    assert translate("arrayEnumerate(arr)") == "sequence(1, size(arr))"
+    assert translate("yesterday()") == "date_sub(current_date(), 1)"
+    assert translate("JSONExtractString(props, 'device')") == \
+        "get_json_object(props, '$.device')"
+    assert translate("JSONExtractInt(props, k)") == \
+        "CAST(get_json_object(props, concat('$.', k)) AS BIGINT)"
+    assert translate("replaceRegexpAll(s, 'a+', 'b')") == \
+        "regexp_replace(s, 'a+', 'b')"
