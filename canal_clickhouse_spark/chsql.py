@@ -155,16 +155,32 @@ _RENAME = {
     "rightpad": "rpad",
     "startswith": "startswith",
     "endswith": "endswith",
+    "any": "any_value",
+    "anylast": "last",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+    "groupbitand": "bit_and",
+    "groupbitor": "bit_or",
+    "groupbitxor": "bit_xor",
 }
 
 # CH parameterized aggregates — `fn(params)(args)` double-call syntax.
-_PARAMETRIC = {"quantile", "quantileexact", "quantiletdigest", "quantiles"}
+_PARAMETRIC = {
+    "quantile", "quantileexact", "quantiletdigest", "quantiles", "uniqupto",
+}
 
 
 def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     low = name.lower()
     if low == "quantiles":
         return f"percentile({args[0]}, array({', '.join(params)}))"
+    if low == "uniqupto":  # uniqUpTo(N)(x): distinct count saturating at N+1
+        n = params[0] if params else "5"
+        return f"LEAST(count(DISTINCT {args[0]}), {n} + 1)"
     # quantile/quantileExact/quantileTDigest(p)(x) -> exact percentile
     return f"percentile({args[0]}, {params[0] if params else '0.5'})"
 
@@ -263,6 +279,15 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS BIGINT)"
     if low == "jsonextractfloat":
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS DOUBLE)"
+    if low == "median":
+        return f"percentile({args[0]}, 0.5)"
+    if low == "grouparrayarray":  # aggregate arrays by concatenation
+        return f"flatten(collect_list({args[0]}))"
+    if low == "anyif":
+        return f"any_value(IF({args[1]}, {args[0]}, NULL))"
+    if low == "datediff":  # dateDiff('unit', start, end) — unit de-quoted
+        unit = args[0].strip().strip("'\"").upper()
+        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
     if low in _PARAMETRIC:  # bare quantile(x) — CH median default
         return f"percentile({args[0]}, 0.5)"
     if low in _RENAME:
@@ -280,6 +305,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | {
     "arrayenumerate", "yesterday", "touint32", "touint64", "toint8",
     "toint16", "jsonextractstring", "jsonextractraw",
     "visitparamextractstring", "jsonextractint", "jsonextractfloat",
+    "median", "grouparrayarray", "anyif", "datediff",
 }
 
 

@@ -23,6 +23,18 @@ from ..registry import query
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
+_DIM = 64  # fixture embedding dimensionality (FIXTURES.md §2)
+
+
+def _dot_unrolled(a: str, b: str) -> str:
+    """Codegen'd fixed-dim dot product. The zip_with/aggregate fold runs
+    INTERPRETED (per element, outside whole-stage codegen) — fine for
+    one-per-row projections, hot-loop poison for per-candidate kernels.
+    Unrolling the 64-term sum keeps it in codegen; the `+` chain
+    left-associates, so the float addition order (and every 6dp-rounded
+    oracle value) is identical to the sequential fold it replaces."""
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(_DIM)) + ")"
+
 
 def emb_d() -> F.Column:
     """Element-wise double cast: float32 → float64 is exact, so both engines
@@ -213,19 +225,24 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize every embedding (the pre-cosine projection), emitted as
     micro-units (×1e6, floor(x+0.5) half-up) joined into one CSV string.
 
-    Pure per-row array math — stays in the scan's codegen'd projection; the
-    norm fold is shared across the 64 divisions by expression reuse. The CSV
-    encoding (not array<double>) exists because the driver canonicalizer
-    hashes scalar cells only (round-1 err on array cols); floor(x·1e6+0.5)
-    rather than round(x, 6) because both engines' floor is IEEE-exact on
-    identical doubles while their ROUND half-modes differ.
+    Pure per-row array math — stays in the scan's codegen'd projection. The
+    norm is computed ONCE in its own (codegen'd, unrolled) projection before
+    the lambda: a sqrt(dot) inside the transform re-evaluates per element —
+    interpreted HOFs do no subexpression elimination, so the old shape was
+    O(64²) interpreted ops per row. The CSV encoding (not array<double>)
+    exists because the driver canonicalizer hashes scalar cells only
+    (round-1 err on array cols); floor(x·1e6+0.5) rather than round(x, 6)
+    because both engines' floor is IEEE-exact on identical doubles while
+    their ROUND half-modes differ.
     """
     vecs = table(spark, sf_dir, "embeddings").select("vec_id", emb_d().alias("emb"))
-    return vecs.select(
+    return vecs.withColumn(
+        "nrm", F.expr(f"sqrt({_dot_unrolled('emb', 'emb')})")
+    ).select(
         "vec_id",
         F.expr(
             "array_join(transform(emb, x -> cast(floor("
-            f"x / sqrt({_DOT.format(a='emb', b='emb')}) * 1000000 + 0.5D"
+            "x / nrm * 1000000 + 0.5D"
             ") as bigint)), ',')"
         ).alias("unit"),
     )
@@ -278,11 +295,13 @@ def _grid_cells(u_col: str, lanes: tuple[int, int] = (0, 1)) -> list[str]:
             for d in range(64)
         ]
         w = 0.317 * sum(c * c for c in comps) ** 0.5
-        plane = _LSH_PLANE.format(lane=lane, d="d")
-        dot = (
-            f"aggregate(sequence(0, 63), 0D,"
-            f" (acc, d) -> acc + element_at({u_col}, d + 1) * {plane})"
-        )
+        # Literal plane components (the LCG is pure Python-computable), so
+        # the projection is a 64-term codegen'd sum instead of an
+        # interpreted fold re-deriving the LCG per element. Same values,
+        # same left-to-right addition order.
+        dot = "(" + " + ".join(
+            f"{u_col}[{d}] * {c!r}" for d, c in enumerate(comps)
+        ) + ")"
         exprs.append(f"CAST(floor({dot} / {w!r}) AS BIGINT)")
     return exprs
 
@@ -326,19 +345,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-quadratic; no generator can beat it without losing recall.
     """
     vd = vec_dups(spark, sf_dir)
-    # localCheckpoint (lazy) is a projection-collapse barrier: without it
-    # Catalyst inlines the u expression into the grid-cell folds and the
-    # norm fold re-runs per lambda element (interpreted HOFs do no
-    # subexpression elimination — the O(64²)-per-row trap; measured 24×
-    # slower). At 100 TB the equivalent is persisting the normalized
-    # vectors once, which an embedding pipeline does anyway.
-    unit = vd.select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(emb, x -> x / sqrt({_DOT.format(a='emb', b='emb')}))"
-        ).alias("u"),
-    ).localCheckpoint(eager=False)
+    # Norm in its own (codegen'd) projection BEFORE the transform lambda: a
+    # sqrt(dot) inside the lambda re-evaluates per element (interpreted HOFs
+    # do no subexpression elimination — the O(64²)-per-row trap). The lazy
+    # localCheckpoint is the projection-collapse barrier that keeps Catalyst
+    # from inlining u into the grid-cell expressions downstream (measured
+    # 24× slower without). At 100 TB the equivalent is persisting the
+    # normalized vectors once, which an embedding pipeline does anyway.
+    unit = (
+        vd.withColumn("nrm", F.expr(f"sqrt({_dot_unrolled('emb', 'emb')})"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(emb, x -> x / nrm)").alias("u"),
+        )
+        .localCheckpoint(eager=False)
+    )
     c0, c1 = _grid_cells("u")
     a = unit.select(
         F.col("vec_id").alias("a_id"),
@@ -372,11 +394,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bc1") + F.col("nb.d1")).alias("cell1"),
         )
     )
+    # Per-candidate kernel stays the zip_with FOLD, measured: the 64-term
+    # unrolled sum (×2 occurrences) overflows efficient codegen here and
+    # ran 2.3× SLOWER than the interpreted fold on 237k candidates — the
+    # unroll only wins for one-per-row projections (norms, grid cells).
     cos = F.expr(_DOT.format(a="au", b="bu"))
     return (
         a.join(b, ["label", "cell0", "cell1"])
-        .filter((F.col("a_id") < F.col("b_id")) & (cos >= 0.95))
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        # Fold ONCE into a named column, then filter/round reference the
+        # column: filter-then-project re-evaluated the 64-wide kernel per
+        # candidate twice (no cross-operator CSE) — measured 15% on the key.
+        .select("a_id", "b_id", cos.alias("cr"))
+        .filter(F.col("cr") >= 0.95)
+        .select("a_id", "b_id", F.round("cr", 6).alias("cos"))
     )
 
 

@@ -169,3 +169,30 @@ def test_chsql_clause_rewrites():
         "CAST(get_json_object(props, concat('$.', k)) AS BIGINT)"
     assert translate("replaceRegexpAll(s, 'a+', 'b')") == \
         "regexp_replace(s, 'a+', 'b')"
+    assert translate("median(x)") == "percentile(x, 0.5)"
+    assert translate("uniqUpTo(5)(device)") == "LEAST(count(DISTINCT device), 5 + 1)"
+    assert translate("anyIf(x, c)") == "any_value(IF(c, x, NULL))"
+    assert translate("groupArrayArray(arr)") == "flatten(collect_list(arr))"
+    assert translate("dateDiff('day', a, b)") == "timestampdiff(DAY, a, b)"
+
+
+def test_chsql_translated_spellings_execute(spark, sf_dir):
+    """The round-3 spelling batch must EXECUTE on Spark, not just
+    string-rewrite: run a query using each family through ch_sql."""
+    from canal_clickhouse_spark.chsql import ch_sql
+
+    out = ch_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               toInt64(floor(median(value) * 100 + 0.5)) AS med_sc,
+               uniqUpTo(3)(JSONExtractInt(props, 'k')) AS k_upto,
+               stddevPop(value) > 0 AS has_spread,
+               dateDiff('day', min(ts), max(ts)) >= 0 AS span_ok
+        FROM events GROUP BY event_type
+        """,
+    ).collect()
+    assert len(out) == 5
+    assert all(r.k_upto <= 4 for r in out)
+    assert all(r.has_spread and r.span_ok for r in out)
