@@ -208,6 +208,20 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low in ("sumif", "avgif", "minif", "maxif"):
         agg = low[:-2]
         return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
+    # CH's -If combinator generalizes to any aggregate: aggIf(args..., cond)
+    # = agg over rows where cond holds. NULL-skipping aggregates make the
+    # IF(cond, x, NULL) rewrite exact.
+    if low == "uniqexactif":
+        return f"count(DISTINCT IF({args[-1]}, {args[0]}, NULL))"
+    if low == "medianif":
+        return f"percentile(IF({args[-1]}, {args[0]}, NULL), 0.5)"
+    if low in ("argmaxif", "argminif"):
+        agg = "max_by" if low == "argmaxif" else "min_by"
+        return f"{agg}(IF({args[2]}, {args[0]}, NULL), IF({args[2]}, {args[1]}, NULL))"
+    if low == "anylastif":
+        return f"last(IF({args[1]}, {args[0]}, NULL), true)"
+    if low == "avgweighted":
+        return f"(sum(({args[0]}) * ({args[1]})) / sum({args[1]}))"
     if low == "multiif":  # multiIf(c1, v1, c2, v2, ..., else)
         parts = ["CASE"]
         for i in range(0, len(args) - 1, 2):
@@ -306,6 +320,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | {
     "toint16", "jsonextractstring", "jsonextractraw",
     "visitparamextractstring", "jsonextractint", "jsonextractfloat",
     "median", "grouparrayarray", "anyif", "datediff",
+    "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
+    "avgweighted",
 }
 
 

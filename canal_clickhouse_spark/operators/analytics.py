@@ -595,3 +595,96 @@ def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "funnel_window_strict",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    anch AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'view' THEN rn END)
+                 OVER (PARTITION BY user_id) AS a,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+        FROM seq
+    ),
+    pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN rn = a + 1 AND event_type = 'click'
+                         AND ts <= t1 + INTERVAL 24 HOUR
+                        THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN rn = a + 2 AND event_type = 'purchase'
+                         AND ts <= t1 + INTERVAL 24 HOUR
+                        THEN 1 ELSE 0 END) AS s3,
+               MAX(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS s1
+        FROM anch GROUP BY user_id
+    )
+    SELECT CAST(s1 + s1 * s2 + s1 * s2 * s3 AS INT) AS level,
+           COUNT(*) AS n_users
+    FROM pu GROUP BY 1 ORDER BY 1
+    """,
+)
+def funnel_window_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel 'strict_order' mode: the chain anchored at each user's
+    first view advances ONLY through consecutive events — any interleaved
+    event of a different type breaks it (CH's strict_order contract, where
+    the plain mode merely searches forward). Consecutive = adjacent in the
+    per-user (ts, event_id) row numbering, so the whole mode reduces to
+    rn-offset equality tests instead of interleaving scans.
+
+    Plan: one ROW_NUMBER + two conditional-min windows over the SAME
+    user_id hash exchange (reused by the groupBy), exactly the
+    `funnel_window` shape plus the row numbering — strictness costs one
+    sort within the existing partition, no extra shuffle.
+    """
+    w = Window.partitionBy("user_id")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day = F.expr("INTERVAL 24 HOURS")
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .withColumn("rn", F.row_number().over(ws))
+        .withColumn(
+            "a",
+            F.min(F.when(F.col("event_type") == "view", F.col("rn"))).over(w),
+        )
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+    )
+    pu = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("rn") == F.col("a") + 1)
+                & (F.col("event_type") == "click")
+                & (F.col("ts") <= F.col("t1") + day),
+                1,
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("rn") == F.col("a") + 2)
+                & (F.col("event_type") == "purchase")
+                & (F.col("ts") <= F.col("t1") + day),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+        F.max(F.when(F.col("a").isNotNull(), 1).otherwise(0)).alias("s1"),
+    )
+    level = (
+        F.col("s1") + F.col("s1") * F.col("s2")
+        + F.col("s1") * F.col("s2") * F.col("s3")
+    ).cast("int")
+    return (
+        pu.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )

@@ -129,3 +129,55 @@ def test_sequence_count_closed_form_equals_greedy(seq):
             max_deficiency = max(max_deficiency, rank - views_before)
     closed = rank - max(0, max_deficiency)
     assert closed == matched
+
+
+# -- chsql translator: random composition parse-safety ------------------------
+
+_CH_LEAVES = ["value", "user_id", "event_id", "'x'", "1.5", "3"]
+_CH_WRAPS = [
+    "toInt64({0})", "toString({0})", "round({0}, 2)", "ifNull({0}, {1})",
+    "multiIf({0} > 1, {1}, {0})", "greatest({0}, {1})", "intDiv({0}, 2)",
+    "modulo({0}, 7)",
+]
+_CH_AGGS = [
+    "sumIf({0}, {0} > 1)", "uniqExact({0})", "quantile(0.9)({0})",
+    "argMax({0}, {1})", "median({0})", "avgIf({0}, {1} > 0)",
+    "groupArray({0})", "anyIf({0}, {1} > 0)",
+]
+
+
+@st.composite
+def _ch_expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(st.sampled_from(_CH_LEAVES))
+    tmpl = draw(st.sampled_from(_CH_WRAPS))
+    a = draw(_ch_expr(depth=depth + 1))
+    b = draw(_ch_expr(depth=depth + 1))
+    return tmpl.format(a, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(inner=_ch_expr(), agg=st.sampled_from(_CH_AGGS), data=st.data())
+def test_chsql_random_compositions_parse_and_run(spark, inner, agg, data):
+    """Any composition of covered CH spellings must translate into SQL that
+    Spark PARSES AND EXECUTES — the translator's recursive-rewrite contract
+    (paren matching, argument splitting, parametric double-calls) holds
+    under nesting, not just on the hand-written unit cases. `greatest` stays
+    untranslated (shared ANSI-name passthrough is part of the contract)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    sel = agg.format(inner, data.draw(_ch_expr()))
+    q = f"SELECT event_type, {sel} AS v FROM events GROUP BY event_type"
+    translated = translate(q)
+    assert "quantile(" not in translated.lower() or "percentile" in translated
+    spark.sql(
+        "SELECT * FROM (" + translated.replace(
+            "FROM events", "FROM {ev}"
+        ) + ") LIMIT 3",
+        ev=spark.range(0, 50).selectExpr(
+            "CAST(id % 5 AS STRING) AS event_type",
+            "CAST(id AS DOUBLE) AS value",
+            "id AS user_id",
+            "id AS event_id",
+        ),
+    ).collect()

@@ -174,6 +174,12 @@ def test_chsql_clause_rewrites():
     assert translate("anyIf(x, c)") == "any_value(IF(c, x, NULL))"
     assert translate("groupArrayArray(arr)") == "flatten(collect_list(arr))"
     assert translate("dateDiff('day', a, b)") == "timestampdiff(DAY, a, b)"
+    # -If combinator family + weighted average
+    assert translate("uniqExactIf(x, c)") == "count(DISTINCT IF(c, x, NULL))"
+    assert translate("argMaxIf(v, k, c)") == \
+        "max_by(IF(c, v, NULL), IF(c, k, NULL))"
+    assert translate("medianIf(x, c)") == "percentile(IF(c, x, NULL), 0.5)"
+    assert translate("avgWeighted(x, w)") == "(sum((x) * (w)) / sum(w))"
 
 
 def test_chsql_translated_spellings_execute(spark, sf_dir):
