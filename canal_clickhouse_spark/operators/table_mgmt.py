@@ -150,3 +150,70 @@ def mutation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "ttl_rollup",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(ts) - INTERVAL 10 DAY AS cutoff FROM events
+    ),
+    recent AS (
+        SELECT event_id, ts, event_type,
+               ROUND(value, 2) AS value, FALSE AS rolled
+        FROM events, horizon WHERE ts >= cutoff
+    ),
+    rolled AS (
+        SELECT CAST(NULL AS BIGINT) AS event_id,
+               date_trunc('day', ts) AS ts, event_type,
+               ROUND(SUM(value), 2) AS value, TRUE AS rolled
+        FROM events, horizon WHERE ts < cutoff
+        GROUP BY date_trunc('day', ts), event_type
+    )
+    SELECT * FROM recent UNION ALL SELECT * FROM rolled
+    ORDER BY rolled, event_id, ts, event_type
+    """,
+)
+def ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``TTL ts + INTERVAL 10 DAY GROUP BY toDate(ts), event_type SET
+    value = sum(value)``: age-based rollup compaction — rows past the TTL
+    horizon collapse to one per (day, event_type) carrying the value sum,
+    recent rows pass through raw. The post-TTL table state, deterministic
+    because "now" anchors to max(ts) (same contract as `ttl_expire`).
+
+    Plan: one 1-row horizon aggregate broadcast over the scan, then the
+    cold branch partial-aggregates on (day, type) while the hot branch is
+    a pure filter — at scale with date-partitioned layout both branches
+    prune to disjoint partition sets and the rollup shuffle carries only
+    per-partition partials (this is exactly how MergeTree executes
+    TTL GROUP BY at merge time, amortized instead of per-query).
+    """
+    e = table(spark, sf_dir, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 DAYS")).alias("cutoff")
+    )
+    base = e.join(F.broadcast(horizon))
+    recent = base.filter(F.col("ts") >= F.col("cutoff")).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.lit(False).alias("rolled"),
+    )
+    rolled = (
+        base.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy(
+            F.date_trunc("day", "ts").alias("ts"), F.col("event_type")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"))
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "ts",
+            "event_type",
+            "value",
+            F.lit(True).alias("rolled"),
+        )
+    )
+    return recent.unionByName(rolled).orderBy(
+        "rolled", "event_id", "ts", "event_type"
+    )

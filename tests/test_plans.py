@@ -145,7 +145,8 @@ _CARTESIAN_OK = {
     "tfidf_topterms",
     # broadcast 1-row global aggregate (min/max range, corpus total,
     # TTL horizon) attached via cross join — O(1) rows on the broadcast side.
-    "agg_histogram", "agg_freq_items", "ttl_expire", "agg_bitmap_ops",
+    "agg_histogram", "agg_freq_items", "ttl_expire", "ttl_rollup",
+    "agg_bitmap_ops",
     # deterministic Lloyd's: per-row probe of a broadcast k-row (k=8)
     # centroid table via crossJoin — map-side by construction.
     "embed_kmeans",
