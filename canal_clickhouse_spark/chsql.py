@@ -482,7 +482,15 @@ def _rewrite_clauses(q: str) -> str:
     # actual sizes, so the keyword strips to a plain join.
     q = re.sub(r"\bGLOBAL\s+(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|JOIN))",
                "", q, flags=re.IGNORECASE)
-    lb = _LIMIT_BY_RE.search(q)
+    # LIMIT BY anchors to the LAST `ORDER BY` in the text: earlier
+    # occurrences live inside window specs the FROM rewrites inject (FINAL's
+    # version window), and a first-match search would swallow the query from
+    # there (found composing FINAL + LIMIT BY).
+    lb = None
+    for m in re.finditer(r"\bORDER\s+BY\b", q, re.IGNORECASE):
+        cand = _LIMIT_BY_RE.match(q, m.start())
+        if cand:
+            lb = cand
     if lb:
         inner = q[: lb.start()].strip()
         ord_clause, n, cols = lb["ord"].strip(), int(lb["n"]), lb["cols"].strip()

@@ -182,6 +182,30 @@ def test_chsql_clause_rewrites():
     assert translate("avgWeighted(x, w)") == "(sum((x) * (w)) / sum(w))"
 
 
+def test_chsql_all_clauses_compose(spark, sf_dir):
+    """FINAL + SAMPLE + PREWHERE + parametric aggregate + LIMIT BY in ONE
+    query (the README example, verbatim). Regression: LIMIT BY used to
+    anchor on the FIRST `ORDER BY` in the text — which, after the FINAL
+    rewrite injects its version window, sits inside a window spec — and
+    swallowed the query from there."""
+    from canal_clickhouse_spark.chsql import ch_sql
+
+    out = ch_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, argMax(o_orderstatus, o_orderkey) AS last_status,
+               quantile(0.9)(o_totalprice) AS p90
+        FROM cdc_changes FINAL SAMPLE 0.25
+        PREWHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+        ORDER BY p90 DESC, o_custkey LIMIT 2 BY o_custkey LIMIT 10
+        """,
+    ).collect()
+    assert 0 < len(out) <= 10
+    assert all(r.last_status is not None for r in out)
+
+
 def test_chsql_translated_spellings_execute(spark, sf_dir):
     """The round-3 spelling batch must EXECUTE on Spark, not just
     string-rewrite: run a query using each family through ch_sql."""
