@@ -166,6 +166,27 @@ _RENAME = {
     "groupbitand": "bit_and",
     "groupbitor": "bit_or",
     "groupbitxor": "bit_xor",
+    "uniqhll12": "approx_count_distinct",
+    "arrayzip": "arrays_zip",
+    "arrayflatten": "flatten",
+    "tounixtimestamp": "unix_timestamp",
+    "fromunixtimestamp": "timestamp_seconds",
+    # CH hash spellings → Spark's hash family. Intent-preserving (stable
+    # bucketing/sampling keys), NOT bit-identical to ClickHouse's values —
+    # a ported query keeps its semantics (same-key rows co-bucket), not its
+    # exact hash outputs.
+    "cityhash64": "xxhash64",
+    "siphash64": "xxhash64",
+    "inthash32": "hash",
+    "inthash64": "xxhash64",
+    "farmhash64": "xxhash64",
+}
+
+# addDays/subtractHours/… → timestampadd(UNIT, ±n, ts)
+_ADD_UNITS = {
+    "seconds": "SECOND", "minutes": "MINUTE", "hours": "HOUR",
+    "days": "DAY", "weeks": "WEEK", "months": "MONTH",
+    "quarters": "QUARTER", "years": "YEAR",
 }
 
 # CH parameterized aggregates — `fn(params)(args)` double-call syntax.
@@ -302,6 +323,20 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "datediff":  # dateDiff('unit', start, end) — unit de-quoted
         unit = args[0].strip().strip("'\"").upper()
         return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    if low.startswith(("add", "subtract")) and (
+        low.removeprefix("subtract").removeprefix("add") in _ADD_UNITS
+    ):
+        unit = _ADD_UNITS[low.removeprefix("subtract").removeprefix("add")]
+        n = args[1] if low.startswith("add") else f"-({args[1]})"
+        return f"timestampadd({unit}, {n}, {args[0]})"
+    if low in ("tostartoffiveminute", "tostartoffiveminutes",
+               "tostartoffifteenminutes", "tostartoftenminutes"):
+        secs = {"tostartoffiveminute": 300, "tostartoffiveminutes": 300,
+                "tostartoftenminutes": 600, "tostartoffifteenminutes": 900}[low]
+        return (
+            f"timestamp_seconds(unix_timestamp({args[0]})"
+            f" div {secs} * {secs})"
+        )
     if low in _PARAMETRIC:  # bare quantile(x) — CH median default
         return f"percentile({args[0]}, 0.5)"
     if low in _RENAME:
@@ -322,6 +357,12 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | {
     "median", "grouparrayarray", "anyif", "datediff",
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
+    "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",
+    "tostartoffifteenminutes",
+} | {
+    f"{p}{u}" for p in ("add", "subtract")
+    for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
+              "quarters", "years")
 }
 
 

@@ -180,6 +180,13 @@ def test_chsql_clause_rewrites():
         "max_by(IF(c, v, NULL), IF(c, k, NULL))"
     assert translate("medianIf(x, c)") == "percentile(IF(c, x, NULL), 0.5)"
     assert translate("avgWeighted(x, w)") == "(sum((x) * (w)) / sum(w))"
+    # date arithmetic + time buckets + hash-intent renames
+    assert translate("addDays(ts, 3)") == "timestampadd(DAY, 3, ts)"
+    assert translate("subtractHours(ts, 2)") == "timestampadd(HOUR, -(2), ts)"
+    assert translate("toStartOfFifteenMinutes(ts)") == \
+        "timestamp_seconds(unix_timestamp(ts) div 900 * 900)"
+    assert translate("cityHash64(x)") == "xxhash64(x)"
+    assert translate("toUnixTimestamp(ts)") == "unix_timestamp(ts)"
 
 
 def test_chsql_all_clauses_compose(spark, sf_dir):
@@ -219,7 +226,10 @@ def test_chsql_translated_spellings_execute(spark, sf_dir):
                toInt64(floor(median(value) * 100 + 0.5)) AS med_sc,
                uniqUpTo(3)(JSONExtractInt(props, 'k')) AS k_upto,
                stddevPop(value) > 0 AS has_spread,
-               dateDiff('day', min(ts), max(ts)) >= 0 AS span_ok
+               dateDiff('day', min(ts), max(ts)) >= 0 AS span_ok,
+               min(toStartOfFifteenMinutes(ts)) <= min(ts) AS bucket_ok,
+               uniqExact(cityHash64(user_id) % 8) <= 8 AS hash_ok,
+               max(addDays(ts, 1)) > max(ts) AS addday_ok
         FROM events GROUP BY event_type
         """,
     ).collect()
