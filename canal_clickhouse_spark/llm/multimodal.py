@@ -198,3 +198,139 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
     return sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
+RESIZE_TARGET = 256  # stand-in "resize": downsample payload to ≤256 samples
+
+RESIZED_SCHEMA = "doc_id long, out_n int, stride int, resized_md5 string"
+
+
+def resize_payloads(media: DataFrame) -> DataFrame:
+    """Stand-in resize over opaque payloads: stride-sample the bytes down to
+    ≤ RESIZE_TARGET evenly-spaced samples (stride = ⌈n/256⌉) and digest the
+    result — the geometry/plumbing of an image resize (decode → interpolate
+    → re-encode) with the interpolation replaced by a deterministic
+    byte-space downsample. A real implementation swaps the sampling loop
+    for PIL's `Image.resize` and nothing else changes (same Arrow batches,
+    same schema discipline).
+    """
+    import hashlib
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bytes"]):
+                n = len(payload)
+                stride = max(1, (n + RESIZE_TARGET - 1) // RESIZE_TARGET)
+                sampled = payload[::stride]
+                rows.append(
+                    (doc_id, len(sampled), stride,
+                     hashlib.md5(sampled).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_n", "stride", "resized_md5"]
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, length(text) AS n,
+               GREATEST(1, (length(text) + {RESIZE_TARGET - 1})
+                           // {RESIZE_TARGET}) AS stride
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST((g.n + g.stride - 1) // g.stride AS INT) AS out_n,
+           CAST(g.stride AS INT) AS stride,
+           md5(array_to_string(list_transform(
+               range(0, (g.n + g.stride - 1) // g.stride),
+               i -> d.text[i * g.stride + 1]), '')) AS resized_md5
+    FROM documents d JOIN g USING (doc_id)
+    ORDER BY d.doc_id
+    -- ASCII texts: char stride-sampling == byte stride-sampling
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the media pipeline, hash-checked: Python's strided
+    byte downsample must equal the SQL recomputation exactly (md5 of the
+    sampled bytes) — pinning the Arrow round-trip and the sampling
+    geometry the way `multimodal_framesample` pins frame windows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
+    return resize_payloads(media).orderBy("doc_id")
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, mean_sc long, n_distinct int, top_byte int"
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Stand-in feature extraction: byte-distribution statistics (scaled
+    mean, distinct byte count, modal byte with min tie-break) — the
+    embed/classify step's plumbing with the neural net replaced by exact
+    integer features both engines can recompute.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bytes"]):
+                n = len(payload)
+                counts: dict[int, int] = {}
+                for b in payload:
+                    counts[b] = counts.get(b, 0) + 1
+                top = min(
+                    (b for b in counts), key=lambda b: (-counts[b], b)
+                ) if counts else 0
+                rows.append(
+                    (doc_id, (sum(payload) * 10000) // n if n else 0,
+                     len(counts), top)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_sc", "n_distinct", "top_byte"]
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, ascii(text[i]) AS b
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+    ),
+    cnt AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM ex GROUP BY doc_id, b
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, b) AS rk
+        FROM cnt
+    )
+    SELECT doc_id,
+           CAST((SUM(b * c) * 10000) // SUM(c) AS BIGINT) AS mean_sc,
+           CAST(COUNT(*) AS INT) AS n_distinct,
+           CAST(MIN(CASE WHEN rk = 1 THEN b END) AS INT) AS top_byte
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction step, hash-checked: byte-distribution features
+    (floor-scaled mean, distinct count, modal byte) computed in Arrow
+    Python must match the SQL recomputation — integer arithmetic
+    throughout, so the check is exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
+    return extract_features(media).orderBy("doc_id")

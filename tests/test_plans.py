@@ -134,7 +134,8 @@ _EAGER_KEYS = {
 _PYTHON_OK = {
     "udf_python", "udf_pandas_scalar", "udaf_pandas_agg",
     "udtf_map_in_pandas", "udtf_apply_in_pandas", "udtf_python",
-    "multimodal_decode", "multimodal_framesample", "stream_stateful",
+    "multimodal_decode", "multimodal_framesample", "multimodal_resize",
+    "multimodal_features", "stream_stateful",
 }
 # Cartesian/broadcast-nested-loop by design: explicit cross join, tiny
 # broadcast probe sides, non-equi range predicates, or a broadcast 1-row
