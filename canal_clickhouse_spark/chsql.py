@@ -258,7 +258,11 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "tostring":
         return f"CAST({args[0]} AS STRING)"
     if low == "intdiv":
-        return f"({args[0]} div {args[1]})"
+        # CAST makes the rewrite type-safe: Spark's `div` is integral-only
+        # while CH coerces doubles. No-op (and 64-bit exact) for integer
+        # operands; for fractional operands the operands truncate first —
+        # divergent from CH only when the DIVISOR is non-integral.
+        return f"(CAST({args[0]} AS BIGINT) div CAST({args[1]} AS BIGINT))"
     if low == "modulo":
         return f"({args[0]} % {args[1]})"
     if low == "toyyyymm":

@@ -299,3 +299,42 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
     ).orc(path)
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 40 ORDER BY doc_id
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source — how a cluster ingests a media
+    directory (images/audio as whole-file rows with path/length/content) —
+    round-tripped: stage documents as one file per doc, read the directory
+    back, recover the id from the file path, and hash-check the payload
+    against the original text (ASCII ⇒ byte-exact).
+
+    At 100 TB this is the first stage of the multimodal pipeline
+    (`llm/multimodal.py` consumes exactly this shape): the listing
+    parallelizes across executors, `pathGlobFilter`/partitioned directories
+    prune, and content stays opaque binary end-to-end.
+    """
+    staged = _stage_dir(sf_dir, "binfile")
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    os.makedirs(staged, exist_ok=True)
+    for row in docs.select("doc_id", "text").collect():
+        with open(os.path.join(staged, f"{row.doc_id:06d}.bin"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(staged)
+    return (
+        bf.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.md5("content").alias("content_md5"),
+            F.col("length").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -133,9 +133,12 @@ def test_sequence_count_closed_form_equals_greedy(seq):
 
 # -- chsql translator: random composition parse-safety ------------------------
 
-_CH_LEAVES = ["value", "user_id", "event_id", "'x'", "1.5", "3"]
+# Numeric-only leaves/wraps: Spark resolves mixed numeric types but
+# (unlike CH) will not coerce strings in numeric contexts — string
+# spellings are pinned by the unit cases instead.
+_CH_LEAVES = ["value", "user_id", "event_id", "1.5", "3"]
 _CH_WRAPS = [
-    "toInt64({0})", "toString({0})", "round({0}, 2)", "ifNull({0}, {1})",
+    "toInt64({0})", "round({0}, 2)", "ifNull({0}, {1})",
     "multiIf({0} > 1, {1}, {0})", "greatest({0}, {1})", "intDiv({0}, 2)",
     "modulo({0}, 7)",
 ]

@@ -68,7 +68,8 @@ def test_chsql_translate_units():
         "argMax(k, v)": "max_by(k, v)",
         "uniqExact(u)": "count(DISTINCT u)",
         "empty(s) OR notEmpty(t)": "(length(s) = 0) OR (length(t) > 0)",
-        "intDiv(a, modulo(b, 7))": "(a div (b % 7))",
+        "intDiv(a, modulo(b, 7))":
+            "(CAST(a AS BIGINT) div CAST((b % 7) AS BIGINT))",
         "'toYear(untouched literal)'": "'toYear(untouched literal)'",
     }
     for src, want in cases.items():
