@@ -296,3 +296,56 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(
         (F.col("par") == 1) & F.col("next_even_event").isNotNull()
     ).select("event_id", "user_id", "ts", "next_even_event", "next_ts")
+
+
+_SALT_WAYS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the manual skew lever for keys AQE can't split (e.g.
+    one tenant owning half the fact table): the fact side appends a
+    deterministic salt (hash of a per-row column, mod R), the dim side
+    replicates R ways, and the join keys on (key, salt) so a single hot key
+    spreads over R reducers. Semantically identical to the plain join (the
+    oracle IS the plain join); only the shuffle distribution changes.
+
+    At 100 TB: R tracks the hot key's share of rows ÷ target partition
+    size; the dim replication costs R× a (small) build side, which is why
+    salting composes with — not replaces — broadcasting. AQE's skew-join
+    splitting handles the common case at runtime; the explicit salt is for
+    sort-merge paths and pre-Spark-3 engines where it cannot.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_linenumber"), F.lit(_SALT_WAYS))
+    )
+    salted_dim = o.withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {_SALT_WAYS - 1})"))
+    )
+    return (
+        salted_fact.hint("shuffle_merge")
+        .join(
+            salted_dim,
+            (salted_fact["l_orderkey"] == salted_dim["o_orderkey"])
+            & (salted_fact["salt"] == salted_dim["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
