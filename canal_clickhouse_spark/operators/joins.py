@@ -349,3 +349,71 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_N_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(l.l_quantity), 2) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written `bucketBy(8, orderkey)`
+    + `sortBy` (Hive-style bucketed tables — Spark's analog of MergeTree's
+    pre-sharded parts), then joined WITHOUT a shuffle on either input — the
+    bucketed scans already present the join distribution, so the exchange
+    that dominates a large-large join at 100 TB simply does not exist
+    (plan-asserted in tests/test_plans.py). This is the layout play the
+    big-fact-to-big-fact joins need when broadcast is impossible: pay the
+    shuffle ONCE at write time, amortize it over every subsequent join.
+    """
+    import os as _os
+
+    import shutil as _shutil
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_li = f"ccs_bkt_orders_{tag}", f"ccs_bkt_lineitem_{tag}"
+    for t in (t_orders, t_li):
+        # The in-memory catalog is per-session but table locations are not:
+        # drop BOTH, else a fresh session trips LOCATION_ALREADY_EXISTS on
+        # the previous session's files. Locations are pinned under /tmp
+        # (external tables) so no cwd-relative warehouse dir is created.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"/tmp/ccs_bkt/{t}", ignore_errors=True)
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").option(
+        "path", f"/tmp/ccs_bkt/{t_orders}"
+    ).bucketBy(_N_BUCKETS, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        t_orders
+    )
+    table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.mode("overwrite").option(
+        "path", f"/tmp/ccs_bkt/{t_li}"
+    ).bucketBy(_N_BUCKETS, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        t_li
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_li)
+    # merge hint: at fixture scale the dim side fits the broadcast
+    # threshold and Catalyst would BHJ, hiding what this key demonstrates —
+    # at 100 TB both sides are fact-sized and SMJ is the only option; the
+    # hint pins that plan so the zero-input-exchange property is assertable.
+    return (
+        li.hint("merge")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

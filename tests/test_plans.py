@@ -154,6 +154,17 @@ _CARTESIAN_OK = {
 }
 
 
+def test_bucketed_join_has_no_input_exchange(spark, sf_dir):
+    """The bucketed co-located join must consume both bucketed scans
+    WITHOUT shuffling them: the SortMergeJoin's inputs come straight from
+    the bucket layout; the only exchanges in the plan are the post-join
+    aggregate/sort. This is the write-once-shuffle-never layout contract."""
+    plan = plan_of(QUERIES["join_bucketed_colocated"](spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" in plan and plan.count("Bucketed: true") == 2
+    pre_join = plan.split("SortMergeJoin", 1)[1]  # subtree below the join
+    assert "Exchange" not in pre_join, "bucketed join inputs must not shuffle"
+
+
 def test_curation_ops_broadcast_small_sides(spark, sf_dir):
     """The scale-critical join sides of the round-3 curation ops must plan
     as broadcasts: decontam's eval-set gram table (KBs vs a 100 TB corpus),
