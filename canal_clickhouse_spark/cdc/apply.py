@@ -59,25 +59,36 @@ def collapse_signs(
 ) -> DataFrame:
     """CollapsingMergeTree MERGE: compact a sign ledger to ≤1 row per key.
 
-    net > 0 → one +1 row carrying the latest +1 payload; net ≤ 0 → one −1
-    tombstone row carrying the latest payload (NOT dropped: the tombstone
+    Liveness is the SIGN OF THE LAST ROW — ``max_by(sign, (version, sign))``,
+    so the highest version wins and a same-version (−1, +1) UPDATE pair
+    resolves to +1 — NOT the sign sum. Compaction is not net-preserving:
+    once a key is compacted to a single −1 tombstone, that row stands in for
+    a whole cancelled history (net 0, not net −1), so summing it against a
+    later re-INSERT's +1 would net 0 and swallow the re-insert (real
+    CollapsingMergeTree keeps the last +1 state row there). The last-writer
+    rule is exact under the pipeline's sign contract (INSERT → +1, UPDATE →
+    (−1, +1) at the new version, DELETE → a lone −1 at its own version)
+    regardless of how much history has been compacted away.
+
+    Live key → one +1 row carrying the latest +1 payload; dead key → one −1
+    tombstone carrying the latest payload (NOT dropped: the tombstone
     preserves the key's version watermark so an at-least-once replay of
     pre-delete messages cannot resurrect the row — see
     ``CdcPipeline.apply_messages``). FINAL readers filter ``sign = 1``.
-    ``cdc_apply_collapsing`` is the query-side single-aggregation variant of
-    the same semantics (net > 0 only, no state carried).
+    ``cdc_apply_collapsing`` is the query-side variant over a FULL ledger,
+    where the sign sum is the correct (and ClickHouse-documented) rule.
     """
     plus_version = F.when(F.col(sign) == 1, F.col(version)).otherwise(F.lit(-1))
     agg = signs.groupBy(pk).agg(
-        F.sum(sign).alias("_net"),
+        F.max_by(F.col(sign), F.struct(F.col(version), F.col(sign))).alias("_last"),
         F.max_by(F.struct(*payload), plus_version).alias("_plus"),
         F.max_by(F.struct(*payload), version).alias("_any"),
         F.max(version).alias(version),
     )
     return agg.select(
         pk,
-        F.when(F.col("_net") > 0, F.col("_plus")).otherwise(F.col("_any")).alias("_s"),
-        F.when(F.col("_net") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(sign),
+        F.when(F.col("_last") == 1, F.col("_plus")).otherwise(F.col("_any")).alias("_s"),
+        F.when(F.col("_last") == 1, F.lit(1)).otherwise(F.lit(-1)).alias(sign),
         version,
     ).select(pk, "_s.*", sign, version)
 

@@ -149,6 +149,29 @@ def test_collapsing_replay_is_idempotent(spark, sf_dir, cpipe):
     assert rows_set(cpipe.read_table("shop", "orders")) == before
 
 
+def test_collapsing_reinsert_after_delete(spark, sf_dir, cpipe):
+    """INSERT → DELETE → re-INSERT must resurrect the key (ADVICE r3 high):
+    compacted state is not net-preserving, so liveness comes from the last
+    row's sign, not the sign sum — a −1 tombstone plus a later +1 re-insert
+    is live, not net-zero."""
+    cpipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "true"))
+    cpipe.apply_messages(
+        envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=1)
+    )
+    cpipe.apply_messages(
+        envelopes(spark, sf_dir, "INSERT", "o_orderkey % 100 = 0", status="R", day_offset=2)
+    )
+    got = cpipe.read_table("shop", "orders")
+    n_all = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert got.count() == n_all  # every key live again
+    reinserted = got.filter("o_orderkey % 100 = 0")
+    assert reinserted.filter("o_orderstatus <> 'R'").count() == 0
+    # and a replay of the pre-delete INSERT still cannot clobber the re-insert
+    before = rows_set(got)
+    cpipe.apply_messages(envelopes(spark, sf_dir, "INSERT", "true"))
+    assert rows_set(cpipe.read_table("shop", "orders")) == before
+
+
 def test_collapsing_state_is_compacted(spark, sf_dir, cpipe):
     """State stays ≤1 row per key (post-merge MergeTree shape), with −1
     tombstones for deleted keys."""
