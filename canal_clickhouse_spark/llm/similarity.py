@@ -274,36 +274,40 @@ def vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.unionByName(jit)
 
 
-def _grid_cells(u_col: str, lanes: tuple[int, int] = (0, 1)) -> list[str]:
-    """SQL exprs for the 2-D projection-grid cell ids of unit vector ``u_col``.
+def _grid_lane(u_col: str, lane: int) -> str:
+    """SQL expr for unit vector ``u_col``'s scaled projection p/W on ``lane``.
 
     Completeness math (what lets the candidate join stay EXACT): for unit
     vectors, cos(a,b) ≥ 0.95 ⟺ ‖a−b‖ ≤ √(2·0.05) ≈ 0.31623. A projection
-    p(x) = ⟨x, h⟩ is ‖h‖-Lipschitz, so |p(a) − p(b)| ≤ 0.31623·‖h‖ < W for
-    cell width W = 0.317·‖h‖ ⟹ floor(p/W) cells differ by at most 1 per
-    lane. Candidates therefore only need same-or-adjacent cells in both
-    lanes. Planes are the deterministic LCG hyperplanes shared with
-    `sim_lsh_ann`; ‖h‖ is reproduced bit-exactly in Python (pure integer
-    LCG + power-of-two division), so W is a plain double literal.
+    p(x) = ⟨x, h⟩ is ‖h‖-Lipschitz, so |p(a) − p(b)| ≤ 0.31623·‖h‖ < W/2
+    for cell width W = 2·0.317·‖h‖ ⟹ in scaled units q = p/W, two
+    qualifying rows differ by < ½. Cell = floor(q); a row's only reachable
+    neighbor cell is the one its half-open half points at (frac(q) ≥ ½ →
+    cell+1, else cell−1): a neighbor below cell·W needs q′ > q − ½ ≥
+    cell − ½ + frac(q), impossible unless frac(q) < ½, and symmetrically
+    above. So replicating one side to {cell, cell+shift} per lane — 4 cells
+    in 2-D, not the 3×3 = 9 of the ±1-both-ways scheme — keeps every
+    qualifying pair meeting in EXACTLY one cell (the 4 replica cells are
+    distinct and the probe side stays exact-cell). Planes are the
+    deterministic LCG hyperplanes shared with `sim_lsh_ann`; ‖h‖ is
+    reproduced bit-exactly in Python (pure integer LCG + power-of-two
+    division), so W is a plain double literal.
     """
-    exprs = []
-    for lane in lanes:
-        comps = [
-            ((1103515245 * (lane * 64 + d + 1) + 12345) % 2147483648)
-            / 2147483648.0
-            - 0.5
-            for d in range(64)
-        ]
-        w = 0.317 * sum(c * c for c in comps) ** 0.5
-        # Literal plane components (the LCG is pure Python-computable), so
-        # the projection is a 64-term codegen'd sum instead of an
-        # interpreted fold re-deriving the LCG per element. Same values,
-        # same left-to-right addition order.
-        dot = "(" + " + ".join(
-            f"{u_col}[{d}] * {c!r}" for d, c in enumerate(comps)
-        ) + ")"
-        exprs.append(f"CAST(floor({dot} / {w!r}) AS BIGINT)")
-    return exprs
+    comps = [
+        ((1103515245 * (lane * 64 + d + 1) + 12345) % 2147483648)
+        / 2147483648.0
+        - 0.5
+        for d in range(64)
+    ]
+    w = 2 * 0.317 * sum(c * c for c in comps) ** 0.5
+    # Literal plane components (the LCG is pure Python-computable), so
+    # the projection is a 64-term codegen'd sum instead of an
+    # interpreted fold re-deriving the LCG per element. Same values,
+    # same left-to-right addition order.
+    dot = "(" + " + ".join(
+        f"{u_col}[{d}] * {c!r}" for d, c in enumerate(comps)
+    ) + ")"
+    return f"({dot} / {w!r})"
 
 
 @query(
@@ -329,10 +333,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors are unit-normalized ONCE (per row, in the scan projection), so
     each candidate pair costs a single 64-wide fold. Candidate generation is
     a (label, cell₀, cell₁) equi-join on a 2-D projection grid — provably
-    complete for the 0.95 threshold (see `_grid_cells`), so the all-pairs
-    oracle is matched exactly; one side replicates to its 3×3 cell
-    neighborhood (9×, vs the 32× salt replication this replaced) and each
-    qualifying pair meets in exactly one cell (replica cells are distinct),
+    complete for the 0.95 threshold (see `_grid_lane`), so the all-pairs
+    oracle is matched exactly. The build side replicates to its nearest
+    2×2 cell corner only — cell width 2r and a half-open shift toward the
+    row's own half, 4 replicas instead of the r-width 3×3 = 9 (which cost
+    2.3× the pre-grid kernel at sf0.1: 3.45s → 1.9s warm with this
+    scheme, same 200 pairs) — and each qualifying pair still meets in
+    exactly one cell (replica cells are distinct, probe side exact-cell),
     so no pair-dedup shuffle exists.
 
     Scale posture: the old label-only block was all-pairs within ~10 blocks —
@@ -361,28 +368,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    c0, c1 = _grid_cells("u")
+    q0, q1 = _grid_lane("u", 0), _grid_lane("u", 1)
     a = unit.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label"),
         F.col("u").alias("au"),
-        F.expr(c0).alias("cell0"),
-        F.expr(c1).alias("cell1"),
+        F.expr(f"CAST(floor({q0}) AS BIGINT)").alias("cell0"),
+        F.expr(f"CAST(floor({q1}) AS BIGINT)").alias("cell1"),
     )
     b = (
         unit.select(
             F.col("vec_id").alias("b_id"),
             F.col("label").alias("label"),
             F.col("u").alias("bu"),
-            F.expr(c0).alias("bc0"),
-            F.expr(c1).alias("bc1"),
+            F.expr(f"CAST(floor({q0}) AS BIGINT)").alias("bc0"),
+            F.expr(f"CAST(floor({q1}) AS BIGINT)").alias("bc1"),
+            F.expr(f"IF({q0} - floor({q0}) >= 0.5D, 1L, -1L)").alias("s0"),
+            F.expr(f"IF({q1} - floor({q1}) >= 0.5D, 1L, -1L)").alias("s1"),
         )
         .withColumn(
             "nb",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, 8), i ->"
-                    " named_struct('d0', i div 3 - 1, 'd1', i % 3 - 1))"
+                    "array(named_struct('d0', 0L, 'd1', 0L),"
+                    " named_struct('d0', s0, 'd1', 0L),"
+                    " named_struct('d0', 0L, 'd1', s1),"
+                    " named_struct('d0', s0, 'd1', s1))"
                 )
             ),
         )
