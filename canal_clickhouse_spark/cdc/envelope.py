@@ -16,6 +16,8 @@ hash-checked.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,8 +37,104 @@ FLAT_MESSAGE_SCHEMA = T.StructType(
         T.StructField("pkNames", T.ArrayType(T.StringType())),
         T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
         T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+        # Canal FlatMessage carries per-column source type declarations:
+        # mysqlType = {col: "int(10) unsigned"}, sqlType = {col: JDBC code}.
+        T.StructField("mysqlType", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("sqlType", T.MapType(T.StringType(), T.IntegerType())),
     ]
 )
+
+# ---------------------------------------------------------------------------
+# mysqlType-driven Spark cast derivation (SURVEY.md §1.2 rules)
+#
+# MySQL declaration -> Spark cast target.  Unsigned integers widen ONE tier
+# (a UInt32 does not fit IntegerType; a UInt64 fits no Spark integral type, so
+# it lands in DecimalType(20,0) for exactness).  DECIMAL(P,S) maps verbatim
+# (exact money math).  ENUM maps to StringType plus a CHECK-style membership
+# constraint the caller applies as a validating projection.
+# ---------------------------------------------------------------------------
+
+_INT_BASE = {
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "mediumint": "int",  # 24-bit signed fits IntegerType
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+}
+_UNSIGNED_WIDEN = {
+    "tinyint": "smallint",
+    "smallint": "int",
+    "mediumint": "int",  # 24-bit unsigned still fits IntegerType
+    "int": "bigint",
+    "bigint": "decimal(20,0)",  # UInt64 max = 1.8e19 > Long max
+}
+_STRING_BASES = {"char", "varchar", "tinytext", "text", "mediumtext", "longtext", "set", "time", "uuid", "json"}
+_BINARY_BASES = {"binary", "varbinary", "tinyblob", "blob", "mediumblob", "longblob", "bit"}
+
+_DECL_RE = re.compile(r"^\s*([a-z]+)\s*(?:\(([^)]*)\))?", re.IGNORECASE)
+
+
+def spark_type_for_mysql(decl: str) -> tuple[str, list[str] | None]:
+    """MySQL column declaration -> (Spark cast target, enum values | None).
+
+    Examples: ``"int(10) unsigned"`` -> ``("bigint", None)``;
+    ``"bigint(20) unsigned"`` -> ``("decimal(20,0)", None)``;
+    ``"decimal(12,2)"`` -> ``("decimal(12,2)", None)``;
+    ``"enum('O','F','P')"`` -> ``("string", ["O", "F", "P"])``.
+    """
+    m = _DECL_RE.match(decl)
+    if not m:
+        raise ValueError(f"unparseable mysqlType declaration: {decl!r}")
+    base = m.group(1).lower()
+    args = m.group(2)
+    unsigned = "unsigned" in decl.lower()
+    if base in _INT_BASE:
+        return (_UNSIGNED_WIDEN[base] if unsigned else _INT_BASE[base], None)
+    if base in ("decimal", "numeric"):
+        p, s = 10, 0
+        if args:
+            parts = [a.strip() for a in args.split(",")]
+            p = int(parts[0])
+            s = int(parts[1]) if len(parts) > 1 else 0
+        # unsigned DECIMAL(P,S) gains no range in Spark; precision is kept
+        return (f"decimal({p},{s})", None)
+    if base == "float":
+        return ("float", None)
+    if base in ("double", "real"):
+        return ("double", None)
+    if base == "enum":
+        vals = [v.strip().strip("'\"") for v in (args or "").split(",") if v.strip()]
+        return ("string", vals)
+    if base in _STRING_BASES:
+        return ("string", None)
+    if base in _BINARY_BASES:
+        return ("binary", None)
+    if base == "date":
+        return ("date", None)
+    if base in ("datetime", "timestamp"):
+        return ("timestamp", None)
+    if base == "year":
+        return ("int", None)
+    if base == "boolean" or base == "bool":
+        return ("boolean", None)
+    raise ValueError(f"unmapped mysqlType base {base!r} in {decl!r}")
+
+
+def mapping_from_mysql_types(
+    mysql_types: dict[str, str],
+) -> tuple[dict[str, str], dict[str, list[str]]]:
+    """Derive the per-column Spark cast mapping (and ENUM constraints) from a
+    FlatMessage ``mysqlType`` map — replaces hand-declared dicts like
+    ``ORDERS_MAPPING`` for tables the envelope fully describes."""
+    casts: dict[str, str] = {}
+    enums: dict[str, list[str]] = {}
+    for col, decl in mysql_types.items():
+        spark_t, enum_vals = spark_type_for_mysql(decl)
+        casts[col] = spark_t
+        if enum_vals is not None:
+            enums[col] = enum_vals
+    return casts, enums
 
 # Per-table mapping config: column -> Spark cast target. The string "ts:es"
 # marker means "take the envelope's es epoch-ms instead of a data column".
@@ -57,24 +155,31 @@ def build_envelope(
     data_cols: dict[str, Column],
     es: Column,
     op: Column | None = None,
+    mysql_types: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Serialize rows into FlatMessage JSON strings (column ``msg``)."""
+    """Serialize rows into FlatMessage JSON strings (column ``msg``).
+
+    ``mysql_types`` (col -> MySQL declaration) is embedded as the envelope's
+    ``mysqlType`` map when given, mirroring what Canal ships per message.
+    """
     kv: list[Column] = []
     for name, col in data_cols.items():
         kv.extend([F.lit(name), col])
-    return df.select(
-        F.to_json(
-            F.struct(
-                F.lit(database).alias("database"),
-                F.lit(table_name).alias("table"),
-                (op if op is not None else F.lit("INSERT")).alias("type"),
-                es.alias("es"),
-                F.lit(False).alias("isDdl"),
-                F.array(*[F.lit(p) for p in pk_names]).alias("pkNames"),
-                F.array(F.create_map(*kv)).alias("data"),
-            )
-        ).alias("msg")
-    )
+    fields = [
+        F.lit(database).alias("database"),
+        F.lit(table_name).alias("table"),
+        (op if op is not None else F.lit("INSERT")).alias("type"),
+        es.alias("es"),
+        F.lit(False).alias("isDdl"),
+        F.array(*[F.lit(p) for p in pk_names]).alias("pkNames"),
+        F.array(F.create_map(*kv)).alias("data"),
+    ]
+    if mysql_types is not None:
+        tkv: list[Column] = []
+        for name, decl in mysql_types.items():
+            tkv.extend([F.lit(name), F.lit(decl)])
+        fields.append(F.create_map(*tkv).alias("mysqlType"))
+    return df.select(F.to_json(F.struct(*fields)).alias("msg"))
 
 
 def parse_envelope(
@@ -92,6 +197,106 @@ def parse_envelope(
         *typed,
         F.timestamp_millis(F.col("es")).alias("event_time"),
         F.col("type").alias("op"),
+    )
+
+
+def parse_envelope_typed(
+    msgs: DataFrame, msg_col: str = "msg", mysql_types: dict[str, str] | None = None
+) -> DataFrame:
+    """FlatMessage JSON → typed change rows, casts derived from the envelope's
+    own ``mysqlType`` map (SURVEY §1.2 rules) instead of a hand-declared dict.
+
+    When ``mysql_types`` is None the mapping is peeked from one message — a
+    single-row driver action, the same class of config derivation as schema
+    inference; per-table deployments pass the DDL-derived dict instead.  ENUM
+    columns are validated CHECK-style: values outside the declared set become
+    NULL (the sink-side reject lane).
+    """
+    if mysql_types is None:
+        peek = (
+            msgs.select(F.from_json(msg_col, FLAT_MESSAGE_SCHEMA).alias("m"))
+            .select("m.mysqlType")
+            .filter(F.col("mysqlType").isNotNull())
+            .first()
+        )
+        if peek is None:
+            raise ValueError("no mysqlType map found in any envelope message")
+        mysql_types = dict(peek[0])
+    casts, enums = mapping_from_mysql_types(mysql_types)
+    parsed = msgs.select(F.from_json(msg_col, FLAT_MESSAGE_SCHEMA).alias("m"))
+    rows = parsed.select("m.*", F.explode("m.data").alias("row"))
+    typed: list[Column] = []
+    for c, t in casts.items():
+        col = F.col("row").getItem(c)
+        if c in enums:
+            col = F.when(col.isin(enums[c]), col)
+        typed.append(col.cast(t).alias(c))
+    return rows.select(
+        *typed,
+        F.timestamp_millis(F.col("es")).alias("event_time"),
+        F.col("type").alias("op"),
+    )
+
+
+@query(
+    "cdc_typed_widening",
+    oracle="""
+    SELECT CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CASE WHEN o_orderstatus IN ('O','F','P') THEN o_orderstatus END
+             AS o_orderstatus,
+           CAST(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS DECIMAL(12,2))
+                AS VARCHAR)
+             AS o_totalprice,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST((o_orderkey % 200) + 1 AS SMALLINT) AS o_bucket,
+           o_orderpriority,
+           make_timestamp(epoch_ms(o_orderdate) * 1000) AS event_time,
+           'INSERT' AS op
+    FROM orders
+    """,
+)
+def cdc_typed_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mysqlType-driven envelope typing with unsigned widening (SURVEY §1.2):
+    ``bigint unsigned`` → Decimal(20,0), ``int unsigned`` → Long,
+    ``smallint unsigned`` → Integer, ``tinyint unsigned`` → Short,
+    ``decimal(12,2)`` exact money round-trip, ``enum('O','F','P')`` validated
+    CHECK-style.  The mapping is derived from the ``mysqlType`` map the
+    envelope itself carries — nothing is hand-declared on the parse side.
+
+    The two DecimalType outputs are rendered as strings for the hash gate:
+    DuckDB's ``.df()`` converts DECIMAL to float64, so a decimal-typed column
+    can never hash-match across engines — the string render is the exact
+    comparison (and proves scale-2 money round-trips digit-for-digit)."""
+    o = table(spark, sf_dir, "orders")
+    msgs = build_envelope(
+        o,
+        database="shop",
+        table_name="orders",
+        pk_names=["o_orderkey"],
+        data_cols={
+            "o_orderkey": F.col("o_orderkey").cast("string"),
+            "o_custkey": F.col("o_custkey").cast("string"),
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_totalprice": F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+            "o_year": F.year("o_orderdate").cast("string"),
+            "o_bucket": ((F.col("o_orderkey") % 200) + 1).cast("string"),
+            "o_orderpriority": F.col("o_orderpriority"),
+        },
+        es=F.unix_millis(F.col("o_orderdate").cast("timestamp")),
+        mysql_types={
+            "o_orderkey": "bigint(20) unsigned",
+            "o_custkey": "int(10) unsigned",
+            "o_orderstatus": "enum('O','F','P')",
+            "o_totalprice": "decimal(12,2)",
+            "o_year": "smallint(5) unsigned",
+            "o_bucket": "tinyint(3) unsigned",
+            "o_orderpriority": "varchar(15)",
+        },
+    )
+    typed = parse_envelope_typed(msgs)
+    return typed.withColumn("o_orderkey", F.col("o_orderkey").cast("string")).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")
     )
 
 

@@ -79,3 +79,53 @@ def test_checkpoint_resume_runs_real_stream(spark, sf_dir):
     streamed = canon_frame(QUERIES["cdc_checkpoint_resume"](spark, sf_dir).toPandas())
     batch = canon_frame(QUERIES["cdc_apply_replacing"](spark, sf_dir).toPandas())
     assert streamed == batch
+
+
+def test_mysql_type_derivation():
+    """SURVEY §1.2 mapping rules: unsigned widens one tier, DECIMAL(P,S) is
+    verbatim, ENUM yields a membership constraint."""
+    from canal_clickhouse_spark.cdc.envelope import (
+        mapping_from_mysql_types,
+        spark_type_for_mysql,
+    )
+
+    assert spark_type_for_mysql("int(11)") == ("int", None)
+    assert spark_type_for_mysql("int(10) unsigned") == ("bigint", None)
+    assert spark_type_for_mysql("bigint(20) unsigned") == ("decimal(20,0)", None)
+    assert spark_type_for_mysql("tinyint(3) unsigned") == ("smallint", None)
+    assert spark_type_for_mysql("smallint(5) unsigned") == ("int", None)
+    assert spark_type_for_mysql("mediumint(8)") == ("int", None)
+    assert spark_type_for_mysql("mediumint(8) unsigned") == ("int", None)
+    assert spark_type_for_mysql("DECIMAL(12,2)") == ("decimal(12,2)", None)
+    assert spark_type_for_mysql("decimal(20)") == ("decimal(20,0)", None)
+    assert spark_type_for_mysql("enum('O','F','P')") == ("string", ["O", "F", "P"])
+    assert spark_type_for_mysql("varchar(64)") == ("string", None)
+    assert spark_type_for_mysql("datetime(3)") == ("timestamp", None)
+    assert spark_type_for_mysql("varbinary(128)") == ("binary", None)
+    assert spark_type_for_mysql("json") == ("string", None)
+    casts, enums = mapping_from_mysql_types(
+        {"a": "int(10) unsigned", "b": "enum('x','y')"}
+    )
+    assert casts == {"a": "bigint", "b": "string"}
+    assert enums == {"b": ["x", "y"]}
+
+
+def test_enum_validation_nulls_out_of_domain(spark):
+    """An enum value outside the declared set is rejected to NULL (the
+    CHECK-style filter lane), not passed through."""
+    from canal_clickhouse_spark.cdc.envelope import build_envelope, parse_envelope_typed
+
+    src = spark.createDataFrame(
+        [(1, "O"), (2, "ZZZ"), (3, "F")], "id bigint, st string"
+    )
+    msgs = build_envelope(
+        src,
+        database="d",
+        table_name="t",
+        pk_names=["id"],
+        data_cols={"id": F.col("id").cast("string"), "st": F.col("st")},
+        es=F.lit(0).cast("bigint"),
+        mysql_types={"id": "bigint(20)", "st": "enum('O','F','P')"},
+    )
+    out = {r["id"]: r["st"] for r in parse_envelope_typed(msgs).collect()}
+    assert out == {1: "O", 2: None, 3: "F"}
