@@ -35,7 +35,9 @@ Covered (one entry per CH name):
   literals:  CH bracket array literals `[...]` → array(...) (subscripts
              `expr[i]` pass through untouched)
   clauses:   FROM t FINAL / SAMPLE k / LIMIT n BY k / [LEFT] ARRAY JOIN /
-             PREWHERE / GLOBAL JOIN (see _rewrite_clauses)
+             PREWHERE / GLOBAL JOIN / ASOF [LEFT] JOIN /
+             GROUP BY ... WITH TOTALS / ORDER BY ... WITH FILL
+             (see _rewrite_clauses)
 """
 
 from __future__ import annotations
@@ -407,7 +409,7 @@ _TABLE_META: dict[str, dict[str, str]] = {
 _SAMPLE_MOD = 4294967296  # 2^32
 
 
-def _from_replacement(tbl: str, has_final: bool, frac: float | None) -> str:
+def _from_replacement(tbl: str, has_final: bool, frac: float | None) -> str | None:
     meta = _TABLE_META.get(tbl)
     if meta is None:
         raise ValueError(f"FINAL/SAMPLE on unknown table {tbl!r}")
@@ -422,6 +424,14 @@ def _from_replacement(tbl: str, has_final: bool, frac: float | None) -> str:
         )
     if has_final:
         version = meta.get("version")
+        if version is None and frac is None:
+            # `FROM orders final` — on a table with no version metadata the
+            # token is far more likely a (reserved-word-abusing) row alias
+            # than a FINAL modifier, and CH itself rejects FINAL on
+            # non-Replacing tables. Treat it as the alias and leave the text
+            # alone. With SAMPLE also present the FINAL reading is
+            # unambiguous, so that still errors below.
+            return None
         if version is None:
             raise ValueError(f"FINAL on table {tbl!r} without version metadata")
         cond = "_rn = 1"
@@ -460,6 +470,140 @@ _WHERE_RE = re.compile(
 )
 
 
+_ASOF_RE = re.compile(
+    r"\bFROM\s+(?P<lt>\w+)\s+(?:AS\s+)?(?P<la>\w+)\s+"
+    r"ASOF\s+(?P<left>LEFT\s+)?(?:INNER\s+)?JOIN\s+"
+    r"(?P<rt>\w+)\s+(?:AS\s+)?(?P<ra>\w+)\s+ON\s+(?P<cond>.+?)"
+    r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_TOTALS_RE = re.compile(
+    r"\bGROUP\s+BY\s+(?P<cols>.+?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL
+)
+_WITH_FILL_RE = re.compile(
+    r"\bORDER\s+BY\s+(?P<col>\w+)\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(?P<frm>-?\d+))?(?:\s+TO\s+(?P<to>-?\d+))?"
+    r"(?:\s+STEP\s+(?P<step>-?\d+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_asof_join(q: str) -> str:
+    """``FROM L la ASOF [LEFT] JOIN R ra ON eq... AND ineq`` → range join +
+    per-left-row ``ROW_NUMBER() = 1`` (latest right row satisfying the
+    inequality — CH ASOF semantics).
+
+    The left row identity the window partitions on is L's primary key from
+    ``_TABLE_META`` (unique per row in every registered table — the metadata
+    a live CH reads from DDL). Column names must be disjoint across L and R
+    (the subquery flattens both sides), and alias qualifiers outside the ON
+    condition are stripped since the derived table dissolves them.
+
+    Scope note: this range-join-then-rank shape fans out every candidate
+    right row per left row before ranking — correct, but per-key quadratic;
+    the operator-level `join_asof` (operators/joins.py:210) is the
+    sort-based single-pass scale path a heavy pipeline should use.
+    """
+    m = _ASOF_RE.search(q)
+    if not m:
+        return q
+    lt, la, rt, ra = m["lt"], m["la"], m["rt"], m["ra"]
+    meta = _TABLE_META.get(lt)
+    if meta is None:
+        raise ValueError(f"ASOF JOIN left table {lt!r} has no key metadata")
+    pk = meta["key"]
+    cond = m["cond"].strip()
+    # Find the single inequality conjunct to derive the asof ordering: pick
+    # the right-side expression and sort so "the closest right row" wins —
+    # right <= left → latest (DESC); right >= left → earliest (ASC).
+    ineq = None
+    for part in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        im = re.match(
+            r"\s*(?P<a>[\w.]+)\s*(?P<op><=|>=|<|>)\s*(?P<b>[\w.]+)\s*$", part
+        )
+        if im:
+            ineq = im
+    if ineq is None:
+        raise ValueError(f"ASOF JOIN needs one inequality conjunct in {cond!r}")
+    a, op, b = ineq["a"], ineq["op"], ineq["b"]
+    right_expr = a if a.startswith(f"{ra}.") else b
+    right_le_left = (op in ("<=", "<")) == (right_expr == a)
+    direction = "DESC" if right_le_left else "ASC"
+    jtype = "LEFT JOIN" if m["left"] else "JOIN"
+    sub = (
+        f"FROM (SELECT * EXCEPT(_arn) FROM ("
+        f"SELECT {la}.*, {ra}.*, ROW_NUMBER() OVER"
+        f" (PARTITION BY {la}.{pk} ORDER BY {right_expr} {direction}) AS _arn"
+        f" FROM {lt} {la} {jtype} {rt} {ra} ON {cond}"
+        f") WHERE _arn = 1) "
+    )
+    head = re.sub(rf"\b({la}|{ra})\.", "", q[: m.start()])
+    tail = re.sub(rf"\b({la}|{ra})\.", "", q[m.end() :])
+    return head + sub + tail
+
+
+def _rewrite_with_totals(q: str) -> str:
+    """``GROUP BY k WITH TOTALS`` → ``GROUP BY GROUPING SETS ((k), ())``.
+
+    CH appends one totals row aggregating all rows; GROUPING SETS' grand
+    total is the same row inline. Divergence (documented): CH renders the
+    totals row's key columns as type defaults (0 / ''), Spark's grouping
+    sets as NULL — the grouping-marker convention every SQL engine shares.
+    """
+    return _TOTALS_RE.sub(
+        lambda m: f"GROUP BY GROUPING SETS (({m['cols'].strip()}), ())", q
+    )
+
+
+def _rewrite_with_fill(q: str) -> str:
+    """``ORDER BY c WITH FILL [FROM a] [TO b] [STEP s]`` → dense spine
+    (``sequence`` + ``explode``) FULL OUTER JOINed to the query.
+
+    The spine adds every missing fill-column value on the step grid (TO is
+    exclusive, as in CH); original rows are always kept (hence FULL OUTER,
+    matching CH's behavior of inserting rows, never dropping). Non-fill
+    output columns on inserted rows become 0 — CH fills with the column
+    type's default, and the rewriter scope is the numeric-metric shape WITH
+    FILL exists for. Select items must carry plain output names (alias or
+    bare column) so the wrapper can re-project them.
+    """
+    m = _WITH_FILL_RE.search(q)
+    if not m:
+        return q
+    col = m["col"]
+    inner = q[: m.start()].strip()
+    sel = re.match(r"\s*SELECT\s+(?P<items>.+?)\s+\bFROM\b", inner,
+                   re.IGNORECASE | re.DOTALL)
+    if not sel:
+        raise ValueError("WITH FILL: cannot locate the select list")
+    names = []
+    for item in _split_args(sel["items"]):
+        am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
+        names.append(am.group(1) if am else item.strip().split(".")[-1])
+    if col not in names:
+        raise ValueError(f"WITH FILL column {col!r} not in select list {names}")
+    if any(not n.isidentifier() for n in names):
+        raise ValueError(f"WITH FILL needs plain output names, got {names}")
+    frm = m["frm"] or f"(SELECT MIN({col}) FROM _q)"
+    to_incl = m["to"] is None
+    to = m["to"] or f"(SELECT MAX({col}) FROM _q)"
+    step = m["step"] or "1"
+    others = ", ".join(
+        f"COALESCE(_q.{n}, 0) AS {n}" for n in names if n != col
+    )
+    proj = f"COALESCE(_s.{col}, _q.{col}) AS {col}" + (f", {others}" if others else "")
+    spine = (
+        f"SELECT explode(sequence(CAST({frm} AS BIGINT), CAST({to} AS BIGINT),"
+        f" {step})) AS {col}"
+    )
+    if not to_incl:  # CH's TO bound is exclusive; sequence() is inclusive
+        spine = f"SELECT * FROM ({spine}) WHERE {col} < {m['to']}"
+    return (
+        f"WITH _q AS ({inner}) SELECT {proj} FROM ({spine}) _s "
+        f"FULL OUTER JOIN _q ON _s.{col} = _q.{col} ORDER BY {col}"
+    )
+
+
 def _rewrite_prewhere(q: str) -> str:
     """``PREWHERE cond`` → merged into ``WHERE``. CH evaluates PREWHERE
     before column materialization as an I/O optimization; Spark's parquet
@@ -493,6 +637,12 @@ def _rewrite_clauses(q: str) -> str:
     - ``[LEFT] ARRAY JOIN expr AS x`` → ``LATERAL VIEW explode[_outer]``.
     - ``PREWHERE cond``       → conjoined into ``WHERE`` (Spark pushes all
       conjuncts to the scan, which is what PREWHERE hand-optimizes in CH).
+    - ``ASOF [LEFT] JOIN``    → range join + per-left-row rank
+      (`_rewrite_asof_join`).
+    - ``GROUP BY k WITH TOTALS`` → ``GROUPING SETS ((k), ())``
+      (`_rewrite_with_totals`).
+    - ``ORDER BY c WITH FILL [FROM/TO/STEP]`` → dense spine FULL OUTER JOIN
+      (`_rewrite_with_fill`).
 
     Top-level clauses only (no subquery recursion), and LIMIT BY's ORDER BY
     must reference select-list columns/aliases (the window is applied OVER
@@ -506,8 +656,10 @@ def _rewrite_clauses(q: str) -> str:
         frac = float(m.group(3)) if m.group(3) else None
         if not has_final and frac is None:
             return m.group(0)
-        return _from_replacement(m.group(1), has_final, frac)
+        repl = _from_replacement(m.group(1), has_final, frac)
+        return m.group(0) if repl is None else repl
 
+    q = _rewrite_asof_join(q)
     q = _FROM_RE.sub(from_sub, q)
     # ARRAY JOIN before PREWHERE: in CH text order the array clause sits
     # between the table and the predicates, and neither rewrite touches the
@@ -545,6 +697,8 @@ def _rewrite_clauses(q: str) -> str:
             f" (PARTITION BY {cols} ORDER BY {ord_clause}) AS _rn"
             f" FROM ({inner})) WHERE _rn <= {n} ORDER BY {ord_clause}{tail}"
         )
+    q = _rewrite_with_totals(q)
+    q = _rewrite_with_fill(q)
     return q
 
 
@@ -921,3 +1075,85 @@ def chsql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the §7.5 determinism rules; the quantiles array rides out as the
     established CSV encoding."""
     return ch_sql(spark, sf_dir, _CH_EVENTS)
+
+
+_CH_TOTALS = """
+SELECT o_orderpriority, count() AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderpriority WITH TOTALS
+"""
+
+
+@query(
+    "chsql_totals",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    """,
+)
+def chsql_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ... WITH TOTALS`` clause translation: CH's appended
+    all-rows totals row → ``GROUPING SETS ((k), ())``, the grand total
+    inline with NULL keys (the cross-engine grouping-marker convention; CH
+    renders type defaults instead — documented in `_rewrite_with_totals`).
+    The oracle hand-writes the grouping sets."""
+    return ch_sql(spark, sf_dir, _CH_TOTALS)
+
+
+_CH_WITH_FILL = """
+SELECT toInt64(o_orderkey % 500) AS bucket, count() AS n
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY toInt64(o_orderkey % 500)
+ORDER BY bucket WITH FILL FROM 0 TO 500
+"""
+
+
+@query(
+    "chsql_with_fill",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(o_orderkey % 500 AS BIGINT) AS bucket, count(*) AS n
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT s.bucket AS bucket, COALESCE(q.n, 0) AS n
+    FROM (SELECT unnest(range(0, 500)) AS bucket) s
+    LEFT JOIN q ON s.bucket = q.bucket
+    ORDER BY bucket
+    """,
+)
+def chsql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ... WITH FILL FROM a TO b`` clause translation: dense
+    bucket spine via ``sequence``+``explode`` (exclusive TO, as CH), gaps
+    filled with 0, FULL OUTER so original rows always survive. The oracle
+    builds the same spine with DuckDB's ``range``."""
+    return ch_sql(spark, sf_dir, _CH_WITH_FILL)
+
+
+_CH_ASOF = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events AS e ASOF JOIN orders AS o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+@query(
+    "chsql_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def chsql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF JOIN`` clause translation: each event matched to the user's
+    latest order at-or-before the event time, via range join + per-event
+    rank (`_rewrite_asof_join`; the operator-level `join_asof` is the
+    sort-based scale path). The oracle is DuckDB's NATIVE ASOF JOIN — an
+    independent implementation of the same semantics. Output columns are
+    tie-invariant (o_orderdate, the asof key itself) so same-date order
+    ties cannot make the two engines' arbitrary tie winners visible."""
+    return ch_sql(spark, sf_dir, _CH_ASOF)

@@ -237,3 +237,57 @@ def test_chsql_translated_spellings_execute(spark, sf_dir):
     assert len(out) == 5
     assert all(r.k_upto <= 4 for r in out)
     assert all(r.has_spread and r.span_ok for r in out)
+
+
+def test_chsql_round4_clause_rewrites():
+    """Round-4 clause surface: WITH TOTALS → grouping sets, WITH FILL →
+    spine join, ASOF JOIN → range join + rank, and the `final`-as-alias
+    fix (a reserved-word alias on a version-less table no longer raises)."""
+    import pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT a, count() AS n FROM orders GROUP BY a WITH TOTALS")
+    assert "GROUP BY GROUPING SETS ((a), ())" in t and "TOTALS" not in t
+
+    t = translate(
+        "SELECT bucket, n FROM orders ORDER BY bucket WITH FILL FROM 0 TO 10 STEP 2"
+    )
+    assert "sequence(CAST(0 AS BIGINT), CAST(10 AS BIGINT), 2)" in t
+    assert "bucket < 10" in t  # CH's TO bound is exclusive
+    assert "FULL OUTER JOIN" in t and "COALESCE(_q.n, 0)" in t
+
+    # No FROM/TO: spine bounds come from the query's own min/max.
+    t = translate("SELECT day, n FROM orders ORDER BY day WITH FILL")
+    assert "(SELECT MIN(day) FROM _q)" in t and "(SELECT MAX(day) FROM _q)" in t
+
+    t = translate(
+        "SELECT e.event_id, o.o_orderdate FROM events AS e ASOF JOIN orders AS o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"
+    )
+    assert "PARTITION BY e.event_id ORDER BY o.o_orderdate DESC" in t
+    assert "_arn = 1" in t
+    assert t.strip().startswith("SELECT event_id, o_orderdate")  # aliases stripped
+    assert t.strip().endswith("ORDER BY event_id")
+
+    # Forward asof (right >= left) orders ASC — earliest qualifying row.
+    t = translate(
+        "SELECT e.event_id FROM events AS e ASOF JOIN orders AS o "
+        "ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts"
+    )
+    assert "ORDER BY o.o_orderdate ASC" in t
+
+    # LEFT ASOF keeps unmatched left rows.
+    t = translate(
+        "SELECT e.event_id FROM events AS e ASOF LEFT JOIN orders AS o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    )
+    assert "LEFT JOIN orders o" in t
+
+    # `final` as a row alias on a table WITHOUT version metadata is left
+    # alone (ADVICE r3: was a ValueError); real FINAL still collapses, and
+    # FINAL+SAMPLE on a version-less table is unambiguous → still an error.
+    t = translate("SELECT final.o_orderkey FROM orders final")
+    assert t.endswith("FROM orders final")
+    with pytest.raises(ValueError, match="without version metadata"):
+        translate("SELECT a FROM orders SAMPLE 0.5 FINAL")
