@@ -326,9 +326,17 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"flatten(collect_list({args[0]}))"
     if low == "anyif":
         return f"any_value(IF({args[1]}, {args[0]}, NULL))"
-    if low == "datediff":  # dateDiff('unit', start, end) — unit de-quoted
+    if low == "datediff":
+        # dateDiff('unit', start, end): CH counts CROSSED unit boundaries
+        # (dateDiff('day', 23:00 d1, 01:00 d2) = 1), while Spark's
+        # timestampdiff counts complete elapsed units (= 0). Truncating both
+        # ends to the unit first makes elapsed == crossed — exact, not an
+        # approximation.
         unit = args[0].strip().strip("'\"").upper()
-        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+        return (
+            f"timestampdiff({unit}, date_trunc('{unit}', {args[1]}),"
+            f" date_trunc('{unit}', {args[2]}))"
+        )
     if low.startswith(("add", "subtract")) and (
         low.removeprefix("subtract").removeprefix("add") in _ADD_UNITS
     ):

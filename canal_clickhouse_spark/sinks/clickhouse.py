@@ -9,10 +9,15 @@ This writer keeps that contract with three transports:
   integration-only (no server in this environment), every option plumbed.
 - ``http``: ClickHouse's native HTTP interface — per-partition POSTs of
   ``INSERT INTO t FORMAT JSONEachRow`` bodies in ``batch_rows`` chunks,
-  bounded exponential-backoff retry, and a DETERMINISTIC ``query_id`` per
-  (batch, partition, chunk) plus ``insert_deduplicate=1`` so a replayed or
-  retried chunk dedupes server-side (the CH block-dedup contract).
-  Contract-tested against a mock HTTP server (tests/test_cdc.py).
+  bounded exponential-backoff retry, and a DETERMINISTIC
+  ``insert_deduplication_token`` per (batch, partition, chunk) plus
+  ``insert_deduplicate=1`` so a replayed or retried chunk dedupes
+  server-side. The token is CH's EXPLICIT dedup mechanism — the server
+  never dedups by query_id; content-hash block dedup only covers
+  Replicated tables, while the token works on any MergeTree (and makes
+  the identity independent of row-formatting drift). query_id is still
+  sent, but only as a trace handle. Contract-tested against a mock HTTP
+  server (tests/test_ch_sink.py) keyed on the token.
 - ``parquet`` (default fallback): an append-only parts directory, one part
   per (batch_id, attempt) like MergeTree parts; replays of the same
   batch_id overwrite their own part → idempotent exactly like a
@@ -91,13 +96,14 @@ class ClickHouseSink:
         """Per-partition chunked POSTs to the CH HTTP endpoint.
 
         Each Spark task streams its partition in ``batch_rows``-row
-        JSONEachRow bodies. Idempotency is the ClickHouse block-dedup
-        contract: ``query_id`` is a pure function of (table, batch_id,
-        partition, chunk) and ``insert_deduplicate=1`` is set, so a Spark
-        task retry, a foreachBatch replay, or our own transport-level retry
-        re-sends the SAME insert identity and the server drops the
-        duplicate block. Retries back off exponentially and re-raise after
-        ``max_retries`` — at-least-once upstream plus dedup downstream.
+        JSONEachRow bodies. Idempotency is CH's explicit token dedup:
+        ``insert_deduplication_token`` is a pure function of (table,
+        batch_id, partition, chunk) and ``insert_deduplicate=1`` is set, so
+        a Spark task retry, a foreachBatch replay, or our own
+        transport-level retry re-sends the SAME insert identity and the
+        server drops the duplicate block. Retries back off exponentially
+        and re-raise after ``max_retries`` — at-least-once upstream plus
+        dedup downstream.
         """
         url, table = self.target, self.table
         rows_per, retries = self.batch_rows, self.max_retries
@@ -119,11 +125,15 @@ class ClickHouseSink:
                 nonlocal buf, chunk, sent
                 if not buf:
                     return
+                ident = f"ccs-{table}-b{batch_id}-p{pidx}-c{chunk}"
                 params = urllib.parse.urlencode(
                     {
                         "query": f"INSERT INTO {table} FORMAT JSONEachRow",
-                        "query_id": f"ccs-{table}-b{batch_id}-p{pidx}-c{chunk}",
+                        # The dedup identity (what CH actually keys on):
+                        "insert_deduplication_token": ident,
                         "insert_deduplicate": "1",
+                        # Trace handle only — CH never dedups by query_id:
+                        "query_id": ident,
                     }
                 )
                 body = ("\n".join(buf) + "\n").encode("utf-8")

@@ -1,9 +1,11 @@
 """ClickHouseSink HTTP-transport contract tests against a mock CH server.
 
 The mock implements the two server behaviors the transport contract leans
-on: transient 500s (exercising bounded retry) and query_id block dedup
-(ClickHouse's ``insert_deduplicate`` — a re-sent insert identity is
-acknowledged but not re-applied). No real ClickHouse exists in this
+on: transient 500s (exercising bounded retry) and token block dedup
+(ClickHouse's ``insert_deduplication_token`` + ``insert_deduplicate=1`` —
+a re-sent insert identity is acknowledged but not re-applied; real CH
+never dedups by query_id, so the mock keys on the token the way the
+server does). No real ClickHouse exists in this
 environment; these tests pin the non-parquet codepath end-to-end through
 real executor-side POSTs.
 """
@@ -31,10 +33,19 @@ class _MockCH(BaseHTTPRequestHandler):
                 self.send_response(500)
                 self.end_headers()
                 return
-            qid = q["query_id"][0]
-            srv.requests.append((qid, q["query"][0], body))
-            if qid not in srv.seen:  # CH block dedup: ack, don't re-apply
-                srv.seen.add(qid)
+            # CH's dedup contract: insert_deduplicate=1 + the explicit
+            # token. A POST without both is applied unconditionally.
+            tok = q.get("insert_deduplication_token", [None])[0]
+            srv.requests.append((tok, q["query"][0], body))
+            if (
+                tok is not None
+                and q.get("insert_deduplicate", ["0"])[0] == "1"
+                and tok in srv.seen
+            ):  # CH block dedup: ack, don't re-apply
+                pass
+            else:
+                if tok is not None:
+                    srv.seen.add(tok)
                 srv.rows.extend(ln for ln in body.splitlines() if ln)
         self.send_response(200)
         self.end_headers()
@@ -94,7 +105,8 @@ def test_http_sink_retries_transient_failures(spark, mock_ch):
 
 def test_http_sink_replay_is_deduplicated(spark, mock_ch):
     """A foreachBatch replay re-sends the same (batch, partition, chunk)
-    query_ids; the server acks but keeps one copy — CH insert_deduplicate."""
+    dedup tokens; the server acks but keeps one copy — CH
+    insert_deduplication_token + insert_deduplicate."""
     sink = ClickHouseSink(_url(mock_ch), "t3", mode="http", batch_rows=3)
     df = _frame(spark)
     sink.write_batch(df, batch_id=7)
@@ -119,7 +131,7 @@ def test_streaming_foreachbatch_to_http_sink(spark, mock_ch, tmp_path):
     """End-to-end composition: Structured Streaming micro-batches delivered
     through the HTTP transport — the actual CDC→ClickHouse user path
     (readStream → foreachBatch(sink.write_batch) → chunked POSTs with
-    per-chunk query_id dedup). availableNow drains the source and the
+    per-chunk token dedup). availableNow drains the source and the
     delivered row set must equal it exactly."""
     src = str(tmp_path / "src")
     _frame(spark).write.parquet(src)
@@ -136,3 +148,60 @@ def test_streaming_foreachbatch_to_http_sink(spark, mock_ch, tmp_path):
     assert all(
         q0 == "INSERT INTO t5 FORMAT JSONEachRow" for _, q0, _ in mock_ch.requests
     )
+
+
+def test_collapsing_stream_restart_to_http_sink(spark, sf_dir, mock_ch, tmp_path):
+    """The full reference composition (VERDICT r3 task 7): collapsing-mode
+    TableSync ← checkpointed micro-batches, with a MID-STREAM RESTART (a new
+    pipeline object + stream query over the same checkpoint picks up only
+    the unseen files), then the FINAL read delivered through the mock-HTTP
+    ClickHouse sink with token dedup. Delivered rows must equal the
+    replacing-mode truth, and a sink replay must not duplicate them."""
+    from pyspark.sql import functions as F
+
+    from canal_clickhouse_spark.cdc.envelope import ORDERS_MAPPING
+    from canal_clickhouse_spark.pipeline import CdcPipeline, TableSync
+    from tests.test_pipeline import envelopes, expected_final, rows_set
+
+    rule = TableSync(
+        "shop", "orders", pk="o_orderkey", mapping=dict(ORDERS_MAPPING),
+        mode="collapsing",
+    )
+    root, src = str(tmp_path / "state"), str(tmp_path / "msgs")
+    stream_df = lambda: spark.readStream.schema("msg string").json(src)  # noqa: E731
+
+    # Run 1: INSERT everything, then stop (availableNow drains and exits).
+    envelopes(spark, sf_dir, "INSERT", "true").coalesce(1).write.mode("append").json(src)
+    pipe1 = CdcPipeline(spark, [rule], root)
+    pipe1.stream(stream_df()).awaitTermination()
+
+    # Mid-stream restart: drop two more files, then a FRESH pipeline object
+    # over the same state+checkpoint roots processes only the new ones.
+    envelopes(
+        spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0", status="F", day_offset=1
+    ).coalesce(1).write.mode("append").json(src)
+    envelopes(
+        spark, sf_dir, "DELETE", "o_orderkey % 100 = 0", day_offset=2
+    ).coalesce(1).write.mode("append").json(src)
+    pipe2 = CdcPipeline(spark, [rule], root)
+    pipe2.stream(stream_df()).awaitTermination()
+
+    final = pipe2.read_table("shop", "orders").select(*ORDERS_MAPPING)
+    assert rows_set(final) == rows_set(expected_final(spark, sf_dir))
+
+    # Deliver the synced table through the HTTP transport; replay dedupes.
+    sink = ClickHouseSink(_url(mock_ch), "orders_sync", mode="http", batch_rows=5000)
+    out = final.select(
+        "o_orderkey", F.col("o_orderstatus").alias("st")
+    )
+    sink.write_batch(out, batch_id=0)
+    want = {(r.o_orderkey, r.st) for r in out.collect()}
+    got = {(d["o_orderkey"], d["st"]) for d in map(json.loads, mock_ch.rows)}
+    assert got == want
+    sink.write_batch(out, batch_id=0)  # at-least-once redelivery
+    assert len(mock_ch.rows) == len(want), "sink replay must not duplicate"
+
+    # A third stream run with nothing new is a no-op (checkpoint holds).
+    v_before = pipe2._latest_version(rule)
+    CdcPipeline(spark, [rule], root).stream(stream_df()).awaitTermination()
+    assert pipe2._latest_version(rule) == v_before

@@ -174,7 +174,9 @@ def test_chsql_clause_rewrites():
     assert translate("uniqUpTo(5)(device)") == "LEAST(count(DISTINCT device), 5 + 1)"
     assert translate("anyIf(x, c)") == "any_value(IF(c, x, NULL))"
     assert translate("groupArrayArray(arr)") == "flatten(collect_list(arr))"
-    assert translate("dateDiff('day', a, b)") == "timestampdiff(DAY, a, b)"
+    assert translate("dateDiff('day', a, b)") == (
+        "timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b))"
+    )
     # -If combinator family + weighted average
     assert translate("uniqExactIf(x, c)") == "count(DISTINCT IF(c, x, NULL))"
     assert translate("argMaxIf(v, k, c)") == \
@@ -291,3 +293,20 @@ def test_chsql_round4_clause_rewrites():
     assert t.endswith("FROM orders final")
     with pytest.raises(ValueError, match="without version metadata"):
         translate("SELECT a FROM orders SAMPLE 0.5 FINAL")
+
+
+def test_chsql_datediff_counts_crossed_boundaries(spark):
+    """CH dateDiff semantics (ADVICE r3): 23:00 → next-day 01:00 crosses one
+    day boundary even though <24h elapsed; same for hour/month units."""
+    from canal_clickhouse_spark.chsql import translate
+
+    q = translate(
+        "SELECT dateDiff('day', timestamp'2024-01-01 23:00:00', "
+        "timestamp'2024-01-02 01:00:00') AS d, "
+        "dateDiff('hour', timestamp'2024-01-01 10:59:00', "
+        "timestamp'2024-01-01 11:01:00') AS h, "
+        "dateDiff('month', timestamp'2024-01-31 12:00:00', "
+        "timestamp'2024-02-01 00:00:00') AS m"
+    )
+    row = spark.sql(q).collect()[0]
+    assert (row["d"], row["h"], row["m"]) == (1, 1, 1)
