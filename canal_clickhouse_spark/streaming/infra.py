@@ -226,6 +226,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the applyInPandasWithState surface, per the §7.4 fallback plan.
     Re-probed 2026-08-13 (round 3): ``import google.protobuf`` now fails
     with ModuleNotFoundError outright — still unavailable, fallback stands.
+    Re-probed 2026-08-14 (round 4): ``import google.protobuf`` and ``import
+    google`` both raise ModuleNotFoundError ("No module named 'google'"),
+    and package installation is out of scope in this environment (no
+    pip/apt per the build constraints) — fallback stands; migration to
+    transformWithStateInPandas is a drop-in swap of this function once a
+    deployment image ships protobuf.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

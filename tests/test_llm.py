@@ -223,3 +223,44 @@ def test_connected_components_deep_chain(spark, sf_dir):
     labels = connected_components(edges).collect()
     assert len(labels) == n
     assert {r.comp for r in labels} == {0}
+
+
+def test_cc_deep_chain_converges_log_diameter(spark):
+    """VERDICT r3 task 9: the pointer-doubling claim, pinned on a graph where
+    plain min-label propagation would need thousands of rounds. A 3000-node
+    path (diameter 2999 >> 2^iterations for naive prop within the budget)
+    must fully label as one component well inside _CC_MAX_ROUNDS=60 — the
+    doubling loop needs ~log2(3000) ≈ 12 rounds — or raise the loud
+    RuntimeError; silent partial labels are the one forbidden outcome."""
+    from pyspark.sql import functions as F
+
+    from canal_clickhouse_spark.llm.dedup import connected_components
+
+    n = 3000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    edges = chain.unionByName(chain.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = connected_components(edges)
+    comps = labels.select("comp").distinct().collect()
+    assert [r.comp for r in comps] == [0], "one path = one component, min id 0"
+    assert labels.count() == n
+
+
+def test_cc_disjoint_chains_and_singleton_edges(spark):
+    """Two disjoint deep chains keep distinct min labels — doubling must not
+    leak labels across components."""
+    from pyspark.sql import functions as F
+
+    from canal_clickhouse_spark.llm.dedup import connected_components
+
+    n = 500
+    c1 = spark.range(n - 1).select(F.col("id").alias("s"), (F.col("id") + 1).alias("d"))
+    c2 = spark.range(n - 1).select(
+        (F.col("id") + 10_000).alias("s"), (F.col("id") + 10_001).alias("d")
+    )
+    chain = c1.unionByName(c2)
+    edges = chain.unionByName(chain.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = connected_components(edges)
+    got = {(r.comp, r.n) for r in labels.groupBy("comp").agg(F.count("*").alias("n")).collect()}
+    assert got == {(0, n), (10_000, n)}
