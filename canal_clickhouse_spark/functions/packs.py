@@ -15,7 +15,7 @@ Cross-engine notes baked in below:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -651,3 +651,78 @@ def fn_format_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_timestamp(o_orderdate) div 900") * 900
         ).alias("start_of_15min"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               LAG(p_name) OVER (ORDER BY p_partkey) AS prev_name
+        FROM part
+    ),
+    c AS (
+        SELECT p_partkey, p_name, prev_name,
+               list_distinct(list_filter(string_split_regex(p_name, ''),
+                                         x -> x <> '')) AS ca,
+               list_distinct(list_filter(string_split_regex(prev_name, ''),
+                                         x -> x <> '')) AS cb
+        FROM p WHERE prev_name IS NOT NULL
+    )
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, prev_name) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - levenshtein(p_name, prev_name)
+                 / CAST(GREATEST(len(p_name), len(prev_name)) AS DOUBLE), 4)
+               AS edit_sim,
+           ROUND(CAST(len(list_intersect(ca, cb)) AS DOUBLE)
+                 / CAST(len(ca) + len(cb) - len(list_intersect(ca, cb))
+                        AS DOUBLE), 4) AS char_jaccard
+    FROM c ORDER BY p_partkey
+    """,
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH string-distance family — ``editDistance`` (levenshtein),
+    normalized edit similarity, and ``stringJaccardIndex`` (char-set
+    Jaccard) — between each part name and its predecessor in key order
+    (the fuzzy-match shape used for entity resolution on synced tables).
+
+    `levenshtein` runs JVM-side (builtin, codegen); the char-set Jaccard is
+    split('')→array_distinct→array_intersect — all builtin array ops, no
+    Python. The union size is |a|+|b|−|a∩b| (avoids a second array op).
+    The LAG pairing is ONE window over the natural sort key — at scale this
+    is the standard sorted-neighborhood blocking pass (compare adjacent
+    candidates after a sort), not an all-pairs join.
+    """
+    p = table(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    d = (
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.lag("p_name").over(w).alias("prev_name"),
+        )
+        .where(F.col("prev_name").isNotNull())
+    )
+    chars = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.col(c), ""), lambda x: x != "")
+    )
+    inter = F.size(F.array_intersect(chars("p_name"), chars("prev_name")))
+    union = (
+        F.size(chars("p_name")) + F.size(chars("prev_name")) - inter
+    )
+    lev = F.levenshtein("p_name", "prev_name")
+    return d.select(
+        "p_partkey",
+        lev.cast("bigint").alias("edit_dist"),
+        F.round(
+            1.0
+            - lev
+            / F.greatest(F.length("p_name"), F.length("prev_name")).cast(
+                "double"
+            ),
+            4,
+        ).alias("edit_sim"),
+        F.round(inter.cast("double") / union.cast("double"), 4).alias(
+            "char_jaccard"
+        ),
+    ).orderBy("p_partkey")

@@ -584,3 +584,95 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", "cluster", F.round("d", 4).alias("dist2")
     ).orderBy("vec_id")
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ROUND(n_chars * 1.0 / len(string_split(text, ' ')), 3) AS q
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(FLOOR(0.4 * SUM(n_tokens)) AS BIGINT) AS budget FROM t
+    ),
+    b AS (SELECT q, SUM(n_tokens) AS btok FROM t GROUP BY q),
+    bp AS (
+        SELECT q,
+               COALESCE(SUM(btok) OVER (ORDER BY q DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS prior
+        FROM b
+    ),
+    w AS (
+        SELECT t.doc_id, t.n_tokens, t.q, bp.prior,
+               SUM(t.n_tokens) OVER (PARTITION BY t.q ORDER BY t.doc_id)
+                   AS wcum
+        FROM t JOIN bp USING (q)
+    )
+    SELECT doc_id, q AS quality, n_tokens,
+           CAST(prior + wcum AS BIGINT) AS cum_tokens
+    FROM w, tot WHERE prior + wcum <= budget
+    ORDER BY doc_id
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation cut: keep the highest-quality documents until a
+    fixed token budget (40% of corpus tokens) is exhausted — the "train on
+    the best N tokens" selection step of a data-curation pipeline.
+
+    The naive plan is a GLOBAL quality sort + running sum — a single
+    partition bottleneck at 100 TB. Instead the budget line is found
+    two-level: (1) quality scores quantize to 3dp buckets; per-bucket token
+    totals (partial-agg groupBy, |buckets| rows) get an exclusive prefix
+    sum over the tiny bucket table; (2) only the WITHIN-bucket running sum
+    is a data-scale window, and it's partitioned by bucket. A row survives
+    iff higher-buckets-prefix + its within-bucket cumsum fits the budget —
+    identical to the global-sort answer (bucket ties break by doc_id), but
+    every big operator is hash-partitioned. Budget is a broadcast scalar.
+    Quality proxy = mean token length (deterministic; swap in
+    text_quality_score's model in production).
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("n_chars") * 1.0 / F.size(F.split("text", " ")), 3
+        ).alias("q"),
+    )
+    budget = t.agg(
+        F.floor(0.4 * F.sum("n_tokens")).cast("bigint").alias("budget")
+    )
+    b = t.groupBy("q").agg(F.sum("n_tokens").alias("btok"))
+    bp = b.select(
+        "q",
+        F.coalesce(
+            F.sum("btok").over(
+                Window.orderBy(F.desc("q")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("prior"),
+    )
+    w = t.join(F.broadcast(bp), "q").withColumn(
+        "wcum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("q").orderBy("doc_id")
+        ),
+    )
+    return (
+        w.crossJoin(F.broadcast(budget))
+        .where(F.col("prior") + F.col("wcum") <= F.col("budget"))
+        .select(
+            "doc_id",
+            F.col("q").alias("quality"),
+            "n_tokens",
+            (F.col("prior") + F.col("wcum")).cast("bigint").alias(
+                "cum_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )

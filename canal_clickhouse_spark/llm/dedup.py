@@ -676,3 +676,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     ).withColumn("n", F.size("toks"))
     return _set_sim_join(grams, 7, 10).orderBy("a_id", "b_id")
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH doc_dups AS ({_DOC_DUPS_SQL}),
+    keyed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM doc_dups
+    ),
+    freq AS (
+        SELECT h, COUNT(*) AS dup_count FROM keyed GROUP BY h
+    )
+    SELECT k.doc_id, f.dup_count,
+           ROUND(1.0 / f.dup_count, 6) AS soft_weight,
+           ROUND(k.n_tokens * 1.0 / f.dup_count, 4) AS effective_tokens
+    FROM keyed k JOIN freq f USING (h)
+    ORDER BY k.doc_id
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, every copy
+    is kept and down-weighted to 1/dup_count so a duplicated document
+    contributes one document's worth of training mass in aggregate (the
+    SoftDeDup / DataComp-LM reweighting recipe — public literature).
+
+    Two shuffles of 16-byte digests only: groupBy(md5) for the frequency
+    table, then a digest-keyed join back. The document text itself never
+    shuffles (token counts are computed before the exchange), so at 100 TB
+    the exchanged volume is ~32 bytes/doc regardless of doc size — and the
+    frequency side is |distinct digests| rows, AQE-broadcastable when the
+    corpus is mostly unique.
+    """
+    keyed = with_tokens(doc_dups(spark, sf_dir)).select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        F.size("_w").cast("bigint").alias("n_tokens"),
+    )
+    freq = keyed.groupBy("h").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        keyed.join(freq, "h")
+        .select(
+            "doc_id",
+            "dup_count",
+            F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("soft_weight"),
+            F.round(
+                F.col("n_tokens") * F.lit(1.0) / F.col("dup_count"), 4
+            ).alias("effective_tokens"),
+        )
+        .orderBy("doc_id")
+    )
