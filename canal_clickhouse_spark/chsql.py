@@ -1165,3 +1165,52 @@ def chsql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-invariant (o_orderdate, the asof key itself) so same-date order
     ties cannot make the two engines' arbitrary tie winners visible."""
     return ch_sql(spark, sf_dir, _CH_ASOF)
+
+
+_CH_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count() AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority WITH ROLLUP
+"""
+
+
+@query(
+    "chsql_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def chsql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ... WITH ROLLUP`` — CH's hierarchical-subtotal modifier is
+    ALSO valid Spark SQL verbatim, so the clause needs no rewrite; the key
+    pins that the translator leaves it intact (no TOTALS/FILL regex bites)
+    and that both engines agree on the NULL-keyed subtotal rows. Rollup is
+    a single partial-agg exchange in Spark (Expand feeds one aggregate) —
+    the grouping-set fan-out happens map-side."""
+    return ch_sql(spark, sf_dir, _CH_ROLLUP)
+
+
+_CH_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count() AS n
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority WITH CUBE
+"""
+
+
+@query(
+    "chsql_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def chsql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ... WITH CUBE`` — like `chsql_rollup`, the CH spelling is
+    native Spark SQL; the key pins the pass-through and the 2^k
+    grouping-set agreement."""
+    return ch_sql(spark, sf_dir, _CH_CUBE)

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from .similarity import _DOT, _VEC_DUPS_SQL, _dot_unrolled, vec_dups
 
 CHUNK = 32  # tokens per chunk
+_SEM_TAU = 0.93  # dedup_semantic cosine threshold
 STRIDE = 24  # chunk start stride (CHUNK - STRIDE = 8 token overlap)
 BIN = 512  # pack_sequences token budget per bin
 
@@ -491,12 +493,11 @@ def _km_iter_sql(i: int) -> str:
     )"""
 
 
-@query(
-    "embed_kmeans",
-    oracle=f"""
-    WITH vecs AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-    ),
+def _km_chain_sql(src: str) -> str:
+    """The full deterministic Lloyd chain (seeds → cent0 → a{N}) as a WITH
+    body, parametric in the vector source CTE — shared by `embed_kmeans`
+    (raw corpus) and `dedup_semantic` (duplicate-injected corpus)."""
+    return f"""vecs AS ({src}),
     ex AS (
         SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
         FROM vecs
@@ -513,7 +514,14 @@ def _km_iter_sql(i: int) -> str:
         SELECT s.cluster, e.pos, ROUND(e.x, 6) AS c
         FROM seeds s JOIN ex e USING (vec_id)
     ),
-    {",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1))}
+    {",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1))}"""
+
+
+@query(
+    "embed_kmeans",
+    oracle=f"""
+    WITH {_km_chain_sql("SELECT vec_id, embedding::DOUBLE[] AS emb"
+                        " FROM embeddings")}
     SELECT vec_id, cluster, ROUND(d, 4) AS dist2
     FROM a{_KM_ITERS} ORDER BY vec_id
     """,
@@ -539,6 +547,17 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     ).localCheckpoint(eager=False)
+    assigned = _kmeans_assign(vecs)
+    return assigned.select(
+        "vec_id", "cluster", F.round("d", 4).alias("dist2")
+    ).orderBy("vec_id")
+
+
+def _kmeans_assign(vecs: DataFrame) -> DataFrame:
+    """Run the fixed-round deterministic Lloyd loop over ``vecs``
+    (``vec_id``, ``emb`` double array) → (``vec_id``, ``cluster``, ``d``).
+    Same trajectory as `_km_chain_sql` — see `embed_kmeans` for the
+    determinism and scale analysis."""
     ex = vecs.select("vec_id", F.posexplode("emb").alias("pos", "x"))
     h = F.md5(F.col("vec_id").cast("string").cast("binary"))
     seeds = (
@@ -581,9 +600,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
         )
-    return assigned.select(
-        "vec_id", "cluster", F.round("d", 4).alias("dist2")
-    ).orderBy("vec_id")
+    return assigned
 
 
 @query(
@@ -675,4 +692,82 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_km_chain_sql(f"SELECT vec_id, emb FROM ({_VEC_DUPS_SQL})")},
+    unit AS (
+        SELECT v.vec_id, a.cluster,
+               list_transform(v.emb,
+                   x -> x / sqrt(list_dot_product(v.emb, v.emb))) AS u
+        FROM vecs v JOIN a{_KM_ITERS} a USING (vec_id)
+    )
+    SELECT b.vec_id, b.cluster,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_semdups,
+           COUNT(a.vec_id) = 0 AS kept
+    FROM unit b LEFT JOIN unit a
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+     AND list_dot_product(a.u, b.u) >= {_SEM_TAU}
+    GROUP BY b.vec_id, b.cluster ORDER BY b.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public literature):
+    semantic deduplication by k-means-clustering the embedding space, then
+    comparing pairs ONLY within a cluster; a row is dropped when a
+    smaller-id cluster-mate sits above the cosine threshold (τ = 0.93).
+    Output is the full verdict table: per vector its cluster, how many
+    qualifying smaller-id semantic duplicates it has, and the kept flag.
+
+    This is the scale recipe for embedding dedup when a provable grid bound
+    (`dedup_embedding_cosine`) is too strict to bucket well: k-means gives
+    data-adapted buckets, and k grows with the corpus (k ≈ N/⟨cluster⟩) so
+    within-cluster work stays ~constant per row. The plan: the deterministic
+    Lloyd assignment (3 broadcast-crossJoin scan rounds, no collect), one
+    cluster-keyed self-join on unit vectors (shuffle key = cluster id), a
+    count aggregation on the pair output, and a left join back for the
+    keep verdicts. Same cosine fold and raw-threshold convention as
+    `dedup_embedding_cosine` (bit-identical to DuckDB's sequential
+    list_dot_product).
+    """
+    vd = vec_dups(spark, sf_dir).select("vec_id", "emb").localCheckpoint(
+        eager=False
+    )
+    assigned = _kmeans_assign(vd).select("vec_id", "cluster")
+    unit = (
+        vd.withColumn("nrm", F.expr(f"sqrt({_dot_unrolled('emb', 'emb')})"))
+        .select("vec_id", F.expr("transform(emb, x -> x / nrm)").alias("u"))
+        .join(assigned, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    a = unit.select(
+        F.col("vec_id").alias("a_id"), "cluster", F.col("u").alias("au")
+    )
+    b = unit.select(
+        F.col("vec_id").alias("b_id"), "cluster", F.col("u").alias("bu")
+    )
+    cos = F.expr(_DOT.format(a="au", b="bu"))
+    dup_counts = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", cos.alias("cr"))
+        .filter(F.col("cr") >= _SEM_TAU)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_semdups"))
+    )
+    return (
+        unit.select("vec_id", "cluster")
+        .join(dup_counts.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_semdups", F.lit(0)).cast("bigint").alias(
+                "n_semdups"
+            ),
+            (F.coalesce("n_semdups", F.lit(0)) == 0).alias("kept"),
+        )
+        .orderBy("vec_id")
     )

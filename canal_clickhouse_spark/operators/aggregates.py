@@ -877,3 +877,59 @@ def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_moving_array",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                 (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS msum
+        FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           array_to_string(list(round(msum, 2) ORDER BY event_id), ',')
+               AS moving_sums
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_moving_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupArrayMovingSum(3)(value)``: per user, the event-ordered
+    array of 3-row moving sums — the array-valued aggregate CH exposes for
+    inline sparkline/trend columns.
+
+    The moving sum itself is the `win_moving_avg` decimal convention
+    (exact DECIMAL frame sum, one double cast — no float accumulate/
+    retract drift); the array assembly is sort_array(collect_list(struct))
+    so ordering is explicit, not partition-luck. One user_id exchange
+    feeds BOTH the window and the groupBy (same key ⟹ Spark reuses the
+    hash partitioning — no second shuffle); arrays ride out CSV-encoded
+    per the driver-hash scalar convention.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    m = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("msum"),
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(event_id,"
+                    " round(msum, 2) AS s))), x -> x.s)"
+                ),
+                ",",
+            ).alias("moving_sums"),
+        )
+        .orderBy("user_id")
+    )

@@ -198,3 +198,20 @@ def test_no_accidental_cartesian_or_python(spark, sf_dir):
         if bad:
             offenders[key] = bad
     assert not offenders, f"plan smells: {offenders}"
+
+
+def test_partition_prune_reaches_reader(spark, sf_dir):
+    """scan_partition_prune's event_type predicate must land in
+    PartitionFilters (directory pruning), not in the row-level data
+    filters — at 100 TB that's the difference between listing one
+    partition directory and scanning every file."""
+    plan = plan_of(QUERIES["scan_partition_prune"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(?P<f>[^\]]*)\]", plan)
+    assert pf and "event_type" in pf["f"], plan
+    # The partition predicate must NOT degrade to a post-scan Filter on
+    # event_type (that would mean full-scan + row filter).
+    data_filters = re.search(r"PushedFilters: \[(?P<f>[^\]]*)\]", plan)
+    assert data_filters is None or "event_type" not in data_filters["f"]
