@@ -35,8 +35,8 @@ Covered (one entry per CH name):
   literals:  CH bracket array literals `[...]` → array(...) (subscripts
              `expr[i]` pass through untouched)
   clauses:   FROM t FINAL / SAMPLE k / LIMIT n BY k / [LEFT] ARRAY JOIN /
-             PREWHERE / GLOBAL JOIN / ASOF [LEFT] JOIN /
-             GROUP BY ... WITH TOTALS / ORDER BY ... WITH FILL
+             PREWHERE / GLOBAL JOIN / ASOF [LEFT] JOIN / ANY [LEFT] JOIN /
+             GROUP BY ... WITH TOTALS|ROLLUP|CUBE / ORDER BY ... WITH FILL
              (see _rewrite_clauses)
 """
 
@@ -399,7 +399,7 @@ def _json_path(key: str) -> str:
 # the fixture tables.
 _TABLE_META: dict[str, dict[str, str]] = {
     "orders": {"key": "o_orderkey"},
-    "lineitem": {"key": "l_orderkey"},
+    "lineitem": {"key": "l_orderkey", "uniq": "l_orderkey, l_linenumber"},
     "customer": {"key": "c_custkey"},
     "part": {"key": "p_partkey"},
     "supplier": {"key": "s_suppkey"},
@@ -485,6 +485,13 @@ _ASOF_RE = re.compile(
     r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
+_ANY_JOIN_RE = re.compile(
+    r"\bFROM\s+(?P<lt>\w+)\s+(?:AS\s+)?(?P<la>\w+)\s+"
+    r"ANY\s+(?P<left>LEFT\s+)?(?:INNER\s+)?JOIN\s+"
+    r"(?P<rt>\w+)\s+(?:AS\s+)?(?P<ra>\w+)\s+ON\s+(?P<cond>.+?)"
+    r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 _TOTALS_RE = re.compile(
     r"\bGROUP\s+BY\s+(?P<cols>.+?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL
 )
@@ -544,6 +551,44 @@ def _rewrite_asof_join(q: str) -> str:
         f" (PARTITION BY {la}.{pk} ORDER BY {right_expr} {direction}) AS _arn"
         f" FROM {lt} {la} {jtype} {rt} {ra} ON {cond}"
         f") WHERE _arn = 1) "
+    )
+    head = re.sub(rf"\b({la}|{ra})\.", "", q[: m.start()])
+    tail = re.sub(rf"\b({la}|{ra})\.", "", q[m.end() :])
+    return head + sub + tail
+
+
+def _rewrite_any_join(q: str) -> str:
+    """``L la ANY [LEFT] JOIN R ra ON cond`` → join + per-left-row
+    ``ROW_NUMBER() = 1`` keeping ONE right match per left row.
+
+    CH's ANY JOIN takes an arbitrary first match; arbitrary isn't
+    hash-checkable, so the rewrite pins the DETERMINISTIC representative —
+    the right row with the smallest unique sort tuple from ``_TABLE_META``
+    (``uniq`` when the table's key alone isn't row-unique, else ``key``) —
+    a strict refinement of CH's contract (documented divergence, same
+    class as the FINAL/argMax tie-break pins). Same flattening caveats as
+    `_rewrite_asof_join`: disjoint column names, aliases dissolve.
+    """
+    m = _ANY_JOIN_RE.search(q)
+    if not m:
+        return q
+    lt, la, rt, ra = m["lt"], m["la"], m["rt"], m["ra"]
+    lmeta, rmeta = _TABLE_META.get(lt), _TABLE_META.get(rt)
+    if lmeta is None or rmeta is None:
+        raise ValueError(f"ANY JOIN tables {lt!r}/{rt!r} need key metadata")
+    lpk = lmeta["key"]
+    rorder = ", ".join(
+        f"{ra}.{c.strip()}"
+        for c in rmeta.get("uniq", rmeta["key"]).split(",")
+    )
+    cond = m["cond"].strip()
+    jtype = "LEFT JOIN" if m["left"] else "JOIN"
+    sub = (
+        f"FROM (SELECT * EXCEPT(_anyrn) FROM ("
+        f"SELECT {la}.*, {ra}.*, ROW_NUMBER() OVER"
+        f" (PARTITION BY {la}.{lpk} ORDER BY {rorder}) AS _anyrn"
+        f" FROM {lt} {la} {jtype} {rt} {ra} ON {cond}"
+        f") WHERE _anyrn = 1) "
     )
     head = re.sub(rf"\b({la}|{ra})\.", "", q[: m.start()])
     tail = re.sub(rf"\b({la}|{ra})\.", "", q[m.end() :])
@@ -647,6 +692,8 @@ def _rewrite_clauses(q: str) -> str:
       conjuncts to the scan, which is what PREWHERE hand-optimizes in CH).
     - ``ASOF [LEFT] JOIN``    → range join + per-left-row rank
       (`_rewrite_asof_join`).
+    - ``ANY [LEFT] JOIN``     → join + deterministic one-right-row rank
+      (`_rewrite_any_join`).
     - ``GROUP BY k WITH TOTALS`` → ``GROUPING SETS ((k), ())``
       (`_rewrite_with_totals`).
     - ``ORDER BY c WITH FILL [FROM/TO/STEP]`` → dense spine FULL OUTER JOIN
@@ -668,6 +715,7 @@ def _rewrite_clauses(q: str) -> str:
         return m.group(0) if repl is None else repl
 
     q = _rewrite_asof_join(q)
+    q = _rewrite_any_join(q)
     q = _FROM_RE.sub(from_sub, q)
     # ARRAY JOIN before PREWHERE: in CH text order the array clause sits
     # between the table and the predicates, and neither rewrite touches the
@@ -1214,3 +1262,60 @@ def chsql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     native Spark SQL; the key pins the pass-through and the 2^k
     grouping-set agreement."""
     return ch_sql(spark, sf_dir, _CH_CUBE)
+
+
+_CH_ANY_JOIN = """
+SELECT c_custkey, c_mktsegment, o_orderkey AS first_orderkey,
+       round(o_totalprice, 2) AS first_price
+FROM customer c ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "chsql_any_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey AS first_orderkey,
+           round(o.o_totalprice, 2) AS first_price
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                               ORDER BY o.o_orderkey) = 1
+    ORDER BY c.c_custkey
+    """,
+)
+def chsql_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANY LEFT JOIN`` clause translation: CH's one-right-row-per-left
+    join → join + per-left-key ``ROW_NUMBER() = 1`` pinned to the smallest
+    right key (deterministic refinement of CH's arbitrary-first-match —
+    see `_rewrite_any_join`). Unmatched customers keep their NULL row."""
+    return ch_sql(spark, sf_dir, _CH_ANY_JOIN)
+
+
+_CH_SEMI_ANTI = """
+SELECT 'with_orders' AS kind, count() AS n_customers
+FROM customer LEFT SEMI JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'no_orders' AS kind, count() AS n_customers
+FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey
+"""
+
+
+@query(
+    "chsql_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS kind, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'no_orders', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def chsql_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LEFT SEMI JOIN`` / ``LEFT ANTI JOIN`` spellings are native
+    Spark SQL — the key pins the pass-through (the ANY/ASOF rewrites must
+    not bite) and the EXISTS/NOT-EXISTS equivalence. Semi/anti joins never
+    materialize right columns, so the build side ships only its join key
+    (broadcast here: orders' key column against the small dim)."""
+    return ch_sql(spark, sf_dir, _CH_SEMI_ANTI)

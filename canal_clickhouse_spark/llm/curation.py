@@ -309,12 +309,20 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, COUNT(*) AS n FROM documents GROUP BY source
     ),
     tot AS (
-        SELECT SUM(sqrt(n)) AS wsum, SUM(n) AS total FROM cnt
+        -- 6dp-rounded sqrt summed as DECIMAL: the weight sum is EXACT in
+        -- any accumulation order. A raw float SUM(sqrt(n)) differs in the
+        -- last ulp by partition order, and at sf0.1 the target ratio lands
+        -- exactly on an integer (125.0), where ceil() amplifies that ulp
+        -- to an off-by-one kept-count.
+        SELECT CAST(SUM(CAST(round(sqrt(n), 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS wsum,
+               SUM(n) AS total
+        FROM cnt
     ),
     target AS (
         SELECT source, n,
-               LEAST(n, CAST(ceil(sqrt(n) / wsum * total * 0.5) AS BIGINT))
-                 AS t
+               LEAST(n, CAST(ceil(round(sqrt(n), 6) / wsum * total * 0.5)
+                             AS BIGINT)) AS t
         FROM cnt, tot
     ),
     ranked AS (
@@ -348,8 +356,12 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # Exact decimal weight sum — see the oracle comment (order-free wsum).
     tot = cnt.agg(
-        F.sum(F.sqrt("n")).alias("wsum"), F.sum("n").alias("total")
+        F.sum(F.round(F.sqrt("n"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum("n").alias("total"),
     )
     target = (
         cnt.crossJoin(F.broadcast(tot))
@@ -358,9 +370,12 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.least(
                 F.col("n"),
-                F.ceil(F.sqrt("n") / F.col("wsum") * F.col("total") * 0.5).cast(
-                    "bigint"
-                ),
+                F.ceil(
+                    F.round(F.sqrt("n"), 6)
+                    / F.col("wsum")
+                    * F.col("total")
+                    * 0.5
+                ).cast("bigint"),
             ).alias("t"),
         )
     )

@@ -334,3 +334,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
     return extract_features(media).orderBy("doc_id")
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, md5(text) AS payload_md5,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text), octet_length(encode(text))
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    grouped AS (
+        SELECT payload_md5,
+               MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        FROM media GROUP BY payload_md5
+    )
+    SELECT canonical_id, n_copies, total_bytes,
+           CAST(total_bytes - total_bytes / n_copies AS BIGINT)
+               AS reclaimable_bytes
+    FROM grouped ORDER BY canonical_id
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup: group binary payloads by md5 digest,
+    keep the smallest doc_id as canonical, report copy counts and the
+    bytes a dedup'd store reclaims — the image/audio twin of `dedup_exact`
+    (a re-crawled image dedups by content hash regardless of filename or
+    metadata). A quarter of the corpus is re-ingested under new ids to
+    give the key real duplicates.
+
+    Only (digest, id, n_bytes) ever shuffles — ~40 bytes/payload whether
+    the payload is 1 KB of text or 40 MB of video, which is what makes
+    content-addressed dedup the FIRST pass of a multimodal pipeline at
+    100 TB (it runs at metadata cost before any decode).
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.encode("text", "utf-8").alias("bytes"))
+    redup = base.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    media = base.unionByName(redup).select(
+        "doc_id",
+        F.md5("bytes").alias("payload_md5"),
+        F.length("bytes").cast("bigint").alias("n_bytes"),
+    )
+    grouped = media.groupBy("payload_md5").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    return grouped.select(
+        "canonical_id",
+        "n_copies",
+        "total_bytes",
+        (F.col("total_bytes") - F.col("total_bytes") / F.col("n_copies"))
+        .cast("bigint")
+        .alias("reclaimable_bytes"),
+    ).orderBy("canonical_id")

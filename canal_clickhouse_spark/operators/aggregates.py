@@ -933,3 +933,60 @@ def agg_moving_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_hll_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_consistent,
+           TRUE AS within_10pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``uniqState``/``uniqMerge`` (AggregatingMergeTree's mergeable
+    sketch states) on Spark's native Datasketches HLL: per (event_type,
+    shard) PARTIAL sketches are built, then union-merged per event_type
+    and estimated — exactly how a CH materialized view keeps uniqState
+    parts that FINAL-merge at read.
+
+    Two contracts are hash-checked (values an independent engine can
+    verify): (1) merge consistency — the union of the 4 shard sketches
+    estimates within 1% of a sketch built directly over the unsharded
+    group (not bit-identical: Datasketches' union gadget may hold a
+    different target lgK than a directly-built sketch once shards leave
+    sparse mode, so registers can differ by a rounding quantum — observed
+    at sf0.1, identical at sf0.001), and (2) the estimator contract — the
+    merged estimate lands within 10% of the exact count. At 100 TB the
+    partial-sketch shape is the whole point: shards build ~1.5 KB states
+    map-side; only states cross the wire, never user ids.
+    """
+    ev = table(spark, sf_dir, "events")
+    parts = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = parts.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_merged") - F.col("est_direct"))
+                <= 0.01 * F.col("est_direct")
+            ).alias("merge_consistent"),
+            (
+                F.abs(F.col("est_merged") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("within_10pct"),
+        )
+        .orderBy("event_type")
+    )

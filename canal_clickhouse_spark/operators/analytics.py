@@ -753,3 +753,75 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "sessionize_gap",
+    oracle="""
+    WITH e AS (
+        -- FLOOR(epoch) per endpoint: Spark's unix_timestamp truncates to
+        -- whole seconds; DuckDB's epoch() keeps the fraction, and flooring
+        -- the DIFFERENCE instead of the endpoints is off by one around
+        -- sub-second remainders.
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts, es,
+               CASE WHEN es - LAG(es) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                         OR LAG(es) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, event_id, es,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(es) - MIN(es) AS BIGINT) AS dur_sec
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): the lag-mark-cumsum
+    classic — new session when the gap to the previous event exceeds 1800s,
+    session id = running count of session starts. The batch twin of
+    `stream_session` (which uses Spark's native session window on the same
+    gap), so the two surfaces can be cross-checked.
+
+    ONE user_id exchange serves both windows AND the final groupBy (same
+    partition key throughout — Spark reuses the hash exchange; the plan has
+    exactly one shuffle). Ties (equal ts) break on event_id, so the cumsum
+    is deterministic. At 100 TB this is the canonical per-entity timeline
+    pass: everything after the single shuffle is sorted-run local.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap > 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("dur_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
