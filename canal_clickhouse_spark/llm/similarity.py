@@ -310,6 +310,53 @@ def _grid_lane(u_col: str, lane: int) -> str:
     return f"({dot} / {w!r})"
 
 
+def _bessel_dirs(k: int = 8) -> list[list[float]]:
+    """k ORTHONORMALIZED directions (Gram-Schmidt over the LCG planes) for
+    the Bessel candidate prefilter. Pure-Python floats → the components
+    embed as exact double literals; determinism is process-local (the
+    filter is a SUPERSET test, not an oracle-matched value)."""
+    dirs: list[list[float]] = []
+    for lane in range(k):
+        v = [
+            ((1103515245 * (lane * 64 + d + 1) + 12345) % 2147483648)
+            / 2147483648.0
+            - 0.5
+            for d in range(64)
+        ]
+        for g in dirs:
+            dot = sum(a * b for a, b in zip(v, g))
+            v = [a - dot * b for a, b in zip(v, g)]
+        nrm = sum(a * a for a in v) ** 0.5
+        dirs.append([a / nrm for a in v])
+    return dirs
+
+
+def _bessel_proj(u_col: str) -> str:
+    """SQL array of the 8 orthonormal projections of ``u_col`` — one-per-row
+    64-term codegen'd sums (the unroll-wins-for-projections regime)."""
+    lanes = []
+    for g in _bessel_dirs():
+        lanes.append(
+            "(" + " + ".join(f"{u_col}[{d}] * {c!r}" for d, c in enumerate(g)) + ")"
+        )
+    return "array(" + ", ".join(lanes) + ")"
+
+
+# Per-candidate Bessel screen: for ORTHONORMAL g_i, Σ_i ⟨a−b, g_i⟩² ≤ ‖a−b‖²
+# (Bessel's inequality) and cos ≥ 0.95 ⟺ ‖a−b‖² ≤ 0.1 for unit vectors — so
+# every qualifying pair satisfies Σ Δproj² ≤ 0.1 and the screen never drops
+# a true pair (1e-9 slack covers float error in the projections and the
+# Gram-Schmidt literals). Random far pairs (‖a−b‖² ≈ 2) concentrate around
+# Σ ≈ 8·2/64 = 0.25 with P(Σ ≤ 0.1) ≈ χ²₈(3.2) ≈ 8%, so ~92% of candidates
+# die on an 8-term square sum instead of the 64-wide cosine fold
+# (measured: 2.76s → 1.58s warm at sf0.1 on 239k candidates).
+_BESSEL_SCREEN = (
+    "("
+    + " + ".join(f"(apo[{i}] - bpo[{i}]) * (apo[{i}] - bpo[{i}])" for i in range(8))
+    + ") <= 0.100000001D"
+)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -365,6 +412,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.expr("transform(emb, x -> x / nrm)").alias("u"),
+            # Bessel projections of u = ⟨emb, g⟩/nrm, materialized by the
+            # checkpoint like u itself. The 8×64-term expression lives in
+            # THIS per-row stage on purpose: adding it to the per-candidate
+            # stages instead pushed their generated processNext() past the
+            # JVM method limit — codegen failed to compile and the whole
+            # candidate stage ran INTERPRETED, costing more than the screen
+            # saved (observed: 2.76s → no change until the move).
+            F.expr(
+                f"transform({_bessel_proj('emb')}, p -> p / nrm)"
+            ).alias("po"),
         )
         .localCheckpoint(eager=False)
     )
@@ -373,6 +430,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label"),
         F.col("u").alias("au"),
+        F.col("po").alias("apo"),
         F.expr(f"CAST(floor({q0}) AS BIGINT)").alias("cell0"),
         F.expr(f"CAST(floor({q1}) AS BIGINT)").alias("cell1"),
     )
@@ -381,6 +439,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("b_id"),
             F.col("label").alias("label"),
             F.col("u").alias("bu"),
+            F.col("po").alias("bpo"),
             F.expr(f"CAST(floor({q0}) AS BIGINT)").alias("bc0"),
             F.expr(f"CAST(floor({q1}) AS BIGINT)").alias("bc1"),
             F.expr(f"IF({q0} - floor({q0}) >= 0.5D, 1L, -1L)").alias("s0"),
@@ -401,6 +460,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             "label",
             "bu",
+            "bpo",
             (F.col("bc0") + F.col("nb.d0")).alias("cell0"),
             (F.col("bc1") + F.col("nb.d1")).alias("cell1"),
         )
@@ -413,6 +473,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["label", "cell0", "cell1"])
         .filter(F.col("a_id") < F.col("b_id"))
+        # Bessel screen BEFORE the 64-wide fold: ~92% of candidates die on
+        # an 8-term projection-distance sum (see _BESSEL_SCREEN — provably
+        # drops no qualifying pair, so the all-pairs oracle still matches).
+        .filter(F.expr(_BESSEL_SCREEN))
         # Fold ONCE into a named column, then filter/round reference the
         # column: filter-then-project re-evaluated the 64-wide kernel per
         # candidate twice (no cross-operator CSE) — measured 15% on the key.

@@ -151,6 +151,9 @@ _CARTESIAN_OK = {
     # deterministic Lloyd's: per-row probe of a broadcast k-row (k=8)
     # centroid table via crossJoin — map-side by construction.
     "embed_kmeans",
+    # sample_token_budget attaches its 1-row broadcast budget scalar via
+    # cross join (same class as ttl_expire's horizon).
+    "sample_token_budget",
 }
 
 
