@@ -454,3 +454,49 @@ def cdc_apply_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "cdc_merge_associativity",
+    oracle=FINAL_STATE_SQL.replace(
+        f"SELECT {_COLS} FROM ranked WHERE rn = 1 AND op <> 'DELETE'",
+        f"SELECT {_COLS}, TRUE AS two_phase_equal "
+        "FROM ranked WHERE rn = 1 AND op <> 'DELETE' ORDER BY o_orderkey",
+    ),
+)
+def cdc_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property every MergeTree part merge RELIES on, pinned as a key:
+    collapsing shard-partial states then collapsing the union of partials
+    equals collapsing the full log (latest-per-key via ``max_by`` is an
+    associative, commutative fold — CH merges parts pairwise in arbitrary
+    order and FINAL still converges; a Spark CDC job re-partitions the
+    binlog arbitrarily and must converge identically).
+
+    The change log is split into 3 shards by a hash of (pk, version) —
+    deliberately NOT aligned with keys, so a key's versions straddle
+    shards. Each shard collapses independently (a CH part), the partial
+    states union and collapse again (the merge), and the result is
+    row-compared against the single-pass collapse. Output = the live
+    final state + per-row equality flag (hash-checked TRUE).
+    """
+    log = change_log(spark, sf_dir)
+    shard = F.pmod(F.xxhash64(F.col(PK), F.col("version")), F.lit(3))
+    parts = [
+        latest_per_key(log.filter(shard == i)) for i in range(3)
+    ]
+    merged = latest_per_key(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    direct = latest_per_key(log)
+    live_cols = [c for c in direct.columns if c not in ("op",)]
+    m = merged.filter(F.col("op") != "DELETE").select(
+        *[F.col(c).alias(f"m_{c}") for c in live_cols]
+    )
+    d = direct.filter(F.col("op") != "DELETE")
+    payload = [c for c in live_cols if c != PK]
+    eq = F.struct(*[F.col(c) for c in payload]).eqNullSafe(
+        F.struct(*[F.col(f"m_{c}") for c in payload])
+    )
+    return (
+        d.join(m, d[PK] == m[f"m_{PK}"], "inner")
+        .select(*ORDER_COLS, eq.alias("two_phase_equal"))
+        .orderBy(PK)
+    )

@@ -726,3 +726,55 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_jaccard"
         ),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_rounding",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity / 2, 0) + 0.0 AS half_up,
+           round_even(l_quantity / 2, 0) + 0.0 AS bankers,
+           floor(l_extendedprice / 100) + 0.0 AS floor_hundreds,
+           ceil(l_extendedprice / 100) + 0.0 AS ceil_hundreds,
+           trunc(l_extendedprice / 100) + 0.0 AS trunc_hundreds,
+           CAST(power(2, floor(log2(l_quantity))) AS BIGINT) AS to_exp2
+    FROM lineitem
+    WHERE l_orderkey % 31 = 0 AND l_quantity >= 1
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH rounding family: ``round`` (ties away from zero — Spark round /
+    DuckDB round agree), ``roundBankers`` (ties to even — Spark ``bround``
+    / DuckDB ``round_even``), ``floor``/``ceil``/``trunc`` at a coarser
+    scale, and ``roundToExp2`` (largest power of two ≤ x, via
+    2^⌊log2⌋ — exact for the integral quantities: log2 of an exact power
+    of two is exact in IEEE).
+
+    quantity/2 lands EXACTLY on .5 for odd quantities (integer halves are
+    exact binary doubles), so the half-up vs bankers columns genuinely
+    diverge row-by-row — the key pins that each engine's tie rule maps to
+    the right CH spelling, not just that ties never happen. All-projection
+    scan, no shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    h = F.col("l_extendedprice") / 100
+    return (
+        li.where((F.col("l_orderkey") % 31 == 0) & (q >= 1))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.round(q / 2, 0) + 0.0).alias("half_up"),
+            (F.bround(q / 2, 0) + 0.0).alias("bankers"),
+            (F.floor(h) + 0.0).alias("floor_hundreds"),
+            (F.ceil(h) + 0.0).alias("ceil_hundreds"),
+            # trunc toward zero: positive prices, so floor == trunc is NOT
+            # exercised by sign — use double truncation explicitly.
+            (F.col("l_extendedprice") / 100).cast("bigint").cast("double").alias(
+                "trunc_hundreds"
+            ),
+            F.pow(F.lit(2), F.floor(F.log2(q))).cast("bigint").alias("to_exp2"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -21,10 +21,24 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .similarity import _DOT, _VEC_DUPS_SQL, _dot_unrolled, vec_dups
+from .similarity import (
+    _DOT,
+    _VEC_DUPS_SQL,
+    _bessel_proj,
+    _dot_unrolled,
+    vec_dups,
+)
 
 CHUNK = 32  # tokens per chunk
 _SEM_TAU = 0.93  # dedup_semantic cosine threshold
+# Bessel screen at tau=0.93: ||a-b||^2 <= 2 - 2*0.93 = 0.14 (+ float slack).
+_SEM_SCREEN = (
+    "("
+    + " + ".join(
+        f"(apo[{i}] - bpo[{i}]) * (apo[{i}] - bpo[{i}])" for i in range(8)
+    )
+    + ") <= 0.140000001D"
+)
 STRIDE = 24  # chunk start stride (CHUNK - STRIDE = 8 token overlap)
 BIN = 512  # pack_sequences token budget per bin
 
@@ -754,20 +768,42 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _kmeans_assign(vd).select("vec_id", "cluster")
     unit = (
         vd.withColumn("nrm", F.expr(f"sqrt({_dot_unrolled('emb', 'emb')})"))
-        .select("vec_id", F.expr("transform(emb, x -> x / nrm)").alias("u"))
+        .select(
+            "vec_id",
+            F.expr("transform(emb, x -> x / nrm)").alias("u"),
+            # Bessel projections, materialized per row by the checkpoint —
+            # same screen as dedup_embedding_cosine (see _bessel_proj):
+            # far within-cluster pairs die on an 8-term square sum instead
+            # of the 64-wide fold. Provably drops no pair with cos >= tau,
+            # so the all-pairs oracle still matches. At sf0.1 the key's
+            # wall-clock is Lloyd-round-bound (~2s, unchanged); the screen
+            # is what keeps the PAIR stage flat as clusters grow — at k
+            # fixed the within-cluster pair count grows (N/k)^2 while the
+            # Lloyd cost grows N.
+            F.expr(f"transform({_bessel_proj('emb')}, p -> p / nrm)").alias(
+                "po"
+            ),
+        )
         .join(assigned, "vec_id")
         .localCheckpoint(eager=False)
     )
     a = unit.select(
-        F.col("vec_id").alias("a_id"), "cluster", F.col("u").alias("au")
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("u").alias("au"),
+        F.col("po").alias("apo"),
     )
     b = unit.select(
-        F.col("vec_id").alias("b_id"), "cluster", F.col("u").alias("bu")
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("u").alias("bu"),
+        F.col("po").alias("bpo"),
     )
     cos = F.expr(_DOT.format(a="au", b="bu"))
     dup_counts = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(_SEM_SCREEN))
         .select("b_id", cos.alias("cr"))
         .filter(F.col("cr") >= _SEM_TAU)
         .groupBy("b_id")

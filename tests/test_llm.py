@@ -264,3 +264,35 @@ def test_cc_disjoint_chains_and_singleton_edges(spark):
     labels = connected_components(edges)
     got = {(r.comp, r.n) for r in labels.groupBy("comp").agg(F.count("*").alias("n")).collect()}
     assert got == {(0, n), (10_000, n)}
+
+
+def test_bessel_screen_is_complete():
+    """The Bessel candidate screen must NEVER drop a qualifying pair: for
+    orthonormal directions g_i, sum_i <a-b, g_i>^2 <= ||a-b||^2 (Bessel's
+    inequality), so cos(a,b) >= tau implies the screened sum <= 2-2*tau.
+    Pin (1) the Gram-Schmidt literals are orthonormal to float precision
+    and (2) the superset property holds on random unit-vector pairs,
+    including engineered near-duplicates right at the threshold."""
+    import numpy as np
+
+    from canal_clickhouse_spark.llm.similarity import _bessel_dirs
+
+    G = np.array(_bessel_dirs())
+    # Orthonormality of the literal directions (slack >> the 1e-9 screen
+    # margin divided by ||d||^2 <= 4).
+    assert np.abs(G @ G.T - np.eye(8)).max() < 1e-12
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(500, 64))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    # Near-duplicate partners at graded distances straddling the tau=0.95
+    # radius ||a-b|| = sqrt(0.1).
+    eps = rng.normal(size=(500, 64))
+    eps /= np.linalg.norm(eps, axis=1, keepdims=True)
+    scales = np.linspace(0.0, 0.5, 500)[:, None]
+    b = a + scales * eps
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    cos = (a * b).sum(axis=1)
+    screen = (((a - b) @ G.T) ** 2).sum(axis=1)
+    qualifying = cos >= 0.95
+    assert qualifying.sum() > 50  # the grid actually straddles the radius
+    assert (screen[qualifying] <= 0.100000001).all()
