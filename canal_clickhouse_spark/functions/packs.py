@@ -778,3 +778,67 @@ def fn_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               '{"meta":{"type":"' || event_type || '","cents":'
+                   || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+                   || '},"ids":[' || CAST(user_id AS VARCHAR) || ','
+                   || CAST(event_id AS VARCHAR) || '],"k":'
+                   || CAST(json_extract_string(props, '$.k') AS VARCHAR)
+                   || '}' AS doc
+        FROM events
+    )
+    SELECT event_id,
+           json_extract_string(doc, '$.meta.type') AS mtype,
+           CAST(json_extract_string(doc, '$.meta.cents') AS BIGINT) AS cents,
+           CAST(json_extract_string(doc, '$.ids[1]') AS BIGINT) AS second_id,
+           CAST(json_extract_string(doc, '$.k') AS INT) AS k,
+           CAST(json_extract_string(doc, '$.meta.absent') AS VARCHAR)
+               AS absent
+    FROM j ORDER BY event_id
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the engine-side analog of ClickHouse's JSON/Object
+    column type: semi-structured documents parsed ONCE into a binary
+    columnar encoding (`parse_json`), then path-extracted with per-path
+    types (`try_variant_get`), including nested objects, array subscripts,
+    and type-safe absent paths (NULL, no error).
+
+    A nested document is synthesized from event columns (the fixture's
+    props is flat), parsed to a variant, and five paths are extracted.
+    Versus fn_json's per-path string re-parsing, the variant parse cost is
+    paid once per row and each extraction is a binary-encoded path walk —
+    the right shape when a CDC envelope carries large semi-structured
+    payloads queried on many paths. Cents go through floor() (not a
+    bigint cast) because Spark's double→bigint cast truncates while
+    DuckDB's rounds.
+    """
+    ev = table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","cents":'),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit('},"ids":['),
+        F.col("user_id").cast("string"),
+        F.lit(","),
+        F.col("event_id").cast("string"),
+        F.lit('],"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.meta.type", "string").alias("mtype"),
+        F.try_variant_get(v, "$.meta.cents", "bigint").alias("cents"),
+        F.try_variant_get(v, "$.ids[1]", "bigint").alias("second_id"),
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.meta.absent", "string").alias("absent"),
+    ).orderBy("event_id")

@@ -728,3 +728,99 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SUB_W = 30  # substring window tokens
+_SUB_S = 15  # window stride
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH doc_dups AS ({_DOC_DUPS_SQL}),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM doc_dups
+    ),
+    wins AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[i * {_SUB_S} + 1 : i * {_SUB_S} + {_SUB_W}], ' ')) AS h
+        FROM toks, UNNEST(range(0, GREATEST(0,
+                 CAST((n - {_SUB_W}) // {_SUB_S} AS BIGINT)) + 1)) AS r(i)
+    ),
+    freq AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        FROM wins GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           COALESCE(MAX(CASE WHEN f.n_docs >= 2 AND f.first_doc < w.doc_id
+                             THEN 1 ELSE 0 END), 0) = 1 AS dup_of_earlier
+    FROM wins w JOIN freq f USING (h)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (the window-hash variant of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    public literature; the full method uses a suffix array, this is the
+    fixed-window form production pipelines run at scale): every 30-token
+    window at stride 15 is hashed; a window hash seen in ≥2 documents
+    marks a shared substring, and a document whose shared window first
+    appeared in a SMALLER doc_id is flagged as duplicating earlier
+    material (the trim/drop decision input).
+
+    Shapes for 100 TB: the window fan-out is array-side (one transform +
+    one explode, ~n_tokens/stride rows per doc); only 16-byte digests
+    shuffle — groupBy(h) for the frequency/first-doc table, then one
+    digest-keyed join back and a doc_id re-aggregation. Stride 15 halves
+    the exploded volume vs stride 1 while still catching any shared run
+    of ≥ 44 tokens (W + S − 1); tighten the stride to raise recall,
+    linearly trading shuffle bytes.
+    """
+    toks = with_tokens(doc_dups(spark, sf_dir)).select(
+        "doc_id", F.col("_w").alias("t"), F.size("_w").alias("n")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0L, greatest(0L,"
+                f" CAST((n - {_SUB_W}) div {_SUB_S} AS BIGINT))),"
+                f" i -> md5(array_join(slice(t,"
+                f" CAST(i * {_SUB_S} + 1 AS INT), {_SUB_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    freq = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        wins.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            (
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("n_docs") >= 2)
+                            & (F.col("first_doc") < F.col("doc_id")),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                == 1
+            ).alias("dup_of_earlier"),
+        )
+        .orderBy("doc_id")
+    )
