@@ -80,6 +80,8 @@ EXTENDED: tuple[str, ...] = (
     "decontam_ngram",         # broadcast eval-set 8-gram leakage check
     "doc_boilerplate",        # corpus gram doc-frequency + join-back
     "embed_kmeans",           # 3-round deterministic Lloyd's
+    "dedup_semantic",         # SemDeDup: Lloyd buckets + screened pairs (r4)
+    "dedup_substring",        # window-hash substring dedup (r4)
 )
 
 

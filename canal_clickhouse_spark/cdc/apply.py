@@ -16,7 +16,7 @@ many versions per key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -498,5 +498,74 @@ def cdc_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(m, d[PK] == m[f"m_{PK}"], "inner")
         .select(*ORDER_COLS, eq.alias("two_phase_equal"))
+        .orderBy(PK)
+    )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH {CDC_CHANGES_CTE},
+    dim AS (
+        SELECT *,
+               version AS valid_from,
+               LEAD(version) OVER (PARTITION BY o_orderkey
+                                   ORDER BY version) AS valid_to
+        FROM cdc_changes
+    )
+    SELECT o_orderkey,
+           CAST(o_orderkey % 3 AS INT) AS probe_version,
+           o_orderstatus AS status_at_probe,
+           op AS op_at_probe,
+           CAST(valid_from AS INT) AS valid_from,
+           CAST(COALESCE(valid_to, 2147483647) AS BIGINT) AS valid_to
+    FROM dim
+    WHERE valid_from <= o_orderkey % 3
+      AND o_orderkey % 3 < COALESCE(valid_to, 2147483647)
+    ORDER BY o_orderkey
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 from the CDC change log + point-in-time read: each key's
+    version history becomes validity intervals [version, next_version) via
+    one LEAD window (open intervals close with a sentinel), then a probe
+    version (deterministic per key: pk % 3) selects exactly the row that
+    was current THEN — the "join facts to the dimension as it was at the
+    fact's time" shape every CDC-fed warehouse needs, which plain
+    latest-per-key (`cdc_read_final`) cannot answer. Tombstones surface
+    as op='DELETE' rows so a reader can distinguish deleted-then from
+    never-existed.
+
+    Shapes: ONE window over the change log (partitioned by pk — the same
+    exchange the apply pipeline already uses) and a per-row interval
+    predicate; no join at all here because the probe is a function of the
+    key. With a real fact table it becomes a range join on
+    (pk, fact_v >= valid_from AND fact_v < valid_to) — at scale bucketed
+    by pk with intervals sorted within, the standard SCD2 layout.
+    """
+    log = change_log(spark, sf_dir)
+    w = Window.partitionBy(PK).orderBy("version")
+    sentinel = F.lit(2147483647).cast("bigint")
+    dim = log.select(
+        *ORDER_COLS,
+        "op",
+        F.col("version").cast("int").alias("valid_from"),
+        F.coalesce(F.lead("version").over(w).cast("bigint"), sentinel).alias(
+            "valid_to"
+        ),
+    )
+    probe = (F.col(PK) % 3).cast("int")
+    return (
+        dim.where(
+            (F.col("valid_from") <= probe) & (probe < F.col("valid_to"))
+        )
+        .select(
+            PK,
+            probe.alias("probe_version"),
+            F.col("o_orderstatus").alias("status_at_probe"),
+            F.col("op").alias("op_at_probe"),
+            "valid_from",
+            "valid_to",
+        )
         .orderBy(PK)
     )

@@ -156,11 +156,13 @@ def build_envelope(
     es: Column,
     op: Column | None = None,
     mysql_types: dict[str, str] | None = None,
+    ts: Column | None = None,
 ) -> DataFrame:
     """Serialize rows into FlatMessage JSON strings (column ``msg``).
 
     ``mysql_types`` (col -> MySQL declaration) is embedded as the envelope's
-    ``mysqlType`` map when given, mirroring what Canal ships per message.
+    ``mysqlType`` map when given, mirroring what Canal ships per message;
+    ``ts`` (pipeline processing time, epoch ms) likewise when given.
     """
     kv: list[Column] = []
     for name, col in data_cols.items():
@@ -174,6 +176,8 @@ def build_envelope(
         F.array(*[F.lit(p) for p in pk_names]).alias("pkNames"),
         F.array(F.create_map(*kv)).alias("data"),
     ]
+    if ts is not None:
+        fields.insert(4, ts.alias("ts"))
     if mysql_types is not None:
         tkv: list[Column] = []
         for name, decl in mysql_types.items():
@@ -426,3 +430,90 @@ def cdc_parse_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("sql_text", pat, 3).alias("column_name"),
         F.regexp_extract("sql_text", pat, 4).alias("column_type"),
     ).orderBy("seq")
+
+
+@query(
+    "cdc_lag_metrics",
+    oracle="""
+    WITH msgs AS (
+        SELECT json_object(
+            'database', 'shop', 'table', 'orders',
+            'type', CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATE'
+                         ELSE 'INSERT' END,
+            'es', epoch_ms(CAST(o_orderdate AS TIMESTAMP)),
+            'ts', epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+                  + (o_orderkey % 7) * 1000 + 250,
+            'isDdl', false,
+            'pkNames', ['o_orderkey'],
+            'data', [{'o_orderkey': CAST(o_orderkey AS VARCHAR)}]
+        ) AS msg
+        FROM orders
+    ),
+    parsed AS (
+        SELECT json_extract_string(msg, '$.type') AS op,
+               CAST(json_extract(msg, '$.es') AS BIGINT) AS es,
+               CAST(json_extract(msg, '$.ts') AS BIGINT) AS ts
+        FROM msgs
+    )
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           strftime(make_timestamp(MAX(es) * 1000), '%Y-%m-%d %H:%M:%S')
+               AS max_event_time,
+           CAST(MAX(ts - es) AS BIGINT) AS max_lag_ms,
+           ROUND(SUM(ts - es) * 1.0 / COUNT(*), 3) AS avg_lag_ms,
+           CAST(SUM(CASE WHEN ts - es > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_5s
+    FROM parsed GROUP BY op ORDER BY op
+    """,
+)
+def cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-lag observability over the FlatMessage stream: per change
+    type, event count, newest source event time, and the es→ts pipeline
+    lag (max / avg / SLO-breach count at 5s) — the first dashboard any
+    Canal→sink operator builds, computed from the envelope alone (no
+    table apply needed). The fixture envelope carries a deterministic
+    skew: ts = es + (pk % 7)·1000 + 250 ms.
+
+    Shapes: one envelope parse projection (es/ts are top-level envelope
+    fields — the ``data`` payload is never exploded), then a partial-agg
+    groupBy on the op type. In streaming form the identical aggregate runs
+    per micro-batch over watermarked event time; the lag SLO count is a
+    conditional sum, mergeable across batches.
+    """
+    o = table(spark, sf_dir, "orders")
+    es = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    msgs = build_envelope(
+        o,
+        "shop",
+        "orders",
+        ["o_orderkey"],
+        {"o_orderkey": F.col("o_orderkey").cast("string")},
+        es=es,
+        op=F.when(F.col("o_orderkey") % 10 == 0, "UPDATE").otherwise("INSERT"),
+        ts=es + (F.col("o_orderkey") % 7) * 1000 + 250,
+    )
+    parsed = msgs.select(
+        F.from_json("msg", FLAT_MESSAGE_SCHEMA).alias("m")
+    ).select(
+        F.col("m.type").alias("op"),
+        F.col("m.es").alias("es"),
+        F.col("m.ts").alias("ts"),
+    )
+    lag = F.col("ts") - F.col("es")
+    return (
+        parsed.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(
+                F.timestamp_millis(F.max("es")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("max_event_time"),
+            F.max(lag).cast("bigint").alias("max_lag_ms"),
+            F.round(F.sum(lag) * 1.0 / F.count(F.lit(1)), 3).alias(
+                "avg_lag_ms"
+            ),
+            F.sum(F.when(lag > 5000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over_5s"),
+        )
+        .orderBy("op")
+    )

@@ -273,3 +273,59 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value", 2, -1.0).over(w).alias("lead2"),
         F.lag("value", 3).over(w).alias("lag3"),
     ).orderBy("event_id")
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+               AS distinct_types_so_far
+    FROM marked ORDER BY user_id, event_id
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which no SQL engine supports
+    directly — via the first-occurrence decomposition: mark each (user,
+    event_type)'s first event with one ROW_NUMBER window, then a running
+    SUM of the marks gives the cumulative distinct-type count at every
+    event (CH would reach for uniqState rollups here).
+
+    Two windows, but BOTH partition on user_id — Spark plans a single
+    user_id exchange and two in-partition sorts ((user,type,ts) then
+    (user,ts)). Exact at unbounded distinct cardinality, unlike sketch
+    alternatives, and every step is integer.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(run_w).cast("bigint").alias(
+            "distinct_types_so_far"
+        ),
+    ).orderBy("user_id", "event_id")
