@@ -255,6 +255,24 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS INT)"
     if low == "toint64":
         return f"CAST({args[0]} AS BIGINT)"
+    # CH's fallible-cast family: OrNull -> SQL NULL on parse failure
+    # (Spark/DuckDB try_cast), OrZero -> the type's zero default.
+    if low.endswith(("ornull", "orzero")) and low.startswith("to"):
+        target = {
+            "toint8": "TINYINT", "toint16": "SMALLINT", "toint32": "INT",
+            "toint64": "BIGINT", "touint32": "BIGINT",
+            "touint64": "DECIMAL(20,0)", "tofloat32": "FLOAT",
+            "tofloat64": "DOUBLE", "todate": "DATE",
+            "todatetime": "TIMESTAMP", "todecimal64": "DECIMAL(18,6)",
+        }.get(low[: -6 if low.endswith("ornull") else -6])
+        if target is not None:
+            tc = f"try_cast({args[0]} AS {target})"
+            if low.endswith("orzero"):
+                zero = "DATE '1970-01-01'" if target == "DATE" else (
+                    "TIMESTAMP '1970-01-01 00:00:00'" if target == "TIMESTAMP"
+                    else "0")
+                return f"coalesce({tc}, {zero})"
+            return tc
     if low == "tofloat64":
         return f"CAST({args[0]} AS DOUBLE)"
     if low == "tostring":
@@ -358,7 +376,15 @@ def _translate_call(name: str, args: list[str]) -> str:
     return f"{name}({', '.join(args)})"
 
 
-_CH_NAMES = set(_RENAME) | _PARAMETRIC | {
+_OR_CAST_NAMES = {
+    f"{b}{suffix}"
+    for b in ("toint8", "toint16", "toint32", "toint64", "touint32",
+              "touint64", "tofloat32", "tofloat64", "todate", "todatetime",
+              "todecimal64")
+    for suffix in ("ornull", "orzero")
+}
+
+_CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "uniq", "uniqcombined", "uniqexact", "position", "splitbychar", "empty",
     "notempty", "sumif", "avgif", "minif", "maxif", "multiif", "toint32",
     "toint64", "tofloat64", "tostring", "intdiv", "modulo", "toyyyymm",
@@ -498,7 +524,8 @@ _TOTALS_RE = re.compile(
 _WITH_FILL_RE = re.compile(
     r"\bORDER\s+BY\s+(?P<col>\w+)\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(?P<frm>-?\d+))?(?:\s+TO\s+(?P<to>-?\d+))?"
-    r"(?:\s+STEP\s+(?P<step>-?\d+))?\s*$",
+    r"(?:\s+STEP\s+(?P<step>-?\d+))?"
+    r"(?:\s+INTERPOLATE\s*\((?P<interp>[^)]*)\))?\s*$",
     re.IGNORECASE,
 )
 
@@ -641,8 +668,26 @@ def _rewrite_with_fill(q: str) -> str:
     to_incl = m["to"] is None
     to = m["to"] or f"(SELECT MAX({col}) FROM _q)"
     step = m["step"] or "1"
+    # INTERPOLATE (c) / (c AS c): carry the previous row's value onto
+    # inserted rows (the CH carry-forward idiom). General INTERPOLATE
+    # expressions would need row-relative evaluation — out of the text
+    # rewriter's scope, rejected loudly.
+    interp: set[str] = set()
+    if m["interp"]:
+        for item in _split_args(m["interp"]):
+            im = re.match(r"^(\w+)(?:\s+AS\s+(\w+))?$", item.strip(),
+                          re.IGNORECASE)
+            if not im or (im.group(2) and im.group(2) != im.group(1)):
+                raise ValueError(
+                    f"WITH FILL INTERPOLATE supports only carry-forward"
+                    f" (col or col AS col), got {item!r}")
+            if im.group(1) not in names:
+                raise ValueError(
+                    f"INTERPOLATE column {im.group(1)!r} not in {names}")
+            interp.add(im.group(1))
     others = ", ".join(
-        f"COALESCE(_q.{n}, 0) AS {n}" for n in names if n != col
+        f"_q.{n} AS {n}" if n in interp else f"COALESCE(_q.{n}, 0) AS {n}"
+        for n in names if n != col
     )
     proj = f"COALESCE(_s.{col}, _q.{col}) AS {col}" + (f", {others}" if others else "")
     spine = (
@@ -651,10 +696,19 @@ def _rewrite_with_fill(q: str) -> str:
     )
     if not to_incl:  # CH's TO bound is exclusive; sequence() is inclusive
         spine = f"SELECT * FROM ({spine}) WHERE {col} < {m['to']}"
-    return (
+    joined = (
         f"WITH _q AS ({inner}) SELECT {proj} FROM ({spine}) _s "
-        f"FULL OUTER JOIN _q ON _s.{col} = _q.{col} ORDER BY {col}"
+        f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
     )
+    if interp:
+        outer = ", ".join(
+            f"COALESCE(last_value({n}, true) OVER (ORDER BY {col} ROWS"
+            f" BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS {n}"
+            if n in interp else n
+            for n in names
+        )
+        return f"SELECT {outer} FROM ({joined}) ORDER BY {col}"
+    return f"{joined} ORDER BY {col}"
 
 
 def _rewrite_prewhere(q: str) -> str:
@@ -1319,3 +1373,84 @@ def chsql_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize right columns, so the build side ships only its join key
     (broadcast here: orders' key column against the small dim)."""
     return ch_sql(spark, sf_dir, _CH_SEMI_ANTI)
+
+
+_CH_OR_CASTS = """
+SELECT event_id,
+       toInt32OrNull(JSONExtractString(props, 'k')) AS k_ok,
+       toInt32OrNull(concat('x', JSONExtractString(props, 'k'))) AS k_bad,
+       toInt64OrZero(if(event_id % 3 = 0, 'oops',
+                        toString(event_id))) AS id_or_zero,
+       toString(toDateOrNull(if(event_id % 2 = 0, '2024-02-30',
+                                '2024-02-28'))) AS d_maybe,
+       toFloat64OrNull(toString(value)) AS v_roundtrip
+FROM events
+ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_or_casts",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_ok,
+           TRY_CAST('x' || json_extract_string(props, '$.k') AS INT) AS k_bad,
+           COALESCE(TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'oops'
+                                  ELSE CAST(event_id AS VARCHAR) END
+                             AS BIGINT), 0) AS id_or_zero,
+           CAST(TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2024-02-30'
+                              ELSE '2024-02-28' END AS DATE) AS VARCHAR)
+               AS d_maybe,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS v_roundtrip
+    FROM events ORDER BY event_id
+    """,
+)
+def chsql_or_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's fallible-cast family — ``toInt32OrNull`` / ``toInt64OrZero`` /
+    ``toDateOrNull`` / ``toFloat64OrNull`` — translated to ANSI
+    ``try_cast`` (OrNull) and ``coalesce(try_cast, zero-default)``
+    (OrZero). These spellings are all over real CH ingestion queries
+    because Canal delivers STRINGLY-typed values; the key feeds genuinely
+    malformed strings ('x…'-prefixed ints, Feb 30th) and pins that both
+    engines agree NULL-vs-default per variant. Dates render via
+    toString() — the established cross-engine date-column convention."""
+    return ch_sql(spark, sf_dir, _CH_OR_CASTS)
+
+
+_CH_FILL_INTERP = """
+SELECT toInt64(o_orderkey % 200) AS bucket,
+       round(max(o_totalprice), 2) AS peak
+FROM orders
+WHERE o_orderstatus = 'P'
+GROUP BY toInt64(o_orderkey % 200)
+ORDER BY bucket WITH FILL FROM 0 TO 200 INTERPOLATE (peak AS peak)
+"""
+
+
+@query(
+    "chsql_fill_interpolate",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(o_orderkey % 200 AS BIGINT) AS bucket,
+               round(max(o_totalprice), 2) AS peak
+        FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+    ),
+    j AS (
+        SELECT s.bucket AS bucket, q.peak AS peak
+        FROM (SELECT unnest(range(0, 200)) AS bucket) s
+        LEFT JOIN q ON s.bucket = q.bucket
+    )
+    SELECT bucket,
+           COALESCE(last_value(peak IGNORE NULLS) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS peak
+    FROM j ORDER BY bucket
+    """,
+)
+def chsql_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH FILL ... INTERPOLATE (col AS col)`` — CH's carry-forward for
+    inserted fill rows: gaps take the previous bucket's value instead of
+    the 0 default (leading gaps before any real row still default). The
+    rewrite keeps raw NULLs through the spine join, then one
+    last_value-ignore-nulls window over the fill order; general
+    INTERPOLATE expressions are rejected loudly (documented scope)."""
+    return ch_sql(spark, sf_dir, _CH_FILL_INTERP)
