@@ -27,6 +27,7 @@ from .operators import (  # noqa: F401,E402
     relational,
     subqueries,
     table_mgmt,
+    tpch_extra,
     windows,
 )
 
