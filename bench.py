@@ -86,6 +86,9 @@ EXTENDED: tuple[str, ...] = (
 
 
 def _all_times(doc: dict) -> dict[str, float]:
+    # Driver-recorded BENCH_r files wrap our JSON line under "parsed".
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
     return {**doc.get("queries", {}), **doc.get("extended_queries", {})}
 
 

@@ -182,6 +182,30 @@ _RENAME = {
     "inthash32": "hash",
     "inthash64": "xxhash64",
     "farmhash64": "xxhash64",
+    # trim / substring / case family — pure renames, same argument order
+    "trimboth": "trim",
+    "trimleft": "ltrim",
+    "trimright": "rtrim",
+    "substringutf8": "substring",
+    "mid": "substring",
+    "lowerutf8": "lower",
+    "upperutf8": "upper",
+    "reverseutf8": "reverse",
+    "concatwithseparator": "concat_ws",
+    # encodings
+    "base64encode": "base64",
+    # dates
+    "tolastdayofmonth": "last_day",
+    "todayofyear": "dayofyear",
+    "toisoweek": "weekofyear",  # Spark weekofyear IS the ISO week
+    "toquarter": "quarter",
+    # numbers
+    "roundbankers": "bround",
+    "bitcount": "bit_count",
+    # arrays / maps
+    "arrayelement": "element_at",  # both 1-based, both negative-from-end
+    "hasany": "arrays_overlap",
+    "mapcontains": "map_contains_key",
 }
 
 # addDays/subtractHours/… → timestampadd(UNIT, ±n, ts)
@@ -206,6 +230,74 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         return f"LEAST(count(DISTINCT {args[0]}), {n} + 1)"
     # quantile/quantileExact/quantileTDigest(p)(x) -> exact percentile
     return f"percentile({args[0]}, {params[0] if params else '0.5'})"
+
+
+# formatDateTime % codes → Java datetime patterns. Only codes whose meaning
+# is stable across ClickHouse versions are mapped; %M flipped from
+# minute to month-name in CH 23.x, so it is rejected loudly rather than
+# silently translated to either reading ('%i' is the unambiguous minute).
+_CH_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%i": "mm", "%S": "ss", "%s": "ss", "%p": "a", "%j": "DDD",
+    "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%D": "MM/dd/yy", "%%": "%",
+}
+
+
+def _ch_format(fmt: str) -> str:
+    """Translate a LITERAL CH formatDateTime format string to a Java
+    pattern (letters outside % codes are quoted — Java treats bare letters
+    as pattern characters, CH treats them as literals)."""
+    fmt = fmt.strip()
+    if not (len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"):
+        raise ValueError(
+            f"formatDateTime needs a literal format string, got: {fmt}"
+        )
+    out: list[str] = []
+    lit: list[str] = []
+    def flush() -> None:
+        if lit:
+            run = "".join(lit)
+            if any(c.isalpha() for c in run):
+                run = "'" + run.replace("'", "''") + "'"
+            out.append(run)
+            lit.clear()
+    body, i = fmt[1:-1], 0
+    while i < len(body):
+        if body[i] == "%" and i + 1 < len(body):
+            code = body[i : i + 2]
+            if code not in _CH_FMT:
+                raise ValueError(
+                    f"formatDateTime: unsupported/ambiguous code {code} "
+                    "(note: %M changed meaning across CH versions — "
+                    "use %i for minutes)"
+                )
+            flush()
+            out.append(_CH_FMT[code])
+            i += 2
+        else:
+            lit.append(body[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n unit) → epoch-floor bucketing (the
+    same shape the reference's time-bucket rollups compile to)."""
+    m = re.match(
+        r"(?i)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+        args[1],
+    )
+    if not m:
+        raise ValueError(
+            f"toStartOfInterval: unsupported interval {args[1]!r} "
+            "(SECOND/MINUTE/HOUR/DAY literals supported)"
+        )
+    n, unit = int(m.group(1)), m.group(2).upper()
+    secs = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit]
+    return (
+        f"timestamp_seconds(unix_timestamp({args[0]}) div {secs} * {secs})"
+    )
 
 
 def _translate_call(name: str, args: list[str]) -> str:
@@ -369,6 +461,122 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"timestamp_seconds(unix_timestamp({args[0]})"
             f" div {secs} * {secs})"
         )
+    # -- bitwise scalar family (CH bitAnd/bitOr/... are functions; Spark
+    # spells them as operators). BIGINT casts pin 64-bit two's-complement
+    # semantics for narrower inputs.
+    if low in ("bitand", "bitor", "bitxor"):
+        op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[low]
+        return (
+            f"(CAST({args[0]} AS BIGINT) {op} CAST({args[1]} AS BIGINT))"
+        )
+    if low == "bitnot":
+        return f"(~CAST({args[0]} AS BIGINT))"
+    if low == "bitshiftleft":
+        return f"shiftleft(CAST({args[0]} AS BIGINT), {args[1]})"
+    if low == "bitshiftright":
+        return f"shiftright(CAST({args[0]} AS BIGINT), {args[1]})"
+    if low == "base64decode":  # CH returns String; Spark unbase64 binary
+        return f"CAST(unbase64({args[0]}) AS STRING)"
+    # -- string search family
+    if low == "positioncaseinsensitive":
+        return f"locate(lower({args[1]}), lower({args[0]}))"
+    if low == "countsubstrings":
+        h, n = args[0], args[1]
+        return (
+            f"CAST((length({h}) - length(replace({h}, {n}, '')))"
+            f" / length({n}) AS INT)"
+        )
+    if low == "multisearchany":  # multiSearchAny(haystack, [n1, n2, ...])
+        return f"exists({args[1]}, p -> locate(p, {args[0]}) > 0)"
+    if low == "hastoken":  # token = maximal [A-Za-z0-9] run
+        return (
+            f"array_contains(split({args[0]}, '[^A-Za-z0-9]+'), {args[1]})"
+        )
+    if low == "hasall":  # hasAll(a, b): a ⊇ b
+        return f"(size(array_except({args[1]}, {args[0]})) = 0)"
+    if low == "extractall":
+        # CH returns the capture group when the pattern has one, else the
+        # whole match; mirror via the group index (literal-pattern
+        # heuristic — a paren in the literal means group 1).
+        idx = 1 if "(" in args[1] else 0
+        return f"regexp_extract_all({args[0]}, {args[1]}, {idx})"
+    if low == "splitbystring":  # splitByString(sep, s) — sep is literal text
+        return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
+    if low == "splitbywhitespace":
+        return f"split(trim({args[0]}), '\\\\s+')"
+    # -- URL family → parse_url parts
+    if low in ("domain", "protocol", "path", "querystring", "fragment"):
+        part = {
+            "domain": "HOST", "protocol": "PROTOCOL", "path": "PATH",
+            "querystring": "QUERY", "fragment": "REF",
+        }[low]
+        return f"parse_url({args[0]}, '{part}')"
+    if low == "extracturlparameter":
+        return f"parse_url({args[0]}, 'QUERY', {args[1]})"
+    # -- more date/time spellings
+    if low == "tostartofquarter":
+        return f"date_trunc('quarter', {args[0]})"
+    if low == "tostartofyear":
+        return f"date_trunc('year', {args[0]})"
+    if low == "tostartofminute":
+        return f"date_trunc('minute', {args[0]})"
+    if low == "todayofweek":  # CH: Mon=1..Sun=7; Spark dayofweek: Sun=1
+        return f"(((dayofweek({args[0]}) + 5) % 7) + 1)"
+    if low == "monthname":
+        return f"date_format({args[0]}, 'MMMM')"
+    if low == "timeslot":  # floor to the half-hour
+        return (
+            f"timestamp_seconds(unix_timestamp({args[0]}) div 1800 * 1800)"
+        )
+    if low == "tostartofinterval":
+        return _to_start_of_interval(args)
+    if low == "formatdatetime":
+        return f"date_format({args[0]}, '{_ch_format(args[1])}')"
+    if low in ("touint8", "touint16"):
+        return f"CAST({args[0]} AS INT)"
+    if low == "todate32":
+        return f"to_date({args[0]})"
+    if low == "todatetime64":  # precision arg is display-only; Spark
+        return f"to_timestamp({args[0]})"  # timestamps are fixed micros
+    # -- null / finiteness predicates
+    if low == "isnull":
+        return f"(({args[0]}) IS NULL)"
+    if low == "isnotnull":
+        return f"(({args[0]}) IS NOT NULL)"
+    if low == "isfinite":
+        return (
+            f"(NOT isnan({args[0]})"
+            f" AND abs({args[0]}) <> CAST('Infinity' AS DOUBLE))"
+        )
+    if low == "isinfinite":
+        return f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
+    if low == "ifnotfinite":
+        return (
+            f"IF(isnan({args[0]})"
+            f" OR abs({args[0]}) = CAST('Infinity' AS DOUBLE),"
+            f" {args[1]}, {args[0]})"
+        )
+    if low == "intdivorzero":
+        return (
+            f"IF(({args[1]}) = 0, 0,"
+            f" CAST({args[0]} AS BIGINT) div CAST({args[1]} AS BIGINT))"
+        )
+    if low == "moduloorzero":
+        return f"IF(({args[1]}) = 0, 0, ({args[0]}) % ({args[1]}))"
+    # -- array construction/mutation
+    if low == "range":  # range(n) = [0..n-1]; range(a, b[, s]) half-open
+        if len(args) == 1:
+            return f"sequence(0, {args[0]} - 1)"
+        step = args[2] if len(args) == 3 else "1"
+        return f"sequence({args[0]}, {args[1]} - 1, {step})"
+    if low == "arraypushback":
+        return f"concat({args[0]}, array({args[1]}))"
+    if low == "arraypushfront":
+        return f"concat(array({args[1]}), {args[0]})"
+    if low == "arraypopback":
+        return f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))"
+    if low == "arraypopfront":
+        return f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))"
     if low in _PARAMETRIC:  # bare quantile(x) — CH median default
         return f"percentile({args[0]}, 0.5)"
     if low in _RENAME:
@@ -399,6 +607,18 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",
     "tostartoffifteenminutes",
+    # r4 spelling pack
+    "bitand", "bitor", "bitxor", "bitnot", "bitshiftleft", "bitshiftright",
+    "positioncaseinsensitive", "countsubstrings", "multisearchany",
+    "hastoken", "hasall", "extractall", "splitbystring",
+    "splitbywhitespace", "domain", "protocol", "path", "querystring",
+    "fragment", "extracturlparameter", "tostartofquarter", "tostartofyear",
+    "tostartofminute", "todayofweek", "monthname", "timeslot",
+    "tostartofinterval", "formatdatetime", "touint8", "touint16",
+    "base64decode",
+    "todate32", "todatetime64", "isnull", "isnotnull", "isfinite",
+    "isinfinite", "ifnotfinite", "intdivorzero", "moduloorzero", "range",
+    "arraypushback", "arraypushfront", "arraypopback", "arraypopfront",
 } | {
     f"{p}{u}" for p in ("add", "subtract")
     for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
@@ -1454,3 +1674,109 @@ def chsql_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_value-ignore-nulls window over the fill order; general
     INTERPOLATE expressions are rejected loudly (documented scope)."""
     return ch_sql(spark, sf_dir, _CH_FILL_INTERP)
+
+
+_CH_STRINGS_URLS = """
+SELECT doc_id,
+       domain(concat('https://', source, '.example.com/p/',
+                     toString(doc_id), '?q=2')) AS host,
+       path(concat('https://', source, '.example.com/p/',
+                   toString(doc_id), '?q=2')) AS url_path,
+       extractURLParameter(concat('https://x.io/a?id=', toString(doc_id),
+                                  '&z=9'), 'z') AS z_param,
+       toInt64(positionCaseInsensitive(text, 'THE')) AS pos_the,
+       countSubstrings(text, 'e') AS n_e,
+       hasToken(text, 'data') AS tok_data,
+       multiSearchAny(text, ['data', 'model']) AS any_dm,
+       arrayElement(splitByWhitespace(text), 1) AS first_tok,
+       toInt64(bitAnd(doc_id, 255)) AS low_bits,
+       toInt64(bitShiftLeft(bitAnd(doc_id, 15), 2)) AS shifted,
+       intDivOrZero(n_chars, doc_id % 5) AS idz,
+       isFinite(n_chars / 2.0) AS fin,
+       arrayStringConcat(arrayMap(x -> toString(x),
+                                  arrayPopBack(arrayPushBack(range(3), 9))),
+                         ',') AS arr3
+FROM documents ORDER BY doc_id
+"""
+
+
+@query(
+    "chsql_strings_urls",
+    oracle="""
+    SELECT doc_id,
+           concat(source, '.example.com') AS host,
+           concat('/p/', CAST(doc_id AS VARCHAR)) AS url_path,
+           '9' AS z_param,
+           CAST(position('the' IN lower(text)) AS BIGINT) AS pos_the,
+           CAST((length(text) - length(replace(text, 'e', '')))
+                AS INT) AS n_e,
+           list_contains(string_split_regex(text, '[^A-Za-z0-9]+'),
+                         'data') AS tok_data,
+           (position('data' IN text) > 0 OR position('model' IN text) > 0)
+               AS any_dm,
+           string_split_regex(trim(text), '\\s+')[1] AS first_tok,
+           CAST(doc_id & 255 AS BIGINT) AS low_bits,
+           CAST((doc_id & 15) * 4 AS BIGINT) AS shifted,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                     ELSE n_chars // (doc_id % 5) END AS BIGINT) AS idz,
+           isfinite(n_chars / 2.0) AS fin,
+           '0,1,2' AS arr3
+    FROM documents ORDER BY doc_id
+    """,
+)
+def chsql_strings_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 spelling pack, live-value-checked: URL part extraction
+    (domain/path/extractURLParameter → parse_url), case-insensitive and
+    counting substring search, token search (maximal-alnum-run contract),
+    multiSearchAny over an array literal, whitespace splitting with CH's
+    1-based arrayElement, the bitAnd/bitShiftLeft scalar family,
+    intDivOrZero's zero-divisor default, isFinite, and the array
+    push/pop mutation chain over a range() literal. Every expression is
+    recomputed by the DuckDB oracle from first principles (string builds,
+    &/<< operators, list literals), so the rewrites are pinned by value,
+    not just parse-checked."""
+    return ch_sql(spark, sf_dir, _CH_STRINGS_URLS)
+
+
+_CH_DATETIME_FMT = """
+SELECT event_id,
+       formatDateTime(ts, '%Y-%m-%d %H:%i') AS fmt,
+       toStartOfInterval(ts, INTERVAL 15 MINUTE) AS b15,
+       timeSlot(ts) AS slot,
+       toStartOfQuarter(ts) AS qs,
+       toDayOfWeek(ts) AS dow,
+       monthName(ts) AS mname,
+       toString(toLastDayOfMonth(ts)) AS eom,
+       toInt32(toISOWeek(ts)) AS iwk
+FROM events ORDER BY event_id LIMIT 2000
+"""
+
+
+@query(
+    "chsql_datetime_fmt",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900) * INTERVAL 1 SECOND AS b15,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800) * INTERVAL 1 SECOND
+               AS slot,
+           date_trunc('quarter', ts) AS qs,
+           CAST(isodow(ts) AS INT) AS dow,
+           monthname(ts) AS mname,
+           CAST(CAST(last_day(ts) AS DATE) AS VARCHAR) AS eom,
+           CAST(weekofyear(ts) AS INT) AS iwk
+    FROM events ORDER BY event_id LIMIT 2000
+    """,
+)
+def chsql_datetime_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 datetime spellings, live-value-checked: formatDateTime with
+    the version-stable %-code subset (%M is REJECTED loudly — its meaning
+    flipped from minute to month-name across CH releases; %i is the
+    unambiguous minute), INTERVAL-literal bucketing via epoch floor
+    (tz-proof on both engines: naive epoch // n * n), the half-hour
+    timeSlot, quarter/minute truncs, ISO day-of-week (CH Mon=1 ⇒ Spark
+    dayofweek rotated, DuckDB isodow), month names, last_day, and ISO
+    week numbers."""
+    return ch_sql(spark, sf_dir, _CH_DATETIME_FMT)

@@ -310,3 +310,55 @@ def test_chsql_datediff_counts_crossed_boundaries(spark):
     )
     row = spark.sql(q).collect()[0]
     assert (row["d"], row["h"], row["m"]) == (1, 1, 1)
+
+
+def test_chsql_r4_spelling_pack_executes(spark, sf_dir):
+    """Round-4 spelling additions not already value-pinned by the
+    chsql_strings_urls / chsql_datetime_fmt oracle keys must still
+    EXECUTE with the right values on literals."""
+    from canal_clickhouse_spark.chsql import ch_sql, translate
+
+    row = ch_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT trimBoth('  x  ') AS t,
+               base64Decode(base64Encode('hi')) AS rt,
+               splitByString('::', 'a::b::c') AS parts,
+               hasAll(['a', 'b', 'c'], ['b', 'c']) AS all_bc,
+               hasAll(['a'], ['b']) AS all_miss,
+               extractAll('a1b22c333', '[0-9]+') AS nums,
+               isNull(NULL) AS n1,
+               isNotNull(1) AS n2,
+               moduloOrZero(7, 0) AS mz,
+               bitNot(0) AS bn,
+               protocol('ftp://h/x') AS proto,
+               toStartOfMinute(toDateTime('2024-03-05 10:11:42')) AS mn,
+               roundBankers(2.5, 0) AS rb,
+               concatWithSeparator('-', 'a', 'b') AS cw
+        FROM events LIMIT 1
+        """,
+    ).collect()[0]
+    assert row.t == "x" and row.rt == "hi"
+    assert list(row.parts) == ["a", "b", "c"]
+    assert row.all_bc and not row.all_miss
+    assert list(row.nums) == ["1", "22", "333"]
+    assert row.n1 and row.n2 and row.mz == 0 and row.bn == -1
+    assert row.proto == "ftp" and row.rb == 2.0 and row.cw == "a-b"
+    assert str(row.mn).startswith("2024-03-05 10:11:00")
+
+    # formatDateTime: stable codes translate; %M is rejected loudly
+    # (meaning flipped across CH versions), as is a non-literal format.
+    assert "date_format" in translate(
+        "SELECT formatDateTime(ts, '%F %T') FROM events"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="%M"):
+        translate("SELECT formatDateTime(ts, '%M') FROM events")
+    with _pytest.raises(ValueError, match="literal"):
+        translate("SELECT formatDateTime(ts, fmt_col) FROM events")
+    with _pytest.raises(ValueError, match="toStartOfInterval"):
+        translate(
+            "SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM events"
+        )
