@@ -206,6 +206,9 @@ _RENAME = {
     "arrayelement": "element_at",  # both 1-based, both negative-from-end
     "hasany": "arrays_overlap",
     "mapcontains": "map_contains_key",
+    "arrayreverse": "reverse",
+    "arrayconcat": "concat",
+    "arrayslice": "slice",  # both 1-based (arr, offset, length)
 }
 
 # addDays/subtractHours/… → timestampadd(UNIT, ±n, ts)
@@ -297,6 +300,22 @@ def _to_start_of_interval(args: list[str]) -> str:
     secs = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit]
     return (
         f"timestamp_seconds(unix_timestamp({args[0]}) div {secs} * {secs})"
+    )
+
+
+def _vec_dot(a: str, b: str) -> str:
+    """⟨a, b⟩ as a DOUBLE left fold (shared by the distance family)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+
+
+def _vec_l2sq(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)),"
+        f" 0D, (s, v) -> s + v)"
     )
 
 
@@ -577,6 +596,83 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))"
     if low == "arraypopfront":
         return f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))"
+    # -- `-Array` aggregate combinators: aggregate over ALL ELEMENTS of an
+    # array column across rows. Element folds run in DOUBLE (CH promotes
+    # Float32 sums to Float64 the same way); callers wanting exactness
+    # feed integer arrays, as `chsql_agg_array_combinators` does.
+    if low == "sumarray":
+        return f"sum(aggregate({args[0]}, 0D, (s, x) -> s + x))"
+    if low == "countarray":
+        return f"sum(size({args[0]}))"
+    if low == "avgarray":
+        return (
+            f"(sum(aggregate({args[0]}, 0D, (s, x) -> s + x))"
+            f" / sum(size({args[0]})))"
+        )
+    if low in ("uniqarray", "uniqexactarray"):
+        # Exact distinct-element count. collect_list gathers the group's
+        # arrays into one state — fine for bounded groups; for unbounded
+        # cardinality explode + COUNT(DISTINCT) is the scale path (the
+        # rewriter cannot restructure the enclosing GROUP BY).
+        return f"size(array_distinct(flatten(collect_list({args[0]}))))"
+    if low == "maxarray":
+        return f"max(array_max({args[0]}))"
+    if low == "minarray":
+        return f"min(array_min({args[0]}))"
+    # -- vector distance family (CH L2Distance/cosineDistance/... over
+    # float arrays). All arithmetic promotes to DOUBLE before folding so
+    # float32 inputs accumulate in f64 on both engines; fold order is the
+    # array order (deterministic left fold, same as DuckDB list_reduce).
+    # Arguments are textually duplicated where a norm reuses an input —
+    # Catalyst's common-subexpression elimination handles the column case,
+    # and the translation layer has no way to introduce a binding.
+    if low in ("dotproduct", "scalarproduct"):
+        return _vec_dot(args[0], args[1])
+    if low == "l2squareddistance":
+        return _vec_l2sq(args[0], args[1])
+    if low == "l2distance":
+        return f"sqrt({_vec_l2sq(args[0], args[1])})"
+    if low == "l1distance":
+        return (
+            f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) ->"
+            f" abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            f" 0D, (s, v) -> s + v)"
+        )
+    if low == "linfdistance":
+        return (
+            f"array_max(zip_with({args[0]}, {args[1]}, (x, y) ->"
+            f" abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))))"
+        )
+    if low == "cosinedistance":
+        return (
+            f"(1.0D - {_vec_dot(args[0], args[1])}"
+            f" / (sqrt({_vec_dot(args[0], args[0])})"
+            f" * sqrt({_vec_dot(args[1], args[1])})))"
+        )
+    if low == "l2norm":
+        return f"sqrt({_vec_dot(args[0], args[0])})"
+    if low == "l1norm":
+        return (
+            f"aggregate({args[0]}, 0D, (s, x) -> s + abs(CAST(x AS DOUBLE)))"
+        )
+    if low == "l2normalize":
+        return (
+            f"transform({args[0]}, x -> CAST(x AS DOUBLE)"
+            f" / sqrt({_vec_dot(args[0], args[0])}))"
+        )
+    if low == "greatcircledistance":
+        # Haversine on a 6371 km sphere (the radius CH documents for
+        # greatCircleDistance; its geoDistance variant uses an ellipsoid
+        # correction this translation does NOT model — documented
+        # divergence, ~0.3% worst case). args: lon1, lat1, lon2, lat2.
+        lon1, lat1, lon2, lat2 = args[0], args[1], args[2], args[3]
+        return (
+            f"(2 * 6371000.0D * asin(sqrt("
+            f"pow(sin(radians((CAST({lat2} AS DOUBLE) - CAST({lat1} AS DOUBLE)) / 2)), 2)"
+            f" + cos(radians(CAST({lat1} AS DOUBLE))) * cos(radians(CAST({lat2} AS DOUBLE)))"
+            f" * pow(sin(radians((CAST({lon2} AS DOUBLE) - CAST({lon1} AS DOUBLE)) / 2)), 2)"
+            f")))"
+        )
     if low in _PARAMETRIC:  # bare quantile(x) — CH median default
         return f"percentile({args[0]}, 0.5)"
     if low in _RENAME:
@@ -619,6 +715,13 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "todate32", "todatetime64", "isnull", "isnotnull", "isfinite",
     "isinfinite", "ifnotfinite", "intdivorzero", "moduloorzero", "range",
     "arraypushback", "arraypushfront", "arraypopback", "arraypopfront",
+    # vector distance family
+    "dotproduct", "scalarproduct", "l2squareddistance", "l2distance",
+    "l1distance", "linfdistance", "cosinedistance", "l2norm", "l1norm",
+    "l2normalize", "greatcircledistance",
+    # -Array aggregate combinators
+    "sumarray", "countarray", "avgarray", "uniqarray", "uniqexactarray",
+    "maxarray", "minarray",
 } | {
     f"{p}{u}" for p in ("add", "subtract")
     for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
@@ -638,9 +741,230 @@ def _json_path(key: str) -> str:
 
 # -- clause-level translation: FINAL / SAMPLE k / LIMIT n BY k ----------------
 #
-# These are per-TABLE clauses, so the translator owns the table metadata a
-# live ClickHouse would read from DDL: the sharding/sample key, and (for
-# FINAL-able changelogs) the version/op columns of the Replacing contract.
+# Fixture-table column lists — the DDL knowledge a live ClickHouse reads
+# from system.columns; required to EXPAND star modifiers (`* REPLACE`,
+# `COLUMNS('re')`, `APPLY`) that Spark SQL has no native form for.
+_TABLE_COLS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
+
+def _close_paren(s: str, i: int) -> int:
+    """Index of the ')' matching the '(' at ``s[i]`` (quote-aware)."""
+    depth, q = 0, None
+    for j in range(i, len(s)):
+        c = s[j]
+        if q:
+            if c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced parens from offset {i} in: {s!r}")
+
+
+def _star_table_cols(q: str, what: str) -> tuple[str, ...]:
+    """The column list for expanding a star modifier: requires the query's
+    FROM clauses to name exactly one (known) fixture table — with joins or
+    subqueries the text rewriter cannot know the star's width, so it
+    refuses loudly rather than guessing."""
+    tables = {m.group(1).lower() for m in re.finditer(r"\bFROM\s+(\w+)", q, re.IGNORECASE)}
+    multi = re.search(r"\bJOIN\b", q, re.IGNORECASE) or re.search(
+        r"\bFROM\s+\w+(?:\s+(?:AS\s+)?\w+)?\s*,", q, re.IGNORECASE
+    )
+    if len(tables) == 1 and not multi:
+        t = next(iter(tables))
+        if t in _TABLE_COLS:
+            return _TABLE_COLS[t]
+    raise ValueError(
+        f"{what} needs a single known FROM table to expand against, "
+        f"found {sorted(tables) or 'none'}"
+    )
+
+
+def _subst_ident(text: str, ident: str, repl: str) -> str:
+    """Replace standalone uses of ``ident`` with ``repl`` — outside string
+    literals, not qualified (``t.ident``), not a call (``ident(``), and not
+    an alias definition (``AS ident``)."""
+    pat = re.compile(rf"(?<![\w.]){re.escape(ident)}(?![\w(])", re.IGNORECASE)
+    parts = re.split(r"('(?:[^']|'')*')", text)  # odd indices = literals
+    for k in range(0, len(parts), 2):
+        seg = parts[k]
+
+        def sub(m: re.Match, seg: str = seg) -> str:
+            if re.search(r"(?i)\bAS\s*$", seg[: m.start()]):
+                return m.group(0)
+            return repl
+
+        parts[k] = pat.sub(sub, seg)
+    return "".join(parts)
+
+
+def _rewrite_scalar_with(q: str) -> str:
+    """CH scalar WITH: ``WITH <expr> AS <ident>, ...`` binds names to
+    expressions (constants, or ``(SELECT ...)`` scalar subqueries) usable
+    anywhere below — CH evaluates the subquery once and inlines the value.
+    Spark has no scalar CTE, so bindings substitute textually (parenthesized;
+    a scalar subquery stays a scalar subquery, which Catalyst also evaluates
+    once). Standard ``ident AS (SELECT ...)`` CTE items pass through, and the
+    two forms can mix in one WITH list as in CH."""
+    m = re.match(r"\s*WITH\s+", q, re.IGNORECASE)
+    if not m:
+        return q
+    # End of the WITH list = first top-level SELECT (CTE bodies are inside
+    # parens, so depth guards them).
+    depth, lit, end = 0, None, None
+    i = m.end()
+    while i < len(q):
+        c = q[i]
+        if lit:
+            if c == lit:
+                lit = None
+        elif c in "'\"":
+            lit = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and q[i : i + 6].upper() == "SELECT":
+            end = i
+            break
+        i += 1
+    if end is None:
+        return q
+    items = _split_args(q[m.end() : end])
+    ctes, scalars = [], []
+    for item in items:
+        if re.match(r"(?is)^\w+\s+AS\s*\(", item):
+            ctes.append(item)
+            continue
+        sm = re.match(r"(?is)^(.+?)\s+AS\s+(\w+)\s*$", item)
+        if not sm:
+            raise ValueError(f"unparseable WITH item: {item!r}")
+        scalars.append((sm.group(2), sm.group(1).strip()))
+    if not scalars:
+        return q
+    body = q[end:]
+    cte_text = ", ".join(ctes)
+    rest = (f"WITH {cte_text} " if ctes else "") + body
+    for ident, expr in scalars:
+        rest = _subst_ident(rest, ident, f"({expr})")
+    return q[: m.start()] + rest
+
+
+_COLUMNS_RE = re.compile(
+    r"\bCOLUMNS\s*\(\s*'(?P<pat>[^']+)'\s*\)"
+    r"(?:\s+APPLY\s*\(\s*(?P<fn>\w+)\s*\))?",
+    re.IGNORECASE,
+)
+_STAR_MOD_START_RE = re.compile(
+    r"(?<![\w.)])\*\s*(?=EXCEPT\b|REPLACE\s*\(|APPLY\s*\()", re.IGNORECASE
+)
+
+
+def _rewrite_star_modifiers(q: str) -> str:
+    """CH star/column modifiers → explicit select lists.
+
+    - ``COLUMNS('re') [APPLY(f)]``           → matching columns (regex is
+      re.search, CH semantics), each optionally wrapped ``f(c) AS f_c``.
+    - ``* EXCEPT (a, b) | * EXCEPT a``       → Spark's native ``* EXCEPT``
+      when nothing else follows (bare form gains parens); expanded when
+      combined with REPLACE/APPLY.
+    - ``* [EXCEPT(..)] [REPLACE(e AS c, ..)] [APPLY(f)]`` → full expansion
+      from ``_TABLE_COLS`` (modifier order is CH's fixed grammar order).
+    APPLY names its outputs ``f_col`` (CH's own name would be ``f(col)``,
+    unquotable as a bare identifier in Spark — documented divergence).
+    """
+    # COLUMNS first: independent of the `*` scanner.
+    def sub_columns(m: re.Match) -> str:
+        cols = [
+            c
+            for c in _star_table_cols(q, "COLUMNS(...)")
+            if re.search(m["pat"], c)
+        ]
+        if not cols:
+            raise ValueError(f"COLUMNS({m['pat']!r}) matched no columns")
+        fn = m["fn"]
+        if fn:
+            return ", ".join(f"{fn}({c}) AS {fn.lower()}_{c}" for c in cols)
+        return ", ".join(cols)
+
+    q = _COLUMNS_RE.sub(sub_columns, q)
+
+    out, pos = [], 0
+    while (m := _STAR_MOD_START_RE.search(q, pos)) is not None:
+        out.append(q[pos : m.start()])
+        i = m.end()
+        exc: list[str] = []
+        rep: dict[str, str] = {}
+        fn = None
+        exc_parens = False
+        if (em := re.match(r"EXCEPT\s*", q[i:], re.IGNORECASE)) is not None:
+            j = i + em.end()
+            if j < len(q) and q[j] == "(":
+                close = _close_paren(q, j)
+                exc = [a.strip() for a in _split_args(q[j + 1 : close])]
+                exc_parens = True
+                i = close + 1
+            else:
+                bare = re.match(r"(\w+)", q[j:])
+                exc = [bare.group(1)]
+                i = j + bare.end()
+        if (rm := re.match(r"\s*REPLACE\s*\(", q[i:], re.IGNORECASE)) is not None:
+            j = i + rm.end() - 1
+            close = _close_paren(q, j)
+            for item in _split_args(q[j + 1 : close]):
+                am = re.match(r"(?s)^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+                if not am:
+                    raise ValueError(f"REPLACE item needs 'expr AS col': {item!r}")
+                rep[am.group(2).lower()] = am.group(1).strip()
+            i = close + 1
+        if (fm := re.match(r"\s*APPLY\s*\(\s*(\w+)\s*\)", q[i:], re.IGNORECASE)) is not None:
+            fn = fm.group(1)
+            i += fm.end()
+        if not rep and fn is None:
+            # pure EXCEPT — Spark-native; just guarantee the paren form.
+            out.append(
+                q[m.start() : i]
+                if exc_parens
+                else f"* EXCEPT({', '.join(exc)})"
+            )
+        else:
+            items = []
+            dropped = {c.lower() for c in exc}
+            for c in _star_table_cols(q, "star modifier"):
+                if c.lower() in dropped:
+                    continue
+                expr = rep.get(c.lower(), c)
+                if fn is not None:
+                    items.append(f"{fn}({expr}) AS {fn.lower()}_{c}")
+                elif expr != c:
+                    items.append(f"{expr} AS {c}")
+                else:
+                    items.append(c)
+            out.append(", ".join(items))
+        pos = i
+    out.append(q[pos:])
+    return "".join(out)
 # `cdc_changes` is the derived change-log view `ch_sql` registers alongside
 # the fixture tables.
 _TABLE_META: dict[str, dict[str, str]] = {
@@ -988,6 +1312,8 @@ def _rewrite_clauses(q: str) -> str:
         repl = _from_replacement(m.group(1), has_final, frac)
         return m.group(0) if repl is None else repl
 
+    q = _rewrite_scalar_with(q)
+    q = _rewrite_star_modifiers(q)
     q = _rewrite_asof_join(q)
     q = _rewrite_any_join(q)
     q = _FROM_RE.sub(from_sub, q)
@@ -1780,3 +2106,241 @@ def chsql_datetime_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     dayofweek rotated, DuckDB isodow), month names, last_day, and ISO
     week numbers."""
     return ch_sql(spark, sf_dir, _CH_DATETIME_FMT)
+
+
+_CH_VECTOR_DISTANCE = """
+SELECT vec_id,
+       round(dotProduct(embedding, embedding), 4) AS sq_norm,
+       round(L2Norm(embedding), 4) AS l2n,
+       round(L1Norm(embedding), 4) AS l1n,
+       round(L2Distance(embedding, arrayReverse(embedding)), 4) AS l2d,
+       round(L2SquaredDistance(embedding, arrayReverse(embedding)), 4)
+           AS l2sqd,
+       round(L1Distance(embedding, arrayReverse(embedding)), 4) AS l1d,
+       round(LinfDistance(embedding, arrayReverse(embedding)), 4) AS linfd,
+       round(cosineDistance(embedding, arrayReverse(embedding)), 4) AS cosd,
+       round(L2Norm(L2Normalize(embedding)), 4) AS unit_norm,
+       round(greatCircleDistance(vec_id % 360 - 180, vec_id % 170 - 85,
+                                 2.3522, 48.8566) / 1000.0, 0) AS km
+FROM embeddings ORDER BY vec_id
+"""
+
+# DuckDB recomputation of the same linear algebra from list primitives.
+_DD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (p, q) -> p + q)"
+)
+_DD_L2SQ = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> pow(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE), 2)),"
+    " (p, q) -> p + q)"
+)
+_DD_HAVERSINE_KM = (
+    "round(2 * 6371000.0 * asin(sqrt("
+    "pow(sin(radians((48.8566 - (vec_id % 170 - 85)) / 2)), 2)"
+    " + cos(radians(CAST(vec_id % 170 - 85 AS DOUBLE))) * cos(radians(48.8566))"
+    " * pow(sin(radians((2.3522 - (vec_id % 360 - 180)) / 2)), 2)"
+    ")) / 1000.0, 0)"
+)
+
+
+@query(
+    "chsql_vector_distance",
+    oracle=f"""
+    SELECT vec_id,
+           round({_DD_DOT.format(a="embedding", b="embedding")}, 4) AS sq_norm,
+           round(sqrt({_DD_DOT.format(a="embedding", b="embedding")}), 4)
+               AS l2n,
+           round(list_reduce(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), (p, q) -> p + q), 4) AS l1n,
+           round(sqrt({_DD_L2SQ.format(a="embedding",
+                                       b="list_reverse(embedding)")}), 4)
+               AS l2d,
+           round({_DD_L2SQ.format(a="embedding",
+                                  b="list_reverse(embedding)")}, 4) AS l2sqd,
+           round(list_reduce(list_transform(
+                     list_zip(embedding, list_reverse(embedding)),
+                     s -> abs(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+                     (p, q) -> p + q), 4) AS l1d,
+           round(list_max(list_transform(
+                     list_zip(embedding, list_reverse(embedding)),
+                     s -> abs(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+                 4) AS linfd,
+           round(1.0 - {_DD_DOT.format(a="embedding",
+                                       b="list_reverse(embedding)")}
+                 / {_DD_DOT.format(a="embedding", b="embedding")}, 4) AS cosd,
+           1.0 AS unit_norm,
+           {_DD_HAVERSINE_KM} AS km
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def chsql_vector_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH vector-search scalar family over ``array<float>`` embeddings:
+    dotProduct / L2Norm / L1Norm / L2Distance / L2SquaredDistance /
+    L1Distance / LinfDistance / cosineDistance / L2Normalize translated to
+    ``aggregate(zip_with(...))`` DOUBLE left folds (whole-stage-codegen
+    JVM expressions — no Python in the loop), plus greatCircleDistance as
+    haversine on the 6371 km sphere CH documents (geoDistance's ellipsoid
+    correction is a documented divergence). The DuckDB oracle recomputes
+    every value from list primitives; the reversed-vector second operand
+    exercises asymmetric pairs without a join. The cosine oracle exploits
+    ‖a‖ = ‖reverse(a)‖ (norm is permutation-invariant) and unit_norm
+    pins L2Normalize's output norm to exactly 1 (4dp). 4dp rounding
+    absorbs last-ulp libm noise; the km column rounds to whole km
+    (trig ulp ≪ 0.5 km)."""
+    return ch_sql(spark, sf_dir, _CH_VECTOR_DISTANCE)
+
+
+_CH_ARRAY_COMBINATORS = """
+SELECT label,
+       toInt64(sumArray(arrayMap(x -> toInt64(floor(x * 100)),
+                                 arraySlice(embedding, 1, 8)))) AS s,
+       countArray(arraySlice(embedding, 1, 8)) AS n,
+       round(avgArray(arrayMap(x -> toInt64(floor(x * 100)),
+                               arraySlice(embedding, 1, 8))), 4) AS a,
+       toInt64(uniqArray(arrayMap(x -> toInt64(floor(x * 100)),
+                                  arraySlice(embedding, 1, 8)))) AS u,
+       maxArray(arrayMap(x -> toInt64(floor(x * 100)),
+                         arraySlice(embedding, 1, 8))) AS mx,
+       minArray(arrayMap(x -> toInt64(floor(x * 100)),
+                         arraySlice(embedding, 1, 8))) AS mn
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "chsql_agg_array_combinators",
+    oracle="""
+    WITH ints AS (
+        SELECT label,
+               list_transform(list_slice(embedding, 1, 8),
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 100)
+                                        AS BIGINT)) AS iv
+        FROM embeddings
+    )
+    SELECT label,
+           SUM(list_reduce(iv, (p, q) -> p + q)) AS s,
+           SUM(len(iv)) AS n,
+           round(CAST(SUM(list_reduce(iv, (p, q) -> p + q)) AS DOUBLE)
+                 / SUM(len(iv)), 4) AS a,
+           CAST(len(list_distinct(flatten(list(iv)))) AS BIGINT) AS u,
+           MAX(list_max(iv)) AS mx,
+           MIN(list_min(iv)) AS mn
+    FROM ints GROUP BY label ORDER BY label
+    """,
+)
+def chsql_agg_array_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``-Array`` aggregate combinators — sum/count/avg/uniq/max/minArray
+    fold EVERY ELEMENT of an array column across the group's rows:
+    per-row element folds (``aggregate``/``size``/``array_max``) feed
+    ordinary partial-aggregating sums, so the shape is one hash aggregate
+    with map-side combine — no explode, no extra exchange. The input is
+    quantized to integer arrays (floor(x·100)) so cross-row sums are
+    order-free exact; avgArray divides the two exact states. uniqArray is
+    the exact-distinct form (flatten of collected arrays — bounded groups;
+    the explode + COUNT DISTINCT form is the unbounded-cardinality path,
+    see translation note). Oracle recomputes from list primitives over a
+    quantized CTE."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_COMBINATORS)
+
+
+_CH_STAR_MODIFIERS = """
+SELECT * EXCEPT (o_orderpriority, o_custkey)
+         REPLACE (o_totalprice * 2 AS o_totalprice,
+                  upper(o_orderstatus) AS o_orderstatus)
+FROM orders ORDER BY o_orderkey LIMIT 500
+"""
+
+
+@query(
+    "chsql_star_modifiers",
+    oracle="""
+    SELECT o_orderkey, upper(o_orderstatus) AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate
+    FROM orders ORDER BY o_orderkey LIMIT 500
+    """,
+)
+def chsql_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH star modifiers ``* EXCEPT (...) REPLACE (expr AS col, ...)``:
+    expanded to an explicit select list from the translator's DDL catalog
+    (`_TABLE_COLS`) — Spark has native ``* EXCEPT`` but no REPLACE, so the
+    combined form must expand. Column ORDER is preserved from the table
+    schema with replaced expressions in place, which is what makes the
+    modifier useful (write the 4 interesting columns, keep the shape).
+    Doubling keeps the price arithmetic exact (no rounding divergence)."""
+    return ch_sql(spark, sf_dir, _CH_STAR_MODIFIERS)
+
+
+_CH_COLUMNS_APPLY = """
+SELECT l_returnflag,
+       COLUMNS('^l_(quantity|extendedprice|discount)$') APPLY(max)
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query(
+    "chsql_columns_apply",
+    oracle="""
+    SELECT l_returnflag,
+           max(l_quantity) AS max_l_quantity,
+           max(l_extendedprice) AS max_l_extendedprice,
+           max(l_discount) AS max_l_discount
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def chsql_columns_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``COLUMNS('regex') APPLY(f)``: dynamic column selection by regex
+    (re.search over the DDL catalog, CH semantics) with an aggregate
+    applied per matched column — the idiom for 'max of every measure
+    column' without writing the list. Outputs are named ``f_col``
+    (CH's own ``max(col)`` name is not a bare identifier — documented
+    divergence). max is order-free so the values are engine-exact."""
+    return ch_sql(spark, sf_dir, _CH_COLUMNS_APPLY)
+
+
+_CH_SCALAR_WITH = """
+WITH 7 AS fee_pct,
+     'F' AS closed,
+     (SELECT max(o_totalprice) FROM orders) AS maxp,
+     big AS (SELECT o_custkey FROM orders GROUP BY o_custkey
+             HAVING count() > 20)
+SELECT o_orderstatus,
+       toInt64(count()) AS n,
+       toInt64(countIf(o_totalprice > maxp / 2)) AS n_above_half_max,
+       round(max(o_totalprice) * fee_pct / 100.0, 2) AS max_fee,
+       if(o_orderstatus = closed, 'closed', 'open') AS state,
+       toInt64(countIf(o_custkey IN (SELECT o_custkey FROM big)))
+           AS n_big_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "chsql_scalar_with",
+    oracle="""
+    WITH big AS (SELECT o_custkey FROM orders GROUP BY o_custkey
+                 HAVING count(*) > 20)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_totalprice >
+                        (SELECT max(o_totalprice) FROM orders) / 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half_max,
+           round(max(o_totalprice) * 7 / 100.0, 2) AS max_fee,
+           CASE WHEN o_orderstatus = 'F' THEN 'closed' ELSE 'open' END
+               AS state,
+           CAST(sum(CASE WHEN o_custkey IN (SELECT o_custkey FROM big)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_cust
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def chsql_scalar_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH scalar WITH, all three item kinds in ONE list: constant bindings
+    (``7 AS fee_pct``, ``'F' AS closed``), a scalar-subquery binding
+    (``(SELECT max(...)) AS maxp`` — substituted as a scalar subquery
+    Catalyst evaluates once and, being uncorrelated, broadcasts as a
+    literal into every task), and a standard CTE (``big AS (SELECT ...)``)
+    that must pass through unsubstituted. The alias-definition guard keeps
+    ``AS closed`` in the select list from being rewritten. max/2 and the
+    fee product are exact-double comparisons (max is order-free), so the
+    oracle is value-stable."""
+    return ch_sql(spark, sf_dir, _CH_SCALAR_WITH)

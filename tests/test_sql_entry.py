@@ -362,3 +362,37 @@ def test_chsql_r4_spelling_pack_executes(spark, sf_dir):
         translate(
             "SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM events"
         )
+
+
+def test_chsql_star_modifiers_forms(spark, sf_dir):
+    from canal_clickhouse_spark.chsql import ch_sql, translate
+
+    # Bare EXCEPT (no parens) normalizes to Spark's native paren form.
+    t = translate("SELECT * EXCEPT o_custkey FROM orders")
+    assert "* EXCEPT(o_custkey)" in t
+    # Parenthesized pure EXCEPT passes through untouched.
+    t = translate("SELECT * EXCEPT (o_custkey, o_orderdate) FROM orders")
+    assert "EXCEPT (o_custkey, o_orderdate)" in t
+
+    # * APPLY(f) expands every column through f.
+    row = ch_sql(
+        spark, sf_dir,
+        "SELECT * EXCEPT (o_orderstatus, o_orderpriority, o_orderdate)"
+        " APPLY(max) FROM orders",
+    ).collect()[0]
+    assert set(row.asDict()) == {
+        "max_o_orderkey", "max_o_custkey", "max_o_totalprice",
+    }
+
+    # COLUMNS with no APPLY selects the matching columns in schema order.
+    df = ch_sql(spark, sf_dir, "SELECT COLUMNS('acctbal|name') FROM customer")
+    assert df.columns == ["c_name", "c_acctbal"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="single known FROM table"):
+        translate("SELECT * REPLACE(1 AS x) FROM orders o JOIN customer c"
+                  " ON o.o_custkey = c.c_custkey")
+    with _pytest.raises(ValueError, match="matched no columns"):
+        translate("SELECT COLUMNS('zzz') FROM orders")
+    with _pytest.raises(ValueError, match="expr AS col"):
+        translate("SELECT * REPLACE(o_orderkey) FROM orders")
