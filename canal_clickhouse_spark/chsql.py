@@ -209,6 +209,13 @@ _RENAME = {
     "arrayreverse": "reverse",
     "arrayconcat": "concat",
     "arrayslice": "slice",  # both 1-based (arr, offset, length)
+    "arraysort": "sort_array",
+    "arrayintersect": "array_intersect",
+    "arrayflatten": "flatten",
+    # bit aggregates — direct Spark aggregate equivalents
+    "groupbitand": "bit_and",
+    "groupbitor": "bit_or",
+    "groupbitxor": "bit_xor",
 }
 
 # addDays/subtractHours/… → timestampadd(UNIT, ±n, ts)
@@ -596,6 +603,30 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))"
     if low == "arraypopfront":
         return f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))"
+    # -- array transforms with positional lambdas (Spark HOF index = 0-based
+    # second lambda arg; element_at is 1-based, so element_at(a, i) IS the
+    # previous element). Numeric folds promote to DOUBLE like CH's widening.
+    if low == "arraydifference":  # [0, a2-a1, a3-a2, ...]
+        a = args[0]
+        return (
+            f"transform({a}, (x, i) -> IF(i = 0, 0D,"
+            f" CAST(x AS DOUBLE) - CAST(element_at({a}, i) AS DOUBLE)))"
+        )
+    if low == "arraycumsum":
+        # Per-element prefix fold — O(w²) in array width, fine for the
+        # bounded vector/tag arrays this dialect targets; unbounded arrays
+        # should explode + running-sum window instead.
+        a = args[0]
+        return (
+            f"transform({a}, (x, i) -> aggregate(slice({a}, 1, i + 1),"
+            f" 0D, (s, v) -> s + CAST(v AS DOUBLE)))"
+        )
+    if low == "arraycompact":  # collapse CONSECUTIVE duplicates
+        a = args[0]
+        return (
+            f"filter({a}, (x, i) -> i = 0"
+            f" OR NOT (x <=> element_at({a}, i)))"
+        )
     # -- `-Array` aggregate combinators: aggregate over ALL ELEMENTS of an
     # array column across rows. Element folds run in DOUBLE (CH promotes
     # Float32 sums to Float64 the same way); callers wanting exactness
@@ -722,6 +753,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # -Array aggregate combinators
     "sumarray", "countarray", "avgarray", "uniqarray", "uniqexactarray",
     "maxarray", "minarray",
+    # array transforms
+    "arraydifference", "arraycumsum", "arraycompact",
 } | {
     f"{p}{u}" for p in ("add", "subtract")
     for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
@@ -1312,6 +1345,22 @@ def _rewrite_clauses(q: str) -> str:
         repl = _from_replacement(m.group(1), has_final, frac)
         return m.group(0) if repl is None else repl
 
+    # numbers(N) table function → Spark's range(N) (id column renamed to
+    # CH's `number`). numbers(off, N) takes the half-open [off, off+N) form.
+    # Emitted as a placeholder name because CH also has a SCALAR range()
+    # this translator rewrites to sequence(); `translate` restores the
+    # real name after function translation.
+    q = re.sub(
+        r"\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        lambda m: (
+            f"FROM (SELECT id AS number FROM __spark_range__({m.group(1)},"
+            f" {int(m.group(1)) + int(m.group(2))}))"
+            if m.group(2)
+            else f"FROM (SELECT id AS number FROM __spark_range__({m.group(1)}))"
+        ),
+        q,
+        flags=re.IGNORECASE,
+    )
     q = _rewrite_scalar_with(q)
     q = _rewrite_star_modifiers(q)
     q = _rewrite_asof_join(q)
@@ -1361,7 +1410,9 @@ def _rewrite_clauses(q: str) -> str:
 def translate(ch_query: str) -> str:
     """CH-dialect → Spark SQL: clause-level rewrites (FINAL / SAMPLE /
     LIMIT BY) on the raw text first, then the recursive function rewrite."""
-    return _translate_fns(_rewrite_clauses(ch_query))
+    return _translate_fns(_rewrite_clauses(ch_query)).replace(
+        "__spark_range__", "range"
+    )
 
 
 def _translate_fns(ch_query: str) -> str:
@@ -2344,3 +2395,110 @@ def chsql_scalar_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     fee product are exact-double comparisons (max is order-free), so the
     oracle is value-stable."""
     return ch_sql(spark, sf_dir, _CH_SCALAR_WITH)
+
+
+_CH_ARRAY_TRANSFORMS = """
+SELECT vec_id,
+       arrayStringConcat(arrayMap(x -> toString(toInt64(x)),
+                                  arrayDifference(iv)), ',') AS diffs,
+       arrayStringConcat(arrayMap(x -> toString(toInt64(x)),
+                                  arrayCumSum(iv)), ',') AS csum,
+       arrayStringConcat(arrayMap(x -> toString(x),
+                                  arrayCompact(arrayMap(x -> intDiv(x, 10),
+                                                        iv))), ',')
+           AS compacted,
+       arrayStringConcat(arrayMap(x -> toString(x), arraySort(iv)), ',')
+           AS sorted_iv,
+       arrayStringConcat(arrayMap(x -> toString(x),
+                                  arraySort(arrayIntersect(iv,
+                                      [0, 1, 2, 3, 4, 5]))), ',') AS inter,
+       toInt64(arraySum(arrayFlatten([iv, iv]))) AS flat_sum
+FROM (SELECT vec_id,
+             arrayMap(x -> toInt64(floor(x * 100)),
+                      arraySlice(embedding, 1, 6)) AS iv
+      FROM embeddings)
+ORDER BY vec_id
+"""
+
+
+@query(
+    "chsql_array_transforms",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(list_slice(embedding, 1, 6),
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 100)
+                                        AS BIGINT)) AS iv
+        FROM embeddings
+    ),
+    shifted AS (
+        SELECT vec_id, iv,
+               list_prepend(iv[1],
+                   list_slice(iv, 1, len(iv) - 1)) AS prev,
+               list_transform(iv, x -> x // 10) AS iv10
+        FROM base
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(list_zip(iv, prev),
+               s -> CAST(s[1] - s[2] AS BIGINT)), ',') AS diffs,
+           array_to_string(list_transform(generate_series(1, len(iv)),
+               j -> list_reduce(list_slice(iv, 1, j), (p, q) -> p + q)),
+               ',') AS csum,
+           array_to_string(list_transform(
+               list_filter(list_zip(iv10,
+                   list_prepend(NULL, list_slice(iv10, 1, len(iv10) - 1))),
+                   s -> s[1] IS DISTINCT FROM s[2]),
+               s -> s[1]), ',') AS compacted,
+           array_to_string(list_sort(iv), ',') AS sorted_iv,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_intersect(iv, [0, 1, 2, 3, 4, 5]))), ','), '') AS inter,
+           2 * list_reduce(iv, (p, q) -> p + q) AS flat_sum
+    FROM shifted ORDER BY vec_id
+    """,
+)
+def chsql_array_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH array-transform family over integer-quantized embedding slices:
+    arrayDifference / arrayCumSum via Spark positional-lambda HOFs
+    (``transform((x, i) -> ...)`` with 1-based ``element_at`` as the
+    previous-element read), arrayCompact's consecutive-dup collapse as an
+    indexed ``filter`` with null-safe compare, arraySort / arrayIntersect /
+    arrayFlatten renames, all inside whole-stage codegen. The DuckDB oracle
+    has no indexed lambdas, so it recomputes with zip-against-shifted-self
+    (diffs, compact) and prefix slices (cumsum) — an independent
+    formulation of the same semantics. Arrays ship as CSV strings
+    (the driver hashes scalar cells)."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_TRANSFORMS)
+
+
+_CH_NUMBERS_BITAGG = """
+SELECT number % 5 AS g,
+       toInt64(groupBitAnd(number)) AS band,
+       toInt64(groupBitOr(number)) AS bor,
+       toInt64(groupBitXor(number)) AS bxor,
+       toInt64(count()) AS n,
+       toInt64(max(number)) AS mx
+FROM numbers(16, 1000) GROUP BY g ORDER BY g
+"""
+
+
+@query(
+    "chsql_numbers_bitagg",
+    oracle="""
+    SELECT number % 5 AS g,
+           bit_and(number) AS band,
+           bit_or(number) AS bor,
+           bit_xor(number) AS bxor,
+           CAST(count(*) AS BIGINT) AS n,
+           max(number) AS mx
+    FROM (SELECT CAST(g AS BIGINT) AS number
+          FROM generate_series(16, 1015) t(g))
+    GROUP BY g ORDER BY g
+    """,
+)
+def chsql_numbers_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``numbers(offset, N)`` table function → Spark's native ``range``
+    (a parallel, splittable source — partitions scale with the cluster,
+    no driver-side materialization), with the groupBitAnd/Or/Xor aggregate
+    family mapping to Spark's bit_and/bit_or/bit_xor. Bit aggregates are
+    order-free integer folds, so values are engine-exact."""
+    return ch_sql(spark, sf_dir, _CH_NUMBERS_BITAGG)
