@@ -1345,6 +1345,18 @@ def _rewrite_clauses(q: str) -> str:
         repl = _from_replacement(m.group(1), has_final, frac)
         return m.group(0) if repl is None else repl
 
+    # Trailing SETTINGS / FORMAT clauses: engine-side knobs (max_threads,
+    # output rendering) with no DataFrame analog — the Spark equivalents
+    # are session confs and the caller's own sink. Stripped, not errored:
+    # every CH client appends them, and dropping them preserves result
+    # semantics exactly. Only the TRAILING position is recognized so a
+    # column literally named `settings` elsewhere is untouched.
+    q = re.sub(
+        r"(?is)\s+SETTINGS\s+\w+\s*=\s*[^,]+(?:\s*,\s*\w+\s*=\s*[^,]+)*\s*$",
+        "",
+        q,
+    )
+    q = re.sub(r"(?is)\s+FORMAT\s+\w+\s*$", "", q)
     # numbers(N) table function → Spark's range(N) (id column renamed to
     # CH's `number`). numbers(off, N) takes the half-open [off, off+N) form.
     # Emitted as a placeholder name because CH also has a SCALAR range()

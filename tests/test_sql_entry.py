@@ -396,3 +396,35 @@ def test_chsql_star_modifiers_forms(spark, sf_dir):
         translate("SELECT COLUMNS('zzz') FROM orders")
     with _pytest.raises(ValueError, match="expr AS col"):
         translate("SELECT * REPLACE(o_orderkey) FROM orders")
+
+
+def test_chsql_scalar_with_and_trailers(spark, sf_dir):
+    from canal_clickhouse_spark.chsql import ch_sql, translate
+
+    # Constant + scalar-subquery bindings substitute; CTEs pass through;
+    # `AS ident` definitions and string literals are never rewritten.
+    t = translate(
+        "WITH 3 AS k, big AS (SELECT 1 AS x) "
+        "SELECT k + 1 AS k, 'k is not touched' AS lit FROM big"
+    )
+    assert "WITH big AS" in t
+    assert "(3) + 1 AS k" in t
+    assert "'k is not touched'" in t
+
+    rows = ch_sql(
+        spark, sf_dir,
+        """
+        WITH 10 AS cutoff,
+             (SELECT min(o_orderkey) FROM orders) AS mink
+        SELECT toInt64(count()) AS n FROM orders
+        WHERE o_orderkey < mink + cutoff
+        SETTINGS max_threads = 4, join_use_nulls = 1
+        """,
+    ).collect()
+    assert rows[0].n > 0
+
+    # Trailing SETTINGS/FORMAT strip; non-trailing identifiers survive.
+    t = translate("SELECT count() FROM orders FORMAT JSONEachRow")
+    assert "FORMAT" not in t
+    t = translate("SELECT props AS settings FROM events LIMIT 1")
+    assert "settings" in t
