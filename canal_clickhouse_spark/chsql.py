@@ -1002,7 +1002,16 @@ def _rewrite_star_modifiers(q: str) -> str:
 # the fixture tables.
 _TABLE_META: dict[str, dict[str, str]] = {
     "orders": {"key": "o_orderkey"},
-    "lineitem": {"key": "l_orderkey", "uniq": "l_orderkey, l_linenumber"},
+    # NOTE: this fixture's (l_orderkey, l_linenumber) is NOT row-unique
+    # (unlike real TPC-H) — found when an ordered-window key tied on it.
+    # The 6-column tuple is verified duplicate-free at sf0.01 AND sf0.1
+    # (tests/test_sql_entry.py pins it), keeping the ANY JOIN tiebreak
+    # genuinely deterministic.
+    "lineitem": {
+        "key": "l_orderkey",
+        "uniq": "l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+                " l_quantity, l_extendedprice",
+    },
     "customer": {"key": "c_custkey"},
     "part": {"key": "p_partkey"},
     "supplier": {"key": "s_suppkey"},
@@ -2514,3 +2523,58 @@ def chsql_numbers_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     family mapping to Spark's bit_and/bit_or/bit_xor. Bit aggregates are
     order-free integer folds, so values are engine-exact."""
     return ch_sql(spark, sf_dir, _CH_NUMBERS_BITAGG)
+
+
+_CH_WINDOW_OVER = """
+SELECT event_id, user_id,
+       toInt64(count() OVER w) AS n_events,
+       toInt64(sum(toInt64(floor(value))) OVER wo) AS val_cum,
+       row_number() OVER wo AS rn,
+       anyLast(event_type) OVER wo AS type_so_far,
+       toInt64(countIf(event_type = 'click') OVER w) AS n_clicks
+FROM events
+WHERE user_id % 50 = 7
+WINDOW w AS (PARTITION BY user_id),
+       wo AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@query(
+    "chsql_window_over",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value) AS BIGINT)) OVER wo AS BIGINT)
+               AS val_cum,
+           row_number() OVER wo AS rn,
+           last_value(event_type) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS type_so_far,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                OVER w AS BIGINT) AS n_clicks
+    FROM events
+    WHERE user_id % 50 = 7
+    WINDOW w AS (PARTITION BY user_id),
+           wo AS (PARTITION BY user_id ORDER BY event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def chsql_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH window syntax composes with function translation: named WINDOW
+    clauses pass through (both engines implement the standard — one
+    unordered for whole-partition aggregates, one ordered for running
+    forms), translated CH spellings work INSIDE an OVER context
+    (``count()`` → ``count(*)``, ``anyLast`` → ``last`` which over an
+    ordered default frame reads the current row, ``countIf`` →
+    ``count_if``), and casts wrap window expressions
+    (``toInt64(count() OVER w)``). Partitioned by user_id and ordered by
+    the globally-unique event_id, so every running value is deterministic
+    (the lineitem fixture's (orderkey, linenumber) is NOT unique — ties
+    made ordered frames engine-dependent; found while building this key).
+    The running sum quantizes value with floor() so the cumulative fold is
+    exact integers in any engine. One exchange on user_id serves both
+    windows — the same-partition-key rule that keeps multi-window selects
+    at one shuffle at scale."""
+    return ch_sql(spark, sf_dir, _CH_WINDOW_OVER)

@@ -428,3 +428,15 @@ def test_chsql_scalar_with_and_trailers(spark, sf_dir):
     assert "FORMAT" not in t
     t = translate("SELECT props AS settings FROM events LIMIT 1")
     assert "settings" in t
+
+
+def test_lineitem_uniq_meta_is_row_unique(spark, sf_dir):
+    """The ANY JOIN deterministic tiebreak relies on _TABLE_META['uniq']
+    being genuinely row-unique; (l_orderkey, l_linenumber) is NOT in this
+    fixture (unlike real TPC-H), which is why the meta carries 6 columns."""
+    from canal_clickhouse_spark.catalog import table
+    from canal_clickhouse_spark.chsql import _TABLE_META
+
+    cols = [c.strip() for c in _TABLE_META["lineitem"]["uniq"].split(",")]
+    li = table(spark, sf_dir, "lineitem")
+    assert li.groupBy(*cols).count().filter("count > 1").count() == 0
