@@ -216,6 +216,13 @@ _RENAME = {
     "groupbitand": "bit_and",
     "groupbitor": "bit_or",
     "groupbitxor": "bit_xor",
+    # window spellings (CH's frame-respecting variants; equal under the
+    # default frame, which is the only frame this translator emits)
+    "leadinframe": "lead",
+    "laginframe": "lag",
+    "substringindex": "substring_index",
+    "makedate": "make_date",
+    "makedatetime": "make_timestamp",
 }
 
 # addDays/subtractHours/… → timestampadd(UNIT, ±n, ts)
@@ -473,6 +480,21 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"timestampdiff({unit}, date_trunc('{unit}', {args[1]}),"
             f" date_trunc('{unit}', {args[2]}))"
         )
+    if low == "age":
+        # CH age('unit', a, b) counts COMPLETE elapsed units — exactly
+        # Spark's timestampdiff (the complement of dateDiff's
+        # crossed-boundary count; both live here, both exact).
+        unit = args[0].strip().strip("'\"").upper()
+        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    if low in ("dateadd", "datesub"):
+        # 3-arg CH form: dateAdd(DAY, 3, x) / dateAdd('day', 3, x).
+        unit = args[0].strip().strip("'\"").upper()
+        n = args[1] if low == "dateadd" else f"-({args[1]})"
+        return f"timestampadd({unit}, {n}, {args[2]})"
+    if low == "tomonday":  # week floor to DATE, Monday start (both engines)
+        return f"to_date(date_trunc('week', {args[0]}))"
+    if low == "now64":  # precision arg is display-only here
+        return "now()"
     if low.startswith(("add", "subtract")) and (
         low.removeprefix("subtract").removeprefix("add") in _ADD_UNITS
     ):
@@ -755,6 +777,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "maxarray", "minarray",
     # array transforms
     "arraydifference", "arraycumsum", "arraycompact",
+    # date arithmetic spellings
+    "age", "dateadd", "datesub", "tomonday", "now64",
 } | {
     f"{p}{u}" for p in ("add", "subtract")
     for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
@@ -2578,3 +2602,47 @@ def chsql_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — the same-partition-key rule that keeps multi-window selects
     at one shuffle at scale."""
     return ch_sql(spark, sf_dir, _CH_WINDOW_OVER)
+
+
+_CH_DATETIME_ARITH = """
+SELECT event_id,
+       age('day', toDate('2020-01-01'), toDate(ts)) AS days_since,
+       age('hour', toDateTime('2020-01-01 00:00:00'), ts) AS hours_since,
+       toString(toDate(dateAdd(DAY, 3, toDate(ts)))) AS plus3,
+       dateSub(HOUR, 2, toStartOfHour(ts)) AS minus2h,
+       toString(toMonday(ts)) AS monday,
+       toString(makeDate(2024, 2, 29)) AS leap,
+       substringIndex(event_type, 'i', 1) AS type_head
+FROM events ORDER BY event_id LIMIT 2000
+"""
+
+
+@query(
+    "chsql_datetime_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(floor((epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                       - epoch(TIMESTAMP '2020-01-01')) / 86400)
+                AS BIGINT) AS days_since,
+           CAST(floor((epoch(ts) - epoch(TIMESTAMP '2020-01-01')) / 3600)
+                AS BIGINT) AS hours_since,
+           CAST(CAST(ts AS DATE) + 3 AS VARCHAR) AS plus3,
+           date_trunc('hour', ts) - INTERVAL 2 HOUR AS minus2h,
+           CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS monday,
+           '2024-02-29' AS leap,
+           CASE WHEN position('i' IN event_type) > 0
+                THEN substr(event_type, 1, position('i' IN event_type) - 1)
+                ELSE event_type END AS type_head
+    FROM events ORDER BY event_id LIMIT 2000
+    """,
+)
+def chsql_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH date-arithmetic spellings, live-value-checked: ``age`` (complete
+    elapsed units = Spark timestampdiff — the complement of dateDiff's
+    crossed-boundary count, both now exact), 3-arg ``dateAdd/dateSub``
+    with bare OR quoted unit tokens, ``toMonday`` (week floor to DATE,
+    Monday start on all three engines), ``makeDate`` (leap-day literal),
+    and ``substringIndex``. The DuckDB oracle recomputes age from raw
+    epoch floors because DuckDB's own date_diff counts crossed boundaries
+    (the exact trap the dateDiff/age pair documents)."""
+    return ch_sql(spark, sf_dir, _CH_DATETIME_ARITH)

@@ -440,3 +440,23 @@ def test_lineitem_uniq_meta_is_row_unique(spark, sf_dir):
     cols = [c.strip() for c in _TABLE_META["lineitem"]["uniq"].split(",")]
     li = table(spark, sf_dir, "lineitem")
     assert li.groupBy(*cols).count().filter("count > 1").count() == 0
+
+
+def test_chsql_frame_window_and_now_spellings(spark, sf_dir):
+    from canal_clickhouse_spark.chsql import ch_sql
+
+    rows = ch_sql(
+        spark, sf_dir,
+        """
+        SELECT user_id, event_id,
+               leadInFrame(event_id) OVER wo AS nxt,
+               lagInFrame(event_id) OVER wo AS prv,
+               now64(3) > ts AS in_past
+        FROM events WHERE user_id = 1
+        WINDOW wo AS (PARTITION BY user_id ORDER BY event_id)
+        ORDER BY event_id
+        """,
+    ).collect()
+    assert len(rows) > 1
+    assert rows[0].prv is None and rows[0].nxt == rows[1].event_id
+    assert all(r.in_past for r in rows)
