@@ -2646,3 +2646,60 @@ def chsql_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch floors because DuckDB's own date_diff counts crossed boundaries
     (the exact trap the dateDiff/age pair documents)."""
     return ch_sql(spark, sf_dir, _CH_DATETIME_ARITH)
+
+
+_CH_KITCHEN_SINK = """
+WITH 3 AS min_n
+SELECT toInt64(o_custkey % 10) AS bucket,
+       toInt64(count()) AS n,
+       toInt64(max(version)) AS maxv,
+       toInt64(uniqExact(o_orderkey)) AS uk
+FROM cdc_changes FINAL SAMPLE 0.5
+PREWHERE o_orderpriority != '3-MEDIUM'
+WHERE o_totalprice > 1000
+GROUP BY toInt64(o_custkey % 10) WITH TOTALS
+HAVING count() > min_n
+ORDER BY bucket
+SETTINGS max_threads = 8, join_use_nulls = 1
+FORMAT JSONEachRow
+"""
+
+
+@query(
+    "chsql_kitchen_sink",
+    oracle=f"""
+    WITH {_CDC_CTE},
+    sampled AS (
+        SELECT * FROM cdc_changes
+        WHERE ((o_orderkey * 2654435761) % {_SAMPLE_MOD})
+              < {int(0.5 * _SAMPLE_MOD)}
+    ),
+    final AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY version DESC) AS rn
+            FROM sampled
+        ) WHERE rn = 1 AND op <> 'DELETE'
+    )
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(version) AS BIGINT) AS maxv,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS uk
+    FROM final
+    WHERE o_orderpriority != '3-MEDIUM' AND o_totalprice > 1000
+    GROUP BY GROUPING SETS ((CAST(o_custkey % 10 AS BIGINT)), ())
+    HAVING count(*) > 3
+    ORDER BY bucket
+    """,
+)
+def chsql_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite-ORDER composition stress: one query through scalar WITH →
+    SETTINGS/FORMAT strip → FROM ... FINAL SAMPLE (sample-by-key cut
+    composing with the Replacing collapse — SAMPLE before FINAL, CH's
+    documented order) → PREWHERE merge into WHERE → WITH TOTALS grouping
+    sets → HAVING referencing a substituted binding. Every clause is
+    covered alone by its own key; this key exists because clause rewrites
+    run as sequential text passes and an ordering bug (one pass consuming
+    another's clause text) would only surface when they meet in one query.
+    The oracle recomputes the full pipeline as explicit CTE stages."""
+    return ch_sql(spark, sf_dir, _CH_KITCHEN_SINK)
