@@ -1098,6 +1098,10 @@ _LIMIT_BY_RE = re.compile(
     r"(?P<cols>.+?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_LIMIT_TIES_RE = re.compile(
+    r"\bORDER\s+BY\s+(?P<ord>.+?)\s+LIMIT\s+(?P<n>\d+)\s+WITH\s+TIES\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ARRAY_JOIN_RE = re.compile(
     r"\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)",
     re.IGNORECASE | re.DOTALL,
@@ -1447,6 +1451,34 @@ def _rewrite_clauses(q: str) -> str:
             f" (PARTITION BY {cols} ORDER BY {ord_clause}) AS _rn"
             f" FROM ({inner})) WHERE _rn <= {n} ORDER BY {ord_clause}{tail}"
         )
+    # `ORDER BY o LIMIT n WITH TIES` → RANK window ≤ n: keeps every row
+    # tying with the n-th on the ORDER BY key (standard/CH semantics Spark's
+    # LIMIT lacks). Anchored to the LAST ORDER BY for the same reason as
+    # LIMIT BY above. The global-rank window is one post-shuffle sorted
+    # partition — the identical single-node tail any global ORDER BY +
+    # LIMIT already pays, so no new scale hazard.
+    wt = None
+    for m in re.finditer(r"\bORDER\s+BY\b", q, re.IGNORECASE):
+        cand = _LIMIT_TIES_RE.match(q, m.start())
+        if cand:
+            wt = cand
+    if wt:
+        inner = q[: wt.start()].strip()
+        ord_clause, n = wt["ord"].strip(), int(wt["n"])
+        q = (
+            f"SELECT * EXCEPT(_rk) FROM (SELECT *, RANK() OVER"
+            f" (ORDER BY {ord_clause}) AS _rk"
+            f" FROM ({inner})) WHERE _rk <= {n} ORDER BY {ord_clause}"
+        )
+    # CH's MySQL-inherited comma form `LIMIT offset, count` → standard
+    # `LIMIT count OFFSET offset`. Trailing position only; the combined
+    # `LIMIT m, n BY cols` spelling is out of scope for the text rewriter.
+    q = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*$",
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+        q,
+        flags=re.IGNORECASE,
+    )
     q = _rewrite_with_totals(q)
     q = _rewrite_with_fill(q)
     return q
@@ -2703,3 +2735,57 @@ def chsql_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     another's clause text) would only surface when they meet in one query.
     The oracle recomputes the full pipeline as explicit CTE stages."""
     return ch_sql(spark, sf_dir, _CH_KITCHEN_SINK)
+
+
+_CH_LIMIT_TIES = """
+SELECT o_orderdate, o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderdate LIMIT 5 WITH TIES
+"""
+
+
+@query(
+    "chsql_limit_ties",
+    oracle="""
+    SELECT o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_orderdate, o_orderkey, o_totalprice,
+               RANK() OVER (ORDER BY o_orderdate) AS rk
+        FROM orders
+    ) t WHERE rk <= 5
+    """,
+)
+def chsql_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT n WITH TIES`` clause translation: all rows ranking ≤ n under
+    the final ORDER BY survive, including every row tying with the n-th
+    (CH / SQL-standard FETCH ... WITH TIES semantics; Spark's LIMIT always
+    cuts mid-tie). Rewritten to a RANK() window — the result SET is
+    deterministic even though the orderdate tie group's internal order is
+    not, which is exactly why the driver's order-insensitive hash is the
+    right check. Oracle recomputes the rank filter explicitly (DuckDB's own
+    WITH TIES spelling is FETCH-clause-only)."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_TIES)
+
+
+_CH_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10, 5
+"""
+
+
+@query(
+    "chsql_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5 OFFSET 10
+    """,
+)
+def chsql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's MySQL-inherited ``LIMIT offset, count`` comma form → standard
+    ``LIMIT count OFFSET offset``. Deterministic page because the ORDER BY
+    ends on the unique o_orderkey (the `limit_offset` §2 key's rule:
+    pagination is only well-defined after a total order)."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_OFFSET)

@@ -295,6 +295,26 @@ def test_chsql_round4_clause_rewrites():
         translate("SELECT a FROM orders SAMPLE 0.5 FINAL")
 
 
+def test_chsql_limit_ties_and_comma_offset():
+    """`LIMIT n WITH TIES` → RANK window ≤ n; `LIMIT offset, count` comma
+    form → LIMIT count OFFSET offset. Both trailing-position-only."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT a, b FROM orders ORDER BY a LIMIT 5 WITH TIES")
+    assert "RANK() OVER (ORDER BY a) AS _rk" in t
+    assert "_rk <= 5" in t and "WITH TIES" not in t
+    assert t.strip().endswith("ORDER BY a")
+
+    t = translate("SELECT a FROM orders ORDER BY a LIMIT 10, 5")
+    assert t.strip().endswith("LIMIT 5 OFFSET 10")
+
+    # Plain LIMIT is untouched; LIMIT BY still wins its own spelling.
+    t = translate("SELECT a FROM orders ORDER BY a LIMIT 7")
+    assert t.strip().endswith("LIMIT 7")
+    t = translate("SELECT a, b FROM orders ORDER BY b DESC LIMIT 3 BY a")
+    assert "PARTITION BY a ORDER BY b DESC" in t
+
+
 def test_chsql_datediff_counts_crossed_boundaries(spark):
     """CH dateDiff semantics (ADVICE r3): 23:00 → next-day 01:00 crosses one
     day boundary even though <24h elapsed; same for hour/month units."""
