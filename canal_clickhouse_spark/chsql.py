@@ -233,8 +233,15 @@ _ADD_UNITS = {
 }
 
 # CH parameterized aggregates — `fn(params)(args)` double-call syntax.
+# Names here are routed to _translate_parametric; the last three exist only
+# to fail loudly with a pointer at the operator key that implements the
+# semantics (a sketch/sequence aggregate has no inline Spark-SQL spelling),
+# instead of leaking the double-call through to a confusing Spark parse
+# error.
 _PARAMETRIC = {
     "quantile", "quantileexact", "quantiletdigest", "quantiles", "uniqupto",
+    "quantileexactweighted", "grouparray",
+    "topk", "topkweighted", "histogram", "sequencematch", "sequencecount",
 }
 
 
@@ -245,6 +252,27 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     if low == "uniqupto":  # uniqUpTo(N)(x): distinct count saturating at N+1
         n = params[0] if params else "5"
         return f"LEAST(count(DISTINCT {args[0]}), {n} + 1)"
+    if low == "quantileexactweighted":  # (p)(x, w) — Spark's 3-arg form
+        # takes the weight as an integral per-row frequency, which is
+        # exactly CH's contract for this aggregate.
+        p = params[0] if params else "0.5"
+        return f"percentile({args[0]}, {p}, {args[1]})"
+    if low == "grouparray":  # groupArray(n)(x): first-n cap. Arrival-order
+        # nondeterminism is CH's own contract here; wrap in sort_array or
+        # use groupUniqArray semantics for stable output.
+        return f"slice(collect_list({args[0]}), 1, {params[0]})"
+    if low in ("topk", "topkweighted", "histogram", "sequencematch",
+               "sequencecount"):
+        hint = {
+            "topk": "agg_freq_items", "topkweighted": "topk_weighted",
+            "histogram": "agg_histogram", "sequencematch": "sequence_match",
+            "sequencecount": "sequence_count",
+        }[low]
+        raise ValueError(
+            f"{name}(...)(...) has no inline Spark-SQL spelling; use the"
+            f" `{hint}` operator (canal_clickhouse_spark registry) which"
+            " implements these semantics as a deterministic DataFrame plan"
+        )
     # quantile/quantileExact/quantileTDigest(p)(x) -> exact percentile
     return f"percentile({args[0]}, {params[0] if params else '0.5'})"
 
@@ -726,8 +754,14 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" * pow(sin(radians((CAST({lon2} AS DOUBLE) - CAST({lon1} AS DOUBLE)) / 2)), 2)"
             f")))"
         )
-    if low in _PARAMETRIC:  # bare quantile(x) — CH median default
-        return f"percentile({args[0]}, 0.5)"
+    if low in _PARAMETRIC and low not in _RENAME:
+        # Bare single-call form: quantile(x) → CH's median default,
+        # uniqUpTo(x) → default N=5, and the sketch/sequence names raise
+        # the same guided error as their double-call form. groupArray is
+        # excluded — its bare form is the plain collect_list rename below.
+        return _translate_parametric(
+            "quantile" if low == "quantiles" else low, [], args
+        )
     if low in _RENAME:
         return f"{_RENAME[low]}({', '.join(args)})"
     return f"{name}({', '.join(args)})"

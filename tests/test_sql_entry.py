@@ -315,6 +315,43 @@ def test_chsql_limit_ties_and_comma_offset():
     assert "PARTITION BY a ORDER BY b DESC" in t
 
 
+def test_chsql_parametric_family(spark):
+    """Widened fn(params)(args) surface: quantileExactWeighted → Spark's
+    3-arg percentile, groupArray(n)(x) → capped collect_list (bare
+    groupArray stays the plain rename), bare uniqUpTo gets its real
+    default instead of the old percentile fallback, and the
+    sketch/sequence parametrics raise a guided error naming the operator
+    key that implements them."""
+    import pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT quantileExactWeighted(0.5)(x, w) FROM t GROUP BY g")
+    assert "percentile(x, 0.5, w)" in t
+    t = translate("SELECT groupArray(3)(x) FROM t GROUP BY g")
+    assert "slice(collect_list(x), 1, 3)" in t
+    t = translate("SELECT groupArray(x) FROM t GROUP BY g")
+    assert "collect_list(x)" in t and "slice" not in t
+    t = translate("SELECT uniqUpTo(x) FROM t")
+    assert "LEAST(count(DISTINCT x), 5 + 1)" in t
+
+    for bad, hint in [("topK(5)(x)", "agg_freq_items"),
+                      ("histogram(10)(x)", "agg_histogram"),
+                      ("sequenceMatch('(?1)(?2)')(ts, a, b)", "sequence_match")]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
+
+    # Executed semantics: weighted median over integral frequencies equals
+    # the median of the frequency-expanded multiset (1,1,9,9,9 → 9).
+    row = spark.sql(
+        translate(
+            "SELECT quantileExactWeighted(0.5)(x, w) AS wm FROM "
+            "(SELECT 1 AS x, 2 AS w UNION ALL SELECT 9, 3)"
+        )
+    ).collect()[0]
+    assert float(row.wm) == 9.0
+
+
 def test_chsql_datediff_counts_crossed_boundaries(spark):
     """CH dateDiff semantics (ADVICE r3): 23:00 → next-day 01:00 crosses one
     day boundary even though <24h elapsed; same for hour/month units."""
