@@ -1428,6 +1428,19 @@ def _rewrite_clauses(q: str) -> str:
         q,
     )
     q = re.sub(r"(?is)\s+FORMAT\s+\w+\s*$", "", q)
+    # CH's bare INTERSECT/EXCEPT keep duplicate rows (ALL semantics) while
+    # Spark's bare forms are DISTINCT — a silent row-count divergence if
+    # passed through. Bare forms (followed by SELECT, so the `* EXCEPT(cols)`
+    # star modifier never matches) become explicit ALL; user-written
+    # `INTERSECT/EXCEPT DISTINCT` already means the same thing on both
+    # engines and passes through. Bare UNION is left alone: CH refuses it
+    # without union_default_mode, so no CH query relies on a default.
+    q = re.sub(
+        r"\b(INTERSECT|EXCEPT)(\s+(?:SELECT\b|\(\s*SELECT\b))",
+        lambda m: f"{m.group(1)} ALL{m.group(2)}",
+        q,
+        flags=re.IGNORECASE,
+    )
     # numbers(N) table function → Spark's range(N) (id column renamed to
     # CH's `number`). numbers(off, N) takes the half-open [off, off+N) form.
     # Emitted as a placeholder name because CH also has a SCALAR range()
@@ -2823,3 +2836,45 @@ def chsql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends on the unique o_orderkey (the `limit_offset` §2 key's rule:
     pagination is only well-defined after a total order)."""
     return ch_sql(spark, sf_dir, _CH_LIMIT_OFFSET)
+
+
+_CH_SETOPS = """
+SELECT 'i' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'e' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT DISTINCT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+)
+"""
+
+
+@query(
+    "chsql_setops",
+    oracle="""
+    SELECT 'i' AS tag, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'e' AS tag, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    """,
+)
+def chsql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH set-operation defaults: bare ``INTERSECT``/``EXCEPT`` keep
+    duplicates in ClickHouse (ALL semantics) but deduplicate in Spark —
+    the translator makes the ALL explicit so row multiplicities match
+    (INTERSECT ALL multiplicity = min of per-side counts per key, a
+    deterministic bag). The second branch pins that user-written
+    ``EXCEPT DISTINCT`` passes through meaning the same thing on both
+    engines, and that the rewrite reaches set ops inside derived tables."""
+    return ch_sql(spark, sf_dir, _CH_SETOPS)

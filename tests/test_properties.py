@@ -146,6 +146,8 @@ _CH_AGGS = [
     "sumIf({0}, {0} > 1)", "uniqExact({0})", "quantile(0.9)({0})",
     "argMax({0}, {1})", "median({0})", "avgIf({0}, {1} > 0)",
     "groupArray({0})", "anyIf({0}, {1} > 0)",
+    "quantileExactWeighted(0.5)({0}, toInt64(abs({1})) + 1)",
+    "groupArray(3)({0})", "uniqUpTo(4)({0})",
 ]
 
 

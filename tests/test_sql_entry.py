@@ -315,6 +315,21 @@ def test_chsql_limit_ties_and_comma_offset():
     assert "PARTITION BY a ORDER BY b DESC" in t
 
 
+def test_chsql_setop_defaults():
+    """CH bare INTERSECT/EXCEPT → explicit ALL; DISTINCT forms and the
+    `* EXCEPT(cols)` star modifier are untouched."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT a FROM t1 INTERSECT SELECT a FROM t2")
+    assert "INTERSECT ALL" in t
+    t = translate("SELECT a FROM t1 EXCEPT SELECT a FROM t2")
+    assert "EXCEPT ALL" in t
+    t = translate("SELECT a FROM t1 EXCEPT DISTINCT SELECT a FROM t2")
+    assert "EXCEPT DISTINCT" in t and "EXCEPT ALL" not in t
+    t = translate("SELECT * EXCEPT (o_custkey) FROM orders")
+    assert "ALL" not in t  # star modifier is not a set op
+
+
 def test_chsql_parametric_family(spark):
     """Widened fn(params)(args) surface: quantileExactWeighted → Spark's
     3-arg percentile, groupArray(n)(x) → capped collect_list (bare
