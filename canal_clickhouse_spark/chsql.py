@@ -1128,8 +1128,8 @@ _FROM_RE = re.compile(
     re.IGNORECASE,
 )
 _LIMIT_BY_RE = re.compile(
-    r"\bORDER\s+BY\s+(?P<ord>.+?)\s+LIMIT\s+(?P<n>\d+)\s+BY\s+"
-    r"(?P<cols>.+?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*$",
+    r"\bORDER\s+BY\s+(?P<ord>.+?)\s+LIMIT\s+(?:(?P<off>\d+)\s*,\s*)?(?P<n>\d+)"
+    r"\s+BY\s+(?P<cols>.+?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _LIMIT_TIES_RE = re.compile(
@@ -1493,10 +1493,14 @@ def _rewrite_clauses(q: str) -> str:
         inner = q[: lb.start()].strip()
         ord_clause, n, cols = lb["ord"].strip(), int(lb["n"]), lb["cols"].strip()
         tail = f" LIMIT {lb['m']}" if lb["m"] else ""
+        # CH's per-group offset form `LIMIT off, n BY cols` skips the first
+        # `off` rows of each group before keeping n.
+        off = int(lb["off"]) if lb["off"] else 0
+        keep = f"_rn > {off} AND _rn <= {off + n}" if off else f"_rn <= {n}"
         q = (
             f"SELECT * EXCEPT(_rn) FROM (SELECT *, ROW_NUMBER() OVER"
             f" (PARTITION BY {cols} ORDER BY {ord_clause}) AS _rn"
-            f" FROM ({inner})) WHERE _rn <= {n} ORDER BY {ord_clause}{tail}"
+            f" FROM ({inner})) WHERE {keep} ORDER BY {ord_clause}{tail}"
         )
     # `ORDER BY o LIMIT n WITH TIES` → RANK window ≤ n: keeps every row
     # tying with the n-th on the ORDER BY key (standard/CH semantics Spark's
@@ -1518,8 +1522,9 @@ def _rewrite_clauses(q: str) -> str:
             f" FROM ({inner})) WHERE _rk <= {n} ORDER BY {ord_clause}"
         )
     # CH's MySQL-inherited comma form `LIMIT offset, count` → standard
-    # `LIMIT count OFFSET offset`. Trailing position only; the combined
-    # `LIMIT m, n BY cols` spelling is out of scope for the text rewriter.
+    # `LIMIT count OFFSET offset`. Trailing position only; the per-group
+    # `LIMIT off, n BY cols` spelling is handled by the LIMIT BY rewrite
+    # above.
     q = re.sub(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*$",
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
@@ -2878,3 +2883,60 @@ def chsql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``EXCEPT DISTINCT`` passes through meaning the same thing on both
     engines, and that the rewrite reaches set ops inside derived tables."""
     return ch_sql(spark, sf_dir, _CH_SETOPS)
+
+
+_CH_LIMIT_BY_OFFSET = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 1, 2 BY o_custkey
+"""
+
+
+@query(
+    "chsql_limit_by_offset",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn > 1 AND rn <= 3
+    """,
+)
+def chsql_limit_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's per-group offset form ``LIMIT off, n BY cols``: skip each
+    group's first `off` rows (here the single top-priced order per
+    customer) before keeping n. Same ROW_NUMBER window as `chsql_limit_by`,
+    with the keep-band shifted — deterministic via the o_orderkey
+    tie-break."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_BY_OFFSET)
+
+
+_CH_GROUP_ORDER_ALL = """
+SELECT o_orderstatus, o_orderpriority,
+       toInt64(count()) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query(
+    "chsql_group_order_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def chsql_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``GROUP BY ALL`` / ``ORDER BY ALL`` (group on every non-aggregate
+    select expression; order on the whole output row) — native spellings in
+    Spark 4 and DuckDB with identical semantics, pinned as pass-through so
+    a regression in the translator (e.g. a rewrite consuming the ALL token)
+    surfaces here. avg rounded 2dp per the §7.5 float rule."""
+    return ch_sql(spark, sf_dir, _CH_GROUP_ORDER_ALL)

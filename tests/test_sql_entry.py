@@ -312,7 +312,11 @@ def test_chsql_limit_ties_and_comma_offset():
     t = translate("SELECT a FROM orders ORDER BY a LIMIT 7")
     assert t.strip().endswith("LIMIT 7")
     t = translate("SELECT a, b FROM orders ORDER BY b DESC LIMIT 3 BY a")
-    assert "PARTITION BY a ORDER BY b DESC" in t
+    assert "PARTITION BY a ORDER BY b DESC" in t and "_rn <= 3" in t
+
+    # Per-group offset form: LIMIT off, n BY cols skips off rows per group.
+    t = translate("SELECT a, b FROM orders ORDER BY b DESC LIMIT 2, 3 BY a")
+    assert "_rn > 2 AND _rn <= 5" in t
 
 
 def test_chsql_setop_defaults():
