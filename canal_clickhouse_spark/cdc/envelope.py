@@ -517,3 +517,137 @@ def cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+@query(
+    "cdc_multi_table_sync",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_orderstatus, 'INSERT' AS op, 0 AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'F', 'UPDATE', 1 FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'DELETE', 2
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    final_orders AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY version DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1 AND op <> 'DELETE'
+    )
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_special,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM final_orders
+    UNION ALL
+    SELECT 'customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT),
+           CAST(sum(c_custkey) AS BIGINT)
+    FROM customer
+    ORDER BY table_name
+    """,
+)
+def cdc_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sync composite — the shape a real Canal deployment runs on
+    day one: ONE topic carries two tables' envelopes; the sink routes by the
+    envelope's ``table`` key, types each route with its OWN DDL-derived
+    ``mysqlType`` mapping (the r3 review's "a real multi-table deployment
+    hits this on table #2" case), applies ReplacingMergeTree semantics to
+    the versioned route, and lands both states.
+
+    - ``orders`` route: 3-round INSERT/UPDATE/DELETE log (the cdc_changes
+      derivation) serialized through FlatMessage JSON with ``es`` carrying
+      the version; replacing-apply = max_by(payload, event_time) then drop
+      tombstones — one hash aggregation per route, no window sort.
+    - ``customer`` route: INSERT-only snapshot with unsigned widening
+      (``bigint unsigned`` PK → Decimal(20,0)) and an ENUM mapping that
+      deliberately omits 'MACHINERY' — those rows surface in the NULL
+      reject lane (counted as n_special), CHECK-style validation.
+    Routing happens on the raw message via ``get_json_object`` before any
+    table-specific parse — at scale each route is an independent stream and
+    the router never deserializes the full payload."""
+    o = table(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey", "o_orderstatus", F.lit("INSERT").alias("op"), F.lit(0).alias("version")
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("F").alias("o_orderstatus"),
+        F.lit("UPDATE").alias("op"), F.lit(1).alias("version"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit("DELETE").alias("op"), F.lit(2).alias("version")
+    )
+    olog = ins.unionByName(upd).unionByName(dele)
+    orders_types = {
+        "o_orderkey": "bigint(20)",
+        "o_orderstatus": "enum('O','F','P')",
+    }
+    orders_msgs = build_envelope(
+        olog,
+        database="shop",
+        table_name="orders",
+        pk_names=["o_orderkey"],
+        data_cols={
+            "o_orderkey": F.col("o_orderkey").cast("string"),
+            "o_orderstatus": F.col("o_orderstatus"),
+        },
+        es=F.col("version").cast("long"),
+        op=F.col("op"),
+        mysql_types=orders_types,
+    )
+    c = table(spark, sf_dir, "customer")
+    cust_types = {
+        "c_custkey": "bigint(20) unsigned",
+        "c_nationkey": "smallint(5) unsigned",
+        "c_mktsegment": "enum('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD')",
+    }
+    cust_msgs = build_envelope(
+        c,
+        database="shop",
+        table_name="customer",
+        pk_names=["c_custkey"],
+        data_cols={
+            "c_custkey": F.col("c_custkey").cast("string"),
+            "c_nationkey": F.col("c_nationkey").cast("string"),
+            "c_mktsegment": F.col("c_mktsegment"),
+        },
+        es=F.lit(0).cast("long"),
+        mysql_types=cust_types,
+    )
+    topic = orders_msgs.unionByName(cust_msgs)
+    route = F.get_json_object("msg", "$.table")
+    o_parsed = parse_envelope_typed(
+        topic.filter(route == "orders"), mysql_types=orders_types
+    )
+    c_parsed = parse_envelope_typed(
+        topic.filter(route == "customer"), mysql_types=cust_types
+    )
+    o_final = (
+        o_parsed.groupBy("o_orderkey")
+        .agg(F.max_by(F.struct("o_orderstatus", "op"), "event_time").alias("_s"))
+        .select("o_orderkey", "_s.*")
+        .filter(F.col("op") != "DELETE")
+    )
+    o_sum = o_final.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_special"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+    c_sum = c_parsed.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_special"),
+        F.sum(F.col("c_custkey").cast("bigint")).cast("bigint").alias("key_sum"),
+    )
+    return c_sum.unionByName(o_sum).orderBy("table_name")
