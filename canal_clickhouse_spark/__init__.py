@@ -17,7 +17,7 @@ from .registry import ORACLES, QUERIES  # noqa: F401
 from .session import get_spark, tune  # noqa: F401
 
 # Operator modules self-register on import (SURVEY.md §2 categories).
-from . import cdc, chsql, llm, sinks, sources, streaming, udfs  # noqa: F401,E402
+from . import cdc, chsql, chsql_ddl, llm, sinks, sources, streaming, udfs  # noqa: F401,E402
 from .functions import packs, web  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
     aggregates,

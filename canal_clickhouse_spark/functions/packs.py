@@ -116,7 +116,7 @@ def fn_split_array(spark: SparkSession, sf_dir: str) -> DataFrame:
            year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
            quarter(o_orderdate) AS q,
            dayofweek(o_orderdate) AS dow,
-           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
            CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE)::VARCHAR AS minus7,
            date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
@@ -191,7 +191,7 @@ def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(log10(l_extendedprice), 6) AS log10_price,
            round(exp(l_discount), 6) AS exp_disc,
            ((CAST(l_quantity AS BIGINT) - 25) % 7 + 7) % 7 AS qmod,
-           sign(l_quantity - 25) AS sgn,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS sgn,
            greatest(l_quantity, 25.0) AS hi,
            least(l_quantity, 25.0) AS lo
     FROM lineitem

@@ -1,80 +1,210 @@
 """Local mirror of the driver's oracle comparison (SURVEY.md §5.1).
 
 Driver semantics: row-count + schema + order-insensitive value hash, columns
-sorted by name. We mirror it strictly: canonicalize every cell to a string
-(floats via shortest repr, so a match here implies bit-identical doubles),
-sort columns by name and rows by value, then compare lists.
+sorted by name. Round-4 post-mortem (VERDICT r4 "What's wrong" #2): the old
+mirror fetched DuckDB via ``.df()`` (HUGEINT → float64) and canonicalized via
+pandas ``iterrows()`` (which upcasts mixed int/float rows to a common dtype),
+so an int64-vs-decimal128 type skew — which the driver's hash DOES distinguish
+— canonicalized identically here and a red key shipped
+(``chsql_agg_array_combinators``, driver r4).
+
+This rewrite is type-faithful and strictly *at least as discriminating* as the
+driver:
+
+- both sides are fetched as **Arrow tables** (``DataFrame.toArrow()`` /
+  ``duckdb .arrow()``) — no pandas dtype coercion anywhere;
+- canonicalization is **column-wise from the Arrow type**, so a cell's
+  rendering can never be influenced by a sibling column's dtype;
+- type *classes* are kept distinguishable: any integer width renders plain
+  (``400``), floats render via shortest-repr (``400.0``), decimals render
+  with a ``dec:`` tag — so int64 vs decimal128(38,0) vs float64 all differ,
+  exactly the class of skew that shipped red in r4.
+
+``tests/test_oracle_compare_self.py`` pins the regression: an int64 frame vs
+an equal-valued decimal128 frame MUST fail.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import decimal
 import math
-from typing import Any
+from typing import Any, Callable
 
-import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 
-def canon_cell(x: Any) -> str:
-    if x is None:
+def _canon_int(v: Any) -> str:
+    return "∅" if v is None else str(int(v))
+
+
+def _canon_float(v: Any) -> str:
+    if v is None:
         return "∅"
-    if isinstance(x, (np.floating, float)):
-        x = float(x)
-        if math.isnan(x):
-            return "∅"
-        return repr(x)
-    if isinstance(x, (bool, np.bool_)):
-        return "T" if x else "F"
-    if isinstance(x, (int, np.integer)):
-        return str(int(x))
-    if isinstance(x, decimal.Decimal):
-        return f"dec:{x}"
-    if isinstance(x, pd.Timestamp):
-        return x.isoformat()
-    if isinstance(x, dt.datetime):
-        return x.isoformat()
-    if isinstance(x, dt.date):
-        return x.isoformat()
-    if isinstance(x, (bytes, bytearray)):
-        return "0x" + bytes(x).hex()
-    if isinstance(x, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon_cell(v) for v in x) + "]"
-    if isinstance(x, dict):
-        items = sorted((str(k), canon_cell(v)) for k, v in x.items())
-        return "{" + ",".join(f"{k}:{v}" for k, v in items) + "}"
-    if isinstance(x, float) and math.isnan(x):  # pragma: no cover
+    f = float(v)
+    if math.isnan(f):
         return "∅"
-    return str(x)
+    return repr(f)
 
 
-def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    cols = sorted(df.columns)
-    rows = [
-        tuple(canon_cell(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
-    ]
-    return sorted(rows)
+def _canon_bool(v: Any) -> str:
+    if v is None:
+        return "∅"
+    return "T" if v else "F"
 
 
-def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
-    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+def _canon_decimal(v: Any) -> str:
+    # Tagged so a decimal column can never collide with an int/float column,
+    # scale-normalized so DECIMAL(38,2) 400.00 == DECIMAL(10,0) 400.
+    if v is None:
+        return "∅"
+    s = format(v, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    if s in ("-0", ""):
+        s = "0"
+    return f"dec:{s}"
+
+
+def _canon_str(v: Any) -> str:
+    return "∅" if v is None else str(v)
+
+
+def _canon_bin(v: Any) -> str:
+    return "∅" if v is None else "0x" + bytes(v).hex()
+
+
+def _canon_temporal(v: Any) -> str:
+    # Spark's Arrow export stamps timestamps with the session tz (UTC);
+    # DuckDB's are naive. Same instant, same driver hash (every driver-green
+    # cdc key carries timestamps) — normalize to naive UTC wall-clock.
+    if v is None:
+        return "∅"
+    tz = getattr(v, "tzinfo", None)
+    if tz is not None:
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v.isoformat()
+
+
+def _canon_for_type(t: pa.DataType) -> Callable[[Any], str]:
+    if pa.types.is_integer(t):
+        return _canon_int
+    if pa.types.is_floating(t):
+        return _canon_float
+    if pa.types.is_boolean(t):
+        return _canon_bool
+    if pa.types.is_decimal(t):
+        return _canon_decimal
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _canon_str
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return _canon_bin
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        return _canon_temporal
+    if pa.types.is_null(t):
+        return lambda v: "∅"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        inner = _canon_for_type(t.value_type)
+
+        def canon_list(v: Any) -> str:
+            if v is None:
+                return "∅"
+            return "[" + ",".join(inner(x) for x in v) + "]"
+
+        return canon_list
+    if pa.types.is_struct(t):
+        fields = [(f.name, _canon_for_type(f.type)) for f in t]
+
+        def canon_struct(v: Any) -> str:
+            if v is None:
+                return "∅"
+            # pylist structs arrive as dicts
+            return "{" + ",".join(f"{n}:{c(v.get(n))}" for n, c in fields) + "}"
+
+        return canon_struct
+    if pa.types.is_map(t):
+        kc = _canon_for_type(t.key_type)
+        vc = _canon_for_type(t.item_type)
+
+        def canon_map(v: Any) -> str:
+            if v is None:
+                return "∅"
+            items = sorted((kc(k), vc(x)) for k, x in (v.items() if isinstance(v, dict) else v))
+            return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
+
+        return canon_map
+    return _canon_str
+
+
+def canon_table(tbl: pa.Table) -> list[tuple[str, ...]]:
+    """Column-wise, Arrow-typed canonicalization → sorted row tuples."""
+    cols = sorted(tbl.column_names)
+    canon_cols: list[list[str]] = []
+    for c in cols:
+        arr = tbl.column(c)
+        canon = _canon_for_type(arr.type)
+        canon_cols.append([canon(v) for v in arr.to_pylist()])
+    return sorted(zip(*canon_cols)) if canon_cols else []
+
+
+def type_class(t: pa.DataType) -> str:
+    """Coarse class used for the schema-skew report (int/float/decimal/...)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def schema_classes(tbl: pa.Table) -> dict[str, str]:
+    return {name: type_class(tbl.schema.field(name).type) for name in tbl.column_names}
+
+
+def assert_tables_match(spark_tbl: pa.Table, duck_tbl: pa.Table, key: str) -> None:
+    s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
     assert s_cols == d_cols, f"[{key}] column mismatch: spark={s_cols} duckdb={d_cols}"
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"[{key}] row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
+    assert spark_tbl.num_rows == duck_tbl.num_rows, (
+        f"[{key}] row count mismatch: spark={spark_tbl.num_rows} duckdb={duck_tbl.num_rows}"
     )
-    s_rows = canon_frame(spark_pdf)
-    d_rows = canon_frame(duck_pdf)
+    s_rows = canon_table(spark_tbl)
+    d_rows = canon_table(duck_tbl)
     if s_rows != d_rows:
-        diffs = [
-            (i, s, d)
-            for i, (s, d) in enumerate(zip(s_rows, d_rows))
-            if s != d
-        ][:5]
+        s_cls, d_cls = schema_classes(spark_tbl), schema_classes(duck_tbl)
+        skew = {c: (s_cls[c], d_cls[c]) for c in s_cols if s_cls[c] != d_cls[c]}
+        diffs = [(i, s, d) for i, (s, d) in enumerate(zip(s_rows, d_rows)) if s != d][:5]
         msg = "\n".join(
             f"  row {i}:\n    spark : {s}\n    duckdb: {d}" for i, s, d in diffs
         )
         raise AssertionError(
-            f"[{key}] value mismatch ({len(diffs)}+ differing rows, cols={s_cols}):\n{msg}"
+            f"[{key}] value mismatch ({len(diffs)}+ differing rows, cols={s_cols}, "
+            f"type-class skew={skew or 'none'}):\n{msg}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Back-compat pandas-frame entry point (used by a few non-registry tests).
+# Routed through Arrow so it shares the hardened canonicalization.
+# ---------------------------------------------------------------------------
+
+
+def assert_frames_match(spark_pdf, duck_pdf, key: str) -> None:
+    assert_tables_match(
+        pa.Table.from_pandas(spark_pdf, preserve_index=False),
+        pa.Table.from_pandas(duck_pdf, preserve_index=False),
+        key,
+    )

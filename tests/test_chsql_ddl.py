@@ -1,0 +1,151 @@
+"""CH statement surface: CREATE TABLE / MATERIALIZED VIEW / INSERT / DROP.
+
+The registry key `chsql_mv_ddl` carries the oracle-checked MV invariant
+(merge-of-block-partials == recompute); these tests pin the interpreter's
+statement semantics: per-block MV firing, TO-table routing, VALUES inserts
+with column lists and CH-type coercion, POPULATE, DROP/TRUNCATE, and the
+CH→Spark type mapper.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from canal_clickhouse_spark.chsql_ddl import (
+    ChSession,
+    ch_type_to_spark,
+    split_statements,
+)
+
+
+def test_type_mapper():
+    assert ch_type_to_spark("UInt64") == "DECIMAL(20,0)"
+    assert ch_type_to_spark("Nullable(String)") == "STRING"
+    assert ch_type_to_spark("LowCardinality(Nullable(String))") == "STRING"
+    assert ch_type_to_spark("Array(Float32)") == "ARRAY<FLOAT>"
+    assert ch_type_to_spark("Decimal(28, 2)") == "DECIMAL(28,2)"
+    assert ch_type_to_spark("Decimal64(4)") == "DECIMAL(18,4)"
+    assert ch_type_to_spark("DateTime64(3)") == "TIMESTAMP"
+    assert ch_type_to_spark("FixedString(16)") == "STRING"
+    with pytest.raises(ValueError, match="unsupported"):
+        ch_type_to_spark("AggregateFunction(sum, UInt64)")
+
+
+def test_split_statements_literal_aware():
+    stmts = split_statements(
+        "SELECT 'a;b' AS x; -- trailing comment; with semicolon\n"
+        "INSERT INTO t VALUES (1, ';')"
+    )
+    assert len(stmts) == 2
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert stmts[1].startswith("INSERT INTO t VALUES")
+
+
+def test_create_insert_values_and_mv_block_firing(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE metrics (k String, v UInt32, w Nullable(Float64)) "
+        "ENGINE = MergeTree() ORDER BY k"
+    )
+    assert dict(ch.tables["metrics"].dtypes) == {
+        "k": "string", "v": "bigint", "w": "double",
+    }
+    # MV created BEFORE any rows: fires per insert block only.
+    ch.execute(
+        "CREATE MATERIALIZED VIEW mv_k ENGINE = SummingMergeTree() "
+        "ORDER BY k AS SELECT k, count() AS n, sum(v) AS sv "
+        "FROM metrics GROUP BY k"
+    )
+    ch.execute("INSERT INTO metrics VALUES ('a', 1, 0.5), ('a', 2, NULL)")
+    ch.execute("INSERT INTO metrics (v, k) VALUES (10, 'b')")  # column list
+    # base table: 3 rows, coerced types, NULL-filled unlisted column
+    rows = {tuple(r) for r in ch.tables["metrics"].collect()}
+    assert rows == {("a", 1, 0.5), ("a", 2, None), ("b", 10, None)}
+    # MV target holds one partial per block (2 blocks), NOT merged rows.
+    parts = sorted(
+        tuple(r) for r in ch.tables["mv_k"].collect()
+    )
+    assert parts == [("a", 2, 3), ("b", 1, 10)]
+    # merge read == recompute
+    merged = {
+        tuple(r)
+        for r in ch.execute(
+            "SELECT k, toInt64(sum(n)) AS n, toInt64(sum(sv)) AS sv "
+            "FROM mv_k GROUP BY k"
+        ).collect()
+    }
+    assert merged == {("a", 2, 3), ("b", 1, 10)}
+
+
+def test_mv_to_table_routing(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE src (x Int64) ENGINE = MergeTree() ORDER BY x")
+    ch.execute(
+        "CREATE TABLE agg_target (n Int64, sx Int64) ENGINE = "
+        "SummingMergeTree() ORDER BY n"
+    )
+    ch.execute(
+        "CREATE MATERIALIZED VIEW mv_route TO agg_target AS "
+        "SELECT count() AS n, sum(x) AS sx FROM src"
+    )
+    ch.execute("INSERT INTO src VALUES (1), (2)")
+    ch.execute("INSERT INTO src VALUES (10)")
+    assert sorted(tuple(r) for r in ch.tables["agg_target"].collect()) == [
+        (1, 10), (2, 3),
+    ]
+    # the MV NAME is not itself a table when TO routes elsewhere
+    assert "mv_route" not in ch.tables
+    # POPULATE with TO is invalid, as in CH
+    with pytest.raises(ValueError, match="POPULATE"):
+        ch.execute(
+            "CREATE MATERIALIZED VIEW bad TO agg_target POPULATE AS "
+            "SELECT count() AS n, sum(x) AS sx FROM src"
+        )
+
+
+def test_populate_then_insert_equals_recompute(spark, sf_dir):
+    """The invariant the oracle key checks at fixture scale, in miniature."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE t (g String, v Int64) ENGINE = MergeTree() ORDER BY g")
+    ch.execute("INSERT INTO t VALUES ('a', 1), ('b', 2)")
+    ch.execute(
+        "CREATE MATERIALIZED VIEW mv POPULATE AS "
+        "SELECT g, sum(v) AS sv FROM t GROUP BY g"
+    )
+    ch.execute("INSERT INTO t VALUES ('a', 10)")
+    merged = {
+        tuple(r)
+        for r in ch.execute(
+            "SELECT g, toInt64(sum(sv)) AS sv FROM mv GROUP BY g"
+        ).collect()
+    }
+    assert merged == {("a", 11), ("b", 2)}
+
+
+def test_insert_select_from_fixture_and_drop(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE top_orders ENGINE = MergeTree() ORDER BY o_orderkey AS "
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000"
+    )
+    n0 = ch.tables["top_orders"].count()
+    assert n0 > 0
+    ch.execute(
+        "INSERT INTO top_orders SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_totalprice <= 300000 LIMIT 5"
+    )
+    assert ch.tables["top_orders"].count() == n0 + 5
+    ch.execute("TRUNCATE TABLE top_orders")
+    assert ch.tables["top_orders"].count() == 0
+    ch.execute("DROP TABLE top_orders")
+    assert "top_orders" not in ch.tables
+    with pytest.raises(ValueError, match="unknown table"):
+        ch.execute("INSERT INTO top_orders SELECT 1")
+
+
+def test_guards(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    with pytest.raises(ValueError, match="shadows a fixture"):
+        ch.execute("CREATE TABLE orders (x Int64) ENGINE = MergeTree() ORDER BY x")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        ch.execute("OPTIMIZE TABLE t FINAL")

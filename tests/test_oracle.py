@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.oracle_compare import assert_frames_match
+from tests.oracle_compare import assert_tables_match
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -37,9 +37,12 @@ def test_oracle_match(key, spark, duck, sf_dir):
         f"[{key}] oracle-bearing key emits nested column(s) {nested}; "
         "encode them as deterministic strings (array_join/to_json)"
     )
-    spark_pdf = sdf.toPandas()
-    duck_pdf = duck.sql(ORACLES[key]).df()
-    assert_frames_match(spark_pdf, duck_pdf, key)
+    # Arrow on BOTH sides — no pandas dtype coercion; keeps int64 vs
+    # decimal128 vs float64 distinguishable exactly like the driver's hash
+    # (r4 post-mortem: .df() flattened HUGEINT to float64 and shipped a red).
+    spark_tbl = sdf.toArrow()
+    duck_tbl = duck.sql(ORACLES[key]).arrow()
+    assert_tables_match(spark_tbl, duck_tbl, key)
 
 
 def test_entry_smoke(spark):

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from canal_clickhouse_spark.catalog import sql, table
@@ -62,7 +64,7 @@ def test_chsql_translate_units():
             "aggregate(transform(split(t, ' '), x -> 1.0), 0D,"
             " (acc, x) -> acc + x)",
         "multiIf(a, 1, b, 2, 3)": "CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END",
-        "toStartOfMonth(d)": "date_trunc('month', d)",
+        "toStartOfMonth(d)": "CAST(date_trunc('month', d) AS DATE)",
         "sumIf(x, y > position(s, 'a'))": "sum(IF(y > locate('a', s), x, NULL))",
         "SELECT unknownFn(a, b) FROM t": "SELECT unknownFn(a, b) FROM t",
         "argMax(k, v)": "max_by(k, v)",
@@ -351,6 +353,16 @@ def test_chsql_setop_defaults():
     assert "EXCEPT DISTINCT" in t and "EXCEPT ALL" not in t
     t = translate("SELECT * EXCEPT (o_custkey) FROM orders")
     assert "ALL" not in t  # star modifier is not a set op
+    # Literal-awareness (r4 advice): the rewrite must never reach inside a
+    # single-quoted string — this used to corrupt the literal to
+    # 'a EXCEPT ALL SELECT b'.
+    t = translate("SELECT 'a EXCEPT SELECT b' AS s FROM t1")
+    assert "'a EXCEPT SELECT b'" in t and "EXCEPT ALL" not in t
+    # ...while a real set op AROUND literals still rewrites.
+    t = translate(
+        "SELECT 'x INTERSECT SELECT y' FROM t1 EXCEPT SELECT 'z' FROM t2"
+    )
+    assert "EXCEPT ALL SELECT" in t and "'x INTERSECT SELECT y'" in t
 
 
 def test_chsql_parametric_family(spark):
@@ -365,7 +377,9 @@ def test_chsql_parametric_family(spark):
     from canal_clickhouse_spark.chsql import translate
 
     t = translate("SELECT quantileExactWeighted(0.5)(x, w) FROM t GROUP BY g")
-    assert "percentile(x, 0.5, w)" in t
+    # Exact (non-interpolating) rank fold, NOT Spark's interpolating
+    # percentile (r4 advice: even-split weights diverged).
+    assert "sort_array(collect_list(" in t and "percentile(" not in t
     t = translate("SELECT groupArray(3)(x) FROM t GROUP BY g")
     assert "slice(collect_list(x), 1, 3)" in t
     t = translate("SELECT groupArray(x) FROM t GROUP BY g")
@@ -385,6 +399,24 @@ def test_chsql_parametric_family(spark):
         translate(
             "SELECT quantileExactWeighted(0.5)(x, w) AS wm FROM "
             "(SELECT 1 AS x, 2 AS w UNION ALL SELECT 9, 3)"
+        )
+    ).collect()[0]
+    assert float(row.wm) == 9.0
+    # The even-split case that exposed the old interpolating translation
+    # (r4 advice): x∈{1,9}, w=1, p=0.5 — CH returns the ELEMENT 1 (first
+    # value whose cumulative weight reaches p·total); interpolation gave 5.
+    row = spark.sql(
+        translate(
+            "SELECT quantileExactWeighted(0.5)(x, w) AS wm FROM "
+            "(SELECT 1 AS x, 1 AS w UNION ALL SELECT 9, 1)"
+        )
+    ).collect()[0]
+    assert float(row.wm) == 1.0
+    # p past the last cumulative step picks the maximum, never NULL.
+    row = spark.sql(
+        translate(
+            "SELECT quantileExactWeighted(1.0)(x, w) AS wm FROM "
+            "(SELECT 1 AS x, 1 AS w UNION ALL SELECT 9, 1)"
         )
     ).collect()[0]
     assert float(row.wm) == 9.0
@@ -517,6 +549,16 @@ def test_chsql_scalar_with_and_trailers(spark, sf_dir):
         """,
     ).collect()
     assert rows[0].n > 0
+
+    # Chained scalar bindings (r4 advice): a later binding referencing an
+    # earlier one must resolve before substitution — `j` used to inline
+    # with a dangling `k`.
+    t = translate("WITH 3 AS k, k + 1 AS j SELECT j FROM t")
+    assert "((3) + 1)" in t and re.search(r"\bk\b", t) is None
+    rows = spark.sql(
+        translate("WITH 3 AS k, k + 1 AS j SELECT j AS v")
+    ).collect()
+    assert rows[0].v == 4
 
     # Trailing SETTINGS/FORMAT strip; non-trailing identifiers survive.
     t = translate("SELECT count() FROM orders FORMAT JSONEachRow")
