@@ -135,7 +135,7 @@ _CREATE_MV_RE = re.compile(
     r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>\w+)\s*"
     r"(?:TO\s+(?P<to>\w+)\s*)?"
-    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\([^)]*\))?\s*)?"
+    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?"
     r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|[\w,\s]+?)\s*)?"
     r"(?P<populate>POPULATE\s+)?"
     r"AS\s+(?P<select>SELECT\b.*)$"
@@ -143,7 +143,7 @@ _CREATE_MV_RE = re.compile(
 
 _CREATE_TABLE_AS_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
-    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\([^)]*\))?\s*)?"
+    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?"
     r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|[\w,\s]+?)\s*)?"
     r"AS\s+(?P<select>SELECT\b.*)$"
 )
@@ -151,8 +151,27 @@ _CREATE_TABLE_AS_RE = re.compile(
 _CREATE_TABLE_COLS_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<cols>.*)\)\s*"
-    r"ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\([^)]*\))?\s*"
-    r"(?:ORDER\s+BY\s+.*)?$"
+    r"ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*"
+    r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|[\w,\s]+?)\s*)?$"
+)
+
+_CREATE_VIEW_RE = re.compile(
+    r"(?is)^\s*CREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"AS\s+(?P<select>SELECT\b.*)$"
+)
+
+_ALTER_UPDATE_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+UPDATE\s+"
+    r"(?P<assigns>.+?)\s+WHERE\s+(?P<pred>.+)$"
+)
+
+_ALTER_DELETE_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DELETE\s+"
+    r"WHERE\s+(?P<pred>.+)$"
+)
+
+_OPTIMIZE_RE = re.compile(
+    r"(?is)^\s*OPTIMIZE\s+TABLE\s+(?P<name>\w+)\s*(?P<final>FINAL)?\s*$"
 )
 
 _INSERT_SELECT_RE = re.compile(
@@ -215,6 +234,10 @@ class ChSession:
         self.meta: dict[str, dict] = {}
         # mv name -> {"source": tbl, "select": translated sql, "target": tbl}
         self.mvs: dict[str, dict] = {}
+        # view name -> CH select text (re-materialized per read: a Spark
+        # temp view of a DataFrame snapshots the PLAN, so a stored-SQL
+        # re-run is what makes CREATE VIEW live over later INSERTs)
+        self.views: dict[str, str] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -222,7 +245,12 @@ class ChSession:
         self.tables[name] = df
         df.createOrReplaceTempView(name)
 
+    def _refresh_views(self) -> None:
+        for name, sel in self.views.items():  # insertion order: view-on-view ok
+            self.spark.sql(translate(sel)).createOrReplaceTempView(name)
+
     def _run_select(self, ch_select: str) -> DataFrame:
+        self._refresh_views()
         return self.spark.sql(translate(ch_select))
 
     def _fire_mvs(self, source: str, block: DataFrame) -> None:
@@ -265,6 +293,8 @@ class ChSession:
                 "source": source, "select": translated, "target": target,
                 "engine": (m.group("engine") or "MergeTree"),
             }
+            if not m.group("to"):  # implicit target inherits the MV's engine
+                self.meta[target] = self._table_meta(m)
             if m.group("populate"):
                 if m.group("to"):
                     raise ValueError(
@@ -285,7 +315,7 @@ class ChSession:
             self._check_new(name)
             df = self._run_select(m.group("select"))
             self._register(name, df)
-            self.meta[name] = {"engine": m.group("engine") or "MergeTree"}
+            self.meta[name] = self._table_meta(m)
             return None
 
         m = _CREATE_TABLE_COLS_RE.match(s)
@@ -305,7 +335,7 @@ class ChSession:
                 f"SELECT {', '.join(cols)} WHERE 1 = 0"
             )
             self._register(name, empty)
-            self.meta[name] = {"engine": m.group("engine")}
+            self.meta[name] = self._table_meta(m)
             return None
 
         m = _INSERT_SELECT_RE.match(s)
@@ -335,6 +365,7 @@ class ChSession:
             self.tables.pop(name, None)
             self.meta.pop(name, None)
             self.mvs.pop(name, None)
+            self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return None
 
@@ -345,6 +376,64 @@ class ChSession:
                 raise ValueError(f"TRUNCATE unknown table {name!r}")
             self._register(name, self.tables[name].limit(0))
             return None
+
+        m = _CREATE_VIEW_RE.match(s)
+        if m:
+            name = m.group("name")
+            self._check_new(name)
+            self.views[name] = m.group("select")
+            self._refresh_views()  # fail fast on an invalid select
+            return None
+
+        m = _ALTER_UPDATE_RE.match(s)
+        if m:
+            # CH mutation: rewrite matching rows (async rewrite-parts in CH;
+            # here one projection over the current content — same post-state).
+            # Mutations do NOT fire MVs, matching CH.
+            name = m.group("name")
+            tbl = self._require_table(name, "ALTER TABLE UPDATE")
+            pred = translate(m.group("pred"))
+            assigns = {}
+            for item in _split_top_commas(m.group("assigns")):
+                am = re.match(r"(?s)^\s*(\w+)\s*=\s*(.+)$", item)
+                if not am:
+                    raise ValueError(f"unparseable assignment: {item!r}")
+                assigns[am.group(1)] = translate(am.group(2).strip())
+            dtypes = dict(tbl.dtypes)
+            unknown = sorted(set(assigns) - set(dtypes))
+            if unknown:
+                raise ValueError(f"UPDATE of unknown column(s) {unknown}")
+            proj = [
+                (
+                    f"CAST(CASE WHEN ({pred}) THEN ({assigns[c]}) "
+                    f"ELSE {c} END AS {dtypes[c]}) AS {c}"
+                    if c in assigns else c
+                )
+                for c in tbl.columns
+            ]
+            tbl.createOrReplaceTempView(name)
+            self._register(
+                name, self.spark.sql(f"SELECT {', '.join(proj)} FROM {name}")
+            )
+            return None
+
+        m = _ALTER_DELETE_RE.match(s)
+        if m:
+            name = m.group("name")
+            tbl = self._require_table(name, "ALTER TABLE DELETE")
+            pred = translate(m.group("pred"))
+            tbl.createOrReplaceTempView(name)
+            self._register(
+                name,
+                self.spark.sql(f"SELECT * FROM {name} WHERE NOT ({pred})"),
+            )
+            return None
+
+        m = _OPTIMIZE_RE.match(s)
+        if m:
+            if m.group("final"):
+                self._optimize_final(m.group("name"))
+            return None  # bare OPTIMIZE = merge hint, no visible effect
 
         if re.match(r"(?is)^\s*(SELECT|WITH)\b", s):
             return self._run_select(s)
@@ -360,6 +449,85 @@ class ChSession:
         return result
 
     # -- internals --------------------------------------------------------
+
+    @staticmethod
+    def _table_meta(m: re.Match) -> dict:
+        order = (m.groupdict().get("order") or "").strip().strip("()")
+        eargs = (m.groupdict().get("eargs") or "").strip()
+        return {
+            "engine": m.group("engine") or "MergeTree",
+            "engine_args": (
+                [a.strip() for a in eargs.split(",") if a.strip()]
+            ),
+            "order_by": [c.strip() for c in order.split(",") if c.strip()],
+        }
+
+    def _require_table(self, name: str, what: str) -> DataFrame:
+        if name not in self.tables:
+            raise ValueError(f"{what} on unknown table {name!r}")
+        return self.tables[name]
+
+    def _optimize_final(self, name: str) -> None:
+        """``OPTIMIZE TABLE t FINAL``: force the engine's merge semantics on
+        the whole table — CH's explicit compaction of the lazy MergeTree
+        merge the rest of the engine models (cdc/apply.py's replacing /
+        summing reads are the query-time views of the same contract).
+
+        - ReplacingMergeTree(v): one row per ORDER BY key, max version —
+          the version argument is REQUIRED here because without it CH keeps
+          the physically-last-merged row, which has no deterministic
+          Spark equivalent worth pretending to.
+        - SummingMergeTree: one row per ORDER BY key; numeric non-key
+          columns sum. CH keeps an arbitrary value for non-numeric non-key
+          columns; we take min() — deterministic, documented divergence.
+        - MergeTree: merge changes physical layout only; logical no-op.
+        """
+        tbl = self._require_table(name, "OPTIMIZE TABLE")
+        meta = self.meta.get(name, {})
+        engine = (meta.get("engine") or "MergeTree").lower()
+        keys = meta.get("order_by") or []
+        if engine == "mergetree":
+            return
+        if not keys:
+            raise ValueError(f"OPTIMIZE FINAL on {name!r}: no ORDER BY key")
+        tbl.createOrReplaceTempView(name)
+        key_list = ", ".join(keys)
+        if engine == "replacingmergetree":
+            args = meta.get("engine_args") or []
+            if not args:
+                raise ValueError(
+                    f"OPTIMIZE FINAL on {name!r}: ReplacingMergeTree "
+                    "without a version column is nondeterministic; declare "
+                    "ENGINE = ReplacingMergeTree(<version_col>)"
+                )
+            ver = args[0]
+            cols = ", ".join(tbl.columns)
+            merged = self.spark.sql(
+                f"SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER ("
+                f"PARTITION BY {key_list} ORDER BY {ver} DESC) AS _rn "
+                f"FROM {name}) WHERE _rn = 1"
+            )
+        elif engine in ("summingmergetree", "aggregatingmergetree"):
+            numeric = {
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+            }
+            aggs = []
+            for c, t in tbl.dtypes:
+                if c in keys:
+                    continue
+                if t in numeric or t.startswith("decimal"):
+                    aggs.append(f"CAST(sum({c}) AS {t}) AS {c}")
+                else:
+                    aggs.append(f"min({c}) AS {c}")
+            merged = self.spark.sql(
+                f"SELECT {key_list}, {', '.join(aggs)} FROM {name} "
+                f"GROUP BY {key_list}"
+            ).select(*tbl.columns)
+        else:
+            raise ValueError(
+                f"OPTIMIZE FINAL: unsupported engine {meta.get('engine')!r}"
+            )
+        self._register(name, merged)
 
     def _is_fixture(self, name: str) -> bool:
         from .catalog import TABLES
@@ -460,3 +628,73 @@ def chsql_mv_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant (module doc). Decimal partials keep cross-block sums
     order-free exact; the merge read casts to the §7.5 rounded double."""
     return ch_execute_script(spark, sf_dir, _CH_MV_DDL_SCRIPT)
+
+
+_CH_MUTATION_DDL_SCRIPT = """
+CREATE TABLE ledger ENGINE = ReplacingMergeTree(o_version)
+    ORDER BY o_orderkey AS
+    SELECT o_orderkey, 1 AS o_version,
+           toDecimal64(o_totalprice, 2) AS price, o_orderstatus
+    FROM orders;
+
+INSERT INTO ledger SELECT o_orderkey, 2 AS o_version,
+       toDecimal64(o_totalprice, 2) * toDecimal32(1.1, 1) AS price,
+       o_orderstatus
+FROM orders WHERE o_orderkey % 5 = 0;
+
+ALTER TABLE ledger UPDATE o_orderstatus = 'X' WHERE price < 1000;
+
+ALTER TABLE ledger DELETE WHERE o_orderkey % 97 = 0;
+
+OPTIMIZE TABLE ledger FINAL;
+
+SELECT o_orderkey, o_version, toFloat64(round(price, 2)) AS price,
+       o_orderstatus
+FROM ledger ORDER BY o_orderkey;
+"""
+
+
+@query(
+    "chsql_mutation_ddl",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, 1 AS o_version,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2,
+               CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(9,1)),
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), mut AS (
+        SELECT o_orderkey, o_version, price,
+               CASE WHEN price < 1000 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM base WHERE o_orderkey % 97 != 0
+    ), fin AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY o_version DESC) AS rn
+        FROM mut
+    )
+    SELECT o_orderkey, CAST(o_version AS INT) AS o_version,
+           CAST(ROUND(price, 2) AS DOUBLE) AS price, o_orderstatus
+    FROM fin WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def chsql_mutation_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH mutation + compaction statements end-to-end: a versioned ledger
+    (ReplacingMergeTree) takes a second-version backfill INSERT, an
+    ``ALTER TABLE … UPDATE`` mutation (rewrites matching rows across ALL
+    parts, both versions — CH's rewrite-parts semantics), an
+    ``ALTER TABLE … DELETE``, then ``OPTIMIZE TABLE … FINAL`` forces the
+    Replacing merge (one row per key, max version). The oracle recomputes
+    the same pipeline as explicit CTE stages over the base table.
+
+    The price arithmetic runs in DECIMAL end-to-end (×1.1 as a
+    decimal-scale-1 multiply → exact scale-3 products; §7.5 rule): an
+    earlier double formulation drifted 1 ulp at sf0.01 (135.795-type
+    values round differently from their binary expansions across engines —
+    the exact scale-dependent class the r1 audit documented). Rounding
+    happens ON the decimal, then one cast to DOUBLE; version is cast INT
+    to match Spark's literal typing."""
+    return ch_execute_script(spark, sf_dir, _CH_MUTATION_DDL_SCRIPT)

@@ -229,9 +229,14 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-probed 2026-08-14 (round 4): ``import google.protobuf`` and ``import
     google`` both raise ModuleNotFoundError ("No module named 'google'"),
     and package installation is out of scope in this environment (no
-    pip/apt per the build constraints) — fallback stands; migration to
-    transformWithStateInPandas is a drop-in swap of this function once a
-    deployment image ships protobuf.
+    pip/apt per the build constraints) — fallback stands.
+    FINAL (round 5, fourth consecutive probe, 2026-08-14): protobuf is a
+    deployment-image requirement, not a code task — this backlog item is
+    closed. The applyInPandasWithState surface here is the pinned
+    implementation; migrating to ``transformWithStateInPandas`` is a
+    drop-in swap of this one function on an image that ships protobuf
+    (the API itself imports fine — only the runtime worker's protobuf
+    dependency is missing).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

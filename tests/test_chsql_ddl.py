@@ -147,5 +147,68 @@ def test_guards(spark, sf_dir):
     ch = ChSession(spark, sf_dir)
     with pytest.raises(ValueError, match="shadows a fixture"):
         ch.execute("CREATE TABLE orders (x Int64) ENGINE = MergeTree() ORDER BY x")
-    with pytest.raises(ValueError, match="unsupported statement"):
+    with pytest.raises(ValueError, match="unknown table"):
         ch.execute("OPTIMIZE TABLE t FINAL")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        ch.execute("EXCHANGE TABLES a AND b")
+
+
+def test_alter_update_delete_and_optimize_replacing(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE acct (k Int64, v Int64, status String) "
+        "ENGINE = ReplacingMergeTree(v) ORDER BY k"
+    )
+    ch.execute(
+        "INSERT INTO acct VALUES (1, 1, 'new'), (2, 1, 'new'), (1, 2, 'upd')"
+    )
+    ch.execute("ALTER TABLE acct UPDATE status = 'flagged' WHERE k = 2")
+    ch.execute("ALTER TABLE acct DELETE WHERE k = 3")  # no-op predicate
+    ch.execute("OPTIMIZE TABLE acct")  # bare form: no visible effect
+    assert ch.tables["acct"].count() == 3
+    ch.execute("OPTIMIZE TABLE acct FINAL")
+    rows = sorted(tuple(r) for r in ch.tables["acct"].collect())
+    assert rows == [(1, 2, "upd"), (2, 1, "flagged")]
+
+
+def test_optimize_summing_merges_partials(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE sums (k String, n Int64, tag String) "
+        "ENGINE = SummingMergeTree() ORDER BY k"
+    )
+    ch.execute("INSERT INTO sums VALUES ('a', 1, 'x'), ('a', 2, 'y'), ('b', 5, 'z')")
+    ch.execute("OPTIMIZE TABLE sums FINAL")
+    rows = sorted(tuple(r) for r in ch.tables["sums"].collect())
+    # numerics sum; non-key strings take min (deterministic; CH keeps any)
+    assert rows == [("a", 3, "x"), ("b", 5, "z")]
+
+
+def test_optimize_replacing_requires_version(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE nv (k Int64, v Int64) "
+        "ENGINE = ReplacingMergeTree() ORDER BY k"
+    )
+    ch.execute("INSERT INTO nv VALUES (1, 1)")
+    with pytest.raises(ValueError, match="version column"):
+        ch.execute("OPTIMIZE TABLE nv FINAL")
+
+
+def test_create_view_is_live(spark, sf_dir):
+    """A CREATE VIEW re-materializes per read, so it sees later INSERTs —
+    unlike a DataFrame temp view, which snapshots the plan."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE base (x Int64) ENGINE = MergeTree() ORDER BY x")
+    ch.execute("INSERT INTO base VALUES (1)")
+    ch.execute("CREATE VIEW doubled AS SELECT x * 2 AS y FROM base")
+    assert [r.y for r in ch.execute("SELECT y FROM doubled").collect()] == [2]
+    ch.execute("INSERT INTO base VALUES (10)")
+    assert sorted(
+        r.y for r in ch.execute("SELECT y FROM doubled ORDER BY y").collect()
+    ) == [2, 20]
+    ch.execute("DROP VIEW doubled")  # DROP handles views via the same path
+    assert "doubled" not in ch.views  # and removes the stored SQL
+    # mutation predicates go through the CH translator too
+    ch.execute("ALTER TABLE base UPDATE x = toInt64(x + 100) WHERE modulo(x, 2) = 0")
+    assert sorted(r.x for r in ch.tables["base"].collect()) == [1, 110]
