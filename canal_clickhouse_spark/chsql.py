@@ -208,6 +208,15 @@ _RENAME = {
     "arrayelement": "element_at",  # both 1-based, both negative-from-end
     "hasany": "arrays_overlap",
     "mapcontains": "map_contains_key",
+    "mapkeys": "map_keys",
+    "mapvalues": "map_values",
+    "arraymin": "array_min",
+    "arraymax": "array_max",
+    # "tuple" is special-cased in _translate_call (positional colN names)
+    # CH anyHeavy is an approximate heavy-hitter (any value that dominates);
+    # Spark's mode() (most frequent) satisfies the same contract exactly.
+    "anyheavy": "mode",
+    "tonullable": "",  # identity: every Spark column is nullable
     "arrayreverse": "reverse",
     "arrayconcat": "concat",
     "arrayslice": "slice",  # both 1-based (arr, offset, length)
@@ -242,8 +251,9 @@ _ADD_UNITS = {
 # error.
 _PARAMETRIC = {
     "quantile", "quantileexact", "quantiletdigest", "quantiles", "uniqupto",
-    "quantileexactweighted", "grouparray",
+    "quantileexactweighted", "quantiledeterministic", "grouparray",
     "topk", "topkweighted", "histogram", "sequencematch", "sequencecount",
+    "windowfunnel",
 }
 
 
@@ -282,12 +292,19 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         # nondeterminism is CH's own contract here; wrap in sort_array or
         # use groupUniqArray semantics for stable output.
         return f"slice(collect_list({args[0]}), 1, {params[0]})"
+    if low == "quantiledeterministic":
+        # (p)(x, determinator): the determinator only fixes CH's reservoir
+        # sampling seed; the exact value is the plain quantile. Spark's
+        # percentile is already deterministic, so the second arg drops.
+        p = params[0] if params else "0.5"
+        return f"percentile({args[0]}, {p})"
     if low in ("topk", "topkweighted", "histogram", "sequencematch",
-               "sequencecount"):
+               "sequencecount", "windowfunnel"):
         hint = {
             "topk": "agg_freq_items", "topkweighted": "topk_weighted",
             "histogram": "agg_histogram", "sequencematch": "sequence_match",
             "sequencecount": "sequence_count",
+            "windowfunnel": "funnel_window",
         }[low]
         raise ValueError(
             f"{name}(...)(...) has no inline Spark-SQL spelling; use the"
@@ -720,6 +737,54 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"IF(({b}) <= ({a}), array(),"
             f" sequence({a}, ({b}) - 1, {step}))"
         )
+    if low == "arrayreversesort":
+        return f"sort_array({args[0]}, false)"
+    if low == "arrayproduct":
+        return (
+            f"aggregate({args[0]}, 1D, (acc, x) -> acc * CAST(x AS DOUBLE))"
+        )
+    if low == "countequal":
+        # null-safe equality (<=>): CH counts NULL elements when x is NULL
+        return f"size(filter({args[0]}, _ceq -> _ceq <=> {args[1]}))"
+    if low == "arrayresize":
+        # arrayResize(arr, n[, fill]): truncate or right-pad to length n
+        a, n = args[0], args[1]
+        fill = args[2] if len(args) == 3 else "NULL"
+        return (
+            f"CASE WHEN size({a}) >= ({n}) THEN slice({a}, 1, {n}) "
+            f"ELSE concat({a}, array_repeat({fill}, ({n}) - size({a}))) END"
+        )
+    if low == "tuple":
+        # CH tuples are positional; Spark's bare struct() keeps source
+        # COLUMN names as field names, so positional tupleElement access
+        # needs explicit col1..colN naming.
+        fields = ", ".join(
+            f"'col{i + 1}', {a}" for i, a in enumerate(args)
+        )
+        return f"named_struct({fields})"
+    if low == "tupleelement":
+        # tupleElement(t, n) — positional 1-based index (struct fields are
+        # col1, col2, … from the `tuple` rename) or a name literal.
+        sel = args[1].strip()
+        if re.fullmatch(r"\d+", sel):
+            return f"({args[0]}).col{sel}"
+        m = re.fullmatch(r"'(\w+)'", sel)
+        if m:
+            return f"({args[0]}).{m.group(1)}"
+        raise ValueError("tupleElement needs a literal index or name")
+    if low in ("parsedatetimebesteffort", "parsedatetimebesteffortornull"):
+        # CH's best-effort parser accepts many human formats; Spark's CAST
+        # covers the ISO-ish subset (the common CDC payload shapes).
+        # Documented partial: exotic spellings (e.g. '12 Mar 2024') need an
+        # explicit to_timestamp(fmt). The OrNull form maps to try_cast.
+        op = "try_cast" if low.endswith("ornull") else "CAST"
+        return f"{op}({args[0]} AS TIMESTAMP)"
+    if low == "retention":
+        raise ValueError(
+            "retention(...) has no inline Spark-SQL spelling; use the"
+            " `retention_cohort` operator (canal_clickhouse_spark registry)"
+            " which implements cohort return rates"
+        )
     if low == "arraypushback":
         return f"concat({args[0]}, array({args[1]}))"
     if low == "arraypushfront":
@@ -880,6 +945,10 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "isinfinite", "ifnotfinite", "intdivorzero", "moduloorzero", "range",
     "arraypushback", "arraypushfront", "arraypopback", "arraypopfront",
     # vector distance family
+    # r5 spelling batch
+    "arrayreversesort", "arrayproduct", "countequal", "arrayresize",
+    "tuple", "tupleelement", "parsedatetimebesteffort",
+    "parsedatetimebesteffortornull", "retention",
     # external dictionary lookups
     "dictget", "dictgetordefault", "dicthas", "dictgetstring",
     "dictgetint8", "dictgetint16", "dictgetint32", "dictgetint64",
@@ -3161,3 +3230,70 @@ def chsql_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     unresolvable. Hierarchies use the join spelling (the `dict_get`
     operator composes joins freely)."""
     return ch_sql(spark, sf_dir, _CH_DICT_GET)
+
+
+_CH_MAPS_TUPLES = """
+SELECT vec_id,
+       arrayStringConcat(
+           arrayMap(v -> toString(v),
+                    arrayReverseSort(arrayMap(x -> toInt64(floor(x * 100)),
+                                              arraySlice(embedding, 1, 6)))),
+           ',') AS rsorted,
+       round(arrayProduct(arrayMap(x -> toFloat64(x) + 2.0,
+                                   arraySlice(embedding, 1, 3))), 4) AS prod,
+       countEqual(arrayMap(x -> toInt64(floor(x * 10)),
+                           arraySlice(embedding, 1, 8)), 5) AS n_fives,
+       arrayStringConcat(
+           arrayMap(v -> toString(v),
+                    arrayResize(arrayMap(x -> toInt64(floor(x * 100)),
+                                         arraySlice(embedding, 1, 3)),
+                                5, -1)),
+           ',') AS resized,
+       tupleElement(tuple(vec_id, label), 2) AS lab,
+       mapContains(map('label', label), 'label') AS has_lab,
+       arrayStringConcat(mapKeys(map('a', 1, 'b', 2)), '/') AS mkeys
+FROM embeddings ORDER BY vec_id
+"""
+
+
+@query(
+    "chsql_maps_tuples",
+    oracle="""
+    WITH ints AS (
+        SELECT vec_id, label,
+               list_transform(list_slice(embedding, 1, 6),
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS i6,
+               list_transform(list_slice(embedding, 1, 8),
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)) AS i8,
+               list_transform(list_slice(embedding, 1, 3),
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS i3,
+               list_slice(embedding, 1, 3) AS f3
+        FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_sort(i6, 'DESC'), ',') AS rsorted,
+           round(list_product(list_transform(f3,
+                     x -> CAST(x AS DOUBLE) + 2.0)), 4) AS prod,
+           CAST(len(list_filter(i8, v -> v = 5)) AS INT) AS n_fives,
+           -- manual pad: DuckDB's list_resize mis-fills lists produced by
+           -- a lambda (observed garbage/bad_array_new_length on this input)
+           array_to_string(
+               CASE WHEN len(i3) >= 5 THEN i3[1:5]
+                    ELSE list_concat(i3, list_transform(
+                             generate_series(1, 5 - len(i3)),
+                             x -> CAST(-1 AS BIGINT))) END, ',') AS resized,
+           label AS lab,
+           TRUE AS has_lab,
+           'a/b' AS mkeys
+    FROM ints ORDER BY vec_id
+    """,
+)
+def chsql_maps_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 spelling batch, live: arrayReverseSort (sort_array desc),
+    arrayProduct (1D-seeded double fold — both engines fold left, so the
+    IEEE product is bit-identical pre-round), countEqual (null-safe <=>
+    filter), arrayResize with a fill (truncate-or-pad CASE), tupleElement
+    by position over the `tuple`→struct rename, and the map family
+    (map/mapKeys/mapContains). Array outputs string-encoded per the driver
+    canonicalizer contract (atomic columns only)."""
+    return ch_sql(spark, sf_dir, _CH_MAPS_TUPLES)

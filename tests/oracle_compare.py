@@ -202,6 +202,13 @@ def assert_tables_match(spark_tbl: pa.Table, duck_tbl: pa.Table, key: str) -> No
 # ---------------------------------------------------------------------------
 
 
+def canon_frame(pdf) -> list[tuple[str, ...]]:
+    """pandas-frame canonicalization routed through Arrow (column-wise,
+    no iterrows upcast) — used by equivalence tests comparing two Spark
+    results to each other."""
+    return canon_table(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
 def assert_frames_match(spark_pdf, duck_pdf, key: str) -> None:
     assert_tables_match(
         pa.Table.from_pandas(spark_pdf, preserve_index=False),

@@ -10,6 +10,7 @@ CH→Spark type mapper.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from canal_clickhouse_spark.chsql_ddl import (
     ChSession,
@@ -212,3 +213,81 @@ def test_create_view_is_live(spark, sf_dir):
     # mutation predicates go through the CH translator too
     ch.execute("ALTER TABLE base UPDATE x = toInt64(x + 100) WHERE modulo(x, 2) = 0")
     assert sorted(r.x for r in ch.tables["base"].collect()) == [1, 110]
+
+
+def test_streaming_mv_composition(spark, sf_dir, tmp_path):
+    """The MV trigger contract composes with Structured Streaming 1:1 —
+    each micro-batch is an insert block, so foreachBatch(insert) maintains
+    the MV incrementally while the stream runs. Merged read after the
+    stream drains == full recompute over everything streamed (the
+    mv_refresh invariant, now end-to-end through the DDL surface)."""
+    from decimal import Decimal
+
+    from canal_clickhouse_spark.catalog import table as fixture_table
+
+    src_dir = str(tmp_path / "ev_parts")
+    ev = fixture_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(src_dir)
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE ev_sync (event_id Int64, event_type String, "
+        "value Float64) ENGINE = MergeTree() ORDER BY event_id"
+    )
+    ch.execute(
+        "CREATE MATERIALIZED VIEW mv_type ENGINE = SummingMergeTree() "
+        "ORDER BY event_type AS "
+        "SELECT event_type, count() AS n, "
+        "sum(toDecimal64(value, 2)) AS sv FROM ev_sync GROUP BY event_type"
+    )
+
+    n_batches = []
+    stage_root = str(tmp_path / "stage")
+
+    def feed(bdf, batch_id):
+        # A micro-batch DataFrame is only valid inside its batch; the
+        # interpreter's lazy union would re-evaluate it later. Stage the
+        # block to parquet and insert the re-read — exactly the stage+insert
+        # protocol a real ClickHouse sink uses (sinks/writers.py), and
+        # idempotent under batch replay (overwrite by batch_id).
+        p = f"{stage_root}/b{batch_id}"
+        bdf.write.mode("overwrite").parquet(p)
+        n_batches.append(batch_id)
+        ch._insert("ev_sync", spark.read.parquet(p), None)
+
+    schema = spark.read.parquet(src_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(feed)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(n_batches) >= 2, "need multiple micro-batches to test merging"
+    # MV holds one partial row per (batch, type) — strictly more rows than
+    # types proves per-block firing rather than a terminal recompute.
+    n_types = ev.select("event_type").distinct().count()
+    assert ch.tables["mv_type"].count() > n_types
+
+    merged = {
+        (r.event_type, r.n, r.sv)
+        for r in ch.execute(
+            "SELECT event_type, toInt64(sum(n)) AS n, sum(sv) AS sv "
+            "FROM mv_type GROUP BY event_type"
+        ).collect()
+    }
+    expect = {
+        (r.event_type, r.n, r.sv)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert merged == expect

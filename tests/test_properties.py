@@ -148,6 +148,7 @@ _CH_AGGS = [
     "groupArray({0})", "anyIf({0}, {1} > 0)",
     "quantileExactWeighted(0.5)({0}, toInt64(abs({1})) + 1)",
     "groupArray(3)({0})", "uniqUpTo(4)({0})",
+    "quantileDeterministic(0.9)({0}, {1})", "anyHeavy({0})",
 ]
 
 
