@@ -754,6 +754,40 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"CASE WHEN size({a}) >= ({n}) THEN slice({a}, 1, {n}) "
             f"ELSE concat({a}, array_repeat({fill}, ({n}) - size({a}))) END"
         )
+    # -- -State / -Merge aggregate combinators (AggregatingMergeTree's MV
+    # pattern: store partial states per part, merge at read). Spark's own
+    # partial+final HashAggregate is the same algebra, so each CH state maps
+    # to its natural mergeable value: sum's state IS a sum, count's a count,
+    # avg's a (sum, cnt) struct, uniqExact's the distinct set. The typed
+    # opaque-blob encoding CH uses is irrelevant to the semantics.
+    if low in ("sumstate", "minstate", "maxstate", "anylaststate"):
+        fn = {"sumstate": "sum", "minstate": "min", "maxstate": "max",
+              "anylaststate": "last"}[low]
+        return f"{fn}({args[0]})"
+    if low in ("summerge", "minmerge", "maxmerge"):
+        fn = {"summerge": "sum", "minmerge": "min", "maxmerge": "max"}[low]
+        return f"{fn}({args[0]})"
+    if low == "countstate":
+        return "count(*)" if not [a for a in args if a] else f"count({args[0]})"
+    if low == "countmerge":  # partial counts merge by summing
+        return f"CAST(sum({args[0]}) AS BIGINT)"
+    if low == "avgstate":
+        return (
+            f"named_struct('s', sum(CAST({args[0]} AS DOUBLE)), "
+            f"'c', count({args[0]}))"
+        )
+    if low == "avgmerge":
+        return f"(sum(({args[0]}).s) / sum(({args[0]}).c))"
+    if low == "uniqexactstate":  # exact state = the distinct set itself
+        return f"collect_set({args[0]})"
+    if low == "uniqexactmerge":
+        return f"size(array_distinct(flatten(collect_list({args[0]}))))"
+    if low in ("uniqstate", "uniqmerge"):
+        raise ValueError(
+            f"{name} is a sketch state; use the `agg_hll_merge` operator "
+            "(canal_clickhouse_spark registry), which implements mergeable "
+            "HLL partials with the documented union contract"
+        )
     if low == "tuple":
         # CH tuples are positional; Spark's bare struct() keeps source
         # COLUMN names as field names, so positional tupleElement access
@@ -949,6 +983,10 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arrayreversesort", "arrayproduct", "countequal", "arrayresize",
     "tuple", "tupleelement", "parsedatetimebesteffort",
     "parsedatetimebesteffortornull", "retention",
+    "sumstate", "minstate", "maxstate", "anylaststate", "summerge",
+    "minmerge", "maxmerge", "countstate", "countmerge", "avgstate",
+    "avgmerge", "uniqexactstate", "uniqexactmerge", "uniqstate",
+    "uniqmerge",
     # external dictionary lookups
     "dictget", "dictgetordefault", "dicthas", "dictgetstring",
     "dictgetint8", "dictgetint16", "dictgetint32", "dictgetint64",
@@ -3297,3 +3335,61 @@ def chsql_maps_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map/mapKeys/mapContains). Array outputs string-encoded per the driver
     canonicalizer contract (atomic columns only)."""
     return ch_sql(spark, sf_dir, _CH_MAPS_TUPLES)
+
+
+_CH_STATE_MERGE = """
+SELECT label,
+       round(avgMerge(ast), 4) AS avg_v,
+       sumMerge(sst) AS sum_v,
+       countMerge(cst) AS n,
+       maxMerge(mst) AS mx,
+       minMerge(nst) AS mn,
+       toInt64(uniqExactMerge(ust)) AS u
+FROM (
+    SELECT label, vec_id % 4 AS part,
+           avgState(toFloat64(arrayElement(embedding, 1))) AS ast,
+           sumState(toInt64(floor(arrayElement(embedding, 1) * 100))) AS sst,
+           countState() AS cst,
+           maxState(toInt64(floor(arrayElement(embedding, 1) * 100))) AS mst,
+           minState(toInt64(floor(arrayElement(embedding, 1) * 100))) AS nst,
+           uniqExactState(toInt64(floor(arrayElement(embedding, 2) * 10)))
+               AS ust
+    FROM embeddings GROUP BY label, part
+) GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "chsql_state_merge",
+    oracle="""
+    SELECT label,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_v,
+           CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_v,
+           COUNT(*) AS n,
+           MAX(CAST(floor(CAST(embedding[1] AS DOUBLE) * 100)
+                    AS BIGINT)) AS mx,
+           MIN(CAST(floor(CAST(embedding[1] AS DOUBLE) * 100)
+                    AS BIGINT)) AS mn,
+           CAST(COUNT(DISTINCT CAST(floor(CAST(embedding[2] AS DOUBLE) * 10)
+                                    AS BIGINT)) AS BIGINT) AS u
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def chsql_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``-State``/``-Merge`` combinators — AggregatingMergeTree's MV
+    algebra: inner level stores PARTIAL STATES per (label, part) shard,
+    outer level merges states per label. Each CH state maps to its natural
+    mergeable value (sum→sum, count→count, avg→(sum,cnt) struct,
+    uniqExact→the distinct set), which is Spark's own partial+final
+    HashAggregate algebra made explicit in the dialect. The oracle
+    recomputes every aggregate DIRECTLY from the base table — green means
+    merge-of-states == single-pass for all six combinators.
+
+    avg merges exactly (double sums fold over ≤4 shard states in label
+    order on both... actually the outer sum of 4 shard partials is
+    order-stable per group; 4dp round gives slack regardless). uniqExact's
+    set state is bounded by the quantization domain (~20 values) — the
+    exact-set shape; unbounded cardinalities use uniqState → agg_hll_merge
+    (guided error)."""
+    return ch_sql(spark, sf_dir, _CH_STATE_MERGE)

@@ -218,3 +218,34 @@ def test_partition_prune_reaches_reader(spark, sf_dir):
     # event_type (that would mean full-scan + row filter).
     data_filters = re.search(r"PushedFilters: \[(?P<f>[^\]]*)\]", plan)
     assert data_filters is None or "event_type" not in data_filters["f"]
+
+
+def test_dict_get_decorrelates_to_broadcast_joins(spark, sf_dir):
+    """chsql dictGet spellings become correlated scalar subqueries; Catalyst
+    must decorrelate them into joins with the dictionary side BROADCAST —
+    the in-RAM-dictionary cost model. A CartesianProduct or a shuffled join
+    on a 25-row dict would be the scale failure."""
+    plan = plan_of(QUERIES["chsql_dict_get"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mv_ddl_merge_read_is_partial_agg(spark, sf_dir):
+    """The MV merge read (sum over per-block partial states) must itself be
+    a partial+final HashAggregate — states merge map-side before the
+    exchange, so the shuffle carries |groups|, not |state rows|."""
+    plan = plan_of(QUERIES["chsql_mv_ddl"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_finalmerge" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_state_merge_is_two_level_hash_agg(spark, sf_dir):
+    """-State/-Merge is Spark's partial+final algebra made explicit: both
+    levels must be hash aggregates with no Python and no cartesian."""
+    plan = plan_of(QUERIES["chsql_state_merge"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
