@@ -179,6 +179,12 @@ _INSERT_SELECT_RE = re.compile(
     r"(?:\((?P<cols>[\w,\s]+)\)\s*)?(?P<select>SELECT\b.*|WITH\b.*)$"
 )
 
+_INSERT_FORMAT_RE = re.compile(
+    r"(?is)^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
+    r"(?:\((?P<cols>[\w,\s]+)\)\s*)?"
+    r"FORMAT\s+(?P<fmt>JSONEachRow|CSV)\s*\n(?P<data>.*)$"
+)
+
 _INSERT_VALUES_RE = re.compile(
     r"(?is)^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
     r"(?:\((?P<cols>[\w,\s]+)\)\s*)?VALUES\s+(?P<values>\(.*\))\s*$"
@@ -251,7 +257,40 @@ class ChSession:
 
     def _run_select(self, ch_select: str) -> DataFrame:
         self._refresh_views()
-        return self.spark.sql(translate(ch_select))
+        return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
+
+    def _rewrite_session_final(self, s: str) -> str:
+        """``FROM <session_table> FINAL`` → read-time Replacing collapse
+        (one row per ORDER BY key, max version) as a named derived table —
+        the query-side twin of OPTIMIZE FINAL, and how CH users actually
+        read Replacing tables. Fixture tables' FINAL stays with the main
+        translator's rewrite."""
+
+        def sub(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in self.tables:
+                return m.group(0)  # not ours; translate() handles fixtures
+            meta = self.meta.get(name, {})
+            if (meta.get("engine") or "").lower() != "replacingmergetree":
+                raise ValueError(
+                    f"FINAL on {name!r}: only ReplacingMergeTree session "
+                    "tables support read-time collapse"
+                )
+            args_ = meta.get("engine_args") or []
+            if not args_ or not meta.get("order_by"):
+                raise ValueError(
+                    f"FINAL on {name!r} needs ReplacingMergeTree(<version>) "
+                    "and an ORDER BY key"
+                )
+            keys = ", ".join(meta["order_by"])
+            cols = ", ".join(self.tables[name].columns)
+            return (
+                f"FROM (SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER ("
+                f"PARTITION BY {keys} ORDER BY {args_[0]} DESC) AS _rn "
+                f"FROM {name}) WHERE _rn = 1) {name}"
+            )
+
+        return re.sub(r"(?is)\bFROM\s+(\w+)\s+FINAL\b", sub, s)
 
     def _fire_mvs(self, source: str, block: DataFrame) -> None:
         """CH MV contract: each MV whose source table received the block
@@ -337,6 +376,34 @@ class ChSession:
             self._register(name, empty)
             self.meta[name] = self._table_meta(m)
             return None
+
+        m = _INSERT_FORMAT_RE.match(s)
+        if m:
+            # The canal→ClickHouse adapter's actual wire protocol: INSERT
+            # with inline FORMAT JSONEachRow (one JSON object per line) or
+            # CSV. Parsed with from_json/from_csv against the TARGET
+            # column types, so coercion matches a CH server's behavior.
+            name = m.group("name")
+            tbl = self._require_table(name, f"INSERT FORMAT {m.group('fmt')}")
+            cols = (
+                [c.strip() for c in m.group("cols").split(",")]
+                if m.group("cols") else list(tbl.columns)
+            )
+            dt = dict(tbl.dtypes)
+            unknown = sorted(set(cols) - set(dt))
+            if unknown:
+                raise ValueError(f"INSERT FORMAT: unknown column(s) {unknown}")
+            schema = ", ".join(f"{c} {dt[c]}" for c in cols)
+            lines = [
+                (ln,) for ln in m.group("data").splitlines() if ln.strip()
+            ]
+            raw = self.spark.createDataFrame(lines, "raw string")
+            if m.group("fmt").upper() == "JSONEACHROW":
+                parsed = raw.select(F.from_json("raw", schema).alias("r"))
+            else:  # CSV — positional against the column list
+                parsed = raw.select(F.from_csv("raw", schema).alias("r"))
+            block = parsed.select("r.*")
+            return self._insert(name, block, ", ".join(cols))
 
         m = _INSERT_SELECT_RE.match(s)
         if m:

