@@ -144,6 +144,7 @@ _CREATE_MV_RE = re.compile(
 _CREATE_TABLE_AS_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?"
+    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'\. ]+?)\s+)?"
     r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|[\w,\s]+?)\s*)?"
     r"AS\s+(?P<select>SELECT\b.*)$"
 )
@@ -152,7 +153,13 @@ _CREATE_TABLE_COLS_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<cols>.*)\)\s*"
     r"ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*"
+    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'\. ]+?)\s+)?"
     r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|[\w,\s]+?)\s*)?$"
+)
+
+_DROP_PARTITION_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+PARTITION\s+"
+    r"(?P<value>'[^']*'|\S+)\s*$"
 )
 
 _CREATE_VIEW_RE = re.compile(
@@ -452,6 +459,29 @@ class ChSession:
             self._refresh_views()  # fail fast on an invalid select
             return None
 
+        m = _DROP_PARTITION_RE.match(s)
+        if m:
+            # CH's retention workhorse: drop a whole partition by its key
+            # value — O(1) metadata at real scale (a directory unlink with
+            # partitionBy layout, sinks/writers.py); modeled logically as
+            # the equivalent null-safe anti-filter on the partition expr.
+            name = m.group("name")
+            tbl = self._require_table(name, "DROP PARTITION")
+            pexpr = (self.meta.get(name) or {}).get("partition_by")
+            if not pexpr:
+                raise ValueError(
+                    f"DROP PARTITION on {name!r}: table has no PARTITION BY"
+                )
+            tbl.createOrReplaceTempView(name)
+            self._register(
+                name,
+                self.spark.sql(
+                    f"SELECT * FROM {name} "
+                    f"WHERE NOT (({pexpr}) <=> {m.group('value')})"
+                ),
+            )
+            return None
+
         m = _ALTER_UPDATE_RE.match(s)
         if m:
             # CH mutation: rewrite matching rows (async rewrite-parts in CH;
@@ -521,12 +551,16 @@ class ChSession:
     def _table_meta(m: re.Match) -> dict:
         order = (m.groupdict().get("order") or "").strip().strip("()")
         eargs = (m.groupdict().get("eargs") or "").strip()
+        part = (m.groupdict().get("partition") or "").strip()
+        if part.startswith("(") and part.endswith(")"):
+            part = part[1:-1].strip()
         return {
             "engine": m.group("engine") or "MergeTree",
             "engine_args": (
                 [a.strip() for a in eargs.split(",") if a.strip()]
             ),
             "order_by": [c.strip() for c in order.split(",") if c.strip()],
+            "partition_by": translate(part) if part else None,
         }
 
     def _require_table(self, name: str, what: str) -> DataFrame:
@@ -765,3 +799,38 @@ def chsql_mutation_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens ON the decimal, then one cast to DOUBLE; version is cast INT
     to match Spark's literal typing."""
     return ch_execute_script(spark, sf_dir, _CH_MUTATION_DDL_SCRIPT)
+
+
+_CH_PARTITION_OPS_SCRIPT = """
+CREATE TABLE ev_part ENGINE = MergeTree() PARTITION BY event_type
+    ORDER BY event_id AS
+    SELECT event_id, event_type, user_id, value FROM events;
+
+ALTER TABLE ev_part DROP PARTITION 'click';
+
+ALTER TABLE ev_part DROP PARTITION 'no_such_partition';
+
+SELECT event_type, toInt64(count()) AS n,
+       round(sum(toDecimal64(value, 2)), 2) AS sv
+FROM ev_part GROUP BY event_type ORDER BY event_type;
+"""
+
+
+@query(
+    "chsql_partition_ops",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS sv
+    FROM events WHERE event_type <> 'click'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def chsql_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH partition retention: ``PARTITION BY`` in CREATE (expression
+    stored through the translator) + ``ALTER TABLE … DROP PARTITION`` —
+    the operational workhorse for age-out. Dropping a missing partition is
+    a no-op, as in CH. At 100 TB the drop is a directory unlink under the
+    partitionBy layout (sinks/writers.py); the logical model here is the
+    equivalent null-safe anti-filter on the partition expression, so the
+    oracle is the plain complement aggregate."""
+    return ch_execute_script(spark, sf_dir, _CH_PARTITION_OPS_SCRIPT)

@@ -436,3 +436,28 @@ def test_ddl_statements_match_reference_model(spark, sf_dir, ops):
         assert [(k, v) for k, v, _ in got] == [(k, v) for k, v, _ in sorted(model)]
     else:
         assert got == sorted(model)
+
+
+def test_drop_partition(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE pt (k Int64, d String) ENGINE = MergeTree() "
+        "PARTITION BY d ORDER BY k"
+    )
+    ch.execute("INSERT INTO pt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    ch.execute("ALTER TABLE pt DROP PARTITION 'a'")
+    assert sorted(tuple(r) for r in ch.tables["pt"].collect()) == [(2, "b")]
+    # dropping a missing partition is a no-op, like CH
+    ch.execute("ALTER TABLE pt DROP PARTITION 'zzz'")
+    assert ch.tables["pt"].count() == 1
+    # partition EXPRESSION (through the translator), numeric value form
+    ch.execute(
+        "CREATE TABLE pt2 ENGINE = MergeTree() PARTITION BY modulo(k, 2) "
+        "ORDER BY k AS SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3"
+    )
+    ch.execute("ALTER TABLE pt2 DROP PARTITION 1")
+    assert sorted(r.k for r in ch.tables["pt2"].collect()) == [2]
+    # no PARTITION BY declared → loud error
+    ch.execute("CREATE TABLE np (k Int64) ENGINE = MergeTree() ORDER BY k")
+    with pytest.raises(ValueError, match="no PARTITION BY"):
+        ch.execute("ALTER TABLE np DROP PARTITION 'x'")
