@@ -187,3 +187,52 @@ def test_collapsing_state_is_compacted(spark, sf_dir, cpipe):
     assert state.filter("sign = -1").count() == state.filter(
         "o_orderkey % 100 = 0"
     ).count()
+
+
+def test_pipeline_state_equals_chsession_final(spark, sf_dir, pipe):
+    """The product's two halves must agree: applying FlatMessage batches
+    through CdcPipeline's version-merge gives EXACTLY the state a
+    ClickHouse user sees by inserting the same typed change rows into a
+    ReplacingMergeTree(version) table and reading it FINAL — the Replacing
+    contract implemented twice (hash-agg collapse vs read-time window)
+    converging on one answer."""
+    from canal_clickhouse_spark.cdc.envelope import parse_envelope
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    batches = [
+        envelopes(spark, sf_dir, "INSERT", "o_orderkey <= 2000"),
+        envelopes(spark, sf_dir, "UPDATE", "o_orderkey % 10 = 0 AND o_orderkey <= 2000",
+                  status="F", day_offset=1),
+        envelopes(spark, sf_dir, "DELETE", "o_orderkey % 100 = 0 AND o_orderkey <= 2000",
+                  day_offset=2),
+    ]
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE sync_orders (o_orderkey Int64, o_custkey Int64, "
+        "o_orderstatus String, o_totalprice Float64, o_orderpriority String, "
+        "op String, ver Int64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY o_orderkey"
+    )
+    for env in batches:
+        pipe.apply_messages(env)
+        typed = parse_envelope(env.select("msg"), ORDERS_MAPPING).select(
+            *COLS, F.col("op"), F.unix_millis("event_time").alias("ver")
+        )
+        # stage like a sink would (micro-batch DataFrames aren't retainable)
+        typed.createOrReplaceTempView("_cdc_block")
+        ch.execute(
+            "INSERT INTO sync_orders SELECT o_orderkey, o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderpriority, op, ver "
+            "FROM _cdc_block"
+        )
+
+    via_pipeline = rows_set(pipe.read_table("shop", "orders").select(*COLS))
+    via_chsession = rows_set(
+        ch.execute(
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+            "o_orderpriority FROM sync_orders FINAL WHERE op != 'DELETE'"
+        )
+    )
+    assert via_chsession == via_pipeline
+    assert len(via_chsession) > 0
