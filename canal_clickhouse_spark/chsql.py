@@ -210,6 +210,8 @@ _RENAME = {
     "mapcontains": "map_contains_key",
     "mapkeys": "map_keys",
     "mapvalues": "map_values",
+    "mapfromarrays": "map_from_arrays",
+    "tojsonstring": "to_json",
     "arraymin": "array_min",
     "arraymax": "array_max",
     # "tuple" is special-cased in _translate_call (positional colN names)
@@ -754,6 +756,43 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"CASE WHEN size({a}) >= ({n}) THEN slice({a}, 1, {n}) "
             f"ELSE concat({a}, array_repeat({fill}, ({n}) - size({a}))) END"
         )
+    # -- r5 late batch: intervals, bit tests, wide ints, casts
+    if low in ("tointervalday", "tointervalhour", "tointervalminute",
+               "tointervalsecond"):
+        # day-time interval constructors; CH composes these additively with
+        # timestamps, as does Spark's ANSI interval arithmetic.
+        pos = ("tointervalday", "tointervalhour", "tointervalminute",
+               "tointervalsecond").index(low)
+        a4 = ["0", "0", "0", "0"]
+        a4[pos] = f"CAST({args[0]} AS INT)" if pos < 3 else args[0]
+        return f"make_dt_interval({', '.join(a4)})"
+    if low in ("tointervalmonth", "tointervalyear"):
+        y, mth = ("0", args[0]) if low.endswith("month") else (args[0], "0")
+        return f"make_ym_interval(CAST({y} AS INT), CAST({mth} AS INT))"
+    if low == "bittest":  # bitTest(x, n): n-th bit, 0-based from LSB
+        return f"(CAST(shiftright({args[0]}, CAST({args[1]} AS INT)) AS BIGINT) & 1)"
+    if low == "exp2":
+        return f"power(2.0D, {args[0]})"
+    if low == "exp10":
+        return f"power(10.0D, {args[0]})"
+    if low == "intexp2":  # integer 2^n, exact for n < 63
+        return f"shiftleft(CAST(1 AS BIGINT), CAST({args[0]} AS INT))"
+    if low == "intexp10":
+        return f"CAST(power(10.0D, {args[0]}) AS BIGINT)"
+    if low in ("toint128", "touint128", "toint256", "touint256"):
+        # no Spark integral this wide; DECIMAL(38,0) covers ±10^38, the
+        # practical range of CH 128/256-bit columns in CDC payloads
+        return f"CAST({args[0]} AS DECIMAL(38,0))"
+    if low in ("accuratecast", "accuratecastornull"):
+        m = re.fullmatch(r"\s*'([^']+)'\s*", args[1])
+        if not m:
+            raise ValueError(f"{name} needs a literal type name")
+        from .chsql_ddl import ch_type_to_spark  # local: avoids cycle at import
+
+        op = "try_cast" if low.endswith("ornull") else "CAST"
+        return f"{op}({args[0]} AS {ch_type_to_spark(m.group(1))})"
+    if low == "notlike":
+        return f"(NOT ({args[0]} LIKE {args[1]}))"
     # -- -State / -Merge aggregate combinators (AggregatingMergeTree's MV
     # pattern: store partial states per part, merge at read). Spark's own
     # partial+final HashAggregate is the same algebra, so each CH state maps
@@ -987,6 +1026,11 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "minmerge", "maxmerge", "countstate", "countmerge", "avgstate",
     "avgmerge", "uniqexactstate", "uniqexactmerge", "uniqstate",
     "uniqmerge",
+    "tointervalday", "tointervalhour", "tointervalminute",
+    "tointervalsecond", "tointervalmonth", "tointervalyear", "bittest",
+    "exp2", "exp10", "intexp2", "intexp10", "toint128", "touint128",
+    "toint256", "touint256", "accuratecast", "accuratecastornull",
+    "notlike",
     # external dictionary lookups
     "dictget", "dictgetordefault", "dicthas", "dictgetstring",
     "dictgetint8", "dictgetint16", "dictgetint32", "dictgetint64",
@@ -3393,3 +3437,46 @@ def chsql_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-set shape; unbounded cardinalities use uniqState → agg_hll_merge
     (guided error)."""
     return ch_sql(spark, sf_dir, _CH_STATE_MERGE)
+
+
+_CH_MATH_INTERVALS = """
+SELECT event_id,
+       ts + toIntervalDay(3) AS plus3d,
+       ts - toIntervalHour(12) AS minus12h,
+       ts + toIntervalMonth(1) AS plus1mo,
+       bitTest(event_id, 2) AS bit2,
+       round(exp2(modulo(event_id, 8)), 4) AS e2,
+       intExp2(modulo(event_id, 20)) AS ie2,
+       round(cbrt(toFloat64(value) + 100), 6) AS cr,
+       round(atan2(toFloat64(value), 7.0), 6) AS at2,
+       notLike(event_type, '%ck%') AS nl,
+       accurateCast(modulo(event_id, 100), 'Int32') AS ac
+FROM events ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_math_intervals",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 3 DAY AS plus3d,
+           ts - INTERVAL 12 HOUR AS minus12h,
+           ts + INTERVAL 1 MONTH AS plus1mo,
+           CAST((event_id >> 2) & 1 AS BIGINT) AS bit2,
+           round(power(2.0, event_id % 8), 4) AS e2,
+           CAST(power(2.0, event_id % 20) AS BIGINT) AS ie2,
+           round(cbrt(CAST(value AS DOUBLE) + 100), 6) AS cr,
+           round(atan2(CAST(value AS DOUBLE), 7.0), 6) AS at2,
+           event_type NOT LIKE '%ck%' AS nl,
+           CAST(event_id % 100 AS INT) AS ac
+    FROM events ORDER BY event_id
+    """,
+)
+def chsql_math_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 late spelling batch live: interval constructors
+    (toIntervalDay/Hour/Month → ANSI interval arithmetic, incl. the
+    calendar-aware month add both engines clamp identically), bitTest,
+    exp2/intExp2 (the int form is an exact shiftleft), ANSI-shared
+    math passthroughs (cbrt/atan2 — same IEEE ops, bit-equal pre-round),
+    notLike, and accurateCast via the DDL type mapper."""
+    return ch_sql(spark, sf_dir, _CH_MATH_INTERVALS)
