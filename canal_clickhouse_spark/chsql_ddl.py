@@ -532,6 +532,50 @@ class ChSession:
                 self._optimize_final(m.group("name"))
             return None  # bare OPTIMIZE = merge hint, no visible effect
 
+        m = re.match(r"(?is)^\s*EXPLAIN\s+(?P<sel>(?:SELECT|WITH)\b.*)$", s)
+        if m:
+            # CH's EXPLAIN → the Spark formatted physical plan, one row —
+            # the honest answer about what will actually execute here.
+            import contextlib
+            import io
+
+            df = self._run_select(m.group("sel"))
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return self.spark.createDataFrame(
+                [(buf.getvalue(),)], "plan string"
+            )
+
+        if re.match(r"(?is)^\s*SHOW\s+TABLES\s*$", s):
+            from .catalog import TABLES
+
+            names = sorted(set(TABLES) | set(self.tables) | set(self.views))
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
+
+        m = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>\w+)\s*$", s)
+        if m:
+            name = m.group("name")
+            if name in self.tables:
+                df = self.tables[name]
+            elif self._is_fixture(name):
+                from .catalog import table as fixture_table
+
+                df = fixture_table(self.spark, self.sf_dir, name)
+            else:
+                raise ValueError(f"DESCRIBE: unknown table {name!r}")
+            return self.spark.createDataFrame(
+                list(df.dtypes), "name string, type string"
+            )
+
+        m = re.match(r"(?is)^\s*EXISTS\s+(?:TABLE\s+)?(?P<name>\w+)\s*$", s)
+        if m:
+            n = m.group("name")
+            yes = int(n in self.tables or n in self.views or self._is_fixture(n))
+            return self.spark.createDataFrame([(yes,)], "result int")
+
         if re.match(r"(?is)^\s*(SELECT|WITH)\b", s):
             return self._run_select(s)
 

@@ -461,3 +461,20 @@ def test_drop_partition(spark, sf_dir):
     ch.execute("CREATE TABLE np (k Int64) ENGINE = MergeTree() ORDER BY k")
     with pytest.raises(ValueError, match="no PARTITION BY"):
         ch.execute("ALTER TABLE np DROP PARTITION 'x'")
+
+
+def test_introspection_statements(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE it (k Int64, s String) ENGINE = MergeTree() ORDER BY k")
+    ch.execute("CREATE VIEW iv AS SELECT k FROM it")
+    names = {r.name for r in ch.execute("SHOW TABLES").collect()}
+    assert {"it", "iv", "orders", "lineitem"} <= names
+    desc = {(r.name, r.type) for r in ch.execute("DESCRIBE it").collect()}
+    assert desc == {("k", "bigint"), ("s", "string")}
+    # fixtures describable too
+    fx = {r.name for r in ch.execute("DESC TABLE nation").collect()}
+    assert "n_nationkey" in fx
+    assert ch.execute("EXISTS it").collect()[0].result == 1
+    assert ch.execute("EXISTS TABLE nope").collect()[0].result == 0
+    plan = ch.execute("EXPLAIN SELECT count() FROM it").collect()[0].plan
+    assert "HashAggregate" in plan or "Physical Plan" in plan

@@ -597,3 +597,23 @@ def test_chsql_frame_window_and_now_spellings(spark, sf_dir):
     assert len(rows) > 1
     assert rows[0].prv is None and rows[0].nxt == rows[1].event_id
     assert all(r.in_past for r in rows)
+
+
+def test_chsql_dict_registry(spark, sf_dir):
+    """dictGet registration surface: unknown dicts and non-literal names
+    raise guided errors; a runtime-registered dictionary resolves."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import ch_sql, register_ch_dict, translate
+
+    with _pytest.raises(ValueError, match="unknown dictionary"):
+        translate("SELECT dictGet('nope', 'x', 1)")
+    with _pytest.raises(ValueError, match="string literal"):
+        translate("SELECT dictGet(dname, 'x', 1) FROM t")
+    register_ch_dict("parts", "part", "p_partkey", {"p_name": "''"})
+    rows = ch_sql(
+        spark, sf_dir,
+        "SELECT l_orderkey, dictGet('parts', 'p_name', l_partkey) AS pname "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+    ).collect()
+    assert all(r.pname for r in rows)
