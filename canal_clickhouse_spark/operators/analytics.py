@@ -825,3 +825,106 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# Query pattern for ts_subsequence_match: a V-shape (down-then-up), already
+# z-normalized offline (mean 0, population std 1, 8 points) so the per-window
+# work is one fold against constants. Any pattern works; the V is chosen to
+# be orthogonal to the trivial monotone trends synthetic data is full of.
+_TS_PATTERN_RAW = [3.0, 2.0, 1.0, 0.0, 0.0, 1.0, 2.0, 3.0]
+_TS_M = len(_TS_PATTERN_RAW)
+_TS_MEAN = sum(_TS_PATTERN_RAW) / _TS_M
+_TS_STD = (sum((x - _TS_MEAN) ** 2 for x in _TS_PATTERN_RAW) / _TS_M) ** 0.5
+_TS_PATTERN_Z = [round((x - _TS_MEAN) / _TS_STD, 12) for x in _TS_PATTERN_RAW]
+
+
+@query(
+    "ts_subsequence_match",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, event_id,
+               list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN {_TS_M - 1} PRECEDING AND CURRENT ROW) AS win
+        FROM events
+    ), sized AS (
+        SELECT user_id, event_id, win,
+               list_sum(win) / {_TS_M} AS mu
+        FROM w WHERE len(win) = {_TS_M}
+    ), stats AS (
+        SELECT user_id, event_id, win, mu,
+               sqrt(list_sum(list_transform(win, x -> (x - mu) * (x - mu)))
+                    / {_TS_M}) AS sigma
+        FROM sized
+    ), dists AS (
+        SELECT user_id, event_id,
+               round(list_sum(list_transform(
+                   generate_series(1, {_TS_M}),
+                   i -> ((win[i] - mu) / sigma - ([{', '.join(str(p) for p in _TS_PATTERN_Z)}])[i])
+                        * ((win[i] - mu) / sigma - ([{', '.join(str(p) for p in _TS_PATTERN_Z)}])[i]))), 6) AS dist
+        FROM stats WHERE sigma > 1e-9
+    )
+    SELECT user_id, event_id, dist
+    FROM dists ORDER BY dist, user_id, event_id LIMIT 5
+    """,
+)
+def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (MASS/UCR-style semantics,
+    z-normalized Euclidean): slide an 8-point window over each user's value
+    series, z-normalize the window, score it against a fixed z-normalized
+    query pattern, return the top-5 best-matching (user, position) pairs.
+
+    Spark shape: ONE user_id exchange feeds the sliding collect_list window
+    (frame = 7 PRECEDING..CURRENT, exactly the per-entity timeline pass),
+    then the distance is a constants-folded JVM expression — no Python, no
+    second shuffle; the global top-5 is TakeOrderedAndProject. At 100 TB
+    this scales as the sessionize pass does: per-user sorted runs after one
+    hash exchange. Zero-variance windows (σ≈0) are filtered — they have no
+    z-normal form, same convention as the UCR suite.
+
+    Determinism: both engines fold the window array left-to-right over the
+    same frame order, so means/σ/distances are IEEE-identical pre-round;
+    round(6dp) + (dist, user_id, event_id) total order pins the top-5.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(_TS_M - 1), 0)
+    )
+    win = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list(F.col("value").cast("double")).over(w).alias("win"),
+    ).filter(F.size("win") == _TS_M)
+    mu = (
+        F.aggregate("win", F.lit(0.0), lambda a, x: a + x) / _TS_M
+    ).alias("mu")
+    sized = win.select("user_id", "event_id", "win", mu)
+    sigma = F.sqrt(
+        F.aggregate(
+            "win", F.lit(0.0),
+            lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu")),
+        )
+        / _TS_M
+    ).alias("sigma")
+    stats = sized.select("user_id", "event_id", "win", "mu", sigma).filter(
+        F.col("sigma") > 1e-9
+    )
+    pat = F.array(*[F.lit(p) for p in _TS_PATTERN_Z])
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "win", pat, lambda x, q: ((x - F.col("mu")) / F.col("sigma") - q)
+                * ((x - F.col("mu")) / F.col("sigma") - q)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    ).alias("dist")
+    return (
+        stats.select("user_id", "event_id", dist)
+        .orderBy("dist", "user_id", "event_id")
+        .limit(5)
+    )

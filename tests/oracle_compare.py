@@ -18,7 +18,11 @@ driver:
 - type *classes* are kept distinguishable: any integer width renders plain
   (``400``), floats render via shortest-repr (``400.0``), decimals render
   with a ``dec:`` tag — so int64 vs decimal128(38,0) vs float64 all differ,
-  exactly the class of skew that shipped red in r4.
+  exactly the class of skew that shipped red in r4. Width-INsensitivity
+  within the integer class is calibrated against driver evidence: 20
+  registry keys carry int32-vs-int64 skew (r5 sweep), several of them
+  driver-green across r1-r4 (e.g. ``sim_cosine_topk``, driver r3), so the
+  driver's hash compares integer VALUES, not widths.
 
 ``tests/test_oracle_compare_self.py`` pins the regression: an int64 frame vs
 an equal-valued decimal128 frame MUST fail.

@@ -249,3 +249,14 @@ def test_state_merge_is_two_level_hash_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ts_subsequence_single_exchange_topk(spark, sf_dir):
+    """Time-series subsequence search: ONE user_id exchange feeds the
+    sliding window, the distance folds stay JVM-side, and the global top-5
+    short-circuits (TakeOrderedAndProject, never a full sort)."""
+    # simple mode: each node printed once, so the Exchange count is exact
+    plan = plan_of(QUERIES["ts_subsequence_match"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
