@@ -838,6 +838,50 @@ _TS_STD = (sum((x - _TS_MEAN) ** 2 for x in _TS_PATTERN_RAW) / _TS_M) ** 0.5
 _TS_PATTERN_Z = [round((x - _TS_MEAN) / _TS_STD, 12) for x in _TS_PATTERN_RAW]
 
 
+def ts_distances(ev: DataFrame) -> DataFrame:
+    """All (user_id, event_id, dist) window scores — the full result the
+    top-5 key truncates; shared with the streaming twin's equivalence test
+    (tests/test_streaming_ts.py), so batch and stateful-streaming paths are
+    pinned to one definition."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(_TS_M - 1), 0)
+    )
+    win = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list(F.col("value").cast("double")).over(w).alias("win"),
+    ).filter(F.size("win") == _TS_M)
+    mu = (
+        F.aggregate("win", F.lit(0.0), lambda a, x: a + x) / _TS_M
+    ).alias("mu")
+    sized = win.select("user_id", "event_id", "win", mu)
+    sigma = F.sqrt(
+        F.aggregate(
+            "win", F.lit(0.0),
+            lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu")),
+        )
+        / _TS_M
+    ).alias("sigma")
+    stats = sized.select("user_id", "event_id", "win", "mu", sigma).filter(
+        F.col("sigma") > 1e-9
+    )
+    pat = F.array(*[F.lit(p) for p in _TS_PATTERN_Z])
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "win", pat, lambda x, q: ((x - F.col("mu")) / F.col("sigma") - q)
+                * ((x - F.col("mu")) / F.col("sigma") - q)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    ).alias("dist")
+    return stats.select("user_id", "event_id", dist)
+
+
 @query(
     "ts_subsequence_match",
     oracle=f"""
@@ -887,44 +931,8 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6dp) + (dist, user_id, event_id) total order pins the top-5.
     """
     ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(-(_TS_M - 1), 0)
-    )
-    win = ev.select(
-        "user_id",
-        "event_id",
-        F.collect_list(F.col("value").cast("double")).over(w).alias("win"),
-    ).filter(F.size("win") == _TS_M)
-    mu = (
-        F.aggregate("win", F.lit(0.0), lambda a, x: a + x) / _TS_M
-    ).alias("mu")
-    sized = win.select("user_id", "event_id", "win", mu)
-    sigma = F.sqrt(
-        F.aggregate(
-            "win", F.lit(0.0),
-            lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu")),
-        )
-        / _TS_M
-    ).alias("sigma")
-    stats = sized.select("user_id", "event_id", "win", "mu", sigma).filter(
-        F.col("sigma") > 1e-9
-    )
-    pat = F.array(*[F.lit(p) for p in _TS_PATTERN_Z])
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(
-                "win", pat, lambda x, q: ((x - F.col("mu")) / F.col("sigma") - q)
-                * ((x - F.col("mu")) / F.col("sigma") - q)
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        6,
-    ).alias("dist")
     return (
-        stats.select("user_id", "event_id", dist)
+        ts_distances(ev)
         .orderBy("dist", "user_id", "event_id")
         .limit(5)
     )
