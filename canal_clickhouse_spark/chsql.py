@@ -212,6 +212,7 @@ _RENAME = {
     "mapvalues": "map_values",
     "mapfromarrays": "map_from_arrays",
     "tojsonstring": "to_json",
+    "arrayshuffle": "shuffle",
     "arraymin": "array_min",
     "arraymax": "array_max",
     # "tuple" is special-cased in _translate_call (positional colN names)
@@ -756,6 +757,79 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"CASE WHEN size({a}) >= ({n}) THEN slice({a}, 1, {n}) "
             f"ELSE concat({a}, array_repeat({fill}, ({n}) - size({a}))) END"
         )
+    # -- r5 final batch: epoch converters, folds, misc
+    if low == "tounixtimestamp64milli":
+        return f"unix_millis({args[0]})"
+    if low == "tounixtimestamp64micro":
+        return f"unix_micros({args[0]})"
+    if low == "fromunixtimestamp64milli":
+        return f"timestamp_millis({args[0]})"
+    if low == "fromunixtimestamp64micro":
+        return f"timestamp_micros({args[0]})"
+    if low in ("timezone", "servertimezone"):
+        return "current_timezone()"
+    if low == "generateuuidv4":
+        return "uuid()"
+    if low in ("rand", "rand32"):
+        # CH rand() yields a uniform UInt32 (users write rand() % N);
+        # Spark's rand() is a double in [0,1) — scale to keep the integer
+        # modulo idiom working. Nondeterministic on both, as in CH.
+        return "CAST(floor(rand() * 4294967296) AS BIGINT)"
+    if low == "rand64":
+        return ("(CAST(floor(rand() * 4294967296) AS BIGINT) * 4294967296 + "
+                "CAST(floor(rand() * 4294967296) AS BIGINT))")
+    if low == "sumcount":  # mergeable (sum, count) pair in one pass
+        return (
+            f"named_struct('sum', sum({args[0]}), 'count', count({args[0]}))"
+        )
+    if low == "sumkahan":
+        # Kahan compensation has no Spark spelling; plain double sum is the
+        # honest mapping (same result class, not compensated — for exact
+        # order-free sums use toDecimal64 + sum, the engine-wide rule).
+        return f"sum(CAST({args[0]} AS DOUBLE))"
+    if low == "arrayfold":
+        # CH arrayFold(lambda, arr, init) → aggregate(arr, init, lambda)
+        if len(args) != 3:
+            raise ValueError("arrayFold(lambda, arr, init) takes 3 args")
+        return f"aggregate({args[1]}, {args[2]}, {args[0]})"
+    if low == "arrayreduce":
+        m = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+        if not m:
+            raise ValueError("arrayReduce needs a literal aggregate name")
+        agg = m.group(1).lower()
+        a = args[1]
+        forms = {
+            "sum": f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+            "max": f"array_max({a})",
+            "min": f"array_min({a})",
+            "count": f"size({a})",
+            "avg": (
+                f"(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" / size({a}))"
+            ),
+            "uniqexact": f"size(array_distinct({a}))",
+        }
+        if agg not in forms:
+            raise ValueError(
+                f"arrayReduce('{m.group(1)}', …): unsupported aggregate; "
+                f"supported: {sorted(forms)}"
+            )
+        return forms[agg]
+    if low in ("neighbor", "runningdifference", "runningaccumulate",
+               "rownumberinallblocks"):
+        hint = {
+            "neighbor": "win_lag_lead",
+            "runningdifference": "win_lag_lead",
+            "runningaccumulate": "win_running_sum",
+            "rownumberinallblocks": "win_row_number",
+        }[low]
+        raise ValueError(
+            f"{name} is ClickHouse's deprecated BLOCK-scoped form — its "
+            "result depends on physical block boundaries, which have no "
+            f"Spark analog; use the `{hint}` window operator "
+            "(canal_clickhouse_spark registry) for the deterministic "
+            "window spelling CH itself now recommends"
+        )
     # -- r5 late batch: intervals, bit tests, wide ints, casts
     if low in ("tointervalday", "tointervalhour", "tointervalminute",
                "tointervalsecond"):
@@ -1026,6 +1100,12 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "minmerge", "maxmerge", "countstate", "countmerge", "avgstate",
     "avgmerge", "uniqexactstate", "uniqexactmerge", "uniqstate",
     "uniqmerge",
+    "tounixtimestamp64milli", "tounixtimestamp64micro",
+    "fromunixtimestamp64milli", "fromunixtimestamp64micro", "timezone",
+    "servertimezone", "generateuuidv4", "rand", "rand32", "rand64",
+    "sumcount", "sumkahan", "arrayfold", "arrayreduce", "neighbor",
+    "runningdifference", "runningaccumulate", "rownumberinallblocks",
+    "arrayshuffle",
     "tointervalday", "tointervalhour", "tointervalminute",
     "tointervalsecond", "tointervalmonth", "tointervalyear", "bittest",
     "exp2", "exp10", "intexp2", "intexp10", "toint128", "touint128",

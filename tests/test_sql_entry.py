@@ -617,3 +617,44 @@ def test_chsql_dict_registry(spark, sf_dir):
         "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
     ).collect()
     assert all(r.pname for r in rows)
+
+
+def test_chsql_r5_final_batch(spark):
+    """Final r5 spelling batch, executed: epoch-millis round-trip,
+    arrayFold arg reorder, arrayReduce named aggregates, sumCount pair,
+    and the guided errors for CH's deprecated block-scoped functions."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    row = spark.sql(
+        translate(
+            "SELECT toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1700000000123)) AS rt, "
+            "arrayFold((acc, x) -> acc + x, [1, 2, 3], 10) AS fold, "
+            "arrayReduce('max', [3, 1, 2]) AS mx, "
+            "arrayReduce('avg', [2.0, 4.0]) AS av"
+        )
+    ).collect()[0]
+    assert row.rt == 1700000000123
+    assert row.fold == 16
+    assert row.mx == 3
+    assert row.av == 3.0
+    sc = spark.sql(
+        translate(
+            "SELECT sumCount(x) AS sc FROM (SELECT 2 AS x UNION ALL SELECT 3)"
+        )
+    ).collect()[0].sc
+    assert (sc["sum"], sc["count"]) == (5, 2)
+    # rand keeps the integer-modulo idiom in range (numbers() is CH's TVF;
+    # bare range() in FROM is not valid CH — the scalar rewrite owns it)
+    vals = spark.sql(
+        translate("SELECT rand() % 10 AS r FROM numbers(20)")
+    ).collect()
+    assert len(vals) == 20 and all(0 <= v.r < 10 for v in vals)
+    for bad, hint in [
+        ("SELECT neighbor(x, 1) FROM t", "win_lag_lead"),
+        ("SELECT runningDifference(x) FROM t", "win_lag_lead"),
+        ("SELECT rowNumberInAllBlocks() FROM t", "win_row_number"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(bad)
