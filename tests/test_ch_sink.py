@@ -205,3 +205,40 @@ def test_collapsing_stream_restart_to_http_sink(spark, sf_dir, mock_ch, tmp_path
     v_before = pipe2._latest_version(rule)
     CdcPipeline(spark, [rule], root).stream(stream_df()).awaitTermination()
     assert pipe2._latest_version(rule) == v_before
+
+
+def test_jsoneachrow_wire_format_roundtrips_through_ddl_parser(spark, sf_dir):
+    """Wire-protocol self-consistency: the body the HTTP sink POSTs
+    (df.toJSON lines under `INSERT INTO t FORMAT JSONEachRow`) must parse
+    back to the identical rows through the DDL interpreter's FORMAT
+    JSONEachRow path — our emitter and our parser agree on the format, so
+    either side can interoperate with a real ClickHouse server that speaks
+    it."""
+    from pyspark.sql import functions as F
+
+    from canal_clickhouse_spark.catalog import table
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+    body_lines = src.toJSON().collect()  # exactly what _write_http buffers
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE sink_rt (o_orderkey Int64, o_orderstatus String, "
+        "o_totalprice Float64) ENGINE = MergeTree() ORDER BY o_orderkey"
+    )
+    ch.execute(
+        "INSERT INTO sink_rt FORMAT JSONEachRow\n" + "\n".join(body_lines)
+    )
+    got = sorted(tuple(r) for r in ch.tables["sink_rt"].collect())
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want and len(want) == 50
