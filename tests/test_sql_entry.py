@@ -658,3 +658,50 @@ def test_chsql_r5_final_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(bad)
+
+
+def test_chsql_literal_mask_all_clause_rewrites():
+    """r5 verdict item #1: EVERY clause rewrite must leave string literals
+    containing clause keywords byte-identical (previously PREWHERE / WITH
+    TOTALS / ARRAY JOIN corrupted them — the last into broken SQL). The
+    sweep covers every keyword `_rewrite_clauses` dispatches on."""
+    from canal_clickhouse_spark.chsql import translate
+
+    probes = [
+        "SELECT 'PREWHERE a' AS s FROM orders",
+        "SELECT 'GROUP BY a WITH TOTALS' AS s FROM orders",
+        "SELECT 'ARRAY JOIN arr' AS s FROM orders",
+        "SELECT 'LEFT ARRAY JOIN arr AS x' AS s FROM orders",
+        "SELECT 'a EXCEPT SELECT b' AS s FROM orders",
+        "SELECT 'a INTERSECT SELECT b' AS s FROM orders",
+        "SELECT 'FROM orders FINAL' AS s FROM orders",
+        "SELECT 'FROM orders SAMPLE 0.1' AS s FROM orders",
+        "SELECT 'ORDER BY x WITH FILL FROM 1 TO 5' AS s FROM orders",
+        "SELECT 'GLOBAL JOIN t' AS s FROM orders",
+        "SELECT 'FROM numbers(10)' AS s FROM orders",
+        "SELECT 'SETTINGS max_threads = 4' AS s FROM orders",
+        "SELECT 'tail FORMAT JSONEachRow' AS s FROM orders",
+        "SELECT 'l ASOF JOIN r ON a = b AND c <= d' AS s FROM orders",
+        "SELECT 'l ANY LEFT JOIN r ON a = b' AS s FROM orders",
+        "SELECT 'ORDER BY a LIMIT 2 BY b' AS s FROM orders",
+        "SELECT 'ORDER BY a LIMIT 2 WITH TIES' AS s FROM orders",
+        "SELECT 'LIMIT 1, 2' AS s FROM orders",
+        "SELECT '* EXCEPT (a)' AS s FROM orders",
+        "SELECT 'COLUMNS(''x'')' AS s FROM orders",
+    ]
+    for p in probes:
+        assert translate(p) == p, f"literal corrupted: {p!r} -> {translate(p)!r}"
+    # Real clauses AROUND such literals still rewrite.
+    t = translate(
+        "SELECT count() AS c, 'PREWHERE kw' AS s FROM orders"
+        " PREWHERE o_totalprice > 10 WHERE o_orderkey > 2 GROUP BY s"
+    )
+    assert "'PREWHERE kw'" in t and "WHERE (o_totalprice > 10) AND" in t
+    t = translate(
+        "SELECT 'WITH TOTALS' AS s, count() AS c FROM orders"
+        " GROUP BY o_orderpriority WITH TOTALS"
+    )
+    assert "'WITH TOTALS'" in t and "GROUPING SETS ((o_orderpriority), ())" in t
+    t = translate("SELECT 'ARRAY JOIN x' AS s FROM documents ARRAY JOIN"
+                  " splitByChar(' ', text) AS tok")
+    assert "'ARRAY JOIN x'" in t and "LATERAL VIEW explode(" in t
