@@ -705,3 +705,36 @@ def test_chsql_literal_mask_all_clause_rewrites():
     t = translate("SELECT 'ARRAY JOIN x' AS s FROM documents ARRAY JOIN"
                   " splitByChar(' ', text) AS tok")
     assert "'ARRAY JOIN x'" in t and "LATERAL VIEW explode(" in t
+
+
+def test_chsql_median_family_and_unknown_parametric_guard():
+    """r5 verdict item #2: median* aliases translate; ANY unmapped
+    fn(params)(args) double-call raises the guided named-alternative error
+    instead of leaking to a Spark parse error."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    assert "percentile(x, 0.5)" in translate("SELECT medianExact(x) FROM t")
+    assert "percentile(x, 0.5)" in translate("SELECT medianTDigest(x) FROM t")
+    assert "percentile(x, 0.5)" in translate("SELECT medianTiming(x) FROM t")
+    assert "percentile(x, 0.9, w)" in translate(
+        "SELECT quantileTimingWeighted(0.9)(x, w) FROM t"
+    )
+    assert "percentile(x, 0.25)" in translate(
+        "SELECT quantileExactLow(0.25)(x) FROM t"
+    )
+    # medianExactWeighted reuses the exact-rank fold at p=0.5
+    t = translate("SELECT medianExactWeighted(x, w) FROM t")
+    assert "sort_array(collect_list" in t and "0.5" in t
+    for bad in [
+        "SELECT quantilesTiming(0.5, 0.9)(x) FROM t",
+        "SELECT mysteryAgg(3)(x) FROM t",
+        "SELECT quantilesExactWeighted(0.5)(x, w) FROM t",
+    ]:
+        with _pytest.raises(ValueError, match="not a recognized CH parametric"):
+            translate(bad)
+    # ...but known keywords before parens never false-positive, and normal
+    # unknown single calls still pass through.
+    assert translate("SELECT foo(x) FROM t WHERE a IN (1, 2)") == \
+        "SELECT foo(x) FROM t WHERE a IN (1, 2)"
