@@ -451,9 +451,27 @@ class ChSession:
     Fixture views (orders, lineitem, …) are readable sources; engine tables
     created here shadow nothing (distinct names enforced)."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        parts_dir: str | None = None,
+    ):
+        """``parts_dir`` opts into durable parquet-parts persistence — the
+        actual MergeTree parts model (r5 verdict task 8): INSERT blocks
+        append parquet part FILES into the table's current generation
+        directory; rewrites (OPTIMIZE FINAL, ALTER, TRUNCATE) write a new
+        generation directory and retire the old one; RENAME/EXCHANGE are
+        pure catalog-pointer mutations (directories are content-addressed
+        by a generation sequence, exactly how CH renames metadata without
+        touching parts). Default (None) keeps the in-memory DataFrame
+        lineage model — identical statement semantics, pinned by running
+        the DDL model fuzz in both modes."""
         tune(spark)
         self.spark, self.sf_dir = spark, sf_dir
+        self.parts_dir = parts_dir
+        self._store: dict[str, str] = {}  # table -> current generation dir
+        self._gseq = 0
         register_views(spark, sf_dir)
         self.tables: dict[str, DataFrame] = {}
         self.meta: dict[str, dict] = {}
@@ -470,8 +488,52 @@ class ChSession:
     # -- helpers ----------------------------------------------------------
 
     def _register(self, name: str, df: DataFrame) -> None:
+        if self.parts_dir is not None:
+            self._rewrite_generation(name, df)
+            return
         self.tables[name] = df
         df.createOrReplaceTempView(name)
+
+    def _point_at(self, name: str, df: DataFrame) -> None:
+        """Catalog-pointer update without persistence (parts mode reads)."""
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def _rewrite_generation(self, name: str, df: DataFrame) -> None:
+        """Parts mode: materialize ``df`` as a NEW generation directory,
+        re-point reads at it, retire the previous generation — the
+        compaction/mutation write path (OPTIMIZE FINAL rewriting merged
+        parts). Generation dirs are named by a session-global sequence so
+        RENAME/EXCHANGE never collide with a prior tenant of the name."""
+        import os
+        import shutil
+
+        self._gseq += 1
+        path = os.path.join(self.parts_dir, f"{name}_g{self._gseq:06d}")
+        df.write.mode("overwrite").parquet(path)
+        old = self._store.get(name)
+        self._store[name] = path
+        self._point_at(name, self.spark.read.parquet(path))
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _append_part(self, name: str, block: DataFrame) -> None:
+        """Parts mode: one INSERT block = new parquet part files appended
+        into the current generation (MergeTree's append-only part model —
+        no rewrite of existing data). The block is materialized first so an
+        ``INSERT INTO t SELECT ... FROM t`` self-read can never race its
+        own append."""
+        block = block.localCheckpoint(eager=True)
+        path = self._store[name]
+        block.write.mode("append").parquet(path)
+        self._point_at(name, self.spark.read.parquet(path))
+
+    def _drop_storage(self, name: str) -> None:
+        import shutil
+
+        old = self._store.pop(name, None)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
 
     def _refresh_views(self) -> None:
         for name, sel in self.views.items():  # insertion order: view-on-view ok
@@ -534,11 +596,14 @@ class ChSession:
             try:
                 part = self.spark.sql(mv["select"])
                 tgt = mv["target"]
-                self._register(
-                    tgt,
-                    self.tables[tgt].unionByName(part)
-                    if tgt in self.tables else part,
-                )
+                if self.parts_dir is not None and tgt in self.tables:
+                    self._append_part(tgt, part)  # one part per fired block
+                else:
+                    self._register(
+                        tgt,
+                        self.tables[tgt].unionByName(part)
+                        if tgt in self.tables else part,
+                    )
             finally:  # restore the full table view
                 self.tables[source].createOrReplaceTempView(source)
             self._fire_mvs(tgt, part, _depth + 1)
@@ -754,6 +819,12 @@ class ChSession:
             self.meta[a], self.meta[b] = (
                 self.meta.get(b, {}), self.meta.get(a, {}),
             )
+            if self.parts_dir is not None:
+                # pointer swap only — parts directories are untouched,
+                # exactly CH's metadata-level EXCHANGE
+                self._store[a], self._store[b] = (
+                    self._store[b], self._store[a],
+                )
             self.tables[a].createOrReplaceTempView(a)
             self.tables[b].createOrReplaceTempView(b)
             return None
@@ -786,7 +857,9 @@ class ChSession:
                 if old in self.meta:
                     self.meta[new] = self.meta.pop(old)
                 self.spark.catalog.dropTempView(old)
-                self._register(new, df)
+                if old in self._store:  # parts mode: pointer move, no I/O
+                    self._store[new] = self._store.pop(old)
+                self._point_at(new, df)
             # MVs bind by NAME (as in CH): an MV whose source/target was
             # renamed keeps pointing at the old name — the blue-green idiom
             # uses EXCHANGE precisely so names stay stable.
@@ -800,6 +873,7 @@ class ChSession:
             self.mvs.pop(name, None)
             self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            self._drop_storage(name)
             return None
 
         m = _TRUNCATE_RE.match(s)
@@ -1107,7 +1181,10 @@ class ChSession:
                 for c, t in zip(target.columns, [t for _, t in target.dtypes])
             ]
         )
-        self._register(name, target.unionByName(block))
+        if self.parts_dir is not None:
+            self._append_part(name, block)  # the MergeTree parts model
+        else:
+            self._register(name, target.unionByName(block))
         self._fire_mvs(name, block)
         return None
 
@@ -1403,3 +1480,34 @@ def chsql_blue_green(spark: SparkSession, sf_dir: str) -> DataFrame:
     new name. Green means `live` serves the staged (full) data while the
     old half-table moved aside intact."""
     return ch_execute_script(spark, sf_dir, _CH_BLUE_GREEN_SCRIPT)
+
+
+@query(
+    "chsql_parts_persistence",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+def chsql_parts_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `chsql_mv_ddl` acceptance script executed in the DURABLE
+    parquet-parts mode (r5 verdict task 8): every INSERT block lands as
+    parquet part files, the MV partials append as their own parts, and the
+    merge read runs off disk — the actual MergeTree storage model. Same
+    oracle as the in-memory mode: green means the two storage models are
+    observationally identical. Staging dir is recreated per run (writers.py
+    `_stage_dir` convention) and left in place for the caller's collect."""
+    import os
+    import shutil
+
+    root = (
+        f"/tmp/ccs_parts_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return ChSession(spark, sf_dir, parts_dir=root).run_script(
+        _CH_MV_DDL_SCRIPT
+    )

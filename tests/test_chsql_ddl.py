@@ -400,13 +400,31 @@ _OPS = st.lists(
 )
 
 
+@pytest.mark.parametrize("mode", ["memory", "parts"])
 @settings(
     max_examples=12, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_OPS)
-def test_ddl_statements_match_reference_model(spark, sf_dir, ops):
-    ch = ChSession(spark, sf_dir)
+def test_ddl_statements_match_reference_model(spark, sf_dir, mode, ops):
+    # r5 verdict task 8: identical statement semantics in the in-memory
+    # lineage model AND the durable parquet-parts model, on the same
+    # hypothesis sequences.
+    import shutil
+    import tempfile
+
+    parts = (
+        tempfile.mkdtemp(prefix="ccs_fuzz_parts_") if mode == "parts" else None
+    )
+    try:
+        _run_ddl_model(spark, sf_dir, ops, parts)
+    finally:
+        if parts:
+            shutil.rmtree(parts, ignore_errors=True)
+
+
+def _run_ddl_model(spark, sf_dir, ops, parts_dir):
+    ch = ChSession(spark, sf_dir, parts_dir=parts_dir)
     ch.execute(
         "CREATE TABLE fz (k Int64, ver Int64, s String) "
         "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
