@@ -82,6 +82,15 @@ EXTENDED: tuple[str, ...] = (
     "embed_kmeans",           # 3-round deterministic Lloyd's
     "dedup_semantic",         # SemDeDup: Lloyd buckets + screened pairs (r4)
     "dedup_substring",        # window-hash substring dedup (r4)
+    # r6 (r5 verdict task 9): composite/analytic keys gated from birth
+    "ts_subsequence_match",   # z-normalized sliding-window match (r5)
+    "chsql_mv_ddl",           # DDL interpreter: MV populate + block fire
+    "chsql_mutation_ddl",     # DDL interpreter: UPDATE/DELETE/OPTIMIZE
+    "chsql_partition_ops",    # DDL interpreter: PARTITION BY + DROP PART
+    "chsql_alter_column",     # r6 schema evolution composite
+    "chsql_create_dictionary",  # r6 dictionary DDL + dictGet plan
+    "chsql_blue_green",       # r6 EXCHANGE/RENAME swap composite
+    "chsql_parts_persistence",  # r6 durable parquet-parts MV script
 )
 
 

