@@ -176,6 +176,36 @@ def _lit_finditer(regex: re.Pattern, q: str):
         yield _OrigMatch(m, orig)
 
 
+def _clip_unbalanced(masked: str, start: int, end: int) -> int:
+    """First position in [start, end) where a ``)`` closes a paren opened
+    BEFORE start — i.e. where a lazy clause capture ran out of its enclosing
+    subquery. Returns ``end`` when the span is balanced. Used to keep
+    clause rewrites (PREWHERE, ARRAY JOIN) from swallowing the subquery's
+    closing paren and the text after it (r6 self-probe: ``SELECT * FROM
+    (SELECT ... PREWHERE x) sub WHERE y`` produced broken SQL)."""
+    depth = 0
+    for i in range(start, end):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+    return end
+
+
+def _paren_depth_at(masked: str, pos: int) -> int:
+    """Paren nesting depth of position ``pos`` in the literal-masked text."""
+    d = 0
+    for ch in masked[:pos]:
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+    return d
+
+
 def _lit_sub(regex: re.Pattern, repl, q: str) -> str:
     """`regex.sub` that matches on the literal-masked text but copies
     non-matched spans AND callable-repl group reads from the original.
@@ -1705,10 +1735,62 @@ _LIMIT_TIES_RE = re.compile(
     r"\bORDER\s+BY\s+(?P<ord>.+?)\s+LIMIT\s+(?P<n>\d+)\s+WITH\s+TIES\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_ARRAY_JOIN_RE = re.compile(
-    r"\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)",
+_ARRAY_JOIN_CLAUSE_RE = re.compile(
+    r"\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+(?P<body>.+?)"
+    r"(?=\bWHERE\b|\bPREWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+    r"|\bLIMIT\b|\bSETTINGS\b|\bLATERAL\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _rewrite_array_join(q: str) -> str:
+    """``[LEFT] ARRAY JOIN e1 AS x1[, e2 AS x2, ...]`` → LATERAL VIEW.
+
+    Single array → ``explode`` / ``explode_outer`` (LEFT keeps empty-array
+    rows). CH's zipped multi-array form (r6; previously silently corrupted)
+    → one ``inline(transform(e1, (_v, _i) -> named_struct('x1', _v, 'x2',
+    get(e2, _i), ...)))``: positional zip sized by the FIRST array —
+    ``get`` is the ANSI-safe out-of-bounds-NULL accessor, so a shorter
+    trailing array pads with NULL where CH would error on unequal sizes
+    (documented divergence — CH requires equal sizes). The body capture is
+    clipped at the enclosing subquery's closing paren and the loop
+    re-scans, so the clause works inside subqueries too."""
+    for _ in range(16):
+        masked = _mask_literals(q)
+        m = _ARRAY_JOIN_CLAUSE_RE.search(masked)
+        if not m:
+            return q
+        b0, b1 = m.span("body")
+        b1 = _clip_unbalanced(masked, b0, b1)
+        items: list[tuple[str, str]] = []
+        for item in _split_args(q[b0:b1]):
+            am = re.match(
+                r"(?s)^(.+?)\s+AS\s+(\w+)\s*$", item.strip(), re.IGNORECASE
+            )
+            if not am:
+                raise ValueError(
+                    f"ARRAY JOIN item needs 'expr AS alias': {item.strip()!r}"
+                )
+            items.append((am.group(1).strip(), am.group(2)))
+        left = bool(m.group("left"))
+        if len(items) == 1:
+            expr, alias = items[0]
+            repl = (
+                f" LATERAL VIEW {'explode_outer' if left else 'explode'}"
+                f"({expr}) _aj AS {alias}"
+            )
+        else:
+            first_expr = items[0][0]
+            fields = [f"'{items[0][1]}', _v"] + [
+                f"'{alias}', get({expr}, _i)" for expr, alias in items[1:]
+            ]
+            fn = "inline_outer" if left else "inline"
+            repl = (
+                f" LATERAL VIEW {fn}(transform({first_expr},"
+                f" (_v, _i) -> named_struct({', '.join(fields)}))) _aj"
+            )
+        q = q[: m.start()] + repl + " " + q[b1:]
+    raise ValueError("more than 16 ARRAY JOIN clauses — refusing to rewrite")
 _PREWHERE_RE = re.compile(
     r"\bPREWHERE\s+(?P<cond>.+?)"
     r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
@@ -1956,19 +2038,34 @@ def _rewrite_prewhere(q: str) -> str:
     scan already pushes every conjunct down (plan-asserted in
     tests/test_plans.py), so the semantically-exact translation is plain
     predicate conjunction: ``PREWHERE a WHERE b`` ⇒ ``WHERE (a) AND (b)``.
+
+    Subquery-safe: the lazy ``cond`` capture is clipped at the first paren
+    that closes the enclosing subquery (`_clip_unbalanced`), and the loop
+    re-scans so a PREWHERE in an outer query AND one in a subquery both
+    rewrite (r6 self-probe fix — previously the capture swallowed
+    ``) sub WHERE ...`` and emitted broken SQL).
     """
-    m = _lit_search(_PREWHERE_RE, q)
-    if not m:
-        return q
-    cond = m.group("cond").strip()
-    head, tail = q[: m.start()], q[m.end() :]
-    wm = _lit_match(_WHERE_RE, tail)
-    if wm:
-        return (
-            f"{head} WHERE ({cond}) AND ({wm.group('w').strip()}) "
-            + tail[wm.end() :]
-        )
-    return f"{head} WHERE {cond} {tail}"
+    for _ in range(16):  # one iteration per PREWHERE occurrence
+        masked = _mask_literals(q)
+        m = _PREWHERE_RE.search(masked)
+        if not m:
+            return q
+        c0, c1 = m.span("cond")
+        c1 = _clip_unbalanced(masked, c0, c1)
+        cond = q[c0:c1].strip()
+        head, tail = q[: m.start()], q[c1:]
+        tmask = _mask_literals(tail)
+        wm = _WHERE_RE.match(tmask)
+        if wm:
+            w0, w1 = wm.span("w")
+            w1 = _clip_unbalanced(tmask, w0, w1)
+            q = (
+                f"{head} WHERE ({cond}) AND ({tail[w0:w1].strip()}) "
+                + tail[w1:]
+            )
+        else:
+            q = f"{head} WHERE {cond} {tail}"
+    raise ValueError("more than 16 PREWHERE clauses — refusing to rewrite")
 
 
 def _rewrite_clauses(q: str) -> str:
@@ -2048,17 +2145,8 @@ def _rewrite_clauses(q: str) -> str:
     q = _lit_sub(_FROM_RE, from_sub, q)
     # ARRAY JOIN before PREWHERE: in CH text order the array clause sits
     # between the table and the predicates, and neither rewrite touches the
-    # other's text. `LEFT ARRAY JOIN` keeps empty-array rows → explode_outer.
-    # Scope: one `expr AS alias` per clause (CH's zipped multi-array form
-    # `ARRAY JOIN a AS x, b AS y` is out of scope for the text rewriter).
-    q = _lit_sub(
-        _ARRAY_JOIN_RE,
-        lambda m: (
-            f" LATERAL VIEW {'explode_outer' if m.group('left') else 'explode'}"
-            f"({m.group('expr').strip()}) _aj AS {m.group('alias')}"
-        ),
-        q,
-    )
+    # other's text. `LEFT ARRAY JOIN` keeps empty-array rows.
+    q = _rewrite_array_join(q)
     q = _rewrite_prewhere(q)
     # CH's GLOBAL JOIN forces the right side to every shard — on Spark the
     # equivalent decision (broadcast vs shuffle) is Catalyst/AQE's from
@@ -2069,11 +2157,26 @@ def _rewrite_clauses(q: str) -> str:
     # version window), and a first-match search would swallow the query from
     # there (found composing FINAL + LIMIT BY).
     masked = _mask_literals(q)
-    lb = None
+    lb, lb_nested = None, False
     for m in _ORDER_BY_KW_RE.finditer(masked):
         cand = _LIMIT_BY_RE.match(masked, m.start())
         if cand:
-            lb = _OrigMatch(cand, q)
+            if _paren_depth_at(masked, m.start()) > 0:
+                lb_nested = True  # candidate anchored inside parens
+            else:
+                lb = _OrigMatch(cand, q)
+    if lb is None and lb_nested:
+        # Only a parenthesized anchor matched: the user's LIMIT BY lives in
+        # a subquery, where the $-anchored capture would swallow the closing
+        # paren and scramble the query (r6 self-probe). Refuse loudly.
+        # (A depth>0 anchor ALONGSIDE a top-level one is just a window-spec
+        # ORDER BY the DOTALL regex reached across — the top-level match is
+        # the real clause and wins.)
+        raise ValueError(
+            "LIMIT ... BY inside a subquery is outside the text rewriter's"
+            " scope — lift it into the outer query or use the"
+            " topk_per_group operator"
+        )
     if lb:
         inner = q[: lb.start()].strip()
         ord_clause, n, cols = lb["ord"].strip(), int(lb["n"]), lb["cols"].strip()
@@ -2094,11 +2197,19 @@ def _rewrite_clauses(q: str) -> str:
     # partition — the identical single-node tail any global ORDER BY +
     # LIMIT already pays, so no new scale hazard.
     masked = _mask_literals(q)
-    wt = None
+    wt, wt_nested = None, False
     for m in _ORDER_BY_KW_RE.finditer(masked):
         cand = _LIMIT_TIES_RE.match(masked, m.start())
         if cand:
-            wt = _OrigMatch(cand, q)
+            if _paren_depth_at(masked, m.start()) > 0:
+                wt_nested = True
+            else:
+                wt = _OrigMatch(cand, q)
+    if wt is None and wt_nested:
+        raise ValueError(
+            "LIMIT ... WITH TIES inside a subquery is outside the"
+            " text rewriter's scope — lift it into the outer query"
+        )
     if wt:
         inner = q[: wt.start()].strip()
         ord_clause, n = wt["ord"].strip(), int(wt["n"])
@@ -2484,6 +2595,37 @@ def chsql_arrayjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting inside the array expression (splitByChar's swapped args run
     through the recursive fn translator AFTER the clause rewrite)."""
     return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN)
+
+
+_CH_ARRAY_JOIN_MULTI = """
+SELECT doc_id, tok, idx
+FROM documents ARRAY JOIN splitByChar(' ', text) AS tok,
+     arrayEnumerate(splitByChar(' ', text)) AS idx
+PREWHERE doc_id < 30
+ORDER BY doc_id, idx
+"""
+
+
+@query(
+    "chsql_arrayjoin_multi",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS idx
+    FROM ex, UNNEST(range(1, len(toks) + 1)) AS g(i)
+    ORDER BY doc_id, idx
+    """,
+)
+def chsql_arrayjoin_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's zipped multi-array ``ARRAY JOIN a AS x, b AS y`` (r6 — the
+    classic token+arrayEnumerate position idiom) → one ``inline(transform(
+    a, (_v, _i) -> named_struct(...)))``: a single generator, positional
+    zip sized by the first array (see `_rewrite_array_join` for the
+    unequal-size divergence note). The oracle unnests with explicit
+    1-based ordinals."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_MULTI)
 
 
 _CH_EVENTS = """

@@ -738,3 +738,61 @@ def test_chsql_median_family_and_unknown_parametric_guard():
     # unknown single calls still pass through.
     assert translate("SELECT foo(x) FROM t WHERE a IN (1, 2)") == \
         "SELECT foo(x) FROM t WHERE a IN (1, 2)"
+
+
+def test_chsql_subquery_clause_safety():
+    """r6 self-probe fixes: clause rewrites are subquery-safe — PREWHERE
+    capture clips at the enclosing paren (both with and without an outer
+    WHERE), LIMIT BY/WITH TIES in a subquery raise loudly instead of
+    scrambling the query, and ARRAY JOIN clips its body the same way."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT * FROM (SELECT o_orderkey FROM orders"
+                  " PREWHERE o_totalprice > 100) sub WHERE o_orderkey < 50")
+    assert t == ("SELECT * FROM (SELECT o_orderkey FROM orders "
+                 " WHERE o_totalprice > 100 ) sub WHERE o_orderkey < 50")
+    # PREWHERE in subquery AND outer query both rewrite
+    t = translate("SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders"
+                  " PREWHERE o_totalprice > 10) s PREWHERE o_orderkey > 2")
+    assert "PREWHERE" not in t and t.count("WHERE") == 2
+    with _pytest.raises(ValueError, match="LIMIT ... BY inside a subquery"):
+        translate("SELECT * FROM (SELECT o_orderkey FROM orders ORDER BY"
+                  " o_totalprice LIMIT 2 BY o_orderpriority) x")
+    # ...but a top-level LIMIT BY composed with FROM rewrites that inject
+    # window-spec ORDER BYs (depth > 0 anchors) still rewrites fine — the
+    # nested guard only fires when NO top-level anchor exists.
+    t = translate("SELECT o_orderkey FROM orders SAMPLE 0.5 ORDER BY"
+                  " o_totalprice LIMIT 2 BY o_orderpriority")
+    assert "ROW_NUMBER() OVER (PARTITION BY o_orderpriority" in t
+    # WITH TIES in a subquery can never match the $-anchored clause regex:
+    # it passes through untouched (Spark raises its own parse error) rather
+    # than corrupting surrounding text.
+    t = translate("SELECT * FROM (SELECT o_orderkey FROM orders ORDER BY"
+                  " o_totalprice LIMIT 2 WITH TIES) x")
+    assert "WITH TIES) x" in t
+
+
+def test_chsql_multi_array_join(spark):
+    """CH's zipped multi-array ARRAY JOIN (r6; previously silently
+    corrupted into broken SQL): arrays zip positionally, LEFT keeps
+    zero-length rows, shorter trailing arrays pad NULL (documented
+    divergence from CH's equal-size requirement)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql("SELECT 'k1 k2' AS ks, '1 2' AS vs"
+              " UNION ALL SELECT 'k3' AS ks, '' AS vs"
+              ).createOrReplaceTempView("mz")
+    rows = spark.sql(translate(
+        "SELECT k, v FROM mz ARRAY JOIN splitByChar(' ', ks) AS k,"
+        " splitByChar(' ', vs) AS v"
+    )).collect()
+    assert [(r.k, r.v) for r in rows] == [("k1", "1"), ("k2", "2"),
+                                          ("k3", "")]
+    # three-array form
+    rows = spark.sql(translate(
+        "SELECT a, b, c FROM (SELECT 1 AS one) ARRAY JOIN [10, 20] AS a,"
+        " [1, 2] AS b, ['x'] AS c"
+    )).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [(10, 1, "x"), (20, 2, None)]
