@@ -1846,6 +1846,108 @@ _GLOBAL_JOIN_RE = re.compile(
 )
 _ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 _LIMIT_COMMA_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*$", re.IGNORECASE)
+_SEL_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_FROM_KW_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_SETOP_KW_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+_ORD_DIR_RE = re.compile(
+    r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$"
+)
+
+
+def _ord_items(ord_clause: str) -> list[tuple[str, str]]:
+    """Split an ORDER BY clause into (expr, direction-suffix) items."""
+    items = []
+    for it in _split_args(ord_clause):
+        m = _ORD_DIR_RE.match(it.strip())
+        items.append((m.group(1).strip(), m.group(2).strip()))
+    return items
+
+
+def _splice_rank(
+    inner: str, part_cols: str | None, ord_clause: str, fn: str, rank_alias: str
+) -> tuple[str, list[str], str] | None:
+    """Inject ``fn OVER (PARTITION BY part_cols ORDER BY ord)`` INTO the
+    top-level select list of ``inner`` (CH LIMIT BY / WITH TIES support),
+    so BY / ORDER expressions naming base-table columns the projection
+    dropped still resolve — CH evaluates them in the source scope, and
+    wrapping the projected subquery (the pre-r6 strategy) lost that scope
+    (r6 differential-fuzz find: ``SELECT o_orderkey FROM orders ORDER BY
+    o_orderkey LIMIT 2 BY o_orderstatus`` failed analysis).
+
+    Select-list aliases referenced by BY/ORDER are substituted with their
+    defining expressions (CH's alias model; also makes the splice valid
+    after GROUP BY). Each ORDER item is additionally projected as a hidden
+    ``_ob{i}`` so the outer presentation ORDER BY never needs dropped
+    columns. Returns ``(new_inner, hidden_cols, outer_order)``, or None
+    when the splice is out of scope — DISTINCT select lists (the window
+    would defeat dedup) and top-level set operations (the clause applies
+    to the combined result) keep the wrap strategy, whose projected-column
+    requirement matches CH's own constraint there.
+    """
+    masked = _mask_literals(inner)
+    for m in _SETOP_KW_RE.finditer(masked):
+        if _paren_depth_at(masked, m.start()) == 0:
+            return None
+    sm = next(
+        (
+            m
+            for m in _SEL_KW_RE.finditer(masked)
+            if _paren_depth_at(masked, m.start()) == 0
+        ),
+        None,
+    )
+    if sm is None:
+        return None
+    fm = next(
+        (
+            m
+            for m in _FROM_KW_RE.finditer(masked, sm.end())
+            if _paren_depth_at(masked, m.start()) == 0
+        ),
+        None,
+    )
+    if fm is None:
+        return None
+    sel_list = inner[sm.end() : fm.start()]
+    if re.match(r"(?is)^\s*DISTINCT\b", sel_list):
+        return None
+    aliases: dict[str, str] = {}
+    for item in _split_args(sel_list):
+        am = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", item.strip())
+        if am:
+            aliases[am.group(2)] = am.group(1).strip()
+
+    def subst(text: str) -> str:
+        # One pass: an alias inside another alias's definition stays —
+        # matching the single-level resolution the clause needs; chained
+        # self-referential aliases would otherwise grow unboundedly.
+        for a, ex in aliases.items():
+            text = _lit_sub(
+                re.compile(rf"\b{re.escape(a)}\b", re.IGNORECASE),
+                lambda m, _ex=ex: f"({_ex})",
+                text,
+            )
+        return text
+
+    obs = _ord_items(ord_clause)
+    ord_sub = ", ".join(f"{subst(e)} {d}".strip() for e, d in obs)
+    part = f"PARTITION BY {subst(part_cols)} " if part_cols else ""
+    win = f"{fn} OVER ({part}ORDER BY {ord_sub}) AS {rank_alias}"
+    hidden = [f"_ob{i}" for i in range(len(obs))]
+    extra = [f"{subst(e)} AS _ob{i}" for i, (e, _d) in enumerate(obs)] + [win]
+    new_inner = (
+        inner[: sm.end()]
+        + " "
+        + sel_list.strip()
+        + ", "
+        + ", ".join(extra)
+        + " "
+        + inner[fm.start() :]
+    )
+    outer_order = ", ".join(
+        f"_ob{i} {d}".strip() for i, (_e, d) in enumerate(obs)
+    )
+    return new_inner, hidden, outer_order
 
 
 def _rewrite_asof_join(q: str) -> str:
@@ -2185,11 +2287,19 @@ def _rewrite_clauses(q: str) -> str:
         # `off` rows of each group before keeping n.
         off = int(lb["off"]) if lb["off"] else 0
         keep = f"_rn > {off} AND _rn <= {off + n}" if off else f"_rn <= {n}"
-        q = (
-            f"SELECT * EXCEPT(_rn) FROM (SELECT *, ROW_NUMBER() OVER"
-            f" (PARTITION BY {cols} ORDER BY {ord_clause}) AS _rn"
-            f" FROM ({inner})) WHERE {keep} ORDER BY {ord_clause}{tail}"
-        )
+        spliced = _splice_rank(inner, cols, ord_clause, "ROW_NUMBER()", "_rn")
+        if spliced is None:
+            q = (
+                f"SELECT * EXCEPT(_rn) FROM (SELECT *, ROW_NUMBER() OVER"
+                f" (PARTITION BY {cols} ORDER BY {ord_clause}) AS _rn"
+                f" FROM ({inner})) WHERE {keep} ORDER BY {ord_clause}{tail}"
+            )
+        else:
+            new_inner, hidden, outer_order = spliced
+            q = (
+                f"SELECT * EXCEPT(_rn, {', '.join(hidden)}) FROM"
+                f" ({new_inner}) WHERE {keep} ORDER BY {outer_order}{tail}"
+            )
     # `ORDER BY o LIMIT n WITH TIES` → RANK window ≤ n: keeps every row
     # tying with the n-th on the ORDER BY key (standard/CH semantics Spark's
     # LIMIT lacks). Anchored to the LAST ORDER BY for the same reason as
@@ -2213,11 +2323,19 @@ def _rewrite_clauses(q: str) -> str:
     if wt:
         inner = q[: wt.start()].strip()
         ord_clause, n = wt["ord"].strip(), int(wt["n"])
-        q = (
-            f"SELECT * EXCEPT(_rk) FROM (SELECT *, RANK() OVER"
-            f" (ORDER BY {ord_clause}) AS _rk"
-            f" FROM ({inner})) WHERE _rk <= {n} ORDER BY {ord_clause}"
-        )
+        spliced = _splice_rank(inner, None, ord_clause, "RANK()", "_rk")
+        if spliced is None:
+            q = (
+                f"SELECT * EXCEPT(_rk) FROM (SELECT *, RANK() OVER"
+                f" (ORDER BY {ord_clause}) AS _rk"
+                f" FROM ({inner})) WHERE _rk <= {n} ORDER BY {ord_clause}"
+            )
+        else:
+            new_inner, hidden, outer_order = spliced
+            q = (
+                f"SELECT * EXCEPT(_rk, {', '.join(hidden)}) FROM"
+                f" ({new_inner}) WHERE _rk <= {n} ORDER BY {outer_order}"
+            )
     # CH's MySQL-inherited comma form `LIMIT offset, count` → standard
     # `LIMIT count OFFSET offset`. Trailing position only; the per-group
     # `LIMIT off, n BY cols` spelling is handled by the LIMIT BY rewrite
@@ -2227,6 +2345,20 @@ def _rewrite_clauses(q: str) -> str:
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
         q,
     )
+    # Any LIMIT ... BY still in the text was NOT rewritten above — either it
+    # has no ORDER BY (CH allows that but the per-group pick is arbitrary;
+    # this engine requires determinism) or it sits somewhere the anchored
+    # search can't reach. Refuse loudly rather than let Spark's parser
+    # produce a baffling error.
+    rem = _lit_search(
+        re.compile(r"\bLIMIT\s+\d+(?:\s*,\s*\d+)?\s+BY\b", re.IGNORECASE), q
+    )
+    if rem:
+        raise ValueError(
+            "LIMIT ... BY requires an explicit ORDER BY in the same query"
+            " for a deterministic per-group selection (or use the"
+            " topk_per_group operator)"
+        )
     q = _rewrite_with_totals(q)
     q = _rewrite_with_fill(q)
     return q

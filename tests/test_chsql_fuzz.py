@@ -1,0 +1,568 @@
+"""Differential grammar fuzz for the ClickHouse-SQL translator.
+
+A seeded generator builds random queries from a small AST whose nodes render
+BOTH dialects — ClickHouse text (fed through ``chsql.translate`` and run on
+Spark) and plain ANSI text (run in DuckDB) — so the translator itself is the
+only untrusted link in the chain. This systematizes the per-round hand
+probes that caught the r5/r6 clause-corruption bugs (PREWHERE swallowing a
+subquery's closing paren, multi-array ARRAY JOIN emitting broken SQL,
+literal-mask gaps): instead of a handful of hand-written compositions, every
+run checks hundreds of random clause × expression × literal combinations,
+value-compared through the same type-faithful Arrow canon as the oracle
+gate (tests/oracle_compare.py).
+
+Design notes:
+- Every output column is aliased ``cN`` on both sides; the compare is
+  order-insensitive (canon sorts rows), so no ORDER BY is needed.
+- Type discipline: int expressions are always BIGINT on both sides (CH
+  ``toInt64`` wrappers ↔ DuckDB's native BIGINT results), float sums are
+  avoided entirely (accumulation-order drift — the curated oracle keys own
+  that problem), doubles appear only element-wise or under exact min/max.
+- "Poison" string literals contain clause keywords, ``--``, brackets and
+  doubled quotes — the exact payloads that corrupted earlier text rewrites.
+- Executed differential cases are capped to keep the suite fast; a much
+  larger analysis-only sweep (Spark parse + resolve, no job) backstops
+  syntax corruption cheaply.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from canal_clickhouse_spark.catalog import register_views
+from canal_clickhouse_spark.chsql import translate
+
+from tests.oracle_compare import assert_tables_match
+
+N_EXECUTED = 150
+N_ANALYZED = 800
+SEED = 20260814
+
+# ---------------------------------------------------------------------------
+# Expression generators: each returns (ch_text, duck_text). Int expressions
+# are BIGINT in both dialects by construction.
+# ---------------------------------------------------------------------------
+
+POISON_LITERALS = [
+    "x PREWHERE y",
+    "a ARRAY JOIN b",
+    "ORDER BY x LIMIT 2 BY y",
+    "UNION ALL",
+    "INTERSECT",
+    " -- not a comment",
+    "FROM t FINAL SAMPLE 0.5",
+    "LIMIT 3 WITH TIES",
+    "it''s quoted",
+    "toYear(x) AS y",
+    "[1, 2] in (3)",
+    "GROUP BY WITH TOTALS",
+]
+PLAIN_LITERALS = ["URGENT", "promo", "A", "1-", ""]
+
+TABLES = {
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "double": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+        "uniq": "o_orderkey",
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "double": ["l_quantity", "l_extendedprice", "l_discount"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+        "uniq": None,
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "double": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "ts": [],
+        "uniq": "c_custkey",
+    },
+    "documents": {
+        "int": ["doc_id", "n_chars"],
+        "double": [],
+        "str": ["lang", "source"],
+        "ts": [],
+        "uniq": "doc_id",
+    },
+    "events": {
+        "int": ["event_id", "user_id"],
+        "double": ["value"],
+        "str": ["event_type"],
+        "ts": ["ts"],
+        "uniq": "event_id",
+    },
+}
+
+
+class Gen:
+    def __init__(self, rng: random.Random, table: str):
+        self.rng = rng
+        self.t = TABLES[table]
+        self.table = table
+
+    # ---- int (BIGINT both sides) ----
+    def int_expr(self, d: int = 2) -> tuple[str, str]:
+        r = self.rng
+        if d <= 0 or r.random() < 0.3:
+            if self.t["int"] and r.random() < 0.75:
+                c = r.choice(self.t["int"])
+                return c, c
+            k = r.randint(1, 50)
+            return f"toInt64({k})", f"CAST({k} AS BIGINT)"
+        pick = r.randrange(8)
+        if pick == 0:
+            (a_ch, a_dk), (b_ch, b_dk) = self.int_expr(d - 1), self.int_expr(d - 1)
+            op = r.choice(["+", "-"])
+            return f"({a_ch} {op} {b_ch})", f"({a_dk} {op} {b_dk})"
+        if pick == 1:
+            a_ch, a_dk = self.int_expr(d - 1)
+            k = r.randint(2, 9)
+            # positive dividend: intDiv truncates toward zero, DuckDB //
+            # floors — equal only for non-negative numerators.
+            return (
+                f"intDiv(abs({a_ch}), {k})",
+                f"CAST(abs({a_dk}) // {k} AS BIGINT)",
+            )
+        if pick == 2:
+            a_ch, a_dk = self.int_expr(d - 1)
+            k = r.randint(2, 9)
+            return f"({a_ch} % {k})", f"({a_dk} % {k})"
+        if pick == 3:
+            s_ch, s_dk = self.str_expr(d - 1)
+            return f"toInt64(length({s_ch}))", f"length({s_dk})"
+        if pick == 4 and self.t["ts"]:
+            c = r.choice(self.t["ts"])
+            fn_ch, fn_dk = r.choice(
+                [("toYear", "year"), ("toMonth", "month")]
+            )
+            return f"toInt64({fn_ch}({c}))", f"{fn_dk}({c})"
+        if pick == 5:
+            p_ch, p_dk = self.bool_expr(d - 1)
+            (a_ch, a_dk), (b_ch, b_dk) = self.int_expr(0), self.int_expr(0)
+            return (
+                f"if({p_ch}, {a_ch}, {b_ch})",
+                f"(CASE WHEN {p_dk} THEN {a_dk} ELSE {b_dk} END)",
+            )
+        if pick == 6 and self.t["double"]:
+            c = r.choice(self.t["double"])
+            # floor(double) is BIGINT in Spark, DOUBLE in DuckDB.
+            return f"floor({c})", f"CAST(floor({c}) AS BIGINT)"
+        (a_ch, a_dk), (b_ch, b_dk) = self.int_expr(d - 1), self.int_expr(0)
+        fn = r.choice(["greatest", "least"])
+        return f"{fn}({a_ch}, {b_ch})", f"{fn}({a_dk}, {b_dk})"
+
+    # ---- string ----
+    def str_expr(self, d: int = 2) -> tuple[str, str]:
+        r = self.rng
+        if d <= 0 or r.random() < 0.4:
+            if r.random() < 0.7:
+                c = r.choice(self.t["str"])
+                return c, c
+            pool = POISON_LITERALS if r.random() < 0.5 else PLAIN_LITERALS
+            lit = r.choice(pool).replace("'", "''")
+            return f"'{lit}'", f"'{lit}'"
+        pick = r.randrange(4)
+        if pick == 0:
+            (a_ch, a_dk), (b_ch, b_dk) = self.str_expr(d - 1), self.str_expr(0)
+            return f"concat({a_ch}, {b_ch})", f"({a_dk} || {b_dk})"
+        if pick == 1:
+            a_ch, a_dk = self.str_expr(d - 1)
+            fn = r.choice(["upper", "lower"])
+            return f"{fn}({a_ch})", f"{fn}({a_dk})"
+        if pick == 2:
+            a_ch, a_dk = self.str_expr(d - 1)
+            i, n = r.randint(1, 3), r.randint(2, 5)
+            return (
+                f"substring({a_ch}, {i}, {n})",
+                f"substring({a_dk}, {i}, {n})",
+            )
+        a_ch, a_dk = self.str_expr(d - 1)
+        return f"replaceAll({a_ch}, '-', '_')", f"replace({a_dk}, '-', '_')"
+
+    # ---- double: element-wise deterministic only ----
+    def dbl_expr(self, d: int = 1) -> tuple[str, str]:
+        r = self.rng
+        if not self.t["double"]:
+            a_ch, a_dk = self.int_expr(0)
+            return f"(toFloat64({a_ch}) * 0.5)", f"(CAST({a_dk} AS DOUBLE) * 0.5)"
+        c = r.choice(self.t["double"])
+        if d <= 0 or r.random() < 0.4:
+            return c, c
+        pick = r.randrange(3)
+        if pick == 0:
+            return f"round({c}, 2)", f"round({c}, 2)"
+        if pick == 1:
+            k = r.choice([2, 4, 8])
+            return f"({c} / {k})", f"({c} / {k})"
+        c2 = r.choice(self.t["double"])
+        return f"({c} + {c2})", f"({c} + {c2})"
+
+    # ---- bool ----
+    def bool_expr(self, d: int = 2) -> tuple[str, str]:
+        r = self.rng
+        pick = r.randrange(7 if d > 0 else 5)
+        if pick == 0:
+            a_ch, a_dk = self.int_expr(min(d, 1))
+            op = r.choice(["=", "<", ">", "<=", ">=", "!="])
+            k = r.randint(0, 2000)
+            return f"({a_ch} {op} {k})", f"({a_dk} {op} {k})"
+        if pick == 1:
+            s_ch, s_dk = self.str_expr(0)
+            t_ch, t_dk = self.str_expr(0)
+            op = r.choice(["=", "<", ">", "!="])
+            return f"({s_ch} {op} {t_ch})", f"({s_dk} {op} {t_dk})"
+        if pick == 2:
+            c = r.choice(self.t["str"])
+            pat = r.choice(["1%", "%a%", "P%", "%T"])
+            return f"({c} LIKE '{pat}')", f"({c} LIKE '{pat}')"
+        if pick == 3:
+            a_ch, a_dk = self.int_expr(0)
+            lo = r.randint(0, 500)
+            hi = lo + r.randint(1, 1500)
+            return (
+                f"({a_ch} BETWEEN {lo} AND {hi})",
+                f"({a_dk} BETWEEN {lo} AND {hi})",
+            )
+        if pick == 4:
+            c = r.choice(self.t["int"])
+            vals = sorted({r.randint(0, 300) for _ in range(r.randint(2, 5))})
+            lst = ", ".join(map(str, vals))
+            return f"({c} IN ({lst}))", f"({c} IN ({lst}))"
+        if pick == 5:
+            (a_ch, a_dk), (b_ch, b_dk) = (
+                self.bool_expr(d - 1),
+                self.bool_expr(d - 1),
+            )
+            op = r.choice(["AND", "OR"])
+            return f"({a_ch} {op} {b_ch})", f"({a_dk} {op} {b_dk})"
+        a_ch, a_dk = self.bool_expr(d - 1)
+        return f"(NOT {a_ch})", f"(NOT {a_dk})"
+
+    # ---- projections / aggregates ----
+    def scalar(self) -> tuple[str, str]:
+        k = self.rng.random()
+        if k < 0.4:
+            return self.int_expr()
+        if k < 0.7:
+            return self.str_expr()
+        if k < 0.85:
+            return self.dbl_expr()
+        return self.bool_expr()
+
+    def agg(self) -> tuple[str, str]:
+        r = self.rng
+        pick = r.randrange(7)
+        if pick == 0:
+            return "count()", "COUNT(*)"
+        if pick == 1:
+            p_ch, p_dk = self.bool_expr(1)
+            return f"countIf({p_ch})", f"COUNT(*) FILTER (WHERE {p_dk})"
+        if pick == 2:
+            a_ch, a_dk = self.int_expr(1)
+            return f"sum({a_ch})", f"CAST(SUM({a_dk}) AS BIGINT)"
+        if pick == 3:
+            a_ch, a_dk = self.int_expr(1)
+            p_ch, p_dk = self.bool_expr(1)
+            return (
+                f"sumIf({a_ch}, {p_ch})",
+                f"CAST(SUM({a_dk}) FILTER (WHERE {p_dk}) AS BIGINT)",
+            )
+        if pick == 4:
+            c = r.choice(self.t["int"] + self.t["str"])
+            return f"uniqExact({c})", f"COUNT(DISTINCT {c})"
+        if pick == 5:
+            a_ch, a_dk = self.scalar()
+            fn = r.choice(["min", "max"])
+            return f"{fn}({a_ch})", f"{fn}({a_dk})"
+        if self.t["uniq"]:
+            v = r.choice(self.t["int"] + self.t["str"])
+            u = self.t["uniq"]
+            return f"argMax({v}, {u})", f"arg_max({v}, {u})"
+        return "count()", "COUNT(*)"
+
+    def group_key(self) -> tuple[str, str]:
+        r = self.rng
+        pick = r.randrange(3)
+        if pick == 0:
+            c = r.choice(self.t["str"])
+            return c, c
+        if pick == 1:
+            c = r.choice(self.t["int"])
+            k = r.choice([7, 10, 100])
+            return f"({c} % {k})", f"({c} % {k})"
+        if self.t["ts"]:
+            c = r.choice(self.t["ts"])
+            return f"toInt64(toYear({c}))", f"year({c})"
+        c = r.choice(self.t["int"])
+        return f"intDiv({c}, 100)", f"CAST({c} // 100 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Query generators: return (ch_sql_text, duck_sql_text).
+# ---------------------------------------------------------------------------
+
+
+def q_flat(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    n = rng.randint(1, 4)
+    items = [g.scalar() for _ in range(n)]
+    sel_ch = ", ".join(f"{c} AS c{i}" for i, (c, _) in enumerate(items))
+    sel_dk = ", ".join(f"{d} AS c{i}" for i, (_, d) in enumerate(items))
+    w1 = g.bool_expr() if rng.random() < 0.8 else None
+    w2 = g.bool_expr() if rng.random() < 0.4 else None
+    # CH textual order: PREWHERE before WHERE; ANSI side conjoins.
+    ch = f"SELECT {sel_ch} FROM {table}"
+    dk = f"SELECT {sel_dk} FROM {table}"
+    if w1 and w2:
+        ch += f" PREWHERE {w1[0]} WHERE {w2[0]}"
+        dk += f" WHERE ({w1[1]}) AND ({w2[1]})"
+    elif w1:
+        kw = "PREWHERE" if rng.random() < 0.5 else "WHERE"
+        ch += f" {kw} {w1[0]}"
+        dk += f" WHERE {w1[1]}"
+    return ch, dk
+
+
+def q_grouped(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k_ch, k_dk = g.group_key()
+    n = rng.randint(1, 3)
+    aggs = [g.agg() for _ in range(n)]
+    sel_ch = ", ".join([f"{k_ch} AS c0"] + [
+        f"{c} AS c{i + 1}" for i, (c, _) in enumerate(aggs)
+    ])
+    sel_dk = ", ".join([f"{k_dk} AS c0"] + [
+        f"{d} AS c{i + 1}" for i, (_, d) in enumerate(aggs)
+    ])
+    w = g.bool_expr() if rng.random() < 0.6 else None
+    ch = f"SELECT {sel_ch} FROM {table}"
+    dk = f"SELECT {sel_dk} FROM {table}"
+    if w:
+        kw = "PREWHERE" if rng.random() < 0.3 else "WHERE"
+        ch += f" {kw} {w[0]}"
+        dk += f" WHERE {w[1]}"
+    ch += f" GROUP BY {k_ch}"
+    dk += f" GROUP BY {k_dk}"
+    if rng.random() < 0.4:
+        hv = rng.randint(1, 5)
+        ch += f" HAVING count() > {hv}"
+        dk += f" HAVING COUNT(*) > {hv}"
+    return ch, dk
+
+
+def q_subquery(rng: random.Random) -> tuple[str, str]:
+    in_ch, in_dk = (q_grouped if rng.random() < 0.4 else q_flat)(rng)
+    # Outer predicate over c0 — works for both int and str c0 via a
+    # string-safe comparison on the rendered type: compare to itself.
+    ch = f"SELECT * FROM ({in_ch}) sub WHERE c0 = c0"
+    dk = f"SELECT * FROM ({in_dk}) sub WHERE c0 = c0"
+    if rng.random() < 0.5:
+        ch = f"SELECT c0 FROM ({in_ch}) sub"
+        dk = f"SELECT c0 FROM ({in_dk}) sub"
+    return ch, dk
+
+
+def q_limit_by(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice([t for t, m in TABLES.items() if m["uniq"]])
+    g = Gen(rng, table)
+    u = TABLES[table]["uniq"]
+    k_ch, k_dk = g.group_key()
+    n = rng.randint(1, 3)
+    project_by = rng.random() < 0.5
+    if project_by:
+        ch = (
+            f"SELECT {u} AS c0, {k_ch} AS c1 FROM {table}"
+            f" ORDER BY {u} LIMIT {n} BY {k_ch}"
+        )
+        dk = (
+            f"SELECT {u} AS c0, {k_dk} AS c1 FROM {table}"
+            f" QUALIFY row_number() OVER (PARTITION BY {k_dk}"
+            f" ORDER BY {u}) <= {n}"
+        )
+    else:
+        # BY expression NOT in the projection — the r6 splice capability.
+        ch = (
+            f"SELECT {u} AS c0 FROM {table}"
+            f" ORDER BY {u} LIMIT {n} BY {k_ch}"
+        )
+        dk = (
+            f"SELECT {u} AS c0 FROM {table}"
+            f" QUALIFY row_number() OVER (PARTITION BY {k_dk}"
+            f" ORDER BY {u}) <= {n}"
+        )
+    return ch, dk
+
+
+def q_with_ties(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k_ch, k_dk = g.group_key()
+    u_cols = TABLES[table]["int"]
+    u = rng.choice(u_cols)
+    n = rng.randint(1, 4)
+    ch = f"SELECT {u} AS c0 FROM {table} ORDER BY {k_ch} LIMIT {n} WITH TIES"
+    dk = (
+        f"SELECT {u} AS c0 FROM {table}"
+        f" QUALIFY rank() OVER (ORDER BY {k_dk}) <= {n}"
+    )
+    return ch, dk
+
+
+def q_setop(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    item = g.int_expr() if rng.random() < 0.5 else g.str_expr()
+    w1, w2 = g.bool_expr(), g.bool_expr()
+    lhs_ch = f"SELECT {item[0]} AS c0 FROM {table} WHERE {w1[0]}"
+    lhs_dk = f"SELECT {item[1]} AS c0 FROM {table} WHERE {w1[1]}"
+    rhs_ch = f"SELECT {item[0]} AS c0 FROM {table} WHERE {w2[0]}"
+    rhs_dk = f"SELECT {item[1]} AS c0 FROM {table} WHERE {w2[1]}"
+    op = rng.choice(
+        ["UNION ALL", "UNION DISTINCT", "INTERSECT", "EXCEPT",
+         "INTERSECT DISTINCT", "EXCEPT DISTINCT"]
+    )
+    # CH bare INTERSECT/EXCEPT keep duplicates (ALL); DuckDB's bare form is
+    # DISTINCT — render the CH semantics explicitly on the DuckDB side.
+    dk_op = {"INTERSECT": "INTERSECT ALL", "EXCEPT": "EXCEPT ALL"}.get(op, op)
+    return f"{lhs_ch} {op} {rhs_ch}", f"{lhs_dk} {dk_op} {rhs_dk}"
+
+
+def q_array_join(rng: random.Random) -> tuple[str, str]:
+    k = rng.randint(5, 60)
+    if rng.random() < 0.5:
+        ch = (
+            "SELECT doc_id AS c0, tok AS c1 FROM documents"
+            " ARRAY JOIN splitByChar(' ', text) AS tok"
+            f" WHERE doc_id < {k}"
+        )
+        dk = (
+            "SELECT doc_id AS c0, t.tok AS c1 FROM documents,"
+            " UNNEST(string_split(text, ' ')) AS t(tok)"
+            f" WHERE doc_id < {k}"
+        )
+    else:
+        ch = (
+            "SELECT doc_id AS c0, tok AS c1, idx AS c2 FROM documents"
+            " ARRAY JOIN splitByChar(' ', text) AS tok,"
+            " arrayEnumerate(splitByChar(' ', text)) AS idx"
+            f" WHERE doc_id < {k}"
+        )
+        dk = (
+            "WITH ex AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            f" FROM documents WHERE doc_id < {k})"
+            " SELECT doc_id AS c0, toks[i] AS c1, CAST(i AS BIGINT) AS c2"
+            " FROM ex, UNNEST(range(1, len(toks) + 1)) AS g(i)"
+        )
+    return ch, dk
+
+
+def q_distinct(rng: random.Random) -> tuple[str, str]:
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    items = [g.str_expr(), g.int_expr(1)]
+    sel_ch = ", ".join(f"{c} AS c{i}" for i, (c, _) in enumerate(items))
+    sel_dk = ", ".join(f"{d} AS c{i}" for i, (_, d) in enumerate(items))
+    w = g.bool_expr()
+    return (
+        f"SELECT DISTINCT {sel_ch} FROM {table} WHERE {w[0]}",
+        f"SELECT DISTINCT {sel_dk} FROM {table} WHERE {w[1]}",
+    )
+
+
+QUERY_GENS = [
+    (q_flat, 30),
+    (q_grouped, 25),
+    (q_subquery, 15),
+    (q_limit_by, 10),
+    (q_with_ties, 8),
+    (q_setop, 12),
+    (q_array_join, 8),
+    (q_distinct, 8),
+]
+
+
+def gen_case(rng: random.Random) -> tuple[str, str]:
+    total = sum(w for _, w in QUERY_GENS)
+    pick = rng.randrange(total)
+    acc = 0
+    for fn, w in QUERY_GENS:
+        acc += w
+        if pick < acc:
+            return fn(rng)
+    return q_flat(rng)
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_views(spark, sf_dir):
+    # One registration for the whole module: ch_sql re-registers the
+    # fixture views per call, which at 500+ fuzz cases dominated runtime.
+    register_views(spark, sf_dir)
+
+
+def test_chsql_differential_fuzz(spark, duck, sf_dir, fuzz_views):
+    """N executed cases: translated CH text on Spark vs independent ANSI
+    rendering in DuckDB, hash-compared through the type-faithful canon."""
+    rng = random.Random(SEED)
+    failures = []
+    for i in range(N_EXECUTED):
+        ch, dk = gen_case(rng)
+        try:
+            s_tbl = spark.sql(translate(ch)).toArrow()
+            d_tbl = duck.sql(dk).arrow()
+            assert_tables_match(s_tbl, d_tbl, f"fuzz[{i}]")
+        except AssertionError as exc:
+            failures.append(f"case {i}:\n  CH : {ch}\n  DK : {dk}\n  {exc}")
+        except Exception as exc:  # noqa: BLE001 — report with repro text
+            failures.append(
+                f"case {i} raised {type(exc).__name__}:\n  CH : {ch}\n"
+                f"  DK : {dk}\n  {str(exc)[:400]}"
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, (
+        f"{len(failures)} differential mismatches:\n\n" + "\n\n".join(failures)
+    )
+
+
+def test_chsql_analysis_fuzz(spark, sf_dir, fuzz_views):
+    """A larger sweep through Spark's parser/analyzer only (no job): every
+    generated CH query must translate to SQL Spark can fully resolve.
+    Catches text corruption (unbalanced parens, mangled literals, dangling
+    keywords) at ~ms per case."""
+    rng = random.Random(SEED + 1)
+    failures = []
+    for i in range(N_ANALYZED):
+        ch, _ = gen_case(rng)
+        try:
+            spark.sql(translate(ch)).schema  # analysis only, no action
+        except Exception as exc:  # noqa: BLE001
+            failures.append(
+                f"case {i} ({type(exc).__name__}):\n  CH : {ch}\n"
+                f"  {str(exc)[:300]}"
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, (
+        f"{len(failures)} analysis failures:\n\n" + "\n\n".join(failures)
+    )
+
+
+def test_chsql_fuzz_generator_is_stable():
+    """The seeded stream is deterministic — a failing case number from CI
+    reproduces locally byte-for-byte."""
+    a = [gen_case(random.Random(SEED)) for _ in range(5)]
+    b = [gen_case(random.Random(SEED)) for _ in range(5)]
+    assert a == b

@@ -305,7 +305,9 @@ def test_chsql_limit_ties_and_comma_offset():
     t = translate("SELECT a, b FROM orders ORDER BY a LIMIT 5 WITH TIES")
     assert "RANK() OVER (ORDER BY a) AS _rk" in t
     assert "_rk <= 5" in t and "WITH TIES" not in t
-    assert t.strip().endswith("ORDER BY a")
+    # r6 splice: presentation order rides the hidden _ob0 projection so the
+    # ORDER key need not be among the projected columns.
+    assert t.strip().endswith("ORDER BY _ob0")
 
     t = translate("SELECT a FROM orders ORDER BY a LIMIT 10, 5")
     assert t.strip().endswith("LIMIT 5 OFFSET 10")
@@ -772,6 +774,54 @@ def test_chsql_subquery_clause_safety():
     t = translate("SELECT * FROM (SELECT o_orderkey FROM orders ORDER BY"
                   " o_totalprice LIMIT 2 WITH TIES) x")
     assert "WITH TIES) x" in t
+
+
+def test_chsql_limit_by_unprojected_columns(spark, sf_dir):
+    """r6 splice rewrite: LIMIT BY / WITH TIES whose BY / ORDER expressions
+    name base-table columns the projection dropped (CH resolves them in the
+    source scope; the old wrap-the-subquery strategy lost them), plus
+    alias substitution into the window spec after GROUP BY."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import ch_sql, translate
+
+    # BY column not projected: 2 orders per status, smallest keys.
+    df = ch_sql(spark, sf_dir,
+                "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+                " LIMIT 2 BY o_orderstatus")
+    got = sorted(r.o_orderkey for r in df.collect())
+    exp = ch_sql(spark, sf_dir,
+                 "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY"
+                 " o_orderkey LIMIT 2 BY o_orderstatus")
+    assert got == sorted(r.o_orderkey for r in exp.collect())
+    assert df.columns == ["o_orderkey"]
+    # Aggregate alias in ORDER BY + LIMIT BY after GROUP BY: the alias
+    # substitutes to its defining aggregate inside the window spec.
+    t = translate("SELECT o_orderstatus, count() AS n FROM orders GROUP BY"
+                  " o_orderstatus ORDER BY n DESC LIMIT 1 BY o_orderstatus")
+    assert "ORDER BY (count(*)) DESC" in t
+    assert ch_sql(spark, sf_dir, "SELECT o_orderstatus, count() AS n"
+                  " FROM orders GROUP BY o_orderstatus ORDER BY n DESC"
+                  " LIMIT 1 BY o_orderstatus").count() == 3
+    # WITH TIES ordering by an unprojected column.
+    rows = ch_sql(spark, sf_dir,
+                  "SELECT o_orderkey FROM orders ORDER BY o_orderstatus"
+                  " LIMIT 3 WITH TIES").count()
+    min_status_rows = ch_sql(spark, sf_dir,
+                             "SELECT count() AS n FROM orders WHERE"
+                             " o_orderstatus = (SELECT min(o_orderstatus)"
+                             " FROM orders)").collect()[0].n
+    assert rows == min_status_rows
+    # DISTINCT and set-op forms keep the wrap strategy (BY over projected
+    # columns — CH's own constraint there) and still run.
+    assert ch_sql(spark, sf_dir,
+                  "SELECT DISTINCT o_orderstatus, o_orderpriority FROM"
+                  " orders ORDER BY o_orderpriority LIMIT 1 BY"
+                  " o_orderstatus").count() == 3
+    # LIMIT BY without ORDER BY: loud determinism refusal, not a Spark
+    # parse error.
+    with _pytest.raises(ValueError, match="explicit ORDER BY"):
+        translate("SELECT o_orderkey FROM orders LIMIT 2 BY o_orderstatus")
 
 
 def test_chsql_multi_array_join(spark):
