@@ -27,6 +27,7 @@ Design notes:
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -36,9 +37,11 @@ from canal_clickhouse_spark.chsql import translate
 
 from tests.oracle_compare import assert_tables_match
 
-N_EXECUTED = 150
-N_ANALYZED = 800
-SEED = 20260814
+# Deep-soak knobs: CHSQL_FUZZ_N=1000 CHSQL_FUZZ_SEED=7 pytest ... runs a
+# bigger sweep from a different stream without touching the pinned default.
+N_EXECUTED = int(os.environ.get("CHSQL_FUZZ_N", "150"))
+N_ANALYZED = int(os.environ.get("CHSQL_FUZZ_N_ANALYZE", "800"))
+SEED = int(os.environ.get("CHSQL_FUZZ_SEED", "20260814"))
 
 # ---------------------------------------------------------------------------
 # Expression generators: each returns (ch_text, duck_text). Int expressions
@@ -477,6 +480,70 @@ def q_distinct(rng: random.Random) -> tuple[str, str]:
     )
 
 
+JOIN_PAIRS = [
+    ("orders", "o", "customer", "c", "o.o_custkey = c.c_custkey"),
+    ("lineitem", "l", "orders", "o", "l.l_orderkey = o.o_orderkey"),
+    ("events", "e", "customer", "c", "e.user_id = c.c_custkey"),
+]
+
+
+def q_join(rng: random.Random) -> tuple[str, str]:
+    lt, la, rt, ra, cond = rng.choice(JOIN_PAIRS)
+    lc = rng.choice(TABLES[lt]["int"] + TABLES[lt]["str"])
+    rc = rng.choice(TABLES[rt]["int"] + TABLES[rt]["str"])
+    jt = rng.choice(["JOIN", "LEFT JOIN", "INNER JOIN"])
+    # CH's GLOBAL prefix must strip to a plain join (broadcast-vs-shuffle
+    # is Catalyst/AQE's call from actual sizes).
+    ch_jt = f"GLOBAL {jt}" if rng.random() < 0.3 else jt
+    sel = f"{la}.{lc} AS c0, {ra}.{rc} AS c1"
+    ch = f"SELECT {sel} FROM {lt} {la} {ch_jt} {rt} {ra} ON {cond}"
+    dk = f"SELECT {sel} FROM {lt} {la} {jt} {rt} {ra} ON {cond}"
+    if rng.random() < 0.5:
+        g = Gen(rng, lt)
+        p_ch, p_dk = g.bool_expr(1)
+        # Unqualified predicate columns: both engines resolve them against
+        # the (disjoint-named) join output.
+        ch += f" WHERE {p_ch}"
+        dk += f" WHERE {p_dk}"
+    return ch, dk
+
+
+def q_any_join(rng: random.Random) -> tuple[str, str]:
+    # ANY JOIN pins ONE right row per left row; the engine's documented
+    # deterministic refinement picks the smallest right unique key, so the
+    # DuckDB side renders that contract explicitly.
+    lt, la, lpk = rng.choice(
+        [("customer", "c", "c_custkey"), ("events", "e", "event_id")]
+    )
+    on = f"{la}.{'c_custkey' if lt == 'customer' else 'user_id'} = o.o_custkey"
+    rc = rng.choice(["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    left = "LEFT " if rng.random() < 0.6 else ""
+    sel = f"{la}.{lpk} AS c0, o.{rc} AS c1"
+    ch = f"SELECT {sel} FROM {lt} {la} ANY {left}JOIN orders o ON {on}"
+    dk = (
+        f"SELECT {sel} FROM {lt} {la} {left or 'INNER '}JOIN orders o"
+        f" ON {on} QUALIFY row_number() OVER (PARTITION BY {la}.{lpk}"
+        f" ORDER BY o.o_orderkey) = 1"
+    )
+    return ch, dk
+
+
+def q_asof_join(rng: random.Random) -> tuple[str, str]:
+    # Project the right side's ASOF key only: on timestamp ties CH/DuckDB
+    # may pick different physical rows, but the matched timestamp itself is
+    # deterministic (same discipline as the curated chsql_asof key).
+    left = "LEFT " if rng.random() < 0.5 else ""
+    sel = "e.event_id AS c0, e.user_id AS c1, o.o_orderdate AS c2"
+    on = "e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ch = f"SELECT {sel} FROM events AS e ASOF {left}JOIN orders AS o ON {on}"
+    dk = f"SELECT {sel} FROM events e ASOF {left}JOIN orders o ON {on}"
+    if rng.random() < 0.5:
+        k = rng.randint(2, 5)
+        ch += f" WHERE event_id % {k} = 0"
+        dk += f" WHERE e.event_id % {k} = 0"
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -486,6 +553,9 @@ QUERY_GENS = [
     (q_setop, 12),
     (q_array_join, 8),
     (q_distinct, 8),
+    (q_join, 12),
+    (q_any_join, 6),
+    (q_asof_join, 5),
 ]
 
 
