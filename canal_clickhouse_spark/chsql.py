@@ -763,6 +763,62 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS BIGINT)"
     if low == "jsonextractfloat":
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS DOUBLE)"
+    if low == "jsonextractbool":
+        return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS BOOLEAN)"
+    if low == "jsonhas":
+        return f"(get_json_object({args[0]}, {_json_path(args[1])}) IS NOT NULL)"
+    if low == "jsonlength":
+        # CH counts array elements OR object keys; json_array_length is
+        # NULL on objects, so fall through to the key count.
+        target = (
+            args[0]
+            if len(args) == 1
+            else f"get_json_object({args[0]}, {_json_path(args[1])})"
+        )
+        return (
+            f"coalesce(json_array_length({target}),"
+            f" size(json_object_keys({target})))"
+        )
+    if low == "jsonextractarrayraw":
+        raise ValueError(
+            "JSONExtractArrayRaw has no exact Spark spelling (raw"
+            " per-element JSON text); use from_json with an explicit"
+            " element schema, or JSONExtractString with per-index paths"
+        )
+    if low == "arrayfirstindex":  # 1-based index of first lambda match; 0
+        # when none (array_position's own not-found contract); NULL array
+        # propagates NULL, as CH.
+        return f"array_position(transform({args[1]}, {args[0]}), true)"
+    if low in ("sha224", "sha256", "sha512"):
+        # binary digest, like CH's FixedString result — hex(SHA256(x))
+        # round-trips to the same uppercase hex CH prints.
+        return f"unhex(sha2({args[0]}, {low[3:]}))"
+    if low == "sha1":
+        return f"unhex(sha1({args[0]}))"
+    if low == "transform":
+        if len(args) == 2:  # Spark's own HOF spelling — pass through
+            return f"transform({args[0]}, {args[1]})"
+        # CH decode form transform(x, from_arr, to_arr[, default]): exact
+        # via a value map; 3-arg form returns x itself when unmatched.
+        m = f"try_element_at(map_from_arrays({args[1]}, {args[2]}), {args[0]})"
+        dflt = args[3] if len(args) > 3 else args[0]
+        return f"coalesce({m}, {dflt})"
+    if low == "rounddown":
+        # largest bound <= x, else the first (smallest) bound
+        return (
+            f"coalesce(array_max(filter({args[1]}, _e -> _e <= {args[0]})),"
+            f" {args[1]}[0])"
+        )
+    if low == "extract":
+        if len(args) != 2:  # ANSI extract(FIELD FROM expr) — pass through
+            return f"extract({', '.join(args)})"
+        pat = args[1].strip()
+        grp = 0
+        if re.fullmatch(r"'(?:[^']|'')*'", pat) and re.search(
+            r"(?<!\\)\((?!\?)", pat[1:-1]
+        ):
+            grp = 1  # CH: with subpatterns, the first capture group wins
+        return f"regexp_extract({args[0]}, {pat}, {grp})"
     if low == "median":
         return f"percentile({args[0]}, 0.5)"
     if low == "grouparrayarray":  # aggregate arrays by concatenation
@@ -1270,6 +1326,10 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "toint16", "jsonextractstring", "jsonextractraw",
     "visitparamextractstring", "jsonextractint", "jsonextractfloat",
     "median", "grouparrayarray", "anyif", "datediff",
+    # r6 gap batch (found by executing 75 common-CH-name probes on Spark)
+    "jsonextractbool", "jsonhas", "jsonlength", "jsonextractarrayraw",
+    "arrayfirstindex", "sha224", "sha256", "sha512", "sha1", "transform",
+    "rounddown", "extract",
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",
@@ -2758,6 +2818,54 @@ def chsql_arrayjoin_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     unequal-size divergence note). The oracle unnests with explicit
     1-based ordinals."""
     return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_MULTI)
+
+
+_CH_JSON_MISC = """
+SELECT event_id,
+       JSONHas(props, 'k') AS has_k,
+       JSONLength(props) AS n_keys,
+       transform(event_type, ['click', 'view'], ['C', 'V'], '?') AS et_code,
+       roundDown(JSONExtractInt(props, 'k'), [0, 10, 50, 90]) AS k_bucket,
+       extract(event_type, '([a-z]+)') AS et_word,
+       hex(SHA256(event_type)) AS et_digest,
+       arrayFirstIndex(x -> x = event_type,
+                       ['click', 'view', 'purchase']) AS et_idx
+FROM events
+PREWHERE event_id < 500
+"""
+
+
+@query(
+    "chsql_json_misc",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+                ELSE '?' END AS et_code,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+                     THEN 90
+                WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                     THEN 50
+                WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+                     THEN 10
+                ELSE 0 END AS k_bucket,
+           regexp_extract(event_type, '([a-z]+)', 1) AS et_word,
+           upper(sha256(event_type)) AS et_digest,
+           COALESCE(list_position(['click', 'view', 'purchase'],
+                                  event_type), 0) AS et_idx
+    FROM events WHERE event_id < 500
+    """,
+)
+def chsql_json_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 gap batch, live value-checked: JSONHas / JSONLength (arrays AND
+    object-key counts) / JSONExtractBool-family paths, CH's 4-arg decode
+    ``transform``, ``roundDown`` bucketing, two-arg regex ``extract``
+    (first-capture-group rule) alongside the ANSI field form, binary
+    ``SHA256`` whose ``hex()`` round-trips to CH's uppercase digest, and
+    ``arrayFirstIndex`` with array_position's 0-when-absent contract —
+    composed with PREWHERE to keep the clause interplay honest."""
+    return ch_sql(spark, sf_dir, _CH_JSON_MISC)
 
 
 _CH_EVENTS = """
