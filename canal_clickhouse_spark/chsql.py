@@ -635,6 +635,11 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"split({args[1]}, {args[0]})"
     if low == "splitbyregexp":  # splitByRegexp(re, s) -> split(s, re)
         return f"split({args[1]}, {args[0]})"
+    if low == "length":
+        # CH length() covers strings AND arrays; Spark needs size() for the
+        # latter. Same textual heuristic (and limitation) as empty().
+        fn = "size" if _looks_array(args[0]) else "length"
+        return f"{fn}({args[0]})"
     if low == "empty":
         fn = "size" if _looks_array(args[0]) else "length"
         return f"({fn}({args[0]}) = 0)"
@@ -706,8 +711,82 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"(CAST({args[0]} AS BIGINT) div CAST({args[1]} AS BIGINT))"
     if low == "modulo":
         return f"({args[0]} % {args[1]})"
+    if low == "plus":
+        return f"({args[0]} + {args[1]})"
+    if low == "minus":
+        return f"({args[0]} - {args[1]})"
+    if low == "multiply":
+        return f"({args[0]} * {args[1]})"
+    if low == "divide":  # CH divide() is always float division
+        return f"(CAST({args[0]} AS DOUBLE) / {args[1]})"
+    if low == "negate":
+        return f"(- {args[0]})"
+    if low == "xxhash32":
+        # engine-private hash values (same non-portability contract as
+        # fn_hash_fast): a stable 32-bit lane carved from xxhash64
+        return f"(xxhash64({', '.join(args)}) & 4294967295)"
+    if low == "max2":
+        return f"greatest({args[0]}, {args[1]})"
+    if low == "min2":
+        return f"least({args[0]}, {args[1]})"
+    if low == "countmatches":
+        return f"regexp_count({args[0]}, {args[1]})"
+    if low == "tobool":
+        return f"CAST({args[0]} AS BOOLEAN)"
+    if low == "totime":
+        # CH pins the time-of-day onto 1970-01-02
+        return (
+            f"to_timestamp(concat('1970-01-02 ',"
+            f" date_format({args[0]}, 'HH:mm:ss')))"
+        )
+    if low == "tostartofsecond":
+        return f"date_trunc('SECOND', {args[0]})"
+    if low == "toweek":
+        raise ValueError(
+            "toWeek's mode-dependent numbering (default: Sunday-start,"
+            " week 0) has no Spark builtin; use toISOWeek (ISO-8601"
+            " numbering) or toStartOfWeek"
+        )
+    if low in ("trunc", "truncate"):
+        # numeric truncation toward zero, optional decimal places; Spark's
+        # trunc() is date-only so spell it with floor/ceil on the sign
+        x = args[0]
+        n = args[1] if len(args) > 1 else "0"
+        return (
+            f"(IF({x} >= 0, floor({x} * POW(10, {n})),"
+            f" ceil({x} * POW(10, {n}))) / POW(10, {n}))"
+        )
+    if low == "regexpextract":
+        if len(args) == 3:
+            return f"regexp_extract({args[0]}, {args[1]}, {args[2]})"
+        pat = args[1].strip()
+        grp = 0
+        if re.fullmatch(r"'(?:[^']|'')*'", pat) and re.search(
+            r"(?<!\\)\((?!\?)", pat[1:-1]
+        ):
+            grp = 1
+        return f"regexp_extract({args[0]}, {pat}, {grp})"
+    if low == "arraywithconstant":  # arrayWithConstant(n, x) — args swap
+        return f"array_repeat({args[1]}, CAST({args[0]} AS INT))"
+    if low.startswith("emptyarray"):
+        spark_t = {
+            "string": "STRING", "int8": "TINYINT", "int16": "SMALLINT",
+            "int32": "INT", "int64": "BIGINT", "uint8": "SMALLINT",
+            "uint16": "INT", "uint32": "BIGINT", "uint64": "DECIMAL(20,0)",
+            "float32": "FLOAT", "float64": "DOUBLE", "date": "DATE",
+            "datetime": "TIMESTAMP",
+        }.get(low[len("emptyarray"):])
+        if spark_t is None:
+            raise ValueError(f"unsupported empty-array constructor {name}")
+        return f"CAST(array() AS ARRAY<{spark_t}>)"
     if low == "toyyyymm":
-        return f"date_format({args[0]}, 'yyyyMM')"
+        # numeric, as CH (UInt32 → BIGINT per the §1.2 widening table);
+        # was a string through r5 — r6 fidelity fix, oracle updated
+        return f"CAST(date_format({args[0]}, 'yyyyMM') AS BIGINT)"
+    if low == "toyyyymmdd":
+        return f"CAST(date_format({args[0]}, 'yyyyMMdd') AS BIGINT)"
+    if low == "toyyyymmddhhmmss":
+        return f"CAST(date_format({args[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
     if low == "tostartofmonth":
         # CH returns Date at day-or-coarser granularity (DuckDB's
         # date_trunc agrees); Spark's date_trunc alone returns TIMESTAMP —
@@ -987,8 +1066,29 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"IF(({b}) <= ({a}), array(),"
             f" sequence({a}, ({b}) - 1, {step}))"
         )
-    if low == "arrayreversesort":
-        return f"sort_array({args[0]}, false)"
+    if low in ("arraysort", "arrayreversesort"):
+        desc = low == "arrayreversesort"
+        if len(args) == 2:
+            # CH keyed form arraySort(x -> key, arr) → Spark comparator
+            # lambda (rename the key var into each comparand).
+            lam = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", args[0])
+            if not lam:
+                raise ValueError(
+                    f"{name}: two-arg form expects 'var -> key' lambda"
+                )
+            v, body = lam.group(1), lam.group(2).strip()
+            kl = re.sub(rf"\b{re.escape(v)}\b", "_l", body)
+            kr = re.sub(rf"\b{re.escape(v)}\b", "_r", body)
+            lt, gt = ("1", "-1") if desc else ("-1", "1")
+            return (
+                f"array_sort({args[1]}, (_l, _r) -> CASE"
+                f" WHEN ({kl}) < ({kr}) THEN {lt}"
+                f" WHEN ({kl}) > ({kr}) THEN {gt} ELSE 0 END)"
+            )
+        return f"sort_array({args[0]}, {'false' if desc else 'true'})"
+    if low == "arraystringconcat":  # optional separator, default ''
+        sep = args[1] if len(args) > 1 else "''"
+        return f"array_join({args[0]}, {sep})"
     if low == "arrayproduct":
         return (
             f"aggregate({args[0]}, 1D, (acc, x) -> acc * CAST(x AS DOUBLE))"
@@ -1329,7 +1429,17 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # r6 gap batch (found by executing 75 common-CH-name probes on Spark)
     "jsonextractbool", "jsonhas", "jsonlength", "jsonextractarrayraw",
     "arrayfirstindex", "sha224", "sha256", "sha512", "sha1", "transform",
-    "rounddown", "extract",
+    "rounddown", "extract", "length",
+    # r6 gap batch 2
+    "plus", "minus", "multiply", "divide", "negate", "xxhash32", "max2",
+    "min2", "countmatches", "tobool", "totime", "tostartofsecond",
+    "toweek", "trunc", "truncate", "regexpextract", "arraywithconstant",
+    "toyyyymmdd", "toyyyymmddhhmmss",
+    "emptyarraystring", "emptyarrayint8", "emptyarrayint16",
+    "emptyarrayint32", "emptyarrayint64", "emptyarrayuint8",
+    "emptyarrayuint16", "emptyarrayuint32", "emptyarrayuint64",
+    "emptyarrayfloat32", "emptyarrayfloat64", "emptyarraydate",
+    "emptyarraydatetime",
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",
@@ -2595,7 +2705,8 @@ ORDER BY month
            arg_max(o_custkey, o_orderkey) AS latest_cust,
            ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'),
                  2) AS urgent_total,
-           strftime(date_trunc('month', o_orderdate), '%Y%m') AS ym
+           CAST(strftime(date_trunc('month', o_orderdate), '%Y%m')
+                AS BIGINT) AS ym
     FROM orders
     GROUP BY date_trunc('month', o_orderdate)
     ORDER BY month

@@ -776,6 +776,66 @@ def test_chsql_subquery_clause_safety():
     assert "WITH TIES) x" in t
 
 
+def test_chsql_r6_gap_batches(spark):
+    """r6 function-gap batches, value-pinned: names found by EXECUTING ~120
+    common-CH-spelling probes on Spark (pass-through had let these die in
+    the analyzer, or — worse for length(arr) — nothing flagged CH's
+    array/string polymorphism)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(q):
+        return tuple(spark.sql(translate(q)).collect()[0])
+
+    assert one("SELECT plus(1,2), minus(5,2), multiply(3,4), divide(8,2),"
+               " negate(3)") == (3, 3, 12, 4.0, -3)
+    assert one("SELECT JSONHas('{\"k\":1}', 'k'), JSONLength('[1,2,3]'),"
+               " JSONLength('{\"x\":1,\"y\":2}'),"
+               " JSONExtractBool('{\"k\":true}', 'k')") == (True, 3, 2, True)
+    assert one("SELECT arrayFirstIndex(x -> x > 1, [1,2,3]),"
+               " arrayFirstIndex(x -> x > 9, [1,2])") == (2, 0)
+    # hex(SHA256(x)) reproduces CH's uppercase digest of 'x'
+    assert one("SELECT hex(SHA256('x'))")[0] == (
+        "2D711642B726B04401627CA9FBAC32F5C8530FB1903CC4DB02258717921A4881"
+    )
+    assert one("SELECT transform(2, [1,2], ['a','b'], 'z'),"
+               " transform(3, [1,2], ['a','b'], 'z'),"
+               " transform(5, [1,2], [10,20]),"
+               " transform([1,2], x -> x + 1)") == ("b", "z", 5, [2, 3])
+    assert one("SELECT roundDown(7, [1,5,10]), roundDown(0, [1,5,10])") == (5, 1)
+    assert one("SELECT extract('a1b22c', '\\\\d+'),"
+               " extract('key=val', 'key=(\\\\w+)'),"
+               " extract(YEAR FROM toDate('2020-03-04'))") == ("1", "val", 2020)
+    assert one("SELECT length([1,2,3]), length(splitByChar(' ', 'a b')),"
+               " length('abc')") == (3, 2, 3)
+    assert one("SELECT toYYYYMM(toDate('2020-03-04')),"
+               " toYYYYMMDD(toDate('2020-03-04')),"
+               " toYYYYMMDDhhmmss(toDateTime('2020-03-04 05:06:07'))"
+               ) == (202003, 20200304, 20200304050607)
+    assert one("SELECT trunc(3.7), trunc(-3.7), truncate(3.789, 1)"
+               ) == (3.0, -3.0, 3.7)
+    assert one("SELECT arraySort(x -> -x, [1,3,2]), arraySort([3,1,2]),"
+               " arrayReverseSort(x -> x, [1,3,2])"
+               ) == ([3, 2, 1], [1, 2, 3], [3, 2, 1])
+    assert one("SELECT arrayStringConcat(['a','b']),"
+               " arrayStringConcat(['a','b'], '-'),"
+               " arrayWithConstant(3, 'x'), emptyArrayInt64()"
+               ) == ("ab", "a-b", ["x", "x", "x"], [])
+    assert one("SELECT max2(1,2), min2(1,2), countMatches('a1b22', '\\\\d+'),"
+               " toBool(1)") == (2, 1, 2, True)
+    assert one("SELECT regexpExtract('a1b', '(\\\\d)'),"
+               " regexpExtract('k=v', 'k=(\\\\w)', 1)") == ("1", "v")
+    import datetime as _dt
+    assert one("SELECT toTime(toDateTime('2020-03-04 05:06:07'))") == (
+        _dt.datetime(1970, 1, 2, 5, 6, 7),
+    )
+    with _pytest.raises(ValueError, match="toISOWeek"):
+        translate("SELECT toWeek(today())")
+    with _pytest.raises(ValueError, match="from_json"):
+        translate("SELECT JSONExtractArrayRaw('[1,2]')")
+
+
 def test_chsql_limit_by_unprojected_columns(spark, sf_dir):
     """r6 splice rewrite: LIMIT BY / WITH TIES whose BY / ORDER expressions
     name base-table columns the projection dropped (CH resolves them in the
