@@ -145,6 +145,12 @@ class Gen:
                 [("toYear", "year"), ("toMonth", "month")]
             )
             return f"toInt64({fn_ch}({c}))", f"{fn_dk}({c})"
+        if pick == 4 and self.table == "events":
+            # r6 gap-batch surface: JSON extraction into the int pool
+            return (
+                "JSONExtractInt(props, 'k')",
+                "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+            )
         if pick == 5:
             p_ch, p_dk = self.bool_expr(d - 1)
             (a_ch, a_dk), (b_ch, b_dk) = self.int_expr(0), self.int_expr(0)
@@ -184,6 +190,19 @@ class Gen:
             return (
                 f"substring({a_ch}, {i}, {n})",
                 f"substring({a_dk}, {i}, {n})",
+            )
+        if pick == 3 and r.random() < 0.5:
+            # r6 gap-batch surface: CH's decode transform over a column
+            c = r.choice(self.t["str"])
+            vals = sorted({r.choice(PLAIN_LITERALS) for _ in range(2)})
+            frm = ", ".join(f"'{v}'" for v in vals)
+            to = ", ".join(f"'m{i}'" for i in range(len(vals)))
+            whens = " ".join(
+                f"WHEN '{v}' THEN 'm{i}'" for i, v in enumerate(vals)
+            )
+            return (
+                f"transform({c}, [{frm}], [{to}], '?')",
+                f"(CASE {c} {whens} ELSE '?' END)",
             )
         a_ch, a_dk = self.str_expr(d - 1)
         return f"replaceAll({a_ch}, '-', '_')", f"replace({a_dk}, '-', '_')"
@@ -544,6 +563,51 @@ def q_asof_join(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_rollup(rng: random.Random) -> tuple[str, str]:
+    # GROUP BY ... WITH ROLLUP/CUBE is a pinned pass-through; exercise it
+    # against DuckDB's native ROLLUP/CUBE with super-aggregate NULL keys.
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k1 = rng.choice(TABLES[table]["str"])
+    k2_ch, k2_dk = g.group_key()
+    a_ch, a_dk = g.agg()
+    mode = rng.choice(["ROLLUP", "CUBE"])
+    ch = (
+        f"SELECT {k1} AS c0, {k2_ch} AS c1, {a_ch} AS c2 FROM {table}"
+        f" GROUP BY {k1}, {k2_ch} WITH {mode}"
+    )
+    dk = (
+        f"SELECT {k1} AS c0, {k2_dk} AS c1, {a_dk} AS c2 FROM {table}"
+        f" GROUP BY {mode} ({k1}, {k2_dk})"
+    )
+    return ch, dk
+
+
+def q_scalar_with(rng: random.Random) -> tuple[str, str]:
+    # CH scalar WITH binding (a named constant, NOT a CTE) — the DuckDB
+    # side simply inlines the constant.
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k = rng.randint(10, 900)
+    c = rng.choice(TABLES[table]["int"])
+    i_ch, i_dk = g.int_expr(1)
+    ch = (
+        f"WITH {k} AS _cut SELECT {i_ch} AS c0 FROM {table}"
+        f" WHERE {c} < _cut"
+    )
+    dk = f"SELECT {i_dk} AS c0 FROM {table} WHERE {c} < {k}"
+    return ch, dk
+
+
+def q_cte(rng: random.Random) -> tuple[str, str]:
+    # Real CTE; the inner query may carry PREWHERE (rewritten inside the
+    # CTE body — the r6 subquery-safety class).
+    in_ch, in_dk = (q_grouped if rng.random() < 0.5 else q_flat)(rng)
+    ch = f"WITH base AS ({in_ch}) SELECT c0 FROM base"
+    dk = f"WITH base AS ({in_dk}) SELECT c0 FROM base"
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -556,6 +620,9 @@ QUERY_GENS = [
     (q_join, 12),
     (q_any_join, 6),
     (q_asof_join, 5),
+    (q_rollup, 8),
+    (q_scalar_with, 6),
+    (q_cte, 8),
 ]
 
 
