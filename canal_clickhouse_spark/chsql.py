@@ -38,6 +38,33 @@ Covered (one entry per CH name):
              PREWHERE / GLOBAL JOIN / ASOF [LEFT] JOIN / ANY [LEFT] JOIN /
              GROUP BY ... WITH TOTALS|ROLLUP|CUBE / ORDER BY ... WITH FILL
              (see _rewrite_clauses)
+
+Documented divergences from ClickHouse (each also noted at its rewrite
+site; everything not listed here is intended to be value-identical):
+  - empty-set aggregates: a global aggregate over zero rows yields ANSI
+    NULL (sum/min/max/avg), where CH's non-Nullable aggregates yield type
+    defaults (sum()=0, min()=0/''). With GROUP BY the engines agree
+    (empty groups don't exist). Wrap with ifNull(x, 0) for CH behavior.
+  - round() is half-up (Spark/ANSI); CH round() is banker's. The
+    fn_rounding operator carries both spellings; roundBankers maps to the
+    even-tie form exactly.
+  - ANY JOIN / FINAL / argMax ties: CH picks an arbitrary/first match;
+    this engine pins the DETERMINISTIC representative (smallest right
+    unique key / max version / max tie-break key). A strict refinement.
+  - WITH TOTALS renders the totals row's group keys as NULL (grouping-sets
+    convention); CH prints type defaults (0 / '').
+  - multi-array ARRAY JOIN zips by the FIRST array's length and pads NULL
+    on shorter trailing arrays; CH errors on unequal sizes.
+  - SAMPLE k is a deterministic key-hash cut, not CH's sampling-key read;
+    the kept subset differs from any particular CH server's.
+  - hash functions (xxHash32/64, sipHash64, cityHash64, intHash32/64,
+    halfMD5) are engine-private values — stable within this engine, NOT
+    equal to CH's outputs. Cryptographic digests (MD5/SHA-1/2 family) ARE
+    byte-identical.
+  - greatCircleDistance is a 6371 km haversine; CH's geoDistance
+    ellipsoid correction (~0.3% worst case) is not modeled.
+  - toWeek raises a guided error (mode-dependent numbering); toISOWeek is
+    exact.
 """
 
 from __future__ import annotations
