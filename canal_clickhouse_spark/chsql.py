@@ -1026,7 +1026,136 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"parse_url({args[0]}, '{part}')"
     if low == "extracturlparameter":
         return f"parse_url({args[0]}, 'QUERY', {args[1]})"
+    if low == "netloc":
+        return f"parse_url({args[0]}, 'AUTHORITY')"
+    if low == "topleveldomain":
+        return (
+            f"regexp_extract(parse_url({args[0]}, 'HOST'), '([^.]+)$', 1)"
+        )
+    if low in ("firstsignificantsubdomain", "cuttofirstsignificantsubdomain"):
+        # Approximation (documented divergence): CH resolves these against
+        # its embedded public-suffix list (so co.uk counts as a suffix);
+        # this maps the common single-label-TLD case — last two host
+        # labels, or their first label.
+        two = f"regexp_extract(parse_url({args[0]}, 'HOST'), '([^.]+\\\\.[^.]+)$', 1)"
+        if low == "cuttofirstsignificantsubdomain":
+            return two
+        return f"split({two}, '\\\\.')[0]"
+    if low == "cutquerystring":  # removes '?query', keeps any fragment
+        return f"regexp_replace({args[0]}, '\\\\?[^#]*', '')"
+    if low == "cutfragment":
+        return f"regexp_replace({args[0]}, '#.*$', '')"
+    if low == "cutquerystringandfragment":
+        return f"regexp_replace({args[0]}, '[?#].*$', '')"
+    if low == "querystringandfragment":  # text after '?', without the '?'
+        return f"regexp_extract({args[0]}, '\\\\?(.*)', 1)"
+    if low == "decodeurlcomponent":
+        return f"url_decode({args[0]})"
+    if low == "encodeurlcomponent":
+        # url_encode is form-encoding (space -> '+'); CH emits %20
+        return f"replace(url_encode({args[0]}), '+', '%20')"
     # -- more date/time spellings
+    if low == "datename":
+        unit = args[0].strip().strip("'\"").lower()
+        d = args[1]
+        fmt = {"month": "MMMM", "weekday": "EEEE", "dayofweek": "EEEE"}
+        if unit in fmt:
+            return f"date_format({d}, '{fmt[unit]}')"
+        num = {
+            "year": f"year({d})", "quarter": f"quarter({d})",
+            "week": f"weekofyear({d})", "day": f"day({d})",
+            "hour": f"hour({d})", "minute": f"minute({d})",
+            "second": f"second({d})",
+        }.get(unit)
+        if num is None:
+            raise ValueError(f"dateName: unsupported unit {unit!r}")
+        return f"CAST({num} AS STRING)"
+    if low == "timediff":  # seconds from a to b
+        return f"(unix_timestamp({args[1]}) - unix_timestamp({args[0]}))"
+    if low in ("adddate", "subdate"):
+        op = "+" if low == "adddate" else "-"
+        if re.match(r"(?is)^\s*INTERVAL\b", args[1]):
+            return f"({args[0]} {op} {args[1]})"
+        n = args[1] if op == "+" else f"-({args[1]})"
+        return f"date_add({args[0]}, CAST({n} AS INT))"
+    if low == "torelativedaynum":
+        return f"datediff({args[0]}, DATE '1970-01-01')"
+    if low in ("formatreadablesize", "formatreadablequantity"):
+        x = f"CAST({args[0]} AS DOUBLE)"
+        if low == "formatreadablesize":
+            steps = [(60, "EiB"), (50, "PiB"), (40, "TiB"), (30, "GiB"),
+                     (20, "MiB"), (10, "KiB")]
+            expr = f"concat(format_number({x}, 2), ' B')"
+            for p, unit in reversed(steps):
+                expr = (
+                    f"IF(abs({x}) >= POW(2, {p}),"
+                    f" concat(format_number({x} / POW(2, {p}), 2),"
+                    f" ' {unit}'), {expr})"
+                )
+            return f"({expr})"
+        steps2 = [(12, "trillion"), (9, "billion"), (6, "million"),
+                  (3, "thousand")]
+        expr = f"format_number({x}, 2)"
+        for p, unit in reversed(steps2):
+            expr = (
+                f"IF(abs({x}) >= POW(10, {p}),"
+                f" concat(format_number({x} / POW(10, {p}), 2),"
+                f" ' {unit}'), {expr})"
+            )
+        return f"({expr})"
+    if low == "todecimalstring":
+        return (
+            f"CAST(CAST(round({args[0]}, {args[1]})"
+            f" AS DECIMAL(38, {args[1]})) AS STRING)"
+        )
+    if low == "multisearchanycaseinsensitive":
+        return (
+            f"exists({args[1]}, _n -> instr(lower({args[0]}),"
+            f" lower(_n)) > 0)"
+        )
+    if low == "hassubstr":  # contiguous subsequence of an array
+        a, b = args[0], args[1]
+        return (
+            f"(size({b}) = 0 OR exists(sequence(1,"
+            f" greatest(size({a}) - size({b}) + 1, 0)),"
+            f" _i -> slice({a}, _i, size({b})) = {b}))"
+        )
+    if low in ("arraylast", "arraylastindex"):
+        f_lam, arr = args[0], args[1]
+        if low == "arraylast":  # last match or NULL (arrayFirst convention)
+            return f"try_element_at(filter({arr}, {f_lam}), -1)"
+        rpos = f"array_position(reverse(transform({arr}, {f_lam})), true)"
+        return (
+            f"IF(coalesce({rpos}, 0) = 0, 0, size({arr}) + 1 - {rpos})"
+        )
+    if low == "arraypartialsort":
+        # CH guarantees the first n elements sorted, rest unspecified; the
+        # full sort is a deterministic refinement of that contract.
+        return f"sort_array({args[1]})"
+    if low == "arrayenumerateuniq":  # occurrence counter per value
+        a = args[0]
+        return (
+            f"transform({a}, (_x, _i) -> size(filter(slice({a}, 1,"
+            f" _i + 1), _y -> _y = _x)))"
+        )
+    if low in ("arrayfill", "arrayreversefill"):
+        # carry-forward fill: each failing element takes the LAST passing
+        # element before it (or stays as-is when none precede it) — exact
+        # and type-preserving via a prefix scan; O(n²) per row is fine at
+        # in-row array sizes. arrayReverseFill = the same scan mirrored.
+        lam = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", args[0])
+        if not lam:
+            raise ValueError(f"{name}: expects 'var -> predicate' lambda")
+        v, body = lam.group(1), lam.group(2).strip()
+        pred_x = re.sub(rf"\b{re.escape(v)}\b", "_x", body)
+        pred_y = re.sub(rf"\b{re.escape(v)}\b", "_y", body)
+        src = args[1] if low == "arrayfill" else f"reverse({args[1]})"
+        filled = (
+            f"transform({src}, (_x, _i) -> IF({pred_x}, _x,"
+            f" coalesce(try_element_at(filter(slice({src}, 1, _i + 1),"
+            f" _y -> {pred_y}), -1), _x)))"
+        )
+        return filled if low == "arrayfill" else f"reverse({filled})"
     if low == "tostartofquarter":
         # Date-typed like toStartOfMonth (CH contract; r5 type sweep).
         return f"CAST(date_trunc('quarter', {args[0]}) AS DATE)"
@@ -1467,6 +1596,17 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "emptyarrayuint16", "emptyarrayuint32", "emptyarrayuint64",
     "emptyarrayfloat32", "emptyarrayfloat64", "emptyarraydate",
     "emptyarraydatetime",
+    # r6 gap batch 3: URL surgery, readable formatting, date names,
+    # array scan/search forms
+    "netloc", "topleveldomain", "firstsignificantsubdomain",
+    "cuttofirstsignificantsubdomain", "cutquerystring", "cutfragment",
+    "cutquerystringandfragment", "querystringandfragment",
+    "decodeurlcomponent", "encodeurlcomponent", "datename", "timediff",
+    "adddate", "subdate", "torelativedaynum", "formatreadablesize",
+    "formatreadablequantity", "todecimalstring",
+    "multisearchanycaseinsensitive", "hassubstr", "arraylast",
+    "arraylastindex", "arraypartialsort", "arrayenumerateuniq",
+    "arrayfill", "arrayreversefill",
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",

@@ -608,6 +608,36 @@ def q_cte(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_window(rng: random.Random) -> tuple[str, str]:
+    # Window functions are pass-through spellings; the differential value
+    # is the type discipline (Spark window SUM of BIGINT stays BIGINT,
+    # DuckDB's widens to HUGEINT) and interplay with WHERE/PREWHERE.
+    table = rng.choice([t for t, m in TABLES.items() if m["uniq"]])
+    g = Gen(rng, table)
+    u = TABLES[table]["uniq"]
+    k_ch, k_dk = g.group_key()
+    i_ch, i_dk = g.int_expr(1)
+    fn = rng.choice(["sum", "count", "min", "max", "rank_family"])
+    if fn == "rank_family":
+        w = rng.choice(["row_number()", "rank()", "dense_rank()"])
+        win_ch = f"{w} OVER (PARTITION BY {k_ch} ORDER BY {u})"
+        win_dk = f"{w} OVER (PARTITION BY {k_dk} ORDER BY {u})"
+    elif fn == "count":
+        win_ch = f"count() OVER (PARTITION BY {k_ch})"
+        win_dk = f"COUNT(*) OVER (PARTITION BY {k_dk})"
+    elif fn == "sum":
+        win_ch = f"sum({i_ch}) OVER (PARTITION BY {k_ch})"
+        win_dk = f"CAST(SUM({i_dk}) OVER (PARTITION BY {k_dk}) AS BIGINT)"
+    else:
+        win_ch = f"{fn}({i_ch}) OVER (PARTITION BY {k_ch})"
+        win_dk = f"{fn}({i_dk}) OVER (PARTITION BY {k_dk})"
+    p = g.bool_expr(1)
+    kw = "PREWHERE" if rng.random() < 0.3 else "WHERE"
+    ch = f"SELECT {u} AS c0, {win_ch} AS c1 FROM {table} {kw} {p[0]}"
+    dk = f"SELECT {u} AS c0, {win_dk} AS c1 FROM {table} WHERE {p[1]}"
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -623,6 +653,7 @@ QUERY_GENS = [
     (q_rollup, 8),
     (q_scalar_with, 6),
     (q_cte, 8),
+    (q_window, 8),
 ]
 
 

@@ -834,6 +834,48 @@ def test_chsql_r6_gap_batches(spark):
         translate("SELECT toWeek(today())")
     with _pytest.raises(ValueError, match="from_json"):
         translate("SELECT JSONExtractArrayRaw('[1,2]')")
+    # batch 3: URL surgery / readable formatting / date names / array scans
+    assert one("SELECT topLevelDomain('http://a.example.com/x'),"
+               " netloc('http://u:p@host:80/x'),"
+               " firstSignificantSubdomain('http://a.example.com/x'),"
+               " cutToFirstSignificantSubdomain('http://a.example.com/x')"
+               ) == ("com", "u:p@host:80", "example", "example.com")
+    assert one("SELECT cutQueryString('http://h/x?a=1#f'),"
+               " cutFragment('http://h/x?a=1#f'),"
+               " cutQueryStringAndFragment('http://h/x?a=1#f'),"
+               " queryStringAndFragment('http://h/x?page=1#29390')"
+               ) == ("http://h/x#f", "http://h/x?a=1", "http://h/x",
+                     "page=1#29390")
+    assert one("SELECT decodeURLComponent('a%20b'),"
+               " encodeURLComponent('a b')") == ("a b", "a%20b")
+    assert one("SELECT dateName('month', toDate('2020-03-04')),"
+               " dateName('year', toDate('2020-03-04')),"
+               " dateName('weekday', toDate('2020-03-04'))"
+               ) == ("March", "2020", "Wednesday")
+    assert one("SELECT timeDiff(toDateTime('2020-01-01 00:00:00'),"
+               " toDateTime('2020-01-01 00:01:00')),"
+               " toRelativeDayNum(toDate('1970-01-03'))") == (60, 2)
+    assert one("SELECT addDate(toDate('2020-01-01'), INTERVAL 3 DAY),"
+               " subDate(toDate('2020-01-01'), INTERVAL 1 DAY),"
+               " addDate(toDate('2020-01-01'), 3)") == (
+        _dt.date(2020, 1, 4), _dt.date(2019, 12, 31), _dt.date(2020, 1, 4))
+    assert one("SELECT formatReadableSize(123456789),"
+               " formatReadableSize(123), formatReadableQuantity(123456789),"
+               " toDecimalString(3.14159, 2)"
+               ) == ("117.74 MiB", "123.00 B", "123.46 million", "3.14")
+    assert one("SELECT multiSearchAnyCaseInsensitive('ABC', ['b']),"
+               " hasSubstr([1,2,3],[2,3]), hasSubstr([1,2,3],[3,2]),"
+               " hasSubstr([1,2],[])") == (True, True, False, True)
+    assert one("SELECT arrayLast(x -> x > 1, [1,2,3]),"
+               " arrayLastIndex(x -> x > 1, [1,2,3]),"
+               " arrayLastIndex(x -> x > 9, [1,2]),"
+               " arrayPartialSort(2, [3,1,2]),"
+               " arrayEnumerateUniq([10,10,20,10])"
+               ) == (3, 3, 0, [1, 2, 3], [1, 2, 1, 3])
+    assert one("SELECT arrayFill(x -> x > 0, [1,0,2,0]),"
+               " arrayFill(x -> x > 0, [0,0,1,0]),"
+               " arrayReverseFill(x -> x > 0, [1,0,2])"
+               ) == ([1, 1, 2, 2], [0, 0, 1, 1], [1, 2, 2])
 
 
 def test_chsql_limit_by_unprojected_columns(spark, sf_dir):
