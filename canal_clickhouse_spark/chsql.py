@@ -1070,6 +1070,12 @@ def _translate_call(name: str, args: list[str]) -> str:
         if num is None:
             raise ValueError(f"dateName: unsupported unit {unit!r}")
         return f"CAST({num} AS STRING)"
+    if low == "countdistinct":  # CH alias of uniqExact
+        return f"count(DISTINCT {', '.join(args)})"
+    if low == "touuid":  # UUIDs are strings here (§1.2 type table)
+        return f"CAST({args[0]} AS STRING)"
+    if low == "notilike":
+        return f"(NOT ({args[0]} ILIKE {args[1]}))"
     if low == "timediff":  # seconds from a to b
         return f"(unix_timestamp({args[1]}) - unix_timestamp({args[0]}))"
     if low in ("adddate", "subdate"):
@@ -1606,7 +1612,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "formatreadablequantity", "todecimalstring",
     "multisearchanycaseinsensitive", "hassubstr", "arraylast",
     "arraylastindex", "arraypartialsort", "arrayenumerateuniq",
-    "arrayfill", "arrayreversefill",
+    "arrayfill", "arrayreversefill", "countdistinct", "touuid", "notilike",
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",

@@ -876,6 +876,9 @@ def test_chsql_r6_gap_batches(spark):
                " arrayFill(x -> x > 0, [0,0,1,0]),"
                " arrayReverseFill(x -> x > 0, [1,0,2])"
                ) == ([1, 1, 2, 2], [0, 0, 1, 1], [1, 2, 2])
+    assert one("SELECT countDistinct(x), toUUID('abc'), notILike('AB', 'a%')"
+               " FROM (SELECT 'F' AS x UNION ALL SELECT 'F'"
+               " UNION ALL SELECT 'G')") == (2, "abc", False)
 
 
 def test_chsql_limit_by_unprojected_columns(spark, sf_dir):
