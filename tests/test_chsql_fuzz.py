@@ -608,6 +608,49 @@ def q_cte(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_final(rng: random.Random) -> tuple[str, str]:
+    # FROM cdc_changes FINAL: latest-version-per-key collapse dropping
+    # DELETE tombstones. The DuckDB side replays the documented contract
+    # over the lockstep CDC_CHANGES_CTE.
+    from canal_clickhouse_spark.cdc.changes import CDC_CHANGES_CTE
+
+    cols = rng.sample(
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], 2
+    )
+    sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+    k = rng.randint(2, 7)
+    ch = (
+        f"SELECT {sel} FROM cdc_changes FINAL"
+        f" WHERE o_custkey % {k} = 0"
+    )
+    dk = (
+        f"WITH {CDC_CHANGES_CTE} SELECT {sel} FROM ("
+        f" SELECT * FROM cdc_changes QUALIFY row_number() OVER"
+        f" (PARTITION BY o_orderkey ORDER BY version DESC) = 1)"
+        f" WHERE op <> 'DELETE' AND o_custkey % {k} = 0"
+    )
+    return ch, dk
+
+
+def q_sample(rng: random.Random) -> tuple[str, str]:
+    # SAMPLE k: the engine's deterministic Knuth-hash key cut — pure
+    # arithmetic DuckDB reproduces exactly (divergence from any real CH
+    # server's sampling-key read is documented at the rewrite).
+    frac = rng.choice(["0.1", "0.25", "0.5"])
+    cut = int(float(frac) * 4294967296)
+    ch = f"SELECT o_orderkey AS c0 FROM orders SAMPLE {frac}"
+    dk = (
+        f"SELECT o_orderkey AS c0 FROM orders"
+        f" WHERE ((o_orderkey * 2654435761) % 4294967296) < {cut}"
+    )
+    if rng.random() < 0.5:
+        g = Gen(rng, "orders")
+        p_ch, p_dk = g.bool_expr(1)
+        ch += f" WHERE {p_ch}"
+        dk += f" AND ({p_dk})"
+    return ch, dk
+
+
 def q_window(rng: random.Random) -> tuple[str, str]:
     # Window functions are pass-through spellings; the differential value
     # is the type discipline (Spark window SUM of BIGINT stays BIGINT,
@@ -654,6 +697,8 @@ QUERY_GENS = [
     (q_scalar_with, 6),
     (q_cte, 8),
     (q_window, 8),
+    (q_final, 6),
+    (q_sample, 6),
 ]
 
 
@@ -678,6 +723,9 @@ def fuzz_views(spark, sf_dir):
     # One registration for the whole module: ch_sql re-registers the
     # fixture views per call, which at 500+ fuzz cases dominated runtime.
     register_views(spark, sf_dir)
+    from canal_clickhouse_spark.cdc.changes import change_log
+
+    change_log(spark, sf_dir).createOrReplaceTempView("cdc_changes")
 
 
 def test_chsql_differential_fuzz(spark, duck, sf_dir, fuzz_views):
