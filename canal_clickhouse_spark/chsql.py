@@ -52,7 +52,9 @@ site; everything not listed here is intended to be value-identical):
     this engine pins the DETERMINISTIC representative (smallest right
     unique key / max version / max tie-break key). A strict refinement.
   - WITH TOTALS renders the totals row's group keys as NULL (grouping-sets
-    convention); CH prints type defaults (0 / '').
+    convention); CH prints type defaults (0 / ''). On EMPTY input Spark's
+    grouping sets emit no rows at all, so no totals row appears either
+    (CH and DuckDB both emit one); found by the r6 differential fuzz.
   - multi-array ARRAY JOIN zips by the FIRST array's length and pads NULL
     on shorter trailing arrays; CH errors on unequal sizes.
   - SAMPLE k is a deterministic key-hash cut, not CH's sampling-key read;

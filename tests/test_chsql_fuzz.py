@@ -651,6 +651,52 @@ def q_sample(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_with_fill(rng: random.Random) -> tuple[str, str]:
+    # ORDER BY ... WITH FILL FROM 0 TO M: dense spine, gaps filled with 0
+    # (exclusive TO). DuckDB replays it with a range() spine left-join.
+    m = rng.choice([100, 250, 500])
+    g = Gen(rng, "orders")
+    p_ch, p_dk = g.bool_expr(1)
+    ch = (
+        f"SELECT o_orderkey % {m} AS bucket, count() AS n FROM orders"
+        f" WHERE {p_ch} GROUP BY o_orderkey % {m}"
+        f" ORDER BY bucket WITH FILL FROM 0 TO {m}"
+    )
+    dk = (
+        f"WITH q AS (SELECT CAST(o_orderkey % {m} AS BIGINT) AS bucket,"
+        f" count(*) AS n FROM orders WHERE {p_dk} GROUP BY 1)"
+        f" SELECT s.bucket AS bucket, COALESCE(q.n, 0) AS n"
+        f" FROM (SELECT unnest(range(0, {m})) AS bucket) s"
+        f" LEFT JOIN q ON s.bucket = q.bucket"
+    )
+    return ch, dk
+
+
+def q_totals(rng: random.Random) -> tuple[str, str]:
+    # GROUP BY k WITH TOTALS → grouping sets; DuckDB's grouping sets share
+    # the NULL-key totals-row convention (the documented CH divergence),
+    # so the two engines must agree with each other exactly.
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k = rng.choice(TABLES[table]["str"])
+    a_ch, a_dk = g.agg()
+    # Guaranteed-non-empty predicate: on EMPTY input Spark's grouping sets
+    # emit no totals row while DuckDB emits one (engine-level divergence
+    # the WITH TOTALS rewrite inherits — documented in the chsql module
+    # docstring; fuzz pins the non-degenerate behavior).
+    c = rng.choice(TABLES[table]["int"])
+    where_ch = where_dk = f" WHERE {c} > {rng.randint(0, 5)}"
+    ch = (
+        f"SELECT {k} AS c0, {a_ch} AS c1 FROM {table}{where_ch}"
+        f" GROUP BY {k} WITH TOTALS"
+    )
+    dk = (
+        f"SELECT {k} AS c0, {a_dk} AS c1 FROM {table}{where_dk}"
+        f" GROUP BY GROUPING SETS (({k}), ())"
+    )
+    return ch, dk
+
+
 def q_window(rng: random.Random) -> tuple[str, str]:
     # Window functions are pass-through spellings; the differential value
     # is the type discipline (Spark window SUM of BIGINT stays BIGINT,
@@ -699,6 +745,8 @@ QUERY_GENS = [
     (q_window, 8),
     (q_final, 6),
     (q_sample, 6),
+    (q_with_fill, 5),
+    (q_totals, 6),
 ]
 
 
