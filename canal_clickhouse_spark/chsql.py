@@ -429,6 +429,8 @@ _PARAMETRIC = {
     "quantiletiming", "quantilebfloat16", "quantileexactlow",
     "quantileexacthigh", "quantiletimingweighted",
     "quantileinterpolatedweighted",
+    # r6: -If combinators of the quantile family
+    "quantileif", "quantileexactif", "quantiletdigestif",
 }
 
 # CH gives every quantile implementation a `median*` alias (p fixed at 0.5).
@@ -444,6 +446,11 @@ _PARAMETRIC |= _MEDIAN_ALIASES
 
 def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     low = name.lower()
+    if low in ("quantileif", "quantileexactif", "quantiletdigestif"):
+        # -If over the quantile family: NULL-skipping percentile, exactly
+        # the scalar -If convention (IF(cond, x, NULL)).
+        p = params[0] if params else "0.5"
+        return f"percentile(IF({args[-1]}, {args[0]}, NULL), {p})"
     if low in _MEDIAN_ALIASES:
         # median<Impl>(args) ≡ quantile<Impl>(0.5)(args): normalize and fall
         # into the quantile paths below.
@@ -683,6 +690,15 @@ def _translate_call(name: str, args: list[str]) -> str:
     # IF(cond, x, NULL) rewrite exact.
     if low == "uniqexactif":
         return f"count(DISTINCT IF({args[-1]}, {args[0]}, NULL))"
+    if low == "uniqif":  # approximate, like bare uniq()
+        return f"approx_count_distinct(IF({args[-1]}, {args[0]}, NULL))"
+    if low in ("summap", "minmap", "maxmap", "avgmap"):
+        raise ValueError(
+            f"{name} aggregates per-key values into parallel arrays —"
+            " not expressible as one scalar rewrite; explode the"
+            " key/value arrays, GROUP BY key with the base aggregate,"
+            " then collect (see the fn_map / agg_pivot operators)"
+        )
     if low == "medianif":
         return f"percentile(IF({args[-1]}, {args[0]}, NULL), 0.5)"
     if low in ("argmaxif", "argminif"):
@@ -1615,6 +1631,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "multisearchanycaseinsensitive", "hassubstr", "arraylast",
     "arraylastindex", "arraypartialsort", "arrayenumerateuniq",
     "arrayfill", "arrayreversefill", "countdistinct", "touuid", "notilike",
+    "uniqif", "summap", "minmap", "maxmap", "avgmap",
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",

@@ -879,6 +879,12 @@ def test_chsql_r6_gap_batches(spark):
     assert one("SELECT countDistinct(x), toUUID('abc'), notILike('AB', 'a%')"
                " FROM (SELECT 'F' AS x UNION ALL SELECT 'F'"
                " UNION ALL SELECT 'G')") == (2, "abc", False)
+    assert one("SELECT uniqIf(x, x > 1),"
+               " quantileIf(0.5)(CAST(x AS DOUBLE), x > 0)"
+               " FROM (SELECT 1 AS x UNION ALL SELECT 2"
+               " UNION ALL SELECT 2)") == (1, 2.0)
+    with _pytest.raises(ValueError, match="explode"):
+        translate("SELECT sumMap([1],[2]) FROM orders")
 
 
 def test_chsql_limit_by_unprojected_columns(spark, sf_dir):
