@@ -270,6 +270,23 @@ _ARRAY_FNS = {
 _ARRAY_COLS = {"embedding"}
 
 
+# Single-pass -If combinator bases (CH generalizes -If to every
+# aggregate): base name → Spark aggregate. Bases with bespoke handling
+# (sum/avg/min/max/count/uniq*/argM*/anyLast/median/quantile*) live in
+# the main if-chain instead.
+_IF_AGG_BASES = {
+    "grouparray": "collect_list",
+    "groupuniqarray": "collect_set",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "corr": "corr",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+}
+
+
 def _looks_array(expr: str) -> bool:
     e = expr.strip()
     if e.startswith("["):
@@ -384,6 +401,8 @@ _RENAME = {
     # CH anyHeavy is an approximate heavy-hitter (any value that dominates);
     # Spark's mode() (most frequent) satisfies the same contract exactly.
     "anyheavy": "mode",
+    "firstvalue": "first_value",  # aggregate AND window spelling
+    "lastvalue": "last_value",
     "tonullable": "",  # identity: every Spark column is nullable
     "arrayreverse": "reverse",
     "arrayconcat": "concat",
@@ -692,6 +711,13 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"count(DISTINCT IF({args[-1]}, {args[0]}, NULL))"
     if low == "uniqif":  # approximate, like bare uniq()
         return f"approx_count_distinct(IF({args[-1]}, {args[0]}, NULL))"
+    if low.endswith("if") and low[: -len("if")] in _IF_AGG_BASES:
+        # generic -If combinator: NULL-skipping aggregates make the
+        # IF(cond, x, NULL) rewrite exact for every listed base; multi-arg
+        # bases (corr/covar) null out EVERY argument under the condition.
+        fn = _IF_AGG_BASES[low[: -len("if")]]
+        ins = ", ".join(f"IF({args[-1]}, {a}, NULL)" for a in args[:-1])
+        return f"{fn}({ins})"
     if low in ("summap", "minmap", "maxmap", "avgmap"):
         raise ValueError(
             f"{name} aggregates per-key values into parallel arrays —"
@@ -1632,6 +1658,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arraylastindex", "arraypartialsort", "arrayenumerateuniq",
     "arrayfill", "arrayreversefill", "countdistinct", "touuid", "notilike",
     "uniqif", "summap", "minmap", "maxmap", "avgmap",
+    "firstvalue", "lastvalue",
+} | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",

@@ -885,6 +885,12 @@ def test_chsql_r6_gap_batches(spark):
                " UNION ALL SELECT 2)") == (1, 2.0)
     with _pytest.raises(ValueError, match="explode"):
         translate("SELECT sumMap([1],[2]) FROM orders")
+    # generic -If combinator fallback + first/lastValue spellings
+    assert one("SELECT groupArrayIf(x, x > 1), firstValue(x)"
+               " FROM (SELECT 1 AS x UNION ALL SELECT 2)") == ([2], 1)
+    assert one("SELECT round(stddevPopIf(x, x > 0), 4)"
+               " FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0"
+               " UNION ALL SELECT -99.0)") == (1.0,)[0:1]
 
 
 def test_chsql_limit_by_unprojected_columns(spark, sf_dir):
