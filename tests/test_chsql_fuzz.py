@@ -279,7 +279,14 @@ class Gen:
 
     def agg(self) -> tuple[str, str]:
         r = self.rng
-        pick = r.randrange(7)
+        pick = r.randrange(8)
+        if pick == 7:
+            c = r.choice(self.t["int"] + self.t["str"])
+            p_ch, p_dk = self.bool_expr(1)
+            return (
+                f"uniqExactIf({c}, {p_ch})",
+                f"COUNT(DISTINCT {c}) FILTER (WHERE {p_dk})",
+            )
         if pick == 0:
             return "count()", "COUNT(*)"
         if pick == 1:
