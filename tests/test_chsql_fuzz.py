@@ -570,6 +570,39 @@ def q_asof_join(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_in_subquery(rng: random.Random) -> tuple[str, str]:
+    # IN / NOT IN / EXISTS subquery predicates (ANSI-shared text, but the
+    # inner query may carry CH clauses — PREWHERE inside an IN subquery).
+    lt, la, rt, ra, cond = rng.choice(JOIN_PAIRS)
+    lcol = cond.split("=")[0].strip().split(".")[1]
+    rcol = cond.split("=")[1].strip().split(".")[1]
+    g = Gen(rng, rt)
+    p_ch, p_dk = g.bool_expr(1)
+    sel = rng.choice(TABLES[lt]["int"] + TABLES[lt]["str"])
+    form = rng.choice(["in", "not_in", "exists"])
+    if form == "exists":
+        ch = (
+            f"SELECT {sel} AS c0 FROM {lt} {la} WHERE EXISTS ("
+            f"SELECT 1 FROM {rt} {ra} WHERE {cond} AND {p_ch})"
+        )
+        dk = (
+            f"SELECT {sel} AS c0 FROM {lt} {la} WHERE EXISTS ("
+            f"SELECT 1 FROM {rt} {ra} WHERE {cond} AND {p_dk})"
+        )
+    else:
+        neg = "NOT " if form == "not_in" else ""
+        kw_ch = "PREWHERE" if rng.random() < 0.4 else "WHERE"
+        ch = (
+            f"SELECT {sel} AS c0 FROM {lt} WHERE {lcol} {neg}IN ("
+            f"SELECT {rcol} FROM {rt} {kw_ch} {p_ch})"
+        )
+        dk = (
+            f"SELECT {sel} AS c0 FROM {lt} WHERE {lcol} {neg}IN ("
+            f"SELECT {rcol} FROM {rt} WHERE {p_dk})"
+        )
+    return ch, dk
+
+
 def q_rollup(rng: random.Random) -> tuple[str, str]:
     # GROUP BY ... WITH ROLLUP/CUBE is a pinned pass-through; exercise it
     # against DuckDB's native ROLLUP/CUBE with super-aggregate NULL keys.
@@ -754,6 +787,7 @@ QUERY_GENS = [
     (q_sample, 6),
     (q_with_fill, 5),
     (q_totals, 6),
+    (q_in_subquery, 8),
 ]
 
 
