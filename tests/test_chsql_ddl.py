@@ -395,6 +395,11 @@ _OPS = st.lists(
         # `exchange` via the atomic statement.
         st.tuples(st.just("exchange")),
         st.tuples(st.just("bluegreen")),
+        # r6: retention age-out interleaved with everything else — both
+        # fuzz tables are PARTITION BY modulo(k, 2), so DROP PARTITION r
+        # removes the k%2==r rows; missing partition = no-op; partition
+        # metadata must survive EXCHANGE/RENAME swaps.
+        st.tuples(st.just("droppart"), st.integers(0, 2)),
     ),
     min_size=1, max_size=6,
 )
@@ -427,11 +432,13 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
     ch = ChSession(spark, sf_dir, parts_dir=parts_dir)
     ch.execute(
         "CREATE TABLE fz (k Int64, ver Int64, s String) "
-        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+        "ENGINE = ReplacingMergeTree(ver) PARTITION BY modulo(k, 2)"
+        " ORDER BY k"
     )
     ch.execute(
         "CREATE TABLE fz2 (k Int64, ver Int64, s String) "
-        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+        "ENGINE = ReplacingMergeTree(ver) PARTITION BY modulo(k, 2)"
+        " ORDER BY k"
     )
     model: list[tuple[int, int, str]] = []
     model2: list[tuple[int, int, str]] = []
@@ -484,6 +491,10 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
             ch.execute("EXCHANGE TABLES fz AND fz2")
             model, model2 = model2, model
             has_extra, has_extra2 = has_extra2, has_extra
+        elif op[0] == "droppart":
+            _, r = op
+            ch.execute(f"ALTER TABLE fz DROP PARTITION {r}")
+            model = [(k, v, s_) for k, v, s_ in model if k % 2 != r]
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")
