@@ -2604,6 +2604,25 @@ def _rewrite_clauses(q: str) -> str:
     # every CH client appends them, and dropping them preserves result
     # semantics exactly. Only the TRAILING position is recognized so a
     # column literally named `settings` elsewhere is untouched.
+    # EXCEPT result-changing settings (r6): `final = 1` auto-FINALs every
+    # table and `join_use_nulls = 0` selects CH's type-default outer-join
+    # fill (this engine always NULL-fills, = join_use_nulls 1) — stripping
+    # those would silently change results, so they refuse loudly.
+    sm = _lit_search(_SETTINGS_RE, q)
+    if sm:
+        body = sm.group(0)
+        if re.search(r"(?i)\bfinal\s*=\s*1\b", body):
+            raise ValueError(
+                "SETTINGS final = 1 auto-FINALs every table — spell FINAL"
+                " on the FROM clause instead (FROM t FINAL)"
+            )
+        if re.search(r"(?i)\bjoin_use_nulls\s*=\s*0\b", body):
+            raise ValueError(
+                "SETTINGS join_use_nulls = 0 selects ClickHouse's"
+                " type-default outer-join fill; this engine implements the"
+                " NULL-fill convention (join_use_nulls = 1) only —"
+                " coalesce() the joined columns for default-fill behavior"
+            )
     q = _lit_sub(_SETTINGS_RE, "", q)
     q = _lit_sub(_FORMAT_TRAIL_RE, "", q)
     # CH's bare INTERSECT/EXCEPT keep duplicate rows (ALL semantics) while

@@ -570,6 +570,29 @@ def q_asof_join(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_join3(rng: random.Random) -> tuple[str, str]:
+    # three-table chain with optional GLOBAL prefixes and a grouped tail —
+    # multi-join clause composition.
+    g = Gen(rng, "customer")
+    a_ch, a_dk = g.agg()
+    g1 = "GLOBAL " if rng.random() < 0.3 else ""
+    g2 = "GLOBAL " if rng.random() < 0.3 else ""
+    p = Gen(rng, "lineitem").bool_expr(1)
+    ch = (
+        f"SELECT c.c_mktsegment AS c0, {a_ch} AS c1 FROM lineitem l"
+        f" {g1}JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        f" {g2}JOIN customer c ON o.o_custkey = c.c_custkey"
+        f" WHERE {p[0]} GROUP BY c.c_mktsegment"
+    )
+    dk = (
+        f"SELECT c.c_mktsegment AS c0, {a_dk} AS c1 FROM lineitem l"
+        f" JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN customer c ON o.o_custkey = c.c_custkey"
+        f" WHERE {p[1]} GROUP BY c.c_mktsegment"
+    )
+    return ch, dk
+
+
 def q_in_subquery(rng: random.Random) -> tuple[str, str]:
     # IN / NOT IN / EXISTS subquery predicates (ANSI-shared text, but the
     # inner query may carry CH clauses — PREWHERE inside an IN subquery).
@@ -788,6 +811,7 @@ QUERY_GENS = [
     (q_with_fill, 5),
     (q_totals, 6),
     (q_in_subquery, 8),
+    (q_join3, 6),
 ]
 
 

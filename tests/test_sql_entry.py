@@ -885,6 +885,13 @@ def test_chsql_r6_gap_batches(spark):
                " UNION ALL SELECT 2)") == (1, 2.0)
     with _pytest.raises(ValueError, match="explode"):
         translate("SELECT sumMap([1],[2]) FROM orders")
+    # result-changing SETTINGS refuse loudly; neutral knobs still strip
+    with _pytest.raises(ValueError, match="FROM t FINAL"):
+        translate("SELECT x FROM t SETTINGS final = 1")
+    with _pytest.raises(ValueError, match="join_use_nulls"):
+        translate("SELECT x FROM t SETTINGS join_use_nulls = 0")
+    assert translate("SELECT x FROM t SETTINGS max_threads = 4,"
+                     " join_use_nulls = 1").strip() == "SELECT x FROM t"
     # generic -If combinator fallback + first/lastValue spellings
     assert one("SELECT groupArrayIf(x, x > 1), firstValue(x)"
                " FROM (SELECT 1 AS x UNION ALL SELECT 2)") == ([2], 1)
