@@ -3090,6 +3090,28 @@ def chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, sf_dir, _CH_LIMIT_BY)
 
 
+_CH_LIMIT_BY_HIDDEN = """
+SELECT o_orderkey AS okey FROM orders
+ORDER BY o_orderkey LIMIT 3 BY o_orderpriority
+"""
+
+
+@query(
+    "chsql_limit_by_src_scope",
+    oracle="""
+    SELECT o_orderkey AS okey FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) <= 3
+    """,
+)
+def chsql_limit_by_src_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 splice rewrite, driver-visible: the BY column is NOT in the
+    projection — CH resolves it in the source scope, so the rank window is
+    spliced INTO the select list (`_splice_rank`) instead of wrapping the
+    projected subquery (which failed analysis through r5)."""
+    return ch_sql(spark, sf_dir, _CH_LIMIT_BY_HIDDEN)
+
+
 _CH_PREWHERE = """
 SELECT o_orderpriority, count() AS n, round(sum(o_totalprice), 2) AS total
 FROM orders PREWHERE o_orderstatus = 'F' WHERE o_totalprice > 50000
