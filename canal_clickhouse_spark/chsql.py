@@ -270,6 +270,12 @@ _ARRAY_FNS = {
 _ARRAY_COLS = {"embedding"}
 
 
+# CH operator-function spellings → infix comparison operators.
+_CMP_FN_OPS = {
+    "equals": "=", "notequals": "!=", "less": "<", "greater": ">",
+    "lessorequals": "<=", "greaterorequals": ">=",
+}
+
 # Single-pass -If combinator bases (CH generalizes -If to every
 # aggregate): base name → Spark aggregate. Bases with bespoke handling
 # (sum/avg/min/max/count/uniq*/argM*/anyLast/median/quantile*) live in
@@ -1116,6 +1122,20 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"CAST({num} AS STRING)"
     if low == "countdistinct":  # CH alias of uniqExact
         return f"count(DISTINCT {', '.join(args)})"
+    if low in _CMP_FN_OPS:  # CH operator-function spellings
+        return f"({args[0]} {_CMP_FN_OPS[low]} {args[1]})"
+    if low == "xor":  # logical xor, variadic: fold of boolean !=
+        out = args[0]
+        for a in args[1:]:
+            out = f"({out} != {a})"
+        return out
+    if low.startswith("bitmap") or low == "groupbitmapstate":
+        raise ValueError(
+            f"{name}: roaring-bitmap states are not Spark-expressible"
+            " inline; the agg_bitmap_ops operator implements the"
+            " groupBitmap/bitmapAnd/Or/Andnot cardinality algebra as"
+            " deterministic sorted-set plans"
+        )
     if low == "touuid":  # UUIDs are strings here (§1.2 type table)
         return f"CAST({args[0]} AS STRING)"
     if low == "notilike":
@@ -1658,8 +1678,11 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arraylastindex", "arraypartialsort", "arrayenumerateuniq",
     "arrayfill", "arrayreversefill", "countdistinct", "touuid", "notilike",
     "uniqif", "summap", "minmap", "maxmap", "avgmap",
-    "firstvalue", "lastvalue",
-} | {f"{b}if" for b in _IF_AGG_BASES} | {
+    "firstvalue", "lastvalue", "xor",
+    "bitmapbuild", "bitmaptoarray", "bitmapcontains", "bitmapcardinality",
+    "bitmapand", "bitmapor", "bitmapandnot", "bitmapxor",
+    "groupbitmapstate",
+} | set(_CMP_FN_OPS) | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
     "tostartoffiveminute", "tostartoffiveminutes", "tostartoftenminutes",

@@ -895,6 +895,13 @@ def test_chsql_r6_gap_batches(spark):
     # generic -If combinator fallback + first/lastValue spellings
     assert one("SELECT groupArrayIf(x, x > 1), firstValue(x)"
                " FROM (SELECT 1 AS x UNION ALL SELECT 2)") == ([2], 1)
+    # operator-function spellings + variadic logical xor; bitmap states
+    # raise the agg_bitmap_ops guided error
+    assert one("SELECT equals(1, 1), notEquals(1, 2), less(1, 2),"
+               " greaterOrEquals(0, 1), xor(true, true, true)"
+               ) == (True, True, True, False, True)
+    with _pytest.raises(ValueError, match="agg_bitmap_ops"):
+        translate("SELECT bitmapContains(bitmapBuild([1]), 1)")
     assert one("SELECT round(stddevPopIf(x, x > 0), 4)"
                " FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0"
                " UNION ALL SELECT -99.0)") == (1.0,)[0:1]
