@@ -447,6 +447,14 @@ _PARAMETRIC = {
     "quantileexactweighted", "quantiledeterministic", "grouparray",
     "topk", "topkweighted", "histogram", "sequencematch", "sequencecount",
     "windowfunnel",
+    # r7: parametric × -If stacking (r6 verdict missing: both pieces were
+    # individually known but the stack hit the generic guided error)
+    "topkif", "topkweightedif", "histogramif", "sequencematchif",
+    "sequencecountif", "windowfunnelif", "grouparrayif", "uniquptoif",
+    "quantilesif", "quantiledeterministicif", "quantileexactweightedif",
+    "quantiletimingif", "quantilebfloat16if", "quantileexactlowif",
+    "quantileexacthighif", "quantiletimingweightedif",
+    "quantileinterpolatedweightedif",
     # r6: wider quantile-impl spellings (CH's approximate impls map to the
     # exact percentile — same documented approx→exact divergence as
     # quantileTDigest), plus the weighted-interpolating pair which IS
@@ -471,11 +479,25 @@ _PARAMETRIC |= _MEDIAN_ALIASES
 
 def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     low = name.lower()
-    if low in ("quantileif", "quantileexactif", "quantiletdigestif"):
-        # -If over the quantile family: NULL-skipping percentile, exactly
-        # the scalar -If convention (IF(cond, x, NULL)).
-        p = params[0] if params else "0.5"
-        return f"percentile(IF({args[-1]}, {args[0]}, NULL), {p})"
+    # -If combinator × parametric stacking (r6 verdict missing #6): peel
+    # the trailing If, fold the condition into the arguments, recurse on
+    # the base spelling. Value args take the scalar -If convention
+    # (IF(cond, x, NULL) — every collecting form here skips NULLs);
+    # weighted forms fold the condition into the WEIGHT (w → 0) instead,
+    # because a struct with NULL fields is itself non-NULL and would still
+    # be collected.
+    if low.endswith("if") and low[: -len("if")] in _PARAMETRIC:
+        base, cond = low[: -len("if")], args[-1]
+        if base in ("topkweighted", "quantileexactweighted",
+                    "quantiletimingweighted",
+                    "quantileinterpolatedweighted"):
+            inner = [args[0], f"IF({cond}, {args[1]}, 0)"]
+        elif base in ("histogram", "sequencematch", "sequencecount",
+                      "windowfunnel"):
+            inner = list(args[:-1])  # falls through to the guided raise
+        else:
+            inner = [f"IF({cond}, {a}, NULL)" for a in args[:-1]]
+        return _translate_parametric(name[: -len("if")], params, inner)
     if low in _MEDIAN_ALIASES:
         # median<Impl>(args) ≡ quantile<Impl>(0.5)(args): normalize and fall
         # into the quantile paths below.
@@ -532,10 +554,71 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         # percentile is already deterministic, so the second arg drops.
         p = params[0] if params else "0.5"
         return f"percentile({args[0]}, {p})"
-    if low in ("topk", "topkweighted", "histogram", "sequencematch",
+    if low in ("topk", "topkweighted"):
+        # Exact inline spelling (r6 verdict missing #6 — needed so the -If
+        # stack translates): sort the collected values, fold into
+        # (count, value) runs, sort runs by count desc / value asc
+        # (deterministic tie-break; CH leaves ties unspecified), take k.
+        # CH's topK is an approximate space-saving sketch — same
+        # documented approx→exact divergence as quantileTDigest. The fold
+        # holds one group's values in an array, so this is for moderate
+        # group cardinalities; the agg_freq_items / topk_weighted
+        # operators stay the bounded-sketch scale path.
+        k = params[0] if params else "10"
+        if low == "topk":
+            lst = f"array_sort(collect_list({args[0]}))"
+            zero = (
+                f"slice(transform(collect_list({args[0]}),"
+                " _v -> named_struct('c', CAST(1 AS BIGINT), 'v', _v)),"
+                " 1, 0)"
+            )
+            step = (
+                "(_acc, _v) -> IF(size(_acc) > 0 AND"
+                " element_at(_acc, -1).v <=> _v,"
+                " concat(slice(_acc, 1, size(_acc) - 1),"
+                " array(named_struct('c', element_at(_acc, -1).c +"
+                " CAST(1 AS BIGINT), 'v', _v))),"
+                " concat(_acc, array(named_struct('c',"
+                " CAST(1 AS BIGINT), 'v', _v))))"
+            )
+        else:  # topKWeighted(k)(x, w): run counts sum the weights
+            x, w = args[0], args[1]
+            pair = (
+                f"CASE WHEN {x} IS NOT NULL THEN"
+                f" named_struct('x', {x}, 'w', {w}) END"
+            )
+            lst = f"array_sort(collect_list({pair}))"
+            zero = (
+                f"slice(transform(collect_list({pair}),"
+                " _p -> named_struct('c', CAST(_p.w AS BIGINT),"
+                " 'v', _p.x)), 1, 0)"
+            )
+            step = (
+                "(_acc, _p) -> IF(size(_acc) > 0 AND"
+                " element_at(_acc, -1).v <=> _p.x,"
+                " concat(slice(_acc, 1, size(_acc) - 1),"
+                " array(named_struct('c', element_at(_acc, -1).c +"
+                " CAST(_p.w AS BIGINT), 'v', _p.x))),"
+                " concat(_acc, array(named_struct('c',"
+                " CAST(_p.w AS BIGINT), 'v', _p.x))))"
+            )
+        runs = f"aggregate({lst}, {zero}, {step})"
+        if low == "topkweighted":
+            # zero-total-weight runs (all occurrences condition-false
+            # under -If) are not in the sketch at all in CH
+            runs = f"filter({runs}, _r -> _r.c > 0)"
+        cmp_ = (
+            "(_a, _b) -> CASE WHEN _a.c > _b.c THEN -1"
+            " WHEN _a.c < _b.c THEN 1 WHEN _a.v < _b.v THEN -1"
+            " WHEN _a.v > _b.v THEN 1 ELSE 0 END"
+        )
+        return (
+            f"transform(slice(array_sort({runs}, {cmp_}), 1, {k}),"
+            " _s -> _s.v)"
+        )
+    if low in ("histogram", "sequencematch",
                "sequencecount", "windowfunnel"):
         hint = {
-            "topk": "agg_freq_items", "topkweighted": "topk_weighted",
             "histogram": "agg_histogram", "sequencematch": "sequence_match",
             "sequencecount": "sequence_count",
             "windowfunnel": "funnel_window",
@@ -786,18 +869,21 @@ def _translate_call(name: str, args: list[str]) -> str:
         # operands; for fractional operands the operands truncate first —
         # divergent from CH only when the DIVISOR is non-integral.
         return f"(CAST({args[0]} AS BIGINT) div CAST({args[1]} AS BIGINT))"
+    # Operand sub-expressions are parenthesized individually: the argument
+    # may itself be an infix expression (`minus(a, b - c)`), and splicing it
+    # unwrapped next to the operator changes meaning via precedence.
     if low == "modulo":
-        return f"({args[0]} % {args[1]})"
+        return f"(({args[0]}) % ({args[1]}))"
     if low == "plus":
-        return f"({args[0]} + {args[1]})"
+        return f"(({args[0]}) + ({args[1]}))"
     if low == "minus":
-        return f"({args[0]} - {args[1]})"
+        return f"(({args[0]}) - ({args[1]}))"
     if low == "multiply":
-        return f"({args[0]} * {args[1]})"
+        return f"(({args[0]}) * ({args[1]}))"
     if low == "divide":  # CH divide() is always float division
-        return f"(CAST({args[0]} AS DOUBLE) / {args[1]})"
+        return f"(CAST({args[0]} AS DOUBLE) / ({args[1]}))"
     if low == "negate":
-        return f"(- {args[0]})"
+        return f"(- ({args[0]}))"
     if low == "xxhash32":
         # engine-private hash values (same non-portability contract as
         # fn_hash_fast): a stable 32-bit lane carved from xxhash64
@@ -1123,12 +1209,52 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "countdistinct":  # CH alias of uniqExact
         return f"count(DISTINCT {', '.join(args)})"
     if low in _CMP_FN_OPS:  # CH operator-function spellings
-        return f"({args[0]} {_CMP_FN_OPS[low]} {args[1]})"
+        # operands parenthesized: `less(a, b AND c)` must compare against
+        # the whole conjunction, not bind `a < b` first
+        return f"(({args[0]}) {_CMP_FN_OPS[low]} ({args[1]}))"
     if low == "xor":  # logical xor, variadic: fold of boolean !=
-        out = args[0]
+        out = f"({args[0]})"
         for a in args[1:]:
-            out = f"({out} != {a})"
-        return out
+            out = f"({out} != ({a}))"
+        return out if len(args) > 1 else args[0]
+    # -- known-unmappable distributed/table-function spellings: loud named
+    # guidance instead of pass-through to a cryptic Spark parse/resolve
+    # error (r6 verdict missing #5 — same philosophy as sumMap/bitmapBuild)
+    if low in ("remote", "remotesecure", "cluster", "clusterallreplicas"):
+        raise ValueError(
+            f"{name}() addresses other ClickHouse servers/shards — there"
+            " is no remote CH cluster behind this engine; read the table"
+            " directly (FROM <table>), or use the source_jdbc operator"
+            " for an external database"
+        )
+    if low == "merge":
+        raise ValueError(
+            "merge() unions same-schema tables matched by regex across a"
+            " database; spell the union explicitly — SELECT ... FROM t1"
+            " UNION ALL SELECT ... FROM t2 (see union_all)"
+        )
+    if low in ("file", "url", "s3", "s3cluster", "hdfs", "azureblobstorage"):
+        raise ValueError(
+            f"{name}() reads external storage inline; use the engine's"
+            " source operators instead (scan_parquet / scan_csv /"
+            " scan_jsonl / source_jdbc in sources.py) — they map to"
+            " spark.read with pushdown and schema control"
+        )
+    if low == "dictgethierarchy":
+        raise ValueError(
+            "dictGetHierarchy walks a parent-key chain of unbounded depth"
+            " — not a scalar rewrite; model the walk as a bounded"
+            " self-join chain, or use the dedup_cluster_cc operator's"
+            " iterative pattern for full closures"
+        )
+    if low in ("extractgroups", "extractallgroups",
+               "extractallgroupshorizontal", "extractallgroupsvertical"):
+        raise ValueError(
+            f"{name} returns every capture group of a match as an array;"
+            " Spark's regexp_extract is one-group-at-a-time — call"
+            " regexp_extract(x, pat, i) per group, or"
+            " regexp_extract_all(x, pat, i) for one group across matches"
+        )
     if low.startswith("bitmap") or low == "groupbitmapstate":
         raise ValueError(
             f"{name}: roaring-bitmap states are not Spark-expressible"
@@ -1187,7 +1313,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         a, b = args[0], args[1]
         return (
             f"(size({b}) = 0 OR exists(sequence(1,"
-            f" greatest(size({a}) - size({b}) + 1, 0)),"
+            f" greatest(size({a}) - size({b}) + 1, 1)),"
             f" _i -> slice({a}, _i, size({b})) = {b}))"
         )
     if low in ("arraylast", "arraylastindex"):
@@ -1682,6 +1808,11 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "bitmapbuild", "bitmaptoarray", "bitmapcontains", "bitmapcardinality",
     "bitmapand", "bitmapor", "bitmapandnot", "bitmapxor",
     "groupbitmapstate",
+    # known-unmappable spellings routed to loud guided errors (r6 #5)
+    "remote", "remotesecure", "cluster", "clusterallreplicas", "merge",
+    "file", "url", "s3", "s3cluster", "hdfs", "azureblobstorage",
+    "dictgethierarchy", "extractgroups", "extractallgroups",
+    "extractallgroupshorizontal", "extractallgroupsvertical",
 } | set(_CMP_FN_OPS) | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
@@ -2257,6 +2388,14 @@ _GLOBAL_JOIN_RE = re.compile(
     r"\bGLOBAL\s+(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|JOIN))",
     re.IGNORECASE,
 )
+# `expr GLOBAL [NOT] IN (subquery)` — CH's distributed-IN idiom (broadcast
+# the subquery to every shard once instead of re-running it per shard). On
+# Spark the subquery is planned once and broadcast by Catalyst anyway, so
+# the semantics are plain IN / NOT IN (r6 verdict missing #1: this used to
+# pass through and die in Spark's parser).
+_GLOBAL_IN_RE = re.compile(
+    r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b)", re.IGNORECASE
+)
 _ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 _LIMIT_COMMA_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*$", re.IGNORECASE)
 _SEL_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
@@ -2686,6 +2825,9 @@ def _rewrite_clauses(q: str) -> str:
     # equivalent decision (broadcast vs shuffle) is Catalyst/AQE's from
     # actual sizes, so the keyword strips to a plain join.
     q = _lit_sub(_GLOBAL_JOIN_RE, "", q)
+    # Same story for GLOBAL IN / GLOBAL NOT IN: one subquery evaluation,
+    # distribution is the planner's problem — plain IN on Spark.
+    q = _lit_sub(_GLOBAL_IN_RE, "", q)
     # LIMIT BY anchors to the LAST `ORDER BY` in the text: earlier
     # occurrences live inside window specs the FROM rewrites inject (FINAL's
     # version window), and a first-match search would swallow the query from

@@ -71,7 +71,7 @@ def test_chsql_translate_units():
         "uniqExact(u)": "count(DISTINCT u)",
         "empty(s) OR notEmpty(t)": "(length(s) = 0) OR (length(t) > 0)",
         "intDiv(a, modulo(b, 7))":
-            "(CAST(a AS BIGINT) div CAST((b % 7) AS BIGINT))",
+            "(CAST(a AS BIGINT) div CAST(((b) % (7)) AS BIGINT))",
         "'toYear(untouched literal)'": "'toYear(untouched literal)'",
     }
     for src, want in cases.items():
@@ -389,8 +389,11 @@ def test_chsql_parametric_family(spark):
     t = translate("SELECT uniqUpTo(x) FROM t")
     assert "LEAST(count(DISTINCT x), 5 + 1)" in t
 
-    for bad, hint in [("topK(5)(x)", "agg_freq_items"),
-                      ("histogram(10)(x)", "agg_histogram"),
+    # topK translates inline since r7 (exact run-fold; agg_freq_items
+    # remains the sketch-bounded scale path)
+    t = translate("SELECT topK(5)(x) FROM t")
+    assert "aggregate(" in t and "slice(array_sort(" in t
+    for bad, hint in [("histogram(10)(x)", "agg_histogram"),
                       ("sequenceMatch('(?1)(?2)')(ts, a, b)", "sequence_match")]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
@@ -977,3 +980,181 @@ def test_chsql_multi_array_join(spark):
         " [1, 2] AS b, ['x'] AS c"
     )).collect()
     assert [(r.a, r.b, r.c) for r in rows] == [(10, 1, "x"), (20, 2, None)]
+
+
+def test_chsql_operator_fn_precedence(spark):
+    """r6 advice (high): operator-function spellings must parenthesize
+    their operands — infix-expression arguments previously re-associated
+    via precedence (minus(a, b - c) -> a - b - c)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda q: spark.sql(translate(f"SELECT {q} AS v")).collect()[0].v
+    assert one("minus(10, 7 - 5)") == 8          # not (10-7)-5 = -2
+    assert one("negate(3 - 8)") == 5             # not -3-8 = -11
+    assert abs(one("divide(12, 2 + 4)") - 2.0) < 1e-12   # not 12/2+4 = 10
+    assert one("multiply(2, 3 + 4)") == 14       # not 2*3+4 = 10
+    assert one("plus(1, 2)") == 3
+    assert one("modulo(10, 3 + 4)") == 3         # not (10%3)+4 = 5
+    assert one("xor(true, false AND true)") is True
+    assert one("xor(true, true, true)") is True  # variadic fold
+    assert one("less(5, 2 + 4)") is True         # not (5<2)+4
+    assert one("equals(6, 2 * 3)") is True
+
+
+def test_chsql_hassubstr_needle_longer_than_haystack(spark):
+    """r6 advice (medium): sequence(1, 0) yields the DESCENDING [1, 0] in
+    Spark, so slice(..., 0, ...) threw at runtime when the needle was
+    longer than the haystack; CH returns false."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda q: spark.sql(translate(f"SELECT {q} AS v")).collect()[0].v
+    assert one("hasSubstr([1, 2], [1, 2, 3])") is False
+    assert one("hasSubstr([1, 2, 3], [2, 3])") is True
+    assert one("hasSubstr([1, 2, 3], [])") is True
+    assert one("hasSubstr(CAST(array() AS ARRAY<INT>), [1])") is False
+
+
+def test_chsql_dict_lifecycle(spark, sf_dir):
+    """r6 advice (low): session-created dictionaries must not outlive or
+    dangle past their backing tables — DROP drops the binding, RENAME and
+    EXCHANGE re-point it, close() unregisters everything."""
+    from canal_clickhouse_spark.chsql import _CH_DICTS
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    with ChSession(spark, sf_dir) as ch:
+        ch.execute(
+            "CREATE TABLE dl_src (k Int32, v String) ENGINE = MergeTree"
+            " ORDER BY k"
+        )
+        ch.execute("INSERT INTO dl_src VALUES (1, 'a'), (2, 'b')")
+        ch.execute(
+            "CREATE DICTIONARY dl_dict (k Int32, v String) PRIMARY KEY k"
+            " SOURCE(CLICKHOUSE(TABLE 'dl_src')) LAYOUT(FLAT())"
+            " LIFETIME(300)"
+        )
+        assert _CH_DICTS["dl_dict"]["table"] == "dl_src"
+        ch.execute("RENAME TABLE dl_src TO dl_src2")
+        assert _CH_DICTS["dl_dict"]["table"] == "dl_src2"
+        r = ch.execute("SELECT dictGet('dl_dict', 'v', 2) AS v").collect()
+        assert r[0].v == "b"
+        ch.execute(
+            "CREATE TABLE dl_other (k Int32, v String) ENGINE = MergeTree"
+            " ORDER BY k"
+        )
+        ch.execute("EXCHANGE TABLES dl_src2 AND dl_other")
+        assert _CH_DICTS["dl_dict"]["table"] == "dl_other"
+        ch.execute("DROP TABLE dl_other")
+        assert "dl_dict" not in _CH_DICTS
+        # close() clears whatever the session registered
+        ch.execute(
+            "CREATE TABLE dl_src3 (k Int32, v String) ENGINE = MergeTree"
+            " ORDER BY k"
+        )
+        ch.execute(
+            "CREATE DICTIONARY dl_dict3 (k Int32, v String) PRIMARY KEY k"
+            " SOURCE(CLICKHOUSE(TABLE 'dl_src3')) LAYOUT(FLAT())"
+            " LIFETIME(300)"
+        )
+        assert "dl_dict3" in _CH_DICTS
+    assert "dl_dict3" not in _CH_DICTS
+
+
+def test_chsql_insert_default_chain(spark, sf_dir):
+    """r6 advice (low): a DEFAULT referencing another omitted column must
+    read that column's own computed default (CH resolves DEFAULT chains
+    transitively), regardless of column order."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    # b's default reads c, and c is declared AFTER b — the old single
+    # in-order pass either failed analysis or read the NULL filler.
+    ch.execute(
+        "CREATE TABLE ddl_chain (a Int32, b Int64 DEFAULT c + 10,"
+        " c Int64 DEFAULT 7, d String) ENGINE = MergeTree ORDER BY a"
+    )
+    ch.execute("INSERT INTO ddl_chain (a) VALUES (1)")
+    row = ch.execute("SELECT a, b, c, d FROM ddl_chain").collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (1, 17, 7, None)
+
+
+def test_chsql_global_in(spark, sf_dir):
+    """r6 verdict missing #1: `expr GLOBAL [NOT] IN (subquery)` — the most
+    common distributed-CH idiom — translates to plain IN/NOT IN (Spark
+    plans the subquery once and broadcasts; the GLOBAL distribution hint
+    is the planner's job here). Literal occurrences stay untouched."""
+    from canal_clickhouse_spark.catalog import register_views
+    from canal_clickhouse_spark.chsql import translate
+
+    register_views(spark, sf_dir)
+    t = translate(
+        "SELECT count() FROM orders WHERE o_custkey GLOBAL IN"
+        " (SELECT c_custkey FROM customer)"
+    )
+    assert "GLOBAL" not in t and " IN " in t
+    n = spark.sql(t).collect()[0][0]
+    assert n == spark.sql(
+        "SELECT count(*) FROM orders WHERE o_custkey IN"
+        " (SELECT c_custkey FROM customer)"
+    ).collect()[0][0]
+    t = translate(
+        "SELECT count() FROM orders WHERE o_custkey GLOBAL NOT IN"
+        " (SELECT c_custkey FROM customer WHERE c_acctbal < 0)"
+    )
+    assert "GLOBAL" not in t and "NOT IN" in t
+    assert spark.sql(t).collect()[0][0] > 0
+    assert translate("SELECT 'k GLOBAL IN x' AS s") == \
+        "SELECT 'k GLOBAL IN x' AS s"
+
+
+def test_chsql_unmappable_guided_errors():
+    """r6 verdict missing #5: known-unmappable distributed spellings raise
+    loud named guidance instead of passing through to cryptic Spark
+    errors."""
+    import pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    for q, hint in [
+        ("SELECT * FROM remote('h', db, t)", "source_jdbc"),
+        ("SELECT * FROM cluster('c', db, t)", "no remote CH cluster"),
+        ("SELECT * FROM clusterAllReplicas('c', db, t)",
+         "no remote CH cluster"),
+        ("SELECT * FROM merge('db', '^logs')", "UNION ALL"),
+        ("SELECT * FROM file('x.csv')", "scan_parquet"),
+        ("SELECT * FROM url('http://x', CSV)", "scan_parquet"),
+        ("SELECT * FROM s3('s3://b/k')", "scan_parquet"),
+        ("SELECT dictGetHierarchy('d', k) FROM t", "self-join chain"),
+        ("SELECT extractGroups(s, '(a)(b)') FROM t", "regexp_extract"),
+        ("SELECT extractAllGroupsVertical(s, '(a)(b)') FROM t",
+         "regexp_extract"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(q)
+
+
+def test_chsql_parametric_if_stacking(spark):
+    """r6 verdict missing #6: parametric × -If combinator stacks translate
+    (both pieces were individually mapped). Value-pinned."""
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (3, "b", 5), (4, "b", 1), (5, "c", 1),
+         (6, "a", 2), (7, "c", 1), (8, "d", 0)],
+        "id int, v string, w int",
+    ).createOrReplaceTempView("tk_if")
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r FROM tk_if")).collect()[0].r
+    assert one("topK(2)(v)") == ["a", "b"]               # a:3, b:2=c:2 tie→value asc
+    assert one("topKIf(2)(v, id <= 5)") == ["a", "b"]    # a:2, b:2, c:1
+    assert one("topKWeighted(2)(v, w)") == ["b", "a"]    # b:6, a:4
+    assert one("topKWeightedIf(2)(v, w, id != 3)") == ["a", "c"]  # a:4, c:2, b:1
+    assert one("groupArrayIf(3)(v, w > 0)") == ["a", "a", "b"]
+    assert one("uniqUpToIf(2)(v, w > 0)") == 3           # saturates at 2+1
+    assert one("quantileIf(0.5)(id, id <= 5)") == 3.0
+    assert one("quantilesIf(0.5, 1.0)(id, id <= 5)") == [3.0, 5.0]
+    assert one("quantileExactWeightedIf(0.5)(id, w, id <= 5)") == 3.0
+    assert one("medianIf(id, id <= 5)") == 3.0
+    # -If of a guided-raise base names the operator, not the generic text
+    import pytest
+
+    with pytest.raises(ValueError, match="agg_histogram"):
+        translate("SELECT histogramIf(3)(id, true) FROM tk_if")
