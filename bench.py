@@ -91,6 +91,12 @@ EXTENDED: tuple[str, ...] = (
     "chsql_create_dictionary",  # r6 dictionary DDL + dictGet plan
     "chsql_blue_green",       # r6 EXCHANGE/RENAME swap composite
     "chsql_parts_persistence",  # r6 durable parquet-parts MV script
+    # r7 (r6 verdict tasks 1-6): paste-compat + distributed-idiom keys
+    "chsql_global_in",        # GLOBAL IN/NOT IN strip + two semi/anti joins
+    "chsql_parametric_if",    # topK run-fold + -If combinator stacks
+    "chsql_ttl_ddl",          # TTL DDL + two max-anchored expiry merges
+    "chsql_paste_compat",     # SHOW-CREATE dump ingest + default fill
+    "chsql_show_create_roundtrip",  # DDL dump -> re-execute -> aggregate
 )
 
 

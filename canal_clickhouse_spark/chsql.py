@@ -4688,3 +4688,90 @@ def chsql_math_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     math passthroughs (cbrt/atan2 — same IEEE ops, bit-equal pre-round),
     notLike, and accurateCast via the DDL type mapper."""
     return ch_sql(spark, sf_dir, _CH_MATH_INTERVALS)
+
+
+_CH_GLOBAL_IN = """
+SELECT o_orderstatus, toInt64(count()) AS n,
+       toFloat64(round(sum(toDecimal64(o_totalprice, 2)), 2)) AS total
+FROM orders
+WHERE o_custkey GLOBAL IN (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+  AND o_orderkey GLOBAL NOT IN (
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "chsql_global_in",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+      AND o_orderkey NOT IN (
+              SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def chsql_global_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GLOBAL IN`` / ``GLOBAL NOT IN`` — the distributed-CH idiom that
+    previously died in Spark's parser (r6 verdict missing #1). On Spark
+    the subquery is planned once and broadcast by Catalyst (GLOBAL's
+    whole point on a CH cluster), so the keyword strips to plain IN; the
+    oracle is the identical query with plain IN. The NOT IN side is
+    null-free (l_orderkey is non-null), so the three-valued-logic trap
+    doesn't bite."""
+    return ch_sql(spark, sf_dir, _CH_GLOBAL_IN)
+
+
+_CH_PARAMETRIC_IF = """
+SELECT topK(3)(o_orderpriority) AS top_prio,
+       topKIf(3)(o_orderpriority, o_orderstatus = 'F') AS top_prio_f,
+       topKWeighted(2)(o_orderstatus, toInt32(o_orderkey % 3) + 1)
+           AS top_status_w,
+       arraySort(groupArrayIf(8)(o_orderstatus, o_orderkey < 5))
+           AS first_status,
+       toInt64(uniqUpToIf(3)(o_orderpriority, o_orderstatus = 'O'))
+           AS prio_upto,
+       quantileIf(0.9)(toFloat64(o_totalprice), o_orderstatus = 'F')
+           AS p90_f
+FROM orders
+"""
+
+
+@query(
+    "chsql_parametric_if",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders
+        GROUP BY v ORDER BY c DESC, v LIMIT 3
+    ), ranked_f AS (
+        SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders
+        WHERE o_orderstatus = 'F' GROUP BY v ORDER BY c DESC, v LIMIT 3
+    ), ranked_w AS (
+        SELECT o_orderstatus AS v, SUM(o_orderkey % 3 + 1) AS c
+        FROM orders GROUP BY v ORDER BY c DESC, v LIMIT 2
+    )
+    SELECT (SELECT LIST(v) FROM ranked) AS top_prio,
+           (SELECT LIST(v) FROM ranked_f) AS top_prio_f,
+           (SELECT LIST(v) FROM ranked_w) AS top_status_w,
+           (SELECT LIST(o_orderstatus ORDER BY o_orderstatus)
+            FROM orders WHERE o_orderkey < 5) AS first_status,
+           LEAST((SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+                  WHERE o_orderstatus = 'O'), 4) AS prio_upto,
+           (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9)
+            FROM orders WHERE o_orderstatus = 'F') AS p90_f
+    """,
+)
+def chsql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric × -If combinator stacks live (r6 verdict missing #6):
+    topK / topKIf / topKWeighted translate to the exact run-fold inline
+    spelling (count-desc, value-asc deterministic tie-break — CH's sketch
+    leaves ties unspecified, divergence documented at the rewrite),
+    groupArrayIf caps collection under the condition, uniqUpToIf
+    saturates, quantileIf takes the NULL-skipping percentile. The oracle
+    recomputes each via explicit frequency CTEs."""
+    return ch_sql(spark, sf_dir, _CH_PARAMETRIC_IF)

@@ -930,3 +930,236 @@ def test_show_create_table_roundtrip(spark, sf_dir):
     ch.execute("CREATE VIEW rt_v AS SELECT count() AS n FROM region")
     assert ch.execute("SHOW CREATE TABLE rt_v").collect()[0].statement \
         == "CREATE VIEW rt_v AS SELECT count() AS n FROM region"
+
+
+# r7: TTL statements in the model fuzz (r6 verdict task 7) — random
+# insert / MODIFY TTL / OPTIMIZE / mutation-delete sequences vs a pure
+# Python model of the max-anchored expiry contract.
+_TTL_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("insert"),
+            st.lists(st.integers(1, 28), min_size=1, max_size=4),  # days
+        ),
+        st.tuples(st.just("setttl"), st.integers(3, 15)),
+        st.tuples(st.just("optimize")),
+        st.tuples(st.just("delete"), st.integers(0, 3)),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_TTL_OPS)
+def test_ttl_model_fuzz(spark, sf_dir, ops):
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE tz (id Int64, ts DateTime) ENGINE = MergeTree"
+        " ORDER BY id TTL ts + INTERVAL 10 DAY"
+    )
+    model: list[tuple[int, int]] = []  # (id, day-of-month)
+    ttl_days, idseq = 10, 0
+    for op in ops:
+        if op[0] == "insert":
+            rows = []
+            for day in op[1]:
+                idseq += 1
+                rows.append((idseq, day))
+            vals = ", ".join(
+                f"({i}, '2024-01-{d:02d} 00:00:00')" for i, d in rows
+            )
+            ch.execute(f"INSERT INTO tz VALUES {vals}")
+            model.extend(rows)
+        elif op[0] == "setttl":
+            ttl_days = op[1]
+            ch.execute(
+                f"ALTER TABLE tz MODIFY TTL ts + INTERVAL {ttl_days} DAY"
+            )
+        elif op[0] == "optimize":
+            ch.execute("OPTIMIZE TABLE tz FINAL")
+            if model:
+                mx = max(d for _, d in model)
+                model = [(i, d) for i, d in model if d + ttl_days >= mx]
+        elif op[0] == "delete":
+            r = op[1]
+            ch.execute(f"ALTER TABLE tz DELETE WHERE id % 4 = {r}")
+            model = [(i, d) for i, d in model if i % 4 != r]
+    got = sorted((r.id, r.ts.day) for r in ch.tables["tz"].collect())
+    assert got == sorted(model)
+
+
+# r7: dictionary DDL in the model fuzz — CREATE/DROP DICTIONARY, source
+# INSERTs, source RENAME (binding must follow), dictGet reads, vs a pure
+# Python model of the registry + max-per-key lookup contract.
+_DICT_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("create")),
+        st.tuples(st.just("dropdict")),
+        st.tuples(
+            st.just("insert"), st.integers(0, 9), st.sampled_from("abc")
+        ),
+        st.tuples(st.just("rename")),
+        st.tuples(st.just("get"), st.integers(0, 11)),
+    ),
+    min_size=1, max_size=7,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_DICT_OPS)
+def test_dict_model_fuzz(spark, sf_dir, ops):
+    from canal_clickhouse_spark.chsql import _CH_DICTS
+
+    with ChSession(spark, sf_dir) as ch:
+        ch.execute(
+            "CREATE TABLE dsrc0 (k Int64, v String) ENGINE = MergeTree"
+            " ORDER BY k"
+        )
+        kv: dict[int, str] = {}   # key -> max(v) (the lookup's contract)
+        exists, gen = False, 0    # dictionary registered?  rename generation
+        for op in ops:
+            src = f"dsrc{gen}"
+            if op[0] == "create" and not exists:
+                ch.execute(
+                    "CREATE DICTIONARY fz_dict (k Int64, v String"
+                    " DEFAULT '?') PRIMARY KEY k"
+                    f" SOURCE(CLICKHOUSE(TABLE '{src}')) LAYOUT(FLAT())"
+                    " LIFETIME(300)"
+                )
+                exists = True
+            elif op[0] == "dropdict" and exists:
+                ch.execute("DROP DICTIONARY fz_dict")
+                exists = False
+            elif op[0] == "insert":
+                _, k, v = op
+                ch.execute(f"INSERT INTO {src} VALUES ({k}, '{v}')")
+                kv[k] = max(kv.get(k, ""), v)
+            elif op[0] == "rename":
+                ch.execute(f"RENAME TABLE {src} TO dsrc{gen + 1}")
+                gen += 1
+                if exists:  # binding must have followed the rename
+                    assert _CH_DICTS["fz_dict"]["table"] == f"dsrc{gen}"
+            elif op[0] == "get":
+                _, k = op
+                if exists:
+                    got = ch.execute(
+                        f"SELECT dictGet('fz_dict', 'v', {k}) AS v"
+                    ).collect()[0].v
+                    assert got == kv.get(k, "?"), (k, got, kv)
+                else:
+                    with pytest.raises(ValueError, match="unknown dict"):
+                        ch.execute(
+                            f"SELECT dictGet('fz_dict', 'v', {k}) AS v"
+                        )
+    assert "fz_dict" not in _CH_DICTS  # close() cleaned the registry
+
+
+def test_ch_type_widening_r7(spark, sf_dir):
+    """r7 paste-compat type batch: Tuple (named + positional → struct with
+    the translator's col1..colN convention), Nested (→ array<struct>,
+    documented divergence from parallel subcolumn arrays),
+    SimpleAggregateFunction unwraps, AggregateFunction refuses with named
+    guidance, tz-decorated DateTime, 128/256-bit ints, IPv4/6, JSON."""
+    from canal_clickhouse_spark.chsql_ddl import (
+        ch_type_to_spark, spark_type_to_ch,
+    )
+
+    assert ch_type_to_spark("Tuple(String, Int32)") == \
+        "STRUCT<col1: STRING, col2: INT>"
+    assert ch_type_to_spark("Tuple(name String, age Int32)") == \
+        "STRUCT<name: STRING, age: INT>"
+    assert ch_type_to_spark("Nested(x Int32, y String)") == \
+        "ARRAY<STRUCT<x: INT, y: STRING>>"
+    assert ch_type_to_spark("SimpleAggregateFunction(sum, Int64)") == \
+        "BIGINT"
+    assert ch_type_to_spark("DateTime('Asia/Tokyo')") == "TIMESTAMP"
+    assert ch_type_to_spark("UInt256") == "DECIMAL(38,0)"
+    assert ch_type_to_spark("IPv6") == "STRING"
+    assert ch_type_to_spark("Object('json')") == "STRING"
+    with pytest.raises(ValueError, match="state_merge"):
+        ch_type_to_spark("AggregateFunction(sum, Int64)")
+    # inverse map round-trips the container types
+    assert spark_type_to_ch("struct<name: string, age: int>") == \
+        "Tuple(name String, age Int32)"
+    # a Tuple-typed column works end-to-end: create, insert, tupleElement
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE tup_t (id Int32, pt Tuple(name String, age Int32))"
+        " ENGINE = MergeTree ORDER BY id"
+    )
+    ch.execute(
+        "INSERT INTO tup_t SELECT 1, tuple('ann', 40)"
+    )
+    # name access for named tuples; positional colN applies to unnamed
+    # ones (the translator's tuple() convention)
+    row = ch.execute(
+        "SELECT tupleElement(pt, 'name') AS nm FROM tup_t"
+    ).collect()[0]
+    assert row.nm == "ann"
+
+
+def test_system_tables(spark, sf_dir):
+    """r7: CH's introspection schema — system.tables / columns / parts /
+    dictionaries / databases materialize from live catalog state, rewrite
+    literal-safely, and compose with the full SELECT dialect."""
+    with ChSession(spark, sf_dir) as ch:
+        ch.execute(
+            "CREATE TABLE sys_a (k Int64, v String DEFAULT 'x')"
+            " ENGINE = ReplacingMergeTree(k) PARTITION BY modulo(k, 2)"
+            " ORDER BY k"
+        )
+        ch.execute("INSERT INTO sys_a VALUES (1, 'a'), (2, 'b')")
+        ch.execute("CREATE VIEW sys_v AS SELECT count() AS n FROM sys_a")
+        rows = ch.execute(
+            "SELECT name, engine FROM system.tables"
+            " WHERE name IN ('sys_a', 'sys_v', 'orders') ORDER BY name"
+        ).collect()
+        assert [(r.name, r.engine) for r in rows] == [
+            ("orders", "MergeTree"), ("sys_a", "ReplacingMergeTree"),
+            ("sys_v", "View"),
+        ]
+        # create_table_query is the SHOW CREATE dump
+        q = ch.execute(
+            "SELECT create_table_query AS q FROM system.tables"
+            " WHERE name = 'sys_a'"
+        ).collect()[0].q
+        assert q.startswith("CREATE TABLE sys_a")
+        cols = ch.execute(
+            "SELECT name, type, default_expression FROM system.columns"
+            " WHERE table = 'sys_a' ORDER BY position"
+        ).collect()
+        assert [(c.name, c.type, c.default_expression) for c in cols] == [
+            ("k", "Int64", ""), ("v", "String", "'x'"),
+        ]
+        parts = ch.execute(
+            "SELECT table, rows, active FROM system.parts"
+            " WHERE table = 'sys_a'"
+        ).collect()
+        assert [(p.table, p.rows, p.active) for p in parts] == [
+            ("sys_a", 2, True),
+        ]
+        assert ch.execute(
+            "SELECT name FROM system.databases"
+        ).collect()[0].name == "default"
+        ch.execute(
+            "CREATE DICTIONARY sys_d (k Int64, v String) PRIMARY KEY k"
+            " SOURCE(CLICKHOUSE(TABLE 'sys_a')) LAYOUT(FLAT())"
+            " LIFETIME(300)"
+        )
+        d = ch.execute(
+            "SELECT name, source_table FROM system.dictionaries"
+            " WHERE name = 'sys_d'"
+        ).collect()
+        assert [(r.name, r.source_table) for r in d] == [("sys_d", "sys_a")]
+        # literal safety: the string 'system.tables' is data, not a ref
+        s = ch.execute("SELECT 'system.tables' AS s").collect()[0].s
+        assert s == "system.tables"
+        # unknown system table refuses loudly
+        with pytest.raises(ValueError, match="unsupported system table"):
+            ch.execute("SELECT * FROM system.merges")

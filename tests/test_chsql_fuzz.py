@@ -615,8 +615,11 @@ def q_in_subquery(rng: random.Random) -> tuple[str, str]:
     else:
         neg = "NOT " if form == "not_in" else ""
         kw_ch = "PREWHERE" if rng.random() < 0.4 else "WHERE"
+        # r7: GLOBAL IN / GLOBAL NOT IN — the distributed-CH spelling
+        # strips to plain IN (semantics identical on one planner)
+        glob = "GLOBAL " if rng.random() < 0.35 else ""
         ch = (
-            f"SELECT {sel} AS c0 FROM {lt} WHERE {lcol} {neg}IN ("
+            f"SELECT {sel} AS c0 FROM {lt} WHERE {lcol} {glob}{neg}IN ("
             f"SELECT {rcol} FROM {rt} {kw_ch} {p_ch})"
         )
         dk = (
