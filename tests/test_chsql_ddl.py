@@ -28,8 +28,11 @@ def test_type_mapper():
     assert ch_type_to_spark("Decimal64(4)") == "DECIMAL(18,4)"
     assert ch_type_to_spark("DateTime64(3)") == "TIMESTAMP"
     assert ch_type_to_spark("FixedString(16)") == "STRING"
-    with pytest.raises(ValueError, match="unsupported"):
+    # r7: AggregateFunction now raises a NAMED guided error (was generic)
+    with pytest.raises(ValueError, match="state_merge"):
         ch_type_to_spark("AggregateFunction(sum, UInt64)")
+    with pytest.raises(ValueError, match="unsupported"):
+        ch_type_to_spark("Ring")  # geo type, genuinely unmapped
 
 
 def test_split_statements_literal_aware():
