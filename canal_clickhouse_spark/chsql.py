@@ -334,6 +334,13 @@ _RENAME = {
     "arrayslice": "slice",
     "arraystringconcat": "array_join",
     "today": "current_date",
+    # r7 probe batch: exact Spark builtins under CH spellings
+    "datetrunc": "date_trunc",
+    "lastdayofmonth": "last_day",
+    "widthbucket": "width_bucket",
+    "leftpadutf8": "lpad",
+    "rightpadutf8": "rpad",
+    "substringindexutf8": "substring_index",
     "now": "current_timestamp",
     "todatetime": "to_timestamp",
     "match": "regexp_like",
@@ -1217,6 +1224,236 @@ def _translate_call(name: str, args: list[str]) -> str:
         for a in args[1:]:
             out = f"({out} != ({a}))"
         return out if len(args) > 1 else args[0]
+    # -- r7 probe batch (gaps found by EXECUTING ~110 common-CH spellings;
+    # each rewrite below failed as a pass-through and has an exact or
+    # documented-divergence Spark form)
+    if low == "arrayshingles":  # all contiguous n-windows
+        a, n = args[0], args[1]
+        return (
+            f"slice(transform({a}, (_x, _i) -> slice({a}, _i + 1, {n})),"
+            f" 1, greatest(size({a}) - ({n}) + 1, 0))"
+        )
+    if low == "mapadd":  # per-key sum across maps (2-map form)
+        m1, m2 = args[0], args[1]
+        ks = f"array_union(map_keys({m1}), map_keys({m2}))"
+        return (
+            f"map_from_arrays({ks}, transform({ks},"
+            f" _k -> coalesce(element_at({m1}, _k), 0)"
+            f" + coalesce(element_at({m2}, _k), 0)))"
+        )
+    if low == "replaceone":  # first occurrence only (replaceAll is ANSI)
+        s_, a, b = args[0], args[1], args[2]
+        pos = f"locate({a}, {s_})"
+        return (
+            f"IF({pos} > 0, concat(substr({s_}, 1, {pos} - 1), {b},"
+            f" substr({s_}, {pos} + length({a}))), {s_})"
+        )
+    if low in ("multimatchany", "multimatchanyindex"):
+        s_, pats = args[0], args[1]
+        if low == "multimatchany":
+            return f"exists({pats}, _p -> {s_} RLIKE _p)"
+        # 1-based index of the first matching pattern, 0 when none
+        return (
+            f"coalesce(array_position(transform({pats},"
+            f" _p -> {s_} RLIKE _p), true), 0)"
+        )
+    if low == "tokens":  # maximal alphanumeric runs, no empties
+        return (
+            f"filter(split({args[0]}, '[^A-Za-z0-9]+'), _t -> _t != '')"
+        )
+    if low == "ngrams":  # character n-grams
+        s_, n = args[0], args[1]
+        return (
+            f"slice(transform(split({s_}, ''),"
+            f" (_c, _i) -> substr({s_}, _i + 1, {n})),"
+            f" 1, greatest(length({s_}) - ({n}) + 1, 0))"
+        )
+    if low == "isvalidutf8":
+        # Spark strings are UTF-8 by construction — constant-true on
+        # non-NULL input (CH validates raw bytes; the engine's ingest
+        # already rejected invalid sequences)
+        return f"IF({args[0]} IS NULL, NULL, true)"
+    if low == "format":  # CH '{}'/'{0}' placeholders → format_string
+        pat = args[0].strip()
+        if not (pat.startswith("'") and pat.endswith("'")):
+            raise ValueError(
+                "format: the pattern must be a string literal for the"
+                " {}-placeholder translation; use format_string with"
+                " %-codes otherwise"
+            )
+        body = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s",
+                      pat[1:-1])
+        body = body.replace("{}", "%s")
+        return f"format_string('{body}', {', '.join(args[1:])})"
+    if low == "toisoyear":
+        return f"extract(YEAROFWEEK FROM {args[0]})"
+    if low == "tostartofisoyear":
+        # Monday of the ISO week containing Jan 4 of the ISO year
+        j4 = f"make_date(extract(YEAROFWEEK FROM {args[0]}), 1, 4)"
+        return f"date_add({j4}, 1 - extract(DAYOFWEEK_ISO FROM {j4}))"
+    if low == "torelativemonthnum":
+        return f"(year({args[0]}) * 12 + month({args[0]}))"
+    if low == "torelativehournum":
+        return f"CAST(floor(unix_timestamp({args[0]}) / 3600) AS BIGINT)"
+    if low == "todayssinceyearzero":  # CH epoch anchor: 1970-01-01 = 719528
+        return f"(datediff({args[0]}, DATE'1970-01-01') + 719528)"
+    if low == "fromdayssinceyearzero":
+        return f"date_add(DATE'1970-01-01', CAST({args[0]} AS INT) - 719528)"
+    if low == "yyyymmddtodate":
+        return f"to_date(CAST({args[0]} AS STRING), 'yyyyMMdd')"
+    if low == "toyearweek":
+        mode = args[1].strip() if len(args) > 1 else "0"
+        if mode != "3":
+            raise ValueError(
+                "toYearWeek's default Sunday-start numbering has no Spark"
+                " builtin (same contract as toWeek); use mode 3"
+                " (toYearWeek(d, 3) — ISO) or toISOWeek/toStartOfWeek"
+            )
+        return (
+            f"(extract(YEAROFWEEK FROM {args[0]}) * 100"
+            f" + weekofyear({args[0]}))"
+        )
+    if low == "timeslots":  # slots of `size` covering [start, start+dur]
+        ts_, dur = args[0], args[1]
+        sz = args[2] if len(args) > 2 else "1800"
+        return (
+            f"transform(sequence(unix_timestamp({ts_}) div ({sz}) * ({sz}),"
+            f" unix_timestamp({ts_}) + ({dur}), ({sz})),"
+            f" _x -> timestamp_seconds(_x))"
+        )
+    if low == "bitrotateleft":
+        x, n = args[0], args[1]
+        return (
+            f"(shiftleft(CAST({x} AS BIGINT), {n})"
+            f" | shiftrightunsigned(CAST({x} AS BIGINT), 64 - ({n})))"
+        )
+    if low in ("gcd", "lcm"):
+        # no Spark builtin and no SQL loop — a fixed 92-step Euclid fold
+        # (Fibonacci worst case for 64-bit operands needs ≤ 91 steps)
+        a, b = args[0], args[1]
+        g = (
+            "aggregate(sequence(1, 92),"
+            f" named_struct('a', abs(CAST({a} AS BIGINT)),"
+            f" 'b', abs(CAST({b} AS BIGINT))),"
+            " (_s, _i) -> IF(_s.b = 0, _s,"
+            " named_struct('a', _s.b, 'b', _s.a % _s.b)), _s -> _s.a)"
+        )
+        if low == "gcd":
+            return f"({g})"
+        return (
+            f"IF({a} = 0 OR {b} = 0, 0,"
+            f" abs(CAST({a} AS BIGINT)) div ({g})"
+            f" * abs(CAST({b} AS BIGINT)))"
+        )
+    if low == "sigmoid":
+        return f"(1.0 / (1.0 + exp(-({args[0]}))))"
+    if low == "logit":
+        return f"ln(({args[0]}) / (1.0 - ({args[0]})))"
+    if low == "nan":
+        return "CAST('NaN' AS DOUBLE)"
+    if low == "totypename":  # runtime Spark type → CH spelling
+        cases = " ".join(
+            f"WHEN '{sp.lower()}' THEN '{chn}'" for sp, chn in [
+                ("tinyint", "Int8"), ("smallint", "Int16"),
+                ("int", "Int32"), ("bigint", "Int64"),
+                ("float", "Float32"), ("double", "Float64"),
+                ("string", "String"), ("date", "Date"),
+                ("timestamp", "DateTime"), ("boolean", "Bool"),
+            ]
+        )
+        return f"(CASE typeof({args[0]}) {cases} ELSE typeof({args[0]}) END)"
+    if low == "char" and len(args) > 1:  # CH char() is variadic
+        return f"concat({', '.join(f'chr({a})' for a in args)})"
+    if low == "ipv4numtostring":
+        n = f"CAST({args[0]} AS BIGINT)"
+        return (
+            f"concat(CAST(({n} div 16777216) % 256 AS STRING), '.',"
+            f" CAST(({n} div 65536) % 256 AS STRING), '.',"
+            f" CAST(({n} div 256) % 256 AS STRING), '.',"
+            f" CAST({n} % 256 AS STRING))"
+        )
+    if low == "ipv4stringtonum":
+        return (
+            f"aggregate(transform(split({args[0]}, '\\\\.'),"
+            " _p -> CAST(_p AS BIGINT)), CAST(0 AS BIGINT),"
+            " (_acc, _x) -> _acc * 256 + _x)"
+        )
+    if low == "isipv4string":
+        return (
+            f"({args[0]} RLIKE"
+            " '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){3}"
+            "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$')"
+        )
+    if low == "currentdatabase":
+        return "'default'"
+    if low == "hostname":
+        # single-planner engine: the constant local identity (CH returns
+        # the serving replica's host)
+        return "'localhost'"
+    if low == "tofixedstring":
+        # FixedString is storage-only here (type map → STRING); clamp to
+        # the declared width (CH errors on overflow — documented
+        # divergence: we truncate)
+        return f"substr({args[0]}, 1, {args[1]})"
+    if low == "defaultvalueoftypename":
+        m_ = re.fullmatch(r"\s*'([^']+)'\s*", args[0])
+        if not m_:
+            raise ValueError(
+                "defaultValueOfTypeName needs a literal type name"
+            )
+        from .chsql_ddl import _ch_attr_type_default, ch_type_to_spark
+        d = _ch_attr_type_default(ch_type_to_spark(m_.group(1)))
+        return d if d is not None else "NULL"
+    if low in ("uptime", "sleep", "sleepeachrow"):
+        raise ValueError(
+            f"{name}() is a server-runtime control with no meaning in a"
+            " batch plan; remove it (timings come from Spark's UI/metrics)"
+        )
+    if low in ("formatrow", "formatrownonewline"):
+        raise ValueError(
+            f"{name} serializes rows through CH's format registry; use"
+            " to_json/to_csv (fn_json operators) for the Spark-native"
+            " equivalent"
+        )
+    if low == "generateulid":
+        raise ValueError(
+            "generateULID: no Spark builtin; use generateUUIDv4 (maps to"
+            " uuid()) or monotonically_increasing_id via the DataFrame API"
+        )
+    if low in ("normalizequery", "normalizedqueryhash"):
+        raise ValueError(
+            f"{name} applies CH's internal query-text normalizer; no"
+            " Spark equivalent — preprocess query logs with"
+            " regexp_replace if literal-masking is the goal"
+        )
+    if low in ("stem", "lemmatize", "synonyms", "detectlanguage"):
+        raise ValueError(
+            f"{name} needs CH's bundled NLP models; use the text_lang_id /"
+            " text quality operators (llm/text.py) or a Pandas UDF with"
+            " your own model"
+        )
+    if low in ("erf", "erfc", "lgamma", "tgamma"):
+        raise ValueError(
+            f"{name}: no Spark SQL builtin; wrap scipy.special.{low} in a"
+            " Pandas UDF (udf_pandas_scalar pattern) if needed"
+        )
+    if low == "formatreadabletimedelta":
+        raise ValueError(
+            "formatReadableTimeDelta's prose rendering ('1 hour, 1 minute"
+            " and 40 seconds') has no Spark builtin; spell the buckets"
+            " with div/% + concat_ws, or keep raw seconds"
+        )
+    if low in ("emptyarraytosingle", "addtupleofintervals",
+               "subtracttupleofintervals", "proportionsztest",
+               "wordshingleminhash", "wordshinglesimhash"):
+        raise ValueError(
+            f"{name} has no faithful inline Spark spelling; see the"
+            " nearest operators: emptyArrayToSingle → IF(size(a)=0,"
+            " array(<default>), a) with your element default,"
+            " tuple-of-intervals → chained +INTERVAL terms,"
+            " proportionsZTest → agg_stats building blocks,"
+            " wordShingle sketches → dedup_minhash_lsh/dedup_simhash"
+        )
     # -- known-unmappable distributed/table-function spellings: loud named
     # guidance instead of pass-through to a cryptic Spark parse/resolve
     # error (r6 verdict missing #5 — same philosophy as sumMap/bitmapBuild)
@@ -1813,6 +2050,24 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "file", "url", "s3", "s3cluster", "hdfs", "azureblobstorage",
     "dictgethierarchy", "extractgroups", "extractallgroups",
     "extractallgroupshorizontal", "extractallgroupsvertical",
+    # r7 probe batch: mapped spellings
+    "datetrunc", "lastdayofmonth", "widthbucket", "leftpadutf8",
+    "rightpadutf8", "substringindexutf8", "arrayshingles", "mapadd",
+    "replaceone", "multimatchany", "multimatchanyindex", "tokens",
+    "ngrams", "isvalidutf8", "format", "toisoyear", "tostartofisoyear",
+    "torelativemonthnum", "torelativehournum", "todayssinceyearzero",
+    "fromdayssinceyearzero", "yyyymmddtodate", "toyearweek", "timeslots",
+    "bitrotateleft", "gcd", "lcm", "sigmoid", "logit", "nan",
+    "totypename", "char", "ipv4numtostring", "ipv4stringtonum",
+    "isipv4string", "currentdatabase", "hostname", "tofixedstring",
+    "defaultvalueoftypename",
+    # r7 probe batch: guided-error spellings
+    "uptime", "sleep", "sleepeachrow", "formatrow", "formatrownonewline",
+    "generateulid", "normalizequery", "normalizedqueryhash", "stem",
+    "lemmatize", "synonyms", "detectlanguage", "erf", "erfc", "lgamma",
+    "tgamma", "emptyarraytosingle", "addtupleofintervals",
+    "subtracttupleofintervals", "proportionsztest", "wordshingleminhash",
+    "wordshinglesimhash", "formatreadabletimedelta",
 } | set(_CMP_FN_OPS) | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
@@ -4775,3 +5030,45 @@ def chsql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturates, quantileIf takes the NULL-skipping percentile. The oracle
     recomputes each via explicit frequency CTEs."""
     return ch_sql(spark, sf_dir, _CH_PARAMETRIC_IF)
+
+
+_CH_R7_SPELLINGS = """
+SELECT event_id,
+       toInt64(toISOYear(toDate(ts))) AS iso_y,
+       toStartOfISOYear(toDate(ts)) AS iso_start,
+       toInt64(toRelativeMonthNum(toDate(ts))) AS relmon,
+       replaceOne(event_type, 'c', 'K') AS rep1,
+       tokens(concat(event_type, '-9x')) AS toks,
+       toInt64(IPv4StringToNum(IPv4NumToString(event_id % 4294967296)))
+           AS ip_rt,
+       toInt64(gcd(event_id, 24)) AS g,
+       toInt64(lcm(event_id % 7 + 1, 6)) AS l
+FROM events ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_r7_spellings",
+    oracle="""
+    SELECT event_id,
+           CAST(isoyear(ts) AS BIGINT) AS iso_y,
+           CAST(date_trunc('week', make_date(CAST(isoyear(ts) AS INT), 1, 4))
+                AS DATE) AS iso_start,
+           CAST(year(ts) * 12 + month(ts) AS BIGINT) AS relmon,
+           regexp_replace(event_type, 'c', 'K') AS rep1,
+           list_filter(regexp_split_to_array(event_type || '-9x',
+                       '[^A-Za-z0-9]+'), x -> x != '') AS toks,
+           CAST(event_id % 4294967296 AS BIGINT) AS ip_rt,
+           CAST(gcd(event_id, 24) AS BIGINT) AS g,
+           CAST(lcm(event_id % 7 + 1, 6) AS BIGINT) AS l
+    FROM events ORDER BY event_id
+    """,
+)
+def chsql_r7_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 probe-batch spellings live against an independent engine:
+    ISO-year family (extract YEAROFWEEK + the Monday-of-Jan-4 start),
+    replaceOne (first-occurrence replace — DuckDB's default
+    regexp_replace), tokens (alnum runs, no empties), the IPv4
+    num↔string round trip (pure base-256 arithmetic both ways), and the
+    92-step Euclid gcd/lcm fold vs DuckDB's native gcd/lcm."""
+    return ch_sql(spark, sf_dir, _CH_R7_SPELLINGS)

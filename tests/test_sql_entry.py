@@ -1158,3 +1158,67 @@ def test_chsql_parametric_if_stacking(spark):
 
     with pytest.raises(ValueError, match="agg_histogram"):
         translate("SELECT histogramIf(3)(id, true) FROM tk_if")
+
+
+def test_chsql_r7_probe_batch(spark):
+    """r7 function-gap batch (probed by EXECUTION, the r6 method):
+    value-pinned spellings for arrays/maps/strings/dates/math/IP/
+    introspection scalars; guided errors for the genuinely unmappable."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("arrayShingles([1,2,3,4], 2)") == [[1, 2], [2, 3], [3, 4]]
+    assert one("arrayShingles([1], 3)") == []
+    assert one("mapAdd(map('a',1,'b',2), map('a',10))") == {"a": 11, "b": 2}
+    assert one("replaceOne('aXaX', 'X', 'y')") == "ayaX"
+    assert one("multiMatchAny('hello', ['^x', 'ell'])") is True
+    assert one("multiMatchAnyIndex('hello', ['^x', 'ell'])") == 2
+    assert one("tokens('a-b  c!')") == ["a", "b", "c"]
+    assert one("ngrams('abcd', 2)") == ["ab", "bc", "cd"]
+    assert one("format('{} and {}', 'a', 'b')") == "a and b"
+    assert one("format('{1}-{0}', 'a', 'b')") == "b-a"
+    assert one("toISOYear(toDate('2021-01-01'))") == 2020
+    assert one("toStartOfISOYear(toDate('2021-01-01'))") == \
+        datetime.date(2019, 12, 30)
+    assert one("toDaysSinceYearZero(toDate('1970-01-01'))") == 719528
+    assert one("fromDaysSinceYearZero(719528)") == datetime.date(1970, 1, 1)
+    assert one("YYYYMMDDToDate(20240315)") == datetime.date(2024, 3, 15)
+    assert one("toYearWeek(toDate('2021-01-01'), 3)") == 202053
+    assert one("bitRotateLeft(1, 2)") == 4
+    assert one("gcd(12, 18)") == 6 and one("gcd(0, 5)") == 5
+    assert one("lcm(4, 6)") == 12 and one("lcm(0, 6)") == 0
+    assert one("sigmoid(0)") == 0.5
+    assert one("char(72, 105)") == "Hi" and one("char(65)") == "A"
+    assert one("IPv4NumToString(3232235777)") == "192.168.1.1"
+    assert one("IPv4StringToNum('192.168.1.1')") == 3232235777
+    assert one("isIPv4String('192.168.1.1')") is True
+    assert one("isIPv4String('999.1.1.1')") is False
+    assert one("currentDatabase()") == "default"
+    assert one("toFixedString('abcdef', 3)") == "abc"
+    assert one("defaultValueOfTypeName('Int32')") == 0
+    assert one("lastDayOfMonth(toDate('2024-02-10'))") == \
+        datetime.date(2024, 2, 29)
+    assert one("widthBucket(5, 0, 10, 5)") == 3
+    assert one("size(timeSlots(toDateTime('2024-01-01 00:10:00'), 3600))") \
+        == 3
+    assert one("isNaN(nan())") is True
+    assert one("toTypeName(CAST(1 AS BIGINT))") == "Int64"
+    # default-mode toYearWeek refuses like toWeek (Sunday-start numbering)
+    with _pytest.raises(ValueError, match="mode 3"):
+        translate("SELECT toYearWeek(d) FROM t")
+    for bad, hint in [
+        ("uptime()", "server-runtime"),
+        ("formatRow('CSV', 1)", "to_json"),
+        ("generateULID()", "generateUUIDv4"),
+        ("stem('en', 'x')", "Pandas UDF"),
+        ("erf(0.5)", "scipy"),
+        ("formatReadableTimeDelta(370)", "concat_ws"),
+        ("proportionsZTest(1,2,3,4,0.9,'x')", "agg_stats"),
+        ("normalizeQuery('q')", "normalizer"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
