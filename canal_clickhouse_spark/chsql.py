@@ -469,6 +469,8 @@ _PARAMETRIC = {
     "quantiletiming", "quantilebfloat16", "quantileexactlow",
     "quantileexacthigh", "quantiletimingweighted",
     "quantileinterpolatedweighted",
+    # r7: groupConcat (parametric separator form + -If stack)
+    "groupconcat", "groupconcatif",
     # r6: -If combinators of the quantile family
     "quantileif", "quantileexactif", "quantiletdigestif",
 }
@@ -505,6 +507,17 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         else:
             inner = [f"IF({cond}, {a}, NULL)" for a in args[:-1]]
         return _translate_parametric(name[: -len("if")], params, inner)
+    if low == "groupconcat":
+        # groupConcat[(sep[, limit])](x) — also accepts the 2-arg single
+        # call groupConcat(x, sep). NULLs are skipped on both engines
+        # (collect_list drops them); row order is accumulation order on
+        # both engines, i.e. nondeterministic under parallelism — same
+        # contract, same caveat.
+        sep = params[0] if params else (args[1] if len(args) > 1 else "''")
+        lst = f"collect_list(CAST({args[0]} AS STRING))"
+        if len(params) > 1:
+            lst = f"slice({lst}, 1, {params[1]})"
+        return f"concat_ws({sep}, {lst})"
     if low in _MEDIAN_ALIASES:
         # median<Impl>(args) ≡ quantile<Impl>(0.5)(args): normalize and fall
         # into the quantile paths below.
@@ -741,6 +754,24 @@ def _vec_l2sq(a: str, b: str) -> str:
         f"aggregate(zip_with({a}, {b}, (x, y) ->"
         f" pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)),"
         f" 0D, (s, v) -> s + v)"
+    )
+
+
+def _keyed_array_sort(name: str, lam: str, arr: str, desc: bool) -> str:
+    """CH keyed-sort form (x -> key) → Spark comparator lambda (rename the
+    key var into each comparand). Shared by arraySort / arrayReverseSort /
+    arrayPartialSort / arrayPartialReverseSort."""
+    lam_m = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", lam)
+    if not lam_m:
+        raise ValueError(f"{name}: keyed form expects 'var -> key' lambda")
+    v, body = lam_m.group(1), lam_m.group(2).strip()
+    kl = re.sub(rf"\b{re.escape(v)}\b", "_l", body)
+    kr = re.sub(rf"\b{re.escape(v)}\b", "_r", body)
+    lt, gt = ("1", "-1") if desc else ("-1", "1")
+    return (
+        f"array_sort({arr}, (_l, _r) -> CASE"
+        f" WHEN ({kl}) < ({kr}) THEN {lt}"
+        f" WHEN ({kl}) > ({kr}) THEN {gt} ELSE 0 END)"
     )
 
 
@@ -1192,6 +1223,56 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"regexp_replace({args[0]}, '[?#].*$', '')"
     if low == "querystringandfragment":  # text after '?', without the '?'
         return f"regexp_extract({args[0]}, '\\\\?(.*)', 1)"
+    if low == "pathfull":  # path + query + fragment (everything after host)
+        return (
+            f"concat(parse_url({args[0]}, 'PATH'),"
+            f" coalesce(concat('?', parse_url({args[0]}, 'QUERY')), ''),"
+            f" coalesce(concat('#', parse_url({args[0]}, 'REF')), ''))"
+        )
+    if low in ("extracturlparameters", "extracturlparameternames"):
+        q_ = f"parse_url({args[0]}, 'QUERY')"
+        pairs = (
+            f"IF({q_} IS NULL OR {q_} = '', array(), split({q_}, '&'))"
+        )
+        if low == "extracturlparameters":
+            return pairs
+        return f"transform({pairs}, _p -> split(_p, '=')[0])"
+    if low == "cutwww":
+        return f"regexp_replace({args[0]}, '//www\\\\.', '//')"
+    if low == "urlhierarchy":
+        # Progressive path prefixes under protocol://host (query/fragment
+        # cut) — the common form; CH additionally emits a final query-level
+        # entry, a documented divergence.
+        base = (
+            f"concat(parse_url({args[0]}, 'PROTOCOL'), '://',"
+            f" parse_url({args[0]}, 'HOST'))"
+        )
+        parts = (
+            f"filter(split(parse_url({args[0]}, 'PATH'), '/'),"
+            f" _s -> _s != '')"
+        )
+        return (
+            f"transform(sequence(1, size({parts})), _i -> concat({base},"
+            f" '/', array_join(slice({parts}, 1, _i), '/')))"
+        )
+    if low == "multisearchallpositions":
+        return f"transform({args[1]}, _p -> locate(_p, {args[0]}))"
+    if low == "multisearchfirstindex":
+        return (
+            f"coalesce(array_position(transform({args[1]},"
+            f" _p -> locate(_p, {args[0]}) > 0), true), 0)"
+        )
+    if low == "multisearchfirstposition":
+        # leftmost offset of ANY needle, 0 when none matches
+        return (
+            f"coalesce(array_min(filter(transform({args[1]},"
+            f" _p -> locate(_p, {args[0]})), _x -> _x > 0)), 0)"
+        )
+    if low == "hastokencaseinsensitive":
+        return (
+            f"array_contains(split(lower({args[0]}), '[^a-z0-9]+'),"
+            f" lower({args[1]}))"
+        )
     if low == "decodeurlcomponent":
         return f"url_decode({args[0]})"
     if low == "encodeurlcomponent":
@@ -1224,6 +1305,106 @@ def _translate_call(name: str, args: list[str]) -> str:
         for a in args[1:]:
             out = f"({out} != ({a}))"
         return out if len(args) > 1 else args[0]
+    # -- r7 second probe batch: tuples, -ForEach / -OrDefault / -OrNull
+    # combinators, groupConcat (each executed against a live session first;
+    # all were silent pass-throughs dying in Spark's parser)
+    if low == "untuple":
+        # CH expands the tuple into one column per element at SELECT level;
+        # tuples translate to named_struct, so Spark's struct-star
+        # expansion is the exact equivalent for a column reference. Star
+        # expansion only binds to named references — for a computed tuple
+        # the generator spelling inline(array(st)) expands one struct row
+        # into its fields instead.
+        if re.fullmatch(r"\s*\w+(\.\w+)*\s*", args[0]):
+            return f"{args[0].strip()}.*"
+        return f"inline(array({args[0]}))"
+    if low in ("sumforeach", "minforeach", "maxforeach", "countforeach",
+               "avgforeach"):
+        # Elementwise aggregation across array rows: fold the group's
+        # arrays with a padding zip_with (zip_with extends the shorter
+        # side with NULLs, so ragged lengths take CH's treat-missing-as-
+        # absent semantics). The seed steals the element type from any one
+        # row (`slice(any_value(a), 1, 0)` = a correctly-typed empty
+        # array), avoiding a hardcoded CAST that would corrupt floats.
+        # Note: collect_list materializes the group's arrays on one
+        # executor — same memory shape as agg_collect_list; for huge
+        # groups posexplode + GROUP BY position is the scale spelling.
+        a = args[0]
+        lst = f"collect_list({a})"
+        typed_seed = f"slice(any_value({a}), 1, 0)"
+        if low == "sumforeach":
+            mrg = "(_l, _r) -> coalesce(_l, 0) + coalesce(_r, 0)"
+        elif low == "minforeach":
+            mrg = "(_l, _r) -> least(_l, _r)"  # Spark least skips NULLs
+        elif low == "maxforeach":
+            mrg = "(_l, _r) -> greatest(_l, _r)"
+        elif low == "countforeach":
+            return (
+                f"aggregate({lst}, CAST(array() AS ARRAY<BIGINT>),"
+                f" (_acc, _x) -> zip_with(_acc, _x, (_l, _r) ->"
+                f" coalesce(_l, CAST(0 AS BIGINT))"
+                f" + IF(_r IS NULL, 0, 1)))"
+            )
+        else:  # avgforeach = elementwise sum / elementwise count
+            s_ = (
+                f"aggregate({lst}, {typed_seed}, (_acc, _x) ->"
+                f" zip_with(_acc, _x, (_l, _r) ->"
+                f" coalesce(_l, 0) + coalesce(_r, 0)))"
+            )
+            c_ = (
+                f"aggregate({lst}, CAST(array() AS ARRAY<BIGINT>),"
+                f" (_acc, _x) -> zip_with(_acc, _x, (_l, _r) ->"
+                f" coalesce(_l, CAST(0 AS BIGINT))"
+                f" + IF(_r IS NULL, 0, 1)))"
+            )
+            return (
+                f"zip_with({s_}, {c_},"
+                f" (_s, _c) -> CAST(_s AS DOUBLE) / _c)"
+            )
+        return (
+            f"aggregate({lst}, {typed_seed},"
+            f" (_acc, _x) -> zip_with(_acc, _x, {mrg}))"
+        )
+    if low.endswith("foreach"):
+        raise ValueError(
+            f"{name}: only sum/min/max/count/avg have inline -ForEach"
+            " spellings here; for other bases posexplode the array, GROUP"
+            " BY position with the base aggregate, and collect"
+            " (fn_explode + agg_groupby operators)"
+        )
+    # -OrDefault: CH substitutes the TYPE default when nothing aggregated.
+    # Mapped where the default is statically known (0 for the counting/
+    # summing family); guided where it depends on the argument type.
+    if low == "sumordefault":
+        return f"coalesce(sum({args[0]}), 0)"
+    if low == "avgordefault":
+        return f"coalesce(avg({args[0]}), 0D)"
+    if low == "countordefault":
+        return f"count({args[0]})" if args and args[0] else "count(*)"
+    if low == "uniqordefault":
+        return f"approx_count_distinct({args[0]})"
+    if low == "uniqexactordefault":
+        return f"count(DISTINCT {args[0]})"
+    if low.endswith("ordefault"):
+        raise ValueError(
+            f"{name}: the CH default is the argument TYPE's default, which"
+            " has no static Spark spelling; write"
+            f" coalesce({name[: -len('OrDefault')]}(x), <your default>)"
+        )
+    # -OrNull: NULL when nothing aggregated — Spark's NULL-skipping
+    # aggregates already do this; only the 0-returning counters need a
+    # nullif wrap.
+    if low in ("sumornull", "minornull", "maxornull", "avgornull"):
+        return f"{low[: -len('ornull')]}({args[0]})"
+    if low == "anyornull":
+        return f"any_value({args[0]})"
+    if low == "countornull":
+        inner = f"count({args[0]})" if args and args[0] else "count(*)"
+        return f"nullif({inner}, 0)"
+    if low == "uniqornull":
+        return f"nullif(approx_count_distinct({args[0]}), 0)"
+    if low == "uniqexactornull":
+        return f"nullif(count(DISTINCT {args[0]}), 0)"
     # -- r7 probe batch (gaps found by EXECUTING ~110 common-CH spellings;
     # each rewrite below failed as a pass-through and has an exact or
     # documented-divergence Spark form)
@@ -1561,10 +1742,18 @@ def _translate_call(name: str, args: list[str]) -> str:
         return (
             f"IF(coalesce({rpos}, 0) = 0, 0, size({arr}) + 1 - {rpos})"
         )
-    if low == "arraypartialsort":
+    if low in ("arraypartialsort", "arraypartialreversesort"):
         # CH guarantees the first n elements sorted, rest unspecified; the
-        # full sort is a deterministic refinement of that contract.
-        return f"sort_array({args[1]})"
+        # full sort is a deterministic refinement of that contract. The
+        # signature is ([func,] limit, arr) — the array is always LAST
+        # (the 3-arg keyed form used to emit sort_array(<limit>), silently
+        # dropping the array; caught by the r7 probe sweep).
+        desc = low == "arraypartialreversesort"
+        if len(args) == 3:
+            return _keyed_array_sort(name, args[0], args[2], desc)
+        if len(args) != 2:
+            raise ValueError(f"{name} takes ([func,] limit, arr)")
+        return f"sort_array({args[1]}, {'false' if desc else 'true'})"
     if low == "arrayenumerateuniq":  # occurrence counter per value
         a = args[0]
         return (
@@ -1660,20 +1849,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         if len(args) == 2:
             # CH keyed form arraySort(x -> key, arr) → Spark comparator
             # lambda (rename the key var into each comparand).
-            lam = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", args[0])
-            if not lam:
-                raise ValueError(
-                    f"{name}: two-arg form expects 'var -> key' lambda"
-                )
-            v, body = lam.group(1), lam.group(2).strip()
-            kl = re.sub(rf"\b{re.escape(v)}\b", "_l", body)
-            kr = re.sub(rf"\b{re.escape(v)}\b", "_r", body)
-            lt, gt = ("1", "-1") if desc else ("-1", "1")
-            return (
-                f"array_sort({args[1]}, (_l, _r) -> CASE"
-                f" WHEN ({kl}) < ({kr}) THEN {lt}"
-                f" WHEN ({kl}) > ({kr}) THEN {gt} ELSE 0 END)"
-            )
+            return _keyed_array_sort(name, args[0], args[1], desc)
         return f"sort_array({args[0]}, {'false' if desc else 'true'})"
     if low == "arraystringconcat":  # optional separator, default ''
         sep = args[1] if len(args) > 1 else "''"
@@ -2061,6 +2237,15 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "totypename", "char", "ipv4numtostring", "ipv4stringtonum",
     "isipv4string", "currentdatabase", "hostname", "tofixedstring",
     "defaultvalueoftypename",
+    # r7 second probe batch: tuples + aggregate combinators
+    "untuple", "arraypartialreversesort",
+    "sumforeach", "minforeach", "maxforeach", "countforeach", "avgforeach",
+    "grouparrayforeach", "uniqforeach", "anyforeach", "argmaxforeach",
+    "sumordefault", "avgordefault", "countordefault", "uniqordefault",
+    "uniqexactordefault", "maxordefault", "minordefault", "anyordefault",
+    "anylastordefault", "argmaxordefault",
+    "sumornull", "minornull", "maxornull", "avgornull", "anyornull",
+    "countornull", "uniqornull", "uniqexactornull",
     # r7 probe batch: guided-error spellings
     "uptime", "sleep", "sleepeachrow", "formatrow", "formatrownonewline",
     "generateulid", "normalizequery", "normalizedqueryhash", "stem",
@@ -2651,6 +2836,12 @@ _GLOBAL_JOIN_RE = re.compile(
 _GLOBAL_IN_RE = re.compile(
     r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b)", re.IGNORECASE
 )
+# CH tuple element access: `<ident or ) or ]>.<digits>` — a float literal
+# can never match: its dot is preceded by a digit or nothing, and the
+# identifier alternative must start with a letter/underscore. The trailing
+# (?!\w) rejects `db.2tbl`-style names while letting chained access
+# (`t.1.2`) converge over the fixpoint loop.
+_TUPLE_IDX_RE = re.compile(r"([A-Za-z_]\w*|[\)\]])\.(\d+)(?!\w)")
 _ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 _LIMIT_COMMA_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*$", re.IGNORECASE)
 _SEL_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
@@ -3190,6 +3381,30 @@ def _rewrite_clauses(q: str) -> str:
         )
     q = _rewrite_with_totals(q)
     q = _rewrite_with_fill(q)
+    # CH tuple element access `t.1` / `(expr).2` / `arr[1].3` → the
+    # named_struct field spelling tuples translate to (`.colN`, matching
+    # tuple()/tupleElement output). Anchored to an identifier/closer before
+    # the dot so float literals (digit before the dot) never match; looped
+    # to a fixpoint for nested access (`t.1.2`). Literal-masked like every
+    # rewrite here.
+    prev = None
+    while prev != q:
+        prev = q
+        # Backtick-quoted identifiers may legally contain `.digits`; mask
+        # them too (locally — the FROM rewrite above must still see
+        # backticked table names, so the shared mask can't cover them).
+        masked = re.sub(
+            r"`[^`]*`",
+            lambda m: "`" + "\x01" * (len(m.group(0)) - 2) + "`",
+            _mask_literals(q),
+        )
+        out, last = [], 0
+        for m in _TUPLE_IDX_RE.finditer(masked):
+            out.append(q[last : m.start()])
+            out.append(f"{q[m.start(1):m.end(1)]}.col{m.group(2)}")
+            last = m.end()
+        out.append(q[last:])
+        q = "".join(out)
     return q
 
 
@@ -5038,7 +5253,7 @@ SELECT event_id,
        toStartOfISOYear(toDate(ts)) AS iso_start,
        toInt64(toRelativeMonthNum(toDate(ts))) AS relmon,
        replaceOne(event_type, 'c', 'K') AS rep1,
-       tokens(concat(event_type, '-9x')) AS toks,
+       arrayStringConcat(tokens(concat(event_type, '-9x')), ',') AS toks,
        toInt64(IPv4StringToNum(IPv4NumToString(event_id % 4294967296)))
            AS ip_rt,
        toInt64(gcd(event_id, 24)) AS g,
@@ -5056,8 +5271,9 @@ FROM events ORDER BY event_id
                 AS DATE) AS iso_start,
            CAST(year(ts) * 12 + month(ts) AS BIGINT) AS relmon,
            regexp_replace(event_type, 'c', 'K') AS rep1,
-           list_filter(regexp_split_to_array(event_type || '-9x',
-                       '[^A-Za-z0-9]+'), x -> x != '') AS toks,
+           array_to_string(list_filter(regexp_split_to_array(
+               event_type || '-9x', '[^A-Za-z0-9]+'), x -> x != ''),
+               ',') AS toks,
            CAST(event_id % 4294967296 AS BIGINT) AS ip_rt,
            CAST(gcd(event_id, 24) AS BIGINT) AS g,
            CAST(lcm(event_id % 7 + 1, 6) AS BIGINT) AS l
@@ -5072,3 +5288,66 @@ def chsql_r7_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
     num↔string round trip (pure base-256 arithmetic both ways), and the
     92-step Euclid gcd/lcm fold vs DuckDB's native gcd/lcm."""
     return ch_sql(spark, sf_dir, _CH_R7_SPELLINGS)
+
+
+_CH_TUPLE_COMBINATORS = """
+SELECT event_type,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           sumForEach([event_id % 5, event_id % 3])), ',') AS sfe,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           maxForEach([event_id % 5, event_id % 3])), ',') AS mfe,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           countForEach([event_id % 5, event_id % 3])), ',') AS cfe,
+       toInt64(sumOrDefault(event_id % 7)) AS sod,
+       countOrNull(event_id) AS con,
+       tuple(min(event_id), max(event_id)).1 AS tmin,
+       tuple(min(event_id), max(event_id)).2 AS tmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "chsql_tuple_combinators",
+    oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             unnest([event_id % 5, event_id % 3]) AS v,
+             generate_subscripts([event_id % 5, event_id % 3], 1) AS pos
+      FROM events
+    ),
+    fe AS (
+      SELECT event_type, pos,
+             SUM(v) AS s, MAX(v) AS mx, COUNT(v) AS c
+      FROM ex GROUP BY event_type, pos
+    ),
+    fea AS (
+      SELECT event_type,
+             array_to_string(list(CAST(s AS BIGINT) ORDER BY pos),
+                             ',') AS sfe,
+             array_to_string(list(CAST(mx AS BIGINT) ORDER BY pos),
+                             ',') AS mfe,
+             array_to_string(list(CAST(c AS BIGINT) ORDER BY pos),
+                             ',') AS cfe
+      FROM fe GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(event_id % 7), 0) AS BIGINT) AS sod,
+             CASE WHEN COUNT(event_id) = 0 THEN NULL
+                  ELSE COUNT(event_id) END AS con,
+             MIN(event_id) AS tmin,
+             MAX(event_id) AS tmax
+      FROM events GROUP BY event_type
+    )
+    SELECT b.event_type, f.sfe, f.mfe, f.cfe, b.sod, b.con, b.tmin, b.tmax
+    FROM base b JOIN fea f USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def chsql_tuple_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 second probe batch live vs DuckDB: -ForEach elementwise
+    aggregation (the zip_with fold vs DuckDB's unnest-by-position
+    regroup), -OrDefault / -OrNull empty-set combinators, and tuple
+    construction + positional element access (`tuple(...).1` → the
+    named_struct col1 field)."""
+    return ch_sql(spark, sf_dir, _CH_TUPLE_COMBINATORS)

@@ -1222,3 +1222,78 @@ def test_chsql_r7_probe_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_tuple_and_combinator_batch(spark):
+    """r7 second probe batch: tuples (positional access, untuple),
+    -ForEach / -OrDefault / -OrNull aggregate combinators, groupConcat,
+    and the arrayPartialSort keyed-form fix (the 3-arg form used to emit
+    sort_array(<limit>), silently dropping the array)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    # arrayPartialSort: array is LAST in every arity
+    assert one("arrayPartialSort(2, [3,1,2])") == [1, 2, 3]
+    assert one("arrayPartialSort(x -> -x, 2, [3,1,2])") == [3, 2, 1]
+    assert one("arrayPartialReverseSort(2, [3,1,2])") == [3, 2, 1]
+    with _pytest.raises(ValueError, match="limit, arr"):
+        translate("SELECT arrayPartialSort([3,1,2]) FROM t")
+    # tuple positional access → named_struct colN fields; floats untouched
+    assert one("tuple(7, 'a').1") == 7
+    assert one("tuple(7, 'a').2") == "a"
+    assert one("tuple(1, tuple(2, 3)).2.1") == 2  # chained, fixpoint loop
+    assert one("1.5 + tuple(1,2).1") == 2.5
+    assert "1.5" in translate("SELECT 1.5 FROM t")  # literal not rewritten
+    assert ".25" in translate("SELECT .25 FROM t")
+    assert "'a.1'" in translate("SELECT 'a.1' FROM t")  # masked literal
+    # untuple: star expansion for refs, inline(array()) for expressions
+    assert translate("SELECT untuple(tup) FROM t").strip() == \
+        "SELECT tup.* FROM t"
+    row = spark.sql(translate(
+        "SELECT untuple(tuple(1, 'x')) FROM (SELECT 1 AS d)")).collect()[0]
+    assert (row.col1, row.col2) == (1, "x")
+    # groupConcat: bare / 2-arg / parametric (sep[, limit]) / -If stack
+    spark.createDataFrame(
+        [("a", [1, 2, 3], 1.0), ("a", [10, 20], 2.0), ("b", [5], None)],
+        "g string, arr array<int>, v double",
+    ).createOrReplaceTempView("tcb")
+    grp = lambda q: {
+        r.g: r.s for r in spark.sql(translate(q)).collect()
+    }
+    assert grp("SELECT g, groupConcat('|')(v) AS s FROM tcb GROUP BY g") \
+        == {"a": "1.0|2.0", "b": ""}
+    assert grp("SELECT g, groupConcat('|', 1)(v) AS s FROM tcb GROUP BY g") \
+        == {"a": "1.0", "b": ""}
+    assert grp(
+        "SELECT g, groupConcatIf('|')(v, v > 1) AS s FROM tcb GROUP BY g"
+    ) == {"a": "2.0", "b": ""}
+    # -ForEach: elementwise across ragged arrays (missing tail = absent)
+    assert grp("SELECT g, sumForEach(arr) AS s FROM tcb GROUP BY g") == \
+        {"a": [11, 22, 3], "b": [5]}
+    assert grp("SELECT g, minForEach(arr) AS s FROM tcb GROUP BY g") == \
+        {"a": [1, 2, 3], "b": [5]}
+    assert grp("SELECT g, maxForEach(arr) AS s FROM tcb GROUP BY g") == \
+        {"a": [10, 20, 3], "b": [5]}
+    assert grp("SELECT g, countForEach(arr) AS s FROM tcb GROUP BY g") == \
+        {"a": [2, 2, 1], "b": [1]}
+    assert grp("SELECT g, avgForEach(arr) AS s FROM tcb GROUP BY g") == \
+        {"a": [5.5, 11.0, 3.0], "b": [5.0]}
+    with _pytest.raises(ValueError, match="posexplode"):
+        translate("SELECT groupArrayForEach(arr) FROM t")
+    # -OrDefault / -OrNull empty-set behavior
+    empty = lambda e: spark.sql(translate(
+        f"SELECT {e} AS r FROM tcb WHERE g = 'zz'")).collect()[0].r
+    assert empty("sumOrDefault(v)") == 0
+    assert empty("avgOrDefault(v)") == 0.0
+    assert empty("uniqExactOrDefault(v)") == 0
+    assert empty("sumOrNull(v)") is None
+    assert empty("countOrNull(v)") is None
+    assert empty("uniqExactOrNull(v)") is None
+    # all-NULL input also counts as "nothing aggregated"
+    assert spark.sql(translate(
+        "SELECT uniqExactOrNull(v) AS r FROM tcb WHERE g = 'b'"
+    )).collect()[0].r is None
+    with _pytest.raises(ValueError, match="coalesce"):
+        translate("SELECT maxOrDefault(v) FROM t")
