@@ -97,6 +97,12 @@ EXTENDED: tuple[str, ...] = (
     "chsql_ttl_ddl",          # TTL DDL + two max-anchored expiry merges
     "chsql_paste_compat",     # SHOW-CREATE dump ingest + default fill
     "chsql_show_create_roundtrip",  # DDL dump -> re-execute -> aggregate
+    # r7 probe-batch spelling keys (row-wise keys filtered to ~9% of rows)
+    "chsql_r7_spellings",     # ISO-year/IPv4/gcd-fold row-wise sweep
+    "chsql_tuple_combinators",  # -ForEach zip_with folds + tuple access
+    "chsql_url_bits",         # parse_url composition + bucket rounding
+    "chsql_stats_aggs",       # skew/kurt/entropy/boundingRatio aggregates
+    "chsql_r7_batch4",        # string-distance / MAC / CIDR / simpleJSON
 )
 
 

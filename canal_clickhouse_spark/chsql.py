@@ -471,6 +471,13 @@ _PARAMETRIC = {
     "quantileinterpolatedweighted",
     # r7: groupConcat (parametric separator form + -If stack)
     "groupconcat", "groupconcatif",
+    # r7: render-helper parametric — guided error
+    "sparkbar",
+    # r7 fourth batch: quantile impls + groupArray variants
+    "quantilegk", "quantileddsketch", "quantileexactexclusive",
+    "quantileexactinclusive", "quantilesexactexclusive",
+    "quantilesexactinclusive", "grouparraysorted", "grouparraylast",
+    "grouparraysample",
     # r6: -If combinators of the quantile family
     "quantileif", "quantileexactif", "quantiletdigestif",
 }
@@ -507,6 +514,12 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         else:
             inner = [f"IF({cond}, {a}, NULL)" for a in args[:-1]]
         return _translate_parametric(name[: -len("if")], params, inner)
+    if low == "sparkbar":
+        raise ValueError(
+            "sparkbar renders a unicode bar chart of the distribution — a"
+            " presentation concern; compute the buckets with"
+            " histogram(N)(x) (mapped) and render client-side"
+        )
     if low == "groupconcat":
         # groupConcat[(sep[, limit])](x) — also accepts the 2-arg single
         # call groupConcat(x, sep). NULLs are skipped on both engines
@@ -531,12 +544,35 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         p = params[0] if params else "0.5"
         return f"percentile({args[0]}, {p}, {args[1]})"
     if low in ("quantiletiming", "quantilebfloat16", "quantileexactlow",
-               "quantileexacthigh"):
+               "quantileexacthigh", "quantileexactexclusive",
+               "quantileexactinclusive", "quantilegk", "quantileddsketch"):
         # Approximate/element-picking impls → exact interpolated percentile
-        # (documented divergence, same as quantileExact's treatment).
+        # (documented divergence, same as quantileExact's treatment;
+        # Inclusive IS percentile's interpolation, Exclusive shifts rank
+        # bounds — approximated by the same exact form; GK's accuracy
+        # parameter drops because the exact value subsumes it).
         low = "quantile"
-    if low == "quantiles":
+        if params and len(params) > 1:
+            params = params[-1:]  # GK spelled quantileGK(acc, p) one-group
+    if low in ("quantiles", "quantilesexactexclusive",
+               "quantilesexactinclusive"):
         return f"percentile({args[0]}, array({', '.join(params)}))"
+    if low == "grouparraysorted":
+        n = params[0] if params else None
+        lst = f"sort_array(collect_list({args[0]}))"
+        return f"slice({lst}, 1, {n})" if n else lst
+    if low == "grouparraylast":
+        # last n in accumulation order — CH's own nondeterminism contract,
+        # same as groupArray(n)
+        n = params[0]
+        lst = f"collect_list({args[0]})"
+        return (
+            f"IF(size({lst}) <= {n}, {lst},"
+            f" slice({lst}, size({lst}) - ({n}) + 1, {n}))"
+        )
+    if low == "grouparraysample":
+        # randomized sample — the seed parameter (if any) drops
+        return f"slice(shuffle(collect_list({args[0]})), 1, {params[0]})"
     if low == "uniqupto":  # uniqUpTo(N)(x): distinct count saturating at N+1
         n = params[0] if params else "5"
         return f"LEAST(count(DISTINCT {args[0]}), {n} + 1)"
@@ -2158,6 +2194,663 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" * pow(sin(radians((CAST({lon2} AS DOUBLE) - CAST({lon1} AS DOUBLE)) / 2)), 2)"
             f")))"
         )
+    if low in ("geodistance", "greatcircleangle"):
+        # geoDistance: CH's ellipsoid-corrected variant — mapped to the
+        # same haversine sphere as greatCircleDistance (documented
+        # divergence, ~0.3% worst case). greatCircleAngle: the central
+        # angle in degrees instead of metres.
+        lon1, lat1, lon2, lat2 = args[0], args[1], args[2], args[3]
+        hav = (
+            f"asin(sqrt("
+            f"pow(sin(radians((CAST({lat2} AS DOUBLE) - CAST({lat1} AS DOUBLE)) / 2)), 2)"
+            f" + cos(radians(CAST({lat1} AS DOUBLE))) * cos(radians(CAST({lat2} AS DOUBLE)))"
+            f" * pow(sin(radians((CAST({lon2} AS DOUBLE) - CAST({lon1} AS DOUBLE)) / 2)), 2)"
+            f"))"
+        )
+        if low == "geodistance":
+            return f"(2 * 6371000.0D * {hav})"
+        return f"degrees(2 * {hav})"
+    # -- r7 third probe batch: stats aggregates
+    if low in ("skewpop", "skewsamp"):
+        # Spark's skewness IS the population form (m3 / m2^1.5); the
+        # sample form rescales by sqrt(n(n-1))/(n-2).
+        if low == "skewpop":
+            return f"skewness({args[0]})"
+        n = f"count({args[0]})"
+        return (
+            f"(skewness({args[0]}) * sqrt(CAST({n} * ({n} - 1) AS DOUBLE))"
+            f" / ({n} - 2))"
+        )
+    if low in ("kurtpop", "kurtsamp"):
+        # Spark's kurtosis is population EXCESS kurtosis (m4/m2² − 3);
+        # CH's kurtPop is plain m4/m2²; kurtSamp divides by the SAMPLE
+        # variance squared → scale by ((n−1)/n)².
+        base = f"(kurtosis({args[0]}) + 3)"
+        if low == "kurtpop":
+            return base
+        n = f"CAST(count({args[0]}) AS DOUBLE)"
+        return f"({base} * pow(({n} - 1) / {n}, 2))"
+    if low == "boundingratio":
+        # slope between the leftmost and rightmost (x, y) points
+        x, y = args[0], args[1]
+        return (
+            f"(CAST(max_by({y}, {x}) - min_by({y}, {x}) AS DOUBLE)"
+            f" / (max({x}) - min({x})))"
+        )
+    if low == "entropy":
+        # Shannon entropy (log2) of the value distribution — exact via an
+        # in-group distinct-count fold. collect_list materializes the
+        # group (same caveat as -ForEach); for huge groups GROUP BY value
+        # + agg_groupby is the scale spelling.
+        v = f"collect_list({args[0]})"
+        counts = (
+            f"transform(array_distinct({v}), _u ->"
+            f" CAST(size(filter({v}, _w -> _w <=> _u)) AS DOUBLE))"
+        )
+        return (
+            f"aggregate({counts}, 0D, (_s, _c) ->"
+            f" _s - (_c / size({v})) * log2(_c / size({v})))"
+        )
+    if low in ("studentttest", "welchttest", "mannwhitneyutest",
+               "kolmogorovsmirnovtest", "rankcorr", "cramersv",
+               "cramersvbiascorrected", "theilsu", "contingency"):
+        raise ValueError(
+            f"{name} needs a significance-table lookup or rank/contingency"
+            " machinery with no inline Spark spelling; build it from the"
+            " agg_stats building blocks (avg/stddev/corr + win_rank for"
+            " rank statistics)"
+        )
+    if low in ("deltasum", "deltasumtimestamp"):
+        raise ValueError(
+            f"{name} is order-dependent (sums positive deltas in row"
+            " order) — aggregates see no row order on either engine at"
+            " scale; use the win_lag_lead / win_running_sum window"
+            " operators with an explicit ORDER BY"
+        )
+    if low in ("minsamplesizeconversion", "minsamplesizecontinous",
+               "minsamplesizecontinuous"):
+        raise ValueError(
+            f"{name} needs the normal-quantile function (no Spark"
+            " builtin); compute the power analysis client-side or in a"
+            " Pandas UDF (scipy.stats.norm.ppf)"
+        )
+    if low == "largesttrianglethreebuckets":
+        raise ValueError(
+            "largestTriangleThreeBuckets is a downsampling render helper;"
+            " see the ts_downsample / stream window operators for the"
+            " engine-side equivalent"
+        )
+    # -- r7 third probe batch: rounding and bit tests
+    if low == "roundtoexp2":
+        x = args[0]
+        return (
+            f"IF({x} < 1, 0, shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(floor(log2({x})) AS INT)))"
+        )
+    if low == "roundage":
+        x = args[0]
+        return (
+            f"CASE WHEN {x} < 1 THEN 0 WHEN {x} <= 17 THEN 17"
+            f" WHEN {x} <= 24 THEN 18 WHEN {x} <= 34 THEN 25"
+            f" WHEN {x} <= 44 THEN 35 WHEN {x} <= 54 THEN 45"
+            f" ELSE 55 END"
+        )
+    if low == "roundduration":
+        x = args[0]
+        buckets = "1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, " \
+                  "3600, 7200, 18000, 36000"
+        return (
+            f"coalesce(array_max(filter(array({buckets}),"
+            f" _e -> _e <= {x})), 0)"
+        )
+    if low in ("bittestall", "bittestany"):
+        op = " AND " if low == "bittestall" else " OR "
+        tests = [
+            f"((CAST(shiftright({args[0]}, CAST({p} AS INT)) AS BIGINT)"
+            f" & 1) = 1)"
+            for p in args[1:]
+        ]
+        return "(" + op.join(tests) + ")"
+    if low == "bitrotateright":
+        x, n = args[0], args[1]
+        return (
+            f"(shiftrightunsigned(CAST({x} AS BIGINT), {n})"
+            f" | shiftleft(CAST({x} AS BIGINT), 64 - ({n})))"
+        )
+    if low == "bytesize":
+        raise ValueError(
+            "byteSize reports CH's per-type storage width; for strings use"
+            " octet_length(x), fixed-width types are constants of the"
+            " declared type (see the CH type map in chsql_ddl)"
+        )
+    # -- r7 third probe batch: map functions (lambda-first CH arg order)
+    if low == "mapfilter":
+        return f"map_filter({args[1]}, {args[0]})"
+    if low == "mapexists":
+        return f"(size(map_filter({args[1]}, {args[0]})) > 0)"
+    if low == "mapall":
+        return f"(size(map_filter({args[1]}, {args[0]})) = size({args[1]}))"
+    if low == "mapapply":
+        # mapApply((k, v) -> (ke, ve), m): rebuild via entries
+        lam = re.match(
+            r"(?s)^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*\((.+)\)\s*$",
+            args[0],
+        )
+        if not lam:
+            raise ValueError(
+                "mapApply expects a '(k, v) -> (key_expr, value_expr)'"
+                " tuple-returning lambda"
+            )
+        kv, vv, body = lam.group(1), lam.group(2), lam.group(3)
+        parts = _split_args(body)
+        if len(parts) != 2:
+            raise ValueError(
+                "mapApply's lambda must return a 2-tuple (key, value)"
+            )
+        ke, ve = parts[0], parts[1]
+        for var, rep in ((kv, "_e.key"), (vv, "_e.value")):
+            ke = re.sub(rf"\b{re.escape(var)}\b", rep, ke)
+            ve = re.sub(rf"\b{re.escape(var)}\b", rep, ve)
+        return (
+            f"map_from_entries(transform(map_entries({args[1]}),"
+            f" _e -> struct({ke}, {ve})))"
+        )
+    if low in ("mapupdate", "mapconcat"):
+        # mapUpdate: the SECOND map's value wins on key collision;
+        # mapConcat keeps the FIRST occurrence.
+        m1, m2 = args[0], args[1]
+        win, lose = (m2, m1) if low == "mapupdate" else (m1, m2)
+        ks = f"array_union(map_keys({m1}), map_keys({m2}))"
+        return (
+            f"map_from_arrays({ks}, transform({ks}, _k ->"
+            f" coalesce(element_at({win}, _k), element_at({lose}, _k))))"
+        )
+    if low == "mapsubtract":
+        m1, m2 = args[0], args[1]
+        ks = f"array_union(map_keys({m1}), map_keys({m2}))"
+        return (
+            f"map_from_arrays({ks}, transform({ks}, _k ->"
+            f" coalesce(element_at({m1}, _k), 0)"
+            f" - coalesce(element_at({m2}, _k), 0)))"
+        )
+    if low == "mappopulateseries":
+        m = args[0]
+        mx = args[1] if len(args) > 1 else f"array_max(map_keys({m}))"
+        ks = f"sequence(array_min(map_keys({m})), {mx})"
+        return (
+            f"IF(size({m}) = 0, {m}, map_from_arrays({ks},"
+            f" transform({ks}, _k -> coalesce(element_at({m}, _k), 0))))"
+        )
+    if low in ("mapsort", "mapreversesort"):
+        if len(args) > 1:
+            raise ValueError(
+                f"{name}: the keyed-lambda form has no inline Spark"
+                " spelling; sort map_entries(m) with array_sort and"
+                " rebuild via map_from_entries"
+            )
+        lt, gt = ("1", "-1") if low == "mapreversesort" else ("-1", "1")
+        ents = (
+            f"array_sort(map_entries({args[0]}), (_l, _r) -> CASE"
+            f" WHEN _l.key < _r.key THEN {lt}"
+            f" WHEN _l.key > _r.key THEN {gt} ELSE 0 END)"
+        )
+        return f"map_from_entries({ents})"
+    # -- r7 third probe batch: array functions
+    if low == "arrayauc":
+        # exact pairwise AUC (ties at 0.5) — O(w²) in array width, same
+        # bounded-array caveat as arrayCumSum
+        s_, l_ = args[0], args[1]
+        zp = (
+            f"zip_with({s_}, {l_}, (_s, _l) ->"
+            f" named_struct('sc', CAST(_s AS DOUBLE), 'lb', _l))"
+        )
+        pos = f"transform(filter({zp}, _e -> _e.lb > 0), _e -> _e.sc)"
+        neg = f"transform(filter({zp}, _e -> _e.lb <= 0), _e -> _e.sc)"
+        num = (
+            f"aggregate(flatten(transform({pos}, _p -> transform({neg},"
+            f" _q -> IF(_p > _q, 1D, IF(_p = _q, 0.5D, 0D))))),"
+            f" 0D, (_a, _b) -> _a + _b)"
+        )
+        return f"({num} / (size({pos}) * size({neg})))"
+    if low == "arraycumsumnonnegative":
+        # clamp-at-zero prefix sum: the reset is sequential, so each
+        # prefix refolds — O(w²), bounded-array caveat as arrayCumSum.
+        # DOUBLE-widening like arrayCumSum.
+        a = args[0]
+        return (
+            f"transform({a}, (_x, _i) -> aggregate(slice({a}, 1, _i + 1),"
+            f" 0D, (_s, _v) -> greatest(_s + CAST(_v AS DOUBLE), 0D)))"
+        )
+    if low in ("arrayrotateleft", "arrayrotateright"):
+        a, n = args[0], args[1]
+        if low == "arrayrotateright":
+            n = f"-({n})"
+        nm = f"((({n}) % size({a}) + size({a})) % size({a}))"
+        return (
+            f"IF(size({a}) = 0, {a}, concat("
+            f"slice({a}, {nm} + 1, size({a}) - {nm}),"
+            f" slice({a}, 1, {nm})))"
+        )
+    if low in ("arrayshiftleft", "arrayshiftright"):
+        # CH pads with the element-type default when no fill is given;
+        # NULL is the closest type-agnostic Spark spelling (documented
+        # divergence — pass the fill argument for exact parity).
+        a, n = args[0], args[1]
+        fill = args[2] if len(args) > 2 else "NULL"
+        if low == "arrayshiftright":
+            n = f"-({n})"
+        pad = f"array_repeat({fill}, least(abs({n}), size({a})))"
+        left = (
+            f"concat(slice({a}, least({n}, size({a})) + 1,"
+            f" greatest(size({a}) - ({n}), 0)), {pad})"
+        )
+        right = (
+            f"concat({pad}, slice({a}, 1,"
+            f" greatest(size({a}) - abs({n}), 0)))"
+        )
+        return f"IF(({n}) >= 0, {left}, {right})"
+    if low in ("arrayrandomsample", "arraypartialshuffle"):
+        # both are randomized (no value contract); partialShuffle's
+        # shuffled-prefix refinement maps to a full shuffle
+        a = args[0]
+        if low == "arrayrandomsample":
+            return f"slice(shuffle({a}), 1, least({args[1]}, size({a})))"
+        return f"shuffle({a})"
+    if low == "arrayjaccardindex":
+        a, b = args[0], args[1]
+        return (
+            f"(CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+            f" / size(array_union({a}, {b})))"
+        )
+    if low == "arraydotproduct":
+        return _vec_dot(args[0], args[1])
+    if low == "arraynormalizedgini":
+        raise ValueError(
+            "arrayNormalizedGini's rank-weighted fold has no tractable"
+            " inline spelling; compute it from arrayAUC building blocks"
+            " or a Pandas UDF"
+        )
+    # -- r7 third probe batch: misc conversions and guided spellings
+    if low == "todecimal256":
+        # Spark's max decimal precision is 38 (CH Decimal256 is 76) —
+        # documented clamp, same class as the FixedString divergence
+        return f"CAST({args[0]} AS DECIMAL(38, {args[1]}))"
+    if low == "trybase64decode":
+        return f"CAST(try_to_binary({args[0]}, 'base64') AS STRING)"
+    if low == "tuplenames":
+        return f"json_object_keys(to_json({args[0]}))"
+    if low == "tupletonamevaluepairs":
+        raise ValueError(
+            "tupleToNameValuePairs: Spark structs lose CH's tuple-name"
+            " introspection at this level; use map_entries on a MAP column"
+            " or to_json + json_object_keys (tupleNames)"
+        )
+    if low in ("base58encode", "base58decode"):
+        raise ValueError(
+            f"{name} needs bignum base-58 arithmetic (no Spark builtin);"
+            " use base64Encode/base64Decode (mapped) or a Pandas UDF"
+        )
+    if low == "bitslice":
+        raise ValueError(
+            "bitSlice extracts sub-BYTE bit ranges — no Spark builtin;"
+            " for byte-aligned slices use substr, for bit tests use"
+            " bitTest/bitTestAll/bitTestAny (mapped)"
+        )
+    if low == "byteswap":
+        raise ValueError(
+            "byteSwap's result depends on the CH integer WIDTH (UInt8 vs"
+            " UInt64 swap differently) which Spark types don't preserve;"
+            " spell the swap explicitly with shiftleft/shiftright masks"
+            " for your width"
+        )
+    if low == "subbitmap":
+        raise ValueError(
+            "subBitmap operates on roaring-bitmap states — not"
+            " Spark-expressible inline; the agg_bitmap_ops operator"
+            " implements the bitmap family over array states"
+        )
+    if low in ("pointinpolygon", "geohashencode", "geohashdecode",
+               "geohashesinbox"):
+        raise ValueError(
+            f"{name}: computational-geometry/geohash encodings have no"
+            " Spark builtin; use a Pandas UDF (shapely/geohash libs) —"
+            " the greatCircleDistance/geoDistance spellings are mapped"
+        )
+    if low.startswith("h3") or low in ("geotoh3", "s2togeo", "geotos2"):
+        raise ValueError(
+            f"{name}: H3/S2 cell indexing needs the uber-h3/s2 native"
+            " libraries; wrap them in a Pandas UDF — Spark has no builtin"
+        )
+    # -- r7 fourth probe batch: date/time precision + calendar converters
+    if low == "totimezone":
+        # CH changes DISPLAY timezone without moving the instant; Spark
+        # timestamps are tz-less instants, so the faithful rendering-use
+        # map is the tz-shifted wall clock (the session is pinned UTC).
+        return f"from_utc_timestamp({args[0]}, {args[1]})"
+    if low == "timezoneof":
+        return "current_timezone()"  # engine pins one session tz
+    if low == "tomillisecond":
+        return f"CAST(date_format({args[0]}, 'SSS') AS INT)"
+    if low == "tomodifiedjulianday":
+        return f"datediff(to_date({args[0]}), DATE'1858-11-17')"
+    if low == "frommodifiedjulianday":
+        return f"date_add(DATE'1858-11-17', CAST({args[0]} AS INT))"
+    if low in ("utctimestamp", "nowinblock"):
+        # session tz is pinned UTC; nowInBlock's per-block re-evaluation
+        # maps to the per-query instant (documented divergence)
+        return "current_timestamp()"
+    if low == "addinterval":
+        return f"({args[0]} + {args[1]})"
+    if low == "tolastdayofweek":
+        d = args[0]
+        return f"date_add(date_sub(to_date({d}), dayofweek({d}) - 1), 6)"
+    if low == "tostartofmillisecond":
+        return f"date_trunc('MILLISECOND', {args[0]})"
+    if low in ("tostartofmicrosecond", "tostartofnanosecond"):
+        # Spark timestamps ARE microseconds — truncation is identity (the
+        # nanosecond form inherits the documented micro precision)
+        return args[0]
+    # -- r7 fourth probe batch: string distance / UTF8 spellings
+    if low in ("editdistance", "editdistanceutf8", "levenshteindistance"):
+        return f"levenshtein({args[0]}, {args[1]})"
+    if low == "stringjaccardindex":
+        # Jaccard over the SETS of characters (CH: byte sets)
+        a, b = args[0], args[1]
+        i_ = f"size(array_intersect(split({a}, ''), split({b}, '')))"
+        u_ = f"size(array_union(split({a}, ''), split({b}, '')))"
+        return f"IF({u_} = 0, 0D, CAST({i_} AS DOUBLE) / {u_})"
+    if low == "bytehammingdistance":
+        # differing positions + the length difference (zip_with pads the
+        # shorter side with NULLs, which <=> counts as differing)
+        a, b = args[0], args[1]
+        return (
+            f"aggregate(zip_with(split({a}, ''), split({b}, ''),"
+            f" (_x, _y) -> IF(_x <=> _y, 0, 1)), 0, (_s, _v) -> _s + _v)"
+        )
+    if low in ("dameraulevenshteindistance", "jarosimilarity",
+               "jarowinklersimilarity"):
+        raise ValueError(
+            f"{name}: no Spark builtin for this string metric; levenshtein"
+            " (editDistance — mapped) is the supported distance, or wrap"
+            " a library in a Pandas UDF"
+        )
+    if low in ("normalizeutf8nfc", "normalizeutf8nfd", "normalizeutf8nfkc",
+               "normalizeutf8nfkd"):
+        raise ValueError(
+            f"{name}: Unicode normalization has no Spark SQL builtin; wrap"
+            " python's unicodedata.normalize in a Pandas UDF"
+            " (udf_pandas_scalar pattern)"
+        )
+    if low == "tovalidutf8":
+        return args[0]  # Spark strings are valid UTF-8 by construction
+    if low == "leftutf8":
+        return f"left({args[0]}, {args[1]})"
+    if low == "rightutf8":
+        return f"right({args[0]}, {args[1]})"
+    if low == "translateutf8":
+        return f"translate({args[0]}, {args[1]}, {args[2]})"
+    if low in ("idnaencode", "idnadecode", "punycodeencode",
+               "punycodedecode", "tryidnaencode", "trypunycodedecode"):
+        raise ValueError(
+            f"{name}: IDNA/punycode needs the ICU machinery; wrap"
+            " python's str.encode('idna') in a Pandas UDF"
+        )
+    # -- r7 fourth probe batch: simpleJSON / JSON additions
+    if low in ("simplejsonextractstring", "simplejsonextractraw"):
+        return f"get_json_object({args[0]}, {_json_path(args[1])})"
+    if low in ("simplejsonextractint", "simplejsonextractuint"):
+        path = _json_path(args[1])
+        return (
+            f"coalesce(CAST(get_json_object({args[0]}, {path})"
+            f" AS BIGINT), 0)"
+        )
+    if low == "simplejsonextractfloat":
+        path = _json_path(args[1])
+        return (
+            f"coalesce(CAST(get_json_object({args[0]}, {path})"
+            f" AS DOUBLE), 0D)"
+        )
+    if low == "simplejsonextractbool":
+        path = _json_path(args[1])
+        return f"(get_json_object({args[0]}, {path}) = 'true')"
+    if low == "simplejsonhas":
+        path = _json_path(args[1])
+        return f"(get_json_object({args[0]}, {path}) IS NOT NULL)"
+    if low == "jsonallpaths":
+        return f"json_object_keys({args[0]})"  # top-level paths
+    if low == "jsonarraylength":
+        return f"json_array_length({args[0]})"
+    if low == "jsonmergepatch":
+        raise ValueError(
+            "JSONMergePatch (RFC 7386) has no Spark builtin; merge via"
+            " from_json → map_concat → to_json for flat documents"
+        )
+    # -- r7 fourth probe batch: aggregate additions
+    if low in ("uniqcombined64", "uniqtheta"):
+        return f"approx_count_distinct({args[0]})"
+    if low == "singlevalueornull":
+        return f"IF(count(DISTINCT {args[0]}) = 1, max({args[0]}), NULL)"
+    if low == "maxintersections":
+        # sweep-line over the group's interval endpoints: one sorted fold,
+        # ends tie-break before starts (half-open intervals)
+        s_, e_ = args[0], args[1]
+        pts = (
+            f"array_sort(concat("
+            f"transform(collect_list({s_}), _t -> named_struct('t',"
+            f" CAST(_t AS DOUBLE), 'd', 1)),"
+            f"transform(collect_list({e_}), _t -> named_struct('t',"
+            f" CAST(_t AS DOUBLE), 'd', -1))),"
+            f" (_l, _r) -> CASE WHEN _l.t < _r.t THEN -1"
+            f" WHEN _l.t > _r.t THEN 1"
+            f" WHEN _l.d < _r.d THEN -1 WHEN _l.d > _r.d THEN 1"
+            f" ELSE 0 END)"
+        )
+        return (
+            f"aggregate({pts}, named_struct('c', 0, 'm', 0),"
+            f" (_s, _e) -> named_struct('c', _s.c + _e.d,"
+            f" 'm', greatest(_s.m, _s.c + _e.d)), _s -> _s.m)"
+        )
+    if low == "intervallengthsum":
+        # length of the UNION of the group's [s, e) intervals — same
+        # sweep, accumulating covered length while depth > 0
+        s_, e_ = args[0], args[1]
+        pts = (
+            f"array_sort(concat("
+            f"transform(collect_list({s_}), _t -> named_struct('t',"
+            f" CAST(_t AS DOUBLE), 'd', 1)),"
+            f"transform(collect_list({e_}), _t -> named_struct('t',"
+            f" CAST(_t AS DOUBLE), 'd', -1))),"
+            f" (_l, _r) -> CASE WHEN _l.t < _r.t THEN -1"
+            f" WHEN _l.t > _r.t THEN 1"
+            f" WHEN _l.d < _r.d THEN -1 WHEN _l.d > _r.d THEN 1"
+            f" ELSE 0 END)"
+        )
+        return (
+            f"aggregate({pts},"
+            f" named_struct('c', 0, 'lt', 0D, 'tot', 0D),"
+            f" (_s, _e) -> named_struct('c', _s.c + _e.d, 'lt', _e.t,"
+            f" 'tot', _s.tot + IF(_s.c > 0, _e.t - _s.lt, 0D)),"
+            f" _s -> _s.tot)"
+        )
+    if low in ("grouparraymovingsum", "grouparraymovingavg"):
+        raise ValueError(
+            f"{name} accumulates in ROW ORDER, which aggregates don't see"
+            " at scale; use win_running_sum / win_moving_avg with an"
+            " explicit ORDER BY window"
+        )
+    # -- r7 fourth probe batch: identity/constants + server introspection
+    if low in ("materialize", "identity"):
+        return args[0]
+    if low == "ignore":
+        return "0"
+    if low == "indexhint":
+        # CH: a constant-1 predicate that only steers index selection —
+        # Spark's planner has no analogue; the value-faithful form is TRUE
+        return "true"
+    if low in ("currentuser", "initialuser"):
+        return "'default'"
+    if low in ("queryid", "initialqueryid"):
+        raise ValueError(
+            f"{name}: Spark exposes no per-query id inline; correlate via"
+            " the Spark UI / listener API outside the query"
+        )
+    if low in ("isnullable", "isconstant"):
+        raise ValueError(
+            f"{name} introspects the expression's compile-time type; read"
+            " the schema via DESCRIBE TABLE / system.columns instead"
+        )
+    if low in ("version", "buildid", "revision", "displayname",
+               "serveruuid", "zookeepersessionuptime", "connectionid",
+               "transactionid", "getmacro", "getsetting",
+               "getclientinfo", "getoskernelversion"):
+        raise ValueError(
+            f"{name}() is server-runtime introspection with no meaning in"
+            " a batch plan (same family as uptime()); read engine"
+            " metadata from the Spark session/UI instead"
+        )
+    if low == "hascolumnintable":
+        raise ValueError(
+            "hasColumnInTable: query the system.columns introspection"
+            " table (chsql_system_introspection) instead"
+        )
+    # -- r7 fourth probe batch: MAC / IPv4 extensions
+    if low == "macnumtostring":
+        n = f"CAST({args[0]} AS BIGINT)"
+        return (
+            f"concat_ws(':', transform(sequence(5, 0, -1),"
+            f" _i -> lpad(hex(shiftright({n}, _i * 8) & 255), 2, '0')))"
+        )
+    if low == "macstringtonum":
+        return (
+            f"aggregate(split({args[0]}, ':'), CAST(0 AS BIGINT),"
+            f" (_a, _p) -> _a * 256 + CAST(conv(_p, 16, 10) AS BIGINT))"
+        )
+    if low in ("toipv4", "toipv4ornull", "toipv4orzero"):
+        # the IPv4 type surfaces as its UInt32 value (same convention as
+        # IPv4StringToNum); render with IPv4NumToString
+        num = (
+            f"aggregate(transform(split({args[0]}, '\\\\.'),"
+            " _p -> CAST(_p AS BIGINT)), CAST(0 AS BIGINT),"
+            " (_acc, _x) -> _acc * 256 + _x)"
+        )
+        if low == "toipv4":
+            return num
+        valid = (
+            f"({args[0]} RLIKE"
+            " '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){3}"
+            "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$')"
+        )
+        fb = "NULL" if low.endswith("ornull") else "0"
+        return f"IF({valid}, {num}, {fb})"
+    if low == "isipaddressinrange":
+        # IPv4 CIDR containment via prefix compare (IPv6 needs 128-bit
+        # arithmetic — guided through the IPv6 family below)
+        addr, cidr = args[0], args[1]
+        num = (
+            "aggregate(transform(split({s}, '\\\\.'),"
+            " _p -> CAST(_p AS BIGINT)), CAST(0 AS BIGINT),"
+            " (_acc, _x) -> _acc * 256 + _x)"
+        )
+        a_n = num.format(s=addr)
+        p_n = num.format(s=f"split({cidr}, '/')[0]")
+        bits = f"CAST(split({cidr}, '/')[1] AS INT)"
+        return (
+            f"(shiftright({a_n}, 32 - {bits})"
+            f" = shiftright({p_n}, 32 - {bits}))"
+        )
+    if low in ("ipv6numtostring", "ipv6stringtonum", "ipv4toipv6",
+               "cutipv6", "ipv4cidrtorange", "ipv6cidrtorange", "toipv6",
+               "toipv6ornull", "toipv6orzero", "isipv6string"):
+        raise ValueError(
+            f"{name}: IPv6 needs 128-bit binary arithmetic with no Spark"
+            " inline spelling; the IPv4 family (IPv4NumToString /"
+            " IPv4StringToNum / isIPAddressInRange) is mapped — wrap an"
+            " ipaddress-module Pandas UDF for IPv6"
+        )
+    # -- r7 fourth probe batch: rendering / parsing / random
+    if low == "bar":
+        x, lo_, hi, w = args[0], args[1], args[2], args[3]
+        return (
+            f"repeat('█', CAST(round((CAST({x} AS DOUBLE) - {lo_})"
+            f" / ({hi} - {lo_}) * {w}) AS INT))"
+        )
+    if low == "formatreadabledecimalsize":
+        x = f"CAST({args[0]} AS DOUBLE)"
+        return (
+            f"(CASE WHEN abs({x}) >= 1e12 THEN"
+            f" concat(format_number({x} / 1e12, 2), ' TB')"
+            f" WHEN abs({x}) >= 1e9 THEN"
+            f" concat(format_number({x} / 1e9, 2), ' GB')"
+            f" WHEN abs({x}) >= 1e6 THEN"
+            f" concat(format_number({x} / 1e6, 2), ' MB')"
+            f" WHEN abs({x}) >= 1e3 THEN"
+            f" concat(format_number({x} / 1e3, 2), ' KB')"
+            f" ELSE concat(format_number({x}, 2), ' B') END)"
+        )
+    if low == "parsereadablesize":
+        s_ = args[0]
+        num = f"CAST(regexp_extract({s_}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE)"
+        unit = f"lower(regexp_extract({s_}, '([A-Za-z]+)\\\\s*$', 1))"
+        return (
+            f"CAST(round({num} * (CASE {unit}"
+            f" WHEN 'b' THEN 1 WHEN 'kib' THEN 1024"
+            f" WHEN 'mib' THEN 1048576 WHEN 'gib' THEN 1073741824"
+            f" WHEN 'tib' THEN 1099511627776"
+            f" WHEN 'kb' THEN 1000 WHEN 'mb' THEN 1000000"
+            f" WHEN 'gb' THEN 1000000000 WHEN 'tb' THEN 1000000000000"
+            f" ELSE 1 END)) AS BIGINT)"
+        )
+    if low == "randcanonical":
+        return "rand()"
+    if low == "randuniform":
+        return f"({args[0]} + rand() * (({args[1]}) - ({args[0]})))"
+    if low == "randnormal":
+        return f"(randn() * ({args[1]}) + ({args[0]}))"
+    if low == "randbernoulli":
+        return f"IF(rand() < ({args[0]}), 1, 0)"
+    if low == "randexponential":
+        return f"(-ln(1.0 - rand()) / ({args[0]}))"
+    if low == "randlognormal":
+        return f"exp(randn() * ({args[1]}) + ({args[0]}))"
+    if low in ("randbinomial", "randnegativebinomial", "randpoisson",
+               "randstudentt", "randchisquared", "randfisherf"):
+        raise ValueError(
+            f"{name}: multi-draw distributions need a sampling loop; use"
+            " randUniform/randNormal/randExponential (mapped) or a Pandas"
+            " UDF with numpy.random"
+        )
+    if low == "generateuuidv7":
+        # uuid() is v4 — unique but NOT time-ordered (documented
+        # divergence; order by an explicit timestamp column instead)
+        return "uuid()"
+    if low == "snowflaketodatetime":
+        return (
+            f"timestamp_millis(shiftright(CAST({args[0]} AS BIGINT), 22)"
+            f" + 1288834974657)"
+        )
+    if low == "datetimetosnowflake":
+        return (
+            f"shiftleft(unix_millis({args[0]}) - 1288834974657, 22)"
+        )
+    if low in ("snowflakeidtodatetime", "datetimetosnowflakeid",
+               "generatesnowflakeid", "ulidstringtodatetime"):
+        raise ValueError(
+            f"{name}: needs the machine-id/sequence state (or base32"
+            " bignum) of the ID scheme; snowflakeToDateTime /"
+            " dateTimeToSnowflake (twitter epoch) are mapped"
+        )
+    if low == "nonnegativederivative":
+        raise ValueError(
+            "nonNegativeDerivative is a window function; spell it as"
+            " greatest((x - lag(x) OVER w) / (unix_timestamp(t) -"
+            " lag(unix_timestamp(t)) OVER w), 0) — see win_lag_lead"
+        )
+    if low in ("blocknumber", "rownumberinblock", "blocksize"):
+        raise ValueError(
+            f"{name} is ClickHouse's deprecated BLOCK-scoped form — its"
+            " result depends on physical block boundaries that don't"
+            " exist on Spark; use row_number() OVER an explicit ORDER BY"
+        )
     if low in _PARAMETRIC and low not in _RENAME:
         # Bare single-call form: quantile(x) → CH's median default,
         # uniqUpTo(x) → default N=5, and the sketch/sequence names raise
@@ -2237,6 +2930,71 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "totypename", "char", "ipv4numtostring", "ipv4stringtonum",
     "isipv4string", "currentdatabase", "hostname", "tofixedstring",
     "defaultvalueoftypename",
+    # r7 third probe batch: URL / search / stats / rounding / bits / maps /
+    # arrays / geo / misc (mapped)
+    "pathfull", "extracturlparameters", "extracturlparameternames",
+    "cutwww", "urlhierarchy", "multisearchallpositions",
+    "multisearchfirstindex", "multisearchfirstposition",
+    "hastokencaseinsensitive",
+    "skewpop", "skewsamp", "kurtpop", "kurtsamp", "boundingratio",
+    "entropy", "roundtoexp2", "roundage", "roundduration",
+    "bittestall", "bittestany", "bitrotateright",
+    "mapfilter", "mapexists", "mapall", "mapapply", "mapupdate",
+    "mapconcat", "mapsubtract", "mappopulateseries", "mapsort",
+    "mapreversesort",
+    "arrayauc", "arraycumsumnonnegative", "arrayrotateleft",
+    "arrayrotateright", "arrayshiftleft", "arrayshiftright",
+    "arrayrandomsample", "arraypartialshuffle", "arrayjaccardindex",
+    "arraydotproduct", "geodistance", "greatcircleangle",
+    "todecimal256", "trybase64decode", "tuplenames",
+    # r7 third probe batch: guided-error spellings
+    "studentttest", "welchttest", "mannwhitneyutest",
+    "kolmogorovsmirnovtest", "rankcorr", "cramersv",
+    "cramersvbiascorrected", "theilsu", "contingency",
+    "deltasum", "deltasumtimestamp", "minsamplesizeconversion",
+    "minsamplesizecontinous", "minsamplesizecontinuous",
+    "largesttrianglethreebuckets", "bytesize", "arraynormalizedgini",
+    "tupletonamevaluepairs", "base58encode", "base58decode", "bitslice",
+    "byteswap", "subbitmap", "pointinpolygon", "geohashencode",
+    "geohashdecode", "geohashesinbox", "geotoh3", "h3togeo",
+    "h3togeoboundary", "h3getresolution",
+    # r7 fourth probe batch (mapped)
+    "totimezone", "timezoneof", "tomillisecond", "tomodifiedjulianday",
+    "frommodifiedjulianday", "utctimestamp", "nowinblock", "addinterval",
+    "tolastdayofweek", "tostartofmillisecond", "tostartofmicrosecond",
+    "tostartofnanosecond", "editdistance", "editdistanceutf8",
+    "levenshteindistance", "stringjaccardindex", "bytehammingdistance",
+    "tovalidutf8", "leftutf8", "rightutf8", "translateutf8",
+    "simplejsonextractstring", "simplejsonextractraw",
+    "simplejsonextractint", "simplejsonextractuint",
+    "simplejsonextractfloat", "simplejsonextractbool", "simplejsonhas",
+    "jsonallpaths", "jsonarraylength", "uniqcombined64", "uniqtheta",
+    "singlevalueornull", "maxintersections", "intervallengthsum",
+    "materialize", "identity", "ignore", "indexhint", "currentuser",
+    "initialuser", "macnumtostring", "macstringtonum", "toipv4",
+    "toipv4ornull", "toipv4orzero", "isipaddressinrange", "bar",
+    "formatreadabledecimalsize", "parsereadablesize", "randcanonical",
+    "randuniform", "randnormal", "randbernoulli", "randexponential",
+    "randlognormal", "generateuuidv7", "snowflaketodatetime",
+    "datetimetosnowflake",
+    # r7 fourth probe batch (guided errors)
+    "nonnegativederivative", "dameraulevenshteindistance",
+    "jarosimilarity", "jarowinklersimilarity", "normalizeutf8nfc",
+    "normalizeutf8nfd", "normalizeutf8nfkc", "normalizeutf8nfkd",
+    "idnaencode", "idnadecode", "punycodeencode", "punycodedecode",
+    "tryidnaencode", "trypunycodedecode", "jsonmergepatch",
+    "grouparraymovingsum", "grouparraymovingavg", "queryid",
+    "initialqueryid", "isnullable", "isconstant", "version", "buildid",
+    "revision", "displayname", "serveruuid", "zookeepersessionuptime",
+    "connectionid", "transactionid", "getmacro", "getsetting",
+    "getclientinfo", "getoskernelversion", "hascolumnintable",
+    "ipv6numtostring", "ipv6stringtonum", "ipv4toipv6", "cutipv6",
+    "ipv4cidrtorange", "ipv6cidrtorange", "toipv6", "toipv6ornull",
+    "toipv6orzero", "isipv6string", "randbinomial",
+    "randnegativebinomial", "randpoisson", "randstudentt",
+    "randchisquared", "randfisherf", "snowflakeidtodatetime",
+    "datetimetosnowflakeid", "generatesnowflakeid", "ulidstringtodatetime",
+    "blocknumber", "rownumberinblock", "blocksize",
     # r7 second probe batch: tuples + aggregate combinators
     "untuple", "arraypartialreversesort",
     "sumforeach", "minforeach", "maxforeach", "countforeach", "avgforeach",
@@ -5258,7 +6016,7 @@ SELECT event_id,
            AS ip_rt,
        toInt64(gcd(event_id, 24)) AS g,
        toInt64(lcm(event_id % 7 + 1, 6)) AS l
-FROM events ORDER BY event_id
+FROM events WHERE event_id % 11 = 3 ORDER BY event_id
 """
 
 
@@ -5277,7 +6035,7 @@ FROM events ORDER BY event_id
            CAST(event_id % 4294967296 AS BIGINT) AS ip_rt,
            CAST(gcd(event_id, 24) AS BIGINT) AS g,
            CAST(lcm(event_id % 7 + 1, 6) AS BIGINT) AS l
-    FROM events ORDER BY event_id
+    FROM events WHERE event_id % 11 = 3 ORDER BY event_id
     """,
 )
 def chsql_r7_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5351,3 +6109,186 @@ def chsql_tuple_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction + positional element access (`tuple(...).1` → the
     named_struct col1 field)."""
     return ch_sql(spark, sf_dir, _CH_TUPLE_COMBINATORS)
+
+
+_CH_URL_BITS = """
+SELECT event_id,
+       pathFull(concat('http://ex.com/p/', toString(event_id % 3),
+                       '?k=', event_type)) AS pf,
+       arrayStringConcat(extractURLParameterNames(
+           concat('http://e.com/x?k=v&', event_type, '=1')), ',') AS pn,
+       toInt64(multiSearchFirstIndex(event_type, ['ck', 'ic'])) AS msi,
+       toInt64(roundAge(event_id % 90)) AS ra,
+       toInt64(roundDuration(event_id % 4000)) AS rd,
+       toInt64(roundToExp2(event_id % 100 + 1)) AS r2,
+       bitTestAny(event_id, 0, 1) AS bta,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arrayRotateLeft([event_id % 5, event_id % 3, 7], 1)), ',') AS rot,
+       round(arrayJaccardIndex([event_id % 3, 9], [9, event_id % 2]), 6)
+           AS jac,
+       round(arrayDotProduct([event_id % 3, 2], [3, 4]), 6) AS dot
+FROM events WHERE event_id % 11 = 3 ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_url_bits",
+    oracle="""
+    SELECT event_id,
+           '/p/' || CAST(event_id % 3 AS VARCHAR) || '?k=' || event_type
+               AS pf,
+           'k,' || event_type AS pn,
+           CASE WHEN position('ck' IN event_type) > 0 THEN 1
+                WHEN position('ic' IN event_type) > 0 THEN 2
+                ELSE 0 END AS msi,
+           CAST(CASE WHEN event_id % 90 < 1 THEN 0
+                WHEN event_id % 90 <= 17 THEN 17
+                WHEN event_id % 90 <= 24 THEN 18
+                WHEN event_id % 90 <= 34 THEN 25
+                WHEN event_id % 90 <= 44 THEN 35
+                WHEN event_id % 90 <= 54 THEN 45
+                ELSE 55 END AS BIGINT) AS ra,
+           CAST(COALESCE(list_max(list_filter(
+               [1,10,30,60,120,180,240,300,600,1200,1800,
+                3600,7200,18000,36000],
+               e -> e <= event_id % 4000)), 0) AS BIGINT) AS rd,
+           CAST(pow(2, floor(log2(event_id % 100 + 1))) AS BIGINT) AS r2,
+           ((event_id & 1) = 1) OR (((event_id >> 1) & 1) = 1) AS bta,
+           CAST(event_id % 3 AS VARCHAR) || ',7,' ||
+               CAST(event_id % 5 AS VARCHAR) AS rot,
+           round((1 + CASE WHEN event_id % 3 = event_id % 2
+                           THEN 1 ELSE 0 END)
+                 / CAST(3 - CASE WHEN event_id % 3 = event_id % 2
+                                 THEN 1 ELSE 0 END AS DOUBLE), 6) AS jac,
+           round(CAST((event_id % 3) * 3 + 8 AS DOUBLE), 6) AS dot
+    FROM events WHERE event_id % 11 = 3 ORDER BY event_id
+    """,
+)
+def chsql_url_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 third probe batch, row-wise spellings live vs DuckDB: pathFull /
+    extractURLParameterNames (parse_url composition vs string algebra),
+    multiSearchFirstIndex, the roundAge/roundDuration/roundToExp2 bucket
+    family, variadic bitTestAny, arrayRotateLeft, arrayJaccardIndex
+    (set semantics), arrayDotProduct."""
+    return ch_sql(spark, sf_dir, _CH_URL_BITS)
+
+
+_CH_STATS_AGGS = """
+SELECT event_type,
+       round(skewPop(toFloat64(event_id % 97)), 6) AS skp,
+       round(skewSamp(toFloat64(event_id % 97)), 6) AS sks,
+       round(kurtPop(toFloat64(event_id % 97)), 6) AS kp,
+       round(kurtSamp(toFloat64(event_id % 97)), 6) AS ks,
+       round(entropy(event_id % 5), 6) AS ent,
+       round(boundingRatio(event_id, event_id % 11), 6) AS br
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "chsql_stats_aggs",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, avg(CAST(event_id % 97 AS DOUBLE)) AS m,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    ctr AS (
+      SELECT e.event_type,
+             CAST(e.event_id % 97 AS DOUBLE) - mu.m AS d
+      FROM events e JOIN mu USING (event_type)
+    ),
+    mom AS (
+      SELECT event_type,
+             avg(d * d) AS m2, avg(d * d * d) AS m3,
+             avg(d * d * d * d) AS m4, count(*) AS n
+      FROM ctr GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type,
+             round(entropy(event_id % 5), 6) AS ent,
+             round((arg_max(event_id % 11, event_id)
+                    - arg_min(event_id % 11, event_id))
+                   / CAST(max(event_id) - min(event_id) AS DOUBLE), 6)
+                 AS br
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type,
+           round(m.m3 / pow(m.m2, 1.5), 6) AS skp,
+           round(m.m3 / pow(m.m2, 1.5)
+                 * sqrt(CAST(m.n * (m.n - 1) AS DOUBLE)) / (m.n - 2), 6)
+               AS sks,
+           round(m.m4 / (m.m2 * m.m2), 6) AS kp,
+           round(m.m4 / (m.m2 * m.m2)
+                 * pow((m.n - 1) / CAST(m.n AS DOUBLE), 2), 6) AS ks,
+           b.ent, b.br
+    FROM mom m JOIN base b USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def chsql_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 third probe batch, aggregate spellings live vs DuckDB:
+    skewPop/skewSamp/kurtPop/kurtSamp (Spark's population skewness /
+    excess kurtosis rescaled to CH's four variants, oracle recomputes
+    from explicit central moments), entropy (DuckDB's entropy is the
+    same log2 Shannon form), boundingRatio (slope between the extreme-x
+    points via max_by/min_by vs arg_max/arg_min)."""
+    return ch_sql(spark, sf_dir, _CH_STATS_AGGS)
+
+
+_CH_R7_BATCH4 = """
+SELECT event_id,
+       toInt64(toModifiedJulianDay(toDate(ts))) AS mjd,
+       toInt64(editDistance(event_type, 'click')) AS ed,
+       round(stringJaccardIndex(event_type, 'click'), 6) AS ji,
+       toInt64(byteHammingDistance(event_type, 'click')) AS hd,
+       MACNumToString(event_id % 281474976710656) AS mac,
+       toInt64(MACStringToNum(MACNumToString(event_id % 281474976710656)))
+           AS mac_rt,
+       isIPAddressInRange(IPv4NumToString(event_id % 4294967296),
+                          '128.0.0.0/1') AS inr,
+       bar(event_id % 10, 0, 10, 10) AS br,
+       parseReadableSize(concat(toString(event_id % 100), ' KiB')) AS prs,
+       simpleJSONExtractInt(concat('{"v": ', toString(event_id % 50), '}'),
+                            'v') AS sj
+FROM events WHERE event_id % 11 = 3 ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_r7_batch4",
+    oracle="""
+    SELECT event_id,
+           CAST(datediff('day', DATE '1858-11-17', CAST(ts AS DATE))
+                AS BIGINT) AS mjd,
+           CAST(levenshtein(event_type, 'click') AS BIGINT) AS ed,
+           round(jaccard(event_type, 'click'), 6) AS ji,
+           CAST(len(list_filter(
+               range(1, greatest(length(event_type), 5) + 1),
+               i -> substr(event_type, CAST(i AS INT), 1)
+                    <> substr('click', CAST(i AS INT), 1))) AS BIGINT)
+               AS hd,
+           printf('%02X:%02X:%02X:%02X:%02X:%02X',
+                  (event_id % 281474976710656) // 1099511627776 % 256,
+                  (event_id % 281474976710656) // 4294967296 % 256,
+                  (event_id % 281474976710656) // 16777216 % 256,
+                  (event_id % 281474976710656) // 65536 % 256,
+                  (event_id % 281474976710656) // 256 % 256,
+                  (event_id % 281474976710656) % 256) AS mac,
+           CAST(event_id % 281474976710656 AS BIGINT) AS mac_rt,
+           (event_id % 4294967296) >= 2147483648 AS inr,
+           repeat('█', CAST(round((event_id % 10) / 10.0 * 10) AS INT))
+               AS br,
+           CAST((event_id % 100) * 1024 AS BIGINT) AS prs,
+           CAST(event_id % 50 AS BIGINT) AS sj
+    FROM events WHERE event_id % 11 = 3 ORDER BY event_id
+    """,
+)
+def chsql_r7_batch4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 fourth probe batch live vs DuckDB: Modified-Julian-Day
+    conversion, editDistance (levenshtein both engines),
+    stringJaccardIndex (character-set Jaccard = DuckDB's jaccard),
+    byteHammingDistance (padded positional compare), the MAC num↔string
+    round trip, IPv4 CIDR containment, bar rendering, parseReadableSize,
+    and the simpleJSON extractor."""
+    return ch_sql(spark, sf_dir, _CH_R7_BATCH4)

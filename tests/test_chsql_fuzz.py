@@ -793,6 +793,84 @@ def q_window(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_r7_spellings(rng: random.Random) -> tuple[str, str]:
+    """r7 surface: tuple positional access, -ForEach elementwise folds,
+    -OrDefault/-OrNull empty-set combinators, bucket rounding, string
+    distance — each paired with its independent DuckDB algebra."""
+    table = rng.choice(["orders", "events", "customer"])
+    t = TABLES[table]
+    ic = rng.choice(t["int"])
+    sc = rng.choice(t["str"])
+    m1, m2 = rng.randint(2, 7), rng.randint(2, 5)
+    needle = rng.choice(["a", "e", "ck", "zz"])
+    pick = rng.randrange(4)
+    if pick == 0:
+        # tuple construction + positional access through an aggregate
+        ch = (
+            f"SELECT {sc} AS g, tuple(min({ic}), max({ic})).1 AS lo,"
+            f" tuple(min({ic}), max({ic})).2 AS hi"
+            f" FROM {table} GROUP BY {sc} ORDER BY g"
+        )
+        dk = (
+            f"SELECT {sc} AS g, min({ic}) AS lo, max({ic}) AS hi"
+            f" FROM {table} GROUP BY {sc} ORDER BY g"
+        )
+    elif pick == 1:
+        # sumForEach/countForEach over an inline 2-array vs positional
+        # unnest regroup
+        ch = (
+            f"SELECT {sc} AS g, arrayStringConcat(arrayMap(x ->"
+            f" toString(x), sumForEach([{ic} % {m1}, {ic} % {m2}])),"
+            f" ',') AS s"
+            f" FROM {table} GROUP BY {sc} ORDER BY g"
+        )
+        dk = (
+            f"SELECT g, array_to_string(list(CAST(s AS BIGINT)"
+            f" ORDER BY pos), ',') AS s FROM ("
+            f"SELECT {sc} AS g, pos, SUM(v) AS s FROM ("
+            f"SELECT {sc}, unnest([{ic} % {m1}, {ic} % {m2}]) AS v,"
+            f" generate_subscripts([{ic} % {m1}, {ic} % {m2}], 1) AS pos"
+            f" FROM {table}) GROUP BY {sc}, pos) GROUP BY g ORDER BY g"
+        )
+    elif pick == 2:
+        # -OrDefault / -OrNull under a selective (possibly empty) filter
+        sel = rng.randint(0, 1200)
+        ch = (
+            f"SELECT toInt64(sumOrDefault({ic})) AS sd,"
+            f" countOrNull({ic}) AS cn,"
+            f" toInt64(uniqExactOrDefault({sc})) AS ud"
+            f" FROM {table} WHERE {ic} % 1000 = {sel}"
+        )
+        dk = (
+            f"SELECT CAST(COALESCE(SUM({ic}), 0) AS BIGINT) AS sd,"
+            f" CASE WHEN COUNT({ic}) = 0 THEN NULL"
+            f" ELSE COUNT({ic}) END AS cn,"
+            f" CAST(COUNT(DISTINCT {sc}) AS BIGINT) AS ud"
+            f" FROM {table} WHERE {ic} % 1000 = {sel}"
+        )
+    else:
+        # bucket rounding + string distance, row-wise (unique sort key so
+        # the LIMIT boundary is deterministic)
+        ic = t["uniq"]
+        ch = (
+            f"SELECT {ic} AS k, toInt64(roundAge({ic} % 90)) AS ra,"
+            f" toInt64(roundToExp2({ic} % 100 + 1)) AS r2,"
+            f" toInt64(editDistance({sc}, '{needle}')) AS ed"
+            f" FROM {table} ORDER BY k LIMIT 500"
+        )
+        dk = (
+            f"SELECT {ic} AS k,"
+            f" CAST(CASE WHEN {ic} % 90 < 1 THEN 0"
+            f" WHEN {ic} % 90 <= 17 THEN 17 WHEN {ic} % 90 <= 24 THEN 18"
+            f" WHEN {ic} % 90 <= 34 THEN 25 WHEN {ic} % 90 <= 44 THEN 35"
+            f" WHEN {ic} % 90 <= 54 THEN 45 ELSE 55 END AS BIGINT) AS ra,"
+            f" CAST(pow(2, floor(log2({ic} % 100 + 1))) AS BIGINT) AS r2,"
+            f" CAST(levenshtein({sc}, '{needle}') AS BIGINT) AS ed"
+            f" FROM {table} ORDER BY k LIMIT 500"
+        )
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -815,6 +893,7 @@ QUERY_GENS = [
     (q_totals, 6),
     (q_in_subquery, 8),
     (q_join3, 6),
+    (q_r7_spellings, 8),
 ]
 
 

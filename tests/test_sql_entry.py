@@ -1297,3 +1297,213 @@ def test_chsql_tuple_and_combinator_batch(spark):
     )).collect()[0].r is None
     with _pytest.raises(ValueError, match="coalesce"):
         translate("SELECT maxOrDefault(v) FROM t")
+
+
+def test_chsql_r7_third_probe_batch(spark):
+    """r7 third probe batch (probed by EXECUTION): URL composition, multi-
+    needle search, stats-aggregate variants, bucket rounding, variadic bit
+    tests, CH-argument-order map functions, array rotation/shift/AUC, geo
+    distance variants, and guided errors for the genuinely unmappable."""
+    import math
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    # URL family
+    assert one("pathFull('https://a.b/x/y?k=v#f')") == "/x/y?k=v#f"
+    assert one("extractURLParameters('http://a/x?k=v&z=2')") == \
+        ["k=v", "z=2"]
+    assert one("extractURLParameterNames('http://a/x?k=v&z=2')") == \
+        ["k", "z"]
+    assert one("extractURLParameters('http://a/x')") == []
+    assert one("cutWWW('http://www.a.com/p')") == "http://a.com/p"
+    assert one("URLHierarchy('http://a.com/x/y?q=1')") == \
+        ["http://a.com/x", "http://a.com/x/y"]
+    assert one("multiSearchAllPositions('hello', ['l', 'zz', 'o'])") == \
+        [3, 0, 5]
+    assert one("multiSearchFirstIndex('hello', ['xx', 'el'])") == 2
+    assert one("multiSearchFirstPosition('hello', ['lo', 'el'])") == 2
+    assert one("multiSearchFirstPosition('hello', ['zz'])") == 0
+    assert one("hasTokenCaseInsensitive('a B c', 'b')") is True
+    # stats aggregate variants, pinned against hand-computed moments
+    spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 2, 3, 3, 3, 8]], "x double"
+    ).createOrReplaceTempView("tb3")
+    xs = [1, 2, 2, 3, 3, 3, 8]
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((v - mu) ** 2 for v in xs) / n
+    m3 = sum((v - mu) ** 3 for v in xs) / n
+    m4 = sum((v - mu) ** 4 for v in xs) / n
+    g = lambda e: spark.sql(
+        translate(f"SELECT {e} AS r FROM tb3")).collect()[0].r
+    assert abs(g("skewPop(x)") - m3 / m2 ** 1.5) < 1e-9
+    assert abs(g("skewSamp(x)")
+               - m3 / m2 ** 1.5 * math.sqrt(n * (n - 1)) / (n - 2)) < 1e-9
+    assert abs(g("kurtPop(x)") - m4 / m2 ** 2) < 1e-9
+    assert abs(g("kurtSamp(x)") - m4 / m2 ** 2 * ((n - 1) / n) ** 2) < 1e-9
+    ent = -sum((c / n) * math.log2(c / n) for c in (1, 2, 3, 1))
+    assert abs(g("entropy(x)") - ent) < 1e-9
+    spark.createDataFrame(
+        [(1.0, 10.0), (3.0, 2.0), (5.0, 30.0)], "x double, y double"
+    ).createOrReplaceTempView("tbr3")
+    br = spark.sql(translate(
+        "SELECT boundingRatio(x, y) AS r FROM tbr3")).collect()[0].r
+    assert abs(br - 5.0) < 1e-9
+    # rounding buckets and bit tests
+    assert one("roundToExp2(13)") == 8 and one("roundToExp2(0)") == 0
+    assert (one("roundAge(25)"), one("roundAge(16)"), one("roundAge(0)")) \
+        == (25, 17, 0)
+    assert (one("roundDuration(45)"), one("roundDuration(0)")) == (30, 0)
+    assert one("bitTestAll(7, 0, 1, 2)") is True
+    assert one("bitTestAll(5, 0, 1)") is False
+    assert one("bitTestAny(4, 0, 2)") is True
+    assert one("bitRotateRight(8, 1)") == 4
+    # map functions (CH lambda-first argument order)
+    assert one("mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))") == \
+        {"b": 2}
+    assert one("mapExists((k, v) -> v > 1, map('a', 1, 'b', 2))") is True
+    assert one("mapAll((k, v) -> v > 0, map('a', 1, 'b', 2))") is True
+    assert one("mapApply((k, v) -> (upper(k), v * 2), map('a', 1))") == \
+        {"A": 2}
+    assert one("mapUpdate(map('a',1,'b',2), map('b',9,'c',3))") == \
+        {"a": 1, "b": 9, "c": 3}
+    assert one("mapConcat(map('a',1,'b',2), map('b',9,'c',3))") == \
+        {"a": 1, "b": 2, "c": 3}
+    assert one("mapSubtract(map('a',5), map('a',2,'b',1))") == \
+        {"a": 3, "b": -1}
+    assert one("mapPopulateSeries(map(1, 10, 4, 40))") == \
+        {1: 10, 2: 0, 3: 0, 4: 40}
+    assert one("mapSort(map(2,'b',1,'a'))") == {1: "a", 2: "b"}
+    # arrays
+    assert abs(one("arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])")
+               - 0.75) < 1e-9
+    assert one("arrayCumSumNonNegative([1, 1, -4, 1])") == \
+        [1.0, 2.0, 0.0, 1.0]
+    assert one("arrayRotateLeft([1,2,3,4], 5)") == [2, 3, 4, 1]
+    assert one("arrayRotateLeft([1,2,3], -1)") == [3, 1, 2]
+    assert one("arrayRotateRight([1,2,3,4], 1)") == [4, 1, 2, 3]
+    assert one("arrayShiftLeft([1,2,3], 1, 9)") == [2, 3, 9]
+    assert one("arrayShiftRight([1,2,3], 1, 0)") == [0, 1, 2]
+    assert one("arrayShiftLeft([1,2,3], -1, 0)") == [0, 1, 2]
+    assert len(one("arrayRandomSample([1,2,3], 2)")) == 2
+    assert abs(one("arrayJaccardIndex([1,2], [2,3])") - 1 / 3) < 1e-9
+    assert one("arrayDotProduct([1,2], [3,4])") == 11.0
+    # geo
+    assert abs(one("geoDistance(0.0, 0.0, 0.0, 1.0)") - 111194.9) < 100
+    assert abs(one("greatCircleAngle(0.0, 0.0, 0.0, 1.0)") - 1.0) < 1e-6
+    # misc
+    assert str(one("toDecimal256('1.5', 4)")) == "1.5000"
+    assert one("tryBase64Decode('eA==')") == "x"
+    assert one("tryBase64Decode('%%%')") is None
+    assert one("tupleNames(tuple(1, 2))") == ["col1", "col2"]
+    # guided errors name the nearest supported alternative
+    for bad, hint in [
+        ("studentTTest(x, y)", "agg_stats"),
+        ("deltaSum(x)", "win_"),
+        ("sparkbar(5)(x, y)", "histogram"),
+        ("byteSize(x)", "octet_length"),
+        ("base58Encode('q')", "base64"),
+        ("byteSwap(5)", "WIDTH"),
+        ("pointInPolygon((0,0), [(0,0)])", "Pandas UDF"),
+        ("h3ToGeo(1)", "h3"),
+        ("minSampleSizeConversion(0.1,0.2,0.8,0.05)", "norm.ppf"),
+        ("arrayNormalizedGini([1],[1])", "arrayAUC"),
+        ("mapSort((k,v) -> v, m)", "map_entries"),
+        ("bitSlice('a', 1, 4)", "bitTest"),
+    ]:
+        with _pytest.raises(ValueError, match=hint.replace("(", "\\(")):
+            translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_r7_fourth_probe_batch(spark):
+    """r7 fourth probe batch (probed by EXECUTION): date/time precision
+    converters, string distance metrics, simpleJSON family, sweep-line
+    interval aggregates, quantile impl variants, MAC/IPv4 extensions,
+    rendering/parsing helpers, distribution sampling, and guided errors
+    for server-runtime/block-scoped/128-bit spellings."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    # date/time converters
+    assert one(
+        "toMillisecond(toDateTime64('2024-01-01 01:02:03.456', 3))") == 456
+    assert one("toModifiedJulianDay('2020-01-01')") == 58849
+    assert one("fromModifiedJulianDay(58849)") == datetime.date(2020, 1, 1)
+    assert one("toLastDayOfWeek(toDate('2024-03-06'))") == \
+        datetime.date(2024, 3, 9)
+    assert one("addInterval(toDate('2024-01-01'), INTERVAL 1 MONTH)") == \
+        datetime.date(2024, 2, 1)
+    # string distances
+    assert one("editDistance('kitten', 'sitting')") == 3
+    assert abs(one("stringJaccardIndex('abc', 'bcd')") - 0.5) < 1e-9
+    assert one("byteHammingDistance('ab', 'abcd')") == 2
+    assert one("translateUTF8('abc', 'ab', 'xy')") == "xyc"
+    # simpleJSON family (missing-key defaults: '' / 0 / 0.0 semantics
+    # mapped to NULL-coalesced forms)
+    j = "'{\"k\": \"v\", \"n\": 3, \"b\": true}'"
+    assert one(f"simpleJSONExtractString({j}, 'k')") == "v"
+    assert one(f"simpleJSONExtractInt({j}, 'zz')") == 0
+    assert one(f"simpleJSONExtractBool({j}, 'b')") is True
+    assert one(f"simpleJSONHas({j}, 'zz')") is False
+    assert one("JSONArrayLength('[1,2,3]')") == 3
+    assert one("JSONAllPaths('{\"a\":1,\"b\":2}')") == ["a", "b"]
+    # sweep-line interval aggregates
+    spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 5.0), (4.0, 6.0), (7.0, 9.0)],
+        "s double, e double",
+    ).createOrReplaceTempView("tiv4")
+    g = lambda e: spark.sql(
+        translate(f"SELECT {e} AS r FROM tiv4")).collect()[0].r
+    assert g("maxIntersections(s, e)") == 2
+    assert abs(g("intervalLengthSum(s, e)") - 7.0) < 1e-9
+    assert g("singleValueOrNull(s)") is None
+    assert g("groupArraySorted(2)(s)") == [1.0, 2.0]
+    assert len(g("groupArrayLast(2)(s)")) == 2
+    assert len(g("groupArraySample(3)(s)")) == 3
+    assert abs(g("quantileExactExclusive(0.5)(s)") - 3.0) < 1e-9
+    assert g("quantilesExactExclusive(0.5, 1.0)(s)") == [3.0, 7.0]
+    assert abs(g("quantileGK(100, 0.5)(s)") - 3.0) < 1e-9
+    # identity/constants
+    assert one("materialize(7)") == 7 and one("ignore(1, 2)") == 0
+    assert one("indexHint(1 > 2)") is True
+    # MAC / IPv4
+    assert one("MACNumToString(1103823438081)") == "01:01:01:01:01:01"
+    assert one("MACStringToNum('01:01:01:01:01:01')") == 1103823438081
+    assert one("toIPv4('192.168.1.1')") == 3232235777
+    assert one("toIPv4OrNull('x')") is None
+    assert one("isIPAddressInRange('192.168.1.77', '192.168.1.0/24')") \
+        is True
+    assert one("isIPAddressInRange('192.168.2.1', '192.168.1.0/24')") \
+        is False
+    # rendering / parsing / random
+    assert one("bar(50, 0, 100, 10)") == "█████"
+    assert one("formatReadableDecimalSize(1500000)") == "1.50 MB"
+    assert one("parseReadableSize('1 KiB')") == 1024
+    assert one("parseReadableSize('2.5 MB')") == 2500000
+    assert 5 <= one("randUniform(5, 6)") < 6
+    assert one("randBernoulli(0.5)") in (0, 1)
+    assert len(one("generateUUIDv7()")) == 36
+    assert one(
+        "dateTimeToSnowflake(snowflakeToDateTime(1537228928163840000))"
+    ) == 1537228928163840000 // 4194304 * 4194304
+    for bad, hint in [
+        ("jaroSimilarity('a','b')", "levenshtein"),
+        ("normalizeUTF8NFC('a')", "unicodedata"),
+        ("JSONMergePatch(a, b)", "from_json"),
+        ("groupArrayMovingSum(x)", "win_"),
+        ("version()", "uptime"),
+        ("hasColumnInTable('a','b','c')", "system.columns"),
+        ("IPv6NumToString(x)", "128-bit"),
+        ("randPoisson(3)", "numpy"),
+        ("nonNegativeDerivative(x, t)", "lag"),
+        ("blockNumber()", "row_number"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
