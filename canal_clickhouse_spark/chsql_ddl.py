@@ -338,9 +338,10 @@ _CREATE_MV_RE = re.compile(
 )
 
 _CREATE_TABLE_AS_RE = re.compile(
-    r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?is)^\s*CREATE\s+(?P<orrep>OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+    r"TABLE\s+(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?"
-    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'\. ]+?)\s+)?"
+    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'%+*/\-\. ]+?)\s+)?"
     r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|[\w,\s]+?)\s*)?"
     r"(?:TTL\s+(?P<ttl>.+?)\s+)?"
     r"AS\s+(?P<select>SELECT\b.*)$"
@@ -354,10 +355,11 @@ _CREATE_TABLE_AS_RE = re.compile(
 # all three parse and drop. TTL is semantic: meta-recorded, enforced at
 # OPTIMIZE / read-FINAL via the max-anchored ttl_expire contract.
 _CREATE_TABLE_COLS_RE = re.compile(
-    r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?is)^\s*CREATE\s+(?P<orrep>OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+    r"TABLE\s+(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<cols>.*)\)\s*"
     r"ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*"
-    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'\. ]+?)\s+)?"
+    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'%+*/\-\. ]+?)\s+)?"
     r"(?:PRIMARY\s+KEY\s+(?:\([^)]*\)|[\w,\s]+?)\s*)?"  # CH prints PK first
     r"(?:ORDER\s+BY\s+(?P<order>tuple\s*\(\s*\)|\([^)]*\)|[\w,\s]+?)\s*)?"
     r"(?:PRIMARY\s+KEY\s+(?:\([^)]*\)|[\w,\s]+?)\s*)?"  # hand-written order
@@ -419,7 +421,9 @@ _ALTER_DELETE_RE = re.compile(
 )
 
 _OPTIMIZE_RE = re.compile(
-    r"(?is)^\s*OPTIMIZE\s+TABLE\s+(?P<name>\w+)\s*(?P<final>FINAL)?\s*$"
+    r"(?is)^\s*OPTIMIZE\s+TABLE\s+(?P<name>\w+)\s*(?P<final>FINAL)?"
+    r"\s*(?:(?P<dedup>DEDUPLICATE)(?:\s+BY\s+(?P<dedupcols>[\w,\s]+?))?)?"
+    r"\s*$"
 )
 
 _INSERT_SELECT_RE = re.compile(
@@ -443,6 +447,25 @@ _INSERT_VALUES_RE = re.compile(
 
 _DROP_RE = re.compile(
     r"(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$"
+)
+
+# CREATE TABLE x AS y — CH's empty structure clone (no SELECT): copies the
+# schema, defaults, and storage meta; an explicit ENGINE trailer overrides
+# the inherited engine.
+_CREATE_CLONE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+"
+    r"(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+(?P<src>\w+)\s*"
+    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?$"
+)
+
+# grab-bag ALTER forms: metadata-only decorations (COMMENT, skip indexes,
+# projections, settings) plus CLEAR COLUMN and partition DETACH/ATTACH
+_ALTER_MISC_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<rest>"
+    r"(?:CLEAR|COMMENT|MODIFY\s+COMMENT|ADD\s+INDEX|DROP\s+INDEX|"
+    r"MATERIALIZE\s+INDEX|CLEAR\s+INDEX|ADD\s+PROJECTION|DROP\s+PROJECTION|"
+    r"MATERIALIZE\s+PROJECTION|CLEAR\s+PROJECTION|MODIFY\s+SETTING|"
+    r"RESET\s+SETTING|DETACH\s+PARTITION|ATTACH\s+PARTITION|FREEZE)\b.*)$"
 )
 
 # ALTER TABLE t ADD|DROP|MODIFY|RENAME COLUMN ... — CH's schema-evolution
@@ -697,6 +720,10 @@ class ChSession:
         # dictionaries this session created via CREATE DICTIONARY (the
         # registry itself is the translator's — global, like CH's)
         self.dicts: set[str] = set()
+        # DETACH TABLE / DETACH PARTITION staging (session-scoped, like
+        # CH's detached/ directory)
+        self.detached: dict[str, DataFrame] = {}
+        self.detached_parts: dict[tuple[str, str], DataFrame] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -1024,6 +1051,8 @@ class ChSession:
         m = _CREATE_TABLE_AS_RE.match(s)
         if m and not _CREATE_TABLE_COLS_RE.match(s):
             name = m.group("name")
+            if self._create_skip_or_replace(m):
+                return None
             self._check_new(name)
             df = self._run_select(m.group("select"))
             self._register(name, df)
@@ -1033,6 +1062,8 @@ class ChSession:
         m = _CREATE_TABLE_COLS_RE.match(s)
         if m:
             name = m.group("name")
+            if self._create_skip_or_replace(m):
+                return None
             self._check_new(name)
             cols, defaults = [], {}
             for item in _split_top_commas(m.group("cols")):
@@ -1379,19 +1410,53 @@ class ChSession:
         if m:
             if m.group("final"):
                 self._optimize_final(m.group("name"))
+            if m.group("dedup"):
+                # OPTIMIZE ... DEDUPLICATE [BY cols]: CH removes fully (or
+                # by-column) identical rows during the merge.
+                name = m.group("name")
+                tbl = self._require_table(name, "OPTIMIZE DEDUPLICATE")
+                cols = m.group("dedupcols")
+                self._register(
+                    name,
+                    tbl.dropDuplicates(
+                        [c.strip() for c in cols.split(",")]
+                    ) if cols else tbl.dropDuplicates(),
+                )
             return None  # bare OPTIMIZE = merge hint, no visible effect
 
-        m = re.match(r"(?is)^\s*EXPLAIN\s+(?P<sel>(?:SELECT|WITH)\b.*)$", s)
+        m = re.match(
+            r"(?is)^\s*EXPLAIN(?:\s+(?P<kind>AST|SYNTAX|PLAN|PIPELINE|"
+            r"ESTIMATE|QUERY\s+TREE))?\s+(?P<sel>(?:SELECT|WITH)\b.*)$", s
+        )
         if m:
-            # CH's EXPLAIN → the Spark formatted physical plan, one row —
-            # the honest answer about what will actually execute here.
+            # CH's EXPLAIN → the Spark plan, one row — the honest answer
+            # about what will actually execute here. SYNTAX returns the
+            # translated Spark SQL (CH returns its rewritten query — the
+            # same contract); AST/QUERY TREE → the extended plan chain
+            # (parsed → analyzed → optimized); PLAN/PIPELINE → the
+            # formatted physical plan. ESTIMATE needs parts/marks
+            # statistics that live in parquet footers here.
             import contextlib
             import io
 
+            kind = re.sub(r"\s+", " ", m.group("kind") or "").upper()
+            if kind == "SYNTAX":
+                return self.spark.createDataFrame(
+                    [(translate(m.group("sel")),)], "query string"
+                )
+            if kind == "ESTIMATE":
+                raise ValueError(
+                    "EXPLAIN ESTIMATE reads CH part/mark statistics;"
+                    " read row-group stats from the parquet footers or"
+                    " the Spark UI instead"
+                )
             df = self._run_select(m.group("sel"))
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
+                df.explain(
+                    "extended" if kind in ("AST", "QUERY TREE")
+                    else "formatted"
+                )
             return self.spark.createDataFrame(
                 [(buf.getvalue(),)], "plan string"
             )
@@ -1433,10 +1498,252 @@ class ChSession:
             yes = int(n in self.tables or n in self.views or self._is_fixture(n))
             return self.spark.createDataFrame([(yes,)], "result int")
 
+        m = _CREATE_CLONE_RE.match(s)
+        if m:
+            name, src = m.group("name"), m.group("src")
+            if m.group("ifne") and (
+                name in self.tables or name in self.views
+            ):
+                return None
+            self._check_new(name)
+            tbl = self._require_table(src, "CREATE TABLE AS <table>")
+            self._register(name, tbl.limit(0))
+            meta = dict(self.meta.get(src) or {})
+            if m.group("engine"):
+                meta["engine"] = m.group("engine")
+                if m.group("eargs"):
+                    meta["engine_args"] = m.group("eargs")
+            self.meta[name] = meta
+            return None
+
+        m = _ALTER_MISC_RE.match(s)
+        if m:
+            return self._alter_misc(m.group("name"), m.group("rest"))
+
+        m = re.match(
+            r"(?is)^\s*(?P<op>DETACH|ATTACH)\s+TABLE\s+(?P<name>\w+)\s*$", s
+        )
+        if m:
+            name = m.group("name")
+            if m.group("op").upper() == "DETACH":
+                tbl = self._require_table(name, "DETACH TABLE")
+                # checkpoint: a later DROP/rewrite of this name must not
+                # retire parquet generations the detached plan still reads
+                self.detached[name] = tbl.localCheckpoint(eager=True)
+                self.tables.pop(name, None)
+                self.spark.catalog.dropTempView(name)
+            else:
+                if name not in self.detached:
+                    raise ValueError(
+                        f"ATTACH TABLE {name!r}: not detached in this"
+                        " session (parts-on-disk attach is the"
+                        " parts_dir persistence model's job)"
+                    )
+                if name in self.tables:
+                    raise ValueError(
+                        f"ATTACH TABLE {name!r}: the name was re-created"
+                        " while detached"
+                    )
+                self._register(name, self.detached.pop(name))
+            return None
+
+        m = re.match(r"(?is)^\s*SET\s+(?P<body>\w+\s*=.+)$", s)
+        if m:
+            # same policy as the SETTINGS clause: refuse the two
+            # result-changing knobs, drop the performance knobs
+            body = m.group("body")
+            if re.search(r"(?i)\bfinal\s*=\s*1\b", body):
+                raise ValueError(
+                    "SET final = 1 auto-FINALs every table — spell FINAL"
+                    " on the FROM clause instead"
+                )
+            if re.search(r"(?i)\bjoin_use_nulls\s*=\s*0\b", body):
+                raise ValueError(
+                    "SET join_use_nulls = 0 selects type-default outer"
+                    " join fill; this engine implements the NULL-fill"
+                    " convention only"
+                )
+            return None
+
+        m = re.match(r"(?is)^\s*USE\s+(?P<db>\w+)\s*$", s)
+        if m:
+            if m.group("db").lower() not in ("default", "system"):
+                raise ValueError(
+                    f"USE {m.group('db')}: single-database engine —"
+                    " only 'default' (and the system views) exist"
+                )
+            return None
+
+        if re.match(r"(?is)^\s*SHOW\s+DATABASES\s*$", s):
+            return self.spark.createDataFrame(
+                [("default",), ("system",)], "name string"
+            )
+
+        if re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*$", s):
+            return self.spark.createDataFrame(
+                [], "query_id string, user string, query string"
+            )
+
+        m = re.match(r"(?is)^\s*CHECK\s+TABLE\s+(?P<name>\w+)\s*$", s)
+        if m:
+            tbl = self._require_table(m.group("name"), "CHECK TABLE")
+            tbl.count()  # full-scan readability check
+            return self.spark.createDataFrame([(1,)], "result int")
+
+        if re.match(r"(?is)^\s*KILL\s+(QUERY|MUTATION)\b", s):
+            # single-session engine: nothing concurrent to kill
+            return self.spark.createDataFrame(
+                [], "query_id string, status string"
+            )
+
+        m = re.match(r"(?is)^\s*SYSTEM\s+(?P<cmd>.+?)\s*$", s)
+        if m:
+            cmd = re.sub(r"\s+", " ", m.group("cmd")).upper()
+            noop = (
+                cmd in ("FLUSH LOGS", "RELOAD DICTIONARIES",
+                        "START MERGES", "STOP MERGES", "START TTL MERGES",
+                        "STOP TTL MERGES", "FLUSH DISTRIBUTED")
+                or cmd.startswith("RELOAD DICTIONARY")
+                or cmd.startswith("DROP ") and cmd.endswith(" CACHE")
+            )
+            if noop:
+                return None
+            raise ValueError(
+                f"SYSTEM {cmd}: no replica/cluster runtime to control"
+                " here; merge/cache/dictionary maintenance commands are"
+                " accepted as no-ops"
+            )
+
+        if re.match(
+            r"(?is)^\s*(GRANT|REVOKE|CREATE\s+(USER|ROLE|QUOTA|ROW\s+POLICY"
+            r"|SETTINGS\s+PROFILE))\b", s
+        ):
+            raise ValueError(
+                "access control statements have no model in this engine;"
+                " enforce ACLs in the lakehouse/catalog layer"
+            )
+
         if re.match(r"(?is)^\s*(SELECT|WITH)\b", s):
             return self._run_select(s)
 
         raise ValueError(f"unsupported statement: {s[:120]!r}")
+
+    def _alter_misc(self, name: str, rest: str) -> None:
+        """Metadata-only ALTER decorations + CLEAR COLUMN + partition
+        DETACH/ATTACH. Skip indexes, projections, and settings are
+        storage-pruning hints with no Spark meaning — recorded in meta so
+        scripts run, never changing results (same policy as the CREATE
+        trailer clauses)."""
+        tbl = self._require_table(name, "ALTER TABLE")
+        meta = self.meta.setdefault(name, {})
+        r = rest.strip()
+        m = re.match(
+            r"(?is)^CLEAR\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)"
+            r"(?:\s+IN\s+PARTITION\s+(?P<part>.+))?$", r
+        )
+        if m:
+            col = m.group("col")
+            if col not in tbl.columns:
+                return None  # IF EXISTS semantics; CH errors, we tolerate
+            dtypes = dict(tbl.dtypes)
+            dflt = (meta.get("column_defaults") or {}).get(col)
+            fill = f"CAST({dflt if dflt else 'NULL'} AS {dtypes[col]})"
+            if m.group("part"):
+                pexpr = meta.get("partition_by")
+                if not pexpr:
+                    raise ValueError(
+                        f"CLEAR COLUMN IN PARTITION on {name!r}: table"
+                        " has no PARTITION BY"
+                    )
+                fill = (
+                    f"CASE WHEN ({pexpr}) <=> {m.group('part').strip()}"
+                    f" THEN {fill} ELSE {col} END"
+                )
+            tbl.createOrReplaceTempView(name)
+            proj = [
+                f"{fill} AS {col}" if c == col else c for c in tbl.columns
+            ]
+            self._register(
+                name,
+                self.spark.sql(f"SELECT {', '.join(proj)} FROM {name}"),
+            )
+            return None
+        m = re.match(
+            r"(?is)^COMMENT\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
+            r"'(?P<txt>[^']*)'$", r
+        )
+        if m:
+            meta.setdefault("column_comments", {})[m.group("col")] = \
+                m.group("txt")
+            return None
+        m = re.match(r"(?is)^MODIFY\s+COMMENT\s+'(?P<txt>[^']*)'$", r)
+        if m:
+            meta["comment"] = m.group("txt")
+            return None
+        m = re.match(
+            r"(?is)^(?P<op>ADD|DROP|MATERIALIZE|CLEAR)\s+INDEX\s+"
+            r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(?P<idx>\w+)\b(?P<spec>.*)$", r
+        )
+        if m:
+            idxs = meta.setdefault("indexes", {})
+            if m.group("op").upper() == "ADD":
+                idxs[m.group("idx")] = m.group("spec").strip()
+            elif m.group("op").upper() == "DROP":
+                idxs.pop(m.group("idx"), None)
+            return None  # MATERIALIZE/CLEAR: storage-only, no-op
+        m = re.match(
+            r"(?is)^(?P<op>ADD|DROP|MATERIALIZE|CLEAR)\s+PROJECTION\s+"
+            r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(?P<prj>\w+)\b(?P<spec>.*)$", r
+        )
+        if m:
+            prjs = meta.setdefault("projections", {})
+            if m.group("op").upper() == "ADD":
+                prjs[m.group("prj")] = m.group("spec").strip()
+            elif m.group("op").upper() == "DROP":
+                prjs.pop(m.group("prj"), None)
+            return None
+        if re.match(r"(?is)^(MODIFY|RESET)\s+SETTING\b", r):
+            return None  # storage knobs — same policy as CREATE SETTINGS
+        if re.match(r"(?is)^FREEZE\b", r):
+            return None  # backup hardlink — no logical effect
+        m = re.match(
+            r"(?is)^(?P<op>DETACH|ATTACH)\s+PARTITION\s+(?P<val>.+)$", r
+        )
+        if m:
+            pexpr = meta.get("partition_by")
+            if not pexpr:
+                raise ValueError(
+                    f"{m.group('op').upper()} PARTITION on {name!r}:"
+                    " table has no PARTITION BY"
+                )
+            val = m.group("val").strip()
+            key = (name, val)
+            tbl.createOrReplaceTempView(name)
+            if m.group("op").upper() == "DETACH":
+                # checkpoint BEFORE re-registering: the parts-persistence
+                # model retires the old generation directory on rewrite,
+                # which would delete the files this plan reads
+                part = self.spark.sql(
+                    f"SELECT * FROM {name} WHERE ({pexpr}) <=> {val}"
+                ).localCheckpoint(eager=True)
+                rest_df = self.spark.sql(
+                    f"SELECT * FROM {name} WHERE NOT (({pexpr}) <=> {val})"
+                )
+                prev = self.detached_parts.get(key)
+                self.detached_parts[key] = (
+                    prev.unionByName(part) if prev is not None else part
+                )
+                self._register(name, rest_df)
+            else:
+                part = self.detached_parts.pop(key, None)
+                if part is None:
+                    raise ValueError(
+                        f"ATTACH PARTITION {val} on {name!r}: no such"
+                        " detached partition in this session"
+                    )
+                self._register(name, tbl.unionByName(part))
+            return None
+        raise ValueError(f"unsupported ALTER TABLE form: {rest[:80]!r}")
 
     def run_script(self, script: str) -> DataFrame | None:
         """Execute a ;-separated script; returns the LAST statement's
@@ -1639,6 +1946,18 @@ class ChSession:
             raise ValueError(f"{name!r} shadows a fixture table")
         if name in self.tables:
             raise ValueError(f"table {name!r} already exists")
+
+    def _create_skip_or_replace(self, m) -> bool:
+        """IF NOT EXISTS → skip silently when the table already exists;
+        OR REPLACE → drop the existing table first. Returns True when the
+        CREATE should be skipped entirely."""
+        name = m.group("name")
+        exists = name in self.tables or name in self.views
+        if m.group("ifne") and exists:
+            return True
+        if m.group("orrep") and exists:
+            self.execute(f"DROP TABLE {name}")
+        return False
 
     def _insert(self, name: str, block: DataFrame, cols: str | None):
         if name not in self.tables:
@@ -2194,4 +2513,68 @@ def chsql_system_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT table AS tbl, name, position, type, default_expression"
             " FROM system.columns WHERE table = 'sys_ord'"
             " ORDER BY position"
+        )
+
+
+@query(
+    "chsql_ddl_lifecycle",
+    oracle="""
+    SELECT tag, n, sv, p2 FROM (
+      SELECT CASE WHEN o_orderkey % 3 = 1 THEN 'x'
+                  ELSE o_orderstatus END AS tag,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS sv,
+             CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p2
+      FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1
+      UNION ALL
+      SELECT 'clone_x', COUNT(*), 0.0, 0
+      FROM orders WHERE o_orderkey % 10 = 3
+    ) ORDER BY tag
+    """,
+)
+def chsql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 DDL statement-surface composite: IF NOT EXISTS tolerance,
+    duplicate-insert then OPTIMIZE DEDUPLICATE (back to one copy),
+    structure clone with inherited DEFAULTs filling at INSERT,
+    CLEAR COLUMN IN PARTITION refilling with the registered default,
+    and a DETACH/ATTACH PARTITION round trip (the p2 counter proves the
+    partition came back). The oracle recomputes the post-state from the
+    raw fixture algebraically."""
+    with ChSession(spark, sf_dir) as ch:
+        ch.execute(
+            "CREATE TABLE IF NOT EXISTS lc (k Int64,"
+            " v Decimal(18, 2) DEFAULT 0, tag String DEFAULT 'x')"
+            " ENGINE = MergeTree PARTITION BY k % 3 ORDER BY k"
+        )
+        # second create is a tolerated no-op
+        ch.execute(
+            "CREATE TABLE IF NOT EXISTS lc (k Int64) ENGINE = Memory"
+        )
+        ins = (
+            "INSERT INTO lc SELECT o_orderkey,"
+            " toDecimal64(o_totalprice, 2), o_orderstatus"
+            " FROM orders WHERE o_orderkey % 5 = 0"
+        )
+        ch.execute(ins)
+        ch.execute(ins)  # exact duplicates
+        ch.execute("OPTIMIZE TABLE lc DEDUPLICATE")
+        ch.execute("CREATE TABLE lc2 AS lc")
+        ch.execute(
+            "INSERT INTO lc2 (k) SELECT o_orderkey FROM orders"
+            " WHERE o_orderkey % 10 = 3"
+        )
+        ch.execute("ALTER TABLE lc CLEAR COLUMN tag IN PARTITION 1")
+        ch.execute("ALTER TABLE lc DETACH PARTITION 2")
+        ch.execute("ALTER TABLE lc ATTACH PARTITION 2")
+        return ch.execute(
+            "SELECT tag, count() AS n, toFloat64(round(sum(v), 2)) AS sv,"
+            " toInt64(countIf(k % 3 = 2)) AS p2"
+            " FROM lc GROUP BY tag"
+            " UNION ALL"
+            " SELECT 'clone_x' AS tag, count() AS n,"
+            " toFloat64(round(sum(v), 2)) AS sv, toInt64(0) AS p2"
+            " FROM lc2 GROUP BY tag"
+            " ORDER BY tag"
         )

@@ -155,8 +155,12 @@ def test_guards(spark, sf_dir):
         ch.execute("OPTIMIZE TABLE t FINAL")
     with pytest.raises(ValueError, match="unknown table"):
         ch.execute("EXCHANGE TABLES a AND b")
-    with pytest.raises(ValueError, match="unsupported statement"):
+    # r7: GRANT now raises the guided ACL error instead of the generic
+    # unsupported-statement fallthrough
+    with pytest.raises(ValueError, match="ACL"):
         ch.execute("GRANT SELECT ON t TO someone")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        ch.execute("ATTACH DICTIONARY whatever")
 
 
 def test_alter_update_delete_and_optimize_replacing(spark, sf_dir):
@@ -403,6 +407,12 @@ _OPS = st.lists(
         # removes the k%2==r rows; missing partition = no-op; partition
         # metadata must survive EXCHANGE/RENAME swaps.
         st.tuples(st.just("droppart"), st.integers(0, 2)),
+        # r7: OPTIMIZE DEDUPLICATE removes fully identical rows — model
+        # dedupes the tuple multiset; DETACH/ATTACH PARTITION must round
+        # trip losslessly (model unchanged), including on the missing
+        # partition value 2 (DETACH of nothing + failed ATTACH tolerated).
+        st.tuples(st.just("dedup")),
+        st.tuples(st.just("detachattach"), st.integers(0, 2)),
     ),
     min_size=1, max_size=6,
 )
@@ -498,6 +508,18 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
             _, r = op
             ch.execute(f"ALTER TABLE fz DROP PARTITION {r}")
             model = [(k, v, s_) for k, v, s_ in model if k % 2 != r]
+        elif op[0] == "dedup":
+            ch.execute("OPTIMIZE TABLE fz DEDUPLICATE")
+            model = sorted(set(model))
+        elif op[0] == "detachattach":
+            _, r = op
+            ch.execute(f"ALTER TABLE fz DETACH PARTITION {r}")
+            try:
+                ch.execute(f"ALTER TABLE fz ATTACH PARTITION {r}")
+            except ValueError:
+                # nothing was detached (empty partition value) — the
+                # detached store never registered the key
+                assert not any(k % 2 == r for k, _, _ in model)
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")
@@ -1166,3 +1188,93 @@ def test_system_tables(spark, sf_dir):
         # unknown system table refuses loudly
         with pytest.raises(ValueError, match="unsupported system table"):
             ch.execute("SELECT * FROM system.merges")
+
+
+def test_ddl_r7_statement_surface(spark, sf_dir):
+    """r7 DDL probe batch: IF NOT EXISTS / OR REPLACE / TEMPORARY create
+    forms, structure clone (CREATE t AS src), OPTIMIZE DEDUPLICATE [BY],
+    CLEAR COLUMN [IN PARTITION] (default refill), comment/index/
+    projection/setting decorations as recorded no-ops, DETACH/ATTACH for
+    tables and partitions, SET/USE/SHOW/CHECK/KILL/SYSTEM statements, and
+    the EXPLAIN variant family."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s = ChSession(spark, sf_dir)
+    run = s.execute
+    rows = lambda st: [tuple(r) for r in run(st).collect()]
+
+    run("CREATE TABLE tp7 (id Int32, v String DEFAULT 'dv')"
+        " ENGINE = MergeTree PARTITION BY id % 2 ORDER BY id")
+    run("INSERT INTO tp7 VALUES (1, 'a'), (2, 'b'), (3, 'c'), (3, 'c')")
+    # IF NOT EXISTS tolerates, OR REPLACE swaps
+    run("CREATE TABLE IF NOT EXISTS tp7 (id Int32) ENGINE = Memory")
+    assert rows("SELECT count() AS c FROM tp7") == [(4,)]
+    run("CREATE OR REPLACE TABLE tpr7 (x Int32) ENGINE = Memory")
+    run("CREATE OR REPLACE TABLE tpr7 (y String) ENGINE = Memory")
+    assert rows("DESCRIBE tpr7") == [("y", "string")]
+    run("CREATE TEMPORARY TABLE tt7 (x Int32) ENGINE = Memory")
+    # structure clone inherits schema AND column defaults
+    run("CREATE TABLE tclone7 AS tp7")
+    assert rows("SELECT count() AS c FROM tclone7") == [(0,)]
+    assert rows("DESCRIBE tclone7") == rows("DESCRIBE tp7")
+    run("INSERT INTO tclone7 (id) VALUES (9)")
+    assert rows("SELECT v FROM tclone7") == [("dv",)]
+    # OPTIMIZE DEDUPLICATE: full-row, then by-column
+    run("OPTIMIZE TABLE tp7 FINAL DEDUPLICATE")
+    assert rows("SELECT count() AS c FROM tp7") == [(3,)]
+    run("INSERT INTO tp7 VALUES (3, 'zzz')")
+    run("OPTIMIZE TABLE tp7 DEDUPLICATE BY id")
+    assert rows("SELECT count() AS c FROM tp7") == [(3,)]
+    # CLEAR COLUMN refills with the registered DEFAULT; partition-scoped
+    run("ALTER TABLE tp7 CLEAR COLUMN v")
+    assert set(rows("SELECT DISTINCT v FROM tp7")) == {("dv",)}
+    run("INSERT INTO tp7 VALUES (4, 'keep'), (5, 'wipe')")
+    run("ALTER TABLE tp7 CLEAR COLUMN v IN PARTITION 1")
+    got = dict(rows("SELECT id, v FROM tp7 ORDER BY id"))
+    assert got[4] == "keep" and got[5] == "dv"
+    # decorations are recorded no-ops
+    run("ALTER TABLE tp7 COMMENT COLUMN v 'the v col'")
+    run("ALTER TABLE tp7 MODIFY COMMENT 'tbl'")
+    run("ALTER TABLE tp7 ADD INDEX idx v TYPE minmax GRANULARITY 1")
+    assert "idx" in s.meta["tp7"]["indexes"]
+    run("ALTER TABLE tp7 DROP INDEX idx")
+    assert "idx" not in s.meta["tp7"]["indexes"]
+    run("ALTER TABLE tp7 ADD PROJECTION p1 (SELECT id ORDER BY id)")
+    run("ALTER TABLE tp7 MODIFY SETTING index_granularity = 8192")
+    run("ALTER TABLE tp7 FREEZE")
+    # partition + table detach/attach round-trips
+    n0 = rows("SELECT count() AS c FROM tp7")[0][0]
+    run("ALTER TABLE tp7 DETACH PARTITION 0")
+    assert rows("SELECT count() AS c FROM tp7")[0][0] < n0
+    run("ALTER TABLE tp7 ATTACH PARTITION 0")
+    assert rows("SELECT count() AS c FROM tp7")[0][0] == n0
+    run("DETACH TABLE tclone7")
+    assert rows("EXISTS TABLE tclone7") == [(0,)]
+    run("ATTACH TABLE tclone7")
+    assert rows("EXISTS TABLE tclone7") == [(1,)]
+    # session statements
+    run("SET max_threads = 8")
+    with _pytest.raises(ValueError, match="NULL-fill"):
+        run("SET join_use_nulls = 0")
+    run("USE default")
+    with _pytest.raises(ValueError, match="single-database"):
+        run("USE analytics")
+    assert rows("SHOW DATABASES") == [("default",), ("system",)]
+    assert rows("SHOW PROCESSLIST") == []
+    assert rows("CHECK TABLE tp7") == [(1,)]
+    assert rows("KILL QUERY WHERE query_id = 'x'") == []
+    run("SYSTEM FLUSH LOGS")
+    run("SYSTEM DROP MARK CACHE")
+    with _pytest.raises(ValueError, match="no replica"):
+        run("SYSTEM RESTART REPLICA r")
+    # EXPLAIN variants
+    assert rows("EXPLAIN SYNTAX SELECT quantile(0.5)(id) FROM tp7") == \
+        [("SELECT percentile(id, 0.5) FROM tp7",)]
+    assert run("EXPLAIN PIPELINE SELECT * FROM tp7").columns == ["plan"]
+    assert run("EXPLAIN AST SELECT * FROM tp7").columns == ["plan"]
+    with _pytest.raises(ValueError, match="footers"):
+        run("EXPLAIN ESTIMATE SELECT * FROM tp7")
+    with _pytest.raises(ValueError, match="ACL"):
+        run("GRANT SELECT ON tp7 TO u")
