@@ -103,6 +103,8 @@ EXTENDED: tuple[str, ...] = (
     "chsql_url_bits",         # parse_url composition + bucket rounding
     "chsql_stats_aggs",       # skew/kurt/entropy/boundingRatio aggregates
     "chsql_r7_batch4",        # string-distance / MAC / CIDR / simpleJSON
+    "chsql_ddl_lifecycle",    # IF-NOT-EXISTS/clone/DEDUPLICATE/CLEAR/
+                              # DETACH-ATTACH composite
 )
 
 

@@ -4025,6 +4025,13 @@ def _rewrite_clauses(q: str) -> str:
     # other's text. `LEFT ARRAY JOIN` keeps empty-array rows.
     q = _rewrite_array_join(q)
     q = _rewrite_prewhere(q)
+    # CH aliases are expression macros valid in any clause: expand
+    # top-level-WHERE references (after the PREWHERE merge so both
+    # predicate clauses are covered, before the LIMIT BY restructure
+    # nests the query).
+    q = _rewrite_where_aliases(q)
+    # multi-column membership needs matching struct field names on Spark
+    q = _rewrite_tuple_in(q)
     # CH's GLOBAL JOIN forces the right side to every shard — on Spark the
     # equivalent decision (broadcast vs shuffle) is Catalyst/AQE's from
     # actual sizes, so the keyword strips to a plain join.
@@ -4208,6 +4215,235 @@ _DOUBLE_CALL_EXEMPT = {
     "intersect", "except", "join", "like", "rlike", "ilike",
 }
 
+# A '[' directly after one of these WORDS is an array literal, not a
+# subscript — `SELECT [1,2]`, `THEN ['a']`, `IN [..]` (r7: the
+# char-level heuristic misread any bracket after an alphanumeric as a
+# subscript, so `SELECT [1,2] AS a` silently kept the bracket and died in
+# Spark's parser).
+_BRACKET_PREV_KEYWORDS = _DOUBLE_CALL_EXEMPT | {
+    "limit", "offset", "prewhere", "interpolate", "fill", "totals",
+    "array_join", "return", "default",
+}
+
+
+def _rewrite_tuple_in(q: str) -> str:
+    """CH multi-column membership ``(a, b) [NOT] IN ((1, 'x'), ...)`` →
+    ``named_struct`` with positional colN field names on BOTH sides:
+    Spark's struct-IN type check requires MATCHING field names, while a
+    bare paren tuple takes column-derived names on the left and col1/col2
+    on literal tuples — a guaranteed mismatch (r7 probe: DATA_DIFF_TYPES).
+    A subquery RHS passes through untouched (Spark's multi-column IN
+    subquery is native)."""
+    for _ in range(16):
+        masked = _mask_literals(q)
+        changed = False
+        for m in re.finditer(r"\)\s*(?:NOT\s+)?IN\s*\(", masked,
+                             re.IGNORECASE):
+            close = m.start()
+            depth, i = 0, close
+            while i >= 0:
+                if masked[i] == ")":
+                    depth += 1
+                elif masked[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i < 0:
+                continue
+            lead = masked[:i].rstrip()
+            before = lead[-1:]
+            if before and (before.isalnum() or before in "_)]`"):
+                # a call argument list — unless the preceding word is a
+                # SQL keyword (WHERE/AND/...), in which case it IS a bare
+                # tuple
+                wm2 = re.search(r"(\w+)$", lead)
+                if not (
+                    wm2 and wm2.group(1).lower() in _BRACKET_PREV_KEYWORDS
+                ):
+                    continue
+            lhs_items = _split_args(q[i + 1 : close])
+            if len(lhs_items) < 2:
+                continue
+            ro = m.end() - 1
+            rc = _scan_group(masked, ro)
+            rhs_inner = q[ro + 1 : rc]
+            if re.match(r"(?is)^\s*(SELECT|WITH)\b", rhs_inner):
+                continue
+            def _struct(items: list[str]) -> str:
+                fields = ", ".join(
+                    f"'col{j + 1}', {e.strip()}"
+                    for j, e in enumerate(items)
+                )
+                return f"named_struct({fields})"
+            new_rhs, ok = [], True
+            for it in _split_args(rhs_inner):
+                it = it.strip()
+                if it.startswith("(") and it.endswith(")"):
+                    parts = _split_args(it[1:-1])
+                elif re.match(r"(?is)^tuple\s*\(.*\)$", it):
+                    parts = _split_args(it[it.find("(") + 1 : -1])
+                else:
+                    ok = False
+                    break
+                if len(parts) != len(lhs_items):
+                    ok = False
+                    break
+                new_rhs.append(_struct(parts))
+            if not ok:
+                continue
+            q = (
+                q[:i] + _struct(lhs_items) + q[close + 1 : m.end() - 1]
+                + "(" + ", ".join(new_rhs) + ")" + q[rc + 1 :]
+            )
+            changed = True
+            break  # re-mask and re-scan from the top
+        if not changed:
+            return q
+    return q
+
+
+def _subquery_spans(masked: str) -> list[tuple[int, int]]:
+    """Spans of parenthesized subqueries (``(SELECT``/``(WITH``) in the
+    masked text."""
+    spans = []
+    for m in re.finditer(r"\(\s*(?:SELECT|WITH)\b", masked, re.IGNORECASE):
+        spans.append((m.start(), _scan_group(masked, m.start())))
+    return spans
+
+
+def _rewrite_where_aliases(q: str) -> str:
+    """CH treats SELECT-list aliases as expression MACROS usable in any
+    clause (including WHERE/PREWHERE, where the alias even shadows a
+    same-named source column); Spark resolves WHERE before projection and
+    fails. Expand alias references in the TOP-LEVEL WHERE textually to
+    their expressions — exactly CH's substitution model. Occurrences
+    inside subqueries keep their own scope and are left alone."""
+    masked = _mask_literals(q)
+    sm = re.search(r"(?i)\bSELECT\b", masked)
+    if not sm or _paren_depth_at(masked, sm.start()) != 0:
+        return q
+    fm = next(
+        (f for f in re.finditer(r"(?i)\bFROM\b", masked)
+         if _paren_depth_at(masked, f.start()) == 0),
+        None,
+    )
+    if not fm or fm.start() < sm.end():
+        return q
+    aliases: dict[str, str] = {}
+    for item in _split_args(q[sm.end():fm.start()]):
+        am = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", item.strip())
+        if am:
+            aliases[am.group(2)] = am.group(1).strip()
+    if not aliases:
+        return q
+    wm_ = next(
+        (w for w in re.finditer(r"(?i)\bWHERE\b", masked)
+         if _paren_depth_at(masked, w.start()) == 0
+         and w.start() > fm.end()),
+        None,
+    )
+    if not wm_:
+        return q
+    endm = next(
+        (e for e in re.finditer(
+            r"(?i)\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|WINDOW|UNION|"
+            r"INTERSECT|EXCEPT|SETTINGS)\b", masked)
+         if e.start() > wm_.end()
+         and _paren_depth_at(masked, e.start()) == 0),
+        None,
+    )
+    wstart = wm_.end()
+    wend = endm.start() if endm else len(q)
+    body, mbody = q[wstart:wend], masked[wstart:wend]
+    changed = False
+    for alias, expr in aliases.items():
+        sub_spans = _subquery_spans(mbody)
+        out, last = [], 0
+        for mm in re.finditer(rf"\b{re.escape(alias)}\b", mbody):
+            a, b = mm.span()
+            if any(s < a < e for s, e in sub_spans):
+                continue  # different scope
+            prev = mbody[:a].rstrip()[-1:]
+            nxt = mbody[b:].lstrip()[:1]
+            if prev in (".", "`") or nxt == "(":
+                continue  # qualified name / function call, not the alias
+            out.append(body[last:a])
+            out.append(f"({expr})")
+            last = b
+            changed = True
+        out.append(body[last:])
+        body = "".join(out)
+        mbody = _mask_literals(body)
+    if changed:
+        q = q[:wstart] + body + q[wend:]
+    return q
+
+
+def _scan_bracket(s: str, start: int) -> int | None:
+    """Index of the ``]`` matching the ``[`` at ``start`` (quote-aware)."""
+    depth, i, n = 0, start, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            quote = c
+            i += 1
+            while i < n:
+                if s[i] == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if s[i] == quote:
+                    if i + 1 < n and s[i + 1] == quote:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+def _subscript_base_start(acc: str) -> int | None:
+    """Start index (in ``acc``) of the expression a trailing subscript
+    binds to: a possibly-qualified identifier/backtick chain, or a
+    parenthesized/bracketed group with an optional function name in
+    front."""
+    masked = _mask_literals(acc)
+    i = len(masked)
+    while i > 0 and masked[i - 1].isspace():
+        i -= 1
+    if i == 0:
+        return None
+    c = masked[i - 1]
+    if c in ")]":
+        close, open_ = (")", "(") if c == ")" else ("]", "[")
+        depth = 0
+        while i > 0:
+            ch = masked[i - 1]
+            if ch == close:
+                depth += 1
+            elif ch == open_:
+                depth -= 1
+                if depth == 0:
+                    i -= 1
+                    break
+            i -= 1
+        if depth != 0:
+            return None
+        while i > 0 and (masked[i - 1].isalnum() or masked[i - 1] in "_."):
+            i -= 1
+        return i
+    if c.isalnum() or c in "_`":
+        while i > 0 and (masked[i - 1].isalnum() or masked[i - 1] in "_.`"):
+            i -= 1
+        return i
+    return None
+
 
 def _translate_fns(ch_query: str) -> str:
     """Rewrite every known CH function call in ``ch_query`` to Spark SQL.
@@ -4226,11 +4462,45 @@ def _translate_fns(ch_query: str) -> str:
     while i < n:
         c = ch_query[i]
         if c == "[":
-            prev = next((ch for ch in "".join(out)[::-1] if not ch.isspace()), "")
-            is_literal = not (prev and (prev.isalnum() or prev in "_)]"))
-            bstack.append(is_literal)
-            out.append("array(" if is_literal else "[")
-            i += 1
+            acc = "".join(out)
+            tail = acc.rstrip()
+            prev = tail[-1:]
+            if not prev or not (prev.isalnum() or prev in "_)]`"):
+                is_literal = True
+            elif prev.isalnum() or prev == "_":
+                # after a word: subscript only when the word is a real
+                # identifier — after a SQL keyword it's a literal
+                wm = re.search(r"(\w+)$", tail)
+                is_literal = (
+                    wm is not None
+                    and wm.group(1).lower() in _BRACKET_PREV_KEYWORDS
+                )
+            else:  # ')', ']', '`' — always a subscript base
+                is_literal = False
+            if is_literal:
+                bstack.append(True)
+                out.append("array(")
+                i += 1
+                continue
+            # Subscript: CH indexing is 1-BASED (negative = from end; maps
+            # key-lookup) — exactly Spark's element_at contract, while
+            # Spark's own `[]` is 0-based for arrays (r7 probe: `[10,20][1]`
+            # silently returned 20). try_element_at: NULL out of bounds /
+            # missing key (CH returns the type default — documented
+            # divergence, same class as arrayShift's NULL fill).
+            base_start = _subscript_base_start(acc)
+            j = _scan_bracket(ch_query, i)
+            if base_start is None or j is None:
+                bstack.append(False)  # unparseable: copy through verbatim
+                out.append("[")
+                i += 1
+                continue
+            inner = _translate_fns(ch_query[i + 1 : j])
+            out = [
+                acc[:base_start],
+                "try_element_at(", acc[base_start:], ", ", inner, ")",
+            ]
+            i = j + 1
             continue
         if c == "]":
             out.append(")" if bstack and bstack.pop() else "]")
@@ -6292,3 +6562,36 @@ def chsql_r7_batch4(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip, IPv4 CIDR containment, bar rendering, parseReadableSize,
     and the simpleJSON extractor."""
     return ch_sql(spark, sf_dir, _CH_R7_BATCH4)
+
+
+_CH_CLAUSE_GAPS = """
+SELECT event_id * 2 AS d,
+       toInt64([10, 20, 30][toInt32(event_id % 3) + 1]) AS sub,
+       splitByChar('-', concat(event_type, '-z'))[2] AS s2
+FROM events
+WHERE d % 7 = 0
+  AND (event_id % 3, event_type) IN ((0, 'click'), (1, 'view'))
+ORDER BY d
+"""
+
+
+@query(
+    "chsql_clause_gaps",
+    oracle="""
+    SELECT event_id * 2 AS d,
+           CAST(([10, 20, 30])[CAST(event_id % 3 AS INT) + 1] AS BIGINT)
+               AS sub,
+           str_split(event_type || '-z', '-')[2] AS s2
+    FROM events
+    WHERE (event_id * 2) % 7 = 0
+      AND ((event_id % 3 = 0 AND event_type = 'click')
+           OR (event_id % 3 = 1 AND event_type = 'view'))
+    ORDER BY d
+    """,
+)
+def chsql_clause_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 clause-level fixes live vs DuckDB: SELECT-list alias referenced
+    in WHERE (CH's expression-macro model), bracket array literal in the
+    SELECT list with a 1-BASED subscript (DuckDB lists are 1-based too —
+    direct algebra), and multi-column tuple IN against a literal list."""
+    return ch_sql(spark, sf_dir, _CH_CLAUSE_GAPS)

@@ -157,7 +157,11 @@ def test_chsql_clause_rewrites():
     # Bracket array literals become array(); subscripts stay subscripts.
     assert translate("arraySum([1, 2, 3])") == \
         "aggregate(array(1, 2, 3), 0D, (acc, x) -> acc + x)"
-    assert translate("arr[1] + [4][1]") == "arr[1] + array(4)[1]"
+    # r7: subscripts convert to try_element_at — CH indexing is 1-based
+    # while Spark's bare [] is 0-based (the old passthrough pinned here
+    # was an off-by-one: CH's [4][1] is 4, Spark's array(4)[1] was NULL)
+    assert translate("arr[1] + [4][1]") == \
+        "try_element_at(arr, 1) + try_element_at(array(4), 1)"
 
     # Round-3 rename/special batch.
     assert translate("indexOf(arr, 3)") == "array_position(arr, 3)"
@@ -1507,3 +1511,57 @@ def test_chsql_r7_fourth_probe_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_clause_gaps_r7(spark):
+    """r7 clause-level fixes: (1) bracket literals after SQL keywords
+    (`SELECT [1,2]` was misread as a subscript and died in Spark's
+    parser); (2) subscripts are CH 1-BASED — `[10,20][1]` silently
+    returned 20 through Spark's 0-based `[]`; now try_element_at
+    (negative-from-end and map lookup included, NULL OOB as documented
+    divergence from CH's type default); (3) aliases are CH expression
+    macros valid in WHERE/PREWHERE; (4) multi-column tuple IN needs
+    matching struct field names on both sides."""
+    from canal_clickhouse_spark.chsql import translate
+
+    run = lambda q: spark.sql(translate(q)).collect()
+    spark.range(1).selectExpr(
+        "id AS event_id", "CAST(id AS STRING) AS event_type",
+        "id AS user_id",
+    ).createOrReplaceTempView("tcg")
+    one = lambda e: run(f"SELECT {e} AS r FROM tcg LIMIT 1")[0].r
+    # bracket literals after keywords; subscripts unharmed
+    assert one("[1,2]") == [1, 2]
+    assert one("IF(1=1, ['x'], ['y'])") == ["x"]
+    assert one("CASE WHEN 1=1 THEN [1] ELSE [2] END") == [1]
+    # 1-based subscripts, negative from end, NULL OOB, chains, maps
+    assert one("[10,20][1]") == 10
+    assert one("[10,20][-1]") == 20
+    assert one("[10,20][5]") is None
+    assert one("[[1,2],[3]][1][2]") == 2
+    assert one("splitByChar('-', 'a-b')[2]") == "b"
+    assert one("map('k', 7)['k']") == 7
+    # alias macros in WHERE / PREWHERE
+    spark.range(20).selectExpr("id AS k").createOrReplaceTempView("tal")
+    r = run("SELECT k * 2 AS d FROM tal WHERE d > 10 AND d < 20 ORDER BY d")
+    assert [t.d for t in r] == [12, 14, 16, 18]
+    r = run("SELECT k * 3 AS t3 FROM tal PREWHERE t3 < 10 ORDER BY t3")
+    assert [t.t3 for t in r] == [0, 3, 6, 9]
+    # alias references inside a subquery keep their own scope
+    r = run("SELECT k * 2 AS d FROM tal"
+            " WHERE k IN (SELECT min(k) FROM tal) ORDER BY d")
+    assert len(r) == 1
+    # tuple IN: literal lists rewrite to colN structs; subqueries native
+    r = run("SELECT count() AS c FROM tal"
+            " WHERE (k % 3, k % 2) IN ((1, 1), (2, 0))")
+    r2 = run("SELECT count() AS c FROM tal"
+             " WHERE (k % 3 = 1 AND k % 2 = 1) OR (k % 3 = 2 AND k % 2 = 0)")
+    assert r[0].c == r2[0].c > 0
+    r = run("SELECT count() AS c FROM tal"
+            " WHERE (k % 3, k % 2) NOT IN ((1, 1))")
+    r2 = run("SELECT count() AS c FROM tal"
+             " WHERE NOT (k % 3 = 1 AND k % 2 = 1)")
+    assert r[0].c == r2[0].c
+    r = run("SELECT count() AS c FROM tal WHERE (k, k) IN"
+            " (SELECT k, k FROM tal WHERE k < 5)")
+    assert r[0].c == 5
