@@ -2851,6 +2851,155 @@ def _translate_call(name: str, args: list[str]) -> str:
             " result depends on physical block boundaries that don't"
             " exist on Spark; use row_number() OVER an explicit ORDER BY"
         )
+    # -- r7 fifth probe batch
+    if low in ("sumdistinct", "avgdistinct", "mindistinct", "maxdistinct"):
+        # -Distinct combinator; min/max are distinct-invariant
+        return f"{low[: -len('distinct')]}(DISTINCT {args[0]})"
+    if low in ("sumsimplestate", "minsimplestate", "maxsimplestate",
+               "avgsimplestate", "anysimplestate", "countsimplestate"):
+        # SimpleAggregateFunction states ARE the plain value
+        base = low[: -len("simplestate")]
+        return f"{'any_value' if base == 'any' else base}({args[0]})"
+    if low in ("initializeaggregation", "finalizeaggregation"):
+        raise ValueError(
+            f"{name} manipulates CH aggregate-state blobs; on Spark"
+            " compute the aggregate directly (the -Merge spellings map to"
+            " the plain aggregates; sketch states → agg_hll_merge)"
+        )
+    if low == "runningconcurrency":
+        raise ValueError(
+            "runningConcurrency is block-scoped; use maxIntersections"
+            " (mapped) for the group-wide peak or a window running count"
+        )
+    if low == "tointerval":
+        um = re.fullmatch(r"\s*'(\w+)'\s*", args[1] or "")
+        if not um:
+            raise ValueError(
+                "toInterval needs a literal unit string; or use the"
+                " toIntervalDay/Month/... spellings"
+            )
+        return _translate_call(f"toInterval{um.group(1).capitalize()}",
+                               [args[0]])
+    if low in ("timestampadd", "timestampsub") and len(args) == 2:
+        # CH's 2-arg form: timestampAdd(ts, INTERVAL n unit)
+        op = "+" if low == "timestampadd" else "-"
+        return f"({args[0]} {op} {args[1]})"
+    if low == "torelativeyearnum":
+        return f"year({args[0]})"
+    if low == "torelativequarternum":
+        return f"(year({args[0]}) * 4 + quarter({args[0]}))"
+    if low == "torelativeweeknum":
+        # Monday-boundary week count anchored so 1970-01-01 (Thursday) is
+        # week 0 and the first increment lands on 1970-01-05
+        return (
+            f"CAST(floor((datediff({args[0]}, DATE '1970-01-01') + 3) / 7)"
+            f" AS BIGINT)"
+        )
+    if low == "torelativeminutenum":
+        return f"CAST(floor(unix_timestamp({args[0]}) / 60) AS BIGINT)"
+    if low == "torelativesecondnum":
+        return f"unix_timestamp({args[0]})"
+    if low in ("bitmasktolist", "bitmasktoarray", "bitpositionstoarray"):
+        x = f"CAST({args[0]} AS BIGINT)"
+        if low == "bitpositionstoarray":
+            return (
+                f"filter(sequence(0, 63),"
+                f" _i -> (shiftright({x}, CAST(_i AS INT)) & 1) = 1)"
+            )
+        arr = (
+            f"filter(transform(sequence(0, 63),"
+            f" _i -> shiftleft(CAST(1 AS BIGINT), CAST(_i AS INT))),"
+            f" _m -> ({x} & _m) != 0)"
+        )
+        if low == "bitmasktoarray":
+            return arr
+        return f"array_join(transform({arr}, _v -> CAST(_v AS STRING)), ',')"
+    if low == "tolowcardinality":
+        return args[0]  # storage-encoding hint, value-transparent
+    if low == "visiblewidth":
+        return f"length(CAST({args[0]} AS STRING))"
+    if low == "tocolumntypename":
+        return _translate_call("toTypeName", args)
+    if low in ("getsizeofenumtype", "dumpcolumnstructure",
+               "defaultvalueofargumenttype", "lowcardinalitykeys",
+               "lowcardinalityindices"):
+        raise ValueError(
+            f"{name} introspects CH's physical column representation,"
+            " which Spark columns don't carry; DESCRIBE/system.columns is"
+            " the schema surface, defaultValueOfTypeName the type-default"
+            " one"
+        )
+    if low == "lpnorm":
+        a, p = args[0], args[1] if len(args) > 1 else "2"
+        return (
+            f"pow(aggregate({a}, 0D, (_s, _x) ->"
+            f" _s + pow(abs(CAST(_x AS DOUBLE)), {p})), 1.0 / ({p}))"
+        )
+    if low == "linfnorm":
+        return (
+            f"array_max(transform({args[0]},"
+            f" _x -> abs(CAST(_x AS DOUBLE))))"
+        )
+    if low == "l2squarednorm":
+        return _vec_dot(args[0], args[0])
+    if low == "l1normalize":
+        a = args[0]
+        n_ = (
+            f"aggregate({a}, 0D, (_s, _x) -> _s + abs(CAST(_x AS DOUBLE)))"
+        )
+        return f"transform({a}, _x -> CAST(_x AS DOUBLE) / {n_})"
+    if low == "lpdistance":
+        a, b = args[0], args[1]
+        p = args[2] if len(args) > 2 else "2"
+        return (
+            f"pow(aggregate(zip_with({a}, {b}, (_x, _y) ->"
+            f" pow(abs(CAST(_x AS DOUBLE) - CAST(_y AS DOUBLE)), {p})),"
+            f" 0D, (_s, _v) -> _s + _v), 1.0 / ({p}))"
+        )
+    if low in ("tuplehammingdistance", "arraylevenshteindistance",
+               "arraylevenshteindistanceweighted"):
+        raise ValueError(
+            f"{name}: no inline Spark spelling over generic"
+            " tuples/arrays; editDistance (strings) and"
+            " byteHammingDistance are mapped — explode + compare for the"
+            " array forms"
+        )
+    if low == "positioncaseinsensitiveutf8":
+        return f"locate(lower({args[1]}), lower({args[0]}))"
+    if low == "countsubstringscaseinsensitive":
+        h, n_ = f"lower({args[0]})", f"lower({args[1]})"
+        return (
+            f"CAST((length({h}) - length(replace({h}, {n_}, '')))"
+            f" / length({n_}) AS INT)"
+        )
+    if low == "startswithutf8":
+        return f"startswith({args[0]}, {args[1]})"
+    if low == "endswithutf8":
+        return f"endswith({args[0]}, {args[1]})"
+    if low in ("touuidornull", "touuidorzero"):
+        pat = (
+            "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'"
+        )
+        fb = (
+            "NULL" if low.endswith("ornull")
+            else "'00000000-0000-0000-0000-000000000000'"
+        )
+        return f"IF({args[0]} RLIKE {pat}, {args[0]}, {fb})"
+    if low in ("uuidnumtostring", "uuidstringtonum", "uuidv7tonum",
+               "uuidtonum"):
+        raise ValueError(
+            f"{name} converts to/from the 16-byte binary UUID"
+            " representation; keep UUIDs as strings here (uuid() /"
+            " generateUUIDv4 are mapped)"
+        )
+    if low == "serverversion":
+        raise ValueError(
+            "serverVersion() is server-runtime introspection with no"
+            " meaning in a batch plan (same family as uptime())"
+        )
+    if low == "totime64":
+        return _translate_call("toTime", [args[0]])
     if low in _PARAMETRIC and low not in _RENAME:
         # Bare single-call form: quantile(x) → CH's median default,
         # uniqUpTo(x) → default N=5, and the sketch/sequence names raise
@@ -2995,6 +3144,26 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "randchisquared", "randfisherf", "snowflakeidtodatetime",
     "datetimetosnowflakeid", "generatesnowflakeid", "ulidstringtodatetime",
     "blocknumber", "rownumberinblock", "blocksize",
+    # r7 fifth probe batch (mapped)
+    "sumdistinct", "avgdistinct", "mindistinct", "maxdistinct",
+    "sumsimplestate", "minsimplestate", "maxsimplestate",
+    "avgsimplestate", "anysimplestate", "countsimplestate",
+    "tointerval", "timestampadd", "timestampsub", "torelativeyearnum",
+    "torelativequarternum", "torelativeweeknum", "torelativeminutenum",
+    "torelativesecondnum", "bitmasktolist", "bitmasktoarray",
+    "bitpositionstoarray", "tolowcardinality", "visiblewidth",
+    "tocolumntypename", "lpnorm", "linfnorm", "l2squarednorm",
+    "l1normalize", "lpdistance", "positioncaseinsensitiveutf8",
+    "countsubstringscaseinsensitive", "startswithutf8", "endswithutf8",
+    "touuidornull", "touuidorzero", "totime64",
+    # r7 fifth probe batch (guided errors)
+    "initializeaggregation", "finalizeaggregation", "runningconcurrency",
+    "getsizeofenumtype", "dumpcolumnstructure",
+    "defaultvalueofargumenttype", "lowcardinalitykeys",
+    "lowcardinalityindices", "tuplehammingdistance",
+    "arraylevenshteindistance", "arraylevenshteindistanceweighted",
+    "uuidnumtostring", "uuidstringtonum", "uuidv7tonum", "uuidtonum",
+    "serverversion",
     # r7 second probe batch: tuples + aggregate combinators
     "untuple", "arraypartialreversesort",
     "sumforeach", "minforeach", "maxforeach", "countforeach", "avgforeach",

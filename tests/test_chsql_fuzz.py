@@ -803,7 +803,32 @@ def q_r7_spellings(rng: random.Random) -> tuple[str, str]:
     sc = rng.choice(t["str"])
     m1, m2 = rng.randint(2, 7), rng.randint(2, 5)
     needle = rng.choice(["a", "e", "ck", "zz"])
-    pick = rng.randrange(4)
+    pick = rng.randrange(5)
+    if pick == 4:
+        # r7 scanner rewrites: bracket literal + 1-based subscript in the
+        # SELECT list, alias macro in WHERE, tuple IN on a literal list
+        # (unique sort key: the LIMIT boundary must be deterministic)
+        ic = t["uniq"]
+        m3 = rng.randint(2, 4)
+        ch = (
+            f"SELECT {ic} * 2 AS d,"
+            f" toInt64([7, 8, 9][toInt32({ic} % 3) + 1]) AS sub"
+            f" FROM {table}"
+            f" WHERE d % {m1} = 0"
+            f" AND ({ic} % {m3}, {ic} % 2) IN ((0, 0), (1, 1))"
+            f" ORDER BY d LIMIT 400"
+        )
+        dk = (
+            f"SELECT {ic} * 2 AS d,"
+            f" CAST(([7, 8, 9])[CAST({ic} % 3 AS INT) + 1] AS BIGINT)"
+            f" AS sub"
+            f" FROM {table}"
+            f" WHERE ({ic} * 2) % {m1} = 0"
+            f" AND (({ic} % {m3} = 0 AND {ic} % 2 = 0)"
+            f" OR ({ic} % {m3} = 1 AND {ic} % 2 = 1))"
+            f" ORDER BY d LIMIT 400"
+        )
+        return ch, dk
     if pick == 0:
         # tuple construction + positional access through an aggregate
         ch = (

@@ -1565,3 +1565,53 @@ def test_chsql_clause_gaps_r7(spark):
     r = run("SELECT count() AS c FROM tal WHERE (k, k) IN"
             " (SELECT k, k FROM tal WHERE k < 5)")
     assert r[0].c == 5
+
+
+def test_chsql_r7_fifth_probe_batch(spark):
+    """r7 fifth probe batch: -Distinct / -SimpleState combinators,
+    interval constructors, toRelative* family, bitmask decompositions,
+    Lp-norm/distance family, case-insensitive search variants, UUID
+    validation casts, and guided errors for state/introspection
+    spellings."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "x double") \
+        .createOrReplaceTempView("tb5")
+    g = lambda e: spark.sql(
+        translate(f"SELECT {e} AS r FROM tb5")).collect()[0].r
+    assert g("sumDistinct(x)") == 3.0 and g("avgDistinct(x)") == 1.5
+    assert g("sumSimpleState(x)") == 4.0
+    assert one("toInterval(2, 'day') + toDateTime('2024-01-01 00:00:00')") \
+        == datetime.datetime(2024, 1, 3)
+    assert one("timestampAdd(toDate('2024-01-01'), INTERVAL 1 MONTH)") == \
+        datetime.date(2024, 2, 1)
+    assert one("toRelativeYearNum(toDate('2010-05-01'))") == 2010
+    assert one("toRelativeQuarterNum(toDate('2010-05-01'))") == 8042
+    assert one("toRelativeWeekNum(toDate('1970-01-01'))") == 0
+    assert one("toRelativeWeekNum(toDate('1970-01-05'))") == 1
+    assert one("bitmaskToArray(10)") == [2, 8]
+    assert one("bitmaskToList(10)") == "2,8"
+    assert one("bitPositionsToArray(10)") == [1, 3]
+    assert one("toLowCardinality('x')") == "x"
+    assert abs(one("LpNorm([3.0, 4.0], 2)") - 5.0) < 1e-9
+    assert one("LinfNorm([-3.0, 2.0])") == 3.0
+    assert one("L1Normalize([1.0, 3.0])") == [0.25, 0.75]
+    assert abs(one("LpDistance([0.0], [2.0], 2)") - 2.0) < 1e-9
+    assert one("positionCaseInsensitiveUTF8('Hello', 'LL')") == 3
+    assert one("countSubstringsCaseInsensitive('AaA', 'a')") == 3
+    assert one("toUUIDOrNull('zz')") is None
+    assert one("toUUIDOrZero('zz')") == \
+        "00000000-0000-0000-0000-000000000000"
+    for bad, hint in [
+        ("initializeAggregation('s', 1)", "Merge"),
+        ("runningConcurrency(a, b)", "maxIntersections"),
+        ("tupleHammingDistance(a, b)", "byteHammingDistance"),
+        ("UUIDStringToNum('x')", "binary"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
