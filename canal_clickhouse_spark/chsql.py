@@ -6395,12 +6395,13 @@ def chsql_global_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CH_PARAMETRIC_IF = """
-SELECT topK(3)(o_orderpriority) AS top_prio,
-       topKIf(3)(o_orderpriority, o_orderstatus = 'F') AS top_prio_f,
-       topKWeighted(2)(o_orderstatus, toInt32(o_orderkey % 3) + 1)
-           AS top_status_w,
-       arraySort(groupArrayIf(8)(o_orderstatus, o_orderkey < 5))
-           AS first_status,
+SELECT arrayStringConcat(topK(3)(o_orderpriority), ',') AS top_prio,
+       arrayStringConcat(topKIf(3)(o_orderpriority, o_orderstatus = 'F'),
+           ',') AS top_prio_f,
+       arrayStringConcat(topKWeighted(2)(o_orderstatus,
+           toInt32(o_orderkey % 3) + 1), ',') AS top_status_w,
+       arrayStringConcat(arraySort(groupArrayIf(8)(o_orderstatus,
+           o_orderkey < 5)), ',') AS first_status,
        toInt64(uniqUpToIf(3)(o_orderpriority, o_orderstatus = 'O'))
            AS prio_upto,
        quantileIf(0.9)(toFloat64(o_totalprice), o_orderstatus = 'F')
@@ -6422,10 +6423,14 @@ FROM orders
         SELECT o_orderstatus AS v, SUM(o_orderkey % 3 + 1) AS c
         FROM orders GROUP BY v ORDER BY c DESC, v LIMIT 2
     )
-    SELECT (SELECT LIST(v) FROM ranked) AS top_prio,
-           (SELECT LIST(v) FROM ranked_f) AS top_prio_f,
-           (SELECT LIST(v) FROM ranked_w) AS top_status_w,
-           (SELECT LIST(o_orderstatus ORDER BY o_orderstatus)
+    SELECT (SELECT array_to_string(LIST(v), ',') FROM ranked)
+               AS top_prio,
+           (SELECT array_to_string(LIST(v), ',') FROM ranked_f)
+               AS top_prio_f,
+           (SELECT array_to_string(LIST(v), ',') FROM ranked_w)
+               AS top_status_w,
+           (SELECT array_to_string(
+                LIST(o_orderstatus ORDER BY o_orderstatus), ',')
             FROM orders WHERE o_orderkey < 5) AS first_status,
            LEAST((SELECT COUNT(DISTINCT o_orderpriority) FROM orders
                   WHERE o_orderstatus = 'O'), 4) AS prio_upto,

@@ -437,7 +437,7 @@ _INSERT_FORMAT_RE = re.compile(
     # Data starts at the first non-space character.
     r"(?is)^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
     r"(?:\((?P<cols>[\w,\s]+)\)\s*)?"
-    r"FORMAT\s+(?P<fmt>JSONEachRow|CSV)\s*(?P<data>\S.*)?$"
+    r"FORMAT\s+(?P<fmt>\w+)\s*(?P<data>\S.*)?$"
 )
 
 _INSERT_VALUES_RE = re.compile(
@@ -1096,6 +1096,32 @@ class ChSession:
             # CSV. Parsed with from_json/from_csv against the TARGET
             # column types, so coercion matches a CH server's behavior.
             name = m.group("name")
+            fmt = m.group("fmt").upper()
+            if fmt == "VALUES":
+                # FORMAT Values ≡ the VALUES clause spelling
+                return self.execute(
+                    f"INSERT INTO {name} "
+                    + (f"({m.group('cols')}) " if m.group("cols") else "")
+                    + f"VALUES {m.group('data') or ''}"
+                )
+            known = {
+                "JSONEACHROW": ("json", False),
+                "CSV": ("csv", False),
+                "CSVWITHNAMES": ("csv", True),
+                "TSV": ("tsv", False),
+                "TABSEPARATED": ("tsv", False),
+                "TSVWITHNAMES": ("tsv", True),
+                "TABSEPARATEDWITHNAMES": ("tsv", True),
+            }
+            if fmt not in known:
+                # refuse loudly: the old \w+-prefix match silently parsed
+                # CSVWithNames as CSV with the header as a data row
+                raise ValueError(
+                    f"INSERT FORMAT {m.group('fmt')}: supported inline"
+                    " formats are JSONEachRow / CSV[WithNames] /"
+                    " TSV|TabSeparated[WithNames] / Values"
+                )
+            kind, has_header = known[fmt]
             tbl = self._require_table(name, f"INSERT FORMAT {m.group('fmt')}")
             cols = (
                 [c.strip() for c in m.group("cols").split(",")]
@@ -1111,9 +1137,17 @@ class ChSession:
                 for ln in (m.group("data") or "").splitlines()
                 if ln.strip()
             ]
+            if has_header:
+                lines = lines[1:]  # column-name header row
             raw = self.spark.createDataFrame(lines, "raw string")
-            if m.group("fmt").upper() == "JSONEACHROW":
+            if kind == "json":
                 parsed = raw.select(F.from_json("raw", schema).alias("r"))
+            elif kind == "tsv":
+                parsed = raw.select(
+                    F.from_csv(
+                        "raw", schema, {"sep": "\t"}
+                    ).alias("r")
+                )
             else:  # CSV — positional against the column list
                 parsed = raw.select(F.from_csv("raw", schema).alias("r"))
             block = parsed.select("r.*")
@@ -1624,6 +1658,12 @@ class ChSession:
             )
 
         if re.match(r"(?is)^\s*(SELECT|WITH)\b", s):
+            if re.search(r"(?i)\bINTO\s+OUTFILE\b", s):
+                raise ValueError(
+                    "INTO OUTFILE is a client-side file write; use the"
+                    " sink writers (sink_parquet / DataFrame.write) on"
+                    " the returned DataFrame instead"
+                )
             return self._run_select(s)
 
         raise ValueError(f"unsupported statement: {s[:120]!r}")

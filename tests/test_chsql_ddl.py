@@ -1278,3 +1278,32 @@ def test_ddl_r7_statement_surface(spark, sf_dir):
         run("EXPLAIN ESTIMATE SELECT * FROM tp7")
     with _pytest.raises(ValueError, match="ACL"):
         run("GRANT SELECT ON tp7 TO u")
+
+
+def test_ddl_insert_format_variants(spark, sf_dir):
+    """r7: the INSERT FORMAT dispatch was a JSONEachRow|CSV prefix match —
+    CSVWithNames silently parsed as CSV with the header row as data. Full
+    format-word dispatch now: TSV/TabSeparated (tab from_csv), WithNames
+    variants skip the header, Values delegates to the VALUES parser, and
+    unknown formats refuse loudly. INTO OUTFILE raises a guided error."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s = ChSession(spark, sf_dir)
+    s.execute("CREATE TABLE tfv (id Int32, v String) ENGINE = Memory")
+    s.execute("INSERT INTO tfv FORMAT TSV\n1\ta\n2\tb")
+    s.execute("INSERT INTO tfv FORMAT TabSeparated\n3\tc")
+    s.execute("INSERT INTO tfv FORMAT Values (4, 'd'), (5, 'e')")
+    s.execute("INSERT INTO tfv FORMAT CSVWithNames\nid,v\n6,f")
+    s.execute("INSERT INTO tfv FORMAT TSVWithNames\nid\tv\n7\tg")
+    rows = [
+        tuple(r)
+        for r in s.execute("SELECT * FROM tfv ORDER BY id").collect()
+    ]
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"),
+                    (6, "f"), (7, "g")]
+    with _pytest.raises(ValueError, match="JSONEachRow"):
+        s.execute("INSERT INTO tfv FORMAT Parquet xx")
+    with _pytest.raises(ValueError, match="sink"):
+        s.execute("SELECT * FROM tfv INTO OUTFILE '/tmp/x.csv'")

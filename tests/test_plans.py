@@ -148,6 +148,9 @@ _CARTESIAN_OK = {
     # TTL horizon) attached via cross join — O(1) rows on the broadcast side.
     "agg_histogram", "agg_freq_items", "ttl_expire", "ttl_rollup",
     "agg_bitmap_ops",
+    # r7: the TTL DDL composite enforces expiry through the same
+    # broadcast 1-row max-anchor attach as ttl_expire.
+    "chsql_ttl_ddl",
     # deterministic Lloyd's: per-row probe of a broadcast k-row (k=8)
     # centroid table via crossJoin — map-side by construction.
     "embed_kmeans",
