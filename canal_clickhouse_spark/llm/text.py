@@ -811,3 +811,49 @@ def fn_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" {needle_grams})) AS DOUBLE)"
         f" / greatest(size({prefix_grams}), 1), 6) AS ngram_dist",
     ).orderBy("doc_id")
+
+
+@query(
+    "text_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+    lp AS (
+      SELECT token, ln((c + 1.0) / (n + v)) AS logp FROM cnt, tot
+    )
+    SELECT t.doc_id, ROUND(EXP(-AVG(lp.logp)), 4) AS ppl
+    FROM tok t JOIN lp USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram perplexity per document — the standard
+    LM-based quality filter (CCNet-style: score each document against a
+    language model and drop the high-perplexity tail). Add-one smoothing:
+    logp(w) = ln((c_w + 1) / (N + V)).
+
+    Scale shape: token counts are one partial-aggregated explode (the
+    shuffle carries distinct tokens, not raw occurrences); N and V attach
+    as a broadcast 1-row aggregate; the score join shuffles on `token`
+    with BOTH sides pre-aggregated (|vocab| + |doc×term| rows); the final
+    per-doc average is a second keyed aggregate. No collect, no Python —
+    at 100 TB this is two hash-agg exchanges and one shuffle join, the
+    same envelope as tfidf_topterms."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))).alias("logp"),
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(F.round(F.exp(-F.avg("logp")), 4).alias("ppl"))
+        .orderBy("doc_id")
+    )

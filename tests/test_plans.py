@@ -157,6 +157,9 @@ _CARTESIAN_OK = {
     # sample_token_budget attaches its 1-row broadcast budget scalar via
     # cross join (same class as ttl_expire's horizon).
     "sample_token_budget",
+    # text_perplexity attaches its 1-row (N, V) smoothing constants the
+    # same way; the score join itself is a keyed shuffle join.
+    "text_perplexity",
 }
 
 
