@@ -909,22 +909,31 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS BIGINT)"
     # CH's fallible-cast family: OrNull -> SQL NULL on parse failure
     # (Spark/DuckDB try_cast), OrZero -> the type's zero default.
-    if low.endswith(("ornull", "orzero")) and low.startswith("to"):
+    if (
+        low.endswith(("ornull", "orzero", "ordefault"))
+        and low.startswith("to")
+    ):
+        cut = 9 if low.endswith("ordefault") else 6
         target = {
             "toint8": "TINYINT", "toint16": "SMALLINT", "toint32": "INT",
             "toint64": "BIGINT", "touint32": "BIGINT",
             "touint64": "DECIMAL(20,0)", "tofloat32": "FLOAT",
             "tofloat64": "DOUBLE", "todate": "DATE",
             "todatetime": "TIMESTAMP", "todecimal64": "DECIMAL(18,6)",
-        }.get(low[: -6 if low.endswith("ornull") else -6])
+        }.get(low[:-cut])
         if target is not None:
             tc = f"try_cast({args[0]} AS {target})"
-            if low.endswith("orzero"):
-                zero = "DATE '1970-01-01'" if target == "DATE" else (
-                    "TIMESTAMP '1970-01-01 00:00:00'" if target == "TIMESTAMP"
-                    else "0")
-                return f"coalesce({tc}, {zero})"
-            return tc
+            if low.endswith("ornull"):
+                return tc
+            # -OrZero and -OrDefault both fall back on parse failure:
+            # OrZero to the type default, OrDefault to the optional second
+            # argument (or the type default when omitted — CH's contract)
+            if low.endswith("ordefault") and len(args) > 1:
+                return f"coalesce({tc}, CAST({args[1]} AS {target}))"
+            zero = "DATE '1970-01-01'" if target == "DATE" else (
+                "TIMESTAMP '1970-01-01 00:00:00'" if target == "TIMESTAMP"
+                else "0")
+            return f"coalesce({tc}, {zero})"
     if low == "tofloat64":
         return f"CAST({args[0]} AS DOUBLE)"
     if low in ("todecimal32", "todecimal64", "todecimal128"):
@@ -1074,22 +1083,106 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low in ("toint8", "toint16"):
         return f"CAST({args[0]} AS INT)"
     if low in ("jsonextractstring", "jsonextractraw", "visitparamextractstring"):
-        return f"get_json_object({args[0]}, {_json_path(args[1])})"
-    if low == "jsonextractint":
-        return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS BIGINT)"
+        return f"get_json_object({args[0]}, {_json_path_multi(args[1:])})"
+    if low in ("jsonextractint", "jsonextractuint"):
+        return (
+            f"CAST(get_json_object({args[0]},"
+            f" {_json_path_multi(args[1:])}) AS BIGINT)"
+        )
     if low == "jsonextractfloat":
-        return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS DOUBLE)"
+        return (
+            f"CAST(get_json_object({args[0]},"
+            f" {_json_path_multi(args[1:])}) AS DOUBLE)"
+        )
     if low == "jsonextractbool":
-        return f"CAST(get_json_object({args[0]}, {_json_path(args[1])}) AS BOOLEAN)"
+        return (
+            f"CAST(get_json_object({args[0]},"
+            f" {_json_path_multi(args[1:])}) AS BOOLEAN)"
+        )
     if low == "jsonhas":
-        return f"(get_json_object({args[0]}, {_json_path(args[1])}) IS NOT NULL)"
+        return (
+            f"(get_json_object({args[0]},"
+            f" {_json_path_multi(args[1:])}) IS NOT NULL)"
+        )
+    if low == "jsonextract":
+        # JSONExtract(json[, path components...], 'Type') — the last
+        # argument is a CH type literal; scalars cast, array/map types
+        # parse the raw extract with from_json
+        tm = re.fullmatch(r"\s*'([^']+)'\s*", args[-1] or "")
+        if not tm:
+            raise ValueError(
+                "JSONExtract needs a literal ClickHouse type name as its"
+                " last argument"
+            )
+        from .chsql_ddl import ch_type_to_spark
+        sp = ch_type_to_spark(tm.group(1))
+        raw = (
+            args[0] if len(args) == 2
+            else f"get_json_object({args[0]}, {_json_path_multi(args[1:-1])})"
+        )
+        if any(t in sp.upper() for t in ("ARRAY", "MAP", "STRUCT")):
+            return f"from_json({raw}, '{sp.lower()}')"
+        return f"CAST({raw} AS {sp})"
+    if low == "jsonextractkeysandvalues":
+        # (json[, paths...], 'Type') → array of (key, value) tuples in the
+        # engine's positional col1/col2 convention
+        tm = re.fullmatch(r"\s*'([^']+)'\s*", args[-1] or "")
+        if not tm:
+            raise ValueError(
+                "JSONExtractKeysAndValues needs a literal type name as its"
+                " last argument"
+            )
+        from .chsql_ddl import ch_type_to_spark
+        sp = ch_type_to_spark(tm.group(1))
+        raw = (
+            args[0] if len(args) == 2
+            else f"get_json_object({args[0]}, {_json_path_multi(args[1:-1])})"
+        )
+        return (
+            f"transform(map_entries(from_json({raw},"
+            f" 'map<string, {sp.lower()}>')),"
+            f" _e -> named_struct('col1', _e.key, 'col2', _e.value))"
+        )
+    if low == "jsonextractkeys":
+        raw = (
+            args[0] if len(args) == 1
+            else f"get_json_object({args[0]}, {_json_path_multi(args[1:])})"
+        )
+        return f"json_object_keys({raw})"
+    if low == "jsontype":
+        # first-character classification of the raw JSON text; path-level
+        # extracts lose string quoting through get_json_object, so the
+        # final ELSE is 'String' (documented heuristic)
+        raw = (
+            args[0] if len(args) == 1
+            else f"get_json_object({args[0]}, {_json_path_multi(args[1:])})"
+        )
+        t_ = f"trim({raw})"
+        return (
+            f"(CASE WHEN {t_} IS NULL THEN 'Null'"
+            f" WHEN {t_} = 'null' THEN 'Null'"
+            f" WHEN {t_} LIKE '{{%' THEN 'Object'"
+            f" WHEN {t_} LIKE '[%' THEN 'Array'"
+            f" WHEN {t_} IN ('true', 'false') THEN 'Bool'"
+            f" WHEN {t_} RLIKE '^-?[0-9]+$' THEN 'Int64'"
+            f" WHEN {t_} RLIKE '^-?[0-9]+[.eE][0-9eE+\\\\-.]*$'"
+            f" THEN 'Float64'"
+            f" ELSE 'String' END)"
+        )
+    if low in ("json_value", "json_query"):
+        # SQL/JSON operators take a real JSONPath — pass it straight in
+        return f"get_json_object({args[0]}, {args[1]})"
+    if low == "json_exists":
+        return f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
+    if low == "isvalidjson":
+        return f"(try_parse_json({args[0]}) IS NOT NULL)"
     if low == "jsonlength":
         # CH counts array elements OR object keys; json_array_length is
         # NULL on objects, so fall through to the key count.
         target = (
             args[0]
             if len(args) == 1
-            else f"get_json_object({args[0]}, {_json_path(args[1])})"
+            else f"get_json_object({args[0]}, {_json_path_multi(args[1:])})"
         )
         return (
             f"coalesce(json_array_length({target}),"
@@ -2851,6 +2944,100 @@ def _translate_call(name: str, args: list[str]) -> str:
             " result depends on physical block boundaries that don't"
             " exist on Spark; use row_number() OVER an explicit ORDER BY"
         )
+    # -- r7 sixth probe batch: date makers, hash spellings, encryption,
+    # n-gram similarity, HTML strip
+    if low == "makedate32":
+        return f"make_date({args[0]}, {args[1]}, {args[2]})"
+    if low == "makedatetime64":
+        if len(args) > 6:
+            raise ValueError(
+                "makeDateTime64 with an explicit fraction/precision has"
+                " no exact Spark spelling (timestamps are fixed micros);"
+                " use the 6-argument form + an INTERVAL for sub-seconds"
+            )
+        return f"make_timestamp({', '.join(args[:6])})"
+    if low == "yyyymmddhhmmsstodatetime":
+        return (
+            f"to_timestamp(CAST({args[0]} AS STRING), 'yyyyMMddHHmmss')"
+        )
+    if low == "fromunixtimestamp64nano":
+        # Spark timestamps are micros — nanos truncate (documented)
+        return f"timestamp_micros(CAST({args[0]} AS BIGINT) div 1000)"
+    if low == "tounixtimestamp64nano":
+        return f"(unix_micros({args[0]}) * 1000)"
+    if low in ("siphash128", "metrohash64", "wyhash64", "xxh3", "xxhash64",
+               "farmfingerprint64", "urlhash"):
+        # same convention as sipHash64/cityHash64: a stable 64-bit JVM
+        # hash replaces CH's specific algorithm (values differ from CH —
+        # documented; hashes are compared within ONE engine, never across)
+        if low == "siphash128":
+            return f"md5(CAST({args[0]} AS STRING))"  # 128-bit analogue
+        return f"xxhash64({', '.join(args)})"
+    if low in ("javahash", "hivehash", "gccmurmurhash", "kafkamurmurhash"):
+        return f"hash({', '.join(args)})"  # 32-bit murmur analogue
+    if low in ("encrypt", "decrypt", "trydecrypt"):
+        mm = re.fullmatch(
+            r"\s*'aes-(?:128|192|256)-(ecb|cbc|gcm)'\s*",
+            args[0] or "", re.IGNORECASE,
+        )
+        if not mm:
+            raise ValueError(
+                f"{name}: only literal 'aes-<128|192|256>-<ecb|cbc|gcm>'"
+                " modes map to Spark's aes_encrypt/aes_decrypt (key width"
+                " is taken from the key argument)"
+            )
+        mode = mm.group(1).upper()
+        iv = f", 'DEFAULT', {args[3]}" if len(args) > 3 else ""
+        if low == "encrypt":
+            return f"aes_encrypt({args[1]}, {args[2]}, '{mode}'{iv})"
+        fn = "try_aes_decrypt" if low == "trydecrypt" else "aes_decrypt"
+        return f"CAST({fn}({args[1]}, {args[2]}, '{mode}'{iv}) AS STRING)"
+    if low in ("aes_encrypt_mysql", "aes_decrypt_mysql"):
+        raise ValueError(
+            f"{name} applies MySQL's key-folding scheme; use"
+            " encrypt/decrypt (mapped to aes_encrypt/aes_decrypt) with a"
+            " proper-length key"
+        )
+    if low in ("ngramdistance", "ngramsearch", "ngramdistancecaseinsensitive",
+               "ngramsearchcaseinsensitive"):
+        a, b = args[0], args[1]
+        if "caseinsensitive" in low:
+            a, b = f"lower({a})", f"lower({b})"
+        ga = f"array_distinct({_translate_call('ngrams', [a, '4'])})"
+        gb = f"array_distinct({_translate_call('ngrams', [b, '4'])})"
+        inter = f"size(array_intersect({ga}, {gb}))"
+        if low.startswith("ngramsearch"):
+            # fraction of the NEEDLE's 4-grams present in the haystack
+            return (
+                f"(CAST({inter} AS DOUBLE) / greatest(size({gb}), 1))"
+            )
+        # set-Jaccard distance over 4-grams (CH uses multiset counts —
+        # documented divergence, same ordering behavior)
+        return (
+            f"(1.0D - CAST({inter} AS DOUBLE)"
+            f" / greatest(size(array_union({ga}, {gb})), 1))"
+        )
+    if low == "extracttextfromhtml":
+        return (
+            f"trim(regexp_replace(regexp_replace(regexp_replace({args[0]},"
+            f" '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' '),"
+            f" '<[^>]*>', ' '), '\\\\s+', ' '))"
+        )
+    if low == "initcaputf8":
+        return f"initcap({args[0]})"
+    if low.startswith("reinterpretas") or low == "reinterpret":
+        raise ValueError(
+            f"{name}: raw byte reinterpretation depends on CH's physical"
+            " column layout; use explicit CAST / unhex / encode-decode"
+            " spellings instead"
+        )
+    if low in ("multifuzzymatchany", "multifuzzymatchanyindex",
+               "multifuzzymatchallindices"):
+        raise ValueError(
+            f"{name}: fuzzy (edit-distance) regex matching has no Spark"
+            " builtin; multiMatchAny (exact regex, mapped) or levenshtein"
+            " post-filters are the building blocks"
+        )
     # -- r7 fifth probe batch
     if low in ("sumdistinct", "avgdistinct", "mindistinct", "maxdistinct"):
         # -Distinct combinator; min/max are distinct-invariant
@@ -3144,6 +3331,30 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "randchisquared", "randfisherf", "snowflakeidtodatetime",
     "datetimetosnowflakeid", "generatesnowflakeid", "ulidstringtodatetime",
     "blocknumber", "rownumberinblock", "blocksize",
+    # r7 sixth probe batch (mapped)
+    "jsonextract", "jsonextractkeysandvalues", "jsonextractkeys",
+    "jsonextractuint", "jsontype", "json_value", "json_query",
+    "json_exists", "isvalidjson", "makedate32", "makedatetime64",
+    "yyyymmddhhmmsstodatetime", "fromunixtimestamp64nano",
+    "tounixtimestamp64nano", "siphash128", "metrohash64", "wyhash64",
+    "xxh3", "xxhash64", "farmfingerprint64", "urlhash", "javahash",
+    "hivehash", "gccmurmurhash", "kafkamurmurhash", "encrypt", "decrypt",
+    "trydecrypt", "ngramdistance", "ngramsearch",
+    "ngramdistancecaseinsensitive", "ngramsearchcaseinsensitive",
+    "extracttextfromhtml", "initcaputf8",
+    "todateordefault", "todatetimeordefault", "toint8ordefault",
+    "toint16ordefault", "toint32ordefault", "toint64ordefault",
+    "touint32ordefault", "touint64ordefault", "tofloat32ordefault",
+    "tofloat64ordefault", "todecimal64ordefault",
+    # r7 sixth probe batch (guided errors)
+    "aes_encrypt_mysql", "aes_decrypt_mysql", "reinterpret",
+    "reinterpretasuint8", "reinterpretasuint16", "reinterpretasuint32",
+    "reinterpretasuint64", "reinterpretasint8", "reinterpretasint16",
+    "reinterpretasint32", "reinterpretasint64", "reinterpretasfloat32",
+    "reinterpretasfloat64", "reinterpretasstring", "reinterpretasdate",
+    "reinterpretasdatetime", "reinterpretasuuid",
+    "multifuzzymatchany", "multifuzzymatchanyindex",
+    "multifuzzymatchallindices",
     # r7 fifth probe batch (mapped)
     "sumdistinct", "avgdistinct", "mindistinct", "maxdistinct",
     "sumsimplestate", "minsimplestate", "maxsimplestate",
@@ -3249,6 +3460,42 @@ def _json_path(key: str) -> str:
     if len(key) >= 2 and key[0] == "'" and key[-1] == "'":
         return f"'$.{key[1:-1]}'"
     return f"concat('$.', {key})"
+
+
+def _json_path_multi(keys: list[str]) -> str:
+    """Multi-component CH JSON path → one JSONPath: string keys become
+    `.key` segments, integer indices (CH 1-based) become `[i-1]` —
+    previously only the FIRST component was used, silently extracting the
+    wrong node for JSONExtractString(j, 'a', 'b') (r7 probe). Non-literal
+    components build the path at runtime with concat."""
+    if not keys:
+        return "'$'"
+    if len(keys) == 1 and not re.fullmatch(r"-?\d+", keys[0].strip()):
+        return _json_path(keys[0])  # single key: the simple form
+    lit_parts, dynamic = ["$"], False
+    for k in keys:
+        k = k.strip()
+        if re.fullmatch(r"-?\d+", k):
+            idx = int(k)
+            lit_parts.append(f"[{idx - 1 if idx > 0 else idx}]")
+        elif len(k) >= 2 and k[0] == "'" and k[-1] == "'":
+            lit_parts.append(f".{k[1:-1]}")
+        else:
+            dynamic = True
+            break
+    if not dynamic:
+        return "'" + "".join(lit_parts) + "'"
+    pieces = ["'$'"]
+    for k in keys:
+        k = k.strip()
+        if re.fullmatch(r"-?\d+", k):
+            idx = int(k)
+            pieces.append(f"'[{idx - 1 if idx > 0 else idx}]'")
+        elif len(k) >= 2 and k[0] == "'" and k[-1] == "'":
+            pieces.append(f"'.{k[1:-1]}'")
+        else:
+            pieces.append(f"concat('.', {k})")
+    return f"concat({', '.join(pieces)})"
 
 
 # -- clause-level translation: FINAL / SAMPLE k / LIMIT n BY k ----------------
@@ -6769,3 +7016,43 @@ def chsql_clause_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT list with a 1-BASED subscript (DuckDB lists are 1-based too —
     direct algebra), and multi-column tuple IN against a literal list."""
     return ch_sql(spark, sf_dir, _CH_CLAUSE_GAPS)
+
+
+_CH_JSON_BATCH6 = """
+SELECT event_id,
+       JSONExtractInt(props, 'k') AS k1,
+       JSONExtractInt(concat('{"a": {"b": ', toString(event_id % 50),
+                             ', "arr": [', toString(event_id % 9),
+                             ', 7]}}'), 'a', 'b') AS nested,
+       JSONExtractInt(concat('{"a": {"b": 1, "arr": [',
+                             toString(event_id % 9), ', 7]}}'),
+                      'a', 'arr', 1) AS idx1,
+       JSONType(props) AS jt,
+       isValidJSON(props) AS ok,
+       toInt64OrDefault(event_type, 42) AS tod,
+       toInt64OrDefault(toString(event_id % 7), 42) AS tod2
+FROM events WHERE event_id % 13 = 1 ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_json_batch6",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k1,
+           CAST(event_id % 50 AS BIGINT) AS nested,
+           CAST(event_id % 9 AS BIGINT) AS idx1,
+           'Object' AS jt,
+           true AS ok,
+           CAST(42 AS BIGINT) AS tod,
+           CAST(event_id % 7 AS BIGINT) AS tod2
+    FROM events WHERE event_id % 13 = 1 ORDER BY event_id
+    """,
+)
+def chsql_json_batch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 sixth probe batch live vs DuckDB: multi-component JSON path
+    extraction (the old translation silently used only the FIRST path
+    component), CH 1-based array indices inside JSON paths, JSONType
+    classification, isValidJSON, and -OrDefault casts on both the
+    failing and the succeeding parse."""
+    return ch_sql(spark, sf_dir, _CH_JSON_BATCH6)

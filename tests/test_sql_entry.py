@@ -1615,3 +1615,59 @@ def test_chsql_r7_fifth_probe_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_r7_sixth_probe_batch(spark):
+    """r7 sixth probe batch: multi-component JSON paths (the old code
+    silently used only the first component), typed JSONExtract,
+    JSONType/isValidJSON, date makers, hash-family spellings, AES
+    encrypt/decrypt round trip, set-based n-gram similarity, HTML strip,
+    and -OrDefault casts."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    j = "'{\"a\": {\"b\": 7, \"s\": \"x\"}, \"arr\": [10, 20], \"f\": 1.5}'"
+    assert one(f"JSONExtractInt({j}, 'a', 'b')") == 7
+    assert one(f"JSONExtractString({j}, 'a', 's')") == "x"
+    assert one(f"JSONExtractInt({j}, 'arr', 1)") == 10  # CH 1-based
+    assert one(f"JSONExtract({j}, 'a', 'b', 'Int64')") == 7
+    assert one(f"JSONExtract({j}, 'arr', 'Array(Int64)')") == [10, 20]
+    kv = one("JSONExtractKeysAndValues('{\"x\": 1, \"y\": 2}', 'Int64')")
+    assert [(e.col1, e.col2) for e in kv] == [("x", 1), ("y", 2)]
+    assert one(f"JSONExtractKeys({j})") == ["a", "arr", "f"]
+    assert one(f"JSONType({j})") == "Object"
+    assert one("JSONType('[1]')") == "Array"
+    assert one("JSONType('1.5')") == "Float64"
+    assert one(f"JSON_VALUE({j}, '$.a.b')") == "7"
+    assert one(f"JSON_EXISTS({j}, '$.zz')") is False
+    assert one("isValidJSON('{bad')") is False
+    assert one("makeDate32(2024, 3, 15)") == datetime.date(2024, 3, 15)
+    assert one("YYYYMMDDhhmmssToDateTime(20240315103000)") == \
+        datetime.datetime(2024, 3, 15, 10, 30)
+    assert one("toUnixTimestamp64Nano(toDateTime('1970-01-01 00:00:01'))") \
+        == 1000000000
+    assert len(one("sipHash128('a')")) == 32
+    assert one(
+        "decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'hello',"
+        " '1234567890123456'), '1234567890123456')") == "hello"
+    assert one("ngramDistance('hello', 'hello')") == 0.0
+    assert one("ngramDistance('abcde', 'zzzzz')") == 1.0
+    assert abs(one("ngramSearch('hello world', 'hello')") - 1.0) < 1e-9
+    assert one(
+        "extractTextFromHTML("
+        "'<p>Hi <b>you</b></p><script>var x=1;</script>')") == "Hi you"
+    assert one("toInt64OrDefault('x', 7)") == 7
+    assert one("toDateOrDefault('x', toDate('2020-01-02'))") == \
+        datetime.date(2020, 1, 2)
+    for bad, hint in [
+        ("aes_encrypt_mysql('m','x','k')", "key-folding"),
+        ("reinterpretAsUInt32(x)", "CAST"),
+        ("multiFuzzyMatchAny('a', 1, ['a'])", "levenshtein"),
+        ("encrypt('rc4', 'x', 'k')", "aes"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
