@@ -105,6 +105,9 @@ EXTENDED: tuple[str, ...] = (
     "chsql_r7_batch4",        # string-distance / MAC / CIDR / simpleJSON
     "chsql_ddl_lifecycle",    # IF-NOT-EXISTS/clone/DEDUPLICATE/CLEAR/
                               # DETACH-ATTACH composite
+    "chsql_clause_gaps",      # alias-in-WHERE + tuple IN + 1-based subscripts
+    "chsql_json_batch6",      # multi-path JSON extraction + JSONType
+    "text_perplexity",        # unigram-LM quality scoring
 )
 
 

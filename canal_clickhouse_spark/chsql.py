@@ -1057,6 +1057,12 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"exists({args[1]}, {args[0]})"
     if low == "arrayall":
         return f"forall({args[1]}, {args[0]})"
+    if low in ("arraysum", "arrayavg", "arraymin", "arraymax",
+               "arrayproduct") and len(args) == 2:
+        # CH keyed form arraySum(x -> key, arr): aggregate the MAPPED
+        # values (r7 probe: the 2-arg form used to emit
+        # aggregate(<lambda>, ...) — the array argument was dropped)
+        return _translate_call(name, [f"transform({args[1]}, {args[0]})"])
     if low == "arraysum":
         return f"aggregate({args[0]}, 0D, (acc, x) -> acc + x)"
     if low == "assumenotnull":
@@ -2946,6 +2952,24 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     # -- r7 sixth probe batch: date makers, hash spellings, encryption,
     # n-gram similarity, HTML strip
+    if low == "arrayreduceinranges":
+        raise ValueError(
+            "arrayReduceInRanges: per-range re-aggregation has no inline"
+            " Spark spelling; transform over the ranges array with"
+            " slice + arrayReduce (both mapped) composes the same result"
+        )
+    if low in ("joinget", "joingetornull"):
+        raise ValueError(
+            f"{name} reads a Join-engine table's hash state; use"
+            " dictGet against a CREATE DICTIONARY binding (mapped) or a"
+            " plain LEFT JOIN"
+        )
+    if low in ("catboostevaluate", "modelevaluate"):
+        raise ValueError(
+            f"{name} needs CH's bundled model runtime; score with a"
+            " Pandas UDF over mapInPandas (the multimodal/feature"
+            " operators show the Arrow plumbing)"
+        )
     if low == "makedate32":
         return f"make_date({args[0]}, {args[1]}, {args[2]})"
     if low == "makedatetime64":
@@ -3347,6 +3371,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "touint32ordefault", "touint64ordefault", "tofloat32ordefault",
     "tofloat64ordefault", "todecimal64ordefault",
     # r7 sixth probe batch (guided errors)
+    "arrayreduceinranges", "joinget", "joingetornull",
+    "catboostevaluate", "modelevaluate",
     "aes_encrypt_mysql", "aes_decrypt_mysql", "reinterpret",
     "reinterpretasuint8", "reinterpretasuint16", "reinterpretasuint32",
     "reinterpretasuint64", "reinterpretasint8", "reinterpretasint16",

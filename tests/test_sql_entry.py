@@ -1671,3 +1671,28 @@ def test_chsql_r7_sixth_probe_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_keyed_array_aggregates(spark):
+    """r7: the 2-arg keyed forms arraySum/Avg/Min/Max/Product(lambda, arr)
+    dropped the array argument entirely (aggregate(<lambda>, ...) — a
+    parse error downstream at best); they now aggregate the mapped
+    values. Plus guided errors for join/model-state spellings."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("arraySum(x -> x * 2, [1,2])") == 6.0
+    assert one("arrayAvg(x -> x * 2, [1,2])") == 3.0
+    assert one("arrayMin(x -> -x, [1,2])") == -2
+    assert one("arrayMax(x -> -x, [1,2])") == -1
+    assert one("arrayProduct(x -> x + 1, [1,2])") == 6.0
+    assert one("arraySum([1,2,3])") == 6.0  # 1-arg forms unchanged
+    for bad, hint in [
+        ("arrayReduceInRanges('sum', [(1,2)], [1,2])", "slice"),
+        ("joinGet('t','c',1)", "dictGet"),
+        ("catboostEvaluate('m', x)", "Pandas"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
