@@ -4457,6 +4457,36 @@ def _rewrite_clauses(q: str) -> str:
         ),
         q,
     )
+    # CH `SELECT DISTINCT ON (cols) ...` ≡ `LIMIT 1 BY cols`: rewrite onto
+    # the LIMIT BY machinery (which also enforces this engine's
+    # deterministic-selection rule: an ORDER BY must be present).
+    masked = _mask_literals(q)
+    dm = re.search(r"(?i)\bSELECT\s+DISTINCT\s+ON\s*\(", masked)
+    if dm:
+        if _paren_depth_at(masked, dm.start()) > 0:
+            raise ValueError(
+                "DISTINCT ON inside a subquery is outside the text"
+                " rewriter's scope — lift it into the outer query or use"
+                " the topk_per_group operator"
+            )
+        o = dm.end() - 1
+        c = _scan_group(masked, o)
+        cols = q[o + 1 : c].strip()
+        rest = q[: dm.start()] + "SELECT " + q[c + 1 :]
+        masked2 = _mask_literals(rest)
+        lm = None
+        for t in re.finditer(
+            r"(?i)\bLIMIT\s+\d+(?:\s*,\s*\d+)?\s*$", masked2
+        ):
+            if _paren_depth_at(masked2, t.start()) == 0:
+                lm = t
+        if lm:
+            q = (
+                rest[: lm.start()] + f" LIMIT 1 BY {cols} "
+                + rest[lm.start():]
+            )
+        else:
+            q = rest.rstrip() + f" LIMIT 1 BY {cols}"
     q = _rewrite_scalar_with(q)
     q = _rewrite_star_modifiers(q)
     q = _rewrite_asof_join(q)
@@ -7082,3 +7112,24 @@ def chsql_json_batch6(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification, isValidJSON, and -OrDefault casts on both the
     failing and the succeeding parse."""
     return ch_sql(spark, sf_dir, _CH_JSON_BATCH6)
+
+
+_CH_DISTINCT_ON = """
+SELECT DISTINCT ON (event_type) event_type, event_id, user_id
+FROM events ORDER BY event_type, event_id
+"""
+
+
+@query(
+    "chsql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (event_type) event_type, event_id, user_id
+    FROM events ORDER BY event_type, event_id
+    """,
+)
+def chsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``SELECT DISTINCT ON (cols)`` → the LIMIT 1 BY row_number
+    machinery; DuckDB implements DISTINCT ON natively, so the oracle is
+    the same statement verbatim — an independent-engine check of the
+    first-row-per-group-under-ORDER-BY contract."""
+    return ch_sql(spark, sf_dir, _CH_DISTINCT_ON)

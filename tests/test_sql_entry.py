@@ -1696,3 +1696,29 @@ def test_chsql_keyed_array_aggregates(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_distinct_on(spark):
+    """CH `SELECT DISTINCT ON (cols)` rewrites onto the LIMIT 1 BY
+    machinery (inheriting its deterministic-ORDER-BY requirement and
+    trailing-LIMIT composition); nested forms refuse loudly."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+    from canal_clickhouse_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    r = spark.sql(translate(
+        "SELECT DISTINCT ON (event_type) event_type, event_id FROM events"
+        " ORDER BY event_type, event_id")).collect()
+    assert len(r) == len({x.event_type for x in r}) > 0
+    # first row per group under the ORDER BY
+    assert r[0].event_type == "click"
+    r2 = spark.sql(translate(
+        "SELECT DISTINCT ON (event_type) event_type, event_id FROM events"
+        " ORDER BY event_type, event_id LIMIT 2")).collect()
+    assert len(r2) == 2 and r2[0] == r[0]
+    with _pytest.raises(ValueError, match="subquery"):
+        translate("SELECT * FROM (SELECT DISTINCT ON (a) a FROM t ORDER BY a)")
+    with _pytest.raises(ValueError, match="deterministic|ORDER BY"):
+        translate("SELECT DISTINCT ON (event_type) event_id FROM events")
