@@ -3938,7 +3938,24 @@ def _rewrite_array_join(q: str) -> str:
     trailing array pads with NULL where CH would error on unequal sizes
     (documented divergence — CH requires equal sizes). The body capture is
     clipped at the enclosing subquery's closing paren and the loop
-    re-scans, so the clause works inside subqueries too."""
+    re-scans, so the clause works inside subqueries too.
+
+    Bare items (r8, verdict #1): ``ARRAY JOIN arr`` with no alias — CH's
+    most common spelling — rewrites the array COLUMN to its ELEMENT in the
+    whole query scope. Spark's LATERAL VIEW cannot shadow a base column
+    (same-name alias → AMBIGUOUS_REFERENCE, probed on 4.1), so the bare
+    form wraps the FROM source in a subquery that drops the base column and
+    renames the exploded element back::
+
+        FROM t ARRAY JOIN arr
+        → FROM (SELECT * EXCEPT(arr, __ajb0), __ajb0 AS arr
+                FROM t LATERAL VIEW explode(arr) _aj AS __ajb0)
+
+    Bare and aliased items mix freely (``ARRAY JOIN a, b AS y`` zips with
+    only ``a`` shadowed). Bare items must be plain column names — CH itself
+    requires an alias for non-column expressions. Divergence note: under
+    ``SELECT *`` the shadowed element lands at the END of the column list
+    (CH keeps the array's original position)."""
     for _ in range(16):
         masked = _mask_literals(q)
         m = _ARRAY_JOIN_CLAUSE_RE.search(masked)
@@ -3946,34 +3963,69 @@ def _rewrite_array_join(q: str) -> str:
             return q
         b0, b1 = m.span("body")
         b1 = _clip_unbalanced(masked, b0, b1)
-        items: list[tuple[str, str]] = []
+        # (expr, lateral_output_name, base_col_to_shadow_or_None)
+        items: list[tuple[str, str, str | None]] = []
+        n_bare = 0
         for item in _split_args(q[b0:b1]):
             am = re.match(
                 r"(?s)^(.+?)\s+AS\s+(\w+)\s*$", item.strip(), re.IGNORECASE
             )
-            if not am:
+            if am:
+                items.append((am.group(1).strip(), am.group(2), None))
+                continue
+            bare = item.strip()
+            if not re.match(r"^\w+$", bare):
                 raise ValueError(
-                    f"ARRAY JOIN item needs 'expr AS alias': {item.strip()!r}"
+                    "ARRAY JOIN item needs 'expr AS alias' (the bare form"
+                    f" only takes plain column names): {bare!r}"
                 )
-            items.append((am.group(1).strip(), am.group(2)))
+            items.append((bare, f"__ajb{n_bare}", bare))
+            n_bare += 1
         left = bool(m.group("left"))
         if len(items) == 1:
-            expr, alias = items[0]
-            repl = (
+            expr, out, _ = items[0]
+            lateral = (
                 f" LATERAL VIEW {'explode_outer' if left else 'explode'}"
-                f"({expr}) _aj AS {alias}"
+                f"({expr}) _aj AS {out}"
             )
         else:
             first_expr = items[0][0]
             fields = [f"'{items[0][1]}', _v"] + [
-                f"'{alias}', get({expr}, _i)" for expr, alias in items[1:]
+                f"'{out}', get({expr}, _i)" for expr, out, _ in items[1:]
             ]
             fn = "inline_outer" if left else "inline"
-            repl = (
+            lateral = (
                 f" LATERAL VIEW {fn}(transform({first_expr},"
                 f" (_v, _i) -> named_struct({', '.join(fields)}))) _aj"
             )
-        q = q[: m.start()] + repl + " " + q[b1:]
+        if n_bare == 0:
+            q = q[: m.start()] + lateral + " " + q[b1:]
+            continue
+        # Bare form: wrap the FROM source so each element SHADOWS its base
+        # column (CH scope rule). The clause's FROM is the nearest
+        # preceding FROM at the same paren depth.
+        depth = _paren_depth_at(masked, m.start())
+        fm = None
+        for cand in re.finditer(r"(?i)\bFROM\b", masked[: m.start()]):
+            if _paren_depth_at(masked, cand.start()) == depth:
+                fm = cand
+        if fm is None:
+            raise ValueError(
+                "bare ARRAY JOIN could not locate its FROM clause — spell"
+                " the item as 'expr AS alias' instead"
+            )
+        src = q[fm.end() : m.start()].strip()
+        drops = [base for _, _, base in items if base] + [
+            out for _, out, base in items if base
+        ]
+        renames = ", ".join(
+            f"{out} AS {base}" for _, out, base in items if base
+        )
+        wrap = (
+            f"(SELECT * EXCEPT({', '.join(drops)}), {renames}"
+            f" FROM {src}{lateral})"
+        )
+        q = q[: fm.start()] + "FROM " + wrap + " " + q[b1:]
     raise ValueError("more than 16 ARRAY JOIN clauses — refusing to rewrite")
 _PREWHERE_RE = re.compile(
     r"\bPREWHERE\s+(?P<cond>.+?)"
@@ -5325,6 +5377,34 @@ def chsql_arrayjoin_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     unequal-size divergence note). The oracle unnests with explicit
     1-based ordinals."""
     return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_MULTI)
+
+
+_CH_ARRAY_JOIN_BARE = """
+SELECT vec_id, toInt64(floor(toFloat64(embedding) * 1000)) AS mv
+FROM embeddings ARRAY JOIN embedding
+PREWHERE vec_id < 40
+ORDER BY vec_id, mv
+"""
+
+
+@query(
+    "chsql_arrayjoin_bare",
+    oracle="""
+    SELECT vec_id, CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS mv
+    FROM embeddings, UNNEST(embedding) AS u(e)
+    WHERE vec_id < 40
+    ORDER BY vec_id, mv
+    """,
+)
+def chsql_arrayjoin_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare ``ARRAY JOIN arr`` (r8 verdict #1 — CH's most common spelling):
+    the array column is rewritten to its ELEMENT across the query scope.
+    Spark can't shadow a base column with a LATERAL VIEW alias, so the FROM
+    source is wrapped in a ``SELECT * EXCEPT(arr, __ajb0), __ajb0 AS arr``
+    subquery (see `_rewrite_array_join`). `embedding` in the SELECT list
+    here is the exploded Float32 element, floor-bucketed to dodge
+    float-vs-double rounding-rule differences against the oracle."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_BARE)
 
 
 _CH_JSON_MISC = """

@@ -466,7 +466,21 @@ def q_setop(rng: random.Random) -> tuple[str, str]:
 
 def q_array_join(rng: random.Random) -> tuple[str, str]:
     k = rng.randint(5, 60)
-    if rng.random() < 0.5:
+    pick = rng.random()
+    if pick < 0.25:
+        # bare form (r8): the array COLUMN name becomes its element
+        ch = (
+            "SELECT vec_id AS c0,"
+            " toInt64(floor(toFloat64(embedding) * 1000)) AS c1"
+            f" FROM embeddings ARRAY JOIN embedding WHERE vec_id < {k}"
+        )
+        dk = (
+            "SELECT vec_id AS c0,"
+            " CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS c1"
+            f" FROM embeddings, UNNEST(embedding) AS u(e) WHERE vec_id < {k}"
+        )
+        return ch, dk
+    if pick < 0.5:
         ch = (
             "SELECT doc_id AS c0, tok AS c1 FROM documents"
             " ARRAY JOIN splitByChar(' ', text) AS tok"

@@ -986,6 +986,62 @@ def test_chsql_multi_array_join(spark):
     assert [(r.a, r.b, r.c) for r in rows] == [(10, 1, "x"), (20, 2, None)]
 
 
+def test_chsql_bare_array_join(spark):
+    """r8 verdict #1: bare ``ARRAY JOIN arr`` (no alias) — CH's most common
+    spelling — rewrites the array column to its ELEMENT in query scope.
+    Spark can't shadow a base column with a same-name LATERAL VIEW alias
+    (AMBIGUOUS_REFERENCE), so the rewrite wraps the FROM source in a
+    ``* EXCEPT`` subquery; verify element scope in SELECT / WHERE /
+    GROUP BY, the LEFT form, bare+aliased zips, subquery sources, and
+    dotted field access on a bare-joined Array(Struct) (Nested) column."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql(
+        "SELECT 'k' AS x, array(1, 2, 3) AS arr"
+        " UNION ALL SELECT 'e' AS x, array() AS arr"
+    ).createOrReplaceTempView("baj")
+    run = lambda q: spark.sql(translate(q)).collect()
+    # element scope in SELECT + WHERE
+    rows = run("SELECT x, arr FROM baj ARRAY JOIN arr WHERE arr > 1"
+               " ORDER BY arr")
+    assert [(r.x, r.arr) for r in rows] == [("k", 2), ("k", 3)]
+    # LEFT keeps the empty-array row (NULL element)
+    rows = run("SELECT x, arr FROM baj LEFT ARRAY JOIN arr ORDER BY x, arr")
+    assert [(r.x, r.arr) for r in rows] == [
+        ("e", None), ("k", 1), ("k", 2), ("k", 3)]
+    # element scope in GROUP BY
+    rows = run("SELECT arr, count() AS c FROM baj ARRAY JOIN arr"
+               " GROUP BY arr ORDER BY arr")
+    assert [(r.arr, r.c) for r in rows] == [(1, 1), (2, 1), (3, 1)]
+    # bare + aliased zip; bare-bare zip
+    spark.sql("SELECT array(10, 20) AS a, array('p', 'q') AS b"
+              ).createOrReplaceTempView("baj2")
+    rows = run("SELECT a, y FROM baj2 ARRAY JOIN a, b AS y ORDER BY a")
+    assert [(r.a, r.y) for r in rows] == [(10, "p"), (20, "q")]
+    rows = run("SELECT a, b FROM baj2 ARRAY JOIN a, b ORDER BY a")
+    assert [(r.a, r.b) for r in rows] == [(10, "p"), (20, "q")]
+    # subquery source: the wrap anchors to the OUTER (same-depth) FROM
+    rows = run("SELECT v FROM (SELECT array(5, 6) AS v FROM baj2) s"
+               " ARRAY JOIN v ORDER BY v")
+    assert [r.v for r in rows] == [5, 6]
+    # Nested-table idiom (r8 verdict #7): Array(Struct) bare join with
+    # dotted access, and the aliased `AS n` + n.col form
+    spark.sql(
+        "SELECT array(named_struct('k', 'a', 'v', 1),"
+        " named_struct('k', 'b', 'v', 2)) AS nested"
+    ).createOrReplaceTempView("baj3")
+    rows = run("SELECT nested.k, nested.v FROM baj3 ARRAY JOIN nested"
+               " ORDER BY nested.k")
+    assert [(r.k, r.v) for r in rows] == [("a", 1), ("b", 2)]
+    rows = run("SELECT n.k, n.v FROM baj3 ARRAY JOIN nested AS n"
+               " ORDER BY n.k")
+    assert [(r.k, r.v) for r in rows] == [("a", 1), ("b", 2)]
+    # non-column bare expression still refuses with guidance
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="plain column names"):
+        translate("SELECT x FROM baj ARRAY JOIN arraySort(arr)")
+
+
 def test_chsql_operator_fn_precedence(spark):
     """r6 advice (high): operator-function spellings must parenthesize
     their operands — infix-expression arguments previously re-associated
