@@ -187,7 +187,7 @@ def spark_type_to_ch(spark_type: str) -> str:
         return f"Array({spark_type_to_ch(m.group(1))})"
     m = re.fullmatch(r"map<(.*)>", t)
     if m:
-        kv = _split_top_commas(m.group(1))
+        kv = _split_spark_type_commas(m.group(1))
         if len(kv) == 2:
             return (
                 f"Map({spark_type_to_ch(kv[0])}, {spark_type_to_ch(kv[1])})"
@@ -195,7 +195,7 @@ def spark_type_to_ch(spark_type: str) -> str:
     m = re.fullmatch(r"struct<(.*)>", t)
     if m:
         fields = []
-        for item in _split_top_commas(m.group(1)):
+        for item in _split_spark_type_commas(m.group(1)):
             nm, _, ft = item.partition(":")
             fields.append(f"{nm.strip()} {spark_type_to_ch(ft.strip())}")
         return f"Tuple({', '.join(fields)})"
@@ -214,8 +214,9 @@ _COL_DECO_KEYWORDS = (
 )
 
 
-def parse_col_def(item: str) -> tuple[str, str, str | None]:
-    """One CREATE TABLE column item → ``(name, spark_type, default_expr)``.
+def parse_col_def(item: str) -> tuple[str, str, str | None, str]:
+    """One CREATE TABLE column item →
+    ``(name, spark_type, default_expr, ch_type)``.
 
     Handles the full CH column grammar: ``name type [DEFAULT|MATERIALIZED|
     ALIAS expr] [CODEC(...)] [TTL expr] [COMMENT '...']``. CODEC and
@@ -223,7 +224,9 @@ def parse_col_def(item: str) -> tuple[str, str, str | None]:
     like LowCardinality. MATERIALIZED/ALIAS register as insert-time
     defaults (documented divergence: CH computes ALIAS at read time; the
     value is identical whenever the referenced columns are immutable after
-    insert, which is the MergeTree norm)."""
+    insert, which is the MergeTree norm). The raw CH type text comes back
+    as the 4th element so callers can record declared wrappers (r8:
+    Nullable fidelity in SHOW CREATE TABLE)."""
     cm = re.match(r"(?s)^\s*(?:`(?P<bq>\w+)`|(?P<plain>\w+))\s+(?P<rest>.+?)\s*$", item)
     if not cm:
         raise ValueError(f"unparseable column def: {item!r}")
@@ -246,7 +249,12 @@ def parse_col_def(item: str) -> tuple[str, str, str | None]:
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif depth == 0 and (i == 0 or not rest[i - 1].isalnum()):
+        elif depth == 0 and (
+            i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_")
+        ):
+            # r8 advice: '_' is part of an identifier — without it,
+            # `DEFAULT base_default + 1` split at the embedded "default"
+            # and silently mangled the expression.
             m = re.match(r"(?i)(default|materialized|alias|codec|ttl|comment)\b", rest[i:])
             if m:
                 segs.append((m.group(1).lower(), i))
@@ -267,7 +275,7 @@ def parse_col_def(item: str) -> tuple[str, str, str | None]:
         if kw in ("default", "materialized", "alias"):
             default = body
         # codec / ttl / comment: storage/metadata hints — stripped
-    return name, ch_type_to_spark(ch_type), default
+    return name, ch_type_to_spark(ch_type), default, ch_type
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +619,7 @@ def apply_alter_column_actions(
     return df.selectExpr(*[expr for _, expr in cols]), defaults
 
 _TRUNCATE_RE = re.compile(
-    r"(?is)^\s*TRUNCATE\s+TABLE\s+(?P<name>\w+)\s*$"
+    r"(?is)^\s*TRUNCATE\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$"
 )
 
 # CREATE DICTIONARY — CH's DDL statement form for external dictionaries
@@ -652,6 +660,42 @@ def _ch_attr_type_default(spark_type: str) -> str | None:
     if t == "BOOLEAN":
         return "false"
     return None
+
+
+def _ch_declared_nullable(ch_type: str) -> bool:
+    """Whether a declared CH type carries a top-level ``Nullable()``
+    wrapper (possibly under ``LowCardinality``) — recorded at CREATE so
+    SHOW CREATE TABLE can re-emit the wrapper (r8 verdict #5: previously
+    `Nullable(String)` round-tripped as plain `String`; table semantics
+    survived — Spark fields stay nullable — but the dump was not
+    CH-faithful)."""
+    return bool(
+        re.match(
+            r"(?is)^\s*(?:LowCardinality\s*\(\s*)?Nullable\s*\(", ch_type
+        )
+    )
+
+
+def _split_spark_type_commas(text: str) -> list[str]:
+    """Split a Spark dtype body on top-level commas — ANGLE-bracket-aware
+    (r8 advice: `struct<a: int, b: struct<c: int, d: int>>` nests via
+    `<>`, which the paren-only `_split_top_commas` split mid-type, so one
+    nested-container column broke every system.columns query and SHOW
+    CREATE TABLE for its table). Spark dtype strings contain no string
+    literals; parens appear only in decimal(p, s)."""
+    out, buf, depth = [], [], 0
+    for ch in text:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
 
 
 def _split_top_commas(text: str) -> list[str]:
@@ -1065,12 +1109,14 @@ class ChSession:
             if self._create_skip_or_replace(m):
                 return None
             self._check_new(name)
-            cols, defaults = [], {}
+            cols, defaults, nullable = [], {}, set()
             for item in _split_top_commas(m.group("cols")):
-                col, spark_t, dflt = parse_col_def(item)
+                col, spark_t, dflt, ch_t = parse_col_def(item)
                 cols.append(f"CAST(NULL AS {spark_t}) AS {col}")
                 if dflt is not None:
                     defaults[col] = translate(dflt)
+                if _ch_declared_nullable(ch_t):
+                    nullable.add(col)
             empty = self.spark.sql(
                 f"SELECT {', '.join(cols)} WHERE 1 = 0"
             )
@@ -1078,6 +1124,8 @@ class ChSession:
             self.meta[name] = self._table_meta(m)
             if defaults:
                 self.meta[name]["column_defaults"] = defaults
+            if nullable:
+                self.meta[name]["nullable_cols"] = nullable
             return None
 
         m = _MODIFY_TTL_RE.match(s)
@@ -1131,14 +1179,36 @@ class ChSession:
             unknown = sorted(set(cols) - set(dt))
             if unknown:
                 raise ValueError(f"INSERT FORMAT: unknown column(s) {unknown}")
-            schema = ", ".join(f"{c} {dt[c]}" for c in cols)
             lines = [
                 (ln,)
                 for ln in (m.group("data") or "").splitlines()
                 if ln.strip()
             ]
+            # r8 advice: CH's default (input_format_with_names_use_header=1)
+            # maps WithNames fields by the header NAMES, not positionally —
+            # a dump whose header order differs from the column list
+            # previously landed values in the wrong columns here. Parse in
+            # HEADER order, then reorder; refuse loudly when the name sets
+            # differ (the one case that cannot be mapped).
+            parse_order = cols
             if has_header:
-                lines = lines[1:]  # column-name header row
+                if not lines:
+                    raise ValueError(
+                        f"INSERT FORMAT {m.group('fmt')}: missing header row"
+                    )
+                sep = "\t" if kind == "tsv" else ","
+                hdr = [
+                    h.strip().strip('"') for h in lines[0][0].split(sep)
+                ]
+                if sorted(hdr) != sorted(cols):
+                    raise ValueError(
+                        f"INSERT FORMAT {m.group('fmt')}: header columns"
+                        f" {hdr} do not name the target column list {cols}"
+                        " — ClickHouse maps WithNames fields by header name"
+                    )
+                lines = lines[1:]
+                parse_order = hdr
+            schema = ", ".join(f"{c} {dt[c]}" for c in parse_order)
             raw = self.spark.createDataFrame(lines, "raw string")
             if kind == "json":
                 parsed = raw.select(F.from_json("raw", schema).alias("r"))
@@ -1148,9 +1218,9 @@ class ChSession:
                         "raw", schema, {"sep": "\t"}
                     ).alias("r")
                 )
-            else:  # CSV — positional against the column list
+            else:  # CSV — positional against the parse-order column list
                 parsed = raw.select(F.from_csv("raw", schema).alias("r"))
-            block = parsed.select("r.*")
+            block = parsed.select("r.*").select(*cols)
             return self._insert(name, block, ", ".join(cols))
 
         m = _INSERT_SELECT_RE.match(s)
@@ -1336,6 +1406,8 @@ class ChSession:
         if m:
             name = m.group("name")
             if name not in self.tables:
+                if m.group("ife"):
+                    return None  # TRUNCATE TABLE IF EXISTS: silent no-op
                 raise ValueError(f"TRUNCATE unknown table {name!r}")
             self._register(name, self.tables[name].limit(0))
             return None
@@ -1384,16 +1456,30 @@ class ChSession:
             self._register(name, evolved)
             meta = self.meta.setdefault(name, {})
             col_defaults = dict(meta.get("column_defaults") or {})
+            nullable = set(meta.get("nullable_cols") or set())
             for a in actions:
                 if a["op"] == "rename":
                     # the default follows the column to its new name
                     moved = col_defaults.pop(a["col"], None)
                     if moved is not None:
                         col_defaults[a["new"]] = moved
+                    if a["col"] in nullable:
+                        nullable.discard(a["col"])
+                        nullable.add(a["new"])
                 elif a["op"] == "drop":
                     col_defaults.pop(a["col"], None)
+                    nullable.discard(a["col"])
+                elif a["op"] in ("add", "modify") and a.get("type"):
+                    if _ch_declared_nullable(a["type"]):
+                        nullable.add(a["col"])
+                    else:
+                        nullable.discard(a["col"])
             col_defaults.update(dflts)
             meta["column_defaults"] = col_defaults
+            if nullable:
+                meta["nullable_cols"] = nullable
+            else:
+                meta.pop("nullable_cols", None)
             return None
 
         m = _ALTER_UPDATE_RE.match(s)
@@ -1511,7 +1597,12 @@ class ChSession:
                 [(self._show_create(m.group("name")),)], "statement string"
             )
 
-        m = re.match(r"(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>\w+)\s*$", s)
+        # SHOW COLUMNS FROM t is DESCRIBE's MySQL-compat alias (r8 probe)
+        m = re.match(
+            r"(?is)^\s*(?:DESC(?:RIBE)?\s+(?:TABLE\s+)?"
+            r"|SHOW\s+COLUMNS\s+FROM\s+)(?P<name>\w+)\s*$",
+            s,
+        )
         if m:
             name = m.group("name")
             if name in self.tables:
@@ -1620,7 +1711,15 @@ class ChSession:
 
         m = re.match(r"(?is)^\s*CHECK\s+TABLE\s+(?P<name>\w+)\s*$", s)
         if m:
-            tbl = self._require_table(m.group("name"), "CHECK TABLE")
+            # fixture tables are CHECKable too (r8 probe): same full-scan
+            # readability contract as session tables
+            name = m.group("name")
+            if name not in self.tables and self._is_fixture(name):
+                from .catalog import table as fixture_table
+
+                tbl = fixture_table(self.spark, self.sf_dir, name)
+            else:
+                tbl = self._require_table(name, "CHECK TABLE")
             tbl.count()  # full-scan readability check
             return self.spark.createDataFrame([(1,)], "result int")
 
@@ -1851,9 +1950,14 @@ class ChSession:
         else:
             raise ValueError(f"SHOW CREATE TABLE: unknown table {name!r}")
         defaults = meta.get("column_defaults") or {}
+        nullable = meta.get("nullable_cols") or set()
         col_lines = []
         for c, t in df.dtypes:
-            line = f"    `{c}` {spark_type_to_ch(t)}"
+            ch_t = spark_type_to_ch(t)
+            if c in nullable:
+                # r8 verdict #5: re-emit the declared Nullable() wrapper
+                ch_t = f"Nullable({ch_t})"
+            line = f"    `{c}` {ch_t}"
             if c in defaults:
                 line += f" DEFAULT {defaults[c]}"
             col_lines.append(line)
@@ -1952,23 +2056,39 @@ class ChSession:
         anchor-column value (the ttl_expire operator's contract,
         operators/table_mgmt.py:91 — deterministic under test, and exactly
         CH's behavior the moment the newest row arrives). The anchor is
-        the first table column referenced by the TTL expression; the 1-row
-        max aggregate broadcast-joins in, so the plan is scan →
-        broadcast-nested-loop(1 row) → filter — partition-prunable at
-        scale when the anchor is the partition key."""
+        the Date/DateTime-typed column the TTL expression references (r8
+        advice: previously "first in tbl.columns order whose name appears
+        anywhere in the text", which could pick a non-time column like a
+        grace-period integer and expire against max(grace)); when the
+        expression references no time-typed column, the first column in
+        expression-reference order; multiple time-typed candidates refuse
+        as ambiguous. The 1-row max aggregate broadcast-joins in, so the
+        plan is scan → broadcast-nested-loop(1 row) → filter —
+        partition-prunable at scale when the anchor is the partition
+        key."""
         spark_expr = translate(ttl_expr)
-        anchor = next(
-            (
-                c for c in tbl.columns
-                if re.search(rf"(?i)\b{re.escape(c)}\b", ttl_expr)
-            ),
-            None,
+        dtypes = dict(tbl.dtypes)
+        refs = sorted(
+            (mm.start(), c)
+            for c in tbl.columns
+            if (mm := re.search(rf"(?i)\b{re.escape(c)}\b", ttl_expr))
         )
-        if anchor is None:
+        if not refs:
             raise ValueError(
                 f"TTL expression {ttl_expr!r} references no column of"
                 f" {name!r} — cannot anchor expiry"
             )
+        time_refs = [
+            c for _, c in refs
+            if dtypes[c] in ("date", "timestamp", "timestamp_ntz")
+        ]
+        if len(time_refs) > 1:
+            raise ValueError(
+                f"TTL expression {ttl_expr!r} references multiple"
+                f" time-typed columns {time_refs} — ambiguous expiry"
+                " anchor; rewrite the TTL against a single time column"
+            )
+        anchor = time_refs[0] if time_refs else refs[0][1]
         horizon = tbl.agg(F.max(anchor).alias("_ttl_now"))
         return (
             tbl.join(F.broadcast(horizon))

@@ -336,6 +336,104 @@ def test_insert_format_jsoneachrow_and_csv(spark, sf_dir):
     assert merged == {("a", 2), ("b", 2)}
 
 
+def test_r8_advice_fixes(spark, sf_dir):
+    """r8 ADVICE defects, each previously silent-wrong:
+
+    1. parse_col_def treated '_' as a word boundary, so identifiers
+       containing _default/_ttl/... INSIDE a DEFAULT expression split as a
+       new decoration (`DEFAULT base_default + 1` parsed as `+ 1`).
+    2. spark_type_to_ch split struct/map bodies with a paren-only splitter,
+       so any nested container whose inner type contains a comma failed to
+       inverse-map — one such column broke system.columns for ALL tables.
+    3. INSERT ... FORMAT CSVWithNames/TSVWithNames parsed positionally
+       against the declared column list; CH maps fields by header NAME
+       (input_format_with_names_use_header=1), so a reordered dump landed
+       values in the wrong columns.
+    4. _apply_ttl anchored expiry to the first schema column mentioned
+       anywhere in the TTL text — a non-time column (grace-period int)
+       could win over the actual time column.
+    """
+    from canal_clickhouse_spark.chsql_ddl import parse_col_def, spark_type_to_ch
+
+    # 1 — identifier with an embedded decoration keyword in the DEFAULT
+    name, t, dflt, ch_t = parse_col_def("x Int64 DEFAULT base_default + 1")
+    assert (name, dflt, ch_t) == ("x", "base_default + 1", "Int64")
+    name, t, dflt, _ = parse_col_def("x Int64 DEFAULT session_ttl * 2")
+    assert dflt == "session_ttl * 2"
+    # ...while real decorations after an identifier still split
+    name, t, dflt, _ = parse_col_def("x Int64 DEFAULT y + 1 COMMENT 'c'")
+    assert dflt == "y + 1"
+
+    # 2 — nested containers with commas inverse-map
+    assert spark_type_to_ch("struct<a: int, b: struct<c: int, d: int>>") == \
+        "Tuple(a Int32, b Tuple(c Int32, d Int32))"
+    assert spark_type_to_ch("map<string, map<string, int>>") == \
+        "Map(String, Map(String, Int32))"
+    assert spark_type_to_ch("array<struct<k: string, v: int>>") == \
+        "Array(Tuple(k String, v Int32))"
+    # ...and a table holding one keeps system.columns/SHOW CREATE alive
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE nested_t (id Int64,"
+        " pair Tuple(a Int32, b Tuple(c Int32, d Int32)))"
+        " ENGINE = MergeTree ORDER BY id"
+    )
+    cols = ch.execute(
+        "SELECT name, type FROM system.columns WHERE table = 'nested_t'"
+    ).collect()
+    assert {r.name: r.type for r in cols}["pair"] == \
+        "Tuple(a Int32, b Tuple(c Int32, d Int32))"
+    ddl = ch.execute("SHOW CREATE TABLE nested_t").collect()[0][0]
+    assert "Tuple(c Int32, d Int32)" in ddl
+
+    # 3 — WithNames maps by header NAME, not position
+    ch.execute(
+        "CREATE TABLE wn (k Int64, name String, v Float64)"
+        " ENGINE = MergeTree ORDER BY k"
+    )
+    ch.execute(
+        "INSERT INTO wn FORMAT CSVWithNames\n"
+        "v,k,name\n"          # header order differs from table order
+        "1.5,1,a\n2.5,2,b\n"
+    )
+    rows = sorted(tuple(r) for r in ch.tables["wn"].collect())
+    assert rows == [(1, "a", 1.5), (2, "b", 2.5)]
+    ch.execute(
+        "INSERT INTO wn (name, k) FORMAT TSVWithNames\n"
+        "k\tname\n3\tc\n"     # header reorders the declared column list
+    )
+    assert sorted(tuple(r) for r in ch.tables["wn"].collect())[-1] == \
+        (3, "c", None)
+    # mismatched header names refuse loudly
+    with pytest.raises(ValueError, match="header"):
+        ch.execute("INSERT INTO wn FORMAT CSVWithNames\nk,nope,v\n1,x,2\n")
+
+    # 4 — TTL anchors to the time-typed referenced column, not schema order
+    ch.execute(
+        "CREATE TABLE ttl_anchor (grace Int64, ts DateTime, v String)"
+        " ENGINE = MergeTree ORDER BY ts"
+        " TTL ts + toIntervalDay(grace)"
+    )
+    ch.execute(
+        "INSERT INTO ttl_anchor VALUES"
+        " (5, '2024-01-01 00:00:00', 'old'),"
+        " (30, '2024-01-20 00:00:00', 'new')"
+    )
+    ch.execute("OPTIMIZE TABLE ttl_anchor FINAL")
+    # now = max(ts) = Jan 20: row 1 expires Jan 6 (gone); row 2 Feb 19
+    rows = ch.execute("SELECT v FROM ttl_anchor").collect()
+    assert [r.v for r in rows] == ["new"]
+    # multiple time-typed candidates refuse as ambiguous
+    ch.execute(
+        "CREATE TABLE ttl_amb (t1 DateTime, t2 DateTime, v Int32)"
+        " ENGINE = MergeTree ORDER BY t1 TTL t1 + (t2 - t2)"
+    )
+    ch.execute("INSERT INTO ttl_amb VALUES ('2024-01-01 00:00:00',"
+               " '2024-01-02 00:00:00', 1)")
+    with pytest.raises(ValueError, match="ambiguous"):
+        ch.execute("OPTIMIZE TABLE ttl_amb FINAL")
+
+
 def test_select_final_on_session_replacing_table(spark, sf_dir):
     """Read-time FINAL over a session ReplacingMergeTree table — the
     query-side twin of OPTIMIZE FINAL, without mutating the table."""
@@ -594,6 +692,16 @@ def test_introspection_statements(spark, sf_dir):
     assert ch.execute("EXISTS TABLE nope").collect()[0].result == 0
     plan = ch.execute("EXPLAIN SELECT count() FROM it").collect()[0].plan
     assert "HashAggregate" in plan or "Physical Plan" in plan
+    # r8 probe batch: CHECK TABLE on fixtures, SHOW COLUMNS alias,
+    # TRUNCATE IF EXISTS no-op
+    assert ch.execute("CHECK TABLE orders").collect()[0].result == 1
+    assert ch.execute("CHECK TABLE it").collect()[0].result == 1
+    cols = {r.name for r in ch.execute("SHOW COLUMNS FROM it").collect()}
+    assert cols == {"k", "s"}
+    assert ch.execute("TRUNCATE TABLE IF EXISTS absent_t") is None
+    ch.execute("INSERT INTO it VALUES (1, 'x')")
+    ch.execute("TRUNCATE TABLE IF EXISTS it")
+    assert ch.execute("SELECT count(*) AS n FROM it").collect()[0].n == 0
 
 
 def test_split_statements_comments_respect_literals_and_raw_data():
@@ -942,6 +1050,27 @@ def test_show_create_table_roundtrip(spark, sf_dir):
     # second-generation dump is a fixpoint
     ddl2 = ch2.execute("SHOW CREATE TABLE rt2").collect()[0].statement
     assert ddl2 == ddl.replace("CREATE TABLE rt", "CREATE TABLE rt2")
+    # r8 verdict #5: declared Nullable() survives dump → re-execute → dump
+    ch.execute(
+        "CREATE TABLE rt_n (id Int32, s Nullable(String),"
+        " lc LowCardinality(Nullable(String)), p String)"
+        " ENGINE = MergeTree ORDER BY id"
+    )
+    dn = ch.execute("SHOW CREATE TABLE rt_n").collect()[0].statement
+    assert "`s` Nullable(String)" in dn
+    assert "`lc` Nullable(String)" in dn   # LC is a storage hint; N survives
+    assert "`p` String" in dn and "`p` Nullable" not in dn
+    ch2.execute(dn.replace("rt_n", "rt_n2"))
+    dn2 = ch2.execute("SHOW CREATE TABLE rt_n2").collect()[0].statement
+    assert dn2 == dn.replace("rt_n", "rt_n2")
+    # ALTER keeps the wrapper in sync: add Nullable, rename, modify away
+    ch.execute("ALTER TABLE rt_n ADD COLUMN extra Nullable(Int64)")
+    ch.execute("ALTER TABLE rt_n RENAME COLUMN extra TO extra2")
+    assert "`extra2` Nullable(Int64)" in ch.execute(
+        "SHOW CREATE TABLE rt_n").collect()[0].statement
+    ch.execute("ALTER TABLE rt_n MODIFY COLUMN s String")
+    assert "`s` Nullable" not in ch.execute(
+        "SHOW CREATE TABLE rt_n").collect()[0].statement
     # no-sort-key table round-trips through ORDER BY tuple()
     ch.execute("CREATE TABLE rt_plain (a Int32) ENGINE = MergeTree"
                " ORDER BY tuple()")
