@@ -378,6 +378,10 @@ _RENAME = {
     "inthash64": "xxhash64",
     "farmhash64": "xxhash64",
     "halfmd5": "xxhash64",
+    "murmurhash2_64": "xxhash64",
+    "murmurhash3_64": "xxhash64",
+    "murmurhash2_32": "hash",
+    "murmurhash3_32": "hash",
     # trim / substring / case family — pure renames, same argument order
     "trimboth": "trim",
     "trimleft": "ltrim",
@@ -388,6 +392,15 @@ _RENAME = {
     "upperutf8": "upper",
     "reverseutf8": "reverse",
     "concatwithseparator": "concat_ws",
+    # form-component encoding uses '+' for space — exactly Spark's
+    # url_encode; the non-form encodeURLComponent variant has a dedicated
+    # %20 handler below
+    "encodeurlformcomponent": "url_encode",
+    "decodeurlformcomponent": "url_decode",
+    # Spark arrays_zip already pads unequal lengths with NULL — that IS
+    # the Unaligned contract (plain arrayZip's equal-length requirement is
+    # the documented divergence, see arrayZip)
+    "arrayzipunaligned": "arrays_zip",
     # encodings
     "base64encode": "base64",
     "tobase64": "base64",
@@ -571,8 +584,25 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
             f" slice({lst}, size({lst}) - ({n}) + 1, {n}))"
         )
     if low == "grouparraysample":
-        # randomized sample — the seed parameter (if any) drops
-        return f"slice(shuffle(collect_list({args[0]})), 1, {params[0]})"
+        # groupArraySample(N[, seed])(x). Seeded form (r8 verdict #3 —
+        # previously the seed was SILENTLY dropped, leaving an explicitly
+        # pinned sample nondeterministic): deterministic hash-order sample —
+        # sort the collected list by xxhash64(elem, seed) and take the
+        # first N. Same uniform-without-replacement contract as CH (any
+        # fixed hash order of distinct values is a uniform sample of the
+        # multiset), stable run-to-run and across partitionings of the
+        # group. Seedless form keeps the honest shuffle() — CH's own
+        # contract is an arbitrary sample.
+        lst = f"collect_list({args[0]})"
+        if len(params) >= 2:
+            seed = params[1]
+            return (
+                f"slice(array_sort({lst}, (_a, _b) ->"
+                f" CASE WHEN xxhash64(_a, {seed}) < xxhash64(_b, {seed})"
+                f" THEN -1 WHEN xxhash64(_a, {seed}) > xxhash64(_b, {seed})"
+                f" THEN 1 ELSE 0 END), 1, {params[0]})"
+            )
+        return f"slice(shuffle({lst}), 1, {params[0]})"
     if low == "uniqupto":  # uniqUpTo(N)(x): distinct count saturating at N+1
         n = params[0] if params else "5"
         return f"LEAST(count(DISTINCT {args[0]}), {n} + 1)"
@@ -1913,6 +1943,71 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" _y -> {pred_y}), -1), _x)))"
         )
         return filled if low == "arrayfill" else f"reverse({filled})"
+    if low in ("arraysplit", "arrayreversesplit"):
+        # arraySplit(cond, arr): consecutive groups; a NEW group starts at
+        # every element where the predicate holds (CH splits on the LEFT
+        # of the matching element; the first group always starts at
+        # element 1). arrayReverseSplit splits on the RIGHT — spelled as
+        # the mirrored left-split of the reversed array, re-reversed.
+        lam = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", args[0])
+        if not lam:
+            raise ValueError(f"{name}: expects 'var -> predicate' lambda")
+        v, body = lam.group(1), lam.group(2).strip()
+        a = args[1] if low == "arraysplit" else f"reverse({args[1]})"
+        pred_i = re.sub(
+            rf"\b{re.escape(v)}\b", f"try_element_at({a}, _i)", body
+        )
+        starts = f"filter(sequence(1, size({a})), _i -> _i = 1 OR ({pred_i}))"
+        groups = (
+            f"IF(size({a}) = 0, array(), transform({starts}, (_b, _j) ->"
+            f" slice({a}, _b, coalesce(try_element_at({starts}, _j + 2),"
+            f" size({a}) + 1) - _b)))"
+        )
+        if low == "arraysplit":
+            return groups
+        return f"reverse(transform({groups}, _g -> reverse(_g)))"
+    if low == "arrayelementornull":
+        # arrayElement's explicit-NULL sibling; negative indexes count
+        # from the end, matching try_element_at exactly
+        return f"try_element_at({args[0]}, {args[1]})"
+    if low == "bithammingdistance":
+        # integer form: popcount of the XOR (CH also accepts strings —
+        # byte-wise; the integer contract is the one the fixtures use)
+        return f"bit_count(({args[0]}) ^ ({args[1]}))"
+    if low in ("jumpconsistenthash", "kostikconsistenthash",
+               "yandexconsistenthash"):
+        # same convention as the hash family: a stable bucket in [0, n)
+        # replaces CH's specific algorithm — co-bucketing is preserved
+        # within this engine, but values differ from CH AND the jump
+        # hash's minimal-movement-on-resize property is NOT reproduced
+        return (
+            f"CAST(pmod(xxhash64({args[0]}), {args[1]}) AS INT)"
+        )
+    if low == "simplelinearregression":
+        # (x, y) → least-squares (slope k, intercept b); Spark's builtin
+        # regr_* aggregates take (y, x) order
+        x, y = args[0], args[1]
+        return (
+            f"named_struct('k', regr_slope({y}, {x}),"
+            f" 'b', regr_intercept({y}, {x}))"
+        )
+    if low == "mapextractkeylike":
+        return f"map_filter({args[0]}, (_k, _v) -> _k LIKE {args[1]})"
+    if low == "mapcontainskeylike":
+        return f"exists(map_keys({args[0]}), _k -> _k LIKE {args[1]})"
+    if low == "aggthrow":
+        raise ValueError(
+            "aggThrow is ClickHouse's fault-injection test aggregate — it"
+            " exists to throw; nothing to translate"
+        )
+    if low in ("analysisofvariance", "anovatest"):
+        raise ValueError(
+            "analysisOfVariance (anovaTest) needs the F-distribution"
+            " significance machinery with no inline Spark spelling; build"
+            " the per-group means/variances from the agg_stats building"
+            " blocks and finish the F-test client-side or in a Pandas UDF"
+            " (scipy.stats.f_oneway)"
+        )
     if low == "tostartofquarter":
         # Date-typed like toStartOfMonth (CH contract; r5 type sweep).
         return f"CAST(date_trunc('quarter', {args[0]}) AS DATE)"
@@ -2117,6 +2212,36 @@ def _translate_call(name: str, args: list[str]) -> str:
 
         op = "try_cast" if low.endswith("ornull") else "CAST"
         return f"{op}({args[0]} AS {ch_type_to_spark(m.group(1))})"
+    if low == "cast":
+        # r8 probe batch: CH's CAST reaches Spark in three spellings that
+        # previously passed through unmapped — the two-argument form
+        # CAST(x, 'Int64'), and the AS form with a CH type name
+        # CAST(x AS Nullable(String)). Map the type through the DDL type
+        # mapper; a name it doesn't know is taken as an already-Spark type
+        # (CAST(x AS INT) keeps working untouched).
+        from .chsql_ddl import ch_type_to_spark  # local: avoids cycle
+
+        def _map_type(t: str) -> str:
+            try:
+                return ch_type_to_spark(t)
+            except ValueError:
+                return t
+
+        if len(args) == 2:
+            m = re.fullmatch(r"(?s)\s*'([^']+)'\s*", args[1])
+            if m:
+                return f"CAST({args[0]} AS {_map_type(m.group(1))})"
+        if len(args) == 1:
+            s = args[0]
+            masked_s = _mask_literals(s)
+            pos = None
+            for mm in re.finditer(r"(?i)\bAS\b", masked_s):
+                if _paren_depth_at(masked_s, mm.start()) == 0:
+                    pos = mm
+            if pos:
+                e = s[: pos.start()].rstrip()
+                return f"CAST({e} AS {_map_type(s[pos.end():].strip())})"
+        return f"CAST({', '.join(args)})"
     if low == "notlike":
         return f"(NOT ({args[0]} LIKE {args[1]}))"
     # -- -State / -Merge aggregate combinators (AggregatingMergeTree's MV
@@ -2358,6 +2483,16 @@ def _translate_call(name: str, args: list[str]) -> str:
             " machinery with no inline Spark spelling; build it from the"
             " agg_stats building blocks (avg/stddev/corr + win_rank for"
             " rank statistics)"
+        )
+    if low in ("corrmatrix", "covarmatrix", "covarsampmatrix",
+               "covarpopmatrix"):
+        # r8 verdict #3: these previously passed through to Spark's
+        # undefined-function error instead of this family's named guidance.
+        raise ValueError(
+            f"{name} returns an N×N matrix aggregate with no Spark analog;"
+            " compute the pairwise entries with corr(x, y) /"
+            " covar_samp(x, y) / covar_pop(x, y) (see the agg_stats"
+            " operator) and assemble the matrix from those scalars"
         )
     if low in ("deltasum", "deltasumtimestamp"):
         raise ValueError(
@@ -2989,12 +3124,12 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"timestamp_micros(CAST({args[0]} AS BIGINT) div 1000)"
     if low == "tounixtimestamp64nano":
         return f"(unix_micros({args[0]}) * 1000)"
-    if low in ("siphash128", "metrohash64", "wyhash64", "xxh3", "xxhash64",
-               "farmfingerprint64", "urlhash"):
+    if low in ("siphash128", "murmurhash3_128", "metrohash64", "wyhash64",
+               "xxh3", "xxhash64", "farmfingerprint64", "urlhash"):
         # same convention as sipHash64/cityHash64: a stable 64-bit JVM
         # hash replaces CH's specific algorithm (values differ from CH —
         # documented; hashes are compared within ONE engine, never across)
-        if low == "siphash128":
+        if low in ("siphash128", "murmurhash3_128"):
             return f"md5(CAST({args[0]} AS STRING))"  # 128-bit analogue
         return f"xxhash64({', '.join(args)})"
     if low in ("javahash", "hivehash", "gccmurmurhash", "kafkamurmurhash"):
@@ -3311,6 +3446,19 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "studentttest", "welchttest", "mannwhitneyutest",
     "kolmogorovsmirnovtest", "rankcorr", "cramersv",
     "cramersvbiascorrected", "theilsu", "contingency",
+    # r8: matrix aggregates routed to the same guided-error policy
+    "corrmatrix", "covarmatrix", "covarsampmatrix", "covarpopmatrix",
+    # r8 probe batch: mapped spellings
+    "cast",
+    "arraysplit", "arrayreversesplit", "arrayelementornull",
+    "bithammingdistance", "jumpconsistenthash", "kostikconsistenthash",
+    "yandexconsistenthash", "simplelinearregression", "mapextractkeylike",
+    "mapcontainskeylike", "murmurhash2_64", "murmurhash3_64",
+    "murmurhash2_32", "murmurhash3_32", "murmurhash3_128",
+    "encodeurlformcomponent", "decodeurlformcomponent",
+    "arrayzipunaligned",
+    # r8 probe batch: guided-error spellings
+    "aggthrow", "analysisofvariance", "anovatest",
     "deltasum", "deltasumtimestamp", "minsamplesizeconversion",
     "minsamplesizecontinous", "minsamplesizecontinuous",
     "largesttrianglethreebuckets", "bytesize", "arraynormalizedgini",
@@ -3907,7 +4055,9 @@ def _from_replacement(tbl: str, has_final: bool, frac: float | None) -> str | No
 
 
 _FROM_RE = re.compile(
-    r"\bFROM\s+(\w+)(\s+FINAL\b)?(?:\s+SAMPLE\s+(0?\.\d+))?(\s+FINAL\b)?",
+    r"\bFROM\s+(\w+)(\s+FINAL\b)?"
+    r"(?:\s+SAMPLE\s+(\d+(?:\.\d+)?(?:\s*/\s*\d+)?)"
+    r"(\s+OFFSET\s+[\d./]+)?)?(\s+FINAL\b)?",
     re.IGNORECASE,
 )
 _LIMIT_BY_RE = re.compile(
@@ -4301,12 +4451,76 @@ def _rewrite_with_totals(q: str) -> str:
     total is the same row inline. Divergence (documented): CH renders the
     totals row's key columns as type defaults (0 / ''), Spark's grouping
     sets as NULL — the grouping-marker convention every SQL engine shares.
-    """
-    return _lit_sub(
-        _TOTALS_RE,
-        lambda m: f"GROUP BY GROUPING SETS (({m['cols'].strip()}), ())",
-        q,
-    )
+
+    ``WITH TOTALS ... HAVING h`` (r8 verdict #6 — previously the HAVING
+    applied to the grand-total grouping-sets row itself, which matches no
+    CH totals_mode): pinned to CH's DEFAULT ``totals_mode =
+    'after_having_exclusive'`` — the totals row aggregates exactly the
+    rows of groups that PASS HAVING, and is itself kept unconditionally.
+    Spelled as a semi-join restructure: base rows are pre-filtered to the
+    passing groups (``(k) IN (SELECT k FROM src GROUP BY k HAVING h)``),
+    then the grouping-sets split runs WITHOUT a HAVING (regular rows all
+    pass by construction; the totals row must not be key-filtered). The
+    group-by is computed twice — the price of arbitrary aggregates in the
+    totals row; both sides share the scan and Spark reuses the exchange.
+    ``before_having`` / inclusive overflow modes are NOT modeled (they
+    only differ under max_rows_to_group_by overflow, which has no Spark
+    analog)."""
+    for _ in range(8):
+        masked = _mask_literals(q)
+        m = _TOTALS_RE.search(masked)
+        if not m:
+            return q
+        cols = q[m.start("cols") : m.end("cols")].strip()
+        depth = _paren_depth_at(masked, m.start())
+        # a HAVING directly after the totals clause at the same depth
+        hm = re.compile(
+            r"(?is)\bHAVING\s+(?P<h>.+?)"
+            r"(?=\bORDER\s+BY\b|\bLIMIT\b|\bSETTINGS\b|$)"
+        ).search(masked, m.end())
+        if not (
+            hm
+            and masked[m.end() : hm.start()].strip() == ""
+            and _paren_depth_at(masked, hm.start()) == depth
+        ):
+            q = (
+                q[: m.start()]
+                + f"GROUP BY GROUPING SETS (({cols}), ())"
+                + q[m.end() :]
+            )
+            continue
+        h0, h1 = hm.span("h")
+        h1 = _clip_unbalanced(masked, h0, h1)
+        having = q[h0:h1].strip()
+        fm = None
+        for cand in re.finditer(r"(?i)\bFROM\b", masked[: m.start()]):
+            if _paren_depth_at(masked, cand.start()) == depth:
+                fm = cand
+        if fm is None:
+            raise ValueError(
+                "WITH TOTALS ... HAVING could not locate its FROM clause"
+            )
+        srcwhere = q[fm.end() : m.start()].strip()
+        src_masked = masked[fm.end() : m.start()]
+        has_where = any(
+            _paren_depth_at(src_masked, w.start()) == 0
+            for w in re.finditer(r"(?i)\bWHERE\b", src_masked)
+        )
+        glue = " AND " if has_where else " WHERE "
+        pred = (
+            f"(({cols}) IN (SELECT {cols} FROM {srcwhere}"
+            f" GROUP BY {cols} HAVING {having}))"
+        )
+        q = (
+            q[: fm.end()]
+            + " "
+            + srcwhere
+            + glue
+            + pred
+            + f" GROUP BY GROUPING SETS (({cols}), ()) "
+            + q[h1:]
+        )
+    raise ValueError("more than 8 WITH TOTALS clauses — refusing to rewrite")
 
 
 def _rewrite_with_fill(q: str) -> str:
@@ -4451,10 +4665,34 @@ def _rewrite_clauses(q: str) -> str:
     """
 
     def from_sub(m: re.Match) -> str:
-        has_final = bool(m.group(2) or m.group(4))
-        frac = float(m.group(3)) if m.group(3) else None
+        has_final = bool(m.group(2) or m.group(5))
+        samp = m.group(3)
+        frac: float | None = None
+        if samp:
+            if m.group(4):
+                raise ValueError(
+                    "SAMPLE ... OFFSET positions the sample window on CH's"
+                    " sampling-key space — no Spark analog; use a plain"
+                    " SAMPLE fraction (the hash cut is already"
+                    " deterministic) or filter on the key range explicitly"
+                )
+            if "/" in samp:  # SAMPLE k/n ≡ the fraction k/n (CH relative
+                # form; r8 — previously passed through to a Spark parse
+                # error)
+                num, den = samp.split("/")
+                frac = float(num) / float(den)
+            else:
+                frac = float(samp)
+            if frac == 1.0:
+                frac = None  # SAMPLE 1 ≡ the whole table
+            elif frac > 1:
+                raise ValueError(
+                    f"SAMPLE {samp}: the approximate-row-count form depends"
+                    " on CH's sampling-key physical layout; use a SAMPLE"
+                    " fraction (rows/count(*)) or ORDER BY rand() LIMIT n"
+                )
         if not has_final and frac is None:
-            return m.group(0)
+            return m.group(0) if samp is None else f"FROM {m.group(1)}"
         repl = _from_replacement(m.group(1), has_final, frac)
         return m.group(0) if repl is None else repl
 
@@ -4485,6 +4723,84 @@ def _rewrite_clauses(q: str) -> str:
             )
     q = _lit_sub(_SETTINGS_RE, "", q)
     q = _lit_sub(_FORMAT_TRAIL_RE, "", q)
+    # `expr :: ChType` — Spark supports :: natively, but the TYPE NAME may
+    # be a CH spelling (x::UInt32, x::Nullable(String)). Map the mappable
+    # ones through the DDL type mapper; names it doesn't know are left for
+    # Spark (x::INT untouched).
+    masked = _mask_literals(q)
+    cc_out, cc_last = [], 0
+    for ccm in re.finditer(
+        r"::\s*(\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)", masked
+    ):
+        t = q[ccm.start(1) : ccm.end(1)]
+        try:
+            from .chsql_ddl import ch_type_to_spark as _c2s
+
+            t2 = _c2s(t)
+        except ValueError:
+            continue
+        cc_out.append(q[cc_last : ccm.start(1)])
+        cc_out.append(t2)
+        cc_last = ccm.end(1)
+    if cc_out:
+        q = "".join(cc_out) + q[cc_last:]
+    # r8 clause batch (probe sweep): CH spellings Spark's parser refuses.
+    # SELECT TOP n ≡ LIMIT n (CH forbids combining TOP with LIMIT, so the
+    # appended LIMIT can't collide with an existing one).
+    tm = re.match(r"(?is)^(\s*SELECT\s+)TOP\s+(\d+)\s+(.*)$", _mask_literals(q))
+    if tm:
+        q = q[: tm.end(1)] + q[tm.start(3) :] + f" LIMIT {tm.group(2)}"
+    # ANSI OFFSET ... FETCH (CH supports both ROW/ROWS and FIRST/NEXT) →
+    # LIMIT/OFFSET. The WITH TIES variant re-spells as LIMIT n WITH TIES so
+    # the existing rank rewrite below picks it up (OFFSET+TIES: no single
+    # Spark clause — refuse loudly).
+    fm_ = _lit_search(
+        re.compile(
+            r"(?is)(?:\bOFFSET\s+(?P<off>\d+)\s+ROWS?\s+)?"
+            r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<n>\d+)\s+ROWS?\s+"
+            r"(?P<ties>ONLY|WITH\s+TIES)\s*$"
+        ),
+        q,
+    )
+    if fm_:
+        ties = fm_["ties"].upper() != "ONLY"
+        off = fm_["off"]
+        if ties and off:
+            raise ValueError(
+                "OFFSET ... FETCH ... WITH TIES has no Spark spelling —"
+                " drop the OFFSET or use the rank window directly"
+            )
+        tail = (
+            f" LIMIT {fm_['n']} WITH TIES"
+            if ties
+            else f" LIMIT {fm_['n']}" + (f" OFFSET {off}" if off else "")
+        )
+        q = q[: fm_.start()] + tail
+    # CH joins spell the strictness BEFORE the side (SEMI LEFT JOIN);
+    # Spark wants LEFT SEMI JOIN. RIGHT-sided semi/anti and PASTE
+    # (positional zip) have no Spark join type.
+    q = _lit_sub(
+        re.compile(r"(?i)\b(SEMI|ANTI)\s+(LEFT)\s+JOIN\b"),
+        lambda m: f"LEFT {m.group(1).upper()} JOIN",
+        q,
+    )
+    if _lit_search(re.compile(r"(?i)\b(?:SEMI|ANTI)\s+RIGHT\s+JOIN\b"), q):
+        raise ValueError(
+            "SEMI/ANTI RIGHT JOIN: Spark has no right-sided semi/anti join"
+            " — swap the table order and use SEMI/ANTI LEFT JOIN"
+        )
+    if _lit_search(re.compile(r"(?i)\bPASTE\s+JOIN\b"), q):
+        raise ValueError(
+            "PASTE JOIN zips tables by physical row position — no"
+            " deterministic Spark analog; join on an explicit"
+            " row_number() OVER (ORDER BY <key>) from both sides"
+        )
+    if _lit_search(re.compile(r"(?i)\bCOLLATE\b"), q):
+        raise ValueError(
+            "ORDER BY ... COLLATE needs ICU locale collation (no Spark SQL"
+            " builtin); sort by a normalized key instead (e.g. lower()/"
+            " a locale-transliterated column)"
+        )
     # CH's bare INTERSECT/EXCEPT keep duplicate rows (ALL semantics) while
     # Spark's bare forms are DISTINCT — a silent row-count divergence if
     # passed through. Bare forms (followed by SELECT, so the `* EXCEPT(cols)`
@@ -5518,6 +5834,40 @@ def chsql_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     renders type defaults instead — documented in `_rewrite_with_totals`).
     The oracle hand-writes the grouping sets."""
     return ch_sql(spark, sf_dir, _CH_TOTALS)
+
+
+_CH_TOTALS_HAVING = """
+SELECT lang, count() AS n, toInt64(sum(n_chars)) AS chars
+FROM documents
+GROUP BY lang WITH TOTALS
+HAVING count() > 100
+ORDER BY lang
+"""
+
+
+@query(
+    "chsql_totals_having",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE lang IN (
+        SELECT lang FROM documents GROUP BY lang HAVING count(*) > 100
+    )
+    GROUP BY GROUPING SETS ((lang), ())
+    ORDER BY lang
+    """,
+)
+def chsql_totals_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH TOTALS ... HAVING`` (r8 verdict #6): pinned to CH's default
+    ``totals_mode = 'after_having_exclusive'`` — the totals row aggregates
+    exactly the rows of groups that pass HAVING and is itself kept
+    unconditionally (previously the HAVING predicate applied to the
+    grand-total row, matching no CH mode). The oracle hand-writes the same
+    passing-groups semi-join + grouping sets. documents.lang is the one
+    fixture key with scale-stable skew ('en' ≈ 200 docs, the rest ≤ 82 at
+    BOTH sf0.001 and sf0.01), so the >100 threshold genuinely filters
+    groups at every driver scale."""
+    return ch_sql(spark, sf_dir, _CH_TOTALS_HAVING)
 
 
 _CH_WITH_FILL = """

@@ -766,6 +766,26 @@ def q_totals(rng: random.Random) -> tuple[str, str]:
     # docstring; fuzz pins the non-degenerate behavior).
     c = rng.choice(TABLES[table]["int"])
     where_ch = where_dk = f" WHERE {c} > {rng.randint(0, 5)}"
+    if rng.random() < 0.4 and k != "c_name":
+        # r8: TOTALS × HAVING — after_having_exclusive (totals over only
+        # the passing groups, totals row itself kept unconditionally).
+        # c_name is skipped: unique per row, so every group would fail the
+        # HAVING and the empty-input totals divergence (Spark: no row,
+        # DuckDB: one zero row) would fire — same guard as the WHERE note
+        # above. hn stays small so the low-cardinality keys always keep
+        # at least one passing group at sf0.001.
+        hn = rng.randint(1, 3)
+        ch = (
+            f"SELECT {k} AS c0, {a_ch} AS c1 FROM {table}{where_ch}"
+            f" GROUP BY {k} WITH TOTALS HAVING count() > {hn}"
+        )
+        dk = (
+            f"SELECT {k} AS c0, {a_dk} AS c1 FROM {table}{where_dk}"
+            f" AND {k} IN (SELECT {k} FROM {table}{where_dk}"
+            f" GROUP BY {k} HAVING count(*) > {hn})"
+            f" GROUP BY GROUPING SETS (({k}), ())"
+        )
+        return ch, dk
     ch = (
         f"SELECT {k} AS c0, {a_ch} AS c1 FROM {table}{where_ch}"
         f" GROUP BY {k} WITH TOTALS"

@@ -1042,6 +1042,143 @@ def test_chsql_bare_array_join(spark):
         translate("SELECT x FROM baj ARRAY JOIN arraySort(arr)")
 
 
+def test_chsql_r8_probe_batch(spark):
+    """r8 probe sweep: spellings that previously passed through to Spark's
+    undefined-function error. Value-pinned against the CH doc examples."""
+    from canal_clickhouse_spark.chsql import translate
+    import pytest as _pytest
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS v")).collect()[0].v
+    # arraySplit: new group starts on the LEFT of each matching element
+    assert one("arraySplit(x -> x = 1, [1, 2, 3, 1, 2, 3])") == \
+        [[1, 2, 3], [1, 2, 3]]
+    assert one("arraySplit(x -> x > 2, [1, 2, 3, 4, 1])") == \
+        [[1, 2], [3], [4, 1]]
+    assert one("arraySplit(x -> x = 9, [1, 2])") == [[1, 2]]
+    # arrayReverseSplit: split on the RIGHT of each matching element
+    assert one("arrayReverseSplit(x -> x = 1, [1, 2, 3, 1, 2, 3])") == \
+        [[1], [2, 3, 1], [2, 3]]
+    assert one("arrayElementOrNull([10, 20], 5)") is None
+    assert one("arrayElementOrNull([10, 20], -1)") == 20
+    assert one("bitHammingDistance(111, 109)") == 1    # 111^109 = 0b10
+    b = one("jumpConsistentHash(256, 4)")
+    assert 0 <= b < 4 and b == one("jumpConsistentHash(256, 4)")
+    r = spark.sql(translate(
+        "SELECT simpleLinearRegression(x, y).k AS k,"
+        " simpleLinearRegression(x, y).b AS b"
+        " FROM (SELECT 0 AS x, 1 AS y UNION ALL SELECT 1, 3"
+        " UNION ALL SELECT 2, 5)"
+    )).collect()[0]
+    assert (r.k, r.b) == (2.0, 1.0)
+    assert one("mapContainsKeyLike(map('abc', 1, 'def', 2), 'a%')") is True
+    assert one("mapExtractKeyLike(map('abc', 1, 'def', 2), 'a%')") == \
+        {"abc": 1}
+    # Unaligned zip pads NULL (Spark arrays_zip's native contract)
+    z = one("arrayZipUnaligned([1, 2], ['a'])")
+    assert [tuple(s) for s in z] == [(1, "a"), (2, None)]
+    assert one("encodeURLFormComponent('Hello World/x')") == "Hello+World%2Fx"
+    # hash-family additions keep the stable-not-bit-identical convention
+    assert one("murmurHash2_64('abc') = murmurHash2_64('abc')") is True
+    # guided errors
+    with _pytest.raises(ValueError, match="fault-injection"):
+        translate("aggThrow(0.5)")
+    with _pytest.raises(ValueError, match="f_oneway"):
+        translate("SELECT analysisOfVariance(x, g) FROM t")
+
+
+def test_chsql_r8_clause_batch(spark):
+    """r8 probe sweep, clause level: spellings Spark's parser refuses that
+    previously passed through to cryptic parse errors — SELECT TOP n,
+    ANSI OFFSET/FETCH, CH's strictness-first SEMI/ANTI LEFT JOIN word
+    order, the relative SAMPLE k/n form, two-arg CAST(x, 'T') and CH type
+    names in CAST/:: — plus guided errors for the genuinely unmappable
+    (PASTE JOIN, right-sided semi/anti, COLLATE, SAMPLE row counts)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql("SELECT explode(sequence(1, 9)) AS a"
+              ).createOrReplaceTempView("tcb")
+    spark.sql("SELECT explode(array(2, 3, 99)) AS b"
+              ).createOrReplaceTempView("ucb")
+    run = lambda q: spark.sql(translate(q)).collect()
+    assert [r.a for r in run("SELECT TOP 3 a FROM tcb ORDER BY a")] == \
+        [1, 2, 3]
+    assert [r.a for r in run(
+        "SELECT a FROM tcb ORDER BY a OFFSET 2 ROWS"
+        " FETCH FIRST 3 ROWS ONLY")] == [3, 4, 5]
+    assert [r.a for r in run(
+        "SELECT a FROM tcb ORDER BY a FETCH NEXT 2 ROWS ONLY")] == [1, 2]
+    assert [r.a for r in run(
+        "SELECT a FROM tcb SEMI LEFT JOIN ucb ON a = b ORDER BY a")] == \
+        [2, 3]
+    assert [r.a for r in run(
+        "SELECT a FROM tcb ANTI LEFT JOIN ucb ON a = b ORDER BY a")] == \
+        [1, 4, 5, 6, 7, 8, 9]
+    # CAST spellings: two-arg form, CH type names, :: with CH type
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS v")).collect()[0].v
+    assert one("CAST('7', 'Int64')") == 7
+    assert one("CAST(300 AS UInt8)") == 300  # widened to SMALLINT, no wrap
+    assert one("CAST(3.9 AS Nullable(String))") == "3.9"
+    assert one("'11'::UInt32 + 1") == 12
+    assert one("CAST(CAST('8' AS Int32) AS Int64)") == 8
+    # SAMPLE k/n is the fraction k/n; SAMPLE 1 is the whole table
+    t = translate("SELECT o_orderkey FROM orders SAMPLE 1/10")
+    assert "% 4294967296" in t and "SAMPLE" not in t
+    assert translate("SELECT o_orderkey FROM orders SAMPLE 1") == \
+        "SELECT o_orderkey FROM orders"
+    # guided errors
+    for bad, hint in [
+        ("SELECT a FROM t SEMI RIGHT JOIN u ON a = b", "swap the table"),
+        ("SELECT x FROM t1 PASTE JOIN t2", "row_number"),
+        ("SELECT a FROM t ORDER BY a COLLATE 'tr'", "collation"),
+        ("SELECT o_orderkey FROM orders SAMPLE 0.5 OFFSET 0.5",
+         "sampling-key"),
+        ("SELECT o_orderkey FROM orders SAMPLE 10000", "fraction"),
+        ("SELECT x FROM t ORDER BY x OFFSET 1 ROWS FETCH FIRST 5 ROWS"
+         " WITH TIES", "drop the OFFSET"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(bad)
+    # FETCH ... WITH TIES (no OFFSET) rides the LIMIT WITH TIES machinery
+    spark.sql("SELECT explode(array(1, 2, 2, 3)) AS a"
+              ).createOrReplaceTempView("tcb2")
+    assert [r.a for r in run(
+        "SELECT a FROM tcb2 ORDER BY a FETCH FIRST 3 ROWS WITH TIES")] == \
+        [1, 2, 2]
+
+
+def test_chsql_totals_having_after_having_exclusive(spark):
+    """r8 verdict #6: WITH TOTALS × HAVING follows CH's default
+    totals_mode = 'after_having_exclusive' — the totals row aggregates
+    only the rows of groups that PASS HAVING (7, not 9, below) and is
+    kept even though its own NULL key would fail a key-referencing
+    HAVING. Previously the HAVING applied to the grand-total row itself
+    (no CH mode behaves that way)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql(
+        "SELECT explode(array('a','a','a','b','b','c','c','c','c')) AS k"
+    ).createOrReplaceTempView("tth")
+    rows = spark.sql(translate(
+        "SELECT k, count() AS n FROM tth GROUP BY k WITH TOTALS"
+        " HAVING count() > 2 ORDER BY k"
+    )).collect()
+    assert [(r.k, r.n) for r in rows] == [(None, 7), ("a", 3), ("c", 4)]
+    # composes with an existing WHERE (predicate must reach the semi-join)
+    rows = spark.sql(translate(
+        "SELECT k, count() AS n FROM tth WHERE k != 'c' GROUP BY k"
+        " WITH TOTALS HAVING count() > 2 ORDER BY k"
+    )).collect()
+    assert [(r.k, r.n) for r in rows] == [(None, 3), ("a", 3)]
+    # plain TOTALS (no HAVING) keeps the all-rows grand total
+    rows = spark.sql(translate(
+        "SELECT k, count() AS n FROM tth GROUP BY k WITH TOTALS ORDER BY k"
+    )).collect()
+    assert [(r.k, r.n) for r in rows] == [
+        (None, 9), ("a", 3), ("b", 2), ("c", 4)]
+
+
 def test_chsql_operator_fn_precedence(spark):
     """r6 advice (high): operator-function spellings must parenthesize
     their operands — infix-expression arguments previously re-associated
@@ -1187,9 +1324,37 @@ def test_chsql_unmappable_guided_errors():
         ("SELECT extractGroups(s, '(a)(b)') FROM t", "regexp_extract"),
         ("SELECT extractAllGroupsVertical(s, '(a)(b)') FROM t",
          "regexp_extract"),
+        # r8 verdict #3: matrix aggregates get the family's named guidance
+        # instead of passing through to Spark's undefined-function error
+        ("SELECT corrMatrix(a, b, c) FROM t", "corr"),
+        ("SELECT covarMatrix(a, b) FROM t", "covar_samp"),
+        ("SELECT covarSampMatrix(a, b) FROM t", "covar_samp"),
+        ("SELECT covarPopMatrix(a, b) FROM t", "covar_pop"),
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(q)
+
+
+def test_chsql_group_array_sample_seeded(spark):
+    """r8 verdict #4: groupArraySample(N, seed)(x) previously DROPPED the
+    seed silently (shuffle() — nondeterministic even when the user pinned
+    one). The seeded form now sorts by xxhash64(elem, seed) and slices:
+    run-to-run stable, value-pinned, and different seeds give different
+    orders. The seedless form keeps the honest random shuffle."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql("SELECT explode(sequence(1, 10)) AS x"
+              ).createOrReplaceTempView("gas")
+    g = lambda q: spark.sql(
+        translate(f"SELECT {q} AS r FROM gas")).collect()[0].r
+    a = g("groupArraySample(3, 7)(x)")
+    assert a == g("groupArraySample(3, 7)(x)")  # deterministic
+    assert len(a) == 3 and set(a) <= set(range(1, 11))
+    b = g("groupArraySample(10, 99)(x)")
+    assert sorted(b) == list(range(1, 11))      # permutation, no dup/drop
+    assert len(g("groupArraySample(3)(x)")) == 3  # seedless still works
+    # the two seeds disagree on at least one position over a full permute
+    assert g("groupArraySample(10, 7)(x)") != b
 
 
 def test_chsql_parametric_if_stacking(spark):
