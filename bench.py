@@ -108,6 +108,9 @@ EXTENDED: tuple[str, ...] = (
     "chsql_clause_gaps",      # alias-in-WHERE + tuple IN + 1-based subscripts
     "chsql_json_batch6",      # multi-path JSON extraction + JSONType
     "text_perplexity",        # unigram-LM quality scoring
+    # r8 (verdict tasks 1+6): new oracle keys >0.5 s median, gated from birth
+    "chsql_arrayjoin_bare",   # bare ARRAY JOIN shadow-wrap explode
+    "chsql_totals_having",    # TOTALS×HAVING after_having_exclusive semi-join
 )
 
 

@@ -493,6 +493,10 @@ _PARAMETRIC = {
     "grouparraysample",
     # r6: -If combinators of the quantile family
     "quantileif", "quantileexactif", "quantiletdigestif",
+    # r8: time-decayed folds — named guided error (window spelling)
+    "exponentialmovingaverage", "exponentialtimedecayedavg",
+    "exponentialtimedecayedsum", "exponentialtimedecayedmax",
+    "exponentialtimedecayedcount",
 }
 
 # CH gives every quantile implementation a `median*` alias (p fixed at 0.5).
@@ -717,6 +721,18 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     if low in ("quantile", "quantileexact", "quantiletdigest"):
         # -> exact interpolated percentile
         return f"percentile({args[0]}, {params[0] if params else '0.5'})"
+    if low in ("exponentialmovingaverage", "exponentialtimedecayedavg",
+               "exponentialtimedecayedsum", "exponentialtimedecayedmax",
+               "exponentialtimedecayedcount"):
+        # r8 probe: named guidance instead of the generic parametric text —
+        # these are ORDER-dependent decayed folds, an aggregate can't see
+        # row order at scale
+        raise ValueError(
+            f"{name} decays over the TIME axis in row order, which"
+            " aggregates don't see at scale; express it as a window —"
+            " sum/avg(v * exp(-(t_now - t)/tau)) OVER (ORDER BY t) with an"
+            " explicit frame (see win_running_sum / win_moving_avg)"
+        )
     raise ValueError(_parametric_guided_error(name))
 
 
@@ -2477,7 +2493,9 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low in ("studentttest", "welchttest", "mannwhitneyutest",
                "kolmogorovsmirnovtest", "rankcorr", "cramersv",
-               "cramersvbiascorrected", "theilsu", "contingency"):
+               "cramersvbiascorrected", "theilsu", "contingency",
+               "meanztest", "studentttestonesample",
+               "categoricalinformationvalue"):
         raise ValueError(
             f"{name} needs a significance-table lookup or rank/contingency"
             " machinery with no inline Spark spelling; build it from the"
@@ -2744,7 +2762,10 @@ def _translate_call(name: str, args: list[str]) -> str:
             " implements the bitmap family over array states"
         )
     if low in ("pointinpolygon", "geohashencode", "geohashdecode",
-               "geohashesinbox"):
+               "geohashesinbox", "readwktpoint", "readwktpolygon",
+               "readwktmultipolygon", "readwktring", "wkt",
+               "polygonareacartesian", "polygonperimetercartesian",
+               "polygonsunioncartesian", "polygonsintersectioncartesian"):
         raise ValueError(
             f"{name}: computational-geometry/geohash encodings have no"
             " Spark builtin; use a Pandas UDF (shapely/geohash libs) —"
@@ -2906,6 +2927,54 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" 'tot', _s.tot + IF(_s.c > 0, _e.t - _s.lt, 0D)),"
             f" _s -> _s.tot)"
         )
+    if low == "maxintersectionsposition":
+        # the sweep-line argmax sibling: the left endpoint where the
+        # maximum concurrency is FIRST reached (CH contract)
+        s_, e_ = args[0], args[1]
+        pts = (
+            f"array_sort(concat("
+            f"transform(collect_list({s_}), _t -> named_struct('t',"
+            f" CAST(_t AS DOUBLE), 'd', 1)),"
+            f"transform(collect_list({e_}), _t -> named_struct('t',"
+            f" CAST(_t AS DOUBLE), 'd', -1))),"
+            f" (_l, _r) -> CASE WHEN _l.t < _r.t THEN -1"
+            f" WHEN _l.t > _r.t THEN 1"
+            f" WHEN _l.d < _r.d THEN -1 WHEN _l.d > _r.d THEN 1"
+            f" ELSE 0 END)"
+        )
+        return (
+            f"aggregate({pts}, named_struct('c', 0, 'm', 0, 'p', 0D),"
+            f" (_s, _e) -> named_struct('c', _s.c + _e.d,"
+            f" 'm', greatest(_s.m, _s.c + _e.d),"
+            f" 'p', IF(_s.c + _e.d > _s.m, _e.t, _s.p)), _s -> _s.p)"
+        )
+    if low == "grouparrayintersect":
+        # intersection of every array in the group: fold array_intersect
+        # over the collected list, seeded by the first array; sorted for
+        # a deterministic output order (set semantics)
+        cl = f"collect_list({args[0]})"
+        return (
+            f"array_sort(aggregate(slice({cl}, 2, size({cl})),"
+            f" element_at({cl}, 1), (_acc, _x) -> array_intersect(_acc,"
+            f" _x)))"
+        )
+    if low == "sumwithoverflow":
+        # CH keeps the input type and wraps on overflow; Spark's sum
+        # widens instead — a divergence only ON overflow, where CH's
+        # wrapped value is garbage anyway
+        return f"sum({args[0]})"
+    if low in ("currentroles", "currentprofiles", "enabledroles",
+               "enabledprofiles", "defaultroles"):
+        # single-user batch engine: the constant default principal, the
+        # array-valued sibling of currentUser() -> 'default'
+        return "array('default')"
+    if low in ("approx_top_k", "approx_top_count", "approx_top_sum"):
+        raise ValueError(
+            f"{name} returns (value, count, error) tuples from a sketch;"
+            " use topK(k)(x) / topKWeighted(k)(x, w) for the values-only"
+            " arrays, or the agg_freq_items / topk_weighted operators for"
+            " the counted two-column plan"
+        )
     if low in ("grouparraymovingsum", "grouparraymovingavg"):
         raise ValueError(
             f"{name} accumulates in ROW ORDER, which aggregates don't see"
@@ -2936,7 +3005,9 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low in ("version", "buildid", "revision", "displayname",
                "serveruuid", "zookeepersessionuptime", "connectionid",
                "transactionid", "getmacro", "getsetting",
-               "getclientinfo", "getoskernelversion"):
+               "getclientinfo", "getoskernelversion",
+               "estimatecompressionratio", "structuretoprotobufschema",
+               "structuretocapnprotoschema"):
         raise ValueError(
             f"{name}() is server-runtime introspection with no meaning in"
             " a batch plan (same family as uptime()); read engine"
@@ -3459,6 +3530,21 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arrayzipunaligned",
     # r8 probe batch: guided-error spellings
     "aggthrow", "analysisofvariance", "anovatest",
+    # r8 probe batch 2: mapped
+    "maxintersectionsposition", "grouparrayintersect", "sumwithoverflow",
+    "currentroles", "currentprofiles", "enabledroles", "enabledprofiles",
+    "defaultroles",
+    # r8 probe batch 2: guided
+    "approx_top_k", "approx_top_count", "approx_top_sum",
+    "meanztest", "studentttestonesample", "categoricalinformationvalue",
+    "bitmapmin", "bitmapmax", "bitmapandcardinality", "bitmaporcardinality",
+    "bitmapandnotcardinality", "bitmapxorcardinality", "bitmaphasall",
+    "bitmaphasany", "bitmapsubsetinrange", "bitmapsubsetlimit",
+    "readwktpoint", "readwktpolygon", "readwktmultipolygon", "readwktring",
+    "wkt", "polygonareacartesian", "polygonperimetercartesian",
+    "polygonsunioncartesian", "polygonsintersectioncartesian",
+    "estimatecompressionratio", "structuretoprotobufschema",
+    "structuretocapnprotoschema",
     "deltasum", "deltasumtimestamp", "minsamplesizeconversion",
     "minsamplesizecontinous", "minsamplesizecontinuous",
     "largesttrianglethreebuckets", "bytesize", "arraynormalizedgini",

@@ -1148,6 +1148,44 @@ def test_chsql_r8_clause_batch(spark):
         [1, 2, 2]
 
 
+def test_chsql_r8_probe_batch2(spark):
+    """r8 probe sweep #2: aggregate/sketch/geo/introspection spellings that
+    previously passed through to undefined-function errors."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 5.0), (4.0, 6.0), (7.0, 9.0)], "s double, e double"
+    ).createOrReplaceTempView("riv")
+    g = lambda expr, src: spark.sql(
+        translate(f"SELECT {expr} AS r FROM {src}")).collect()[0].r
+    # sweep-line argmax: depth first reaches its max (2) at t=2
+    assert g("maxIntersectionsPosition(s, e)", "riv") == 2.0
+    spark.sql("SELECT explode(array(array(1, 2, 3), array(2, 3, 4),"
+              " array(3, 2))) AS a").createOrReplaceTempView("rai")
+    assert g("groupArrayIntersect(a)", "rai") == [2, 3]
+    assert g("sumWithOverflow(s)", "riv") == 14.0
+    assert spark.sql(translate("SELECT currentRoles() AS r")
+                     ).collect()[0].r == ["default"]
+    # guided errors: sketch tuples, one-sample stats, bitmap states, geo,
+    # server introspection, time-decayed parametric folds
+    for bad, hint in [
+        ("approx_top_k(x, 5)", "topK"),
+        ("meanZTest(a, b, 0.95)", "agg_stats"),
+        ("studentTTestOneSample(x, 1.0)", "agg_stats"),
+        ("bitmapMin(b)", "agg_bitmap_ops"),
+        ("bitmapHasAll(a, b)", "agg_bitmap_ops"),
+        ("wkt(p)", "Pandas UDF"),
+        ("readWKTPoint('POINT(1 2)')", "Pandas UDF"),
+        ("estimateCompressionRatio(s)", "introspection"),
+        ("exponentialMovingAverage(5)(v, t)", "window"),
+        ("exponentialTimeDecayedAvg(5)(v, t)", "window"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(bad)
+
+
 def test_chsql_totals_having_after_having_exclusive(spark):
     """r8 verdict #6: WITH TOTALS × HAVING follows CH's default
     totals_mode = 'after_having_exclusive' — the totals row aggregates
