@@ -491,6 +491,16 @@ _PARAMETRIC = {
     "quantileexactinclusive", "quantilesexactexclusive",
     "quantilesexactinclusive", "grouparraysorted", "grouparraylast",
     "grouparraysample",
+    # r8 probe 4: the full plural-quantiles impl family + groupUniqArray(N)
+    # + the -Resample combinator's named guidance
+    "quantilesexact", "quantilesexactlow", "quantilesexacthigh",
+    "quantilestdigest", "quantilestiming", "quantilesbfloat16",
+    "quantilesdeterministic", "quantilesgk", "quantilesddsketch",
+    "quantilestdigestweighted", "quantilestimingweighted",
+    "quantilesinterpolatedweighted", "quantilesexactweighted",
+    "groupuniqarray",
+    "sumresample", "avgresample", "countresample", "minresample",
+    "maxresample", "uniqresample",
     # r6: -If combinators of the quantile family
     "quantileif", "quantileexactif", "quantiletdigestif",
     # r8: time-decayed folds — named guided error (window spelling)
@@ -571,9 +581,35 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         low = "quantile"
         if params and len(params) > 1:
             params = params[-1:]  # GK spelled quantileGK(acc, p) one-group
+    if low in ("quantilestdigestweighted", "quantilestimingweighted",
+               "quantilesinterpolatedweighted", "quantilesexactweighted"):
+        # plural weighted impls → Spark's 3-arg percentile with a level
+        # array (same exact-value divergence note as the scalar impls)
+        return (
+            f"percentile({args[0]}, array({', '.join(params)}), {args[1]})"
+        )
     if low in ("quantiles", "quantilesexactexclusive",
-               "quantilesexactinclusive"):
+               "quantilesexactinclusive", "quantilesexact",
+               "quantilesexactlow", "quantilesexacthigh",
+               "quantilestdigest", "quantilestiming", "quantilesbfloat16",
+               "quantilesdeterministic", "quantilesgk",
+               "quantilesddsketch"):
+        if low == "quantilesgk" and params and not re.match(
+            r"^\s*0?\.", params[0]
+        ):
+            params = params[1:]  # quantilesGK(acc, p1, p2, …)
         return f"percentile({args[0]}, array({', '.join(params)}))"
+    if low == "groupuniqarray":
+        # groupUniqArray(N)(x): at most N distinct elements (arbitrary
+        # subset on both engines)
+        return f"slice(collect_set({args[0]}), 1, {params[0]})"
+    if low.endswith("resample"):
+        base = low[: -len("resample")]
+        raise ValueError(
+            f"{name}: the -Resample combinator re-aggregates per key"
+            " bucket — spell it as GROUP BY the bucket instead:"
+            f" SELECT {base}(x) … GROUP BY intDiv(key - start, step)"
+        )
     if low == "grouparraysorted":
         n = params[0] if params else None
         lst = f"sort_array(collect_list({args[0]}))"
@@ -1286,7 +1322,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"flatten(collect_list({args[0]}))"
     if low == "anyif":
         return f"any_value(IF({args[1]}, {args[0]}, NULL))"
-    if low == "datediff":
+    if low in ("datediff", "date_diff"):
         # dateDiff('unit', start, end): CH counts CROSSED unit boundaries
         # (dateDiff('day', 23:00 d1, 01:00 d2) = 1), while Spark's
         # timestampdiff counts complete elapsed units (= 0). Truncating both
@@ -1748,10 +1784,254 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "currentdatabase":
         return "'default'"
-    if low == "hostname":
+    if low in ("hostname", "fqdn"):
         # single-planner engine: the constant local identity (CH returns
-        # the serving replica's host)
+        # the serving replica's host / fully-qualified name)
         return "'localhost'"
+    if low in ("shardnum", "shardcount"):
+        # r8 probe 3: distributed-table topology introspection — this
+        # engine is one logical shard (same constant-identity family as
+        # hostName/currentDatabase)
+        return "1"
+    if low == "casewithexpression":
+        # caseWithExpression(x, k1, v1[, k2, v2, …][, default]) — the
+        # functional spelling of CASE x WHEN … (CH requires the default;
+        # accept the even-arg form with ELSE NULL for robustness).
+        if len(args) < 4:
+            raise ValueError(
+                "caseWithExpression needs (expr, key1, val1, …, default)"
+            )
+        pairs, rest = [], args[1:]
+        default = rest.pop() if len(rest) % 2 == 1 else None
+        for k_, v_ in zip(rest[::2], rest[1::2]):
+            pairs.append(f"WHEN {k_} THEN {v_}")
+        els = f" ELSE {default}" if default is not None else ""
+        return f"(CASE {args[0]} {' '.join(pairs)}{els} END)"
+    if low == "toutctimestamp":
+        return f"to_utc_timestamp({args[0]}, {args[1]})"
+    if low == "fromutctimestamp":
+        return f"from_utc_timestamp({args[0]}, {args[1]})"
+    if low == "bin" and len(args) == 1:
+        # CH bin() zero-pads to the value's byte width (bin(42) →
+        # '00101010'); Spark's bin() emits minimal digits. Pad to the next
+        # byte boundary of the significant bits — matches CH under its
+        # minimal-width literal typing (a wider declared column type would
+        # pad further on CH; documented divergence).
+        b = f"bin({args[0]})"
+        return (
+            f"lpad({b}, CAST(ceil(length({b}) / 8.0) * 8 AS INT), '0')"
+        )
+    if low == "unbin":
+        # Inverse of bin() for strings of '0'/'1': left-pad to a byte
+        # multiple (CH contract), then decode each 8-bit group to its
+        # byte. conv() handles one byte at a time, so arbitrary lengths
+        # never overflow.
+        s = args[0]
+        pad = (f"lpad({s}, CAST(ceil(length({s}) / 8.0) * 8 AS INT), '0')")
+        return (
+            f"IF(length({s}) = 0, '',"
+            f" array_join(transform(sequence(1,"
+            f" CAST(ceil(length({s}) / 8.0) AS INT)),"
+            f" _i -> char(conv(substr({pad}, (_i - 1) * 8 + 1, 8), 2, 10))),"
+            " ''))"
+        )
+    if low in ("tupleplus", "tupleminus", "tuplemultiply", "tupledivide",
+               "tuplenegate", "tuplemultiplybynumber",
+               "tupledividebynumber", "tupleintdiv", "tuplemodulo",
+               "vectorsum", "vectordifference"):
+        raise ValueError(
+            f"{name}: element-wise tuple arithmetic needs the tuple's"
+            " arity, which Spark struct columns don't expose to SQL —"
+            " spell the vectors as arrays instead: zip_with/arrayMap"
+            " (mapped) for +/-/*, arrayDotProduct / L2Distance /"
+            " cosineDistance (mapped) for the reductions"
+        )
+    if low in ("mappartialsort", "mappartialreversesort"):
+        raise ValueError(
+            f"{name}: partial (limit-bounded) sort of a map is a render"
+            " concern — Spark maps are unordered; use mapSort /"
+            " mapReverseSort (mapped) and slice client-side"
+        )
+    if low in ("arrayenumerateuniqranked", "arrayenumeratedenseranked"):
+        raise ValueError(
+            f"{name}: multi-depth ranked enumeration over nested arrays"
+            " has no inline Spark spelling; for flat arrays use"
+            " arrayEnumerateUniq / arrayEnumerateDense (mapped)"
+        )
+    # ---- r8 probe batch 4 ----
+    if low == "positivemodulo":
+        return f"pmod({args[0]}, {args[1]})"
+    if low == "overlayutf8":
+        return f"overlay({', '.join(args)})"
+    if low == "firstline":
+        return f"element_at(split({args[0]}, '\\n'), 1)"
+    if low == "splitbynonalpha":
+        return (
+            f"filter(split({args[0]}, '[^A-Za-z0-9]+'), _t -> _t != '')"
+        )
+    if low in ("changeyear", "changemonth", "changeday"):
+        # Date-flavored recomposition (the common use); a DateTime input
+        # loses its time-of-day — documented divergence (inline SQL can't
+        # branch on the argument's type).
+        d, v = args[0], args[1]
+        part = {"changeyear": 0, "changemonth": 1, "changeday": 2}[low]
+        fields = [f"year({d})", f"month({d})", f"day({d})"]
+        fields[part] = f"({v})"
+        return f"make_date({', '.join(fields)})"
+    if low in ("changehour", "changeminute", "changesecond"):
+        d, v = args[0], args[1]
+        fields = [
+            f"year({d})", f"month({d})", f"day({d})",
+            f"hour({d})", f"minute({d})", f"second({d})",
+        ]
+        part = {"changehour": 3, "changeminute": 4, "changesecond": 5}[low]
+        fields[part] = f"({v})"
+        return f"make_timestamp({', '.join(fields)})"
+    if low in ("parsedatetime", "parsedatetimeornull", "parsedatetimeorzero",
+               "parsedatetimeinjodasyntax",
+               "parsedatetimeinjodasyntaxornull"):
+        # CH parseDateTime uses MySQL-style % patterns (the same dialect
+        # formatDateTime emits — reuse its converter); the Joda spelling is
+        # already Java-pattern-compatible. Optional 3rd arg (timezone) is
+        # not foldable inline — refuse rather than silently mis-zone.
+        if len(args) > 2:
+            raise ValueError(
+                f"{name}: the timezone argument has no inline Spark"
+                " spelling; wrap with toTimeZone/toUTCTimestamp (mapped)"
+            )
+        if "joda" in low:
+            fmt = args[1]  # Joda ≈ the Java pattern dialect Spark takes
+        else:
+            fmt = f"'{_ch_format(args[1])}'"  # MySQL-%: reuse the converter
+        if low.endswith("ornull"):
+            return f"try_to_timestamp({args[0]}, {fmt})"
+        if low.endswith("orzero"):
+            return (
+                f"coalesce(try_to_timestamp({args[0]}, {fmt}),"
+                " TIMESTAMP'1970-01-01 00:00:00')"
+            )
+        return f"to_timestamp({args[0]}, {fmt})"
+    if low == "base64urlencode":
+        # RFC 4648 URL-safe alphabet, padding stripped (CH strips '=')
+        return (
+            f"trim(TRAILING '=' FROM"
+            f" translate(base64({args[0]}), '+/', '-_'))"
+        )
+    if low == "base64urldecode":
+        s = args[0]
+        rp = (
+            f"rpad(translate({s}, '-_', '+/'),"
+            f" CAST(ceil(length({s}) / 4.0) * 4 AS INT), '=')"
+        )
+        return f"CAST(unbase64({rp}) AS STRING)"
+    if low in ("corrstable", "covarpopstable", "covarsampstable",
+               "stddevpopstable", "stddevsampstable", "varpopstable",
+               "varsampstable"):
+        # numerically-stable impl variants — Spark's aggregates already
+        # use the stable (Welford/updateable) formulations
+        base = {
+            "corrstable": "corr", "covarpopstable": "covar_pop",
+            "covarsampstable": "covar_samp",
+            "stddevpopstable": "stddev_pop",
+            "stddevsampstable": "stddev_samp",
+            "varpopstable": "var_pop", "varsampstable": "var_samp",
+        }[low]
+        return f"{base}({', '.join(args)})"
+    if low == "iszeroornull":
+        return f"(({args[0]}) = 0 OR ({args[0]}) IS NULL)"
+    if low == "arrayunion":
+        # variadic distinct union — fold Spark's 2-arg array_union
+        e = args[0]
+        for a in args[1:]:
+            e = f"array_union({e}, {a})"
+        return f"array_distinct({e})" if len(args) == 1 else e
+    if low == "arraysymmetricdifference":
+        # elements present in at least one array but not in ALL of them:
+        # union-fold minus intersect-fold (variadic like CH)
+        u, it = args[0], args[0]
+        for a in args[1:]:
+            u = f"array_union({u}, {a})"
+            it = f"array_intersect({it}, {a})"
+        return f"array_except({u}, {it})"
+    if low == "indexofassumesorted":
+        return f"COALESCE(array_position({args[0]}, {args[1]}), 0)"
+    if low == "port":
+        u = args[0]
+        d = args[1] if len(args) > 1 else "0"
+        return (
+            f"COALESCE(try_cast(regexp_extract(parse_url({u},"
+            f" 'AUTHORITY'), ':([0-9]+)$', 1) AS INT), {d})"
+        )
+    if low == "cuturlparameter":
+        u, nm = args[0], args[1]
+        lm = re.fullmatch(r"\s*'(\w+)'\s*", nm)
+        if not lm:
+            raise ValueError(
+                "cutURLParameter: parameter name must be a plain string"
+                " literal"
+            )
+        p = lm.group(1)
+        # '?name=v&rest' keeps '?', '&name=v' drops cleanly
+        step1 = f"regexp_replace({u}, '\\\\?{p}=[^&#]*&', '?')"
+        return f"regexp_replace({step1}, '[?&]{p}=[^&#]*', '')"
+    if low == "urlpathhierarchy":
+        u = args[0]
+        parts = f"split(parse_url({u}, 'PATH'), '/')"
+        return (
+            f"filter(transform(sequence(1, greatest(size({parts}) - 1,"
+            " 0)),"
+            f" _i -> concat('/', array_join(slice({parts}, 2, _i), '/'),"
+            f" IF(_i < size({parts}) - 1, '/', ''))), _h -> _h != '/')"
+        )
+    if low == "domainwithoutwww":
+        return (
+            f"regexp_replace(parse_url({args[0]}, 'HOST'), '^www\\\\.', '')"
+        )
+    if low == "randomstring":
+        return (
+            f"array_join(transform(sequence(1, {args[0]}),"
+            " _i -> char(CAST(floor(rand() * 256) AS INT))), '')"
+        )
+    if low == "randomprintableascii":
+        return (
+            f"array_join(transform(sequence(1, {args[0]}),"
+            " _i -> char(32 + CAST(floor(rand() * 95) AS INT))), '')"
+        )
+    if low == "nothing":
+        return "NULL"
+    if low == "user":
+        return "'default'"
+    if low in ("dividedecimal", "multiplydecimal"):
+        op = "/" if low == "dividedecimal" else "*"
+        e = f"(({args[0]}) {op} ({args[1]}))"
+        if len(args) > 2:
+            return f"CAST({e} AS DECIMAL(38, {args[2]}))"
+        return e
+    if low in ("mortonencode", "mortondecode", "hilbertencode",
+               "hilbertdecode"):
+        raise ValueError(
+            f"{name}: space-filling-curve codecs are a physical-layout"
+            " concern (CH uses them for key clustering); cluster Spark"
+            " data with a sort/bucket on the raw key columns instead, or"
+            " bit-interleave in a Pandas UDF if the code value itself is"
+            " needed"
+        )
+    if low == "evalmlmethod":
+        raise ValueError(
+            "evalMLMethod applies a CH-trained regression state; train and"
+            " apply models with Spark MLlib (or a Pandas UDF) instead —"
+            " see simpleLinearRegression (mapped) for the inline fit"
+        )
+    if low.endswith(("argmin", "argmax")) and len(low) > 6 and low not in (
+        "argmin", "argmax"
+    ):
+        raise ValueError(
+            f"{name}: the -ArgMin/-ArgMax combinators aggregate over only"
+            " the rows attaining the key's extremum — a two-pass shape;"
+            " spell it with a window: agg(x) FILTER / IF(key ="
+            " min(key) OVER (), x, NULL), or min_by/max_by for the"
+            " single-row form"
+        )
     if low == "tofixedstring":
         # FixedString is storage-only here (type map → STRING); clamp to
         # the declared width (CH errors on overflow — documented
@@ -3449,7 +3729,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arrayenumerate", "yesterday", "touint32", "touint64", "toint8",
     "toint16", "jsonextractstring", "jsonextractraw",
     "visitparamextractstring", "jsonextractint", "jsonextractfloat",
-    "median", "grouparrayarray", "anyif", "datediff",
+    "median", "grouparrayarray", "anyif", "datediff", "date_diff",
     # r6 gap batch (found by executing 75 common-CH-name probes on Spark)
     "jsonextractbool", "jsonhas", "jsonlength", "jsonextractarrayraw",
     "arrayfirstindex", "sha224", "sha256", "sha512", "sha1", "transform",
@@ -3534,6 +3814,33 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "maxintersectionsposition", "grouparrayintersect", "sumwithoverflow",
     "currentroles", "currentprofiles", "enabledroles", "enabledprofiles",
     "defaultroles",
+    # r8 probe batch 3: mapped
+    "casewithexpression", "toutctimestamp", "fromutctimestamp", "bin",
+    "unbin", "fqdn", "shardnum", "shardcount",
+    # r8 probe batch 4: mapped
+    "positivemodulo", "overlayutf8", "firstline", "splitbynonalpha",
+    "changeyear", "changemonth", "changeday", "changehour", "changeminute",
+    "changesecond", "parsedatetime", "parsedatetimeornull",
+    "parsedatetimeorzero", "parsedatetimeinjodasyntax",
+    "parsedatetimeinjodasyntaxornull", "base64urlencode", "base64urldecode",
+    "corrstable", "covarpopstable", "covarsampstable", "stddevpopstable",
+    "stddevsampstable", "varpopstable", "varsampstable", "iszeroornull",
+    "arrayunion", "arraysymmetricdifference", "indexofassumesorted",
+    "port", "cuturlparameter", "urlpathhierarchy", "domainwithoutwww",
+    "randomstring", "randomprintableascii", "nothing", "user",
+    "dividedecimal", "multiplydecimal",
+    # r8 probe batch 4: guided
+    "mortonencode", "mortondecode", "hilbertencode", "hilbertdecode",
+    "evalmlmethod",
+    "sumargmin", "sumargmax", "avgargmin", "avgargmax", "minargmin",
+    "minargmax", "maxargmin", "maxargmax", "countargmin", "countargmax",
+    "anyargmin", "anyargmax", "uniqargmin", "uniqargmax",
+    # r8 probe batch 3: guided
+    "tupleplus", "tupleminus", "tuplemultiply", "tupledivide",
+    "tuplenegate", "tuplemultiplybynumber", "tupledividebynumber",
+    "tupleintdiv", "tuplemodulo", "vectorsum", "vectordifference",
+    "mappartialsort", "mappartialreversesort",
+    "arrayenumerateuniqranked", "arrayenumeratedenseranked",
     # r8 probe batch 2: guided
     "approx_top_k", "approx_top_count", "approx_top_sum",
     "meanztest", "studentttestonesample", "categoricalinformationvalue",
@@ -4163,6 +4470,149 @@ _ARRAY_JOIN_CLAUSE_RE = re.compile(
 )
 
 
+def _parse_tf_schema(arg: str, fn: str) -> list[tuple[str, str]]:
+    """``'a Int32, b String'`` structure literal of a CH table function →
+    [(name, spark_ddl_type), …]."""
+    m = re.match(r"^\s*'(.+)'\s*$", arg, re.DOTALL)
+    if not m:
+        raise ValueError(
+            f"{fn}: first argument must be a quoted structure literal"
+            f" like 'a Int32, b String', got {arg!r}"
+        )
+    from .chsql_ddl import _split_top_commas, ch_type_to_spark
+
+    cols = []
+    for item in _split_top_commas(m.group(1)):
+        cm = re.match(r"^\s*(\w+)\s+(.+?)\s*$", item, re.DOTALL)
+        if not cm:
+            raise ValueError(f"{fn}: bad structure item {item!r}")
+        cols.append((cm.group(1), ch_type_to_spark(cm.group(2))))
+    return cols
+
+
+def _random_gen(spark_type: str, seed: str | None, idx: int) -> str:
+    """One generateRandom column: a per-type random expression. Seeded form
+    offsets the seed per column (two columns with the same rand(seed) would
+    be identical)."""
+    # __spark_rand__: placeholder — this text is emitted BEFORE function
+    # translation and CH's rand() means a UInt32, which would garble these
+    # expressions; translate() restores the real name at the end.
+    r = (f"__spark_rand__({seed} + {idx})" if seed is not None
+         else "__spark_rand__()")
+    r2 = (f"__spark_rand__({seed} + {idx} + 1000)" if seed is not None
+          else "__spark_rand__()")
+    t = spark_type.upper()
+    if t == "TINYINT":
+        return f"CAST(floor({r} * 256) - 128 AS TINYINT)"
+    if t == "SMALLINT":
+        return f"CAST(floor({r} * 65536) - 32768 AS SMALLINT)"
+    if t == "INT":
+        return f"CAST(floor({r} * 4294967296) - 2147483648 AS INT)"
+    if t == "BIGINT":
+        return f"CAST(floor(({r} - 0.5) * 9.0e18) AS BIGINT)"
+    if t == "FLOAT":
+        return f"CAST(({r} - 0.5) * 1.0e6 AS FLOAT)"
+    if t == "DOUBLE":
+        return f"(({r} - 0.5) * 1.0e6)"
+    if t == "STRING":
+        return (
+            f"substr(md5(CAST({r} AS STRING)), 1,"
+            f" 1 + CAST(floor({r2} * 10) AS INT))"
+        )
+    if t == "DATE":
+        # date + int sugar (avoids date_add, whose CH spelling has a
+        # different argument order and would be re-translated)
+        return f"(DATE'1970-01-01' + CAST(floor({r} * 20000) AS INT))"
+    if t == "TIMESTAMP":
+        return f"timestamp_seconds(CAST(floor({r} * 1700000000) AS BIGINT))"
+    if t == "BOOLEAN":
+        return f"({r} < 0.5)"
+    raise ValueError(
+        f"generateRandom: unsupported column type {spark_type!r} (supported:"
+        " integer/float/String/Date/DateTime/Bool)"
+    )
+
+
+_TF_CALL_RE = re.compile(
+    r"\bFROM\s+(?P<fn>values|null|generateRandom|view)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_table_fns(q: str) -> str:
+    """CH table functions in FROM position (r8 probe 4 — all previously
+    passed through verbatim and died in Spark's parser):
+
+    - ``values('a Int32, b String', (1, 'x'), …)`` → ``(SELECT CAST(…)
+      FROM VALUES … AS _vtf(a, b))``; the no-structure form gets ``c1…cN``.
+    - ``null('a Int32')`` → the empty relation with that schema
+      (``WHERE FALSE``).
+    - ``generateRandom('a Int32'[, seed])`` → per-type random generators
+      over a bounded 2^20-row ``range`` — CH streams rows indefinitely and
+      requires an outer LIMIT, which trims the bounded form identically
+      (documented divergence: >2^20 rows needs a larger bound).
+    - ``view(SELECT …)`` → plain parenthesized subquery.
+    - ``zeros(N)`` / ``system.one`` / ``generate_series(a, b[, s])`` are
+      plain-regex rewrites in _rewrite_clauses (no nested parens).
+    """
+    for _ in range(16):
+        masked = _mask_literals(q)
+        m = _TF_CALL_RE.search(masked)
+        if not m:
+            return q
+        fn = m.group("fn").lower()
+        lp = m.end() - 1
+        rp = _scan_group(q, lp)
+        body = q[lp + 1 : rp]
+        if fn == "view":
+            q = q[: m.start()] + "FROM (" + body + ")" + q[rp + 1 :]
+            continue
+        args = _split_args(body)
+        if fn == "null":
+            cols = _parse_tf_schema(args[0], "null")
+            sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+            rep = f"FROM (SELECT {sel} WHERE FALSE)"
+        elif fn == "generaterandom":
+            cols = _parse_tf_schema(args[0], "generateRandom")
+            seed = args[1].strip() if len(args) > 1 else None
+            sel = ", ".join(
+                f"{_random_gen(t, seed, i)} AS {n}"
+                for i, (n, t) in enumerate(cols)
+            )
+            rep = (
+                f"FROM (SELECT {sel} FROM __spark_range__(1048576))"
+            )
+        else:  # values
+            if re.match(r"^\s*'", args[0]):
+                cols = _parse_tf_schema(args[0], "values")
+                rows = args[1:]
+            else:
+                cols = None
+                rows = args
+            rows = [
+                r if r.lstrip().startswith("(") else f"({r})" for r in rows
+            ]
+            if not rows:
+                raise ValueError("values(): needs at least one row")
+            if cols is None:
+                n_cols = len(_split_args(rows[0].strip()[1:-1]))
+                names = [f"c{i + 1}" for i in range(n_cols)]
+                sel = "*"
+            else:
+                names = [n for n, _ in cols]
+                sel = ", ".join(
+                    f"CAST({n} AS {t}) AS {n}" for n, t in cols
+                )
+            # __spark_values__: placeholder — a literal `FROM VALUES`
+            # would re-match this rewrite's own regex and loop;
+            # translate() restores the keyword at the end.
+            rep = (
+                f"FROM (SELECT {sel} FROM __spark_values__"
+                f" {', '.join(rows)} AS _vtf({', '.join(names)}))"
+            )
+        q = q[: m.start()] + rep + " " + q[rp + 1 :]
+    raise ValueError("more than 16 table-function clauses")
+
+
 def _rewrite_array_join(q: str) -> str:
     """``[LEFT] ARRAY JOIN e1 AS x1[, e2 AS x2, ...]`` → LATERAL VIEW.
 
@@ -4311,6 +4761,15 @@ _SETOP_RE = re.compile(
 )
 _NUMBERS_RE = re.compile(
     r"\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+)
+_ZEROS_RE = re.compile(
+    r"\bFROM\s+zeros\s*\(\s*(\d+)\s*\)", re.IGNORECASE
+)
+_SYSTEM_ONE_RE = re.compile(r"\bFROM\s+system\.one\b", re.IGNORECASE)
+_GENSERIES_RE = re.compile(
+    r"\bFROM\s+generate(?:_s|S)eries\s*"
+    r"\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
 )
 _GLOBAL_JOIN_RE = re.compile(
     r"\bGLOBAL\s+(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|JOIN))",
@@ -4911,6 +5370,35 @@ def _rewrite_clauses(q: str) -> str:
         ),
         q,
     )
+    # Sibling zero-argument-shape table sources (r8 probe 4): zeros(N),
+    # system.one, generate_series/generateSeries(a, b[, step]) — CH's
+    # inclusive-stop series (column named after the function). The
+    # paren-nesting table functions (values/null/generateRandom/view) are
+    # handled by _rewrite_table_fns below.
+    q = _lit_sub(
+        _ZEROS_RE,
+        lambda m: (
+            "FROM (SELECT CAST(0 AS TINYINT) AS zero"
+            f" FROM __spark_range__({m.group(1)}))"
+        ),
+        q,
+    )
+    q = _lit_sub(
+        _SYSTEM_ONE_RE,
+        lambda m: "FROM (SELECT CAST(0 AS TINYINT) AS dummy)",
+        q,
+    )
+    q = _lit_sub(
+        _GENSERIES_RE,
+        lambda m: (
+            f"FROM (SELECT id AS generate_series FROM __spark_range__("
+            f"{m.group(1)}, ({m.group(2)}) + 1"
+            + (f", {m.group(3)}" if m.group(3) else "")
+            + "))"
+        ),
+        q,
+    )
+    q = _rewrite_table_fns(q)
     # CH `SELECT DISTINCT ON (cols) ...` ≡ `LIMIT 1 BY cols`: rewrite onto
     # the LIMIT BY machinery (which also enforces this engine's
     # deterministic-selection rule: an ORDER BY must be present).
@@ -5102,8 +5590,11 @@ def _rewrite_clauses(q: str) -> str:
 def translate(ch_query: str) -> str:
     """CH-dialect → Spark SQL: clause-level rewrites (FINAL / SAMPLE /
     LIMIT BY) on the raw text first, then the recursive function rewrite."""
-    return _translate_fns(_rewrite_clauses(ch_query)).replace(
-        "__spark_range__", "range"
+    return (
+        _translate_fns(_rewrite_clauses(ch_query))
+        .replace("__spark_range__", "range")
+        .replace("__spark_values__", "VALUES")
+        .replace("__spark_rand__", "rand")
     )
 
 
@@ -5465,6 +5956,20 @@ def _translate_fns(ch_query: str) -> str:
                 if ident.lower() in _PARAMETRIC and k2 < n and ch_query[k2] == "(":
                     m2 = _scan_group(ch_query, k2)
                     args = _translate_fns(ch_query[k2 + 1 : m2])
+                    # r8 probe: fn(p)(a)(…) — a THIRD immediate call group.
+                    # CH itself rejects chained parametric application;
+                    # previously the trailing group was left verbatim after
+                    # the rewritten aggregate, emitting broken SQL like
+                    # `percentile(0.5, 100)(x)`. Raise loudly instead.
+                    k3 = m2 + 1
+                    while k3 < n and ch_query[k3].isspace():
+                        k3 += 1
+                    if k3 < n and ch_query[k3] == "(":
+                        raise ValueError(
+                            f"{ident}(params)(args)(…): chained parametric"
+                            " application is not a ClickHouse spelling —"
+                            f" parameters group once: {ident}(p1, p2)(args)"
+                        )
                     out.append(
                         _translate_parametric(
                             ident, _split_args(inner), _split_args(args)
@@ -5472,6 +5977,12 @@ def _translate_fns(ch_query: str) -> str:
                     )
                     i = m2 + 1
                     continue
+                # r8 probe 4: a KNOWN non-parametric name followed by a
+                # second call group (`groupUniqArray(2)(x)`) previously
+                # emitted broken SQL (`collect_set(2)(x)`); only unknown
+                # names got the guided raise below.
+                if k2 < n and ch_query[k2] == "(":
+                    raise ValueError(_parametric_guided_error(ident))
                 out.append(_translate_call(ident, _split_args(inner)))
                 i = m + 1
                 continue

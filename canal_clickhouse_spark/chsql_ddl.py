@@ -871,7 +871,7 @@ class ChSession:
     # CH's introspection schema (the subset operators actually query); each
     # materializes fresh per read so it reflects the live catalog.
     _SYSTEM_TABLES = (
-        "tables", "columns", "parts", "dictionaries", "databases",
+        "tables", "columns", "parts", "dictionaries", "databases", "one",
     )
 
     def _bind_system_views(self, s: str) -> str:
@@ -920,6 +920,9 @@ class ChSession:
         if which == "databases":
             rows = [("default",)]
             return self.spark.createDataFrame(rows, "name string")
+        if which == "one":
+            # CH's 1-row pseudo-table (SELECT 1 FROM system.one idiom)
+            return self.spark.createDataFrame([(0,)], "dummy tinyint")
         if which == "tables":
             rows = [
                 (
@@ -1722,6 +1725,32 @@ class ChSession:
                 tbl = self._require_table(name, "CHECK TABLE")
             tbl.count()  # full-scan readability check
             return self.spark.createDataFrame([(1,)], "result int")
+
+        m = re.match(
+            r"(?is)^\s*EXISTS\s+(?:(?:TEMPORARY\s+)?TABLE\s+|VIEW\s+"
+            r"|DICTIONARY\s+|DATABASE\s+)?(?P<name>\w+)\s*$",
+            s,
+        )
+        if m:
+            # EXISTS [TABLE|VIEW|DICTIONARY|DATABASE] name → one row,
+            # column `result` (CH returns UInt8 0/1). Bare `EXISTS name`
+            # is the TABLE form. Session tables/views, dictionaries,
+            # fixture tables, and the two virtual databases all count.
+            name = m.group("name")
+            kind = re.match(r"(?is)^\s*EXISTS\s+(\w+)", s).group(1).upper()
+            if kind == "DATABASE":
+                hit = name.lower() in ("default", "system")
+            elif kind == "DICTIONARY":
+                hit = name in self.dicts
+            else:
+                hit = (
+                    name in self.tables
+                    or name in self.dicts
+                    or self._is_fixture(name)
+                )
+            return self.spark.createDataFrame(
+                [(1 if hit else 0,)], "result int"
+            )
 
         if re.match(r"(?is)^\s*KILL\s+(QUERY|MUTATION)\b", s):
             # single-session engine: nothing concurrent to kill

@@ -1436,3 +1436,23 @@ def test_ddl_insert_format_variants(spark, sf_dir):
         s.execute("INSERT INTO tfv FORMAT Parquet xx")
     with _pytest.raises(ValueError, match="sink"):
         s.execute("SELECT * FROM tfv INTO OUTFILE '/tmp/x.csv'")
+
+
+def test_exists_statement(spark, sf_dir):
+    """``EXISTS [TABLE|VIEW|DICTIONARY|DATABASE] name`` (r8 probe 3) →
+    one row, column ``result`` 0/1 — session tables, fixture tables,
+    dictionaries, and the two virtual databases all count."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE ex_t (x Int64) ENGINE = MergeTree ORDER BY x")
+    got = lambda s: ch.execute(s).collect()[0].result
+    assert got("EXISTS TABLE ex_t") == 1
+    assert got("EXISTS ex_t") == 1  # bare form is the TABLE form
+    assert got("EXISTS TABLE ex_missing") == 0
+    assert got("EXISTS orders") == 1  # fixture table
+    assert got("EXISTS DATABASE default") == 1
+    assert got("EXISTS DATABASE nope") == 0
+    assert got("EXISTS DICTIONARY nodict") == 0
+    ch.execute("DROP TABLE ex_t")
+    assert got("EXISTS TABLE ex_t") == 0

@@ -736,10 +736,15 @@ def test_chsql_median_family_and_unknown_parametric_guard():
     # medianExactWeighted reuses the exact-rank fold at p=0.5
     t = translate("SELECT medianExactWeighted(x, w) FROM t")
     assert "sort_array(collect_list" in t and "0.5" in t
+    # r8 probe 4: the plural impl family is now MAPPED, not guided
+    assert "percentile(x, array(0.5, 0.9))" in translate(
+        "SELECT quantilesTiming(0.5, 0.9)(x) FROM t"
+    )
+    assert "percentile(x, array(0.5), w)" in translate(
+        "SELECT quantilesExactWeighted(0.5)(x, w) FROM t"
+    )
     for bad in [
-        "SELECT quantilesTiming(0.5, 0.9)(x) FROM t",
         "SELECT mysteryAgg(3)(x) FROM t",
-        "SELECT quantilesExactWeighted(0.5)(x, w) FROM t",
     ]:
         with _pytest.raises(ValueError, match="not a recognized CH parametric"):
             translate(bad)
@@ -1981,3 +1986,135 @@ def test_chsql_distinct_on(spark):
         translate("SELECT * FROM (SELECT DISTINCT ON (a) a FROM t ORDER BY a)")
     with _pytest.raises(ValueError, match="deterministic|ORDER BY"):
         translate("SELECT DISTINCT ON (event_type) event_id FROM events")
+
+
+def test_chsql_r8_third_probe_batch(spark):
+    """r8 third probe batch: the functional CASE spelling, UTC timestamp
+    shifts, byte-padded bin/unbin round trip, topology-constant identity
+    functions, guided errors for tuple arithmetic / partial map sort /
+    ranked enumeration, and the chained-parametric-application loud raise
+    (previously `quantileGK(100)(0.5)(x)` emitted broken SQL)."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("caseWithExpression('F', 'O', 1, 'F', 2, 0)") == 2
+    assert one("caseWithExpression('Z', 'O', 1, 'F', 2, 0)") == 0
+    # even-arg form: no default -> NULL
+    assert one("caseWithExpression('Z', 'O', 1, 'F', 2)") is None
+    assert one(
+        "toUTCTimestamp(toDateTime('2020-01-01 08:00:00'), 'Asia/Shanghai')"
+    ) == datetime.datetime(2020, 1, 1, 0, 0)
+    assert one(
+        "fromUTCTimestamp(toDateTime('2020-01-01 00:00:00'),"
+        " 'Asia/Shanghai')"
+    ) == datetime.datetime(2020, 1, 1, 8, 0)
+    # CH zero-pads bin() to the byte width; unbin inverts arbitrary widths
+    assert one("bin(42)") == "00101010"
+    assert one("bin(300)") == "0000000100101100"
+    assert one("unbin('00101010')") == "*"
+    assert one("unbin('101010')") == "*"  # left-pad to the byte boundary
+    assert one("unbin(bin(72) || bin(105))") == "Hi"
+    assert one("unbin('')") == ""
+    assert one("FQDN()") == "localhost"
+    assert one("shardNum()") == 1 and one("shardCount()") == 1
+    for bad, hint in [
+        ("tupleMultiply((1, 2), (3, 4))", "arrayDotProduct"),
+        ("tuplePlus((1, 2), (3, 4))", "zip_with"),
+        ("mapPartialSort((k, v) -> v, 1, map('a', 2))", "mapSort"),
+        ("arrayEnumerateUniqRanked([1, 1, 2])", "arrayEnumerateUniq"),
+        ("quantileGK(100)(0.5)(x)", "chained parametric"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_r8_fourth_probe_batch(spark):
+    """r8 fourth probe batch: table functions in FROM position (values /
+    null / generateRandom / view / zeros / system.one / generate_series —
+    all previously passed through verbatim into Spark's parser), the
+    plural-quantiles impl family, groupUniqArray(N), URL surgery
+    (port / cutURLParameter / URLPathHierarchy / domainWithoutWWW),
+    base64URL round trip, change* date-field setters, MySQL-%-format
+    parseDateTime, and assorted scalar spellings."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    q = lambda s: [tuple(r) for r in spark.sql(translate(s)).collect()]
+    # table functions
+    assert q("SELECT a, b FROM values('a Int32, b String', (1, 'x'),"
+             " (2, 'y')) ORDER BY a") == [(1, "x"), (2, "y")]
+    assert q("SELECT * FROM values((10, 'p'))") == [(10, "p")]
+    assert q("SELECT a FROM null('a Int32')") == []
+    assert len(q("SELECT a FROM generateRandom('a Int32, s String', 7)"
+                 " LIMIT 5")) == 5
+    assert q("SELECT sum(zero) AS s FROM zeros(5)") == [(0,)]
+    assert q("SELECT max(generate_series) AS m"
+             " FROM generate_series(2, 8, 2)") == [(8,)]
+    assert q("SELECT dummy FROM system.one") == [(0,)]
+    assert q("SELECT x FROM view(SELECT 3 AS x)") == [(3,)]
+    # plural quantile impls + groupUniqArray(N)
+    two = "(SELECT 1.0 AS x UNION ALL SELECT 3.0)"
+    assert q(f"SELECT quantilesTDigest(0.5)(x) AS r FROM {two}") == \
+        [([2.0],)]
+    assert q(f"SELECT quantilesExactWeighted(0.5)(x, 1) AS r FROM {two}") \
+        == [([2.0],)]
+    g = q("SELECT groupUniqArray(2)(o) AS g FROM (SELECT 'a' AS o"
+          " UNION ALL SELECT 'b' UNION ALL SELECT 'c')")[0][0]
+    assert len(g) == 2
+    # URL surgery
+    assert one("port('http://x.com:8080/a')") == 8080
+    assert one("port('http://x.com/a')") == 0
+    assert one("cutURLParameter('http://x.com/?a=1&b=2', 'a')") == \
+        "http://x.com/?b=2"
+    assert one("cutURLParameter('http://x.com/?a=1&b=2', 'b')") == \
+        "http://x.com/?a=1"
+    assert one("URLPathHierarchy('https://example.com/browse/CONV-6788')") \
+        == ["/browse/", "/browse/CONV-6788"]
+    assert one("domainWithoutWWW('http://www.x.com/a')") == "x.com"
+    # encode / date / scalar spellings
+    assert one("base64URLEncode('https://clickhouse.com')") == \
+        "aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ"
+    assert one("base64URLDecode('aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ')") == \
+        "https://clickhouse.com"
+    assert one("changeYear(toDate('2020-03-05'), 2023)") == \
+        datetime.date(2023, 3, 5)
+    assert one("changeHour(toDateTime('2020-03-05 10:20:30'), 5)") == \
+        datetime.datetime(2020, 3, 5, 5, 20, 30)
+    assert one("parseDateTime('2021-02-03', '%Y-%m-%d')") == \
+        datetime.datetime(2021, 2, 3)
+    assert one("parseDateTimeOrNull('zz', '%Y-%m-%d')") is None
+    assert one("parseDateTimeInJodaSyntax('2021-02-03', 'yyyy-MM-dd')") \
+        == datetime.datetime(2021, 2, 3)
+    assert one("date_diff('day', toDate('2020-01-01'),"
+               " toDate('2020-01-05'))") == 4
+    assert sorted(one("arrayUnion([1, 2], [2, 3])")) == [1, 2, 3]
+    assert sorted(one("arraySymmetricDifference([1, 2], [2, 3])")) == [1, 3]
+    assert one("positiveModulo(-5, 3)") == 1
+    assert one("isZeroOrNull(0)") is True
+    assert one("indexOfAssumeSorted([10, 20, 30], 20)") == 2
+    assert one("indexOfAssumeSorted([10, 20, 30], 99)") == 0
+    assert one("firstLine('ab\\ncd')") == "ab"
+    assert one("splitByNonAlpha('a,b;c')") == ["a", "b", "c"]
+    assert one("overlayUTF8('hello', 'XY', 2)") == "hXYlo"
+    assert float(one("divideDecimal(toDecimal64(10.5, 2),"
+                     " toDecimal64(2.5, 2), 2)")) == 4.2
+    assert len(one("randomPrintableASCII(10)")) == 10
+    assert one("nothing()") is None
+    assert one("user()") == "default"
+    for bad, hint in [
+        ("sumArgMin(x, k)", "min_by/max_by"),
+        ("sumResample(0, 10, 2)(x, k)", "GROUP BY"),
+        ("groupUniqArray(2)(x)(y)", "chained parametric"),
+        ("mortonEncode(1, 2)", "bit-interleave"),
+        ("evalMLMethod(m, 1.0)", "MLlib"),
+    ]:
+        with _pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
