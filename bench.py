@@ -111,6 +111,10 @@ EXTENDED: tuple[str, ...] = (
     # r8 (verdict tasks 1+6): new oracle keys >0.5 s median, gated from birth
     "chsql_arrayjoin_bare",   # bare ARRAY JOIN shadow-wrap explode
     "chsql_totals_having",    # TOTALS×HAVING after_having_exclusive semi-join
+    # r8 probe-batch 3/4 keys (>0.5 s median at birth)
+    "chsql_table_fns",        # values()/generate_series table functions
+    "chsql_date_setters",     # change* field setters + %-format parse
+    "chsql_url_surgery",      # port/cutURLParameter/domainWithoutWWW
 )
 
 

@@ -1871,8 +1871,9 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low in ("changeyear", "changemonth", "changeday"):
         # Date-flavored recomposition (the common use); a DateTime input
-        # loses its time-of-day — documented divergence (inline SQL can't
-        # branch on the argument's type).
+        # loses its time-of-day, and an invalid composition (June 31)
+        # yields NULL where CH saturates — documented divergences (inline
+        # SQL can't branch on the argument's type).
         d, v = args[0], args[1]
         part = {"changeyear": 0, "changemonth": 1, "changeday": 2}[low]
         fields = [f"year({d})", f"month({d})", f"day({d})"]
@@ -8160,3 +8161,105 @@ def chsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same statement verbatim — an independent-engine check of the
     first-row-per-group-under-ORDER-BY contract."""
     return ch_sql(spark, sf_dir, _CH_DISTINCT_ON)
+
+
+_CH_TABLE_FNS = """
+SELECT a, b, n
+FROM values('a Int64, b String', (1, 'x'), (2, 'y'))
+CROSS JOIN (SELECT max(generate_series) AS n FROM generate_series(2, 8, 2))
+ORDER BY a
+"""
+
+
+@query(
+    "chsql_table_fns",
+    oracle="""
+    SELECT a, b, n
+    FROM (VALUES (CAST(1 AS BIGINT), 'x'), (CAST(2 AS BIGINT), 'y')) t(a, b)
+    CROSS JOIN (SELECT CAST(max(generate_series) AS BIGINT) AS n
+                FROM generate_series(2, 8, 2))
+    ORDER BY a
+    """,
+)
+def chsql_table_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe 4: CH table functions in FROM position — ``values`` with a
+    structure literal (typed inline rows) and the inclusive-stop
+    ``generate_series`` — both previously passed through verbatim into
+    Spark's parser. DuckDB implements both natively, so the oracle is the
+    near-verbatim statement: an independent-engine contract check of row
+    content, inclusive bounds, and declared types."""
+    return ch_sql(spark, sf_dir, _CH_TABLE_FNS)
+
+
+_CH_DATE_SETTERS = """
+SELECT o_orderkey,
+       changeMonth(toDate(o_orderdate), 6) AS cm,
+       changeDay(toDate(o_orderdate), 15) AS cd,
+       date_diff('day', makeDate(1995, 1, 1), toDate(o_orderdate)) AS dd,
+       parseDateTime(concat(toString(toDate(o_orderdate)), ' 00:00:00'),
+                     '%Y-%m-%d %H:%i:%s') AS pd
+FROM orders
+WHERE o_orderkey % 97 = 1 AND toDayOfMonth(toDate(o_orderdate)) <= 28
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "chsql_date_setters",
+    oracle="""
+    SELECT o_orderkey,
+           make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT), 6,
+                     CAST(EXTRACT(day FROM o_orderdate) AS INT)) AS cm,
+           make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                     CAST(EXTRACT(month FROM o_orderdate) AS INT), 15) AS cd,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS dd,
+           strptime(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                    || ' 00:00:00', '%Y-%m-%d %H:%M:%S') AS pd
+    FROM orders
+    WHERE o_orderkey % 97 = 1
+      AND EXTRACT(day FROM o_orderdate) <= 28
+    ORDER BY o_orderkey
+    """,
+)
+def chsql_date_setters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe 4 date spellings live vs DuckDB: change{Month,Day} field
+    setters (make_date recomposition), the snake-case ``date_diff`` alias
+    (crossed-boundary count — equal to elapsed days on DATE inputs), and
+    MySQL-%%-format ``parseDateTime`` through the shared format-string
+    converter (DuckDB's strptime dialect is the same MySQL family)."""
+    return ch_sql(spark, sf_dir, _CH_DATE_SETTERS)
+
+
+_CH_URL_SURGERY = """
+SELECT event_id,
+       port(u) AS prt,
+       domainWithoutWWW(u) AS dom,
+       cutURLParameter(u, 'a') AS cut
+FROM (SELECT event_id,
+             concat('http://www.ex', toString(event_id % 5), '.com:',
+                    toString(8000 + event_id % 3), '/x?a=1&b=2') AS u
+      FROM events WHERE event_id % 13 = 1)
+ORDER BY event_id
+"""
+
+
+@query(
+    "chsql_url_surgery",
+    oracle="""
+    SELECT event_id,
+           CAST(8000 + event_id % 3 AS INT) AS prt,
+           'ex' || CAST(event_id % 5 AS VARCHAR) || '.com' AS dom,
+           'http://www.ex' || CAST(event_id % 5 AS VARCHAR) || '.com:'
+             || CAST(8000 + event_id % 3 AS VARCHAR) || '/x?b=2' AS cut
+    FROM events WHERE event_id % 13 = 1
+    ORDER BY event_id
+    """,
+)
+def chsql_url_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe 4 URL surgery live: ``port`` (authority-regex extraction
+    with the 0 default), ``domainWithoutWWW``, and ``cutURLParameter``
+    (the two-pass separator-preserving strip). The URLs are synthesized
+    from event ids, so the oracle computes every expected value
+    directly — an exact value contract, not a parser-vs-parser echo."""
+    return ch_sql(spark, sf_dir, _CH_URL_SURGERY)

@@ -930,6 +930,47 @@ def q_r7_spellings(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_table_fns(rng: random.Random) -> tuple[str, str]:
+    """r8 surface: values()/generate_series()/zeros() table functions in
+    FROM position — DuckDB implements VALUES and the inclusive-stop
+    generate_series natively, zeros() is an explicit constant series."""
+    pick = rng.randrange(3)
+    if pick == 0:
+        vals = [(rng.randint(-50, 50), rng.choice("abcde")) for _ in range(
+            rng.randint(1, 5))]
+        rows_ch = ", ".join(f"({a}, '{s}')" for a, s in vals)
+        rows_dk = ", ".join(
+            f"(CAST({a} AS BIGINT), '{s}')" for a, s in vals)
+        ch = (
+            f"SELECT a AS c0, b AS c1 FROM values('a Int64, b String',"
+            f" {rows_ch}) ORDER BY a, b"
+        )
+        dk = (
+            f"SELECT a AS c0, b AS c1 FROM (VALUES {rows_dk}) t(a, b)"
+            " ORDER BY a, b"
+        )
+    elif pick == 1:
+        a = rng.randint(-10, 10)
+        b = a + rng.randint(0, 40)
+        s = rng.randint(1, 5)
+        ch = (
+            "SELECT generate_series AS c0"
+            f" FROM generate_series({a}, {b}, {s}) ORDER BY c0"
+        )
+        dk = (
+            "SELECT CAST(generate_series AS BIGINT) AS c0"
+            f" FROM generate_series({a}, {b}, {s}) ORDER BY c0"
+        )
+    else:
+        n = rng.randint(1, 200)
+        ch = f"SELECT count() AS c0, sum(zero) AS c1 FROM zeros({n})"
+        dk = (
+            f"SELECT CAST({n} AS BIGINT) AS c0,"
+            " CAST(0 AS BIGINT) AS c1"
+        )
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -953,6 +994,7 @@ QUERY_GENS = [
     (q_in_subquery, 8),
     (q_join3, 6),
     (q_r7_spellings, 8),
+    (q_table_fns, 5),
 ]
 
 
