@@ -115,6 +115,9 @@ EXTENDED: tuple[str, ...] = (
     "chsql_table_fns",        # values()/generate_series table functions
     "chsql_date_setters",     # change* field setters + %-format parse
     "chsql_url_surgery",      # port/cutURLParameter/domainWithoutWWW
+    # r8 probe-batch 5 keys (>0.5 s median at birth)
+    "chsql_combinator_stacks",  # -Array∘-If / -If∘-OrNull / ternary aggs
+    "chsql_multiarray_hof",   # two-array zipped HOF lambdas + ANSI position
 )
 
 

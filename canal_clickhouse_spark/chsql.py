@@ -927,7 +927,21 @@ def _translate_call(name: str, args: list[str]) -> str:
         # position(haystack, needle[, start]) -> locate. Spark strings are
         # UTF-8 native and locate counts characters, which is CH's *UTF8
         # variant's contract (CH's byte-counting plain position agrees on
-        # ASCII, the fixture domain).
+        # ASCII, the fixture domain). The ANSI form
+        # position(needle IN haystack) arrives as ONE argument (r8 probe 5:
+        # it used to crash the rewriter with an IndexError).
+        if len(args) == 1:
+            inm = re.match(
+                r"(?is)^\s*(.+?)\s+IN\s+(.+?)\s*$", _mask_literals(args[0])
+            )
+            if not inm:
+                raise ValueError(
+                    "position: expects (haystack, needle[, start]) or the"
+                    " ANSI 'needle IN haystack' form"
+                )
+            needle = args[0][inm.start(1) : inm.end(1)]
+            hay = args[0][inm.start(2) : inm.end(2)]
+            return f"locate({needle}, {hay})"
         if len(args) == 3:
             return f"locate({args[1]}, {args[0]}, {args[2]})"
         return f"locate({args[1]}, {args[0]})"
@@ -946,6 +960,33 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "notempty":
         fn = "size" if _looks_array(args[0]) else "length"
         return f"({fn}({args[0]}) > 0)"
+    # -- combinator STACK peeling (r8 probe 5: sumArrayIf / maxDistinctIf /
+    # avgIfOrNull previously leaked as undefined functions). Each peel
+    # folds the outermost combinator into the arguments and recurses on
+    # the base spelling, so any handled base composes.
+    if low.endswith("arrayif") and low[:-2] in (
+        "sumarray", "countarray", "avgarray", "uniqarray",
+        "uniqexactarray", "maxarray", "minarray",
+    ):
+        # -Array∘-If: an empty array is the identity of every -Array fold
+        return _translate_call(
+            name[:-2], [f"IF({args[-1]}, {args[0]}, array())"]
+        )
+    if low.endswith("distinctif") and low[: -len("if")] in (
+        "sumdistinct", "avgdistinct", "mindistinct", "maxdistinct",
+    ):
+        return _translate_call(
+            name[: -len("if")], [f"IF({args[-1]}, {args[0]}, NULL)"]
+        )
+    if low.endswith(("ifornull", "iforzero", "ifordefault")):
+        # -If∘-OrNull/-OrZero/-OrDefault: fold the condition (always the
+        # LAST argument — the -OrDefault combinator takes no explicit
+        # default) into the values, then recurse on the -OrNull/... base
+        # (whose empty-group fallback now also covers nothing-matched).
+        cut = 9 if low.endswith("ifordefault") else 6
+        cond = args[-1]
+        inner = [f"IF({cond}, {a}, NULL)" for a in args[:-1]]
+        return _translate_call(name[: -2 - cut] + name[-cut:], inner)
     if low in ("sumif", "avgif", "minif", "maxif"):
         agg = low[:-2]
         return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
@@ -1131,6 +1172,74 @@ def _translate_call(name: str, args: list[str]) -> str:
         # Sunday explicitly (Spark dayofweek: Sunday=1..Saturday=7).
         a = args[0]
         return f"date_sub(to_date({a}), dayofweek({a}) - 1)"
+    if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
+               "arraycount", "arrayfirst", "arraylast", "arrayfirstindex",
+               "arraysort", "arrayreversesort", "arraysum", "arrayavg",
+               "arraymin", "arraymax", "arrayproduct") and len(args) > 2:
+        # Multi-array lambda forms (r8 probe 5): CH binds one lambda var
+        # per array; Spark's 2-arg HOF lambda binds (element, INDEX), so
+        # passing these through was silently WRONG — `y` bound the index.
+        # Zip the two arrays positionally and rebind; ≥3 arrays raise.
+        if len(args) != 3:
+            raise ValueError(
+                f"{name}: more than two zipped arrays has no inline Spark"
+                " spelling; pre-zip with arrayZip and restructure the"
+                " lambda"
+            )
+        lm_ = re.match(
+            r"(?s)^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.+)$", args[0]
+        )
+        if not lm_:
+            raise ValueError(
+                f"{name}: the two-array form expects an '(x, y) -> expr'"
+                " lambda"
+            )
+        x_, y_, body = lm_.group(1), lm_.group(2), lm_.group(3).strip()
+        a1, a2 = args[1], args[2]
+        zl = f"zip_with({a1}, {a2}, ({x_}, {y_}) -> {body})"
+        if low == "arraymap":
+            return zl
+        if low in ("arraysum", "arrayavg", "arraymin", "arraymax",
+                   "arrayproduct"):
+            return _translate_call(name, [zl])
+        pair = (
+            f"zip_with({a1}, {a2}, ({x_}, {y_}) ->"
+            f" named_struct('v', {x_}, 'p', {body}))"
+        )
+        if low == "arrayexists":
+            return f"exists({pair}, _z -> _z.p)"
+        if low == "arrayall":
+            return f"forall({pair}, _z -> _z.p)"
+        if low == "arraycount":
+            return f"size(filter({pair}, _z -> _z.p))"
+        if low == "arrayfilter":
+            return f"transform(filter({pair}, _z -> _z.p), _z -> _z.v)"
+        if low == "arrayfirst":
+            return f"transform(filter({pair}, _z -> _z.p), _z -> _z.v)[0]"
+        if low == "arraylast":
+            return (
+                f"element_at(transform(filter({pair}, _z -> _z.p),"
+                " _z -> _z.v), -1)"
+            )
+        if low == "arrayfirstindex":
+            # 1-based index of the first match, 0 when none
+            return (
+                f"COALESCE(array_position(transform({pair}, _z -> _z.p),"
+                " true), 0)"
+            )
+        # arraySort / arrayReverseSort: sort the FIRST array by the
+        # zipped key
+        desc = low == "arrayreversesort"
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        pk = (
+            f"zip_with({a1}, {a2}, ({x_}, {y_}) ->"
+            f" named_struct('v', {x_}, 'k', {body}))"
+        )
+        return (
+            f"transform(array_sort({pk}, (_l, _r) -> CASE"
+            f" WHEN _l.k < _r.k THEN {lt}"
+            f" WHEN _l.k > _r.k THEN {gt} ELSE 0 END), _z -> _z.v)"
+        )
     if low == "arraymap":  # arrayMap(x -> e, arr) -> transform(arr, x -> e)
         return f"transform({args[1]}, {args[0]})"
     if low == "arrayfilter":
@@ -3830,6 +3939,15 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "port", "cuturlparameter", "urlpathhierarchy", "domainwithoutwww",
     "randomstring", "randomprintableascii", "nothing", "user",
     "dividedecimal", "multiplydecimal",
+    # r8 probe batch 5: combinator stacks (peeled recursively)
+    "sumarrayif", "countarrayif", "avgarrayif", "uniqarrayif",
+    "uniqexactarrayif", "maxarrayif", "minarrayif",
+    "sumdistinctif", "avgdistinctif", "mindistinctif", "maxdistinctif",
+    "sumifornull", "avgifornull", "minifornull", "maxifornull",
+    "countifornull", "uniqifornull", "uniqexactifornull", "anyifornull",
+    "sumifordefault", "avgifordefault", "minifordefault",
+    "maxifordefault", "countifordefault", "uniqifordefault",
+    "uniqexactifordefault",
     # r8 probe batch 4: guided
     "mortonencode", "mortondecode", "hilbertencode", "hilbertdecode",
     "evalmlmethod",
@@ -4455,7 +4573,10 @@ _FROM_RE = re.compile(
     re.IGNORECASE,
 )
 _LIMIT_BY_RE = re.compile(
+    # both CH offset spellings: `LIMIT off, n BY` and `LIMIT n OFFSET off
+    # BY` (r8 probe 5 — the keyword form used to leak into Spark's parser)
     r"\bORDER\s+BY\s+(?P<ord>.+?)\s+LIMIT\s+(?:(?P<off>\d+)\s*,\s*)?(?P<n>\d+)"
+    r"(?:\s+OFFSET\s+(?P<off2>\d+))?"
     r"\s+BY\s+(?P<cols>.+?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -4469,6 +4590,122 @@ _ARRAY_JOIN_CLAUSE_RE = re.compile(
     r"|\bLIMIT\b|\bSETTINGS\b|\bLATERAL\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_TERNARY_STOP = {
+    "SELECT", "WHERE", "PREWHERE", "HAVING", "WHEN", "THEN", "ELSE", "BY",
+    "ON", "SETTINGS", "DISTINCT", "ALL",
+}
+_TERNARY_END = {
+    "AS", "FROM", "WHERE", "PREWHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+    "UNION", "SETTINGS", "WHEN", "THEN", "ELSE", "END", "ASC", "DESC",
+}
+
+
+def _rewrite_ternary(q: str) -> str:
+    """CH's ``cond ? a : b`` ternary operator → ``IF(cond, a, b)`` (r8
+    probe 5 — previously leaked into Spark's parser). Ternary binds
+    loosest in CH, so the condition extends left to the nearest same-depth
+    comma / opening bracket / clause keyword, and the false branch right
+    to the nearest same-depth comma / closing bracket / clause keyword.
+    Nested ternaries resolve by ?:-counting for the matching colon, and
+    the loop re-scans so chains rewrite outside-in."""
+    for _ in range(16):
+        masked = _mask_literals(q)
+        qi = masked.find("?")
+        if qi == -1:
+            return q
+        # condition start: walk left
+        i, depth = qi - 1, 0
+        start = 0
+        while i >= 0:
+            c = masked[i]
+            if c in ")]":
+                depth += 1
+            elif c in "([":
+                if depth == 0:
+                    start = i + 1
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                start = i + 1
+                break
+            elif c.isalpha():
+                j = i
+                while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
+                    j -= 1
+                word = masked[j + 1 : i + 1].upper()
+                if (
+                    word in _TERNARY_STOP
+                    and (j < 0 or not masked[j].isalnum())
+                ):
+                    start = i + 1
+                    break
+                i = j + 1
+            i -= 1
+        cond = q[start:qi].strip()
+        # matching colon: ?:-count at same depth
+        k, depth, nested, ci = qi + 1, 0, 0, -1
+        while k < len(masked):
+            c = masked[k]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "?" and depth == 0:
+                nested += 1
+            elif c == ":" and depth == 0:
+                if nested:
+                    nested -= 1
+                else:
+                    ci = k
+                    break
+            k += 1
+        if ci == -1:
+            raise ValueError(
+                "ternary '?' without a matching ':' — CH's cond ? a : b"
+                " needs both branches"
+            )
+        # false-branch end: walk right
+        k, depth, end = ci + 1, 0, len(masked)
+        while k < len(masked):
+            c = masked[k]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                end = k
+                break
+            elif c.isalpha() and (k == 0 or not (
+                masked[k - 1].isalnum() or masked[k - 1] == "_"
+            )):
+                j = k
+                while j < len(masked) and (
+                    masked[j].isalnum() or masked[j] == "_"
+                ):
+                    j += 1
+                if masked[k:j].upper() in _TERNARY_END:
+                    end = k
+                    break
+                k = j - 1
+            k += 1
+        t_branch = q[qi + 1 : ci].strip()
+        f_branch = q[ci + 1 : end].strip()
+        if not cond or not t_branch or not f_branch:
+            raise ValueError(
+                "could not delimit the cond ? a : b ternary — parenthesize"
+                " the expression"
+            )
+        q = (
+            q[:start]
+            + f" IF({cond}, {t_branch}, {f_branch}) "
+            + q[end:]
+        )
+    raise ValueError("more than 16 ternary operators — refusing to rewrite")
 
 
 def _parse_tf_schema(arg: str, fn: str) -> list[tuple[str, str]]:
@@ -5400,6 +5637,40 @@ def _rewrite_clauses(q: str) -> str:
         q,
     )
     q = _rewrite_table_fns(q)
+    # INTO OUTFILE is a client-side result redirect — refusing is the
+    # honest translation (silently dropping it would discard the write).
+    if _lit_search(re.compile(r"\bINTO\s+OUTFILE\b", re.IGNORECASE), q):
+        raise ValueError(
+            "INTO OUTFILE redirects the result client-side; write with the"
+            " sink operators (sink_parquet / writers.py) or df.write"
+            " instead"
+        )
+    # ANSI `position(needle IN haystack)` with simple operands rewrites
+    # BEFORE the IN-table sugar below would capture its `IN <column>`.
+    # (Complex operands reach the function-level handler instead.)
+    q = _lit_sub(
+        re.compile(
+            r"\bposition\s*\(\s*([^(),]+?)\s+IN\s+([^(),]+?)\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: f"locate({m.group(1)}, {m.group(2)})",
+        q,
+    )
+    # `expr [GLOBAL] [NOT] IN table_name` (CH sugar for IN (SELECT * FROM
+    # t)). Only a BARE identifier qualifies — `IN (...)`, `IN tuple(...)`
+    # and the masked-literal forms don't match.
+    q = _lit_sub(
+        re.compile(
+            r"\b(?:GLOBAL\s+)?(NOT\s+)?IN\s+(?!SELECT\b)(\w+)\b"
+            r"(?!\s*\()(?!\s*\.)",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            f"{m.group(1) or ''}IN (SELECT * FROM {m.group(2)})"
+        ),
+        q,
+    )
+    q = _rewrite_ternary(q)
     # CH `SELECT DISTINCT ON (cols) ...` ≡ `LIMIT 1 BY cols`: rewrite onto
     # the LIMIT BY machinery (which also enforces this engine's
     # deterministic-selection rule: an ORDER BY must be present).
@@ -5485,7 +5756,7 @@ def _rewrite_clauses(q: str) -> str:
         tail = f" LIMIT {lb['m']}" if lb["m"] else ""
         # CH's per-group offset form `LIMIT off, n BY cols` skips the first
         # `off` rows of each group before keeping n.
-        off = int(lb["off"]) if lb["off"] else 0
+        off = int(lb["off"] or lb["off2"] or 0)
         keep = f"_rn > {off} AND _rn <= {off + n}" if off else f"_rn <= {n}"
         spliced = _splice_rank(inner, cols, ord_clause, "ROW_NUMBER()", "_rn")
         if spliced is None:
@@ -5551,7 +5822,11 @@ def _rewrite_clauses(q: str) -> str:
     # search can't reach. Refuse loudly rather than let Spark's parser
     # produce a baffling error.
     rem = _lit_search(
-        re.compile(r"\bLIMIT\s+\d+(?:\s*,\s*\d+)?\s+BY\b", re.IGNORECASE), q
+        re.compile(
+            r"\bLIMIT\s+\d+(?:\s*,\s*\d+|\s+OFFSET\s+\d+)?\s+BY\b",
+            re.IGNORECASE,
+        ),
+        q,
     )
     if rem:
         raise ValueError(
@@ -8263,3 +8538,72 @@ def chsql_url_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event ids, so the oracle computes every expected value
     directly — an exact value contract, not a parser-vs-parser echo."""
     return ch_sql(spark, sf_dir, _CH_URL_SURGERY)
+
+
+_CH_COMBINATOR_STACKS = """
+SELECT o_orderstatus AS st,
+       sumArrayIf([o_totalprice, 1.0], o_orderkey %% 2 = 0) AS sa,
+       round(avgIfOrNull(o_totalprice, o_orderkey %% 3 = 0), 2) AS av,
+       maxDistinctIf(o_custkey, o_orderkey %% 5 = 0) AS md,
+       countIf((o_orderkey %% 2 = 0 ? 1 : 0) = 1) AS ct
+FROM orders GROUP BY o_orderstatus ORDER BY st
+""".replace("%%", "%")
+
+
+@query(
+    "chsql_combinator_stacks",
+    oracle="""
+    SELECT o_orderstatus AS st,
+           sum(CASE WHEN o_orderkey % 2 = 0
+                    THEN o_totalprice + 1.0 ELSE 0 END) AS sa,
+           round(avg(CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice END), 2) AS av,
+           max(CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END) AS md,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ct
+    FROM orders GROUP BY o_orderstatus ORDER BY st
+    """,
+)
+def chsql_combinator_stacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe 5 combinator stacks live vs DuckDB: -Array∘-If (empty
+    array as the fold identity), -If∘-OrNull, -Distinct∘-If, and the
+    ternary operator inside an aggregate argument — each previously
+    leaked as an undefined function (or an unparseable '?')."""
+    return ch_sql(spark, sf_dir, _CH_COMBINATOR_STACKS)
+
+
+_CH_MULTIARRAY_HOF = """
+SELECT o_orderkey,
+       o_orderkey %% 2 = 0 ? 'even' : 'odd' AS par,
+       toInt64(position('GH' IN o_orderpriority)) AS pos,
+       arrayMap((x, y) -> x + y, [o_orderkey, 2], [10, o_orderkey]) AS am,
+       arrayFirst((x, y) -> y > 0, [o_orderkey, -1], [0, 1]) AS af,
+       arrayCount((x, y) -> x < y, [o_orderkey, 5], [3, o_orderkey]) AS ac
+FROM orders WHERE o_orderkey %% 97 = 1
+ORDER BY o_orderkey
+""".replace("%%", "%")
+
+
+@query(
+    "chsql_multiarray_hof",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
+           CAST(strpos(o_orderpriority, 'GH') AS BIGINT) AS pos,
+           [o_orderkey + 10, 2 + o_orderkey] AS am,
+           CAST(-1 AS BIGINT) AS af,
+           CAST((CASE WHEN o_orderkey < 3 THEN 1 ELSE 0 END)
+                + (CASE WHEN 5 < o_orderkey THEN 1 ELSE 0 END)
+                AS INT) AS ac
+    FROM orders WHERE o_orderkey % 97 = 1
+    ORDER BY o_orderkey
+    """,
+)
+def chsql_multiarray_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe 5 multi-array HOF lambdas live vs DuckDB: arrayMap /
+    arrayFirst / arrayCount over two positionally-zipped arrays
+    (previously SILENTLY WRONG — Spark's 2-arg lambda bound the element
+    index where CH binds the second array), the ternary operator, and the
+    ANSI ``position(needle IN haystack)`` spelling. Arrays are built from
+    row values, so the oracle computes expected values directly."""
+    return ch_sql(spark, sf_dir, _CH_MULTIARRAY_HOF)

@@ -971,6 +971,56 @@ def q_table_fns(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_r8_spellings(rng: random.Random) -> tuple[str, str]:
+    """r8 surface: the ternary operator, ANSI position(needle IN
+    haystack), combinator stacks (-Array∘-If), and two-array zipped HOF
+    lambdas — each against an independent DuckDB algebra."""
+    table = rng.choice(["orders", "events", "customer"])
+    t = TABLES[table]
+    ic, sc, uq = rng.choice(t["int"]), rng.choice(t["str"]), t["uniq"]
+    m1, m2 = rng.randint(2, 7), rng.randint(2, 5)
+    needle = rng.choice(["a", "e", "ck"])
+    pick = rng.randrange(3)
+    if pick == 0:
+        ch = (
+            f"SELECT {uq} AS k, {ic} % 2 = 0 ? 'e' : 'o' AS t,"
+            f" toInt64(position('{needle}' IN {sc})) AS p"
+            f" FROM {table} ORDER BY k LIMIT 500"
+        )
+        dk = (
+            f"SELECT {uq} AS k,"
+            f" CASE WHEN {ic} % 2 = 0 THEN 'e' ELSE 'o' END AS t,"
+            f" CAST(strpos({sc}, '{needle}') AS BIGINT) AS p"
+            f" FROM {table} ORDER BY k LIMIT 500"
+        )
+    elif pick == 1:
+        ch = (
+            f"SELECT {sc} AS g,"
+            f" sumArrayIf([{ic} % {m1}, 1], {ic} % {m2} = 0) AS s"
+            f" FROM {table} GROUP BY g ORDER BY g"
+        )
+        dk = (
+            f"SELECT {sc} AS g,"
+            f" CAST(sum(CASE WHEN {ic} % {m2} = 0"
+            f" THEN ({ic} % {m1}) + 1 ELSE 0 END) AS DOUBLE) AS s"
+            f" FROM {table} GROUP BY g ORDER BY g"
+        )
+    else:
+        ch = (
+            f"SELECT {uq} AS k, arrayCount((x, y) -> x < y,"
+            f" [{ic} % {m1}, {m2}], [{m2}, {ic} % {m1}]) AS c"
+            f" FROM {table} ORDER BY k LIMIT 400"
+        )
+        dk = (
+            f"SELECT {uq} AS k,"
+            f" CAST((CASE WHEN {ic} % {m1} < {m2} THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN {m2} < {ic} % {m1} THEN 1 ELSE 0 END)"
+            f" AS INT) AS c"
+            f" FROM {table} ORDER BY k LIMIT 400"
+        )
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -995,6 +1045,7 @@ QUERY_GENS = [
     (q_join3, 6),
     (q_r7_spellings, 8),
     (q_table_fns, 5),
+    (q_r8_spellings, 6),
 ]
 
 

@@ -2118,3 +2118,73 @@ def test_chsql_r8_fourth_probe_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_chsql_r8_fifth_probe_batch(spark):
+    """r8 fifth probe batch: combinator stacks (-Array∘-If, -Distinct∘-If,
+    -If∘-OrNull/-OrDefault — previously leaked as undefined functions),
+    multi-array HOF lambdas (previously SILENTLY WRONG: Spark's 2-arg
+    lambda bound the index where CH binds the second array), the ternary
+    ``cond ? a : b`` operator, ANSI ``position(needle IN haystack)``
+    (previously an IndexError crash), ``expr IN table`` sugar,
+    ``LIMIT n OFFSET m BY``, and the INTO OUTFILE guided refusal."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    q = lambda s: [tuple(r) for r in spark.sql(translate(s)).collect()]
+    # combinator stacks
+    assert q("SELECT sumArrayIf(arr, c) AS r"
+             " FROM (SELECT array(1, 2) AS arr, true AS c)") == [(3.0,)]
+    assert q("SELECT sumArrayIf(arr, c) AS r"
+             " FROM (SELECT array(1, 2) AS arr, false AS c)") == [(0.0,)]
+    assert q("SELECT maxDistinctIf(x, x < 3) AS r"
+             " FROM (SELECT 1 AS x UNION ALL SELECT 5)") == [(1,)]
+    assert q("SELECT avgIfOrNull(x, x < 0) AS r FROM (SELECT 1.0 AS x)") \
+        == [(None,)]
+    assert q("SELECT sumIfOrDefault(x, x < 0) AS r FROM (SELECT 1 AS x)") \
+        == [(0,)]
+    assert q("SELECT countIfOrNull(x, x > 0) AS r FROM (SELECT 1 AS x)") \
+        == [(1,)]
+    # multi-array HOF lambdas
+    assert one("arrayMap((x, y) -> x + y, [1, 2], [10, 20])") == [11, 22]
+    assert one("arraySort((x, y) -> y, ['a', 'b', 'c'], [3, 1, 2])") == \
+        ["b", "c", "a"]
+    assert one("arrayReverseSort((x, y) -> y, ['a', 'b'], [1, 2])") == \
+        ["b", "a"]
+    assert one("arrayExists((x, y) -> x = y, [1, 2], [2, 2])") is True
+    assert one("arrayAll((x, y) -> x <= y, [1, 2], [2, 2])") is True
+    assert one("arrayCount((x, y) -> x < y, [1, 2], [2, 2])") == 1
+    assert one("arrayFilter((x, y) -> y > 0, ['a', 'b'], [0, 1])") == ["b"]
+    assert one("arrayFirst((x, y) -> y = 1, [7, 8], [0, 1])") == 8
+    assert one("arrayFirstIndex((x, y) -> y = 1, [7, 8], [0, 1])") == 2
+    assert one("arraySum((x, y) -> x * y, [1, 2], [3, 4])") == 11.0
+    # ternary operator (single, nested-false, parenthesized-composed)
+    assert one("1 < 2 ? 'y' : 'n'") == "y"
+    assert one("1 > 2 ? 'a' : 3 > 2 ? 'b' : 'c'") == "b"
+    assert one("(1 < 2 ? 10 : 20) + 5") == 15
+    rows = q("SELECT x % 2 = 0 ? 'even' : 'odd' AS p, count() AS c"
+             " FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 4)"
+             " GROUP BY p ORDER BY p")
+    assert rows == [("even", 2), ("odd", 1)]
+    # ANSI position + IN-table sugar
+    assert one("position('lo' IN 'hello')") == 4
+    assert one("position('hello', 'lo')") == 4
+    spark.sql("SELECT 42 AS k UNION ALL SELECT 7").createOrReplaceTempView(
+        "ks8")
+    assert one("42 IN ks8") is True
+    assert one("5 NOT IN ks8") is True
+    # LIMIT n OFFSET m BY
+    assert q("SELECT x, k FROM (SELECT 1 AS x, 'a' AS k UNION ALL"
+             " SELECT 2, 'a' UNION ALL SELECT 3, 'a')"
+             " ORDER BY k, x LIMIT 1 OFFSET 1 BY k") == [(2, "a")]
+    for bad, hint in [
+        ("SELECT 1 INTO OUTFILE '/tmp/x'", "sink"),
+        ("SELECT arrayMap((x, y, z) -> x, a, b, c) FROM t", "arrayZip"),
+        ("SELECT position('a', 'b', 1, 2, 3) FROM t", None),
+    ]:
+        if hint is None:
+            continue
+        with _pytest.raises(ValueError, match=hint):
+            translate(bad)
