@@ -141,10 +141,29 @@ def ch_type_to_spark(ch_type: str) -> str:
     m = re.fullmatch(r"(?is)Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
     if m:
         return f"DECIMAL({m.group(1)},{m.group(2)})"
-    m = re.fullmatch(r"(?is)Decimal(32|64|128)\s*\(\s*(\d+)\s*\)", t)
+    m = re.fullmatch(r"(?is)Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)", t)
     if m:
-        digits = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        # Decimal256 clamps to Spark's 38-digit maximum (same clamp as
+        # Int128/256 — documented divergence above 38 digits)
+        digits = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
         return f"DECIMAL({digits},{m.group(2)})"
+    # Geo compound types are CH aliases over tuples/arrays — expand to the
+    # equivalent Spark shapes (Point = Tuple(Float64, Float64), Ring =
+    # Array(Point), Polygon = Array(Ring), MultiPolygon = Array(Polygon),
+    # LineString = Ring, MultiLineString = Array(Ring)).
+    geo = {
+        "point": "STRUCT<x: DOUBLE, y: DOUBLE>",
+        "ring": "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "linestring": "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "polygon": "ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>",
+        "multilinestring": "ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>",
+        "multipolygon":
+            "ARRAY<ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>",
+    }.get(t.lower())
+    if geo:
+        return geo
+    if t.lower() == "bfloat16":
+        return "FLOAT"  # widening storage map, like Float32
     m = re.fullmatch(r"(?is)DateTime64\s*\(.*\)", t)
     if m:
         return "TIMESTAMP"
@@ -473,7 +492,8 @@ _ALTER_MISC_RE = re.compile(
     r"(?:CLEAR|COMMENT|MODIFY\s+COMMENT|ADD\s+INDEX|DROP\s+INDEX|"
     r"MATERIALIZE\s+INDEX|CLEAR\s+INDEX|ADD\s+PROJECTION|DROP\s+PROJECTION|"
     r"MATERIALIZE\s+PROJECTION|CLEAR\s+PROJECTION|MODIFY\s+SETTING|"
-    r"RESET\s+SETTING|DETACH\s+PARTITION|ATTACH\s+PARTITION|FREEZE)\b.*)$"
+    r"RESET\s+SETTING|DETACH\s+PARTITION|ATTACH\s+PARTITION|FREEZE|"
+    r"MODIFY\s+ORDER\s+BY)\b.*)$"
 )
 
 # ALTER TABLE t ADD|DROP|MODIFY|RENAME COLUMN ... — CH's schema-evolution
@@ -1584,12 +1604,61 @@ class ChSession:
                 [(buf.getvalue(),)], "plan string"
             )
 
-        if re.match(r"(?is)^\s*SHOW\s+TABLES\s*$", s):
+        m = re.match(
+            r"(?is)^\s*SHOW\s+TABLES"
+            r"(?:\s+FROM\s+(?P<db>\w+))?"
+            r"(?:\s+(?P<neg>NOT\s+)?(?P<op>I?LIKE)\s+'(?P<pat>[^']*)')?"
+            r"\s*$",
+            s,
+        )
+        if m:
             from .catalog import TABLES
 
+            if m.group("db") and m.group("db").lower() not in (
+                "default", "system"
+            ):
+                raise ValueError(
+                    f"SHOW TABLES FROM {m.group('db')}: single-database"
+                    " engine — only 'default' exists"
+                )
             names = sorted(set(TABLES) | set(self.tables) | set(self.views))
+            if m.group("pat") is not None:
+                # CH LIKE pattern → anchored regex (%/_ wildcards); ILIKE
+                # folds case
+                rx = re.escape(m.group("pat")).replace("%", ".*").replace(
+                    "_", ".")
+                flags = re.IGNORECASE if m.group("op").upper() == "ILIKE" \
+                    else 0
+                hit = lambda n: bool(re.fullmatch(rx, n, flags))
+                if m.group("neg"):
+                    names = [n for n in names if not hit(n)]
+                else:
+                    names = [n for n in names if hit(n)]
             return self.spark.createDataFrame(
                 [(n,) for n in names], "name string"
+            )
+
+        if re.match(r"(?is)^\s*SHOW\s+DICTIONARIES\s*$", s):
+            from .chsql import _CH_DICTS
+
+            names = sorted(set(_CH_DICTS) | set(self.dicts))
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
+
+        if re.match(r"(?is)^\s*SHOW\s+SETTINGS\b", s):
+            # session settings are accepted-and-dropped performance knobs
+            # (see SET above); the honest listing is empty
+            return self.spark.createDataFrame(
+                [], "name string, type string, value string"
+            )
+
+        if re.match(r"(?is)^\s*WATCH\b", s):
+            raise ValueError(
+                "WATCH streams live-view deltas — batch sessions have no"
+                " push channel; use the streaming operators"
+                " (streaming/infra.py: stream_* keys) for continuous"
+                " results"
             )
 
         m = re.match(
@@ -1872,6 +1941,27 @@ class ChSession:
             return None
         if re.match(r"(?is)^(MODIFY|RESET)\s+SETTING\b", r):
             return None  # storage knobs — same policy as CREATE SETTINGS
+        m = re.match(r"(?is)^MODIFY\s+ORDER\s+BY\s+(?P<key>.+)$", r)
+        if m:
+            # sorting-key metadata (drives SHOW CREATE + the FINAL merge
+            # key); CH requires the new key to extend the old prefix —
+            # enforced so a narrowed key can't silently change FINAL
+            # dedup semantics
+            key = m.group("key").strip()
+            cols = [c.strip() for c in key.strip("()").split(",")]
+            unknown = [c for c in cols if c not in tbl.columns]
+            if unknown:
+                raise ValueError(
+                    f"MODIFY ORDER BY: unknown column(s) {unknown}"
+                )
+            old = meta.get("order_by") or []
+            if list(old) != cols[: len(old)]:
+                raise ValueError(
+                    "MODIFY ORDER BY must extend the existing sorting key"
+                    f" prefix {list(old)} (got {cols})"
+                )
+            meta["order_by"] = cols
+            return None
         if re.match(r"(?is)^FREEZE\b", r):
             return None  # backup hardlink — no logical effect
         m = re.match(

@@ -1456,3 +1456,54 @@ def test_exists_statement(spark, sf_dir):
     assert got("EXISTS DICTIONARY nodict") == 0
     ch.execute("DROP TABLE ex_t")
     assert got("EXISTS TABLE ex_t") == 0
+
+
+def test_show_filters_and_modify_order_by(spark, sf_dir):
+    """r8 statement probes: SHOW TABLES [FROM db] [NOT] [I]LIKE 'pat'
+    (CH %/_ wildcards), SHOW DICTIONARIES, SHOW SETTINGS (honest empty —
+    settings are accepted-and-dropped knobs), ALTER TABLE MODIFY ORDER BY
+    (metadata sorting key; must extend the existing prefix), and the WATCH
+    guided refusal."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE st8 (x Int64, s String)"
+               " ENGINE = MergeTree ORDER BY x")
+    rows = lambda s: [tuple(r) for r in ch.execute(s).collect()]
+    assert rows("SHOW TABLES LIKE 'st8%'") == [("st8",)]
+    assert rows("SHOW TABLES ILIKE 'ST8%'") == [("st8",)]
+    assert ("st8",) not in rows("SHOW TABLES NOT LIKE 'st8%'")
+    assert ("orders",) in rows("SHOW TABLES FROM default")
+    with _pytest.raises(ValueError, match="single-database"):
+        ch.execute("SHOW TABLES FROM elsewhere")
+    assert ("nations",) in rows("SHOW DICTIONARIES")
+    assert rows("SHOW SETTINGS LIKE 'max%'") == []
+    ch.execute("ALTER TABLE st8 MODIFY ORDER BY (x, s)")
+    assert "ORDER BY (x, s)" in rows("SHOW CREATE TABLE st8")[0][0]
+    with _pytest.raises(ValueError, match="prefix"):
+        ch.execute("ALTER TABLE st8 MODIFY ORDER BY (s)")
+    with _pytest.raises(ValueError, match="unknown column"):
+        ch.execute("ALTER TABLE st8 MODIFY ORDER BY (x, nope)")
+    with _pytest.raises(ValueError, match="stream"):
+        ch.execute("WATCH st8")
+
+
+def test_type_map_r8_additions():
+    """r8 type-map probes: BFloat16, Decimal256 (38-digit clamp), and the
+    geo compound aliases (Point/Ring/Polygon/MultiPolygon expand to the
+    tuple/array shapes CH itself defines them as)."""
+    from canal_clickhouse_spark.chsql_ddl import ch_type_to_spark
+
+    assert ch_type_to_spark("BFloat16") == "FLOAT"
+    assert ch_type_to_spark("Decimal256(10)") == "DECIMAL(38,10)"
+    assert ch_type_to_spark("Point") == "STRUCT<x: DOUBLE, y: DOUBLE>"
+    assert ch_type_to_spark("Ring") == \
+        "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    assert ch_type_to_spark("Polygon") == \
+        "ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>"
+    assert ch_type_to_spark("MultiPolygon") == \
+        "ARRAY<ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>"
+    assert ch_type_to_spark("Nullable(Point)") == \
+        "STRUCT<x: DOUBLE, y: DOUBLE>"
