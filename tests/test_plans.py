@@ -160,6 +160,10 @@ _CARTESIAN_OK = {
     # text_perplexity attaches its 1-row (N, V) smoothing constants the
     # same way; the score join itself is a keyed shuffle join.
     "text_perplexity",
+    # r8: the table-functions key CROSS JOINs a 2-row VALUES relation
+    # with a 1-row generate_series aggregate — both sides are driver-side
+    # constants, the broadcast-scalar attach class by construction.
+    "chsql_table_fns",
 }
 
 
