@@ -4279,6 +4279,11 @@ def _rewrite_scalar_with(q: str) -> str:
     m = re.match(r"\s*WITH\s+", q, re.IGNORECASE)
     if not m:
         return q
+    if re.match(r"\s*WITH\s+RECURSIVE\b", q, re.IGNORECASE):
+        # WITH RECURSIVE (CH 24.4+, Spark 4.0+): both engines implement
+        # the standard form natively — pass through untouched (scalar
+        # bindings can't appear in a RECURSIVE list on either engine)
+        return q
     # End of the WITH list = first top-level SELECT (CTE bodies are inside
     # parens, so depth guards them).
     depth, lit, end = 0, None, None
@@ -5863,10 +5868,52 @@ def _rewrite_clauses(q: str) -> str:
     return q
 
 
+def _rewrite_distinct_over(q: str) -> str:
+    """``count(DISTINCT x) OVER (w)`` → ``size(collect_set(x) OVER (w))``
+    (r8 probe: CH's uniqExact/countDistinct are legal window functions but
+    Spark rejects DISTINCT window aggregates outright). collect_set is
+    exactly the distinct-set window state; multi-argument forms wrap the
+    tuple in a struct. Runs on the EMITTED Spark text, after function
+    translation."""
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = re.compile(r"(?is)\bcount\s*\(\s*DISTINCT\b").search(masked, pos)
+        if not m:
+            return q
+        start = m.start()
+        lp = masked.index("(", start)
+        rp = _scan_group(q, lp)
+        k = rp + 1
+        while k < len(q) and q[k].isspace():
+            k += 1
+        if not re.match(r"(?i)OVER\b", q[k:]):
+            pos = rp + 1
+            continue
+        k2 = k + 4
+        while k2 < len(q) and q[k2].isspace():
+            k2 += 1
+        if k2 >= len(q) or q[k2] != "(":
+            pos = rp + 1
+            continue
+        wend = _scan_group(q, k2)
+        arg = re.sub(r"(?is)^\s*DISTINCT\s+", "", q[lp + 1 : rp]).strip()
+        if len(_split_args(arg)) > 1:
+            arg = f"struct({arg})"
+        # CAST: size() is INT, but the aggregate-context translation
+        # (count DISTINCT) is BIGINT — keep the two spellings type-equal
+        repl = (
+            f"CAST(size(collect_set({arg})"
+            f" OVER {q[k2 : wend + 1]}) AS BIGINT)"
+        )
+        q = q[:start] + repl + q[wend + 1 :]
+        pos = start + len(repl)
+
+
 def translate(ch_query: str) -> str:
     """CH-dialect → Spark SQL: clause-level rewrites (FINAL / SAMPLE /
     LIMIT BY) on the raw text first, then the recursive function rewrite."""
-    return (
+    return _rewrite_distinct_over(
         _translate_fns(_rewrite_clauses(ch_query))
         .replace("__spark_range__", "range")
         .replace("__spark_values__", "VALUES")
@@ -8607,3 +8654,36 @@ def chsql_multiarray_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI ``position(needle IN haystack)`` spelling. Arrays are built from
     row values, so the oracle computes expected values directly."""
     return ch_sql(spark, sf_dir, _CH_MULTIARRAY_HOF)
+
+
+_CH_RECURSIVE_CTE = """
+WITH RECURSIVE r AS (
+  SELECT toInt64(1) AS n
+  UNION ALL
+  SELECT n + 1 FROM r WHERE n < 12
+)
+SELECT n, n * n AS sq, sum(n) OVER (ORDER BY n) AS run
+FROM r ORDER BY n
+"""
+
+
+@query(
+    "chsql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT CAST(1 AS BIGINT) AS n
+      UNION ALL
+      SELECT n + 1 FROM r WHERE n < 12
+    )
+    SELECT n, n * n AS sq,
+           CAST(sum(n) OVER (ORDER BY n) AS BIGINT) AS run
+    FROM r ORDER BY n
+    """,
+)
+def chsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (CH 24.4+, r8 probe): both Spark 4 and DuckDB
+    implement the standard form natively, so the translation is a
+    passthrough that merely exempts the RECURSIVE list from the scalar-
+    WITH binding rewrite (which previously refused it as unparseable).
+    The oracle is the near-verbatim statement on the second engine."""
+    return ch_sql(spark, sf_dir, _CH_RECURSIVE_CTE)

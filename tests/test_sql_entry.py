@@ -2188,3 +2188,47 @@ def test_chsql_r8_fifth_probe_batch(spark):
             continue
         with _pytest.raises(ValueError, match=hint):
             translate(bad)
+
+
+def test_chsql_distinct_window_and_subscript_edges(spark):
+    """r8 probe: uniqExact/countDistinct as a WINDOW function — Spark
+    rejects DISTINCT window aggregates, so the emitted text rewrites to
+    size(collect_set() OVER) (the exact distinct-set window state), cast
+    BIGINT to stay type-equal with the aggregate-context spelling.
+    Negative subscripts (CH tail indexing) are also pinned here."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    spark.sql(
+        "SELECT 1 AS g, 'a' AS s UNION ALL SELECT 1, 'b'"
+        " UNION ALL SELECT 1, 'a' UNION ALL SELECT 2, 'z'"
+    ).createOrReplaceTempView("dw8")
+    rows = spark.sql(translate(
+        "SELECT g, uniqExact(s) OVER (PARTITION BY g) AS u FROM dw8"
+        " ORDER BY g, u")).collect()
+    assert [(r.g, r.u) for r in rows] == [(1, 2), (1, 2), (1, 2), (2, 1)]
+    assert dict(rows[0].asDict())["u"] == 2
+    # multi-arg form wraps a struct; aggregate context stays count DISTINCT
+    t = translate("SELECT uniqExact(a, b) OVER (PARTITION BY g) FROM t")
+    assert "collect_set(struct(a, b))" in t
+    t2 = translate("SELECT uniqExact(s) AS u FROM dw8")
+    assert "count(DISTINCT" in t2
+    # CH tail subscripts
+    assert one("[10, 20, 30][-1]") == 30
+    assert one("arrayElement([1, 2, 3], -2)") == 2
+
+
+def test_chsql_recursive_cte(spark):
+    """WITH RECURSIVE passes through (Spark 4 native); CH spellings inside
+    the recursive body still translate; scalar-WITH items keep working."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate(
+        "WITH RECURSIVE r AS (SELECT toInt64(1) AS n UNION ALL"
+        " SELECT n + 1 FROM r WHERE n < 5)"
+        " SELECT groupArray(n) AS g FROM r")
+    assert "RECURSIVE" in t and "collect_list" in t and "CAST(1 AS BIGINT)" in t
+    assert spark.sql(t).collect()[0].g == [1, 2, 3, 4, 5]
+    # plain scalar WITH unaffected
+    t2 = translate("WITH 3 AS k SELECT k + 1 AS r")
+    assert spark.sql(t2).collect()[0].r == 4
