@@ -4373,6 +4373,15 @@ def _rewrite_star_modifiers(q: str) -> str:
 
     q = _lit_sub(_COLUMNS_RE, sub_columns, q)
 
+    # CH's STRICT modifier flag: EXCEPT/REPLACE STRICT errors on a missing
+    # column — which is this translation's behavior already (Spark EXCEPT
+    # and the expansion paths both refuse unknown names); drop the word.
+    q = _lit_sub(
+        re.compile(r"\b(EXCEPT|REPLACE)\s+STRICT\b", re.IGNORECASE),
+        lambda m: m.group(1),
+        q,
+    )
+
     mq = _mask_literals(q)
     out, pos = [], 0
     while (m := _STAR_MOD_START_RE.search(mq, pos)) is not None:
@@ -5009,6 +5018,9 @@ _ZEROS_RE = re.compile(
     r"\bFROM\s+zeros\s*\(\s*(\d+)\s*\)", re.IGNORECASE
 )
 _SYSTEM_ONE_RE = re.compile(r"\bFROM\s+system\.one\b", re.IGNORECASE)
+_SYSTEM_NUMBERS_RE = re.compile(
+    r"\bFROM\s+system\.numbers(?:_mt)?\b", re.IGNORECASE
+)
 _GENSERIES_RE = re.compile(
     r"\bFROM\s+generate(?:_s|S)eries\s*"
     r"\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(\d+)\s*)?\)",
@@ -5629,6 +5641,17 @@ def _rewrite_clauses(q: str) -> str:
     q = _lit_sub(
         _SYSTEM_ONE_RE,
         lambda m: "FROM (SELECT CAST(0 AS TINYINT) AS dummy)",
+        q,
+    )
+    # system.numbers[_mt]: CH's unbounded integer stream — a 2^40-row lazy
+    # range stands in (Spark's range iterator materializes only what the
+    # outer LIMIT pulls; CH itself requires a LIMIT here too).
+    q = _lit_sub(
+        _SYSTEM_NUMBERS_RE,
+        lambda m: (
+            "FROM (SELECT id AS number"
+            " FROM __spark_range__(1099511627776))"
+        ),
         q,
     )
     q = _lit_sub(

@@ -906,7 +906,7 @@ class ChSession:
         hits = {
             m.group(1).lower()
             for m in re.finditer(r"(?i)\bsystem\.(\w+)", masked)
-        }
+        } - {"numbers", "numbers_mt"}  # translate() maps these to range()
         if not hits:
             return s
         unknown = sorted(hits - set(self._SYSTEM_TABLES))

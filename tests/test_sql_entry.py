@@ -2232,3 +2232,22 @@ def test_chsql_recursive_cte(spark):
     # plain scalar WITH unaffected
     t2 = translate("WITH 3 AS k SELECT k + 1 AS r")
     assert spark.sql(t2).collect()[0].r == 4
+
+
+def test_chsql_system_numbers_and_strict(spark):
+    """``system.numbers[_mt]`` (CH's unbounded integer stream) maps to a
+    2^40-row lazy range — the outer LIMIT pulls only what it needs; the
+    star modifiers accept CH's STRICT flag (this translation is already
+    strict about unknown names)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    rows = spark.sql(translate(
+        "SELECT number FROM system.numbers LIMIT 5")).collect()
+    assert [r.number for r in rows] == [0, 1, 2, 3, 4]
+    rows = spark.sql(translate(
+        "SELECT number * 2 AS d FROM system.numbers_mt"
+        " WHERE number > 1 LIMIT 2")).collect()
+    assert [r.d for r in rows] == [4, 6]
+    spark.sql("SELECT 1 AS a, 2 AS b").createOrReplaceTempView("ss8")
+    assert spark.sql(translate(
+        "SELECT * EXCEPT STRICT (b) FROM ss8")).columns == ["a"]
