@@ -5356,22 +5356,37 @@ def _rewrite_with_fill(q: str) -> str:
     to = m["to"] or f"(SELECT MAX({col}) FROM _q)"
     step = m["step"] or "1"
     # INTERPOLATE (c) / (c AS c): carry the previous row's value onto
-    # inserted rows (the CH carry-forward idiom). General INTERPOLATE
-    # expressions would need row-relative evaluation — out of the text
-    # rewriter's scope, rejected loudly.
-    interp: set[str] = set()
+    # inserted rows (the CH carry-forward idiom). INTERPOLATE
+    # (c AS c ± k) (r8): the LINEAR form — each inserted row advances the
+    # previous value by the constant, which has the closed form
+    # last_actual + k × steps-since-actual (a window spelling, no
+    # iteration). General expressions stay rejected loudly: they need
+    # row-recursive evaluation.
+    interp: dict[str, str | None] = {}
     if m["interp"]:
         for item in _split_args(m["interp"]):
-            im = re.match(r"^(\w+)(?:\s+AS\s+(\w+))?$", item.strip(),
-                          re.IGNORECASE)
-            if not im or (im.group(2) and im.group(2) != im.group(1)):
+            im = re.match(r"(?is)^(\w+)(?:\s+AS\s+(.+))?$", item.strip())
+            if not im:
                 raise ValueError(
-                    f"WITH FILL INTERPOLATE supports only carry-forward"
-                    f" (col or col AS col), got {item!r}")
-            if im.group(1) not in names:
+                    f"WITH FILL INTERPOLATE: unparseable item {item!r}")
+            nm_, expr_ = im.group(1), (im.group(2) or "").strip()
+            if nm_ not in names:
                 raise ValueError(
-                    f"INTERPOLATE column {im.group(1)!r} not in {names}")
-            interp.add(im.group(1))
+                    f"INTERPOLATE column {nm_!r} not in {names}")
+            if not expr_ or expr_ == nm_:
+                interp[nm_] = None
+                continue
+            lm = re.match(
+                rf"^\(?\s*{re.escape(nm_)}\s*\)?\s*([+-])\s*(\d+(?:\.\d+)?)"
+                r"\s*$",
+                expr_,
+            )
+            if not lm:
+                raise ValueError(
+                    "WITH FILL INTERPOLATE supports carry-forward (col or"
+                    " col AS col) and the linear form (col AS col ±"
+                    f" literal), got {item!r}")
+            interp[nm_] = f"{lm.group(1)}{lm.group(2)}"
     others = ", ".join(
         f"_q.{n} AS {n}" if n in interp else f"COALESCE(_q.{n}, 0) AS {n}"
         for n in names if n != col
@@ -5388,13 +5403,34 @@ def _rewrite_with_fill(q: str) -> str:
         f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
     )
     if interp:
-        outer = ", ".join(
-            f"COALESCE(last_value({n}, true) OVER (ORDER BY {col} ROWS"
-            f" BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS {n}"
-            if n in interp else n
-            for n in names
+        w = (f"OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING"
+             " AND CURRENT ROW)")
+        items_out = []
+        needs_rn = any(c is not None for c in interp.values())
+        for n in names:
+            c = interp.get(n, "__absent__")
+            if c == "__absent__":
+                items_out.append(n)
+            elif c is None:  # carry-forward
+                items_out.append(
+                    f"COALESCE(last_value({n}, true) {w}, 0) AS {n}"
+                )
+            else:  # linear: last actual + k × steps since the actual row
+                items_out.append(
+                    f"COALESCE(IF({n} IS NOT NULL, {n},"
+                    f" last_value({n}, true) {w} + ({c}) * (_rn -"
+                    f" last_value(IF({n} IS NOT NULL, _rn, NULL), true)"
+                    f" {w})), 0) AS {n}"
+                )
+        src = joined
+        if needs_rn:
+            src = (
+                f"SELECT *, ROW_NUMBER() OVER (ORDER BY {col}) AS _rn"
+                f" FROM ({joined})"
+            )
+        return (
+            f"SELECT {', '.join(items_out)} FROM ({src}) ORDER BY {col}"
         )
-        return f"SELECT {outer} FROM ({joined}) ORDER BY {col}"
     return f"{joined} ORDER BY {col}"
 
 

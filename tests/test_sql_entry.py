@@ -2251,3 +2251,30 @@ def test_chsql_system_numbers_and_strict(spark):
     spark.sql("SELECT 1 AS a, 2 AS b").createOrReplaceTempView("ss8")
     assert spark.sql(translate(
         "SELECT * EXCEPT STRICT (b) FROM ss8")).columns == ["a"]
+
+
+def test_chsql_interpolate_linear(spark):
+    """r8: ``WITH FILL … INTERPOLATE (v AS v + k)`` — the linear form.
+    Each inserted row advances the previous value by the constant; the
+    closed form is last_actual + k × steps-since-actual (window spelling,
+    no iteration). Carry-forward and non-interpolated columns keep their
+    prior behavior; non-linear expressions still refuse loudly."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    rows = spark.sql(translate(
+        "SELECT n, v FROM (SELECT 1 AS n, 10 AS v UNION ALL SELECT 5, 50)"
+        " ORDER BY n WITH FILL FROM 1 TO 8 INTERPOLATE (v AS v + 5)"
+    )).collect()
+    assert [(r.n, r.v) for r in rows] == [
+        (1, 10), (2, 15), (3, 20), (4, 25), (5, 50), (6, 55), (7, 60)]
+    rows = spark.sql(translate(
+        "SELECT n, v FROM (SELECT 2 AS n, 30 AS v UNION ALL SELECT 5, 9)"
+        " ORDER BY n WITH FILL FROM 2 TO 7 INTERPOLATE (v AS v - 10)"
+    )).collect()
+    assert [(r.n, r.v) for r in rows] == [
+        (2, 30), (3, 20), (4, 10), (5, 9), (6, -1)]
+    with _pytest.raises(ValueError, match="linear"):
+        translate("SELECT n, v FROM t ORDER BY n WITH FILL"
+                  " INTERPOLATE (v AS v * 2)")
