@@ -4244,9 +4244,34 @@ def _star_table_cols(q: str, what: str) -> tuple[str, ...]:
         t = next(iter(tables))
         if t in _TABLE_COLS:
             return _TABLE_COLS[t]
+    # FROM (SELECT …) subquery source (r8 probe 5: the star modifier used
+    # to refuse any subquery): when every top-level select item of the
+    # INNERMOST deepest-FROM subquery carries a plain output name (alias
+    # or bare column), that list IS the star's width.
+    sm = re.search(r"\bFROM\s*\(\s*SELECT\s+", mq, re.IGNORECASE)
+    if sm and not multi and not tables:
+        lp = mq.index("(", sm.start())
+        rp = _scan_group(q, lp)
+        body = q[lp + 1 : rp]
+        bm = re.match(r"(?is)^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", body)
+        inner_sel = bm.group(1)
+        fm2 = re.search(r"(?i)\bFROM\b", _mask_literals(inner_sel))
+        if fm2:
+            inner_sel = inner_sel[: fm2.start()]
+        cols = []
+        for item in _split_args(inner_sel):
+            am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
+            nm_ = am.group(1) if am else item.strip().split(".")[-1]
+            if not nm_.isidentifier():
+                break
+            cols.append(nm_)
+        else:
+            if cols:
+                return tuple(cols)
     raise ValueError(
-        f"{what} needs a single known FROM table to expand against, "
-        f"found {sorted(tables) or 'none'}"
+        f"{what} needs a single known FROM table (or a subquery whose"
+        " select items all carry plain output names) to expand against,"
+        f" found {sorted(tables) or 'none'}"
     )
 
 

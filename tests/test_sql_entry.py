@@ -2278,3 +2278,24 @@ def test_chsql_interpolate_linear(spark):
     with _pytest.raises(ValueError, match="linear"):
         translate("SELECT n, v FROM t ORDER BY n WITH FILL"
                   " INTERPOLATE (v AS v * 2)")
+
+
+def test_chsql_star_modifiers_on_subquery(spark):
+    """r8: star modifiers (* APPLY / * EXCEPT APPLY / COLUMNS) expand
+    against a FROM (SELECT …) subquery when every inner select item
+    carries a plain output name — previously any subquery source refused.
+    Joins still refuse (the text rewriter can't know the star's width)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    q = lambda s: [tuple(r) for r in spark.sql(translate(s)).collect()]
+    assert q("SELECT * APPLY(sum) FROM (SELECT 1 AS a, 2 AS b) t") == \
+        [(1, 2)]
+    assert q("SELECT * EXCEPT(b) APPLY(max)"
+             " FROM (SELECT 1 AS a, 2 AS b, 3 AS c) t") == [(1, 3)]
+    assert q("SELECT COLUMNS('^a')"
+             " FROM (SELECT 1 AS a1, 2 AS a2, 3 AS b) t") == [(1, 2)]
+    with _pytest.raises(ValueError, match="expand against"):
+        translate("SELECT * APPLY(sum) FROM orders o JOIN customer c"
+                  " ON 1 = 1")
