@@ -737,11 +737,31 @@ def q_with_fill(rng: random.Random) -> tuple[str, str]:
     m = rng.choice([100, 250, 500])
     g = Gen(rng, "orders")
     p_ch, p_dk = g.bool_expr(1)
+    interp = rng.random() < 0.35  # r8: linear INTERPOLATE variant
+    k = rng.randint(1, 5)
+    itail = f" INTERPOLATE (n AS n + {k})" if interp else ""
     ch = (
         f"SELECT o_orderkey % {m} AS bucket, count() AS n FROM orders"
         f" WHERE {p_ch} GROUP BY o_orderkey % {m}"
-        f" ORDER BY bucket WITH FILL FROM 0 TO {m}"
+        f" ORDER BY bucket WITH FILL FROM 0 TO {m}{itail}"
     )
+    if interp:
+        # linear fill: last actual n + k × steps since that actual row
+        dk = (
+            f"WITH q AS (SELECT CAST(o_orderkey % {m} AS BIGINT)"
+            f" AS bucket, count(*) AS n FROM orders WHERE {p_dk}"
+            " GROUP BY 1),"
+            f" j AS (SELECT s.bucket AS bucket, q.n AS n"
+            f" FROM (SELECT unnest(range(0, {m})) AS bucket) s"
+            " LEFT JOIN q ON s.bucket = q.bucket)"
+            " SELECT bucket, COALESCE(CASE WHEN n IS NOT NULL THEN n"
+            " ELSE last_value(n IGNORE NULLS) OVER w"
+            f" + {k} * (bucket - last_value(CASE WHEN n IS NOT NULL"
+            " THEN bucket END IGNORE NULLS) OVER w) END, 0) AS n"
+            " FROM j WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) ORDER BY bucket"
+        )
+        return ch, dk
     dk = (
         f"WITH q AS (SELECT CAST(o_orderkey % {m} AS BIGINT) AS bucket,"
         f" count(*) AS n FROM orders WHERE {p_dk} GROUP BY 1)"
