@@ -788,6 +788,9 @@ class ChSession:
         # CH's detached/ directory)
         self.detached: dict[str, DataFrame] = {}
         self.detached_parts: dict[tuple[str, str], DataFrame] = {}
+        # query parameters (r8): SET param_name = value → substituted into
+        # {name:Type} placeholders (CH's parameterized-query protocol)
+        self.params: dict[str, str] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -881,10 +884,57 @@ class ChSession:
 
     def _refresh_views(self) -> None:
         for name, sel in self.views.items():  # insertion order: view-on-view ok
+            if re.search(r"\{\w+\s*:", sel):
+                continue  # parameterized view: binds at use time
             self.spark.sql(translate(sel)).createOrReplaceTempView(name)
+
+    def _bind_param_views(self, s: str) -> str:
+        """``FROM v(p = 5, …)`` over a parameterized view (a CREATE VIEW
+        whose body carries ``{p:Type}`` placeholders, r8): substitute the
+        call's bindings into the stored definition and inline it as a
+        named subquery."""
+        from .chsql import _mask_literals, _scan_group, _split_args
+
+        for _ in range(8):
+            masked = _mask_literals(s)
+            hit = None
+            for m in re.finditer(r"(?i)\bFROM\s+(\w+)\s*\(", masked):
+                nm = m.group(1)
+                if nm in self.views and re.search(
+                    r"\{\w+\s*:", self.views[nm]
+                ):
+                    hit = (m, nm)
+                    break
+            if hit is None:
+                for m2 in re.finditer(r"(?i)\bFROM\s+(\w+)\b", masked):
+                    nm2 = m2.group(1)
+                    if nm2 in self.views and re.search(
+                        r"\{\w+\s*:", self.views[nm2]
+                    ):
+                        raise ValueError(
+                            f"view {nm2} is parameterized — call it with"
+                            f" bindings: FROM {nm2}(param = value, …)"
+                        )
+                return s
+            m, nm = hit
+            lp = masked.index("(", m.start() + 4)
+            rp = _scan_group(s, lp)
+            binds = {}
+            for a in _split_args(s[lp + 1 : rp]):
+                am = re.match(r"(?s)^\s*(\w+)\s*=\s*(.+?)\s*$", a)
+                if not am:
+                    raise ValueError(
+                        f"parameterized view {nm}: arguments spell"
+                        f" name = value, got {a!r}"
+                    )
+                binds[am.group(1)] = am.group(2)
+            sub = self._substitute_params(self.views[nm], binds)
+            s = s[: m.start()] + f"FROM ({sub}) AS {nm}" + s[rp + 1 :]
+        raise ValueError("parameterized-view nesting too deep")
 
     def _run_select(self, ch_select: str) -> DataFrame:
         self._refresh_views()
+        ch_select = self._bind_param_views(ch_select)
         ch_select = self._bind_system_views(ch_select)
         return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
 
@@ -1080,11 +1130,62 @@ class ChSession:
 
     # -- statements -------------------------------------------------------
 
-    def execute(self, statement: str) -> DataFrame | None:
+    def _substitute_params(
+        self, s: str, extra: dict | None = None
+    ) -> str:
+        """CH query parameters (r8): ``{name:Type}`` placeholders resolve
+        from ``SET param_name = …`` session state (or the ``params=``
+        call argument, python values quoted as needed) and splice as
+        ``CAST(value AS type)`` — except ``{n:Identifier}``, which splices
+        the bare name (CH's table/column-name parameter)."""
+        from .chsql import _mask_literals
+
+        vals = dict(self.params)
+        vals.update(extra or {})  # values are SQL text (caller quotes)
+        masked = _mask_literals(s)
+        out, last = [], 0
+        for m in re.finditer(r"\{(\w+)\s*:\s*([^{}]+?)\s*\}", masked):
+            name, ch_t = m.group(1), s[m.start(2) : m.end(2)]
+            if name not in vals:
+                raise ValueError(
+                    f"query parameter {{{name}:{ch_t}}} has no bound"
+                    f" value — SET param_{name} = … first (or pass"
+                    " params={...})"
+                )
+            v = vals[name]
+            if ch_t.strip().lower() == "identifier":
+                v = v.strip().strip("'")
+                rep = v
+            else:
+                rep = f"CAST({v} AS {ch_type_to_spark(ch_t)})"
+            out.append(s[last : m.start()])
+            out.append(rep)
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    def execute(
+        self, statement: str, params: dict | None = None
+    ) -> DataFrame | None:
         """Execute one statement; returns a DataFrame for SELECTs."""
         s = statement.strip().rstrip(";").strip()
         if not s:
             return None
+        m = re.match(r"(?is)^\s*SET\s+param_(\w+)\s*=\s*(.+)$", s)
+        if m:
+            self.params[m.group(1)] = m.group(2).strip()
+            return None
+        if params or ("{" in s and re.search(r"\{\w+\s*:", s)):
+            # CREATE [MATERIALIZED] VIEW stores its definition verbatim —
+            # placeholders bind at USE time (parameterized views)
+            if not re.match(r"(?is)^\s*CREATE\s+(MATERIALIZED\s+)?VIEW\b",
+                            s):
+                extra = {
+                    k: ("'" + str(v).replace("'", "''") + "'"
+                        if isinstance(v, str) else str(v))
+                    for k, v in (params or {}).items()
+                }
+                s = self._substitute_params(s, extra)
 
         m = _CREATE_MV_RE.match(s)
         if m:

@@ -31,8 +31,10 @@ def test_type_mapper():
     # r7: AggregateFunction now raises a NAMED guided error (was generic)
     with pytest.raises(ValueError, match="state_merge"):
         ch_type_to_spark("AggregateFunction(sum, UInt64)")
+    # r8: geo compound aliases are now mapped (see
+    # test_type_map_r8_additions); a truly unknown type still raises
     with pytest.raises(ValueError, match="unsupported"):
-        ch_type_to_spark("Ring")  # geo type, genuinely unmapped
+        ch_type_to_spark("NoSuchType")
 
 
 def test_split_statements_literal_aware():
@@ -1507,3 +1509,61 @@ def test_type_map_r8_additions():
         "ARRAY<ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>"
     assert ch_type_to_spark("Nullable(Point)") == \
         "STRUCT<x: DOUBLE, y: DOUBLE>"
+
+
+def test_query_parameters(spark, sf_dir):
+    """CH query parameters (r8): ``SET param_name = v`` + ``{name:Type}``
+    placeholders (CAST-spliced), ``{n:Identifier}`` for table names, the
+    ``params={}`` call argument (python values auto-quoted), and the loud
+    unbound-parameter error. JSONEachRow INSERT payloads don't collide
+    with the placeholder scan (their keys are quoted)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("SET param_k = 5")
+    ch.execute("SET param_s = 'O'")
+    assert [tuple(r) for r in ch.execute(
+        "SELECT {k:Int64} AS k, {k:Int64} * 2 AS d").collect()] == [(5, 10)]
+    n = ch.execute(
+        "SELECT count() AS c FROM orders WHERE o_orderkey <= {k:UInt64}"
+        " AND o_orderstatus = {s:String}").collect()[0].c
+    assert n >= 0
+    ch.execute("SET param_tbl = 'orders'")
+    assert ch.execute(
+        "SELECT count() AS c FROM {tbl:Identifier}").collect()[0].c > 0
+    r = ch.execute("SELECT {name:String} AS n, {x:Int32} + 1 AS y",
+                   params={"name": "ab'c", "x": 7}).collect()[0]
+    assert (r.n, r.y) == ("ab'c", 8)
+    with _pytest.raises(ValueError, match="no bound value"):
+        ch.execute("SELECT {missing:Int64} AS m")
+    # JSONEachRow payload braces are not placeholders
+    ch.execute("CREATE TABLE qp (x Int64, s String)"
+               " ENGINE = MergeTree ORDER BY x")
+    ch.execute('INSERT INTO qp FORMAT JSONEachRow {"x": 1, "s": "a"}')
+    assert ch.execute("SELECT count() AS c FROM qp").collect()[0].c == 1
+
+
+def test_parameterized_views(spark, sf_dir):
+    """CH parameterized views (r8): CREATE VIEW with {p:Type} placeholders
+    stores the definition verbatim; ``FROM v(p = value)`` binds and
+    inlines; a bare reference to a parameterized view raises the guided
+    call-it-with-bindings error; plain views are unaffected."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE VIEW pv8 AS SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_totalprice > {min_price:Float64}")
+    all_n = ch.execute("SELECT count() AS c FROM pv8(min_price = 0)"
+                       ).collect()[0].c
+    some_n = ch.execute("SELECT count() AS c FROM pv8(min_price = 100000)"
+                        ).collect()[0].c
+    assert 0 < some_n < all_n
+    with _pytest.raises(ValueError, match="parameterized"):
+        ch.execute("SELECT count() AS c FROM pv8")
+    ch.execute("CREATE VIEW plain8 AS SELECT count() AS c FROM orders")
+    assert ch.execute("SELECT c FROM plain8").collect()[0].c == all_n
