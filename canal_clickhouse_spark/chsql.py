@@ -8707,7 +8707,9 @@ _CH_MULTIARRAY_HOF = """
 SELECT o_orderkey,
        o_orderkey %% 2 = 0 ? 'even' : 'odd' AS par,
        toInt64(position('GH' IN o_orderpriority)) AS pos,
-       arrayMap((x, y) -> x + y, [o_orderkey, 2], [10, o_orderkey]) AS am,
+       arrayStringConcat(arrayMap(_e -> toString(_e),
+         arrayMap((x, y) -> x + y, [o_orderkey, 2], [10, o_orderkey])),
+         ',') AS am,
        arrayFirst((x, y) -> y > 0, [o_orderkey, -1], [0, 1]) AS af,
        arrayCount((x, y) -> x < y, [o_orderkey, 5], [3, o_orderkey]) AS ac
 FROM orders WHERE o_orderkey %% 97 = 1
@@ -8721,7 +8723,8 @@ ORDER BY o_orderkey
     SELECT o_orderkey,
            CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
            CAST(strpos(o_orderpriority, 'GH') AS BIGINT) AS pos,
-           [o_orderkey + 10, 2 + o_orderkey] AS am,
+           CAST(o_orderkey + 10 AS VARCHAR) || ','
+             || CAST(2 + o_orderkey AS VARCHAR) AS am,
            CAST(-1 AS BIGINT) AS af,
            CAST((CASE WHEN o_orderkey < 3 THEN 1 ELSE 0 END)
                 + (CASE WHEN 5 < o_orderkey THEN 1 ELSE 0 END)
