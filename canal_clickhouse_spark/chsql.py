@@ -5997,6 +5997,13 @@ def _rewrite_distinct_over(q: str) -> str:
 def translate(ch_query: str) -> str:
     """CH-dialect → Spark SQL: clause-level rewrites (FINAL / SAMPLE /
     LIMIT BY) on the raw text first, then the recursive function rewrite."""
+    pm = re.search(r"\{(\w+)\s*:\s*[^{}]+\}", _mask_literals(ch_query))
+    if pm:
+        raise ValueError(
+            f"unbound query parameter {{{pm.group(1)}:…}} — parameters"
+            " bind through ChSession: SET param_"
+            f"{pm.group(1)} = …, or execute(stmt, params={{...}})"
+        )
     return _rewrite_distinct_over(
         _translate_fns(_rewrite_clauses(ch_query))
         .replace("__spark_range__", "range")

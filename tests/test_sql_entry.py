@@ -2299,3 +2299,17 @@ def test_chsql_star_modifiers_on_subquery(spark):
     with _pytest.raises(ValueError, match="expand against"):
         translate("SELECT * APPLY(sum) FROM orders o JOIN customer c"
                   " ON 1 = 1")
+
+
+def test_chsql_unbound_parameter_guard(spark):
+    """A bare {p:Type} placeholder reaching translate() raises the
+    bind-through-ChSession guidance instead of leaking into Spark's
+    parser; JSON literals (quoted keys) never match the scan."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    with _pytest.raises(ValueError, match="SET param_p"):
+        translate("SELECT {p:Int64} AS x")
+    t = translate("SELECT JSONHas('{\"a\": 1}', 'a') AS h")
+    assert "get_json_object" in t
