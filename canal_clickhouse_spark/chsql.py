@@ -5297,6 +5297,15 @@ def _rewrite_with_totals(q: str) -> str:
         if not m:
             return q
         cols = q[m.start("cols") : m.end("cols")].strip()
+        if re.search(r"(?is)\bWITH\s+(CUBE|ROLLUP)\s*$", cols):
+            # previously spliced 'k WITH CUBE' into the grouping-sets list
+            # → broken SQL
+            raise ValueError(
+                "WITH CUBE/ROLLUP WITH TOTALS: the CUBE/ROLLUP result"
+                " already contains the grand-total () grouping — drop"
+                " WITH TOTALS, or spell the exact set list with GROUP BY"
+                " GROUPING SETS"
+            )
         depth = _paren_depth_at(masked, m.start())
         # a HAVING directly after the totals clause at the same depth
         hm = re.compile(
@@ -5805,6 +5814,7 @@ def _rewrite_clauses(q: str) -> str:
     # predicate clauses are covered, before the LIMIT BY restructure
     # nests the query).
     q = _rewrite_where_aliases(q)
+    q = _rewrite_select_alias_macros(q)
     # multi-column membership needs matching struct field names on Spark
     q = _rewrite_tuple_in(q)
     # CH's GLOBAL JOIN forces the right side to every shard — on Spark the
@@ -6208,6 +6218,63 @@ def _rewrite_where_aliases(q: str) -> str:
         mbody = _mask_literals(body)
     if changed:
         q = q[:wstart] + body + q[wend:]
+    return q
+
+
+def _rewrite_select_alias_macros(q: str) -> str:
+    """CH aliases are macros inside OTHER select items too — including
+    AGGREGATE arguments (``SELECT x*2 AS d, sum(d)``), which Spark's
+    lateral column alias explicitly refuses (r8 probe:
+    LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC). Expand alias references
+    textually across the top-level select list — CH's own substitution
+    model, covering forward references as well. Self-referential
+    definitions (an alias shadowing a source column it uses) are left to
+    Spark's scoping."""
+    masked = _mask_literals(q)
+    sm = re.search(r"(?i)\bSELECT\b", masked)
+    if not sm or _paren_depth_at(masked, sm.start()) != 0:
+        return q
+    fm = next(
+        (f for f in re.finditer(r"(?i)\bFROM\b", masked)
+         if _paren_depth_at(masked, f.start()) == 0),
+        None,
+    )
+    if not fm or fm.start() < sm.end():
+        return q
+    aliases: dict[str, str] = {}
+    for item in _split_args(q[sm.end() : fm.start()]):
+        am = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", item.strip())
+        if am:
+            aliases[am.group(2)] = am.group(1).strip()
+    if not aliases:
+        return q
+    body = q[sm.end() : fm.start()]
+    mbody = _mask_literals(body)
+    changed = False
+    for alias, expr in aliases.items():
+        if re.search(rf"\b{re.escape(alias)}\b", _mask_literals(expr)):
+            continue  # self-referential (column-shadowing) definition
+        sub_spans = _subquery_spans(mbody)
+        out, last = [], 0
+        for mm in re.finditer(rf"\b{re.escape(alias)}\b", mbody):
+            a, b = mm.span()
+            if any(s < a < e for s, e in sub_spans):
+                continue  # subquery scope
+            prev = mbody[:a].rstrip()[-1:]
+            nxt = mbody[b:].lstrip()[:1]
+            if prev in (".", "`") or nxt == "(":
+                continue  # qualified name / function call
+            if re.search(r"(?i)\bAS$", mbody[:a].rstrip()):
+                continue  # the definition site itself
+            out.append(body[last:a])
+            out.append(f"({expr})")
+            last = b
+            changed = True
+        out.append(body[last:])
+        body = "".join(out)
+        mbody = _mask_literals(body)
+    if changed:
+        return q[: sm.end()] + body + q[fm.start() :]
     return q
 
 

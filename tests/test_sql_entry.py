@@ -2313,3 +2313,33 @@ def test_chsql_unbound_parameter_guard(spark):
         translate("SELECT {p:Int64} AS x")
     t = translate("SELECT JSONHas('{\"a\": 1}', 'a') AS h")
     assert "get_json_object" in t
+
+
+def test_chsql_alias_in_aggregate_and_cube_totals(spark):
+    """r8: CH's alias-as-macro model inside AGGREGATE arguments — Spark's
+    lateral column alias refuses these (LATERAL_COLUMN_ALIAS_IN_
+    AGGREGATE_FUNC), so select-list references expand textually (forward
+    references included, subquery scopes untouched). WITH CUBE/ROLLUP ×
+    WITH TOTALS raises the already-contains-() guidance instead of
+    emitting broken grouping-sets SQL."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql("SELECT 1 AS x, 10.0 AS y UNION ALL SELECT 2, 20.0"
+              ).createOrReplaceTempView("am8")
+    q = lambda s: [tuple(r) for r in spark.sql(translate(s)).collect()]
+    assert q("SELECT x % 2 AS d, sum(d) AS s FROM am8 GROUP BY d"
+             " ORDER BY d") == [(0, 0), (1, 1)]
+    # forward reference
+    assert q("SELECT sum(d) AS s, x % 2 AS d FROM am8 GROUP BY d"
+             " ORDER BY d") == [(0, 0), (1, 1)]
+    # plain lateral chains still work
+    assert q("SELECT x + 1 AS b, b * 2 AS c FROM am8 ORDER BY b") == \
+        [(2, 4), (3, 6)]
+    # subquery scopes are not rewritten from the outer list
+    assert q("SELECT count(DISTINCT d) AS u FROM"
+             " (SELECT x % 2 AS d FROM am8)") == [(2,)]
+    with _pytest.raises(ValueError, match="GROUPING SETS"):
+        translate("SELECT x, count() FROM am8 GROUP BY x WITH CUBE"
+                  " WITH TOTALS")
