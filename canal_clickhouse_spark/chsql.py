@@ -67,6 +67,13 @@ site; everything not listed here is intended to be value-identical):
     ellipsoid correction (~0.3% worst case) is not modeled.
   - toWeek raises a guided error (mode-dependent numbering); toISOWeek is
     exact.
+  - plain round(x) passes through to Spark's HALF_UP; CH rounds floats
+    half-to-EVEN (banker's). Exact halves of float EXPRESSIONS rarely
+    occur, and the DuckDB oracle convention is HALF_UP too — spell
+    roundBankers (mapped to bround) when CH's float tie-break matters.
+  - out-of-bounds array subscripts return NULL (try_element_at); CH
+    returns the element type's default (0 / '') — noted again at the
+    subscript rewrite.
 """
 
 from __future__ import annotations
@@ -329,7 +336,6 @@ _RENAME = {
     "ifnull": "coalesce",
     "assumenotnull": "",  # identity in a NOT NULL engine
     "arraysum": "aggregate",  # special-cased below
-    "indexof": "array_position",  # both 1-based, 0 when absent
     "arrayconcat": "concat",
     "arrayslice": "slice",
     "arraystringconcat": "array_join",
@@ -2063,6 +2069,16 @@ def _translate_call(name: str, args: list[str]) -> str:
             u = f"array_union({u}, {a})"
             it = f"array_intersect({it}, {a})"
         return f"array_except({u}, {it})"
+    if low == "indexof":
+        # CH's indexOf uses NULL-SAFE equality — indexOf([1, NULL], NULL)
+        # = 2, and 0 when absent (r8 doc-pin: the former plain
+        # array_position rename returned NULL for a NULL needle and
+        # could not find NULL elements). Null-safe compare first, then
+        # position of the first true.
+        return (
+            f"COALESCE(array_position(transform({args[0]},"
+            f" _ix -> _ix <=> ({args[1]})), true), 0)"
+        )
     if low == "indexofassumesorted":
         return f"COALESCE(array_position({args[0]}, {args[1]}), 0)"
     if low == "port":
@@ -3936,6 +3952,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "corrstable", "covarpopstable", "covarsampstable", "stddevpopstable",
     "stddevsampstable", "varpopstable", "varsampstable", "iszeroornull",
     "arrayunion", "arraysymmetricdifference", "indexofassumesorted",
+    "indexof",
     "port", "cuturlparameter", "urlpathhierarchy", "domainwithoutwww",
     "randomstring", "randomprintableascii", "nothing", "user",
     "dividedecimal", "multiplydecimal",

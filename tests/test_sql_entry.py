@@ -164,7 +164,11 @@ def test_chsql_clause_rewrites():
         "try_element_at(arr, 1) + try_element_at(array(4), 1)"
 
     # Round-3 rename/special batch.
-    assert translate("indexOf(arr, 3)") == "array_position(arr, 3)"
+    # r8: indexOf became NULL-SAFE (CH finds NULL elements; plain
+    # array_position returned NULL for a NULL needle) — see
+    # test_chsql_doc_example_pins for the value pins
+    assert "array_position" in translate("indexOf(arr, 3)")
+    assert "<=>" in translate("indexOf(arr, 3)")
     assert translate("arrayCount(x -> x > 2, arr)") == "size(filter(arr, x -> x > 2))"
     assert translate("arrayFirst(x -> x > 2, arr)") == "filter(arr, x -> x > 2)[0]"
     assert translate("arrayUniq(arr)") == "size(array_distinct(arr))"
@@ -2343,3 +2347,66 @@ def test_chsql_alias_in_aggregate_and_cube_totals(spark):
     with _pytest.raises(ValueError, match="GROUPING SETS"):
         translate("SELECT x, count() FROM am8 GROUP BY x WITH CUBE"
                   " WITH TOTALS")
+
+
+def test_chsql_doc_example_pins(spark):
+    """Value pins from ClickHouse's own documentation examples — a
+    translation-fidelity battery across the mapped surface (r8). The
+    indexOf pin found a real bug: the plain array_position rename used
+    null-UNSAFE equality, so a NULL needle returned NULL instead of the
+    match position (CH's indexOf compares null-safely)."""
+    import datetime
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    pins = [
+        ("formatReadableSize(1024)", "1.00 KiB"),
+        ("formatReadableSize(1)", "1.00 B"),
+        ("formatReadableQuantity(1024)", "1.02 thousand"),
+        ("bar(10, 0, 20, 10)", "█████"),
+        ("arrayCumSum([1, 1, 1, 1])", [1, 2, 3, 4]),
+        ("arrayDifference([1, 2, 3, 4])", [0, 1, 1, 1]),
+        ("arrayCompact([1, 1, 2, 2, 3])", [1, 2, 3]),
+        ("bitmaskToList(50)", "2,16,32"),
+        ("IPv4NumToString(3232235521)", "192.168.0.1"),
+        ("splitByChar(',', '1,2,3')", ["1", "2", "3"]),
+        ("arrayStringConcat(['12', '3', '4'], ';')", "12;3;4"),
+        ("toYYYYMM(toDate('2020-03-05'))", 202003),
+        ("editDistance('clickhouse', 'mouse')", 6),
+        ("soundex('aksel')", "A240"),
+        ("hex(255)", "FF"),
+        ("toDayOfYear(toDate('2023-01-10'))", 10),
+        ("arrayRotateLeft([1, 2, 3, 4, 5, 6], 2)", [3, 4, 5, 6, 1, 2]),
+        ("countSubstrings('aaaa', 'aa')", 2),
+        ("positionCaseInsensitive('Hello', 'hello')", 1),
+        ("arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])", 0.75),
+        ("widthBucket(10.15, 0, 20, 10)", 6),
+        ("lengthUTF8('привет')", 6),
+        ("substringUTF8('привет', 2, 3)", "рив"),
+        ("bin(14)", "00001110"),
+        ("L1Distance([1, 2], [2, 3])", 2.0),
+        ("toUnixTimestamp(toDateTime('2017-11-05 08:07:47'))", 1509869267),
+        ("timeSlot(toDateTime('2012-01-01 12:20:00'))",
+         datetime.datetime(2012, 1, 1, 12, 0)),
+        ("roundDuration(230)", 180),
+        ("roundAge(23)", 18),
+        ("roundToExp2(100)", 64),
+        ("intDiv(7, 3)", 2),
+        ("gcd(27, 18)", 9),
+        ("bitCount(333)", 5),
+        ("arrayEnumerateUniq([10, 20, 10, 30])", [1, 1, 2, 1]),
+        ("indexOf([1, 3, NULL, NULL], NULL)", 3),
+        ("indexOf([1, 3], 3)", 2),
+        ("indexOf([1, 3], 9)", 0),
+        ("trimBoth('     Hello, world!     ')", "Hello, world!"),
+        # arrayShiftLeft pads NULL where CH pads the type default —
+        # documented divergence; the explicit fill argument is exact:
+        ("arrayShiftLeft([1, 2, 3, 4, 5, 6], 2, 0)", [3, 4, 5, 6, 0, 0]),
+    ]
+    for expr, want in pins:
+        got = one(expr)
+        if isinstance(want, float):
+            assert abs(got - want) < 1e-6, (expr, got, want)
+        else:
+            assert got == want, (expr, got, want)
