@@ -3134,7 +3134,16 @@ def _translate_call(name: str, args: list[str]) -> str:
         # documented clamp, same class as the FixedString divergence
         return f"CAST({args[0]} AS DECIMAL(38, {args[1]}))"
     if low == "trybase64decode":
-        return f"CAST(try_to_binary({args[0]}, 'base64') AS STRING)"
+        # CH returns '' (not NULL) on invalid input — r8 doc pin
+        return (
+            f"COALESCE(CAST(try_to_binary({args[0]}, 'base64')"
+            " AS STRING), '')"
+        )
+    if low == "alphatokens":
+        # runs of a-zA-Z letters (CH's pre-`tokens` splitter)
+        return (
+            f"filter(split({args[0]}, '[^A-Za-z]+'), _t -> _t != '')"
+        )
     if low == "tuplenames":
         return f"json_object_keys(to_json({args[0]}))"
     if low == "tupletonamevaluepairs":
@@ -3952,7 +3961,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "corrstable", "covarpopstable", "covarsampstable", "stddevpopstable",
     "stddevsampstable", "varpopstable", "varsampstable", "iszeroornull",
     "arrayunion", "arraysymmetricdifference", "indexofassumesorted",
-    "indexof",
+    "indexof", "alphatokens",
     "port", "cuturlparameter", "urlpathhierarchy", "domainwithoutwww",
     "randomstring", "randomprintableascii", "nothing", "user",
     "dividedecimal", "multiplydecimal",

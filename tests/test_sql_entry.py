@@ -1669,7 +1669,8 @@ def test_chsql_r7_third_probe_batch(spark):
     # misc
     assert str(one("toDecimal256('1.5', 4)")) == "1.5000"
     assert one("tryBase64Decode('eA==')") == "x"
-    assert one("tryBase64Decode('%%%')") is None
+    # r8 doc pin: CH returns '' (not NULL) on invalid base64
+    assert one("tryBase64Decode('%%%')") == ""
     assert one("tupleNames(tuple(1, 2))") == ["col1", "col2"]
     # guided errors name the nearest supported alternative
     for bad, hint in [
@@ -2410,3 +2411,62 @@ def test_chsql_doc_example_pins(spark):
             assert abs(got - want) < 1e-6, (expr, got, want)
         else:
             assert got == want, (expr, got, want)
+
+
+def test_chsql_doc_example_pins_batch2(spark):
+    """Second CH-docs pin battery (r8): array surgery, date bucketing,
+    URL parts, format(), simpleJSON, padding. Found and fixed:
+    tryBase64Decode returned NULL where CH returns '' on invalid input;
+    alphaTokens was unmapped. Documented divergences pinned AS OURS:
+    arrayResize/arrayShift 2-arg forms pad NULL (CH pads the type
+    default; the explicit fill argument is exact), and add{Months,…}
+    widen Date to Timestamp (value-equal at midnight)."""
+    import datetime
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    pins = [
+        ("arraySlice([1, 2, 3, 4, 5], 2, 3)", [2, 3, 4]),
+        ("arrayPushBack(['a'], 'b')", ["a", "b"]),
+        ("arrayPopBack([1, 2, 3])", [1, 2]),
+        ("arrayResize([1], 3, 0)", [1, 0, 0]),
+        ("arrayResize([1], 3)", [1, None, None]),  # documented NULL pad
+        ("splitByRegexp('\\\\d+', 'a12bc23de345f')", ["a", "bc", "de", "f"]),
+        ("alphaTokens('abca1abc')", ["abca", "abc"]),
+        ("extractAll('aaa==bbb==ccc', '[^=]+')", ["aaa", "bbb", "ccc"]),
+        ("mapKeys(map('a', 1))", ["a"]),
+        ("toStartOfQuarter(toDate('2023-04-21'))", datetime.date(2023, 4, 1)),
+        ("toLastDayOfMonth(toDate('2023-04-21'))",
+         datetime.date(2023, 4, 30)),
+        ("addMonths(toDate('2023-01-31'), 1)",
+         datetime.datetime(2023, 2, 28)),  # documented Date→Timestamp widen
+        ("dateName('weekday', toDate('2023-04-21'))", "Friday"),
+        ("toISOWeek(toDate('2023-01-01'))", 52),
+        ("toISOYear(toDate('2023-01-01'))", 2022),
+        ("formatDateTime(toDate('2010-01-04'), '%Y-%m-%d')", "2010-01-04"),
+        ("leftPad('abc', 7, '*')", "****abc"),
+        ("rightPad('abc', 7, '*')", "abc****"),
+        ("format('{1} {0}', 'World', 'Hello')", "Hello World"),
+        ("multiSearchFirstPosition('Hello World', ['llo', 'Wor'])", 3),
+        ("ascii('A')", 65),
+        ("char(104, 101)", "he"),
+        ("bitTest(43, 1)", 1),
+        ("sign(-5)", -1),
+        ("mapContains(map('a', 1), 'a')", True),
+        ("tupleElement((1, 'a'), 2)", "a"),
+        ("simpleJSONExtractInt('{\"abc\": 123}', 'abc')", 123),
+        ("cutQueryString('http://x.com/?a=1')", "http://x.com/"),
+        ("protocol('https://x.com')", "https"),
+        ("queryString('http://x.com/?a=1&b=2')", "a=1&b=2"),
+        ("fragment('http://x.com/#frag')", "frag"),
+        ("decodeURLComponent('a%20b')", "a b"),
+        ("base64Encode('clickhouse')", "Y2xpY2tob3VzZQ=="),
+        ("tryBase64Decode('invalid!!')", ""),
+        ("tryBase64Decode(base64Encode('ok'))", "ok"),
+        ("isValidJSON('{}')", True),
+        ("startsWith('Spark', 'S')", True),
+    ]
+    for expr, want in pins:
+        got = one(expr)
+        assert got == want, (expr, got, want)
