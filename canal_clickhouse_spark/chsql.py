@@ -3266,6 +3266,9 @@ def _translate_call(name: str, args: list[str]) -> str:
             " python's str.encode('idna') in a Pandas UDF"
         )
     # -- r7 fourth probe batch: simpleJSON / JSON additions
+    # visitParam* are CH's legacy aliases of the simpleJSON family (r8)
+    if low.startswith("visitparam"):
+        low = "simplejson" + low[len("visitparam"):]
     if low in ("simplejsonextractstring", "simplejsonextractraw"):
         return f"get_json_object({args[0]}, {_json_path(args[1])})"
     if low in ("simplejsonextractint", "simplejsonextractuint"):
@@ -4014,6 +4017,9 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "simplejsonextractstring", "simplejsonextractraw",
     "simplejsonextractint", "simplejsonextractuint",
     "simplejsonextractfloat", "simplejsonextractbool", "simplejsonhas",
+    "visitparamhas", "visitparamextractint", "visitparamextractuint",
+    "visitparamextractfloat", "visitparamextractbool",
+    "visitparamextractraw",
     "jsonallpaths", "jsonarraylength", "uniqcombined64", "uniqtheta",
     "singlevalueornull", "maxintersections", "intervallengthsum",
     "materialize", "identity", "ignore", "indexhint", "currentuser",

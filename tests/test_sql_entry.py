@@ -2470,3 +2470,66 @@ def test_chsql_doc_example_pins_batch2(spark):
     for expr, want in pins:
         got = one(expr)
         assert got == want, (expr, got, want)
+
+
+def test_chsql_doc_example_pins_batch3(spark):
+    """Third CH-docs pin battery (r8): JSON extraction family,
+    or-zero arithmetic, null funcs, log/exp, IPv4, substring geometry,
+    Julian days, age vs dateDiff boundary counting. Documented
+    type-divergences pinned as ours: interval+Date widens to Timestamp,
+    and Date − Date yields an INTERVAL (CH: Int32 days — dateDiff is the
+    exact spelling, asserted below)."""
+    import datetime
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    pins = [
+        ("JSONExtractInt('{\"a\": 300}', 'a')", 300),
+        ("JSONExtractString('{\"a\": \"hello\"}', 'a')", "hello"),
+        ("JSONExtractFloat('{\"a\": 3.5}', 'a')", 3.5),
+        ("JSONExtractBool('{\"a\": true}', 'a')", True),
+        ("JSONExtractKeys('{\"a\": 1, \"b\": 2}')", ["a", "b"]),
+        ("JSONLength('{\"a\": 1, \"b\": 2}')", 2),
+        ("JSONLength('[1, 2, 3]')", 3),
+        ("JSONType('{}')", "Object"),
+        ("JSONType('[1]')", "Array"),
+        ("visitParamHas('{\"abc\": 1}', 'abc')", True),
+        ("simpleJSONExtractString('{\"a\": \"x\"}', 'a')", "x"),
+        ("intDivOrZero(5, 0)", 0),
+        ("moduloOrZero(5, 0)", 0),
+        ("ifNull(NULL, 7)", 7),
+        ("nullIf(3, 3)", None),
+        ("isNull(NULL)", True),
+        ("exp2(3)", 8.0),
+        ("exp10(2)", 100.0),
+        ("log2(8)", 3.0),
+        ("cbrt(8.0)", 2.0),
+        ("degrees(pi())", 180.0),
+        ("IPv4StringToNum('192.168.0.1')", 3232235521),
+        ("isIPv4String('127.0.0.1')", True),
+        ("isIPv4String('hello')", False),
+        ("toIntervalDay(2) + toDate('2020-01-01')",
+         datetime.datetime(2020, 1, 3)),  # documented widen
+        ("substring('hello', -3)", "llo"),
+        ("left('hello', 2)", "he"),
+        ("right('hello', 2)", "lo"),
+        ("mid('hello', 2, 3)", "ell"),
+        ("locate('ll', 'hello')", 3),
+        ("greatest(1, 5, 3)", 5),
+        ("toStartOfTenMinutes(toDateTime('2023-04-21 10:23:00'))",
+         datetime.datetime(2023, 4, 21, 10, 20)),
+        ("monthName(toDate('2023-04-21'))", "April"),
+        ("toModifiedJulianDay('2020-01-01')", 58849),
+        ("fromModifiedJulianDay(58849)", datetime.date(2020, 1, 1)),
+        ("age('year', toDate('2020-06-01'), toDate('2023-05-31'))", 2),
+        ("dateDiff('year', toDate('2020-12-31'), toDate('2021-01-01'))", 1),
+        # Date − Date: Spark yields INTERVAL; dateDiff is the exact Int
+        ("dateDiff('day', toDate('2020-01-01'), toDate('2020-01-05'))", 4),
+    ]
+    for expr, want in pins:
+        got = one(expr)
+        if isinstance(want, float):
+            assert abs(got - want) < 1e-9, (expr, got, want)
+        else:
+            assert got == want, (expr, got, want)
