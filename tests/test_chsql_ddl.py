@@ -1567,3 +1567,88 @@ def test_parameterized_views(spark, sf_dir):
         ch.execute("SELECT count() AS c FROM pv8")
     ch.execute("CREATE VIEW plain8 AS SELECT count() AS c FROM orders")
     assert ch.execute("SELECT c FROM plain8").collect()[0].c == all_n
+
+
+def test_query_parameters_limit_offset(spark, sf_dir):
+    """r8 verdict defect 1: a {name:Type} placeholder in LIMIT/OFFSET
+    position must splice a plain-INT operand — the typed CAST (BIGINT /
+    SMALLINT / DECIMAL(20,0)) is rejected by Spark as
+    INVALID_LIMIT_LIKE_EXPRESSION. Covers every integer type spelling,
+    the OFFSET form, the two-operand `LIMIT o, n` form, and a
+    parameterized VIEW whose body carries the LIMIT."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE lp (a Int64) ENGINE = MergeTree ORDER BY a")
+    ch.execute("INSERT INTO lp VALUES (1),(2),(3),(4),(5)")
+    for t in ("UInt8", "UInt64", "Int64", "Int32"):
+        got = [r.a for r in ch.execute(
+            "SELECT a FROM lp ORDER BY a LIMIT {n:%s}" % t,
+            params={"n": 2}).collect()]
+        assert got == [1, 2], t
+    got = [r.a for r in ch.execute(
+        "SELECT a FROM lp ORDER BY a LIMIT 2 OFFSET {o:UInt64}",
+        params={"o": 3}).collect()]
+    assert got == [4, 5]
+    got = [r.a for r in ch.execute(
+        "SELECT a FROM lp ORDER BY a LIMIT {o:UInt8}, {n:UInt8}",
+        params={"o": 1, "n": 2}).collect()]
+    assert got == [2, 3]
+    ch.execute("SET param_k = 3")
+    assert len(ch.execute("SELECT a FROM lp LIMIT {k:UInt64}"
+                          ).collect()) == 3
+    # parameterized view carrying the LIMIT in its body
+    ch.execute("CREATE VIEW lpv AS SELECT a FROM lp ORDER BY a"
+               " LIMIT {n:UInt64}")
+    got = [r.a for r in ch.execute("SELECT * FROM lpv(n = 2)").collect()]
+    assert got == [1, 2]
+    # non-LIMIT positions keep the typed CAST (value semantics unchanged)
+    r = ch.execute("SELECT {x:UInt64} AS x", params={"x": 9}).collect()[0]
+    assert int(r.x) == 9
+
+
+def test_create_clone_storage_trailers(spark, sf_dir):
+    """r8 verdict missing #1: `CREATE TABLE x AS y ENGINE = E [PARTITION
+    BY …] [ORDER BY …] [SETTINGS …]` — the schema-clone form with storage
+    trailers (the exact shape SHOW-CREATE dumps emit). The trailers must
+    land in table meta exactly as the typed-columns path records them,
+    and SHOW CREATE TABLE must reflect the new ORDER BY."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE src9 (a Int64, b String)"
+               " ENGINE = MergeTree ORDER BY a")
+    ch.execute("CREATE TABLE c1 AS src9 ENGINE = MergeTree ORDER BY b")
+    assert ch.meta["c1"]["order_by"] == ["b"]
+    ddl = ch.execute("SHOW CREATE TABLE c1").collect()[0][0]
+    assert "ORDER BY (b)" in ddl and "`a` Int64" in ddl
+    ch.execute("CREATE TABLE c2 AS src9 ENGINE = MergeTree"
+               " PARTITION BY a ORDER BY (a, b)"
+               " SETTINGS index_granularity = 8192")
+    assert ch.meta["c2"]["order_by"] == ["a", "b"]
+    assert ch.meta["c2"]["partition_by_ch"] == "a"
+    assert ch.execute("SELECT count() AS c FROM c2").collect()[0].c == 0
+    # trailer-less clone still inherits the source meta
+    ch.execute("CREATE TABLE c3 AS src9")
+    assert ch.meta["c3"]["order_by"] == ["a"]
+    # tuple() trailer clears the inherited sort key
+    ch.execute("CREATE TABLE c4 AS src9 ENGINE = MergeTree"
+               " ORDER BY tuple()")
+    assert ch.meta["c4"]["order_by"] == []
+
+
+def test_exists_view(spark, sf_dir):
+    """r8 advice: EXISTS VIEW must consult the session view catalog —
+    and kind VIEW is view-only (a table name under EXISTS VIEW is 0)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE et (a Int64) ENGINE = MergeTree ORDER BY a")
+    ch.execute("CREATE VIEW ev AS SELECT a FROM et")
+    assert ch.execute("EXISTS VIEW ev").collect()[0].result == 1
+    assert ch.execute("EXISTS VIEW et").collect()[0].result == 0
+    assert ch.execute("EXISTS VIEW nope").collect()[0].result == 0
+    # bare EXISTS (the TABLE form) counts views too — CH catalogs views
+    # as tables
+    assert ch.execute("EXISTS ev").collect()[0].result == 1
+    assert ch.execute("EXISTS TABLE ev").collect()[0].result == 1

@@ -2533,3 +2533,48 @@ def test_chsql_doc_example_pins_batch3(spark):
             assert abs(got - want) < 1e-9, (expr, got, want)
         else:
             assert got == want, (expr, got, want)
+
+
+def test_chsql_r9_advice_fixes(spark):
+    """r9 advice batch: one-arg -If∘-Or* stacks keep the condition
+    (countIfOrNull(cond) previously counted ALL rows); malformed one-arg
+    stacks on non-count bases raise guided (previously raw IndexError);
+    ANSI position(expr IN col) survives complex operands (previously the
+    IN-table sugar mangled the haystack into a table subquery); numeric
+    IN RHS splices a list, not a table; quantilesGK keeps an integer
+    quantile level spelled '1'."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'ab'), (-2, 'xabx'), (3, 'zz')"
+        " AS t9(x, s)"
+    ).createOrReplaceTempView("t9")
+    run1 = lambda q: spark.sql(translate(q)).collect()[0][0]
+    # one-arg -If∘-OrNull / -OrDefault: condition must be applied
+    assert run1("SELECT countIfOrNull(x > 0) AS c FROM t9") == 2
+    assert run1("SELECT countIfOrDefault(x > 0) AS c FROM t9") == 2
+    assert run1("SELECT countIfOrNull(x > 99) AS c FROM t9") is None
+    assert run1("SELECT countIfOrDefault(x > 99) AS c FROM t9") == 0
+    # two-arg stacks unchanged
+    assert run1("SELECT sumIfOrNull(x, x > 0) AS s FROM t9") == 4
+    assert run1("SELECT sumIfOrNull(x, x > 99) AS s FROM t9") is None
+    for bad in ("sumIfOrNull(x > 0)", "avgIfOrDefault(x > 0)",
+                "minIfOrNull(x > 0)"):
+        with _pytest.raises(ValueError, match="one-argument -If"):
+            translate(f"SELECT {bad} FROM t9")
+    # ANSI position with a complex needle: haystack stays a column
+    assert translate("SELECT position(upper(s) IN s) FROM t9") == (
+        "SELECT locate(upper(s), s) FROM t9")
+    assert run1("SELECT position(upper(s) IN s) AS p FROM t9") == 0
+    assert run1("SELECT position('b' IN s) AS p FROM t9") == 2
+    # comma form untouched by the IN rewrite (function handler's job)
+    assert run1("SELECT position(s, 'b') AS p FROM t9") == 2
+    # numeric IN RHS: a one-element list, never FROM <digit>
+    assert translate("SELECT 1 IN 1") == "SELECT 1 IN (1)"
+    assert run1("SELECT 1 IN 1 AS r") is True
+    # quantilesGK: integer level '1' is a LEVEL, not the accuracy param
+    assert run1("SELECT quantiles(1)(x) AS q FROM t9") == [3.0]
+    assert run1("SELECT quantilesGK(100, 0.5)(x) AS q FROM t9") == [1.0]
+    assert run1("SELECT quantilesGK(100, 1)(x) AS q FROM t9") == [3.0]
