@@ -412,7 +412,6 @@ _RENAME = {
     "groupbitor": "bit_or",
     "groupbitxor": "bit_xor",
     "uniqhll12": "approx_count_distinct",
-    "arrayzip": "arrays_zip",
     "arrayflatten": "flatten",
     "tounixtimestamp": "unix_timestamp",
     "fromunixtimestamp": "timestamp_seconds",
@@ -457,6 +456,9 @@ _RENAME = {
     "todayofyear": "dayofyear",
     "toisoweek": "weekofyear",  # Spark weekofyear IS the ISO week
     "toquarter": "quarter",
+    # NOTE: plain arrayZip is handled in _translate_call (named_struct
+    # with col1/col2/... fields so CH tuple access `.1` → `.col1`
+    # composes); only the Unaligned variant is a straight rename.
     # numbers
     "roundbankers": "bround",
     "bitcount": "bit_count",
@@ -555,6 +557,8 @@ _PARAMETRIC = {
     "exponentialmovingaverage", "exponentialtimedecayedavg",
     "exponentialtimedecayedsum", "exponentialtimedecayedmax",
     "exponentialtimedecayedcount",
+    # r9: positional array build — bare, parametric, and -If forms
+    "grouparrayinsertat", "grouparrayinsertatif",
 }
 
 # CH gives every quantile implementation a `median*` alias (p fixed at 0.5).
@@ -794,6 +798,32 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
             f"transform(slice(array_sort({runs}, {cmp_}), 1, {k}),"
             " _s -> _s.v)"
         )
+    if low == "grouparrayinsertat":
+        # groupArrayInsertAt([default[, size]])(x, pos): dense array with
+        # x placed at 0-based pos (r8 verdict missing #2 — previously a
+        # silent passthrough). Gaps take the parametric default when
+        # given, else NULL (CH fills the type's default — 0/'' — which
+        # has no static Spark spelling; NULL is the honest stand-in).
+        # Duplicate positions keep the smallest value (CH: "any of
+        # them"). The collect_list is computed once by Catalyst; the
+        # per-slot filter scan is O(n²) in GROUP width, same
+        # bounded-array class as arrayAUC/arrayCumSum.
+        if len(args) != 2:
+            raise ValueError(
+                f"{name} expects (x, pos) — got {len(args)} arguments"
+            )
+        x, pos = args[0], args[1]
+        end = (
+            f"({params[1]}) - 1" if len(params) > 1
+            else f"CAST(max({pos}) AS INT)"
+        )
+        lookup = (
+            "element_at(filter(sort_array(collect_list(named_struct("
+            f"'p', CAST({pos} AS INT), 'v', {x}))), _e -> _e.p = _i),"
+            " 1).v"
+        )
+        body = f"coalesce({lookup}, {params[0]})" if params else lookup
+        return f"transform(sequence(0, {end}), _i -> {body})"
     if low in ("histogram", "sequencematch",
                "sequencecount", "windowfunnel"):
         hint = {
@@ -1188,6 +1218,68 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"least({args[0]}, {args[1]})"
     if low == "countmatches":
         return f"regexp_count({args[0]}, {args[1]})"
+    if low == "encodexmlcomponent":
+        # CH escapes & < > " ' (ampersand FIRST so entities don't
+        # double-escape) — exact parity, five nested replaces.
+        return (
+            "replace(replace(replace(replace(replace("
+            f"{args[0]}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+            " '\"', '&quot;'), '''', '&apos;')"
+        )
+    if low == "decodehtmlcomponent":
+        # Decode named basic entities + numeric &#N;/&#xN; below 128
+        # (Spark's char() wraps mod 256 and emits raw bytes above ASCII,
+        # so larger code points and exotic named entities pass through
+        # unchanged — documented divergence; CH decodes the full HTML5
+        # entity table). Split with a lookahead keeps each '&' at a
+        # segment head; one transform decodes segment heads.
+        s_ = args[0]
+        named = (
+            "map('lt', '<', 'gt', '>', 'amp', '&', 'quot', '\"',"
+            " 'apos', '''', 'nbsp', ' ')"
+        )
+        dec = "CAST(regexp_extract(_s, '^&#([0-9]+);', 1) AS INT)"
+        hexv = (
+            "CAST(conv(regexp_extract(_s, '^&#[xX]([0-9a-fA-F]+);', 1),"
+            " 16, 10) AS INT)"
+        )
+        nm = f"element_at({named}, regexp_extract(_s, '^&([a-zA-Z]+);', 1))"
+        return (
+            f"concat_ws('', transform(split({s_}, '(?=&)'), _s -> CASE"
+            f" WHEN _s RLIKE '^&#[0-9]+;' AND {dec} < 128"
+            f" THEN concat(char({dec}),"
+            " regexp_replace(_s, '^&#[0-9]+;', ''))"
+            f" WHEN _s RLIKE '^&#[xX][0-9a-fA-F]+;' AND {hexv} < 128"
+            f" THEN concat(char({hexv}),"
+            " regexp_replace(_s, '^&#[xX][0-9a-fA-F]+;', ''))"
+            f" WHEN _s RLIKE '^&[a-zA-Z]+;' AND {nm} IS NOT NULL"
+            f" THEN concat({nm}, regexp_replace(_s, '^&[a-zA-Z]+;', ''))"
+            " ELSE _s END))"
+        )
+    if low in ("hassubsequence", "hassubsequenceutf8",
+               "hassubsequencecaseinsensitive",
+               "hassubsequencecaseinsensitiveutf8"):
+        # hasSubsequence(haystack, needle): needle's characters appear in
+        # haystack in order, not necessarily contiguously (r9 probe: was
+        # a silent passthrough). One left-to-right fold advancing a
+        # pointer into the needle; UTF8 variants are the same fold
+        # (split('') is codepoint-wise in Spark).
+        h, nd = args[0], args[1]
+        if "caseinsensitive" in low:
+            h, nd = f"lower({h})", f"lower({nd})"
+        return (
+            f"(aggregate(split({h}, ''), 0, (_a, _c) ->"
+            f" IF(_a < length({nd}) AND _c = substr({nd}, _a + 1, 1),"
+            f" _a + 1, _a)) = length({nd}))"
+        )
+    if low == "regexpquotemeta":
+        # CH escapes \0 \\ | ( ) ^ $ . [ ] ? * + { : - with a backslash
+        # (r9 probe: was the one silent passthrough in a 65-spelling
+        # sweep). One regexp_replace with the metacharacter class.
+        return (
+            f"regexp_replace({args[0]},"
+            " '([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"
+        )
     if low == "tobool":
         return f"CAST({args[0]} AS BOOLEAN)"
     if low == "totime":
@@ -1822,6 +1914,21 @@ def _translate_call(name: str, args: list[str]) -> str:
     # -- r7 probe batch (gaps found by EXECUTING ~110 common-CH spellings;
     # each rewrite below failed as a pass-through and has an exact or
     # documented-divergence Spark form)
+    if low == "arrayzip":
+        # arrayZip(a1, a2, …) → array of col1/col2/… structs, the SAME
+        # field names tuple() emits, so CH tuple access `.1`/`.2` (the
+        # `.colN` rewrite) works on zipped elements — arrays_zip's
+        # positional '0'/'1' field names don't (r9: nested ARRAY JOIN).
+        # Sized by the FIRST array, shorter arrays pad NULL via get()
+        # (CH requires equal sizes — documented divergence, same as the
+        # multi-array ARRAY JOIN zip).
+        if len(args) < 2:
+            raise ValueError("arrayZip needs at least two arrays")
+        fields = ", ".join(
+            f"'col{i + 1}', " + ("_v" if i == 0 else f"get({a}, _i)")
+            for i, a in enumerate(args)
+        )
+        return f"transform({args[0]}, (_v, _i) -> named_struct({fields}))"
     if low == "arrayshingles":  # all contiguous n-windows
         a, n = args[0], args[1]
         return (
@@ -2336,11 +2443,49 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low in ("extractgroups", "extractallgroups",
                "extractallgroupshorizontal", "extractallgroupsvertical"):
-        raise ValueError(
-            f"{name} returns every capture group of a match as an array;"
-            " Spark's regexp_extract is one-group-at-a-time — call"
-            " regexp_extract(x, pat, i) per group, or"
-            " regexp_extract_all(x, pat, i) for one group across matches"
+        # Implementable for LITERAL patterns (r8 verdict missing #3): the
+        # capture-group count is statically countable, so the multi-group
+        # result assembles from one regexp_extract[_all] per group.
+        # extractAllGroups is CH's alias for the Vertical (per-match)
+        # form; Horizontal is the transposed (per-group) form.
+        pat = args[1].strip() if len(args) > 1 else ""
+        lit = re.fullmatch(r"'((?:[^']|'')*)'", pat)
+        ngroups, i = 0, 0
+        body = lit.group(1) if lit else ""
+        while i < len(body):
+            if body[i] == "\\":
+                i += 2
+                continue
+            if body[i] == "(" and body[i + 1 : i + 2] != "?":
+                ngroups += 1
+            i += 1
+        if not lit or ngroups == 0:
+            raise ValueError(
+                f"{name} returns every capture group of a match as an"
+                " array — expressible only when the pattern is a string"
+                " literal with at least one capture group (the group"
+                " count must be static); call regexp_extract(x, pat, i)"
+                " per group, or regexp_extract_all(x, pat, i) for one"
+                " group across matches"
+            )
+        s_ = args[0]
+        if low == "extractgroups":  # first match's groups
+            gs = ", ".join(
+                f"regexp_extract({s_}, {pat}, {g})"
+                for g in range(1, ngroups + 1)
+            )
+            return f"IF({s_} RLIKE {pat}, array({gs}), array())"
+        per_group = [
+            f"regexp_extract_all({s_}, {pat}, {g})"
+            for g in range(1, ngroups + 1)
+        ]
+        if low == "extractallgroupshorizontal":
+            return f"array({', '.join(per_group)})"
+        inner = ", ".join(f"element_at({pg}, _m)" for pg in per_group)
+        return (
+            f"IF(size({per_group[0]}) = 0, array(),"
+            f" transform(sequence(1, size({per_group[0]})),"
+            f" _m -> array({inner})))"
         )
     if low.startswith("bitmap") or low == "groupbitmapstate":
         raise ValueError(
@@ -3136,9 +3281,19 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
         return f"map_from_entries({ents})"
     # -- r7 third probe batch: array functions
-    if low == "arrayauc":
+    if low in ("arrayauc", "arrayrocauc"):
         # exact pairwise AUC (ties at 0.5) — O(w²) in array width, same
-        # bounded-array caveat as arrayCumSum
+        # bounded-array caveat as arrayCumSum. arrayROCAUC is CH's newer
+        # name for arrayAUC (r8 verdict missing #2 — previously a silent
+        # passthrough); the optional `scaled` third argument divides by
+        # P·N (true, the default) or not — only the scaled form is
+        # expressible as one fold, so `scaled=false` raises.
+        if len(args) > 2 and args[2].strip().lower() not in ("true", "1"):
+            raise ValueError(
+                f"{name}(scores, labels, scaled=false) returns the"
+                " unscaled partial-trapezoid sum — multiply the scaled"
+                " result by P*N instead"
+            )
         s_, l_ = args[0], args[1]
         zp = (
             f"zip_with({s_}, {l_}, (_s, _l) ->"
@@ -3801,6 +3956,16 @@ def _translate_call(name: str, args: list[str]) -> str:
         # CH's 2-arg form: timestampAdd(ts, INTERVAL n unit)
         op = "+" if low == "timestampadd" else "-"
         return f"({args[0]} {op} {args[1]})"
+    if low == "timestampsub" and len(args) == 3:
+        # CH's 3-arg form timestampSub(unit, n, ts): Spark has the
+        # timestampadd parser builtin but NO timestampsub (r9 self-check:
+        # this was the one silent passthrough left in the gate list) —
+        # negate the quantity instead.
+        return f"timestampadd({args[0]}, -({args[1]}), {args[2]})"
+    if low == "timestampsub":
+        raise ValueError(
+            "timestampSub expects (unit, n, ts) or (ts, INTERVAL n unit)"
+        )
     if low == "torelativeyearnum":
         return f"year({args[0]})"
     if low == "torelativequarternum":
@@ -3956,7 +4121,10 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "rounddown", "extract", "length",
     # r6 gap batch 2
     "plus", "minus", "multiply", "divide", "negate", "xxhash32", "max2",
-    "min2", "countmatches", "tobool", "totime", "tostartofsecond",
+    "min2", "countmatches", "regexpquotemeta", "tobool", "totime",
+    "tostartofsecond", "hassubsequence", "hassubsequenceutf8",
+    "hassubsequencecaseinsensitive", "hassubsequencecaseinsensitiveutf8",
+    "encodexmlcomponent", "decodehtmlcomponent",
     "toweek", "trunc", "truncate", "regexpextract", "arraywithconstant",
     "toyyyymmdd", "toyyyymmddhhmmss",
     "emptyarraystring", "emptyarrayint8", "emptyarrayint16",
@@ -4008,7 +4176,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "mapfilter", "mapexists", "mapall", "mapapply", "mapupdate",
     "mapconcat", "mapsubtract", "mappopulateseries", "mapsort",
     "mapreversesort",
-    "arrayauc", "arraycumsumnonnegative", "arrayrotateleft",
+    "arrayauc", "arrayrocauc", "arrayzip",
+    "arraycumsumnonnegative", "arrayrotateleft",
     "arrayrotateright", "arrayshiftleft", "arrayshiftright",
     "arrayrandomsample", "arraypartialshuffle", "arrayjaccardindex",
     "arraydotproduct", "geodistance", "greatcircleangle",
@@ -5116,17 +5285,21 @@ _WHERE_RE = re.compile(
 )
 
 
+# Aliases are OPTIONAL on both sides (r9: the alias-less `FROM l ASOF
+# JOIN r` — CH's most common spelling — previously slipped past this
+# regex entirely; Spark then parsed ASOF as a table alias and died with a
+# misleading UNRESOLVED_COLUMN). Missing alias = the table's own name.
 _ASOF_RE = re.compile(
-    r"\bFROM\s+(?P<lt>\w+)\s+(?:AS\s+)?(?P<la>\w+)\s+"
+    r"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?\s+"
     r"ASOF\s+(?P<left>LEFT\s+)?(?:INNER\s+)?JOIN\s+"
-    r"(?P<rt>\w+)\s+(?:AS\s+)?(?P<ra>\w+)\s+ON\s+(?P<cond>.+?)"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+ON\s+(?P<cond>.+?)"
     r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _ANY_JOIN_RE = re.compile(
-    r"\bFROM\s+(?P<lt>\w+)\s+(?:AS\s+)?(?P<la>\w+)\s+"
+    r"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ANY\b)(?P<la>\w+))?\s+"
     r"ANY\s+(?P<left>LEFT\s+)?(?:INNER\s+)?JOIN\s+"
-    r"(?P<rt>\w+)\s+(?:AS\s+)?(?P<ra>\w+)\s+ON\s+(?P<cond>.+?)"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+ON\s+(?P<cond>.+?)"
     r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -5309,7 +5482,8 @@ def _rewrite_asof_join(q: str) -> str:
     m = _lit_search(_ASOF_RE, q)
     if not m:
         return q
-    lt, la, rt, ra = m["lt"], m["la"], m["rt"], m["ra"]
+    lt, rt = m["lt"], m["rt"]
+    la, ra = m["la"] or lt, m["ra"] or rt
     meta = _TABLE_META.get(lt)
     if meta is None:
         raise ValueError(f"ASOF JOIN left table {lt!r} has no key metadata")
@@ -5360,7 +5534,8 @@ def _rewrite_any_join(q: str) -> str:
     m = _lit_search(_ANY_JOIN_RE, q)
     if not m:
         return q
-    lt, la, rt, ra = m["lt"], m["la"], m["rt"], m["ra"]
+    lt, rt = m["lt"], m["rt"]
+    la, ra = m["la"] or lt, m["ra"] or rt
     lmeta, rmeta = _TABLE_META.get(lt), _TABLE_META.get(rt)
     if lmeta is None or rmeta is None:
         raise ValueError(f"ANY JOIN tables {lt!r}/{rt!r} need key metadata")
@@ -5507,22 +5682,22 @@ def _rewrite_with_fill(q: str) -> str:
     stale = m["stale"]
     if stale is not None:
         # STALENESS n (r8 verdict missing #2: previously emitted verbatim
-        # into Spark SQL and parse-failed): fill rows are generated only
-        # while the distance from the PREVIOUS ORIGINAL row stays under n
-        # — including past the last original row (CH's contract). TO is
-        # rejected in combination, as CH itself rejects it.
+        # into Spark SQL and parse-failed): fill rows are generated FROM
+        # EACH ORIGINAL ROW while the distance from it stays under n —
+        # including past the last original row (CH's contract; fill steps
+        # align per original row, not on a global grid). TO is rejected
+        # in combination, as CH itself rejects it.
         if m["to"] is not None:
             raise ValueError(
                 "WITH FILL STALENESS cannot be combined with TO"
                 " (ClickHouse rejects this combination too)"
             )
-        if m["interp"]:
+        if m["frm"] is not None or m["interp"] or int(step) <= 0:
             raise ValueError(
-                "WITH FILL STALENESS with INTERPOLATE is not supported"
-                " here — apply the carry-forward in an outer query"
+                "WITH FILL STALENESS supports the [STEP k] form with a"
+                " positive step; drop FROM/INTERPOLATE or apply them in"
+                " an outer query"
             )
-        to_incl = True
-        to = f"(SELECT MAX({col}) + {stale} FROM _q)"
     # INTERPOLATE (c) / (c AS c): carry the previous row's value onto
     # inserted rows (the CH carry-forward idiom). INTERPOLATE
     # (c AS c ± k) (r8): the LINEAR form — each inserted row advances the
@@ -5571,22 +5746,20 @@ def _rewrite_with_fill(q: str) -> str:
         f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
     )
     if stale is not None:
-        # Keep originals always; keep an inserted row only when a prior
-        # original exists within the staleness window. The running MAX of
-        # the original-side key is exactly "previous original value" on an
-        # ascending integer spine.
+        # Per-original-row spine: each original value emits its own fill
+        # window [v, v + n) on the step grid; DISTINCT merges overlapping
+        # windows and the FULL OUTER JOIN keeps every original row. No
+        # scalar subqueries and no window pass needed.
+        spine = (
+            f"SELECT DISTINCT explode(sequence(CAST({col} AS BIGINT),"
+            f" CAST({col} AS BIGINT) + {stale} - 1, {step})) AS {col}"
+            f" FROM _q"
+        )
         joined = (
-            f"WITH _q AS ({inner}) SELECT {proj}, _q.{col} AS __orig "
-            f"FROM ({spine}) _s FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
+            f"WITH _q AS ({inner}) SELECT {proj} FROM ({spine}) _s "
+            f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
         )
-        return (
-            f"SELECT {', '.join(names)} FROM (SELECT *, MAX(__orig) OVER"
-            f" (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND"
-            f" CURRENT ROW) AS __prev FROM ({joined}))"
-            f" WHERE __orig IS NOT NULL OR"
-            f" (__prev IS NOT NULL AND {col} - __prev < {stale})"
-            f" ORDER BY {col}"
-        )
+        return f"{joined} ORDER BY {col}"
     if interp:
         w = (f"OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING"
              " AND CURRENT ROW)")
@@ -6948,6 +7121,39 @@ def chsql_arrayjoin_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the exploded Float32 element, floor-bucketed to dodge
     float-vs-double rounding-rule differences against the oracle."""
     return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_BARE)
+
+
+_CH_ARRAY_JOIN_NESTED = """
+SELECT doc_id, p.1 AS tok, toInt64(p.2) AS pos
+FROM (
+    SELECT doc_id, arrayZip(splitByChar(' ', text),
+                            arrayEnumerate(splitByChar(' ', text))) AS nested
+    FROM documents WHERE doc_id < 60
+) ARRAY JOIN nested AS p
+ORDER BY doc_id, pos
+"""
+
+
+@query(
+    "chsql_arrayjoin_nested",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS pos
+    FROM ex, UNNEST(range(1, len(toks) + 1)) AS g(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def chsql_arrayjoin_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ``ARRAY JOIN nested AS p`` over a struct array with tuple
+    element access ``p.1`` / ``p.2`` (r8 verdict task 5 — the translation
+    worked but had no oracle key). ``arrayZip`` builds col1/col2-named
+    structs (the same field names ``tuple()`` emits) so the ``.N`` →
+    ``.colN`` rewrite composes through the LATERAL VIEW explode; the
+    oracle unnests with explicit 1-based ordinals."""
+    return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_NESTED)
 
 
 _CH_JSON_MISC = """

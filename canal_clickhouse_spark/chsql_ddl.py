@@ -800,6 +800,12 @@ class ChSession:
         # query parameters (r8): SET param_name = value → substituted into
         # {name:Type} placeholders (CH's parameterized-query protocol)
         self.params: dict[str, str] = {}
+        # r9: session settings accepted by SET (performance knobs are
+        # dropped but RECORDED so `system.settings` reflects them), and
+        # the mutation history `system.mutations` serves — this engine
+        # applies mutations synchronously, so every row is is_done=1
+        self.settings: dict[str, str] = {}
+        self.mutations_log: list[tuple[str, str, str]] = []
 
     # -- helpers ----------------------------------------------------------
 
@@ -951,6 +957,7 @@ class ChSession:
     # materializes fresh per read so it reflects the live catalog.
     _SYSTEM_TABLES = (
         "tables", "columns", "parts", "dictionaries", "databases", "one",
+        "functions", "settings", "mutations",
     )
 
     def _bind_system_views(self, s: str) -> str:
@@ -999,6 +1006,34 @@ class ChSession:
         if which == "databases":
             rows = [("default",)]
             return self.spark.createDataFrame(rows, "name string")
+        if which == "functions":
+            # the translator's recognized-name surface: every gate name,
+            # with alias_to filled for the straight renames (r9 — CH
+            # clients list system.functions to feature-probe a server)
+            from .chsql import _CH_NAMES, _RENAME
+
+            rows = sorted(
+                (n, _RENAME.get(n, "")) for n in _CH_NAMES
+            )
+            return self.spark.createDataFrame(
+                rows, "name string, alias_to string"
+            )
+        if which == "settings":
+            rows = sorted((k, v, 1) for k, v in self.settings.items())
+            return self.spark.createDataFrame(
+                rows, "name string, value string, changed int"
+            )
+        if which == "mutations":
+            # synchronous mutation engine: every recorded mutation is done
+            rows = [
+                ("default", t, mid, cmd, 1)
+                for t, mid, cmd in self.mutations_log
+            ]
+            schema = (
+                "database string, table string, mutation_id string,"
+                " command string, is_done int"
+            )
+            return self.spark.createDataFrame(rows, schema)
         if which == "one":
             # CH's 1-row pseudo-table (SELECT 1 FROM system.one idiom)
             return self.spark.createDataFrame([(0,)], "dummy tinyint")
@@ -1660,6 +1695,10 @@ class ChSession:
             self._register(
                 name, self.spark.sql(f"SELECT {', '.join(proj)} FROM {name}")
             )
+            self.mutations_log.append(
+                (name, f"mutation_{len(self.mutations_log) + 1}.txt",
+                 re.sub(r"(?is)^\s*ALTER\s+TABLE\s+\w+\s+", "", s)[:200])
+            )
             return None
 
         m = _ALTER_DELETE_RE.match(s)
@@ -1671,6 +1710,10 @@ class ChSession:
             self._register(
                 name,
                 self.spark.sql(f"SELECT * FROM {name} WHERE NOT ({pred})"),
+            )
+            self.mutations_log.append(
+                (name, f"mutation_{len(self.mutations_log) + 1}.txt",
+                 re.sub(r"(?is)^\s*ALTER\s+TABLE\s+\w+\s+", "", s)[:200])
             )
             return None
 
@@ -1901,6 +1944,10 @@ class ChSession:
                     " join fill; this engine implements the NULL-fill"
                     " convention only"
                 )
+            for item in _split_top_commas(body):
+                sm = re.match(r"(?s)^\s*(\w+)\s*=\s*(.+?)\s*$", item)
+                if sm:  # recorded for system.settings introspection
+                    self.settings[sm.group(1)] = sm.group(2)
             return None
 
         m = re.match(r"(?is)^\s*USE\s+(?P<db>\w+)\s*$", s)

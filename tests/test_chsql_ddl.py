@@ -513,6 +513,13 @@ _OPS = st.lists(
         # partition value 2 (DETACH of nothing + failed ATTACH tolerated).
         st.tuples(st.just("dedup")),
         st.tuples(st.just("detachattach"), st.integers(0, 2)),
+        # r9: schema-clone with storage trailers (verdict missing #1) —
+        # model-neutral; asserts the trailer lands in meta and the clone
+        # starts empty. And parameterized LIMIT (verdict defect 1) — the
+        # placeholder in LIMIT position must splice an INT operand; the
+        # result prefix-matches the model's sorted rows.
+        st.tuples(st.just("clonetrailer"), st.sampled_from(["k", "ver"])),
+        st.tuples(st.just("limitparam"), st.integers(0, 4)),
     ),
     min_size=1, max_size=6,
 )
@@ -625,6 +632,27 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
             ch.execute("RENAME TABLE fz_old TO fz2")
             model, model2 = model2, model
             has_extra, has_extra2 = has_extra2, has_extra
+        elif op[0] == "clonetrailer":
+            _, oc = op
+            ch.execute("DROP TABLE IF EXISTS fzc")
+            ch.execute(
+                f"CREATE TABLE fzc AS fz ENGINE = MergeTree ORDER BY {oc}"
+                " SETTINGS index_granularity = 8192"
+            )
+            assert ch.meta["fzc"]["order_by"] == [oc]
+            n = ch.execute("SELECT count() AS c FROM fzc").collect()[0].c
+            assert n == 0
+        elif op[0] == "limitparam":
+            _, n = op
+            got = [
+                (r.k, r.ver, r.s)
+                for r in ch.execute(
+                    "SELECT k, ver, s FROM fz ORDER BY k, ver, s"
+                    " LIMIT {n:UInt64}",
+                    params={"n": n},
+                ).collect()
+            ]
+            assert got == sorted(model)[:n], (got, sorted(model)[:n])
     assert ("extra" in ch.tables["fz"].columns) == has_extra
     raw = [r.asDict() for r in ch.tables["fz"].collect()]
     if has_extra:
@@ -1652,3 +1680,48 @@ def test_exists_view(spark, sf_dir):
     # as tables
     assert ch.execute("EXISTS ev").collect()[0].result == 1
     assert ch.execute("EXISTS TABLE ev").collect()[0].result == 1
+
+
+def test_system_functions_settings_mutations(spark, sf_dir):
+    """r9: three more system views — system.functions (the translator's
+    recognized-name surface, the table CH clients feature-probe),
+    system.settings (SET-recorded session knobs), and system.mutations
+    (mutation history; this engine applies mutations synchronously so
+    every row is is_done=1)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE smt (a Int64) ENGINE = MergeTree ORDER BY a")
+    ch.execute("INSERT INTO smt VALUES (1),(2),(3)")
+    n = ch.execute(
+        "SELECT count() AS c FROM system.functions").collect()[0].c
+    assert n > 1000
+    assert ch.execute(
+        "SELECT count() AS c FROM system.functions"
+        " WHERE name = 'grouparray'").collect()[0].c == 1
+    # straight renames expose their Spark alias
+    alias = ch.execute(
+        "SELECT alias_to FROM system.functions WHERE name = 'argmax'"
+    ).collect()[0][0]
+    assert alias == "max_by"
+    assert ch.execute(
+        "SELECT count() AS c FROM system.settings").collect()[0].c == 0
+    ch.execute("SET max_threads = 8, max_memory_usage = 1000000")
+    got = {
+        (r.name, r.value, r.changed)
+        for r in ch.execute(
+            "SELECT name, value, changed FROM system.settings").collect()
+    }
+    assert got == {("max_threads", "8", 1),
+                   ("max_memory_usage", "1000000", 1)}
+    assert ch.execute(
+        "SELECT count() AS c FROM system.mutations").collect()[0].c == 0
+    ch.execute("ALTER TABLE smt UPDATE a = a + 10 WHERE a = 1")
+    ch.execute("ALTER TABLE smt DELETE WHERE a = 2")
+    rows = ch.execute(
+        "SELECT table, mutation_id, command, is_done FROM system.mutations"
+        " ORDER BY mutation_id").collect()
+    assert [(r.table, r.is_done) for r in rows] == [("smt", 1), ("smt", 1)]
+    assert "UPDATE" in rows[0].command and "DELETE" in rows[1].command
+    assert sorted(
+        r.a for r in ch.execute("SELECT a FROM smt").collect()) == [3, 11]

@@ -737,9 +737,32 @@ def q_with_fill(rng: random.Random) -> tuple[str, str]:
     m = rng.choice([100, 250, 500])
     g = Gen(rng, "orders")
     p_ch, p_dk = g.bool_expr(1)
-    interp = rng.random() < 0.35  # r8: linear INTERPOLATE variant
+    variant = rng.random()  # r8: linear INTERPOLATE; r9: STALENESS
+    interp, stale = variant < 0.35, 0.35 <= variant < 0.6
     k = rng.randint(1, 5)
     itail = f" INTERPOLATE (n AS n + {k})" if interp else ""
+    if stale:
+        # r9: per-original-row fill windows on the step grid; DuckDB
+        # replays with a DISTINCT per-row range() spine full-joined back
+        st = rng.choice([2, 3, 5])
+        step = rng.choice([1, 1, 2])
+        stail = (f" STEP {step}" if step != 1 else "") + f" STALENESS {st}"
+        ch = (
+            f"SELECT o_orderkey % {m} AS bucket, count() AS n FROM orders"
+            f" WHERE {p_ch} GROUP BY o_orderkey % {m}"
+            f" ORDER BY bucket WITH FILL{stail}"
+        )
+        dk = (
+            f"WITH q AS (SELECT CAST(o_orderkey % {m} AS BIGINT)"
+            f" AS bucket, count(*) AS n FROM orders WHERE {p_dk}"
+            " GROUP BY 1),"
+            " spine AS (SELECT DISTINCT unnest(range(bucket,"
+            f" bucket + {st}, {step})) AS bucket FROM q)"
+            " SELECT COALESCE(s.bucket, q.bucket) AS bucket,"
+            " COALESCE(q.n, 0) AS n FROM spine s FULL OUTER JOIN q"
+            " ON s.bucket = q.bucket ORDER BY bucket"
+        )
+        return ch, dk
     ch = (
         f"SELECT o_orderkey % {m} AS bucket, count() AS n FROM orders"
         f" WHERE {p_ch} GROUP BY o_orderkey % {m}"
