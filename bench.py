@@ -118,6 +118,10 @@ EXTENDED: tuple[str, ...] = (
     # r8 probe-batch 5 keys (>0.5 s median at birth)
     "chsql_combinator_stacks",  # -Array∘-If / -If∘-OrNull / ternary aggs
     "chsql_multiarray_hof",   # two-array zipped HOF lambdas + ANSI position
+    # r9 (verdict task 5): nested ARRAY JOIN struct-array key, gated from
+    # birth (1.55 s median — mostly the per-call ch_sql fixture
+    # registration, same class as chsql_table_fns)
+    "chsql_arrayjoin_nested",
 )
 
 

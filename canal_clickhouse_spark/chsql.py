@@ -7126,9 +7126,10 @@ def chsql_arrayjoin_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CH_ARRAY_JOIN_NESTED = """
 SELECT doc_id, p.1 AS tok, toInt64(p.2) AS pos
 FROM (
-    SELECT doc_id, arrayZip(splitByChar(' ', text),
-                            arrayEnumerate(splitByChar(' ', text))) AS nested
-    FROM documents WHERE doc_id < 60
+    SELECT doc_id, arrayMap((t, i) -> tuple(t, i),
+                            toks, arrayEnumerate(toks)) AS nested
+    FROM (SELECT doc_id, splitByChar(' ', text) AS toks
+          FROM documents WHERE doc_id < 60)
 ) ARRAY JOIN nested AS p
 ORDER BY doc_id, pos
 """
