@@ -484,7 +484,6 @@ _RENAME = {
     "arrayconcat": "concat",
     "arrayslice": "slice",  # both 1-based (arr, offset, length)
     "arraysort": "sort_array",
-    "arrayintersect": "array_intersect",
     "arrayflatten": "flatten",
     # bit aggregates — direct Spark aggregate equivalents
     "groupbitand": "bit_and",
@@ -559,6 +558,8 @@ _PARAMETRIC = {
     "exponentialtimedecayedcount",
     # r9: positional array build — bare, parametric, and -If forms
     "grouparrayinsertat", "grouparrayinsertatif",
+    # r9: trailing-window folds over the collected list
+    "grouparraymovingsum", "grouparraymovingavg",
 }
 
 # CH gives every quantile implementation a `median*` alias (p fixed at 0.5).
@@ -798,6 +799,22 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
             f"transform(slice(array_sort({runs}, {cmp_}), 1, {k}),"
             " _s -> _s.v)"
         )
+    if low in ("grouparraymovingsum", "grouparraymovingavg"):
+        # groupArrayMovingSum/Avg([n])(x): per-position trailing-window
+        # fold over the collected list (r9 probe: previously hit the
+        # unrecognized-parametric error). Arrival-order nondeterminism is
+        # CH's own groupArray contract; values widen to DOUBLE (same
+        # documented class as arrayCumSum). O(g·n) per group — bounded-
+        # array caveat.
+        lst = f"collect_list(CAST({args[0]} AS DOUBLE))"
+        start = (
+            f"greatest(1, _i - ({params[0]}) + 1)" if params else "1"
+        )
+        win = f"slice({lst}, {start}, _i - {start} + 1)"
+        fold = f"aggregate({win}, 0D, (_a, _b) -> _a + _b)"
+        if low.endswith("avg"):
+            fold = f"({fold} / (_i - {start} + 1))"
+        return f"transform(sequence(1, size({lst})), _i -> {fold})"
     if low == "grouparrayinsertat":
         # groupArrayInsertAt([default[, size]])(x, pos): dense array with
         # x placed at 0-based pos (r8 verdict missing #2 — previously a
@@ -1354,6 +1371,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"date_sub(to_date({a}), dayofweek({a}) - 1)"
     if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
                "arraycount", "arrayfirst", "arraylast", "arrayfirstindex",
+               "arrayfirstornull", "arraylastornull",
                "arraysort", "arrayreversesort", "arraysum", "arrayavg",
                "arraymin", "arraymax", "arrayproduct") and len(args) > 2:
         # Multi-array lambda forms (r8 probe 5): CH binds one lambda var
@@ -1442,15 +1460,49 @@ def _translate_call(name: str, args: list[str]) -> str:
         if len(args) == 2:
             return f"size(filter({args[1]}, {args[0]}))"
         return f"size(filter({args[0]}, x -> x <> 0))"
-    if low == "arrayfirst":  # first element satisfying the lambda (or NULL)
-        return f"filter({args[1]}, {args[0]})[0]"
+    if low in ("arrayfirst", "arrayfirstornull"):
+        # first element satisfying the lambda (or NULL). CH's bare
+        # arrayFirst returns the TYPE default on no match; NULL is this
+        # engine's Nullable-faithful convention for both spellings (same
+        # note as arrayLast; try_element_at so an empty match set is NULL,
+        # not an index error).
+        return f"try_element_at(filter({args[1]}, {args[0]}), 1)"
     if low == "arrayavg":
         return (
             f"(aggregate({args[0]}, 0D, (acc, x) -> acc + x)"
             f" / size({args[0]}))"
         )
     if low == "arrayuniq":
+        if len(args) > 1:
+            # multi-array form counts distinct TUPLES at each position
+            # (r9 probe: extra arrays were silently IGNORED). Positional
+            # zip sized by the first array, same contract note as
+            # arrayZip.
+            fields = ", ".join(
+                f"'col{i + 1}', " + ("_v" if i == 0 else f"get({a}, _i)")
+                for i, a in enumerate(args)
+            )
+            return (
+                f"size(array_distinct(transform({args[0]},"
+                f" (_v, _i) -> named_struct({fields}))))"
+            )
         return f"size(array_distinct({args[0]}))"
+    if low == "arrayintersect":
+        # CH arrayIntersect is n-ary; Spark's builtin is binary — fold
+        # left (r9 probe: the 3-array form errored at analysis).
+        out = args[0]
+        for a in args[1:]:
+            out = f"array_intersect({out}, {a})"
+        return out
+    if low == "arrayenumeratedense":
+        # rank of each value's FIRST occurrence (r9 probe: passthrough);
+        # array_distinct preserves first-occurrence order, so
+        # array_position against it IS the dense index.
+        a = args[0]
+        return (
+            f"transform({a}, _x -> CAST(array_position("
+            f"array_distinct({a}), _x) AS INT))"
+        )
     if low == "arrayenumerate":  # 1..size(arr), CH's positional index array
         return f"sequence(1, size({args[0]}))"
     if low == "yesterday":
@@ -1565,11 +1617,11 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"coalesce(json_array_length({target}),"
             f" size(json_object_keys({target})))"
         )
-    if low == "jsonextractarrayraw":
+    if low in ("jsonextractarrayraw", "jsonextractkeysandvaluesraw"):
         raise ValueError(
-            "JSONExtractArrayRaw has no exact Spark spelling (raw"
-            " per-element JSON text); use from_json with an explicit"
-            " element schema, or JSONExtractString with per-index paths"
+            f"{name} has no exact Spark spelling (raw per-element JSON"
+            " text); use from_json with an explicit element schema, or"
+            " JSONExtractString / json_object_keys with per-index paths"
         )
     if low == "arrayfirstindex":  # 1-based index of first lambda match; 0
         # when none (array_position's own not-found contract); NULL array
@@ -1891,7 +1943,9 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"approx_count_distinct({args[0]})"
     if low == "uniqexactordefault":
         return f"count(DISTINCT {args[0]})"
-    if low.endswith("ordefault"):
+    if low.endswith("ordefault") and low != "accuratecastordefault":
+        # (accurateCastOrDefault carries an EXPLICIT default in its 3-arg
+        # form — handled with the accurateCast family below)
         raise ValueError(
             f"{name}: the CH default is the argument TYPE's default, which"
             " has no static Spark spelling; write"
@@ -2383,7 +2437,19 @@ def _translate_call(name: str, args: list[str]) -> str:
             " Spark equivalent — preprocess query logs with"
             " regexp_replace if literal-masking is the goal"
         )
-    if low in ("stem", "lemmatize", "synonyms", "detectlanguage"):
+    if low == "isnotdistinctfrom":
+        return f"({args[0]} <=> {args[1]})"
+    if low == "byteslice":
+        # byte-exact via the BINARY overload of substr (Spark substring
+        # over BINARY slices BYTES; the bare string form would slice
+        # CHARACTERS — r9 probe: was a silent passthrough)
+        off = args[1] if len(args) > 1 else "1"
+        ln = f", {args[2]}" if len(args) > 2 else ""
+        return f"CAST(substr(CAST({args[0]} AS BINARY), {off}{ln}) AS STRING)"
+    if low in ("stem", "lemmatize", "synonyms", "detectlanguage",
+               "detectcharset", "detectlanguagemixed",
+               "detectlanguageunknown", "detectprogramminglanguage",
+               "detecttonality"):
         raise ValueError(
             f"{name} needs CH's bundled NLP models; use the text_lang_id /"
             " text quality operators (llm/text.py) or a Pandas UDF with"
@@ -2402,7 +2468,10 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low in ("emptyarraytosingle", "addtupleofintervals",
                "subtracttupleofintervals", "proportionsztest",
-               "wordshingleminhash", "wordshinglesimhash"):
+               "wordshingleminhash", "wordshinglesimhash",
+               "ngramminhash", "ngramsimhash",
+               "ngramminhashcaseinsensitive", "ngramsimhashutf8",
+               "wordshingleminhashutf8", "wordshinglesimhashutf8"):
         raise ValueError(
             f"{name} has no faithful inline Spark spelling; see the"
             " nearest operators: emptyArrayToSingle → IF(size(a)=0,"
@@ -2548,9 +2617,9 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" greatest(size({a}) - size({b}) + 1, 1)),"
             f" _i -> slice({a}, _i, size({b})) = {b}))"
         )
-    if low in ("arraylast", "arraylastindex"):
+    if low in ("arraylast", "arraylastornull", "arraylastindex"):
         f_lam, arr = args[0], args[1]
-        if low == "arraylast":  # last match or NULL (arrayFirst convention)
+        if low != "arraylastindex":  # last match or NULL
             return f"try_element_at(filter({arr}, {f_lam}), -1)"
         rpos = f"array_position(reverse(transform({arr}, {f_lam})), true)"
         return (
@@ -2827,6 +2896,8 @@ def _translate_call(name: str, args: list[str]) -> str:
             "window spelling CH itself now recommends"
         )
     # -- r5 late batch: intervals, bit tests, wide ints, casts
+    if low == "tointervalweek":  # r9 probe: was a silent passthrough
+        return f"make_dt_interval(CAST(({args[0]}) * 7 AS INT), 0, 0, 0)"
     if low in ("tointervalday", "tointervalhour", "tointervalminute",
                "tointervalsecond"):
         # day-time interval constructors; CH composes these additively with
@@ -2853,14 +2924,31 @@ def _translate_call(name: str, args: list[str]) -> str:
         # no Spark integral this wide; DECIMAL(38,0) covers ±10^38, the
         # practical range of CH 128/256-bit columns in CDC payloads
         return f"CAST({args[0]} AS DECIMAL(38,0))"
-    if low in ("accuratecast", "accuratecastornull"):
+    if low in ("accuratecast", "accuratecastornull",
+               "accuratecastordefault"):
         m = re.fullmatch(r"\s*'([^']+)'\s*", args[1])
         if not m:
             raise ValueError(f"{name} needs a literal type name")
         from .chsql_ddl import ch_type_to_spark  # local: avoids cycle at import
 
+        target = ch_type_to_spark(m.group(1))
+        if low.endswith("ordefault"):
+            # r9 probe: was a silent passthrough. CH's 3-arg form falls
+            # back to the explicit default on overflow/parse failure (the
+            # 2-arg form falls to the TYPE default — guided, like the
+            # toXOrDefault family).
+            if len(args) < 3:
+                raise ValueError(
+                    f"{name}: the CH default is the target TYPE's default,"
+                    " which has no static Spark spelling; pass the"
+                    " 3-argument form (x, 'Type', default)"
+                )
+            return (
+                f"coalesce(try_cast({args[0]} AS {target}),"
+                f" CAST({args[2]} AS {target}))"
+            )
         op = "try_cast" if low.endswith("ornull") else "CAST"
-        return f"{op}({args[0]} AS {ch_type_to_spark(m.group(1))})"
+        return f"{op}({args[0]} AS {target})"
     if low == "cast":
         # r8 probe batch: CH's CAST reaches Spark in three spellings that
         # previously passed through unmapped — the two-argument form
@@ -2945,13 +3033,82 @@ def _translate_call(name: str, args: list[str]) -> str:
         if m:
             return f"({args[0]}).{m.group(1)}"
         raise ValueError("tupleElement needs a literal index or name")
-    if low in ("parsedatetimebesteffort", "parsedatetimebesteffortornull"):
+    if low in ("parsedatetimebesteffort", "parsedatetimebesteffortornull",
+               "parsedatetime32besteffort", "parsedatetime64besteffort",
+               "parsedatetime32besteffortornull",
+               "parsedatetime64besteffortornull",
+               "parsedatetimebesteffortus",
+               "parsedatetimebesteffortusornull"):
         # CH's best-effort parser accepts many human formats; Spark's CAST
         # covers the ISO-ish subset (the common CDC payload shapes).
         # Documented partial: exotic spellings (e.g. '12 Mar 2024') need an
-        # explicit to_timestamp(fmt). The OrNull form maps to try_cast.
+        # explicit to_timestamp(fmt). The OrNull forms map to try_cast;
+        # the width-suffixed 32/64 spellings (r9 probe: passthrough) are
+        # the same parser at a different storage width.
         op = "try_cast" if low.endswith("ornull") else "CAST"
         return f"{op}({args[0]} AS TIMESTAMP)"
+    if low in ("formatdatetimeinjodasyntax", "parsedatetimeinjodasyntax",
+               "parsedatetimeinjodasyntaxornull"):
+        # Joda-style patterns are (for the yyyy/MM/dd/HH/mm/ss core) the
+        # same tokens Spark's own DateTimeFormatter uses — direct map
+        # (r9 probe: passthrough).
+        if low.startswith("format"):
+            return f"date_format({args[0]}, {args[1]})"
+        op = "try_to_timestamp" if low.endswith("ornull") else "to_timestamp"
+        return f"{op}({args[0]}, {args[1]})"
+    if low == "parsetimedelta":
+        # parseTimeDelta('1h30m') → seconds (r9 probe: passthrough).
+        # Fold over (number, unit) pairs; units per CH docs (weeks..ms).
+        s_ = args[0]
+        pairs = (
+            f"regexp_extract_all(lower({s_}),"
+            " '([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([a-z]+)', 0)"
+        )
+        mult = (
+            "map('w', 604800D, 'week', 604800D, 'weeks', 604800D,"
+            " 'd', 86400D, 'day', 86400D, 'days', 86400D,"
+            " 'h', 3600D, 'hr', 3600D, 'hour', 3600D, 'hours', 3600D,"
+            " 'm', 60D, 'min', 60D, 'minute', 60D, 'minutes', 60D,"
+            " 's', 1D, 'sec', 1D, 'second', 1D, 'seconds', 1D,"
+            " 'ms', 0.001D, 'millisecond', 0.001D, 'milliseconds', 0.001D)"
+        )
+        return (
+            f"aggregate({pairs}, 0D, (_a, _p) -> _a +"
+            " CAST(regexp_extract(_p, '([0-9]+(?:\\\\.[0-9]+)?)', 1)"
+            " AS DOUBLE)"
+            f" * coalesce(element_at({mult},"
+            " regexp_extract(_p, '([a-z]+)$', 1)), 0D))"
+        )
+    if low == "extractkeyvaluepairs":
+        # extractKeyValuePairs(s[, kv_sep[, pair_seps]]) → Map(String,
+        # String) (r9 probe: passthrough). Literal single-char separators
+        # only; CH defaults kv=':' and pair separators ' ,;'. The quoting
+        # 4th argument has no inline spelling — guided.
+        if len(args) > 3:
+            raise ValueError(
+                "extractKeyValuePairs with a quoting character needs a"
+                " real parser; strip quotes first or use a Pandas UDF"
+            )
+        def _lit1(a: str, dflt: str) -> str:
+            mlit = re.fullmatch(r"\s*'(.*)'\s*", a) if a else None
+            if a and not mlit:
+                raise ValueError(
+                    "extractKeyValuePairs needs literal separator strings"
+                )
+            return mlit.group(1) if mlit else dflt
+        kv = _lit1(args[1] if len(args) > 1 else "", ":")
+        seps = _lit1(args[2] if len(args) > 2 else "", " ,;")
+        cls = re.sub(r"([\\\]\[^-])", r"\\\1", seps)
+        kvq = kv.replace("\\", "\\\\").replace("'", "''")
+        segs = (
+            f"filter(split({args[0]}, '[{cls}]+'),"
+            f" _s -> _s LIKE '%{kvq}%')"
+        )
+        return (
+            f"map_from_entries(transform({segs}, _s -> struct("
+            f"trim(substr(_s, 1, locate('{kvq}', _s) - 1)),"
+            f" trim(substr(_s, locate('{kvq}', _s) + {len(kv)})))))"
+        )
     if low == "retention":
         raise ValueError(
             "retention(...) has no inline Spark-SQL spelling; use the"
@@ -3631,11 +3788,11 @@ def _translate_call(name: str, args: list[str]) -> str:
             " the counted two-column plan"
         )
     if low in ("grouparraymovingsum", "grouparraymovingavg"):
-        raise ValueError(
-            f"{name} accumulates in ROW ORDER, which aggregates don't see"
-            " at scale; use win_running_sum / win_moving_avg with an"
-            " explicit ORDER BY window"
-        )
+        # r9: now implemented as trailing-window folds over the collected
+        # list (see _translate_parametric) — the arrival-order contract is
+        # exactly groupArray's own, so the old refusal was inconsistent
+        # with accepting groupArray. Route the bare call there.
+        return _translate_parametric(name, [], args)
     # -- r7 fourth probe batch: identity/constants + server introspection
     if low in ("materialize", "identity"):
         return args[0]
@@ -3783,6 +3940,16 @@ def _translate_call(name: str, args: list[str]) -> str:
         # uuid() is v4 — unique but NOT time-ordered (documented
         # divergence; order by an explicit timestamp column instead)
         return "uuid()"
+    if low == "uuidv7todatetime":
+        # RFC 9562 v7: the first 48 bits (12 hex digits) are unix
+        # milliseconds (r9 probe: was a silent passthrough). Bit-faithful
+        # on real v7 strings; on this engine's generateUUIDv7 (a v4 —
+        # documented divergence there) the value is arbitrary.
+        return (
+            "timestamp_millis(CAST(conv(substr(replace("
+            f"CAST({args[0]} AS STRING), '-', ''), 1, 12), 16, 10)"
+            " AS BIGINT))"
+        )
     if low == "snowflaketodatetime":
         return (
             f"timestamp_millis(shiftright(CAST({args[0]} AS BIGINT), 22)"
@@ -4176,7 +4343,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "mapfilter", "mapexists", "mapall", "mapapply", "mapupdate",
     "mapconcat", "mapsubtract", "mappopulateseries", "mapsort",
     "mapreversesort",
-    "arrayauc", "arrayrocauc", "arrayzip",
+    "arrayauc", "arrayrocauc", "arrayzip", "arrayintersect",
+    "arrayenumeratedense", "arrayfirstornull", "arraylastornull",
     "arraycumsumnonnegative", "arrayrotateleft",
     "arrayrotateright", "arrayshiftleft", "arrayshiftright",
     "arrayrandomsample", "arraypartialshuffle", "arrayjaccardindex",
@@ -4279,6 +4447,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "formatreadabledecimalsize", "parsereadablesize", "randcanonical",
     "randuniform", "randnormal", "randbernoulli", "randexponential",
     "randlognormal", "generateuuidv7", "snowflaketodatetime",
+    "uuidv7todatetime", "tointervalweek", "accuratecastordefault",
     "datetimetosnowflake",
     # r7 fourth probe batch (guided errors)
     "nonnegativederivative", "dameraulevenshteindistance",
@@ -4360,6 +4529,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "tgamma", "emptyarraytosingle", "addtupleofintervals",
     "subtracttupleofintervals", "proportionsztest", "wordshingleminhash",
     "wordshinglesimhash", "formatreadabletimedelta",
+    "isnotdistinctfrom", "byteslice", "detectcharset",
+    "ngramminhash", "ngramsimhash", "jsonextractkeysandvaluesraw",
 } | set(_CMP_FN_OPS) | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",
     "avgweighted",
@@ -4383,6 +4554,12 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arrayreversesort", "arrayproduct", "countequal", "arrayresize",
     "tuple", "tupleelement", "parsedatetimebesteffort",
     "parsedatetimebesteffortornull", "retention",
+    "parsedatetime32besteffort", "parsedatetime64besteffort",
+    "parsedatetime32besteffortornull",
+    "parsedatetime64besteffortornull", "parsedatetimebesteffortus",
+    "parsedatetimebesteffortusornull", "formatdatetimeinjodasyntax",
+    "parsedatetimeinjodasyntax", "parsedatetimeinjodasyntaxornull",
+    "parsetimedelta", "extractkeyvaluepairs",
     "sumstate", "minstate", "maxstate", "anylaststate", "summerge",
     "minmerge", "maxmerge", "countstate", "countmerge", "avgstate",
     "avgmerge", "uniqexactstate", "uniqexactmerge", "uniqstate",
@@ -5792,6 +5969,64 @@ def _rewrite_with_fill(q: str) -> str:
     return f"{joined} ORDER BY {col}"
 
 
+def _rewrite_qualify(q: str) -> str:
+    """``QUALIFY <pred>`` (CH's post-window filter; Spark has no QUALIFY
+    — r9 probe: it previously passed through and parse-failed) → the
+    predicate joins the select list as a hidden ``__qual`` column and an
+    outer query filters on it. Window functions in the predicate are
+    computed in the inner scope, exactly CH's evaluation order (after
+    WHERE/GROUP BY/HAVING/window, before ORDER BY/LIMIT). Select-alias
+    references inside the predicate work via Spark's lateral column
+    aliases. ``SELECT *`` re-projects with ``* EXCEPT(__qual)``; named
+    items re-project by name (the WITH FILL plain-names rule)."""
+    masked = _mask_literals(q)
+    m = re.search(r"(?i)\bQUALIFY\b", masked)
+    if not m:
+        return q
+    if _paren_depth_at(masked, m.start()) > 0:
+        raise ValueError(
+            "QUALIFY inside a subquery is outside the text rewriter's"
+            " scope — lift it into the outer query"
+        )
+    tm = next(
+        (
+            c
+            for c in re.finditer(
+                r"(?i)\b(ORDER\s+BY|LIMIT|SETTINGS)\b", masked[m.end():]
+            )
+            if _paren_depth_at(masked, m.end() + c.start()) == 0
+        ),
+        None,
+    )
+    p1 = m.end() + (tm.start() if tm else len(masked) - m.end())
+    pred = q[m.end():p1].strip()
+    tail = q[p1:].strip()
+    inner = q[: m.start()].strip()
+    sel = _lit_match(_SELECT_ITEMS_RE, inner)
+    if not sel:
+        raise ValueError("QUALIFY: cannot locate the select list")
+    items = sel["items"].strip()
+    if items == "*":
+        proj = "* EXCEPT(__qual)"
+    else:
+        names = []
+        for item in _split_args(items):
+            am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
+            names.append(
+                am.group(1) if am else item.strip().split(".")[-1]
+            )
+        if any(not n.isidentifier() for n in names):
+            raise ValueError(
+                f"QUALIFY needs plain output names (alias each select"
+                f" item), got {names}"
+            )
+        proj = ", ".join(names)
+    _, i1 = sel.span("items")
+    inner2 = inner[:i1] + f", ({pred}) AS __qual" + inner[i1:]
+    out = f"SELECT {proj} FROM ({inner2}) WHERE __qual"
+    return f"{out} {tail}" if tail else out
+
+
 def _rewrite_prewhere(q: str) -> str:
     """``PREWHERE cond`` → merged into ``WHERE``. CH evaluates PREWHERE
     before column materialization as an I/O optimization; Spark's parquet
@@ -6257,6 +6492,7 @@ def _rewrite_clauses(q: str) -> str:
         )
     q = _rewrite_with_totals(q)
     q = _rewrite_with_fill(q)
+    q = _rewrite_qualify(q)
     # CH tuple element access `t.1` / `(expr).2` / `arr[1].3` → the
     # named_struct field spelling tuples translate to (`.colN`, matching
     # tuple()/tupleElement output). Anchored to an identifier/closer before

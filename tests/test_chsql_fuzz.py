@@ -795,6 +795,24 @@ def q_with_fill(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_qualify(rng: random.Random) -> tuple[str, str]:
+    # r9: QUALIFY (post-window filter). DuckDB supports QUALIFY natively,
+    # so the oracle is the SAME clause — only Spark needs the rewrite.
+    table = rng.choice([t for t in TABLES if TABLES[t].get("uniq")])
+    meta = TABLES[table]
+    k = rng.choice(meta["str"])
+    v = rng.choice(meta["int"] + meta["double"])
+    u = meta["uniq"]
+    n = rng.randint(1, 3)
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+    body = (
+        f"SELECT {k} AS c0, {v} AS c1, {u} AS c2 FROM {table}"
+        f" QUALIFY {fn} OVER (PARTITION BY {k} ORDER BY {v}, {u})"
+        f" <= {n} ORDER BY c0, c1, c2"
+    )
+    return body, body
+
+
 def q_totals(rng: random.Random) -> tuple[str, str]:
     # GROUP BY k WITH TOTALS → grouping sets; DuckDB's grouping sets share
     # the NULL-key totals-row convention (the documented CH divergence),
@@ -1089,6 +1107,7 @@ QUERY_GENS = [
     (q_r7_spellings, 8),
     (q_table_fns, 5),
     (q_r8_spellings, 6),
+    (q_qualify, 4),
 ]
 
 

@@ -170,7 +170,10 @@ def test_chsql_clause_rewrites():
     assert "array_position" in translate("indexOf(arr, 3)")
     assert "<=>" in translate("indexOf(arr, 3)")
     assert translate("arrayCount(x -> x > 2, arr)") == "size(filter(arr, x -> x > 2))"
-    assert translate("arrayFirst(x -> x > 2, arr)") == "filter(arr, x -> x > 2)[0]"
+    # r9: try_element_at so an empty match set is NULL, not an ANSI
+    # index error (see test_chsql_qualify_and_array_batch value pins)
+    assert translate("arrayFirst(x -> x > 2, arr)") == \
+        "try_element_at(filter(arr, x -> x > 2), 1)"
     assert translate("arrayUniq(arr)") == "size(array_distinct(arr))"
     assert translate("arrayEnumerate(arr)") == "sequence(1, size(arr))"
     assert translate("yesterday()") == "date_sub(current_date(), 1)"
@@ -1773,7 +1776,8 @@ def test_chsql_r7_fourth_probe_batch(spark):
         ("jaroSimilarity('a','b')", "levenshtein"),
         ("normalizeUTF8NFC('a')", "unicodedata"),
         ("JSONMergePatch(a, b)", "from_json"),
-        ("groupArrayMovingSum(x)", "win_"),
+        # (groupArrayMovingSum is implemented as of r9 — see
+        # test_chsql_r9_moving_folds)
         ("version()", "uptime"),
         ("hasColumnInTable('a','b','c')", "system.columns"),
         ("IPv6NumToString(x)", "128-bit"),
@@ -2893,3 +2897,160 @@ def test_chsql_asof_any_join_aliasless(spark, sf_dir):
     nb = ch_sql(spark, sf_dir, q_any_bare).collect()[0].n
     na = ch_sql(spark, sf_dir, q_any_alias).collect()[0].n
     assert nb == na and nb > 0
+
+
+def test_chsql_r9_probe_batch2(spark):
+    """r9 probe batch 2 (clause sweep): accurateCastOrDefault (explicit
+    3-arg default; was a silent passthrough), toIntervalWeek (ditto),
+    UUIDv7ToDateTime (RFC 9562 48-bit ms timestamp extraction, pinned on
+    a real v7 string)."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("accurateCastOrDefault(300, 'Int8', 7)") == 7
+    assert one("accurateCastOrDefault(30, 'Int8', 7)") == 30
+    assert one("accurateCastOrDefault('x', 'Int64', -1)") == -1
+    with _pytest.raises(ValueError, match="3-argument"):
+        translate("SELECT accurateCastOrDefault(300, 'Int8') FROM t")
+    # week interval: date + 2 weeks (dt-interval widens to timestamp —
+    # same divergence class as toIntervalDay)
+    assert one("toDate('2020-01-01') + toIntervalWeek(2)") == \
+        datetime.datetime(2020, 1, 15)
+    # UUIDv7 embeds unix-ms in its first 48 bits
+    v = one("UUIDv7ToDateTime('01890a5d-ac96-774b-bcce-b302099a8057')")
+    assert v == datetime.datetime(2023, 6, 30, 3, 34, 18, 518000)
+
+
+def test_chsql_r9_moving_folds(spark):
+    """r9: groupArrayMovingSum/Avg([n])(x) — trailing-window folds over
+    the collected list (the old refusal was inconsistent with accepting
+    groupArray, whose arrival-order contract is identical). Values pinned
+    on an ORDER-BY-driven single partition so arrival order is the sort
+    order."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (3), (4) AS t9m(x)"
+    ).createOrReplaceTempView("t9m")
+    g = lambda q: spark.sql(translate(q)).collect()[0][0]
+    src = "(SELECT x FROM t9m ORDER BY x)"
+    assert g(f"SELECT groupArrayMovingSum(2)(x) FROM {src}") == \
+        [1.0, 3.0, 5.0, 7.0]
+    assert g(f"SELECT groupArrayMovingSum(x) FROM {src}") == \
+        [1.0, 3.0, 6.0, 10.0]
+    assert g(f"SELECT groupArrayMovingAvg(2)(x) FROM {src}") == \
+        [1.0, 1.5, 2.5, 3.5]
+    assert g(f"SELECT groupArrayMovingAvg(x) FROM {src}") == \
+        [1.0, 1.5, 2.0, 2.5]
+
+
+def test_chsql_r9_probe_batch3(spark):
+    """r9 probe batch 3 (map/date sweep — four passthroughs closed):
+    parseTimeDelta (unit-map fold, CH doc pin '1h30m' = 5400),
+    extractKeyValuePairs (CH doc example pinned; defaults kv=':' and
+    pair separators ' ,;'), the Joda-syntax format/parse pair (Spark's
+    DateTimeFormatter shares the yyyy/MM/dd token core), and the
+    width-suffixed parseDateTime{32,64}BestEffort aliases."""
+    import datetime
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("parseTimeDelta('1h30m')") == 5400.0
+    assert one("parseTimeDelta('2 days 3 hours')") == 183600.0
+    assert one("parseTimeDelta('1.5s')") == 1.5
+    assert one("parseTimeDelta('4 weeks')") == 2419200.0
+    assert one("extractKeyValuePairs('a:1,b:2', ':', ',')") == {
+        "a": "1", "b": "2"}
+    # CH docs example: default separators are ':' and ' ,;'
+    assert one("extractKeyValuePairs('name:neymar, age:31 team:psg')") == {
+        "name": "neymar", "age": "31", "team": "psg"}
+    assert one("extractKeyValuePairs('k=v;x=y', '=', ';')") == {
+        "k": "v", "x": "y"}
+    assert one(
+        "formatDateTimeInJodaSyntax(toDateTime('2020-03-05 10:20:30'),"
+        " 'yyyy-MM-dd HH:mm')") == "2020-03-05 10:20"
+    assert one(
+        "parseDateTimeInJodaSyntax('2020-03-05', 'yyyy-MM-dd')"
+    ) == datetime.datetime(2020, 3, 5)
+    assert one("parseDateTimeInJodaSyntaxOrNull('junk', 'yyyy-MM-dd')") \
+        is None
+    assert one("parseDateTime32BestEffort('2020-03-05 10:20:30')") == \
+        datetime.datetime(2020, 3, 5, 10, 20, 30)
+    assert one("parseDateTime64BestEffortOrNull('junk')") is None
+    assert one("parseDateTimeBestEffortUS('2020-03-05')") == \
+        datetime.datetime(2020, 3, 5)
+
+
+def test_chsql_qualify_and_array_batch(spark):
+    """r9 probe batch 4: QUALIFY (CH's post-window filter — previously a
+    parse-failing passthrough) rewrites the predicate into a hidden
+    inner-scope column + outer WHERE, matching CH's evaluation order;
+    plus the array fixes found in the same sweep: multi-array arrayUniq
+    (extra arrays were silently IGNORED), n-ary arrayIntersect (Spark's
+    builtin is binary), arrayEnumerateDense, arrayFirstOrNull /
+    arrayLastOrNull, and the empty-match arrayFirst contract (NULL, not
+    an index error)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, 'b')"
+        " AS t9q(x, g)"
+    ).createOrReplaceTempView("t9q")
+    rows = spark.sql(translate(
+        "SELECT x, g FROM t9q QUALIFY row_number() OVER"
+        " (PARTITION BY g ORDER BY x) = 1 ORDER BY g")).collect()
+    assert [(r.x, r.g) for r in rows] == [(1, "a"), (2, "b")]
+    rows = spark.sql(translate(
+        "SELECT * FROM t9q QUALIFY rank() OVER (ORDER BY x DESC) <= 2"
+        " ORDER BY x")).collect()
+    assert [r.x for r in rows] == [3, 4]
+    # after GROUP BY — the window sees aggregated rows (CH order)
+    rows = spark.sql(translate(
+        "SELECT g, sum(x) AS s FROM t9q GROUP BY g"
+        " QUALIFY row_number() OVER (ORDER BY sum(x) DESC) = 1")).collect()
+    assert [(r.g, r.s) for r in rows] == [("b", 6)]
+    rows = spark.sql(translate(
+        "SELECT x, g FROM t9q QUALIFY row_number() OVER (ORDER BY x) <= 3"
+        " ORDER BY x LIMIT 2")).collect()
+    assert [r.x for r in rows] == [1, 2]
+    with _pytest.raises(ValueError, match="subquery"):
+        translate("SELECT * FROM (SELECT x FROM t9q QUALIFY"
+                  " row_number() OVER (ORDER BY x) = 1)")
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("arrayEnumerateDense([10, 20, 10, 30])") == [1, 2, 1, 3]
+    assert one("arrayUniq([1, 1, 2], [1, 1, 3])") == 2
+    assert one("arrayUniq([1, 1, 2], [1, 2, 2])") == 3
+    assert one("arrayIntersect([1, 2], [2, 3], [2, 4])") == [2]
+    assert one("arrayFirstOrNull(x -> x > 9, [1, 2, 3])") is None
+    assert one("arrayFirst(x -> x > 9, [1, 2, 3])") is None
+    assert one("arrayFirstOrNull(x -> x > 1, [1, 2, 3])") == 2
+    assert one("arrayLastOrNull(x -> x > 1, [1, 2, 3])") == 3
+
+
+def test_chsql_r9_probe_batch4_misc(spark):
+    """r9 probe batch 4 misc: isNotDistinctFrom → <=>, byteSlice via the
+    BINARY substr overload (byte-exact, not character slicing), and the
+    guided-error closures for the NLP/sketch/raw-JSON names found passing
+    through (detectCharset, ngramMinHash, JSONExtractKeysAndValuesRaw)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("isNotDistinctFrom(1, NULL)") is False
+    assert one("isNotDistinctFrom(NULL, NULL)") is True
+    assert one("isNotDistinctFrom(2, 2)") is True
+    assert one("byteSlice('hello', 2, 3)") == "ell"
+    assert one("byteSlice('hello', 2)") == "ello"
+    for bad in ("detectCharset('abc')", "ngramMinHash('abc')",
+                "ngramSimHash('abc')",
+                "JSONExtractKeysAndValuesRaw('{}')"):
+        with _pytest.raises(ValueError):
+            translate(f"SELECT {bad}")
