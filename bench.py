@@ -122,6 +122,9 @@ EXTENDED: tuple[str, ...] = (
     # birth (1.55 s median — mostly the per-call ch_sql fixture
     # registration, same class as chsql_table_fns)
     "chsql_arrayjoin_nested",
+    # r9: QUALIFY post-window filter key (2.0 s median at birth — same
+    # ch_sql harness-registration class)
+    "chsql_qualify",
 )
 
 

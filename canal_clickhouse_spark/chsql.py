@@ -7393,6 +7393,36 @@ def chsql_arrayjoin_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, sf_dir, _CH_ARRAY_JOIN_NESTED)
 
 
+_CH_QUALIFY = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey < 200
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query(
+    "chsql_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey < 200
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def chsql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's QUALIFY post-window filter (r9 — previously a parse-failing
+    passthrough): top-2 orders per customer. The rewrite computes the
+    window predicate as a hidden inner-scope column + outer WHERE
+    (`_rewrite_qualify`); DuckDB supports QUALIFY natively, so the oracle
+    is the IDENTICAL statement — only Spark needs the rewrite."""
+    return ch_sql(spark, sf_dir, _CH_QUALIFY)
+
+
 _CH_JSON_MISC = """
 SELECT event_id,
        JSONHas(props, 'k') AS has_k,
