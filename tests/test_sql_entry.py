@@ -3054,3 +3054,36 @@ def test_chsql_r9_probe_batch4_misc(spark):
                 "JSONExtractKeysAndValuesRaw('{}')"):
         with _pytest.raises(ValueError):
             translate(f"SELECT {bad}")
+
+
+def test_chsql_value_divergence_battery_r9(spark):
+    """r9 value-divergence sweep over CH-docs examples for already-mapped
+    spellings: everything agreed except the two DOCUMENTED contracts —
+    round() ties (half-up here + in the DuckDB oracle; CH floats use
+    banker's — roundBankers is the exact spelling, pinned) and intDiv,
+    which CH rounds toward zero ('down by absolute value'), exactly
+    Spark's div. Pins keep these contracts from drifting."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    # documented: round half-up; roundBankers = CH float-round exactly
+    assert one("round(2.5)") == 3
+    assert one("roundBankers(2.5)") == 2
+    assert one("roundBankers(3.5)") == 4
+    assert one("roundBankers(-2.5)") == -2
+    # CH intDiv rounds toward zero (docs: 'down by the absolute value')
+    assert one("intDiv(-7, 3)") == -2
+    assert one("intDiv(7, 3)") == 2
+    assert one("intDivOrZero(7, 0)") == 0
+    # CH day-of-week is Monday=1..Sunday=7 (Spark's dayofweek is Sun=1 —
+    # the mapping must re-number)
+    assert one("toDayOfWeek(toDate('2023-04-21'))") == 5
+    assert one("toDayOfWeek(toDate('2023-04-23'))") == 7
+    assert one("toDayOfWeek(toDate('2023-04-24'))") == 1
+    assert one("modulo(-7, 3)") == -1  # sign of dividend, both engines
+    assert one("bitCount(333)") == 5
+    assert one("arrayDifference([1, 2, 3, 4])") == [0.0, 1.0, 1.0, 1.0]
+    assert one("leftPad('abc', 7, '*')") == "****abc"
+    assert one(
+        "domain('svn+ssh://some.svn-hosting.com:80/repo/trunk')"
+    ) == "some.svn-hosting.com"
