@@ -50,14 +50,35 @@ def fix_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session DataFrame memo (r9): `spark.read.parquet` re-reads the file
+# footer for schema on EVERY call, and the registry's ch_sql path
+# re-registers all 10 fixtures per query — ~1 s of pure footer/schema I/O
+# per bench key before any query work. DataFrames are immutable lazy
+# plans, so reusing one across queries in the same session is semantically
+# identical to re-reading; views are STILL re-registered on every
+# register_views call (pointing at the cached plan), so callers that
+# replaced a view get it restored exactly as before. WeakKey on the
+# session object: a stopped/garbage-collected session drops its entries.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Keeps the scan lazy so pushdown applies."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
     tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = fix_events_ts(df)
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = memo.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = fix_events_ts(df)
+        memo[key] = df
     return df
 
 
