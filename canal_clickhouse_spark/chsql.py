@@ -429,6 +429,13 @@ _RENAME = {
     "murmurhash3_64": "xxhash64",
     "murmurhash2_32": "hash",
     "murmurhash3_32": "hash",
+    # r9 probe: CRC32IEEE is the same IEEE-802.3 polynomial Spark's crc32
+    # implements (bit-identical); CRC64 and the keyed sipHash follow the
+    # stable-not-bit-identical convention above.
+    "crc32ieee": "crc32",
+    "crc64": "xxhash64",
+    "siphash64keyed": "xxhash64",
+    "siphash128keyed": "xxhash64",
     # trim / substring / case family — pure renames, same argument order
     "trimboth": "trim",
     "trimleft": "ltrim",
@@ -1288,6 +1295,37 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"(aggregate(split({h}, ''), 0, (_a, _c) ->"
             f" IF(_a < length({nd}) AND _c = substr({nd}, _a + 1, 1),"
             f" _a + 1, _a)) = length({nd}))"
+        )
+    if low == "tostringcuttozero":
+        # truncate at the first NUL byte (r9 probe: passthrough)
+        return f"split({args[0]}, '\\u0000')[0]"
+    if low in ("keccak256", "ripemd160", "blake3"):
+        raise ValueError(
+            f"{name}: Spark ships md5/sha1/sha2/crc32 only; wrap"
+            f" hashlib/pycryptodome {low} in a Pandas UDF"
+            " (udf_pandas_scalar pattern) if bit-exact digests matter"
+        )
+    if low in ("base32encode", "base32decode", "sqidencode", "sqiddecode"):
+        raise ValueError(
+            f"{name}: no Spark builtin for this codec; base64/hex are"
+            " mapped — re-encode upstream or wrap the codec in a"
+            " Pandas UDF"
+        )
+    if low in ("obfuscatequeries", "kql", "prql"):
+        raise ValueError(
+            f"{name} is CH server-side query tooling with no batch-plan"
+            " meaning here"
+        )
+    if low == "tobfloat16":
+        raise ValueError(
+            "toBFloat16 truncates the float32 mantissa — Spark has no"
+            " float-bit builtin; CAST(x AS FLOAT) keeps the value class,"
+            " or wrap numpy bfloat16 in a Pandas UDF for exact truncation"
+        )
+    if low == "icebergtruncate":
+        raise ValueError(
+            "icebergTruncate: spell the transform directly — numbers:"
+            " x - pmod(x, w); strings: substr(s, 1, w)"
         )
     if low == "regexpquotemeta":
         # CH escapes \0 \\ | ( ) ^ $ . [ ] ? * + { : - with a backslash
@@ -3580,7 +3618,8 @@ def _translate_call(name: str, args: list[str]) -> str:
             " Spark builtin; use a Pandas UDF (shapely/geohash libs) —"
             " the greatCircleDistance/geoDistance spellings are mapped"
         )
-    if low.startswith("h3") or low in ("geotoh3", "s2togeo", "geotos2"):
+    if low.startswith("h3") or low in ("geotoh3", "s2togeo", "geotos2",
+                                       "stringtoh3", "h3tostring"):
         raise ValueError(
             f"{name}: H3/S2 cell indexing needs the uber-h3/s2 native"
             " libraries; wrap them in a Pandas UDF — Spark has no builtin"
@@ -4530,6 +4569,11 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "subtracttupleofintervals", "proportionsztest", "wordshingleminhash",
     "wordshinglesimhash", "formatreadabletimedelta",
     "isnotdistinctfrom", "byteslice", "detectcharset",
+    "tostringcuttozero", "keccak256", "ripemd160", "blake3",
+    "base32encode", "base32decode", "sqidencode", "sqiddecode",
+    "obfuscatequeries", "kql", "prql", "tobfloat16",
+    "icebergtruncate", "crc32ieee", "crc64", "siphash64keyed",
+    "siphash128keyed", "stringtoh3",
     "ngramminhash", "ngramsimhash", "jsonextractkeysandvaluesraw",
 } | set(_CMP_FN_OPS) | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",

@@ -3087,3 +3087,30 @@ def test_chsql_value_divergence_battery_r9(spark):
     assert one(
         "domain('svn+ssh://some.svn-hosting.com:80/repo/trunk')"
     ) == "some.svn-hosting.com"
+
+
+def test_chsql_r9_probe_batch5(spark):
+    """r9 probe batch 5 (string/hash sweep): toStringCutToZero (truncate
+    at first NUL), CRC32IEEE bit-identical to Spark's crc32 (same
+    IEEE-802.3 polynomial), crc64/sipHash64Keyed under the hash family's
+    stable-not-bit-identical convention, and named guidance for the
+    crypto-digest / base32 / sqid / query-tooling / bfloat16 / H3 names
+    found passing through."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("toStringCutToZero('ab\\0cd')") == "ab"
+    assert one("toStringCutToZero('plain')") == "plain"
+    assert one("CRC32IEEE('x')") == one("CRC32('x')")
+    assert one("crc64('x')") == one("crc64('x')")  # stable
+    assert one("sipHash64Keyed((1, 2), 'x')") == \
+        one("sipHash64Keyed((1, 2), 'x')")
+    for bad in ("keccak256('x')", "ripeMD160('x')", "BLAKE3('x')",
+                "base32Encode('a')", "base32Decode('a')",
+                "obfuscateQueries('q')", "kql('x')", "toBFloat16(1.0)",
+                "icebergTruncate(3, 'ab')", "stringToH3('x')",
+                "sqidEncode(1)"):
+        with _pytest.raises(ValueError):
+            translate(f"SELECT {bad}")
