@@ -437,13 +437,19 @@ _CREATE_VIEW_RE = re.compile(
     r"AS\s+(?P<select>SELECT\b.*)$"
 )
 
+# IN PARTITION restricts the mutation to one partition (r9 probe: the
+# clause previously reached Spark SQL verbatim and parse-failed / fell to
+# the generic unsupported error).
 _ALTER_UPDATE_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+UPDATE\s+"
-    r"(?P<assigns>.+?)\s+WHERE\s+(?P<pred>.+)$"
+    r"(?P<assigns>.+?)"
+    r"(?:\s+IN\s+PARTITION\s+(?P<part>'[^']*'|\w+))?"
+    r"\s+WHERE\s+(?P<pred>.+)$"
 )
 
 _ALTER_DELETE_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DELETE\s+"
+    r"(?:IN\s+PARTITION\s+(?P<part>'[^']*'|\w+)\s+)?"
     r"WHERE\s+(?P<pred>.+)$"
 )
 
@@ -499,7 +505,8 @@ _CREATE_CLONE_RE = re.compile(
 _ALTER_MISC_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<rest>"
     r"(?:CLEAR|COMMENT|MODIFY\s+COMMENT|ADD\s+INDEX|DROP\s+INDEX|"
-    r"MATERIALIZE\s+INDEX|CLEAR\s+INDEX|ADD\s+PROJECTION|DROP\s+PROJECTION|"
+    r"MATERIALIZE\s+INDEX|CLEAR\s+INDEX|MATERIALIZE\s+COLUMN|"
+    r"ADD\s+PROJECTION|DROP\s+PROJECTION|"
     r"MATERIALIZE\s+PROJECTION|CLEAR\s+PROJECTION|MODIFY\s+SETTING|"
     r"RESET\s+SETTING|DETACH\s+PARTITION|ATTACH\s+PARTITION|FREEZE|"
     r"MODIFY\s+ORDER\s+BY)\b.*)$"
@@ -522,6 +529,11 @@ _ADD_COL_ACTION_RE = re.compile(
 )
 _DROP_COL_ACTION_RE = re.compile(
     r"(?is)^DROP\s+COLUMN\s+(?:(?P<ie>IF\s+EXISTS)\s+)?(?P<col>\w+)\s*$"
+)
+_REMOVE_PROP_ACTION_RE = re.compile(
+    r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
+    r"REMOVE\s+(?P<what>DEFAULT|MATERIALIZED|EPHEMERAL|ALIAS|COMMENT"
+    r"|CODEC|TTL|SETTINGS)\s*$"
 )
 _MODIFY_COL_ACTION_RE = re.compile(
     r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
@@ -555,6 +567,15 @@ def parse_alter_column_actions(ops_text: str) -> list[dict]:
             actions.append({
                 "op": "drop", "col": m.group("col"),
                 "if_exists": bool(m.group("ie")),
+            })
+        elif (m := _REMOVE_PROP_ACTION_RE.match(item)) is not None:
+            # MODIFY COLUMN c REMOVE DEFAULT/... (r9 probe: previously
+            # parsed as type 'REMOVE DEFAULT' and raised a confusing
+            # unknown-type error). Schema is unchanged; only catalog
+            # metadata (the recorded default) is affected.
+            actions.append({
+                "op": "remove_prop", "col": m.group("col"),
+                "what": m.group("what").upper(),
             })
         elif (m := _MODIFY_COL_ACTION_RE.match(item)) is not None:
             actions.append({
@@ -593,6 +614,12 @@ def apply_alter_column_actions(
         return -1
 
     for a in actions:
+        if a["op"] == "remove_prop":
+            if idx(a["col"]) < 0:
+                raise ValueError(
+                    f"MODIFY COLUMN REMOVE on unknown column {a['col']!r}"
+                )
+            continue  # metadata-only; the session handler drops the default
         if a["op"] == "add":
             if idx(a["col"]) >= 0:
                 if a.get("if_not_exists"):
@@ -1652,6 +1679,8 @@ class ChSession:
                 elif a["op"] == "drop":
                     col_defaults.pop(a["col"], None)
                     nullable.discard(a["col"])
+                elif a["op"] == "remove_prop" and a["what"] == "DEFAULT":
+                    col_defaults.pop(a["col"], None)
                 elif a["op"] in ("add", "modify") and a.get("type"):
                     if _ch_declared_nullable(a["type"]):
                         nullable.add(a["col"])
@@ -1673,6 +1702,7 @@ class ChSession:
             name = m.group("name")
             tbl = self._require_table(name, "ALTER TABLE UPDATE")
             pred = translate(m.group("pred"))
+            pred = self._part_restrict(name, pred, m.group("part"))
             assigns = {}
             for item in _split_top_commas(m.group("assigns")):
                 am = re.match(r"(?s)^\s*(\w+)\s*=\s*(.+)$", item)
@@ -1706,6 +1736,7 @@ class ChSession:
             name = m.group("name")
             tbl = self._require_table(name, "ALTER TABLE DELETE")
             pred = translate(m.group("pred"))
+            pred = self._part_restrict(name, pred, m.group("part"))
             tbl.createOrReplaceTempView(name)
             self._register(
                 name,
@@ -1814,11 +1845,63 @@ class ChSession:
                 [(n,) for n in names], "name string"
             )
 
-        if re.match(r"(?is)^\s*SHOW\s+SETTINGS\b", s):
-            # session settings are accepted-and-dropped performance knobs
-            # (see SET above); the honest listing is empty
+        m = re.match(
+            r"(?is)^\s*SHOW\s+SETTINGS(?:\s+LIKE\s+'(?P<pat>[^']*)')?\s*$",
+            s,
+        )
+        if m:
+            # r9: SET-recorded session knobs (accepted-and-dropped for the
+            # plan, but LISTED — same view system.settings serves)
+            rows = sorted(
+                (k, "String", v) for k, v in self.settings.items()
+            )
+            if m.group("pat") is not None:
+                rx = re.escape(m.group("pat")).replace(
+                    "%", ".*").replace("_", ".")
+                rows = [r for r in rows if re.fullmatch(rx, r[0])]
             return self.spark.createDataFrame(
-                [], "name string, type string, value string"
+                rows, "name string, type string, value string"
+            )
+
+        m = re.match(
+            r"(?is)^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'(?P<pat>[^']*)')?"
+            r"\s*$", s,
+        )
+        if m:
+            # r9: the translator's recognized-name surface (same list as
+            # system.functions)
+            from .chsql import _CH_NAMES
+
+            names = sorted(_CH_NAMES)
+            if m.group("pat") is not None:
+                rx = re.escape(m.group("pat").lower()).replace(
+                    "%", ".*").replace("_", ".")
+                names = [n for n in names if re.fullmatch(rx, n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
+
+        if re.match(r"(?is)^\s*SHOW\s+GRANTS\b", s):
+            # no ACL model (see the GRANT/REVOKE refusal): empty listing
+            return self.spark.createDataFrame([], "grants string")
+
+        m = re.match(
+            r"(?is)^\s*SHOW\s+CREATE\s+VIEW\s+(?P<name>\w+)\s*$", s
+        )
+        if m:
+            name = m.group("name")
+            if name not in self.views:
+                raise ValueError(f"SHOW CREATE VIEW: unknown view {name!r}")
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {name} AS {self.views[name]}",)],
+                "statement string",
+            )
+
+        if re.match(r"(?is)^\s*UNDROP\s+TABLE\b", s):
+            raise ValueError(
+                "UNDROP TABLE relies on CH's delayed-drop retention;"
+                " dropped tables are released immediately here — DETACH"
+                " TABLE is the recoverable form"
             )
 
         if re.match(r"(?is)^\s*WATCH\b", s):
@@ -1833,8 +1916,13 @@ class ChSession:
             r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(?P<name>\w+)\s*$", s
         )
         if m:
+            name = m.group("name")
+            if name in self.views:  # CH catalogs views as tables too
+                stmt = f"CREATE VIEW {name} AS {self.views[name]}"
+            else:
+                stmt = self._show_create(name)
             return self.spark.createDataFrame(
-                [(self._show_create(m.group("name")),)], "statement string"
+                [(stmt,)], "statement string"
             )
 
         # SHOW COLUMNS FROM t is DESCRIBE's MySQL-compat alias (r8 probe)
@@ -2132,6 +2220,20 @@ class ChSession:
             return None
         if re.match(r"(?is)^(MODIFY|RESET)\s+SETTING\b", r):
             return None  # storage knobs — same policy as CREATE SETTINGS
+        m = re.match(
+            r"(?is)^MATERIALIZE\s+COLUMN\s+(?P<col>\w+)"
+            r"(?:\s+IN\s+PARTITION\s+.+)?$", r
+        )
+        if m:
+            # CH rewrites old parts to materialize a DEFAULT/MATERIALIZED
+            # column; every column here is already materialized in the
+            # DataFrame lineage — a correct no-op (r9 probe: previously
+            # the generic unsupported-statement error).
+            if m.group("col") not in tbl.columns:
+                raise ValueError(
+                    f"MATERIALIZE COLUMN: unknown column {m.group('col')!r}"
+                )
+            return None
         m = re.match(r"(?is)^MODIFY\s+ORDER\s+BY\s+(?P<key>.+)$", r)
         if m:
             # sorting-key metadata (drives SHOW CREATE + the FINAL merge
@@ -2229,6 +2331,19 @@ class ChSession:
         if ttl:
             meta["ttl"] = _parse_ttl_clause(ttl)
         return meta
+
+    def _part_restrict(self, name: str, pred: str, part) -> str:
+        """Conjoin the table's PARTITION BY expression = <part> onto a
+        mutation predicate (the ``IN PARTITION`` clause, r9)."""
+        if part is None:
+            return pred
+        pexpr = (self.meta.get(name) or {}).get("partition_by")
+        if not pexpr:
+            raise ValueError(
+                f"IN PARTITION on {name!r}: the table has no PARTITION BY"
+                " key"
+            )
+        return f"(({pexpr}) = {part}) AND ({pred})"
 
     def _require_table(self, name: str, what: str) -> DataFrame:
         if name not in self.tables:

@@ -1725,3 +1725,57 @@ def test_system_functions_settings_mutations(spark, sf_dir):
     assert "UPDATE" in rows[0].command and "DELETE" in rows[1].command
     assert sorted(
         r.a for r in ch.execute("SELECT a FROM smt").collect()) == [3, 11]
+
+
+def test_r9_ddl_statement_batch(spark, sf_dir):
+    """r9 DDL probe batch: IN PARTITION mutations (previously reached
+    Spark verbatim and parse-failed), MODIFY COLUMN REMOVE DEFAULT
+    (previously parsed as type 'REMOVE DEFAULT'), MATERIALIZE COLUMN
+    (correct no-op — columns are always materialized in the lineage),
+    SHOW CREATE VIEW, SHOW FUNCTIONS LIKE, SHOW SETTINGS reflecting SET,
+    SHOW GRANTS (empty — no ACL model), and the UNDROP guided error."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE b9 (a Int64, b String DEFAULT 'd')"
+               " ENGINE = MergeTree PARTITION BY modulo(a, 2) ORDER BY a")
+    ch.execute("INSERT INTO b9 (a) VALUES (1),(2),(3),(4)")
+    # UPDATE restricted to partition 1 (odd a): only odd rows change
+    ch.execute("ALTER TABLE b9 UPDATE b = 'x' IN PARTITION 1 WHERE a > 0")
+    got = {(r.a, r.b) for r in ch.execute("SELECT a, b FROM b9").collect()}
+    assert got == {(1, "x"), (2, "d"), (3, "x"), (4, "d")}
+    # DELETE restricted to partition 0 (even a): a=2 goes, a=1/3 stay
+    ch.execute("ALTER TABLE b9 DELETE IN PARTITION 0 WHERE a <= 2")
+    assert sorted(
+        r.a for r in ch.execute("SELECT a FROM b9").collect()
+    ) == [1, 3, 4]
+    # IN PARTITION on an unpartitioned table raises
+    ch.execute("CREATE TABLE b9u (a Int64) ENGINE = MergeTree ORDER BY a")
+    with _pytest.raises(ValueError, match="PARTITION BY"):
+        ch.execute("ALTER TABLE b9u DELETE IN PARTITION 0 WHERE a = 1")
+    # REMOVE DEFAULT: later single-column inserts fill NULL, not 'd'
+    ch.execute("ALTER TABLE b9 MODIFY COLUMN b REMOVE DEFAULT")
+    ch.execute("INSERT INTO b9 (a) VALUES (9)")
+    row = ch.execute("SELECT b FROM b9 WHERE a = 9").collect()[0]
+    assert row.b is None
+    ch.execute("ALTER TABLE b9 MATERIALIZE COLUMN b")  # no-op, no error
+    with _pytest.raises(ValueError, match="unknown column"):
+        ch.execute("ALTER TABLE b9 MATERIALIZE COLUMN nope")
+    # SHOW surfaces
+    ch.execute("CREATE VIEW bv9 AS SELECT a FROM b9")
+    stmt = ch.execute("SHOW CREATE VIEW bv9").collect()[0].statement
+    assert stmt.startswith("CREATE VIEW bv9 AS")
+    stmt = ch.execute("SHOW CREATE bv9").collect()[0].statement
+    assert "CREATE VIEW bv9" in stmt
+    fns = {r.name for r in ch.execute(
+        "SHOW FUNCTIONS LIKE 'grouparray%'").collect()}
+    assert "grouparray" in fns and "grouparrayinsertat" in fns
+    assert ch.execute("SHOW SETTINGS LIKE 'max%'").count() == 0
+    ch.execute("SET max_threads = 4")
+    rows = ch.execute("SHOW SETTINGS LIKE 'max%'").collect()
+    assert [(r.name, r.value) for r in rows] == [("max_threads", "4")]
+    assert ch.execute("SHOW GRANTS").count() == 0
+    with _pytest.raises(ValueError, match="DETACH TABLE"):
+        ch.execute("UNDROP TABLE b9")
