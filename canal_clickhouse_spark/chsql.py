@@ -1616,6 +1616,14 @@ def _translate_call(name: str, args: list[str]) -> str:
             else f"get_json_object({args[0]}, {_json_path_multi(args[1:])})"
         )
         return f"json_object_keys({raw})"
+    if low == "jsonkey":
+        # JSONKey(json[, path…], i): the i-th member's key (r9 probe:
+        # passthrough). The trailing index picks from the key list.
+        raw = (
+            args[0] if len(args) == 2
+            else f"get_json_object({args[0]}, {_json_path_multi(args[1:-1])})"
+        )
+        return f"element_at(json_object_keys({raw}), CAST({args[-1]} AS INT))"
     if low == "jsontype":
         # first-character classification of the raw JSON text; path-level
         # extracts lose string quoting through get_json_object, so the
@@ -3064,6 +3072,12 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "tupleelement":
         # tupleElement(t, n) — positional 1-based index (struct fields are
         # col1, col2, … from the `tuple` rename) or a name literal.
+        if len(args) > 2:
+            raise ValueError(
+                "tupleElement's 3-argument default form needs the tuple's"
+                " arity at runtime (out-of-range is an ANALYSIS error in"
+                " Spark); spell IF(<n in range>, t.colN, <default>)"
+            )
         sel = args[1].strip()
         if re.fullmatch(r"\d+", sel):
             return f"({args[0]}).col{sel}"
@@ -4508,6 +4522,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "blocknumber", "rownumberinblock", "blocksize",
     # r7 sixth probe batch (mapped)
     "jsonextract", "jsonextractkeysandvalues", "jsonextractkeys",
+    "jsonkey",
     "jsonextractuint", "jsontype", "json_value", "json_query",
     "json_exists", "isvalidjson", "makedate32", "makedatetime64",
     "yyyymmddhhmmsstodatetime", "fromunixtimestamp64nano",

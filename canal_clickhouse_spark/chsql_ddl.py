@@ -1347,6 +1347,17 @@ class ChSession:
             )
             return None
 
+        # INSERT ... SETTINGS k = v, ... <VALUES|FORMAT|SELECT> — the
+        # per-statement settings clause is the same accepted-and-dropped
+        # knob class as SET/SETTINGS (r9 probe: previously fell through
+        # to the generic unsupported error).
+        s = re.sub(
+            r"(?is)^(\s*INSERT\s+INTO\s+\w+\s*(?:\([^)]*\)\s*)?)"
+            r"SETTINGS\s+\w+\s*=\s*[^,\s]+(?:\s*,\s*\w+\s*=\s*[^,\s]+)*"
+            r"\s+(?=(?:VALUES|FORMAT|SELECT|WITH)\b)",
+            r"\1",
+            s,
+        )
         m = _INSERT_FORMAT_RE.match(s)
         if m:
             # The canal→ClickHouse adapter's actual wire protocol: INSERT
@@ -1370,14 +1381,21 @@ class ChSession:
                 "TABSEPARATED": ("tsv", False),
                 "TSVWITHNAMES": ("tsv", True),
                 "TABSEPARATEDWITHNAMES": ("tsv", True),
+                # r9 probe batch: positional JSON arrays, the full JSON
+                # envelope, key=value lines, and raw single-column lines
+                "JSONCOMPACTEACHROW": ("jsonc", False),
+                "JSON": ("jsonfull", False),
+                "TSKV": ("tskv", False),
+                "LINEASSTRING": ("line", False),
             }
             if fmt not in known:
                 # refuse loudly: the old \w+-prefix match silently parsed
                 # CSVWithNames as CSV with the header as a data row
                 raise ValueError(
                     f"INSERT FORMAT {m.group('fmt')}: supported inline"
-                    " formats are JSONEachRow / CSV[WithNames] /"
-                    " TSV|TabSeparated[WithNames] / Values"
+                    " formats are JSONEachRow / JSONCompactEachRow / JSON"
+                    " / CSV[WithNames] / TSV|TabSeparated[WithNames] /"
+                    " TSKV / LineAsString / Values"
                 )
             kind, has_header = known[fmt]
             tbl = self._require_table(name, f"INSERT FORMAT {m.group('fmt')}")
@@ -1419,7 +1437,38 @@ class ChSession:
                 lines = lines[1:]
                 parse_order = hdr
             schema = ", ".join(f"{c} {dt[c]}" for c in parse_order)
+            if kind == "jsonfull":
+                # the whole payload is ONE JSON document {"data": [rows]}
+                payload = (m.group("data") or "").replace("'", "\\'")
+                block = self.spark.sql(
+                    "SELECT r.* FROM (SELECT explode(from_json("
+                    f"'{payload}', 'STRUCT<data: ARRAY<STRUCT<{schema}>>>'"
+                    ").data) AS r)"
+                ).select(*cols)
+                return self._insert(name, block, ", ".join(cols))
             raw = self.spark.createDataFrame(lines, "raw string")
+            if kind == "line":
+                if len(cols) != 1 or not dt[cols[0]].startswith("string"):
+                    raise ValueError(
+                        "INSERT FORMAT LineAsString needs exactly one"
+                        " STRING target column (use the column-list form"
+                        " on wider tables)"
+                    )
+                block = raw.select(F.col("raw").alias(cols[0]))
+                return self._insert(name, block, cols[0])
+            if kind == "tskv":
+                mp = F.expr("str_to_map(raw, '\\t', '=')")
+                block = raw.select(*[
+                    F.element_at(mp, c).cast(dt[c]).alias(c) for c in cols
+                ])
+                return self._insert(name, block, ", ".join(cols))
+            if kind == "jsonc":
+                arr = F.from_json("raw", "array<string>")
+                block = raw.select(*[
+                    F.element_at(arr, i + 1).cast(dt[c]).alias(c)
+                    for i, c in enumerate(cols)
+                ])
+                return self._insert(name, block, ", ".join(cols))
             if kind == "json":
                 parsed = raw.select(F.from_json("raw", schema).alias("r"))
             elif kind == "tsv":

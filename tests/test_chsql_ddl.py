@@ -1779,3 +1779,44 @@ def test_r9_ddl_statement_batch(spark, sf_dir):
     assert ch.execute("SHOW GRANTS").count() == 0
     with _pytest.raises(ValueError, match="DETACH TABLE"):
         ch.execute("UNDROP TABLE b9")
+
+
+def test_r9_insert_format_batch(spark, sf_dir):
+    """r9 INSERT probe batch: JSONCompactEachRow (positional JSON
+    arrays), FORMAT JSON (the full {"data": [...]} envelope), TSKV
+    (key=value lines, fields by NAME), LineAsString (single STRING
+    column), and the per-statement INSERT SETTINGS clause (dropped like
+    the SETTINGS query clause) — all previously generic errors."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE i9 (a Int64, s String)"
+               " ENGINE = MergeTree ORDER BY a")
+    ch.execute('INSERT INTO i9 FORMAT JSONCompactEachRow'
+               ' [1, "x"]\n[2, "y"]')
+    ch.execute('INSERT INTO i9 FORMAT JSON'
+               ' {"data": [{"a": 3, "s": "z"}, {"a": 4, "s": "w"}]}')
+    # TSKV fields map by NAME, any order
+    ch.execute("INSERT INTO i9 FORMAT TSKV s=k\ta=5")
+    ch.execute("INSERT INTO i9 SETTINGS async_insert = 1,"
+               " wait_for_async_insert = 0 VALUES (6, 'v')")
+    got = sorted(
+        (r.a, r.s) for r in ch.execute("SELECT a, s FROM i9").collect()
+    )
+    assert got == [(1, "x"), (2, "y"), (3, "z"), (4, "w"),
+                   (5, "k"), (6, "v")]
+    # LineAsString: one STRING column required
+    ch.execute("CREATE TABLE l9 (line String) ENGINE = MergeTree"
+               " ORDER BY line")
+    ch.execute("INSERT INTO l9 FORMAT LineAsString\nraw one\nraw two")
+    assert sorted(
+        r.line for r in ch.execute("SELECT line FROM l9").collect()
+    ) == ["raw one", "raw two"]
+    with _pytest.raises(ValueError, match="one STRING"):
+        ch.execute("INSERT INTO i9 FORMAT LineAsString\nx")
+    # column-list + compact rows
+    ch.execute('INSERT INTO i9 (s, a) FORMAT JSONCompactEachRow ["q", 9]')
+    assert (9, "q") in {
+        (r.a, r.s) for r in ch.execute("SELECT a, s FROM i9").collect()}

@@ -3114,3 +3114,25 @@ def test_chsql_r9_probe_batch5(spark):
                 "sqidEncode(1)"):
         with _pytest.raises(ValueError):
             translate(f"SELECT {bad}")
+
+
+def test_chsql_r9_json_tuple_edges(spark):
+    """r9 JSON/tuple probe: 22 multi-path typed-extract spellings all
+    already green; the two edges closed — JSONKey (i-th member's key,
+    was a passthrough) and tupleElement's 3-arg default form (guided:
+    out-of-range struct access is an ANALYSIS error in Spark)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("JSONKey('{\"a\":1,\"b\":2}', 2)") == "b"
+    assert one("JSONKey('{\"a\":1,\"b\":2}', 1)") == "a"
+    assert one("JSONKey('{\"x\": {\"a\":1}}', 'x', 1)") == "a"
+    with _pytest.raises(ValueError, match="3-argument"):
+        translate("SELECT tupleElement((1,2), 3, 'd')")
+    # regression pins for the multi-path forms exercised in the sweep
+    assert one(
+        "JSONExtract('{\"a\": {\"b\": 7}}', 'a', 'b', 'Int64')") == 7
+    assert one("JSONHas('{\"a\": [1,2]}', 'a', 5)") is False
+    assert one("JSONLength('{\"a\": [1,2,3]}', 'a')") == 3
