@@ -1705,6 +1705,10 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"regexp_extract({args[0]}, {pat}, {grp})"
     if low == "median":
         return f"percentile({args[0]}, 0.5)"
+    if low == "groupuniqarrayarray":
+        # -Array combinator on groupUniqArray: the distinct elements
+        # across all input arrays (r9 probe: silent passthrough)
+        return f"array_distinct(flatten(collect_list({args[0]})))"
     if low == "grouparrayarray":  # aggregate arrays by concatenation
         return f"flatten(collect_list({args[0]}))"
     if low == "anyif":
@@ -3033,10 +3037,17 @@ def _translate_call(name: str, args: list[str]) -> str:
     # to its natural mergeable value: sum's state IS a sum, count's a count,
     # avg's a (sum, cnt) struct, uniqExact's the distinct set. The typed
     # opaque-blob encoding CH uses is irrelevant to the semantics.
-    if low in ("sumstate", "minstate", "maxstate", "anylaststate"):
+    if low in ("sumstate", "minstate", "maxstate", "anylaststate",
+               "anystate"):
         fn = {"sumstate": "sum", "minstate": "min", "maxstate": "max",
-              "anylaststate": "last"}[low]
+              "anylaststate": "last", "anystate": "any_value"}[low]
         return f"{fn}({args[0]})"
+    if low in ("argmaxstate", "argminstate", "argmaxmerge", "argminmerge"):
+        # arg-extremum state = its own (value at extremum) result — the
+        # same mergeable-value mapping as sum/min/max (r9 probe:
+        # argMaxState passed through silently)
+        fn = "max_by" if "argmax" in low else "min_by"
+        return f"{fn}({args[0]}, {args[1]})"
     if low in ("summerge", "minmerge", "maxmerge"):
         fn = {"summerge": "sum", "minmerge": "min", "maxmerge": "max"}[low]
         return f"{fn}({args[0]})"
@@ -4619,7 +4630,9 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "parsedatetimebesteffortusornull", "formatdatetimeinjodasyntax",
     "parsedatetimeinjodasyntax", "parsedatetimeinjodasyntaxornull",
     "parsetimedelta", "extractkeyvaluepairs",
-    "sumstate", "minstate", "maxstate", "anylaststate", "summerge",
+    "sumstate", "minstate", "maxstate", "anylaststate", "anystate",
+    "argmaxstate", "argminstate", "argmaxmerge", "argminmerge",
+    "groupuniqarrayarray", "summerge",
     "minmerge", "maxmerge", "countstate", "countmerge", "avgstate",
     "avgmerge", "uniqexactstate", "uniqexactmerge", "uniqstate",
     "uniqmerge",

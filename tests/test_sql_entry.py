@@ -3136,3 +3136,23 @@ def test_chsql_r9_json_tuple_edges(spark):
         "JSONExtract('{\"a\": {\"b\": 7}}', 'a', 'b', 'Int64')") == 7
     assert one("JSONHas('{\"a\": [1,2]}', 'a', 5)") is False
     assert one("JSONLength('{\"a\": [1,2,3]}', 'a')") == 3
+
+
+def test_chsql_r9_state_combinator_gaps(spark):
+    """r9 combinator probe: argMax/argMin -State/-Merge (the arg-extremum
+    state IS its mergeable result, like sum/min/max), anyState, and
+    groupUniqArrayArray (distinct elements across arrays) — all were
+    silent passthroughs."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 5, array(1, 2)), (2, 9, array(2, 3))"
+        " AS t9s(a, b, arr)"
+    ).createOrReplaceTempView("t9s")
+    g = lambda q: spark.sql(translate(q)).collect()[0][0]
+    assert g("SELECT argMaxState(a, b) FROM t9s") == 2
+    assert g("SELECT argMaxMerge(a, b) FROM t9s") == 2
+    assert g("SELECT argMinState(a, b) FROM t9s") == 1
+    assert sorted(g("SELECT groupUniqArrayArray(arr) FROM t9s")) == \
+        [1, 2, 3]
+    assert g("SELECT anyState(a) FROM t9s") in (1, 2)
