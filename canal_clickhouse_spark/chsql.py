@@ -5910,6 +5910,17 @@ def _rewrite_with_fill(q: str) -> str:
     """
     m = _lit_search(_WITH_FILL_RE, q)
     if not m:
+        if _lit_search(re.compile(r"(?i)\bWITH\s+FILL\b"), q):
+            # never emit WITH FILL into Spark SQL (r9 probe: a fill
+            # clause the regex can't parse — nested parens in
+            # INTERPOLATE, subquery position — previously passed through
+            # to a raw Spark parse error)
+            raise ValueError(
+                "WITH FILL: unsupported clause shape — supported form is"
+                " ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP k]"
+                " [STALENESS n] [INTERPOLATE (col [AS col ± k], …)] at"
+                " the top level of the query"
+            )
         return q
     col = m["col"]
     inner = q[: m.start()].strip()

@@ -3156,3 +3156,20 @@ def test_chsql_r9_state_combinator_gaps(spark):
     assert sorted(g("SELECT groupUniqArrayArray(arr) FROM t9s")) == \
         [1, 2, 3]
     assert g("SELECT anyState(a) FROM t9s") in (1, 2)
+
+
+def test_chsql_with_fill_never_emits(spark):
+    """r9: a WITH FILL shape the rewriter can't parse (nested parens in
+    INTERPOLATE, subquery position) must raise the guided error, never
+    reach Spark's parser verbatim."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    for q in (
+        "SELECT x, count() FROM t GROUP BY x ORDER BY x WITH FILL"
+        " INTERPOLATE (count() AS 0)",
+        "SELECT * FROM (SELECT x FROM t ORDER BY x WITH FILL) q2",
+    ):
+        with _pytest.raises(ValueError, match="WITH FILL"):
+            translate(q)
