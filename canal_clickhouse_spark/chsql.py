@@ -820,7 +820,13 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         win = f"slice({lst}, {start}, _i - {start} + 1)"
         fold = f"aggregate({win}, 0D, (_a, _b) -> _a + _b)"
         if low.endswith("avg"):
-            fold = f"({fold} / (_i - {start} + 1))"
+            # r10 advice: CH divides by the WINDOW SIZE (params[0]), not
+            # the accumulated element count — leading positions whose
+            # window is still filling are averaged over the full window
+            # (groupArrayMovingAvg(2) over [1,2,3,4] = [0.5,1.5,2.5,3.5]).
+            # The bare form divides by the total row count.
+            div = f"({params[0]})" if params else f"size({lst})"
+            fold = f"({fold} / {div})"
         return f"transform(sequence(1, size({lst})), _i -> {fold})"
     if low == "grouparrayinsertat":
         # groupArrayInsertAt([default[, size]])(x, pos): dense array with
@@ -1259,8 +1265,11 @@ def _translate_call(name: str, args: list[str]) -> str:
         # segment head; one transform decodes segment heads.
         s_ = args[0]
         named = (
+            # nbsp decodes to the real U+00A0 (r10 advice: ASCII space
+            # here contradicted the >=128-passthrough rule that preserves
+            # the numeric &#160; spelling)
             "map('lt', '<', 'gt', '>', 'amp', '&', 'quot', '\"',"
-            " 'apos', '''', 'nbsp', ' ')"
+            " 'apos', '''', 'nbsp', ' ')"
         )
         dec = "CAST(regexp_extract(_s, '^&#([0-9]+);', 1) AS INT)"
         hexv = (
@@ -2569,13 +2578,27 @@ def _translate_call(name: str, args: list[str]) -> str:
         # form; Horizontal is the transposed (per-group) form.
         pat = args[1].strip() if len(args) > 1 else ""
         lit = re.fullmatch(r"'((?:[^']|'')*)'", pat)
-        ngroups, i = 0, 0
+        ngroups, i, in_class = 0, 0, False
         body = lit.group(1) if lit else ""
         while i < len(body):
-            if body[i] == "\\":
-                i += 2
+            c = body[i]
+            if c == "\\":
+                # the body is the RAW literal: Spark unescapes '\\X' to a
+                # backslash that then escapes X in the regex — consume all
+                # three; any other '\X' collapses to X at string-parse
+                # time (skip two — a structural X written that way is
+                # pathological and only undercounts, never overcounts)
+                i += 3 if body[i + 1 : i + 2] == "\\" else 2
                 continue
-            if body[i] == "(" and body[i + 1 : i + 2] != "?":
+            # r10 advice: '(' inside a character class (e.g. '[(]') is a
+            # literal, not a group — track bracket-class state so the
+            # static count matches the regex engine's.
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+            elif c == "(" and body[i + 1 : i + 2] != "?":
                 ngroups += 1
             i += 1
         if not lit or ngroups == 0:

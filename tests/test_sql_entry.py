@@ -2623,6 +2623,11 @@ def test_chsql_r9_passthrough_closures(spark):
         "abc", "111"]
     assert one(r"extractGroups('nope', '(\\d+)=(\\d+)')") == []
     assert one(r"extractAllGroupsVertical('zz', '(\\w+)=(\\d+)')") == []
+    # r10 advice: '(' inside a character class is a literal, not a group
+    assert one(r"extractGroups('(42) rest', '[(]([0-9]+)[)]')") == ["42"]
+    assert one(
+        r"extractAllGroupsVertical('[a]=1 [b]=2', '\\[(\\w)\\]=(\\d)')"
+    ) == [["a", "1"], ["b", "2"]]
     with _pytest.raises(ValueError, match="string literal"):
         translate("SELECT extractAllGroupsVertical(s, pat) FROM t")
     # arrayROCAUC (CH's newer name for arrayAUC)
@@ -2845,6 +2850,9 @@ def test_chsql_xml_html_entities(spark):
     assert one("decodeHTMLComponent('plain')") == "plain"
     assert one("decodeHTMLComponent('&#65;BC')") == "ABC"
     assert one("decodeHTMLComponent('&unknown;kept')") == "&unknown;kept"
+    # r10 advice: named nbsp decodes to the real U+00A0, matching CH and
+    # consistent with the numeric &#160; >=128 passthrough rule
+    assert one("decodeHTMLComponent('a&nbsp;b')") == "a\u00a0b"
     # round trip on the XML set
     assert one(
         "decodeHTMLComponent(encodeXMLComponent('<a>&\"z\"</a>'))"
@@ -2942,10 +2950,12 @@ def test_chsql_r9_moving_folds(spark):
         [1.0, 3.0, 5.0, 7.0]
     assert g(f"SELECT groupArrayMovingSum(x) FROM {src}") == \
         [1.0, 3.0, 6.0, 10.0]
+    # CH divides by the window size (or total count for the bare
+    # form), NOT the filled-so-far count (r10 advice fix)
     assert g(f"SELECT groupArrayMovingAvg(2)(x) FROM {src}") == \
-        [1.0, 1.5, 2.5, 3.5]
+        [0.5, 1.5, 2.5, 3.5]
     assert g(f"SELECT groupArrayMovingAvg(x) FROM {src}") == \
-        [1.0, 1.5, 2.0, 2.5]
+        [0.25, 0.75, 1.5, 2.5]
 
 
 def test_chsql_r9_probe_batch3(spark):
