@@ -74,6 +74,11 @@ site; everything not listed here is intended to be value-identical):
   - out-of-bounds array subscripts return NULL (try_element_at); CH
     returns the element type's default (0 / '') — noted again at the
     subscript rewrite.
+  - arrayPartialSort / arrayPartialReverseSort fully sort: CH only
+    guarantees the first k positions sorted and leaves the remainder
+    unspecified, so the full sort is a legal deterministic refinement of
+    the unspecified tail (same convention as the ANY JOIN / FINAL
+    tie-break refinements above).
 """
 
 from __future__ import annotations
@@ -6133,6 +6138,30 @@ def _rewrite_qualify(q: str) -> str:
     return f"{out} {tail}" if tail else out
 
 
+def _rewrite_bare_int_predicates(q: str) -> str:
+    """CH truthiness for the placeholder idiom: ``WHERE 1`` / ``PREWHERE
+    1`` / ``HAVING 0`` — a predicate that is a BARE integer literal means
+    nonzero = true (r10 probe: previously reached Spark and failed
+    FILTER_NOT_BOOLEAN). Only the whole-predicate literal form rewrites;
+    general numeric-expression truthiness (``WHERE user_id``) stays a
+    loud analyzer error rather than a silent guess. Runs BEFORE the
+    PREWHERE merge so ``PREWHERE 1 WHERE 1`` becomes ``(TRUE) AND
+    (TRUE)``."""
+    masked = _mask_literals(q)
+    out, off = q, 0
+    for m in re.finditer(
+        r"(?is)\b(WHERE|PREWHERE|HAVING)\s+(\d+)\s*"
+        r"(?=$|\)|;|\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b"
+        r"|\bUNION\b|\bSETTINGS\b|\bFORMAT\b|\bQUALIFY\b|\bWINDOW\b)",
+        masked,
+    ):
+        a, b = m.span(2)
+        lit = "TRUE" if int(m.group(2)) != 0 else "FALSE"
+        out = out[: a + off] + lit + out[b + off:]
+        off += len(lit) - (b - a)
+    return out
+
+
 def _rewrite_prewhere(q: str) -> str:
     """``PREWHERE cond`` → merged into ``WHERE``. CH evaluates PREWHERE
     before column materialization as an I/O optimization; Spark's parquet
@@ -6471,6 +6500,7 @@ def _rewrite_clauses(q: str) -> str:
     # between the table and the predicates, and neither rewrite touches the
     # other's text. `LEFT ARRAY JOIN` keeps empty-array rows.
     q = _rewrite_array_join(q)
+    q = _rewrite_bare_int_predicates(q)
     q = _rewrite_prewhere(q)
     # CH aliases are expression macros valid in any clause: expand
     # top-level-WHERE references (after the PREWHERE merge so both

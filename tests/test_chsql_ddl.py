@@ -520,6 +520,13 @@ _OPS = st.lists(
         # result prefix-matches the model's sorted rows.
         st.tuples(st.just("clonetrailer"), st.sampled_from(["k", "ver"])),
         st.tuples(st.just("limitparam"), st.integers(0, 4)),
+        # r10: lightweight DELETE (CH 22.8+ spelling, routed to the
+        # mutation machinery — carries ON CLUSTER to exercise the strip),
+        # partition-scoped OPTIMIZE FINAL (other partitions untouched),
+        # and TEMPORARY-table staging (model-neutral lifecycle).
+        st.tuples(st.just("deletefrom"), st.integers(0, 3)),
+        st.tuples(st.just("optimizepart"), st.integers(0, 2)),
+        st.tuples(st.just("tempstage"), st.integers(1, 5)),
     ),
     min_size=1, max_size=6,
 )
@@ -627,6 +634,27 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
                 # nothing was detached (empty partition value) — the
                 # detached store never registered the key
                 assert not any(k % 2 == r for k, _, _ in model)
+        elif op[0] == "deletefrom":
+            _, r = op
+            ch.execute(f"DELETE FROM fz ON CLUSTER main WHERE k % 4 = {r}")
+            model = [(k, v, s) for k, v, s in model if k % 4 != r]
+        elif op[0] == "optimizepart":
+            _, r = op
+            ch.execute(f"OPTIMIZE TABLE fz PARTITION {r} FINAL")
+            best: dict[int, tuple[int, int, str]] = {}
+            for k, v, s_ in model:
+                if k % 2 == r and (k not in best or v > best[k][1]):
+                    best[k] = (k, v, s_)
+            model = [
+                (k, v, s_) for k, v, s_ in model if k % 2 != r
+            ] + sorted(best.values())
+        elif op[0] == "tempstage":
+            _, n = op
+            ch.execute("CREATE TEMPORARY TABLE fzt (x Int64)")
+            ch.execute(f"INSERT INTO fzt VALUES ({n})")
+            c = ch.execute("SELECT count() AS c FROM fzt").collect()[0].c
+            assert c == 1
+            ch.execute("DROP TABLE fzt")
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")
@@ -662,7 +690,7 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
                 f"extra={r['extra']} for k={r['k']}"
             )
     got = sorted((r["k"], r["ver"], r["s"]) for r in raw)
-    if any(o[0] == "optimize" for o in ops):
+    if any(o[0] in ("optimize", "optimizepart") for o in ops):
         # equal-version duplicates make the kept `s` arbitrary-but-one;
         # compare the deterministic projection (k, ver) plus row count,
         # and s only for keys whose max version is unique in the model
@@ -675,7 +703,7 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
     got2 = sorted(
         (r["k"], r["ver"], r["s"]) for r in ch.tables["fz2"].collect()
     )
-    if any(o[0] == "optimize" for o in ops):
+    if any(o[0] in ("optimize", "optimizepart") for o in ops):
         assert [(k, v) for k, v, _ in got2] == \
             [(k, v) for k, v, _ in sorted(model2)]
     else:
@@ -1820,3 +1848,211 @@ def test_r9_insert_format_batch(spark, sf_dir):
     ch.execute('INSERT INTO i9 (s, a) FORMAT JSONCompactEachRow ["q", 9]')
     assert (9, "q") in {
         (r.a, r.s) for r in ch.execute("SELECT a, s FROM i9").collect()}
+
+
+def test_r10_ddl_statement_batch(spark, sf_dir):
+    """r10 DDL probe batch (r9 verdict missing #1–#5): lightweight
+    DELETE FROM (routed to the ALTER DELETE mutation machinery —
+    post-state pinned byte-equal to the mutation spelling), ON CLUSTER
+    stripped from every DDL shape including the '{cluster}' macro,
+    OPTIMIZE TABLE … PARTITION p FINAL scoping the merge to one
+    partition, CREATE TEMPORARY TABLE (engine-less → Memory, the CH
+    default) with SHOW CREATE / EXISTS / system.tables round-trip, and
+    the named guided errors for ENGINE = Distributed and engine-less
+    non-temp CREATE."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    # --- ON CLUSTER strips on CREATE / ALTER / INSERT-free DDL ---
+    ch.execute(
+        "CREATE TABLE c10 ON CLUSTER main (id Int64, v String, p Int64)"
+        " ENGINE = ReplacingMergeTree(id) PARTITION BY p ORDER BY id"
+    )
+    ch.execute("ALTER TABLE c10 ON CLUSTER '{cluster}' ADD COLUMN e Int64"
+               " DEFAULT 0")
+    assert ch.tables["c10"].columns == ["id", "v", "p", "e"]
+    ch.execute("INSERT INTO c10 (id, v, p) VALUES"
+               " (1,'a',0),(1,'b',0),(2,'c',1),(2,'d',1),(3,'e',1)")
+    # a literal containing the clause text is DATA, never stripped
+    got = ch.execute("SELECT 'x ON CLUSTER main y' AS s").collect()[0].s
+    assert got == "x ON CLUSTER main y"
+
+    # --- lightweight DELETE == ALTER DELETE, byte-for-byte ---
+    ch.execute("CREATE TABLE c10b AS c10")
+    ch.execute("INSERT INTO c10b SELECT * FROM c10")
+    ch.execute("DELETE FROM c10 WHERE v = 'c'")
+    ch.execute("ALTER TABLE c10b DELETE WHERE v = 'c'")
+    lw = sorted(map(tuple, ch.execute("SELECT * FROM c10").collect()))
+    mu = sorted(map(tuple, ch.execute("SELECT * FROM c10b").collect()))
+    assert lw == mu and len(lw) == 4
+    # IN PARTITION + ON CLUSTER both compose on the lightweight form
+    ch.execute("DELETE FROM c10 ON CLUSTER main IN PARTITION 0"
+               " WHERE v = 'b'")
+    assert sorted(
+        r.v for r in ch.execute("SELECT v FROM c10").collect()
+    ) == ["a", "d", "e"]
+    # both spellings land in system.mutations
+    cmds = [r.command for r in ch.execute(
+        "SELECT command FROM system.mutations WHERE table = 'c10'"
+    ).collect()]
+    assert len(cmds) == 2 and all("DELETE" in c for c in cmds)
+
+    # --- OPTIMIZE PARTITION p FINAL: other partitions untouched ---
+    ch.execute("TRUNCATE TABLE c10")
+    ch.execute("INSERT INTO c10 (id, v, p) VALUES"
+               " (1,'a',0),(1,'b',0),(2,'x',1),(2,'y',1)")
+    ch.execute("OPTIMIZE TABLE c10 PARTITION 1 FINAL")
+    rows = [(r.id, r.p) for r in
+            ch.execute("SELECT id, p FROM c10").collect()]
+    assert sorted(rows) == [(1, 0), (1, 0), (2, 1)]  # p=0 dup survives
+    ch.execute("OPTIMIZE TABLE c10 ON CLUSTER main PARTITION 0 FINAL")
+    assert sorted(
+        (r.id, r.p) for r in ch.execute("SELECT id, p FROM c10").collect()
+    ) == [(1, 0), (2, 1)]
+    # partition-scoped DEDUPLICATE
+    ch.execute("CREATE TABLE c10d (k Int64, p Int64) ENGINE = MergeTree"
+               " PARTITION BY p ORDER BY k")
+    ch.execute("INSERT INTO c10d VALUES (1,0),(1,0),(2,1),(2,1)")
+    ch.execute("OPTIMIZE TABLE c10d PARTITION 1 FINAL DEDUPLICATE")
+    assert sorted(
+        (r.k, r.p) for r in ch.tables["c10d"].collect()
+    ) == [(1, 0), (1, 0), (2, 1)]
+    ch.execute("CREATE TABLE c10u (k Int64) ENGINE = MergeTree ORDER BY k")
+    with _pytest.raises(ValueError, match="PARTITION BY"):
+        ch.execute("OPTIMIZE TABLE c10u PARTITION 0 FINAL")
+
+    # --- CREATE TEMPORARY TABLE: engine-less → Memory, full round-trip ---
+    ch.execute("CREATE TEMPORARY TABLE stage10 (k Int64,"
+               " s Nullable(String))")
+    ch.execute("INSERT INTO stage10 VALUES (1, 'q'), (2, NULL)")
+    assert ch.execute(
+        "SELECT count() AS c FROM stage10").collect()[0].c == 2
+    sc = ch.execute("SHOW CREATE TABLE stage10").collect()[0].statement
+    assert sc.startswith("CREATE TEMPORARY TABLE stage10")
+    assert "ENGINE = Memory" in sc and "ORDER BY" not in sc
+    assert ch.execute(
+        "EXISTS TEMPORARY TABLE stage10").collect()[0].result == 1
+    assert ch.execute(
+        "SELECT is_temporary FROM system.tables WHERE name = 'stage10'"
+    ).collect()[0].is_temporary == 1
+    # the emitted DDL re-executes in a fresh session, schema-identical
+    ch2 = ChSession(spark, sf_dir)
+    ch2.execute(sc)
+    assert ch2.tables["stage10"].dtypes == ch.tables["stage10"].dtypes
+    # TEMPORARY with an explicit engine keeps it
+    ch.execute("CREATE TEMPORARY TABLE stage10m (k Int64)"
+               " ENGINE = MergeTree ORDER BY k")
+    assert ch.meta["stage10m"]["engine"] == "MergeTree"
+    assert ch.meta["stage10m"]["temporary"] is True
+
+    # --- guided errors ---
+    with _pytest.raises(ValueError, match="TEMPORARY TABLE defaults"):
+        ch.execute("CREATE TABLE noeng10 (x Int64)")
+    with _pytest.raises(ValueError, match="remote\\(\\)/cluster\\(\\)"):
+        ch.execute("CREATE TABLE dist10 AS c10 ENGINE ="
+                   " Distributed('main', 'default', 'c10', rand())")
+    with _pytest.raises(ValueError, match="remote\\(\\)/cluster\\(\\)"):
+        ch.execute("CREATE TABLE dist10 (a Int64) ENGINE ="
+                   " Distributed(main, default, c10)")
+
+    # --- ATTACH TABLE with inline schema = CREATE IF NOT EXISTS ---
+    ch.execute("ATTACH TABLE att10 (a Int64, b String)"
+               " ENGINE = MergeTree ORDER BY a")
+    assert ch.tables["att10"].count() == 0
+    assert ch.meta["att10"]["order_by"] == ["a"]
+    # attaching over a live table of the same name is a silent no-op
+    ch.execute("INSERT INTO att10 VALUES (1, 'x')")
+    ch.execute("ATTACH TABLE att10 (a Int64, b String)"
+               " ENGINE = MergeTree ORDER BY a")
+    assert ch.tables["att10"].count() == 1
+    # a DETACHed name must use the bare form (data preserved)
+    ch.execute("DETACH TABLE att10")
+    with _pytest.raises(ValueError, match="bare"):
+        ch.execute("ATTACH TABLE att10 (a Int64) ENGINE = MergeTree"
+                   " ORDER BY a")
+    ch.execute("ATTACH TABLE att10")
+    assert ch.tables["att10"].count() == 1
+
+
+def test_r10_partition_ops_and_database_statements(spark, sf_dir):
+    """r10 probe batch 2: cross-table partition ops (REPLACE PARTITION
+    FROM = swap one partition's content, ATTACH PARTITION FROM = copy,
+    MOVE PARTITION TO TABLE = move — CH's partition blue-green/retention
+    idioms), PARTITION ID forms (string spelling of the value), the
+    database-statement surface of a single-namespace engine (CREATE/DROP/
+    SHOW CREATE DATABASE, TRUNCATE ALL TABLES), bare-integer predicate
+    truthiness (WHERE 1 — CH nonzero=true), and the LIVE/WINDOW VIEW +
+    INSERT INTO FUNCTION + FETCH PARTITION guided errors."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE p1 (k Int64, p Int64) ENGINE = MergeTree"
+               " PARTITION BY p ORDER BY k")
+    ch.execute("CREATE TABLE p2 (k Int64, p Int64) ENGINE = MergeTree"
+               " PARTITION BY p ORDER BY k")
+    ch.execute("INSERT INTO p1 VALUES (1,0),(2,1)")
+    ch.execute("INSERT INTO p2 VALUES (3,0),(4,1)")
+    rows = lambda t: sorted((r.k, r.p) for r in ch.tables[t].collect())
+    # REPLACE: p1's partition 1 becomes p2's; p2 unchanged
+    ch.execute("ALTER TABLE p1 REPLACE PARTITION 1 FROM p2")
+    assert rows("p1") == [(1, 0), (4, 1)] and rows("p2") == [(3, 0), (4, 1)]
+    # ATTACH FROM: copy — source keeps its rows
+    ch.execute("ALTER TABLE p1 ATTACH PARTITION 0 FROM p2")
+    assert rows("p1") == [(1, 0), (3, 0), (4, 1)]
+    assert rows("p2") == [(3, 0), (4, 1)]
+    # MOVE: rows leave the source
+    ch.execute("ALTER TABLE p1 MOVE PARTITION 0 TO TABLE p2")
+    assert rows("p1") == [(4, 1)]
+    assert rows("p2") == [(1, 0), (3, 0), (3, 0), (4, 1)]
+    # TO DISK/VOLUME: storage-tier no-op
+    ch.execute("ALTER TABLE p2 MOVE PARTITION 0 TO DISK 'cold'")
+    assert rows("p2") == [(1, 0), (3, 0), (3, 0), (4, 1)]
+    with _pytest.raises(ValueError, match="replica"):
+        ch.execute("ALTER TABLE p2 FETCH PARTITION 0 FROM '/zk/x'")
+    # structure / partition-key guards
+    ch.execute("CREATE TABLE p3 (k Int64, q String) ENGINE = MergeTree"
+               " PARTITION BY k ORDER BY k")
+    with _pytest.raises(ValueError, match="structures differ"):
+        ch.execute("ALTER TABLE p1 REPLACE PARTITION 1 FROM p3")
+    # PARTITION ID forms: mutation + optimize
+    ch.execute("ALTER TABLE p2 DELETE IN PARTITION ID '0' WHERE 1")
+    assert rows("p2") == [(4, 1)]
+    ch.execute("CREATE TABLE pr (k Int64, v Int64, p Int64) ENGINE ="
+               " ReplacingMergeTree(v) PARTITION BY p ORDER BY k")
+    ch.execute("INSERT INTO pr VALUES (1,1,0),(1,2,0),(2,1,1),(2,2,1)")
+    ch.execute("OPTIMIZE TABLE pr PARTITION ID '1' FINAL")
+    assert sorted((r.k, r.v, r.p) for r in ch.tables["pr"].collect()) == \
+        [(1, 1, 0), (1, 2, 0), (2, 2, 1)]
+    # bare-integer truthiness: SELECT + mutation spellings
+    assert ch.execute(
+        "SELECT count() AS c FROM pr WHERE 1").collect()[0].c == 3
+    assert ch.execute(
+        "SELECT count() AS c FROM pr PREWHERE 1 WHERE 1").collect()[0].c == 3
+    ch.execute("DELETE FROM pr WHERE 0")
+    assert ch.tables["pr"].count() == 3
+    ch.execute("ALTER TABLE pr DELETE WHERE 1")
+    assert ch.tables["pr"].count() == 0
+    # database statements
+    ch.execute("CREATE DATABASE IF NOT EXISTS default")
+    ch.execute("DROP DATABASE IF EXISTS analytics")
+    assert ch.execute(
+        "SHOW CREATE DATABASE default"
+    ).collect()[0].statement == "CREATE DATABASE default"
+    assert ch.execute("SHOW CLUSTERS").count() == 0
+    with _pytest.raises(ValueError, match="single-database"):
+        ch.execute("CREATE DATABASE analytics")
+    with _pytest.raises(ValueError, match="only namespace"):
+        ch.execute("DROP DATABASE default")
+    ch.execute("TRUNCATE ALL TABLES FROM default")
+    assert ch.tables["p1"].count() == 0 and ch.tables["p2"].count() == 0
+    # guided refusals
+    with _pytest.raises(ValueError, match="streaming operators"):
+        ch.execute("CREATE LIVE VIEW lv AS SELECT 1")
+    with _pytest.raises(ValueError, match="streaming operators"):
+        ch.execute("CREATE WINDOW VIEW wv AS SELECT 1")
+    with _pytest.raises(ValueError, match="sink writers"):
+        ch.execute("INSERT INTO FUNCTION file('x.parquet') SELECT 1")
