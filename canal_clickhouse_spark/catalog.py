@@ -50,21 +50,30 @@ def fix_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-# Per-path SCHEMA memo (r9, reworked r10): `spark.read.parquet` re-reads
+# Fixture-read memos (r9, reworked r10): `spark.read.parquet` re-reads
 # the file footer for schema inference on EVERY call, and the registry's
 # ch_sql path re-registers all 10 fixtures per query — ~1 s of pure
-# footer/schema I/O per bench key before any query work. r9 memoized the
-# DataFrames per session, but a DataFrame strongly references its
-# SparkSession, so the WeakKeyDictionary never evicted (the value kept
-# the key alive) and stopped sessions leaked for process lifetime (r10
-# advice). Caching only the SCHEMA fixes both: `spark.read.schema(...)`
-# skips inference (the entire footer-I/O cost), the schema object holds
-# no session reference, and plan construction per call is microseconds of
-# py4j. ASSUMPTION (documented, r9 verdict hygiene note): a parquet file
-# at a given absolute path is immutable for process lifetime — true for
-# the driver's read-only fixtures this catalog serves; replacing a
-# fixture file in place with a different schema would serve the stale
-# schema.
+# footer/schema I/O per bench key before any query work, plus ~10 ms of
+# py4j plan construction per table per call. Two layers fix both costs:
+#
+# - _SCHEMA_MEMO (process-global, path → StructType): the parquet footer
+#   is read once per path per process; later reads pass the schema
+#   explicitly, skipping inference. Schemas hold no session reference.
+#   ASSUMPTION (documented, r9 verdict hygiene note): a parquet file at a
+#   given absolute path is immutable for process lifetime — true for the
+#   driver's read-only fixtures this catalog serves.
+# - a per-session DataFrame memo stored ON the session object
+#   (`spark.__dict__`): DataFrames are immutable lazy plans, so reusing
+#   one within a session is semantically identical to re-reading, and
+#   views are STILL re-registered on every register_views call (pointing
+#   at the cached plan), so a caller that replaced a view gets it
+#   restored exactly as before. r9 kept this memo in a
+#   WeakKeyDictionary, which never evicted: the DataFrame values
+#   strongly reference their session, so the value kept the key alive
+#   (r10 advice). Storing the dict in the session's own __dict__ makes
+#   the whole structure one reference CYCLE (session → memo → DataFrame
+#   → session) with no external root — Python's cycle collector frees
+#   it as soon as the caller drops the session, stopped or not.
 _SCHEMA_MEMO: dict[str, "object"] = {}
 
 
@@ -74,14 +83,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table: {name}")
     tune(spark)
     path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
-    schema = _SCHEMA_MEMO.get(path)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_MEMO[path] = df.schema
-    else:
-        df = spark.read.schema(schema).parquet(path)
-    if name == "events":
-        df = fix_events_ts(df)
+    memo = spark.__dict__.setdefault("_ccs_table_memo", {})
+    df = memo.get(path)
+    if df is None:
+        schema = _SCHEMA_MEMO.get(path)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _SCHEMA_MEMO[path] = df.schema
+        else:
+            df = spark.read.schema(schema).parquet(path)
+        if name == "events":
+            df = fix_events_ts(df)
+        memo[path] = df
     return df
 
 

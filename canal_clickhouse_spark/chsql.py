@@ -74,6 +74,10 @@ site; everything not listed here is intended to be value-identical):
   - out-of-bounds array subscripts return NULL (try_element_at); CH
     returns the element type's default (0 / '') — noted again at the
     subscript rewrite.
+  - date arithmetic on Date values (addWeeks/subtractDays/`+ INTERVAL`)
+    widens to DateTime (midnight time part); CH keeps the Date type for
+    day-or-coarser units. Values agree — wrap with toDate() where the
+    column type matters downstream.
   - arrayPartialSort / arrayPartialReverseSort fully sort: CH only
     guarantees the first k positions sorted and leaves the remainder
     unspecified, so the full sort is a legal deterministic refinement of
@@ -635,10 +639,29 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         # class as quantileTDigest → exact.
         p = params[0] if params else "0.5"
         return f"percentile({args[0]}, {p}, {args[1]})"
-    if low in ("quantiletiming", "quantilebfloat16", "quantileexactlow",
-               "quantileexacthigh", "quantileexactexclusive",
+    if low in ("quantileexactlow", "quantileexacthigh"):
+        # Element-PICKING quantiles (r10 probe: previously lumped into the
+        # interpolated percentile, which returned 2.5 where CH returns the
+        # exact element 2/3). CH's QuantileExact semantics: at level 0.5
+        # the lower/upper median element (python statistics.median_low /
+        # median_high); at other levels the element at trunc(level·n),
+        # clamped to the last. Same input type out — no float widening.
+        p = params[0] if params else "0.5"
+        lst = f"array_sort(collect_list({args[0]}))"
+        s = f"size({lst})"
+        if low.endswith("low"):
+            med = f"IF({s} % 2 = 1, ({s} + 1) DIV 2, {s} DIV 2)"
+        else:
+            med = f"({s} DIV 2 + 1)"
+        gen = f"least(CAST(floor(({p}) * {s}) AS INT) + 1, {s})"
+        return (
+            f"element_at({lst},"
+            f" CAST(IF(({p}) = 0.5, {med}, {gen}) AS INT))"
+        )
+    if low in ("quantiletiming", "quantilebfloat16",
+               "quantileexactexclusive",
                "quantileexactinclusive", "quantilegk", "quantileddsketch"):
-        # Approximate/element-picking impls → exact interpolated percentile
+        # Approximate impls → exact interpolated percentile
         # (documented divergence, same as quantileExact's treatment;
         # Inclusive IS percentile's interpolation, Exclusive shifts rank
         # bounds — approximated by the same exact form; GK's accuracy
@@ -916,6 +939,12 @@ _CH_FMT = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
     "%i": "mm", "%S": "ss", "%s": "ss", "%p": "a", "%j": "DDD",
     "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%D": "MM/dd/yy", "%%": "%",
+    # r10 probe batch — unambiguous codes from the CH doc table (%g/%G,
+    # the ISO week-numbering years, stay unsupported: Spark 3+ bans the
+    # week-based 'YY'/'YYYY' DateTimeFormatter patterns):
+    "%a": "EEE", "%W": "EEEE", "%b": "MMM", "%c": "MM",
+    "%I": "hh", "%h": "hh", "%Q": "Q",
+    "%R": "HH:mm", "%r": "hh:mm:ss a", "%n": "\n", "%t": "\t",
 }
 
 
@@ -1419,7 +1448,21 @@ def _translate_call(name: str, args: list[str]) -> str:
         # CH default mode 0 starts weeks on SUNDAY; Spark's
         # date_trunc('week') starts on Monday. Floor to the on-or-before
         # Sunday explicitly (Spark dayofweek: Sunday=1..Saturday=7).
+        # Mode argument (r10 probe: previously IGNORED — mode 1 silently
+        # returned the Sunday start): odd modes start Monday, even modes
+        # Sunday (CH's mode table reduces to that parity for the start
+        # day; the mode's week-NUMBERING differences don't apply here).
         a = args[0]
+        mode = 0
+        if len(args) > 1:
+            mlit = re.fullmatch(r"\s*(\d+)\s*", args[1])
+            if not mlit:
+                raise ValueError(
+                    "toStartOfWeek mode must be a literal integer 0-9"
+                )
+            mode = int(mlit.group(1))
+        if mode % 2:
+            return f"CAST(date_trunc('week', {a}) AS DATE)"
         return f"date_sub(to_date({a}), dayofweek({a}) - 1)"
     if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
                "arraycount", "arrayfirst", "arraylast", "arrayfirstindex",
@@ -1968,10 +2011,15 @@ def _translate_call(name: str, args: list[str]) -> str:
                 f" + IF(_r IS NULL, 0, 1)))"
             )
         else:  # avgforeach = elementwise sum / elementwise count
+            # the avg output is DOUBLE regardless of input, so the sum
+            # accumulator widens to DOUBLE up front — otherwise DECIMAL
+            # inputs fail the fold's fixed-accumulator-type check
+            # (decimal addition widens precision per step; r10 probe)
             s_ = (
-                f"aggregate({lst}, {typed_seed}, (_acc, _x) ->"
+                f"aggregate({lst},"
+                f" CAST({typed_seed} AS ARRAY<DOUBLE>), (_acc, _x) ->"
                 f" zip_with(_acc, _x, (_l, _r) ->"
-                f" coalesce(_l, 0) + coalesce(_r, 0)))"
+                f" coalesce(_l, 0D) + coalesce(CAST(_r AS DOUBLE), 0D)))"
             )
             c_ = (
                 f"aggregate({lst}, CAST(array() AS ARRAY<BIGINT>),"
@@ -3383,6 +3431,20 @@ def _translate_call(name: str, args: list[str]) -> str:
             " agg_stats building blocks (avg/stddev/corr + win_rank for"
             " rank statistics)"
         )
+    if low in ("stochasticlinearregression",
+               "stochasticlogisticregression"):
+        # r10 probe: previously an unrecognized-name passthrough to
+        # Spark's UNRESOLVED_ROUTINE error. These train SGD models inside
+        # an aggregate — an iterative algorithm, not a fold; closed-form
+        # least squares IS expressible (simpleLinearRegression →
+        # regr_slope/regr_intercept), and full model training belongs in
+        # Spark ML, not a SQL aggregate.
+        raise ValueError(
+            f"{name} trains an SGD model inside an aggregate — no inline"
+            " Spark spelling; use simpleLinearRegression (closed-form"
+            " least squares via regr_slope/regr_intercept) or Spark ML"
+            " for iterative training"
+        )
     if low in ("corrmatrix", "covarmatrix", "covarsampmatrix",
                "covarpopmatrix"):
         # r8 verdict #3: these previously passed through to Spark's
@@ -3698,7 +3760,19 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "addinterval":
         return f"({args[0]} + {args[1]})"
     if low == "tolastdayofweek":
+        # same mode parity as toStartOfWeek: odd = Monday-start week, so
+        # its last day is the following Sunday
         d = args[0]
+        mode = 0
+        if len(args) > 1:
+            mlit = re.fullmatch(r"\s*(\d+)\s*", args[1])
+            if not mlit:
+                raise ValueError(
+                    "toLastDayOfWeek mode must be a literal integer 0-9"
+                )
+            mode = int(mlit.group(1))
+        if mode % 2:
+            return f"date_add(CAST(date_trunc('week', {d}) AS DATE), 6)"
         return f"date_add(date_sub(to_date({d}), dayofweek({d}) - 1), 6)"
     if low == "tostartofmillisecond":
         return f"date_trunc('MILLISECOND', {args[0]})"
@@ -4289,6 +4363,14 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"aggregate({a}, 0D, (_s, _x) -> _s + abs(CAST(_x AS DOUBLE)))"
         )
         return f"transform({a}, _x -> CAST(_x AS DOUBLE) / {n_})"
+    if low == "linfnormalize":
+        # r10 probe: the third normalize of the family was an
+        # unrecognized-name passthrough
+        a = args[0]
+        n_ = (
+            f"array_max(transform({a}, _x -> abs(CAST(_x AS DOUBLE))))"
+        )
+        return f"transform({a}, _x -> CAST(_x AS DOUBLE) / {n_})"
     if low == "lpdistance":
         a, b = args[0], args[1]
         p = args[2] if len(args) > 2 else "2"
@@ -4448,6 +4530,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "cramersvbiascorrected", "theilsu", "contingency",
     # r8: matrix aggregates routed to the same guided-error policy
     "corrmatrix", "covarmatrix", "covarsampmatrix", "covarpopmatrix",
+    # r10: SGD-training aggregates routed to named guidance
+    "stochasticlinearregression", "stochasticlogisticregression",
     # r8 probe batch: mapped spellings
     "cast",
     "arraysplit", "arrayreversesplit", "arrayelementornull",
@@ -4595,7 +4679,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "torelativesecondnum", "bitmasktolist", "bitmasktoarray",
     "bitpositionstoarray", "tolowcardinality", "visiblewidth",
     "tocolumntypename", "lpnorm", "linfnorm", "l2squarednorm",
-    "l1normalize", "lpdistance", "positioncaseinsensitiveutf8",
+    "l1normalize", "linfnormalize", "lpdistance",
+    "positioncaseinsensitiveutf8",
     "countsubstringscaseinsensitive", "startswithutf8", "endswithutf8",
     "touuidornull", "touuidorzero", "totime64",
     # r7 fifth probe batch (guided errors)
@@ -4800,16 +4885,24 @@ def _star_table_cols(q: str, what: str) -> tuple[str, ...]:
     multi = re.search(r"\bJOIN\b", mq, re.IGNORECASE) or re.search(
         r"\bFROM\s+\w+(?:\s+(?:AS\s+)?\w+)?\s*,", mq, re.IGNORECASE
     )
-    if len(tables) == 1 and not multi:
+    # When the query's OWN from (first FROM in the text) is a subquery,
+    # the subquery's select list — not any table named inside it —
+    # defines the star's width (r10: previously the inner table hijacked
+    # the expansion or disqualified it).
+    sm = re.search(r"\bFROM\s*\(\s*SELECT\s+", mq, re.IGNORECASE)
+    first_from = re.search(r"\bFROM\b", mq, re.IGNORECASE)
+    own_from_is_subquery = bool(
+        sm and first_from and first_from.start() == sm.start()
+    )
+    if len(tables) == 1 and not multi and not own_from_is_subquery:
         t = next(iter(tables))
         if t in _TABLE_COLS:
             return _TABLE_COLS[t]
     # FROM (SELECT …) subquery source (r8 probe 5: the star modifier used
     # to refuse any subquery): when every top-level select item of the
-    # INNERMOST deepest-FROM subquery carries a plain output name (alias
-    # or bare column), that list IS the star's width.
-    sm = re.search(r"\bFROM\s*\(\s*SELECT\s+", mq, re.IGNORECASE)
-    if sm and not multi and not tables:
+    # subquery carries a plain output name (alias or bare column), that
+    # list IS the star's width.
+    if sm and not multi and own_from_is_subquery:
         lp = mq.index("(", sm.start())
         rp = _scan_group(q, lp)
         body = q[lp + 1 : rp]

@@ -737,7 +737,9 @@ def test_chsql_median_family_and_unknown_parametric_guard():
     assert "percentile(x, 0.9, w)" in translate(
         "SELECT quantileTimingWeighted(0.9)(x, w) FROM t"
     )
-    assert "percentile(x, 0.25)" in translate(
+    # r10: quantileExactLow/High are element-PICKING now, not
+    # interpolating (value pins in test_chsql_r10_exact_quantiles)
+    assert "element_at(array_sort(collect_list(x))" in translate(
         "SELECT quantileExactLow(0.25)(x) FROM t"
     )
     # medianExactWeighted reuses the exact-rank fold at p=0.5
@@ -2292,14 +2294,17 @@ def test_chsql_interpolate_linear(spark):
                   " INTERPOLATE (v AS v * 2)")
 
 
-def test_chsql_star_modifiers_on_subquery(spark):
+def test_chsql_star_modifiers_on_subquery(spark, sf_dir):
     """r8: star modifiers (* APPLY / * EXCEPT APPLY / COLUMNS) expand
     against a FROM (SELECT …) subquery when every inner select item
     carries a plain output name — previously any subquery source refused.
     Joins still refuse (the text rewriter can't know the star's width)."""
     import pytest as _pytest
 
+    from canal_clickhouse_spark.catalog import register_views
     from canal_clickhouse_spark.chsql import translate
+
+    register_views(spark, sf_dir)
 
     q = lambda s: [tuple(r) for r in spark.sql(translate(s)).collect()]
     assert q("SELECT * APPLY(sum) FROM (SELECT 1 AS a, 2 AS b) t") == \
@@ -2308,6 +2313,15 @@ def test_chsql_star_modifiers_on_subquery(spark):
              " FROM (SELECT 1 AS a, 2 AS b, 3 AS c) t") == [(1, 3)]
     assert q("SELECT COLUMNS('^a')"
              " FROM (SELECT 1 AS a1, 2 AS a2, 3 AS b) t") == [(1, 2)]
+    # r10: a table named INSIDE the subquery no longer disqualifies —
+    # the inner select list, not the inner table, defines the width
+    assert q("SELECT * APPLY(sum)"
+             " FROM (SELECT r_regionkey AS k, r_regionkey * 2 AS d"
+             " FROM region)") == \
+        q("SELECT sum(r_regionkey), sum(r_regionkey * 2) FROM region")
+    assert q("SELECT * EXCEPT(nm) APPLY(max)"
+             " FROM (SELECT r_regionkey AS k, r_name AS nm FROM region)"
+             ) == q("SELECT max(r_regionkey) FROM region")
     with _pytest.raises(ValueError, match="expand against"):
         translate("SELECT * APPLY(sum) FROM orders o JOIN customer c"
                   " ON 1 = 1")
@@ -3183,3 +3197,117 @@ def test_chsql_with_fill_never_emits(spark):
     ):
         with _pytest.raises(ValueError, match="WITH FILL"):
             translate(q)
+
+
+def test_chsql_r10_week_modes_and_format_codes(spark):
+    """r10 probe batch: toStartOfWeek/toLastDayOfWeek MODE argument
+    (previously ignored — mode 1 silently returned the Sunday start; CH's
+    mode table reduces to parity for the start day: odd = Monday, even =
+    Sunday), and the unambiguous formatDateTime codes from the CH doc
+    table (%a %W %b %c %I %h %Q %R %r %n %t). %M stays loudly rejected
+    (meaning flipped across CH versions), %g/%G stay unsupported (Spark
+    3+ bans week-based year patterns), and bare-integer predicate
+    truthiness (WHERE 1) is pinned at the translator level."""
+    import datetime
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    d = lambda s: datetime.date.fromisoformat(s)
+    # 2023-04-21 is a Friday
+    assert one("toStartOfWeek(toDate('2023-04-21'))") == d("2023-04-16")
+    assert one("toStartOfWeek(toDate('2023-04-21'), 1)") == d("2023-04-17")
+    assert one("toStartOfWeek(toDate('2023-04-21'), 3)") == d("2023-04-17")
+    assert one("toLastDayOfWeek(toDate('2023-04-21'))") == d("2023-04-22")
+    assert one("toLastDayOfWeek(toDate('2023-04-21'), 1)") == d("2023-04-23")
+    # a Sunday under Monday-start mode belongs to the PRIOR week
+    assert one("toStartOfWeek(toDate('2023-04-23'), 1)") == d("2023-04-17")
+    assert one("toStartOfWeek(toDate('2023-04-23'))") == d("2023-04-23")
+    with _pytest.raises(ValueError, match="literal integer"):
+        translate("SELECT toStartOfWeek(ts, n) FROM events")
+    # format codes
+    assert one("formatDateTime(toDateTime('2020-01-04 02:20:30'),"
+               " '%I %p')") == "02 AM"
+    assert one("formatDateTime(toDateTime('2020-01-04 14:20:30'),"
+               " '%r')") == "02:20:30 PM"
+    assert one("formatDateTime(toDateTime('2020-01-04 02:20:30'),"
+               " '%R')") == "02:20"
+    assert one("formatDateTime(toDate('2023-04-21'), '%a %W %b %c')") == \
+        "Fri Friday Apr 04"
+    assert one("formatDateTime(toDate('2023-04-21'), '%Q')") == "2"
+    with _pytest.raises(ValueError, match="%M"):
+        translate("SELECT formatDateTime(toDate('2023-04-21'), '%M') AS r")
+    with _pytest.raises(ValueError, match="%g"):
+        translate("SELECT formatDateTime(toDate('2023-04-21'), '%g') AS r")
+    # WHERE/PREWHERE/HAVING bare-int truthiness at the translator level
+    spark.sql("SELECT * FROM VALUES (1), (2) AS tw(x)") \
+        .createOrReplaceTempView("tw")
+    g = lambda q: spark.sql(translate(q)).collect()
+    assert len(g("SELECT x FROM tw WHERE 1")) == 2
+    assert len(g("SELECT x FROM tw WHERE 0")) == 0
+    assert len(g("SELECT x FROM tw PREWHERE 1 WHERE 1 ORDER BY x")) == 2
+    assert len(g("SELECT x FROM tw GROUP BY x HAVING 1 ORDER BY x")) == 2
+    # a literal '1' in a string predicate is untouched
+    assert len(g("SELECT x FROM tw WHERE 'a 1 b' != ''")) == 2
+
+
+def test_chsql_r10_exact_quantiles(spark):
+    """r10: quantileExactLow/High pick the exact ELEMENT (CH's
+    median_low/median_high semantics at 0.5, trunc(level*n) clamped at
+    other levels) — previously the interpolated percentile returned 2.5
+    where CH returns 2 / 3. Input type is preserved (no float
+    widening)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql("SELECT * FROM VALUES (1), (2), (3), (4) AS tq(x)") \
+        .createOrReplaceTempView("tq")
+    spark.sql("SELECT * FROM VALUES (1), (2), (3), (4), (5) AS t5(x)") \
+        .createOrReplaceTempView("tq5")
+    one = lambda q: spark.sql(translate(q)).collect()[0][0]
+    assert one("SELECT quantileExactLow(0.5)(x) FROM tq") == 2
+    assert one("SELECT quantileExactHigh(0.5)(x) FROM tq") == 3
+    assert one("SELECT quantileExactLow(0.5)(x) FROM tq5") == 3
+    assert one("SELECT quantileExactHigh(0.5)(x) FROM tq5") == 3
+    assert one("SELECT medianExactLow(x) FROM tq") == 2
+    assert one("SELECT medianExactHigh(x) FROM tq") == 3
+    # non-median level: element at trunc(level*n), clamped
+    assert one("SELECT quantileExactLow(0.9)(x) FROM tq5") == 5
+    assert one("SELECT quantileExactLow(0.2)(x) FROM tq5") == 2
+    assert one("SELECT quantileExactHigh(0.2)(x) FROM tq5") == 2
+    # -If stack keeps the element-picking form
+    assert one("SELECT quantileExactLowIf(0.5)(x, x < 4) FROM tq") == 2
+
+
+def test_chsql_r10_combinator_probe_fixes(spark):
+    """r10 combinator probe: avgForEach over DECIMAL inputs (the fold's
+    fixed-accumulator-type check failed because decimal addition widens
+    per step — the avg sum accumulator now widens to DOUBLE up front,
+    which is the avg output type anyway), integer ForEach outputs keep
+    their exact types, and the stochastic*Regression SGD-training
+    aggregates raise named guidance instead of Spark's
+    UNRESOLVED_ROUTINE."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    spark.sql("SELECT * FROM VALUES (CAST(1.0 AS DECIMAL(3,1)),"
+              " CAST(10.0 AS DECIMAL(4,1))), (CAST(2.0 AS DECIMAL(3,1)),"
+              " CAST(20.0 AS DECIMAL(4,1))) AS td(a, b)") \
+        .createOrReplaceTempView("td")
+    one = lambda q: spark.sql(translate(q)).collect()[0][0]
+    assert one("SELECT avgForEach([a, b]) FROM td") == [1.5, 15.0]
+    spark.sql("SELECT * FROM VALUES (1, 10), (2, 20) AS ti(a, b)") \
+        .createOrReplaceTempView("ti")
+    assert one("SELECT avgForEach([a, b]) FROM ti") == [1.5, 15.0]
+    assert one("SELECT sumForEach([a, b]) FROM ti") == [3, 30]
+    assert one("SELECT LinfNormalize([2.0, 4.0])") == [0.5, 1.0]
+    assert one("SELECT LinfNormalize([-8.0, 4.0])") == [-1.0, 0.5]
+    with _pytest.raises(ValueError, match="SGD"):
+        translate("SELECT stochasticLogisticRegression(y, x) FROM t")
+    with _pytest.raises(ValueError, match="regr_slope|SGD|recognized"):
+        translate(
+            "SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')(y, x)"
+            " FROM t"
+        )
