@@ -96,6 +96,7 @@ EXTENDED: tuple[str, ...] = (
     "chsql_parametric_if",    # topK run-fold + -If combinator stacks
     "chsql_ttl_ddl",          # TTL DDL + two max-anchored expiry merges
     "chsql_paste_compat",     # SHOW-CREATE dump ingest + default fill
+    "chsql_partition_surgery",  # r10 REPLACE/ATTACH-FROM/MOVE partitions
     "chsql_show_create_roundtrip",  # DDL dump -> re-execute -> aggregate
     # r7 probe-batch spelling keys (row-wise keys filtered to ~9% of rows)
     "chsql_r7_spellings",     # ISO-year/IPv4/gcd-fold row-wise sweep

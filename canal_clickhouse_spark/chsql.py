@@ -509,6 +509,7 @@ _RENAME = {
     # default frame, which is the only frame this translator emits)
     "leadinframe": "lead",
     "laginframe": "lag",
+    "denserank": "dense_rank",  # CH camelCase alias (r10 probe)
     "substringindex": "substring_index",
     "makedate": "make_date",
     "makedatetime": "make_timestamp",
@@ -1256,6 +1257,11 @@ def _translate_call(name: str, args: list[str]) -> str:
         # while CH coerces doubles. No-op (and 64-bit exact) for integer
         # operands; for fractional operands the operands truncate first —
         # divergent from CH only when the DIVISOR is non-integral.
+        # Rounding: CH truncates toward ZERO (C++ integer division),
+        # exactly Spark's `div` — provable from the division identity:
+        # CH's modulo is sign-of-dividend (modulo(-7, 3) = -1, pinned in
+        # the r9 battery), and a = b·intDiv(a,b) + modulo(a,b) only holds
+        # with the truncating quotient (-2), never the floored one (-3).
         return f"(CAST({args[0]} AS BIGINT) div CAST({args[1]} AS BIGINT))"
     # Operand sub-expressions are parenthesized individually: the argument
     # may itself be an infix expression (`minus(a, b - c)`), and splicing it
@@ -2903,6 +2909,13 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "moduloorzero":
         return f"IF(({args[1]}) = 0, 0, ({args[0]}) % ({args[1]}))"
+    if low == "sign":
+        # Spark's sign() returns DOUBLE; CH returns Int8 (r10 probe —
+        # type-only fix, values agree)
+        return f"CAST(signum({args[0]}) AS TINYINT)"
+    if low == "clamp":
+        # clamp(x, lo, hi) (CH 23.x; r10 probe: unrecognized passthrough)
+        return f"least(greatest(({args[0]}), ({args[1]})), ({args[2]}))"
     # -- array construction/mutation
     if low == "range":  # range(n) = [0..n-1]; range(a, b[, s]) half-open
         # Empty-range guard (r4 advice): CH's range(0) is [] but a bare
@@ -3058,6 +3071,22 @@ def _translate_call(name: str, args: list[str]) -> str:
         from .chsql_ddl import ch_type_to_spark  # local: avoids cycle at import
 
         target = ch_type_to_spark(m.group(1))
+        # Unsigned targets map to WIDER signed Spark types, so try_cast
+        # alone can't enforce the CH range (r10 probe:
+        # accurateCastOrNull(300, 'UInt8') returned 300, CH gives NULL).
+        # Guard the CH range explicitly; non-numeric inputs make the
+        # range predicate NULL, which the IF treats as out-of-range.
+        um = re.fullmatch(r"\s*UInt(8|16|32)\s*", m.group(1),
+                          re.IGNORECASE)
+        rng = None
+        if um:
+            hi = {"8": "255", "16": "65535", "32": "4294967295"}[
+                um.group(1)]
+            rng = f"(try_cast({args[0]} AS DECIMAL(38, 0))" \
+                  f" BETWEEN 0 AND {hi})"
+        elif re.fullmatch(r"\s*UInt(64|128|256)\s*", m.group(1),
+                          re.IGNORECASE):
+            rng = f"(try_cast({args[0]} AS DECIMAL(38, 0)) >= 0)"
         if low.endswith("ordefault"):
             # r9 probe: was a silent passthrough. CH's 3-arg form falls
             # back to the explicit default on overflow/parse failure (the
@@ -3069,12 +3098,23 @@ def _translate_call(name: str, args: list[str]) -> str:
                     " which has no static Spark spelling; pass the"
                     " 3-argument form (x, 'Type', default)"
                 )
+            cast = f"try_cast({args[0]} AS {target})"
+            if rng:
+                cast = f"IF({rng}, {cast}, NULL)"
+            return f"coalesce({cast}, CAST({args[2]} AS {target}))"
+        if low.endswith("ornull"):
+            cast = f"try_cast({args[0]} AS {target})"
+            return f"IF({rng}, {cast}, NULL)" if rng else cast
+        if rng:
+            # accurateCast throws on out-of-range in CH
             return (
-                f"coalesce(try_cast({args[0]} AS {target}),"
-                f" CAST({args[2]} AS {target}))"
+                f"CASE WHEN {rng} THEN CAST({args[0]} AS {target})"
+                f" ELSE CAST(raise_error(CONCAT('accurateCast: value ',"
+                f" CAST({args[0]} AS STRING),"
+                f" ' out of range for {m.group(1).strip()}'))"
+                f" AS {target}) END"
             )
-        op = "try_cast" if low.endswith("ornull") else "CAST"
-        return f"{op}({args[0]} AS {target})"
+        return f"CAST({args[0]} AS {target})"
     if low == "cast":
         # r8 probe batch: CH's CAST reaches Spark in three spellings that
         # previously passed through unmapped — the two-argument form
@@ -4731,6 +4771,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "todecimal32", "todecimal64", "todecimal128",
     "todate32", "todatetime64", "isnull", "isnotnull", "isfinite",
     "isinfinite", "ifnotfinite", "intdivorzero", "moduloorzero", "range",
+    "sign", "clamp",
     "arraypushback", "arraypushfront", "arraypopback", "arraypopfront",
     # vector distance family
     # r5 spelling batch

@@ -3607,3 +3607,78 @@ def chsql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FROM lc2 GROUP BY tag"
             " ORDER BY tag"
         )
+
+
+_CH_PARTITION_SURGERY_SCRIPT = """
+CREATE TABLE ps1 (o_orderkey Int64, o_price Decimal(18, 2))
+    ENGINE = MergeTree PARTITION BY modulo(o_orderkey, 4)
+    ORDER BY o_orderkey;
+
+CREATE TABLE ps2 AS ps1;
+
+INSERT INTO ps1 SELECT o_orderkey, toDecimal64(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 3 = 0;
+
+INSERT INTO ps2 SELECT o_orderkey, toDecimal64(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 3 = 1;
+
+ALTER TABLE ps1 ON CLUSTER main REPLACE PARTITION 1 FROM ps2;
+
+ALTER TABLE ps1 ATTACH PARTITION 0 FROM ps2;
+
+ALTER TABLE ps1 MOVE PARTITION 2 TO TABLE ps2;
+
+DELETE FROM ps1 WHERE o_orderkey % 5 = 0;
+
+SELECT src, p, n, sv FROM (
+    SELECT 't1' AS src, modulo(o_orderkey, 4) AS p,
+           toInt64(count()) AS n,
+           toFloat64(round(sum(o_price), 2)) AS sv
+    FROM ps1 GROUP BY p
+    UNION ALL
+    SELECT 't2' AS src, modulo(o_orderkey, 4) AS p,
+           toInt64(count()) AS n,
+           toFloat64(round(sum(o_price), 2)) AS sv
+    FROM ps2 GROUP BY p
+) ORDER BY src, p;
+"""
+
+
+@query(
+    "chsql_partition_surgery",
+    oracle="""
+    WITH a AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+         t1 AS (
+           SELECT * FROM a WHERE o_orderkey % 4 IN (0, 3)
+           UNION ALL
+           SELECT * FROM b WHERE o_orderkey % 4 IN (0, 1)
+         ),
+         t1d AS (SELECT * FROM t1 WHERE o_orderkey % 5 <> 0),
+         t2 AS (
+           SELECT * FROM b
+           UNION ALL
+           SELECT * FROM a WHERE o_orderkey % 4 = 2
+         )
+    SELECT src, p, n, sv FROM (
+      SELECT 't1' AS src, o_orderkey % 4 AS p, COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS sv
+      FROM t1d GROUP BY 2
+      UNION ALL
+      SELECT 't2', o_orderkey % 4, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE)
+      FROM t2 GROUP BY 2
+    ) ORDER BY src, p
+    """,
+)
+def chsql_partition_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the cross-table partition lifecycle in one script — REPLACE
+    PARTITION FROM (one partition's content swapped in), ATTACH PARTITION
+    FROM (copied, source keeps its rows), MOVE PARTITION TO TABLE (rows
+    change owner), a lightweight DELETE, with ON CLUSTER stripped on the
+    way. The oracle recomputes the same set algebra as explicit CTE
+    stages over the base table: t1 = A[p∈{0,3}] ∪ B[p∈{0,1}] minus the
+    %5 stripe; t2 = B ∪ A[p=2]."""
+    return ch_execute_script(spark, sf_dir, _CH_PARTITION_SURGERY_SCRIPT)

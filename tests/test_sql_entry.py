@@ -3311,3 +3311,42 @@ def test_chsql_r10_combinator_probe_fixes(spark):
             "SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')(y, x)"
             " FROM t"
         )
+
+
+def test_chsql_r10_arithmetic_semantics(spark):
+    """r10 math probe: sign() returns Int8 not Spark's DOUBLE, clamp()
+    maps, and the accurateCast family enforces unsigned CH ranges that
+    the widened signed Spark target types cannot
+    (accurateCastOrNull(300, 'UInt8') was 300, CH gives NULL;
+    accurateCast throws). intDiv stays TRUNCATING toward zero — pinned
+    here against the division identity with CH's sign-of-dividend
+    modulo (a = b*intDiv(a,b) + modulo(a,b) fails with a floored
+    quotient), matching the r9 battery's doc pin."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    # identity pin: b*q + m == a with q=intDiv, m=modulo, both engines
+    assert one("intDiv(-7, 2)") == -3 and one("modulo(-7, 2)") == -1
+    assert one("2 * intDiv(-7, 2) + modulo(-7, 2)") == -7
+    assert one("intDiv(7, -2)") == -3
+    assert one("intDivOrZero(-7, 2)") == -3
+    assert one("intDivOrZero(7, 0)") == 0
+    r = spark.sql(translate("SELECT sign(-5) AS r"))
+    assert dict(r.dtypes)["r"] == "tinyint" and r.collect()[0].r == -1
+    assert one("clamp(5, 1, 3)") == 3
+    assert one("clamp(0, 1, 3)") == 1
+    assert one("accurateCastOrNull(300, 'UInt8')") is None
+    assert one("accurateCastOrNull(200, 'UInt8')") == 200
+    assert one("accurateCastOrNull(-1, 'UInt32')") is None
+    assert one("accurateCastOrNull(300, 'Int8')") is None
+    assert one("accurateCastOrDefault(300, 'UInt8', 7)") == 7
+    with _pytest.raises(Exception, match="out of range"):
+        one("accurateCast(300, 'UInt8')")
+    # CH's camelCase window alias (r10 probe)
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'a'), (3, 'b')"
+              " AS tdr(k, g)").createOrReplaceTempView("tdr")
+    assert [tuple(r) for r in spark.sql(translate(
+        "SELECT k, denseRank() OVER (ORDER BY g) AS r FROM tdr ORDER BY k"
+    )).collect()] == [(1, 1), (2, 1), (3, 2)]
