@@ -578,8 +578,11 @@ _REMOVE_PROP_ACTION_RE = re.compile(
     r"|CODEC|TTL|SETTINGS)\s*$"
 )
 _MODIFY_COL_ACTION_RE = re.compile(
+    # AFTER/FIRST reposition the column (r10 probe: previously swallowed
+    # into the type text and refused as an unknown CH type)
     r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
-    r"(?P<type>.+?)(?:\s+DEFAULT\s+(?P<dflt>.+?))?\s*$"
+    r"(?P<type>.+?)(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+    r"(?:\s+AFTER\s+(?P<after>\w+)|\s+(?P<first>FIRST))?\s*$"
 )
 _RENAME_COL_ACTION_RE = re.compile(
     r"(?is)^RENAME\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+TO\s+"
@@ -624,6 +627,8 @@ def parse_alter_column_actions(ops_text: str) -> list[dict]:
                 "op": "modify", "col": m.group("col"),
                 "type": m.group("type").strip(),
                 "default": (m.group("dflt") or "").strip() or None,
+                "after": m.group("after"),
+                "first": bool(m.group("first")),
             })
         elif (m := _RENAME_COL_ACTION_RE.match(item)) is not None:
             actions.append({
@@ -707,6 +712,16 @@ def apply_alter_column_actions(
             cols[at] = (out, f"CAST({src} AS {spark_t}) AS {out}")
             if a.get("default"):
                 defaults[out] = f"CAST(({translate(a['default'])}) AS {spark_t})"
+            if a.get("first"):
+                cols.insert(0, cols.pop(at))
+            elif a.get("after"):
+                dst = idx(a["after"])
+                if dst < 0:
+                    raise ValueError(
+                        f"MODIFY COLUMN AFTER unknown column {a['after']!r}"
+                    )
+                entry = cols.pop(at)
+                cols.insert(idx(a["after"]) + 1, entry)
         elif a["op"] == "rename":
             at = idx(a["col"])
             if at < 0:
@@ -2266,6 +2281,70 @@ class ChSession:
                 if sm:  # recorded for system.settings introspection
                     self.settings[sm.group(1)] = sm.group(2)
             return None
+
+        # MySQL-dump prologue statements (canal replays MySQL binlogs, so
+        # pasted scripts carry these; r10 probe): SET SESSION folds into
+        # the plain SET knob-drop, SET NAMES is a client-charset no-op
+        # (everything here is UTF-8), BEGIN/COMMIT are no-ops because
+        # every statement applies synchronously (each INSERT is one
+        # atomic block — CH's own non-transactional default), and
+        # ROLLBACK refuses loudly rather than silently keeping changes.
+        stripped = re.sub(r"(?is)^(\s*SET\s+)SESSION\s+", r"\1", s, count=1)
+        if stripped != s:
+            return self.execute(stripped)  # re-enter the plain SET handler
+        if re.match(r"(?is)^\s*SET\s+NAMES\s+\S+\s*$", s):
+            return None
+        if re.match(r"(?is)^\s*(BEGIN(\s+TRANSACTION)?|COMMIT"
+                    r"(\s+TRANSACTION)?|START\s+TRANSACTION)\s*$", s):
+            return None
+        if re.match(r"(?is)^\s*ROLLBACK\b", s):
+            raise ValueError(
+                "ROLLBACK: no transaction model — statements apply"
+                " synchronously and atomically per block; rebuild the"
+                " prior state instead (EXCHANGE TABLES / RENAME keep a"
+                " blue-green copy for exactly this)"
+            )
+
+        m = re.match(
+            r"(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?"
+            r"\((?P<sel>(?:SELECT|WITH)\b.*)\)\s*$", s,
+        )
+        if m:
+            # DESCRIBE over a subquery (r10 probe): the SELECT's output
+            # schema in CH type spelling — analysis only, nothing runs
+            df = self._run_select(m.group("sel"))
+            return self.spark.createDataFrame(
+                [(c, spark_type_to_ch(t)) for c, t in df.dtypes],
+                "name string, type string",
+            )
+
+        m = re.match(
+            r"(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+"
+            r"(?P<name>\w+)\s*$", s,
+        )
+        if m:
+            # MySQL-compat index listing (CH supports it): the primary
+            # (ORDER BY) key plus any recorded skip indexes
+            name = m.group("name")
+            self._require_table(name, "SHOW INDEX")
+            meta = self.meta.get(name) or {}
+            rows = [
+                (name, "PRIMARY", ", ".join(meta.get("order_by") or []))
+            ]
+            rows += [
+                (name, idx_name, spec)
+                for idx_name, spec in sorted(
+                    (meta.get("indexes") or {}).items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "table string, key_name string, expression string"
+            )
+
+        if re.match(r"(?is)^\s*SHOW\s+MERGES\s*$", s):
+            # merges are synchronous here — never anything in flight
+            return self.spark.createDataFrame(
+                [], "table string, elapsed double, progress double"
+            )
 
         m = re.match(r"(?is)^\s*USE\s+(?P<db>\w+)\s*$", s)
         if m:

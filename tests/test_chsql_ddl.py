@@ -2056,3 +2056,58 @@ def test_r10_partition_ops_and_database_statements(spark, sf_dir):
         ch.execute("CREATE WINDOW VIEW wv AS SELECT 1")
     with _pytest.raises(ValueError, match="sink writers"):
         ch.execute("INSERT INTO FUNCTION file('x.parquet') SELECT 1")
+
+
+def test_r10_mysql_prologue_and_introspection(spark, sf_dir):
+    """r10 probe batch 3: MySQL-dump prologue statements (canal replays
+    MySQL binlogs, so pasted scripts carry them — SET NAMES, SET SESSION,
+    BEGIN/START TRANSACTION/COMMIT as synchronous no-ops, ROLLBACK loudly
+    refused), MODIFY COLUMN … AFTER/FIRST repositioning (previously the
+    position clause was swallowed into the type), DESCRIBE over a
+    subquery, SHOW INDEX FROM (primary key + skip indexes), and SHOW
+    MERGES (always empty — merges are synchronous)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE m10 (a Int64, c Int64) ENGINE = MergeTree"
+               " ORDER BY a")
+    ch.execute("INSERT INTO m10 VALUES (1, 3)")
+    # MODIFY COLUMN repositioning (type change + move in one action)
+    ch.execute("ALTER TABLE m10 ADD COLUMN b Int64 DEFAULT 0 AFTER a")
+    assert ch.tables["m10"].columns == ["a", "b", "c"]
+    ch.execute("ALTER TABLE m10 MODIFY COLUMN b Int32 AFTER c")
+    assert ch.tables["m10"].columns == ["a", "c", "b"]
+    assert dict(ch.tables["m10"].dtypes)["b"] == "int"
+    ch.execute("ALTER TABLE m10 MODIFY COLUMN c Int64 FIRST")
+    assert ch.tables["m10"].columns == ["c", "a", "b"]
+    # MySQL prologue script end-to-end
+    ch.run_script("""
+        SET NAMES utf8mb4;
+        SET SESSION sql_mode = 'STRICT_ALL_TABLES';
+        START TRANSACTION;
+        INSERT INTO m10 (a, c) VALUES (2, 4);
+        COMMIT;
+        BEGIN;
+        INSERT INTO m10 (a, c) VALUES (3, 5);
+        COMMIT;
+    """)
+    assert sorted(
+        (r.a, r.c) for r in ch.tables["m10"].collect()
+    ) == [(1, 3), (2, 4), (3, 5)]
+    # SET SESSION folds into the recorded-settings path
+    assert ch.settings.get("sql_mode") == "'STRICT_ALL_TABLES'"
+    with _pytest.raises(ValueError, match="no transaction model"):
+        ch.execute("ROLLBACK")
+    # DESCRIBE over a subquery: output schema in CH type spelling
+    d = ch.execute("DESCRIBE (SELECT a + 1 AS x, 'q' AS s FROM m10)")
+    assert [(r.name, r.type) for r in d.collect()] == [
+        ("x", "Int64"), ("s", "String")]
+    # SHOW INDEX: primary (ORDER BY) key + recorded skip indexes
+    ch.execute("ALTER TABLE m10 ADD INDEX ix_b b TYPE minmax GRANULARITY 4")
+    got = [(r.key_name, r.expression)
+           for r in ch.execute("SHOW INDEX FROM m10").collect()]
+    assert got[0] == ("PRIMARY", "a")
+    assert ("ix_b", "b TYPE minmax GRANULARITY 4") in got
+    assert ch.execute("SHOW MERGES").count() == 0
