@@ -991,15 +991,40 @@ def _to_start_of_interval(args: list[str]) -> str:
     """toStartOfInterval(ts, INTERVAL n unit) → epoch-floor bucketing (the
     same shape the reference's time-bucket rollups compile to)."""
     m = re.match(
-        r"(?i)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+        r"(?i)^\s*INTERVAL\s+(\d+)\s+"
+        r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\s*$",
         args[1],
     )
     if not m:
         raise ValueError(
             f"toStartOfInterval: unsupported interval {args[1]!r} "
-            "(SECOND/MINUTE/HOUR/DAY literals supported)"
+            "(INTERVAL n SECOND/MINUTE/HOUR/DAY/WEEK/MONTH/QUARTER/YEAR"
+            " literals supported)"
         )
     n, unit = int(m.group(1)), m.group(2).upper()
+    if unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
+        # calendar units (r10 probe: WEEK previously refused). n=1 is the
+        # plain truncation; n>1 buckets whole units since the epoch
+        # anchor CH uses (1970-01-01; ISO weeks anchor on the first
+        # Monday, 1970-01-05 — matching date_trunc's week start).
+        if n == 1:
+            trunc = f"date_trunc('{unit}', {args[0]})"
+            return f"CAST({trunc} AS DATE)" if unit != "YEAR" else (
+                f"CAST({trunc} AS DATE)"
+            )
+        if unit == "WEEK":
+            anchor = "DATE '1970-01-05'"
+            per = f"(datediff(CAST({args[0]} AS DATE), {anchor}) div 7)"
+            return (
+                f"date_add({anchor},"
+                f" CAST(({per} div {n}) * {n} * 7 AS INT))"
+            )
+        months = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit] * n
+        per = (
+            f"(CAST(months_between(date_trunc('MONTH', {args[0]}),"
+            f" DATE '1970-01-01') AS BIGINT) div {months})"
+        )
+        return f"add_months(DATE '1970-01-01', CAST({per} AS INT) * {months})"
     secs = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit]
     return (
         f"timestamp_seconds(unix_timestamp({args[0]}) div {secs} * {secs})"
@@ -4203,6 +4228,13 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"{name} needs CH's bundled model runtime; score with a"
             " Pandas UDF over mapInPandas (the multimodal/feature"
             " operators show the Arrow plumbing)"
+        )
+    if low in ("makedate", "makedate32") and len(args) == 2:
+        # 2-argument (year, day_of_year) form (r10 probe: previously an
+        # IndexError crash on makeDate32)
+        return (
+            f"date_add(make_date({args[0]}, 1, 1),"
+            f" CAST(({args[1]}) AS INT) - 1)"
         )
     if low == "makedate32":
         return f"make_date({args[0]}, {args[1]}, {args[2]})"

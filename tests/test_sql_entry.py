@@ -501,9 +501,15 @@ def test_chsql_r4_spelling_pack_executes(spark, sf_dir):
         translate("SELECT formatDateTime(ts, '%M') FROM events")
     with _pytest.raises(ValueError, match="literal"):
         translate("SELECT formatDateTime(ts, fmt_col) FROM events")
+    # r10: calendar units are MAPPED now (epoch-anchored buckets); only
+    # sub-second units keep the refusal
+    assert "add_months" in translate(
+        "SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM events"
+    )
     with _pytest.raises(ValueError, match="toStartOfInterval"):
         translate(
-            "SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM events"
+            "SELECT toStartOfInterval(ts, INTERVAL 5 MILLISECOND)"
+            " FROM events"
         )
 
 
@@ -3350,3 +3356,35 @@ def test_chsql_r10_arithmetic_semantics(spark):
     assert [tuple(r) for r in spark.sql(translate(
         "SELECT k, denseRank() OVER (ORDER BY g) AS r FROM tdr ORDER BY k"
     )).collect()] == [(1, 1), (2, 1), (3, 2)]
+
+
+def test_chsql_r10_interval_and_makedate(spark):
+    """r10 probe batch: toStartOfInterval calendar units (WEEK/MONTH/
+    QUARTER/YEAR — WEEK previously refused; n>1 buckets whole units from
+    the epoch anchor, ISO weeks from 1970-01-05), and the 2-argument
+    makeDate/makeDate32 (year, day_of_year) form (previously an
+    IndexError crash on makeDate32)."""
+    import datetime
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    d = lambda s: datetime.date.fromisoformat(s)
+    assert one("makeDate32(2023, 111)") == d("2023-04-21")
+    assert one("makeDate(2023, 111)") == d("2023-04-21")
+    assert one("makeDate(2023, 4, 21)") == d("2023-04-21")
+    assert one("toStartOfInterval(toDate('2023-03-05'),"
+               " INTERVAL 1 WEEK)") == d("2023-02-27")
+    assert one("toStartOfInterval(toDate('2023-03-01'),"
+               " INTERVAL 2 WEEK)") == d("2023-02-20")
+    assert one("toStartOfInterval(toDate('2023-05-15'),"
+               " INTERVAL 2 MONTH)") == d("2023-05-01")
+    assert one("toStartOfInterval(toDate('2022-02-15'),"
+               " INTERVAL 3 MONTH)") == d("2022-01-01")
+    assert one("toStartOfInterval(toDate('2023-05-15'),"
+               " INTERVAL 1 QUARTER)") == d("2023-04-01")
+    assert one("toStartOfInterval(toDate('2023-05-15'),"
+               " INTERVAL 1 YEAR)") == d("2023-01-01")
+    # sub-day units keep the epoch-floor timestamp path
+    assert str(one("toStartOfInterval(toDateTime('2023-01-03 14:35:30'),"
+                   " INTERVAL 15 MINUTE)")) == "2023-01-03 14:30:00"
