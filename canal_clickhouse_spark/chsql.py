@@ -2336,10 +2336,22 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" _i -> char(conv(substr({pad}, (_i - 1) * 8 + 1, 8), 2, 10))),"
             " ''))"
         )
+    if low == "arrayaucpr":
+        # r10 probe: unrecognized passthrough. PR-AUC's running
+        # precision/recall fold over score-sorted labels has no clean
+        # inline spelling (ROC-AUC's pairwise form does — mapped).
+        raise ValueError(
+            "arrayAUCPR (precision-recall AUC) has no inline Spark"
+            " spelling; arrayROCAUC/arrayAUC are mapped, and the"
+            " agg_stats building blocks cover threshold sweeps via"
+            " win_running_sum over score-sorted rows"
+        )
     if low in ("tupleplus", "tupleminus", "tuplemultiply", "tupledivide",
                "tuplenegate", "tuplemultiplybynumber",
                "tupledividebynumber", "tupleintdiv", "tuplemodulo",
-               "vectorsum", "vectordifference"):
+               "vectorsum", "vectordifference",
+               # structural tuple surgery — same arity problem (r10)
+               "tupleconcat", "flattentuple"):
         raise ValueError(
             f"{name}: element-wise tuple arithmetic needs the tuple's"
             " arity, which Spark struct columns don't expose to SQL —"
@@ -4654,6 +4666,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "tupleplus", "tupleminus", "tuplemultiply", "tupledivide",
     "tuplenegate", "tuplemultiplybynumber", "tupledividebynumber",
     "tupleintdiv", "tuplemodulo", "vectorsum", "vectordifference",
+    "tupleconcat", "flattentuple", "arrayaucpr",
     "mappartialsort", "mappartialreversesort",
     "arrayenumerateuniqranked", "arrayenumeratedenseranked",
     # r8 probe batch 2: guided
