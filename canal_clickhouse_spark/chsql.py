@@ -130,6 +130,80 @@ def _split_args(s: str) -> list[str]:
     return args
 
 
+def _paren_balanced(s: str) -> bool:
+    """True if every paren/bracket in ``s`` closes one opened WITHIN ``s``
+    (quote-aware): the test that an outer ``( … )`` pair actually encloses
+    the whole expression — `(a, b)` yes, `(a) IN (b)` no."""
+    depth, i, q = 0, 0, None
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == "\\":
+                i += 1
+            elif c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0
+
+
+def _array_reduce_form(agg: str, a: str, caller: str) -> str:
+    """Inline Spark spelling of CH ``arrayReduce('<agg>', arr)`` for the
+    aggregate names with a clean per-array form; shared by arrayReduce and
+    arrayReduceInRanges."""
+    forms = {
+        "sum": f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "max": f"array_max({a})",
+        "min": f"array_min({a})",
+        "count": f"size({a})",
+        "avg": (
+            f"(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / size({a}))"
+        ),
+        "uniqexact": f"size(array_distinct({a}))",
+    }
+    low = agg.lower()
+    if low not in forms:
+        raise ValueError(
+            f"{caller}('{agg}', …): unsupported aggregate; "
+            f"supported: {sorted(forms)}"
+        )
+    return forms[low]
+
+
+def _tuple_literal_elems(s: str) -> list[str] | None:
+    """Element expressions of a LITERAL tuple spelling — ``(a, b, …)`` with
+    a top-level comma, or a ``tuple(a, …)`` call — else None (a struct
+    column or arbitrary expression, whose arity the SQL text doesn't
+    carry). Lets the element-wise tuple-arithmetic family work on the
+    literal forms CH queries actually write inline. Arguments arrive
+    RECURSIVELY pre-translated, so a written ``tuple(a, b)`` shows up here
+    as ``named_struct('col1', a, 'col2', b)`` — both spellings parse."""
+    t = s.strip()
+    m = re.fullmatch(r"(?is)(?:tuple|named_struct)\s*\((.*)\)", t)
+    if m is not None and _paren_balanced(m.group(1)):
+        parts = _split_args(m.group(1))
+        if t.lower().startswith("named_struct"):
+            if len(parts) % 2 or not all(
+                re.fullmatch(r"'[^']*'", p) for p in parts[::2]
+            ):
+                return None
+            return parts[1::2]
+        return parts
+    if t.startswith("(") and t.endswith(")") and _paren_balanced(t[1:-1]):
+        elems = _split_args(t[1:-1])
+        if len(elems) >= 2:
+            return elems
+    return None
+
+
 def _mask_literals(q: str) -> str:
     """Length-preserving mask of string literals: every character BETWEEN
     the quotes of a single- or double-quoted literal becomes ``\\x01``
@@ -909,6 +983,26 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
             " aggregates don't see at scale; express it as a window —"
             " sum/avg(v * exp(-(t_now - t)/tau)) OVER (ORDER BY t) with an"
             " explicit frame (see win_running_sum / win_moving_avg)"
+        )
+    if low == "meanztest":
+        # r10 continuation probe: hit the generic parametric error
+        raise ValueError(
+            "meanZTest compares two sample means with KNOWN population"
+            " variances; build it from the agg_stats building blocks —"
+            " avg/count per side with sumIf/countIf, then"
+            " z = (m1 - m2) / sqrt(var1/n1 + var2/n2) (the p-value needs"
+            " an erf lookup Spark lacks; compare |z| to the critical"
+            " value instead)"
+        )
+    if low in ("largesttrianglethreebuckets", "lttb"):
+        # r10 continuation probe: hit the generic parametric error
+        raise ValueError(
+            f"{name} is an ORDER-dependent downsampler (per-bucket"
+            " triangle-area argmax against the previous kept point) —"
+            " a sequential fold no aggregate can see at scale; bucket"
+            " with width_bucket(x, min, max, n) and take argMax per"
+            " bucket (agg_minmax_by) for the standard distributed"
+            " approximation"
         )
     raise ValueError(_parametric_guided_error(name))
 
@@ -2348,16 +2442,84 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low in ("tupleplus", "tupleminus", "tuplemultiply", "tupledivide",
                "tuplenegate", "tuplemultiplybynumber",
-               "tupledividebynumber", "tupleintdiv", "tuplemodulo",
-               "vectorsum", "vectordifference",
-               # structural tuple surgery — same arity problem (r10)
-               "tupleconcat", "flattentuple"):
+               "tupledividebynumber", "tupleintdiv", "tupleintdivorzero",
+               "tupleintdivbynumber", "tuplemodulobynumber",
+               "tuplemodulo", "tuplehammingdistance",
+               "vectorsum", "vectordifference", "tupleconcat"):
+        # Literal tuples carry their arity in the SQL text, so the
+        # element-wise forms ARE spellable for them (r10 probe: the
+        # blanket refusal rejected even `tuplePlus((1,2),(3,4))`). Struct
+        # COLUMNS still refuse below — Spark SQL can't enumerate a struct
+        # column's fields inline.
+        elems = [_tuple_literal_elems(a) for a in args]
+        binop = {"tupleplus": "+", "vectorsum": "+", "tupleminus": "-",
+                 "vectordifference": "-", "tuplemultiply": "*",
+                 "tupledivide": "/", "tupleintdiv": " DIV ",
+                 "tupleintdivorzero": " DIV ", "tuplemodulo": "%"}
+        if low == "tupleconcat" and all(e is not None for e in elems):
+            flat = [x for e in elems for x in e]
+            fields = ", ".join(
+                f"'col{i + 1}', ({x})" for i, x in enumerate(flat)
+            )
+            return f"named_struct({fields})"
+        if low == "tuplenegate" and elems[0] is not None:
+            fields = ", ".join(
+                f"'col{i + 1}', (-({x}))" for i, x in enumerate(elems[0])
+            )
+            return f"named_struct({fields})"
+        bynum = {"tuplemultiplybynumber": "*", "tupledividebynumber": "/",
+                 "tupleintdivbynumber": " DIV ",
+                 "tuplemodulobynumber": "%"}
+        if low in bynum and len(args) == 2 and elems[0] is not None:
+            op = bynum[low]
+            fields = ", ".join(
+                f"'col{i + 1}', (({x}){op}({args[1]}))"
+                for i, x in enumerate(elems[0])
+            )
+            return f"named_struct({fields})"
+        if (low in binop or low == "tuplehammingdistance") and (
+                len(args) == 2 and elems[0] is not None
+                and elems[1] is not None):
+            if len(elems[0]) != len(elems[1]):
+                raise ValueError(
+                    f"{name}: tuple arities differ"
+                    f" ({len(elems[0])} vs {len(elems[1])})"
+                )
+            pairs = list(zip(elems[0], elems[1]))
+            if low == "tuplehammingdistance":
+                terms = " + ".join(
+                    f"CAST(NOT (({a}) <=> ({b})) AS INT)"
+                    for a, b in pairs
+                )
+                return f"({terms})"
+            op = binop[low]
+            guard = (
+                (lambda b: f"nullif({b}, 0)")
+                if low == "tupleintdivorzero" else (lambda b: b)
+            )
+            fields = ", ".join(
+                f"'col{i + 1}', (({a}){op}({guard(b)}))"
+                for i, (a, b) in enumerate(pairs)
+            )
+            if low == "tupleintdivorzero":
+                fields = ", ".join(
+                    f"'col{i + 1}', coalesce(({a}){op}(nullif({b}, 0)), 0)"
+                    for i, (a, b) in enumerate(pairs)
+                )
+            return f"named_struct({fields})"
         raise ValueError(
             f"{name}: element-wise tuple arithmetic needs the tuple's"
-            " arity, which Spark struct columns don't expose to SQL —"
-            " spell the vectors as arrays instead: zip_with/arrayMap"
-            " (mapped) for +/-/*, arrayDotProduct / L2Distance /"
+            " arity; literal tuples — (1,2) or tuple(a,b) — are mapped,"
+            " but Spark struct COLUMNS don't expose their field list to"
+            " SQL — spell those vectors as arrays instead: zip_with/"
+            "arrayMap (mapped) for +/-/*, arrayDotProduct / L2Distance /"
             " cosineDistance (mapped) for the reductions"
+        )
+    if low == "flattentuple":
+        raise ValueError(
+            "flattenTuple recursively flattens nested tuple STRUCTURE,"
+            " which needs the full static type of a struct column —"
+            " re-select the leaf fields explicitly (t.col1.col2 paths)"
         )
     if low in ("mappartialsort", "mappartialreversesort"):
         raise ValueError(
@@ -2831,19 +2993,45 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
         return filled if low == "arrayfill" else f"reverse({filled})"
     if low in ("arraysplit", "arrayreversesplit"):
-        # arraySplit(cond, arr): consecutive groups; a NEW group starts at
-        # every element where the predicate holds (CH splits on the LEFT
-        # of the matching element; the first group always starts at
-        # element 1). arrayReverseSplit splits on the RIGHT — spelled as
-        # the mirrored left-split of the reversed array, re-reversed.
-        lam = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", args[0])
-        if not lam:
-            raise ValueError(f"{name}: expects 'var -> predicate' lambda")
-        v, body = lam.group(1), lam.group(2).strip()
-        a = args[1] if low == "arraysplit" else f"reverse({args[1]})"
-        pred_i = re.sub(
-            rf"\b{re.escape(v)}\b", f"try_element_at({a}, _i)", body
+        # arraySplit(cond, arr1[, arr2…]): consecutive groups of arr1; a
+        # NEW group starts at every position where the predicate holds (CH
+        # splits on the LEFT of the matching element; the first group
+        # always starts at element 1). The lambda may take one variable
+        # per condition array — CH's documented form splits arr1 on a
+        # predicate over a PARALLEL flag array: arraySplit((x, y) -> y,
+        # [1,2,3,4,5], [1,0,0,1,0]). arrayReverseSplit splits on the
+        # RIGHT — spelled as the mirrored left-split of the reversed
+        # arrays, re-reversed.
+        lam = re.match(
+            r"(?s)^\s*\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?\s*->\s*(.+)$",
+            args[0],
         )
+        if not lam:
+            raise ValueError(f"{name}: expects 'vars -> predicate' lambda")
+        vs = [v.strip() for v in lam.group(1).split(",")]
+        body = lam.group(2).strip()
+        arrs = args[1:]
+        if len(vs) != len(arrs):
+            raise ValueError(
+                f"{name}: lambda takes {len(vs)} variables but"
+                f" {len(arrs)} arrays were given"
+            )
+        if low == "arrayreversesplit":
+            arrs = [f"reverse({x})" for x in arrs]
+        a = arrs[0]
+        # the canonical CH form splits on a parallel FLAG array —
+        # `(x, y) -> y` — whose elements are ints; a body that is exactly
+        # one bare lambda variable gets the explicit <> 0 truthiness
+        # (same policy as _rewrite_bare_int_predicates: only unambiguous
+        # forms rewrite, general numeric truthiness stays loud)
+        if body in vs:
+            body = f"coalesce(({body}) <> 0, FALSE)"
+        pred_i = body
+        for v, arr_k in zip(vs, arrs):
+            pred_i = re.sub(
+                rf"\b{re.escape(v)}\b", f"try_element_at({arr_k}, _i)",
+                pred_i,
+            )
         starts = f"filter(sequence(1, size({a})), _i -> _i = 1 OR ({pred_i}))"
         groups = (
             f"IF(size({a}) = 0, array(), transform({starts}, (_b, _j) ->"
@@ -3037,25 +3225,25 @@ def _translate_call(name: str, args: list[str]) -> str:
         m = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
         if not m:
             raise ValueError("arrayReduce needs a literal aggregate name")
-        agg = m.group(1).lower()
-        a = args[1]
-        forms = {
-            "sum": f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
-            "max": f"array_max({a})",
-            "min": f"array_min({a})",
-            "count": f"size({a})",
-            "avg": (
-                f"(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-                f" / size({a}))"
-            ),
-            "uniqexact": f"size(array_distinct({a}))",
-        }
-        if agg not in forms:
+        return _array_reduce_form(m.group(1), args[1], "arrayReduce")
+    if low == "arrayreduceinranges":
+        # arrayReduceInRanges('agg', ranges, arr): re-aggregate each
+        # (index, length) range of arr — one transform over the ranges
+        # array, each range reduced by the same inline forms arrayReduce
+        # uses (r7 refusal composed for real; the ranges are structs with
+        # the engine's positional col1/col2 tuple fields, which the
+        # array-of-tuple-literal rewrite now produces).
+        m = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+        if not m:
             raise ValueError(
-                f"arrayReduce('{m.group(1)}', …): unsupported aggregate; "
-                f"supported: {sorted(forms)}"
+                "arrayReduceInRanges needs a literal aggregate name"
             )
-        return forms[agg]
+        seg = (
+            f"slice({args[2]}, CAST((_r).col1 AS INT),"
+            f" CAST((_r).col2 AS INT))"
+        )
+        body = _array_reduce_form(m.group(1), seg, "arrayReduceInRanges")
+        return f"transform({args[1]}, _r -> {body})"
     if low in ("neighbor", "runningdifference", "runningaccumulate",
                "rownumberinallblocks"):
         hint = {
@@ -4118,14 +4306,57 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"(shiftright({a_n}, 32 - {bits})"
             f" = shiftright({p_n}, 32 - {bits}))"
         )
+    if low == "ipv4cidrtorange":
+        # IPv4CIDRToRange(ipv4, prefix) → tuple (lower, upper) of the CIDR
+        # block; pure 32-bit math on the engine's UInt32 IPv4 convention
+        # (r10 probe: was misrouted to the IPv6 refusal). shiftright then
+        # shiftleft zeroes the host bits; the block spans 2^(32-p) values.
+        ip, p = f"CAST({args[0]} AS BIGINT)", f"CAST({args[1]} AS INT)"
+        lo_ip = f"shiftleft(shiftright({ip}, 32 - {p}), 32 - {p})"
+        return (
+            f"named_struct('col1', {lo_ip}, 'col2',"
+            f" {lo_ip} + shiftleft(CAST(1 AS BIGINT), 32 - {p}) - 1)"
+        )
+    if low == "isipv6string":
+        # full RFC-4291 textual-form validation as one anchored regex:
+        # the 8-group form, every '::' compression arity, and the
+        # IPv4-suffixed forms (::ffff:1.2.3.4 and general mixed). Pure
+        # string validation — no 128-bit arithmetic needed (r10 probe:
+        # was lumped into the IPv6-arithmetic refusal).
+        h = "[0-9A-Fa-f]{1,4}"
+        v4 = (
+            "((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){3}"
+            "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+        )
+        pat = (
+            f"^(({h}:){{7}}{h}"
+            f"|({h}:){{1,7}}:"
+            f"|({h}:){{1,6}}:{h}"
+            f"|({h}:){{1,5}}(:{h}){{2}}"
+            f"|({h}:){{1,4}}(:{h}){{3}}"
+            f"|({h}:){{1,3}}(:{h}){{4}}"
+            f"|({h}:){{1,2}}(:{h}){{5}}"
+            f"|{h}:(:{h}){{6}}"
+            f"|:((:{h}){{1,7}}|:)"
+            f"|({h}:){{6}}{v4}"
+            f"|::({h}:){{0,5}}{v4}"
+            f"|{h}::({h}:){{0,4}}{v4}"
+            f"|({h}:){{1}}{h}::({h}:){{0,3}}{v4}"
+            f"|({h}:){{2}}{h}::({h}:){{0,2}}{v4}"
+            f"|({h}:){{3}}{h}::({h}:){{0,1}}{v4}"
+            f"|({h}:){{4}}{h}::{v4}"
+            f")$"
+        )
+        return f"(CAST({args[0]} AS STRING) RLIKE '{pat}')"
     if low in ("ipv6numtostring", "ipv6stringtonum", "ipv4toipv6",
-               "cutipv6", "ipv4cidrtorange", "ipv6cidrtorange", "toipv6",
-               "toipv6ornull", "toipv6orzero", "isipv6string"):
+               "cutipv6", "ipv6cidrtorange", "toipv6",
+               "toipv6ornull", "toipv6orzero"):
         raise ValueError(
             f"{name}: IPv6 needs 128-bit binary arithmetic with no Spark"
             " inline spelling; the IPv4 family (IPv4NumToString /"
-            " IPv4StringToNum / isIPAddressInRange) is mapped — wrap an"
-            " ipaddress-module Pandas UDF for IPv6"
+            " IPv4StringToNum / IPv4CIDRToRange / isIPAddressInRange) and"
+            " isIPv6String (pure validation) are mapped — wrap an"
+            " ipaddress-module Pandas UDF for IPv6 arithmetic"
         )
     # -- r7 fourth probe batch: rendering / parsing / random
     if low == "bar":
@@ -4202,12 +4433,30 @@ def _translate_call(name: str, args: list[str]) -> str:
         return (
             f"shiftleft(unix_millis({args[0]}) - 1288834974657, 22)"
         )
-    if low in ("snowflakeidtodatetime", "datetimetosnowflakeid",
-               "generatesnowflakeid", "ulidstringtodatetime"):
+    if low in ("snowflakeidtodatetime", "snowflakeidtodatetime64"):
+        # current CH names (the snowflakeToDateTime spellings above were
+        # deprecated in 24.6): timestamp = top 41 bits (id >> 22) in ms
+        # since an explicit epoch, default 0 = unix epoch. DateTime form
+        # truncates to seconds, DateTime64(3) keeps milliseconds.
+        epoch = args[1] if len(args) > 1 else "0"
+        ms = (
+            f"(shiftright(CAST({args[0]} AS BIGINT), 22)"
+            f" + CAST({epoch} AS BIGINT))"
+        )
+        if low.endswith("64"):
+            return f"timestamp_millis({ms})"
+        return f"timestamp_seconds(floor({ms} / 1000))"
+    if low in ("datetimetosnowflakeid", "datetime64tosnowflakeid"):
+        epoch = args[1] if len(args) > 1 else "0"
+        return (
+            f"shiftleft(unix_millis({args[0]})"
+            f" - CAST({epoch} AS BIGINT), 22)"
+        )
+    if low in ("generatesnowflakeid", "ulidstringtodatetime"):
         raise ValueError(
             f"{name}: needs the machine-id/sequence state (or base32"
-            " bignum) of the ID scheme; snowflakeToDateTime /"
-            " dateTimeToSnowflake (twitter epoch) are mapped"
+            " bignum) of the ID scheme; snowflakeIDToDateTime /"
+            " dateTimeToSnowflakeID are mapped"
         )
     if low == "nonnegativederivative":
         raise ValueError(
@@ -4223,12 +4472,6 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     # -- r7 sixth probe batch: date makers, hash spellings, encryption,
     # n-gram similarity, HTML strip
-    if low == "arrayreduceinranges":
-        raise ValueError(
-            "arrayReduceInRanges: per-range re-aggregation has no inline"
-            " Spark spelling; transform over the ranges array with"
-            " slice + arrayReduce (both mapped) composes the same result"
-        )
     if low in ("joinget", "joingetornull"):
         raise ValueError(
             f"{name} reads a Join-engine table's hash state; use"
@@ -4463,7 +4706,7 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" pow(abs(CAST(_x AS DOUBLE) - CAST(_y AS DOUBLE)), {p})),"
             f" 0D, (_s, _v) -> _s + _v), 1.0 / ({p}))"
         )
-    if low in ("tuplehammingdistance", "arraylevenshteindistance",
+    if low in ("arraylevenshteindistance",
                "arraylevenshteindistanceweighted"):
         raise ValueError(
             f"{name}: no inline Spark spelling over generic"
@@ -4727,6 +4970,9 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "randnegativebinomial", "randpoisson", "randstudentt",
     "randchisquared", "randfisherf", "snowflakeidtodatetime",
     "datetimetosnowflakeid", "generatesnowflakeid", "ulidstringtodatetime",
+    # r10 continuation: current snowflake 64-bit forms + tuple intdiv
+    "snowflakeidtodatetime64", "datetime64tosnowflakeid",
+    "tupleintdivorzero", "tupleintdivbynumber", "tuplemodulobynumber",
     "blocknumber", "rownumberinblock", "blocksize",
     # r7 sixth probe batch (mapped)
     "jsonextract", "jsonextractkeysandvalues", "jsonextractkeys",
@@ -7249,6 +7495,29 @@ def _translate_fns(ch_query: str) -> str:
             else:  # ')', ']', '`' — always a subscript base
                 is_literal = False
             if is_literal:
+                # array-of-TUPLE literals `[(1,2),(3,4)]`: bare paren
+                # tuples have no generic rewrite (Spark parses `(1,2)` as
+                # a syntax error outside IN), so when every element of a
+                # literal array is itself a literal tuple, emit the
+                # named_struct form here with the engine's positional
+                # colN convention (r10 continuation probe:
+                # `array((1,2),(3,2))` used to pass through and die in
+                # Spark's parser).
+                j = _scan_bracket(ch_query, i)
+                if j is not None:
+                    elems = _split_args(ch_query[i + 1 : j])
+                    tups = [_tuple_literal_elems(e) for e in elems]
+                    if elems and all(t is not None for t in tups):
+                        structs = ", ".join(
+                            "named_struct(" + ", ".join(
+                                f"'col{k + 1}', {_translate_fns(x)}"
+                                for k, x in enumerate(t)
+                            ) + ")"
+                            for t in tups
+                        )
+                        out.append(f"array({structs})")
+                        i = j + 1
+                        continue
                 bstack.append(True)
                 out.append("array(")
                 i += 1

@@ -1894,7 +1894,9 @@ def test_chsql_r7_fifth_probe_batch(spark):
     for bad, hint in [
         ("initializeAggregation('s', 1)", "Merge"),
         ("runningConcurrency(a, b)", "maxIntersections"),
-        ("tupleHammingDistance(a, b)", "byteHammingDistance"),
+        # r10 continuation: literal tuples now map; column form points
+        # at the array spellings
+        ("tupleHammingDistance(a, b)", "zip_with"),
         ("UUIDStringToNum('x')", "binary"),
     ]:
         with _pytest.raises(ValueError, match=hint):
@@ -1973,8 +1975,9 @@ def test_chsql_keyed_array_aggregates(spark):
     assert one("arrayMax(x -> -x, [1,2])") == -1
     assert one("arrayProduct(x -> x + 1, [1,2])") == 6.0
     assert one("arraySum([1,2,3])") == 6.0  # 1-arg forms unchanged
+    # r10 continuation: arrayReduceInRanges now composes for real
+    assert one("arrayReduceInRanges('sum', [(1,2)], [1,2])") == [3.0]
     for bad, hint in [
-        ("arrayReduceInRanges('sum', [(1,2)], [1,2])", "slice"),
         ("joinGet('t','c',1)", "dictGet"),
         ("catboostEvaluate('m', x)", "Pandas"),
     ]:
@@ -2041,9 +2044,11 @@ def test_chsql_r8_third_probe_batch(spark):
     assert one("unbin('')") == ""
     assert one("FQDN()") == "localhost"
     assert one("shardNum()") == 1 and one("shardCount()") == 1
+    # r10 continuation: literal tuple arithmetic now maps (column forms
+    # still refuse — pinned in test_chsql_r10_tuple_literal_arithmetic)
+    assert tuple(one("tupleMultiply((1, 2), (3, 4))")) == (3, 8)
+    assert tuple(one("tuplePlus((1, 2), (3, 4))")) == (4, 6)
     for bad, hint in [
-        ("tupleMultiply((1, 2), (3, 4))", "arrayDotProduct"),
-        ("tuplePlus((1, 2), (3, 4))", "zip_with"),
         ("mapPartialSort((k, v) -> v, 1, map('a', 2))", "mapSort"),
         ("arrayEnumerateUniqRanked([1, 1, 2])", "arrayEnumerateUniq"),
         ("quantileGK(100)(0.5)(x)", "chained parametric"),
@@ -3388,3 +3393,100 @@ def test_chsql_r10_interval_and_makedate(spark):
     # sub-day units keep the epoch-floor timestamp path
     assert str(one("toStartOfInterval(toDateTime('2023-01-03 14:35:30'),"
                    " INTERVAL 15 MINUTE)")) == "2023-01-03 14:30:00"
+
+
+def test_chsql_r10_tuple_literal_arithmetic(spark):
+    """r10 continuation probe: the element-wise tuple-arithmetic family
+    refused even LITERAL tuples, whose arity the SQL text carries —
+    tuplePlus((1,2),(3,4)) etc. now map to named_struct with the
+    engine's positional colN fields; struct COLUMNS still refuse with
+    the zip_with guidance. tupleIntDivOrZero was a silent passthrough
+    (never in the recognized-name list)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    t = lambda e: tuple(one(e))
+    assert t("tuplePlus((1,2),(3,4))") == (4, 6)
+    assert t("vectorSum((1,2),(3,4))") == (4, 6)
+    assert t("tupleMinus((3,4),(1,2))") == (2, 2)
+    assert t("tupleMultiply((1,2),(3,4))") == (3, 8)
+    assert t("tupleDivide((4.0,6.0),(2,3))") == (2.0, 2.0)
+    assert t("tupleNegate((1,-2))") == (-1, 2)
+    assert t("tupleMultiplyByNumber((1,2),3)") == (3, 6)
+    assert t("tupleDivideByNumber((2.0,4.0),2)") == (1.0, 2.0)
+    assert t("tupleIntDiv((10,20),(3,6))") == (3, 3)
+    assert t("tupleIntDivOrZero((10,20),(3,0))") == (3, 0)
+    assert t("tupleIntDivByNumber((10,20),3)") == (3, 6)
+    assert t("tupleModulo((10,20),(3,6))") == (1, 2)
+    assert t("tupleModuloByNumber((10,20),3)") == (1, 2)
+    # nested tuple() spelling arrives pre-translated as named_struct and
+    # still parses; concat flattens positionally
+    assert t("tupleConcat(tuple(1,2), tuple(3))") == (1, 2, 3)
+    assert t("tuplePlus(tuple(1,2), (3,4))") == (4, 6)
+    assert one("tupleHammingDistance((1,2,3),(1,9,3))") == 1
+    assert one("tupleHammingDistance((1,2),(1,2))") == 0
+    # struct columns still refuse with the arrays guidance
+    with _pytest.raises(ValueError, match="zip_with"):
+        translate("SELECT tuplePlus(t, t) FROM x")
+    with _pytest.raises(ValueError, match="arities differ"):
+        translate("SELECT tuplePlus((1,2),(1,2,3))")
+
+
+def test_chsql_r10_arraysplit_multiarray_and_reduce_ranges(spark):
+    """r10 continuation probe: arraySplit/arrayReverseSplit rejected CH's
+    DOCUMENTED multi-array lambda form `(x, y) -> y` over a parallel
+    flag array; arrayReduceInRanges refused despite being composable
+    from mapped pieces. Values pinned to the ClickHouse doc examples."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("arraySplit((x, y) -> y, [1,2,3,4,5], [1,0,0,1,0])") \
+        == [[1, 2, 3], [4, 5]]
+    assert one("arrayReverseSplit((x, y) -> y, [1,2,3,4,5], [1,0,0,1,0])") \
+        == [[1], [2, 3, 4], [5]]
+    # single-var form unchanged
+    assert one("arraySplit(x -> x % 2 = 0, [1,2,3,4,5])") \
+        == [[1], [2, 3], [4, 5]]
+    # CH docs: arrayReduceInRanges('sum', [(1,5),(2,3),(3,4),(4,4)], …)
+    assert one(
+        "arrayReduceInRanges('sum', [(1,5),(2,3),(3,4),(4,4)],"
+        " [1000000, 200000, 30000, 4000, 500, 60, 7])"
+    ) == [1234500.0, 234000.0, 34560.0, 4567.0]
+    # array-of-tuple literals now translate standalone too
+    assert [tuple(x) for x in one("[(1,2),(3,4)]")] == [(1, 2), (3, 4)]
+
+
+def test_chsql_r10_ip_and_snowflake_ids(spark):
+    """r10 continuation probe: IPv4CIDRToRange was misrouted to the IPv6
+    128-bit refusal though it is pure 32-bit math; isIPv6String is pure
+    textual validation (RFC-4291 forms incl. every :: compression arity
+    and the IPv4-suffixed spellings); snowflakeIDToDateTime /
+    dateTimeToSnowflakeID are the CURRENT CH names (the *ToDateTime
+    spellings deprecated in 24.6) — timestamp is the top 41 bits in ms
+    since an explicit epoch (default 0 = unix)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    lo_, hi = tuple(one("IPv4CIDRToRange(toIPv4('192.168.5.2'), 16)"))
+    assert one("IPv4NumToString(%d)" % lo_) == "192.168.0.0"
+    assert one("IPv4NumToString(%d)" % hi) == "192.168.255.255"
+    lo2, hi2 = tuple(one("IPv4CIDRToRange(toIPv4('10.1.2.3'), 32)"))
+    assert lo2 == hi2 == one("toIPv4('10.1.2.3')")
+    good = ["::", "::1", "2001:db8::1", "1:2:3:4:5:6:7:8",
+            "::ffff:1.2.3.4", "fe80::1", "1:2:3:4:5::1.2.3.4",
+            "1:2:3:4:5:6:1.2.3.4", "a::b:c:d"]
+    bad = ["192.168.1.1", "1::2::3", "1:2:3:4:5:6:7:8:9", "hello",
+           ":::", "1:2:3:4:5:6:7::8", "12345::1", "::ffff:299.1.1.1"]
+    for s in good:
+        assert one(f"isIPv6String('{s}')") is True, s
+    for s in bad:
+        assert one(f"isIPv6String('{s}')") is False, s
+    # snowflake round-trip at ms resolution; DateTime form truncates to s
+    rt = one("snowflakeIDToDateTime64(dateTimeToSnowflakeID("
+             "toDateTime('2021-08-15 18:57:56')))")
+    assert str(rt) == "2021-08-15 18:57:56"
+    assert one("shiftright(dateTimeToSnowflakeID("
+               "toDateTime('2021-08-15 18:57:56'), 1000), 22)") \
+        == one("unix_millis(toDateTime('2021-08-15 18:57:56'))") - 1000
