@@ -1189,6 +1189,20 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"approx_count_distinct({', '.join(args)})"
     if low == "uniqexact":
         return f"count(DISTINCT {', '.join(args)})"
+    if low == "groupbitmap":
+        # groupBitmap(expr) returns the bitmap's CARDINALITY (UInt64) —
+        # exactly count(DISTINCT); the state-algebra forms
+        # (groupBitmapAnd/Or/Xor over AggregateFunction(groupBitmap)
+        # columns) stay routed to agg_bitmap_ops below (r10 continuation
+        # probe: bare groupBitmap was a silent passthrough)
+        return f"count(DISTINCT {args[0]})"
+    if low in ("groupbitmapand", "groupbitmapor", "groupbitmapxor"):
+        raise ValueError(
+            f"{name} aggregates over AggregateFunction(groupBitmap)"
+            " STATE columns; use the agg_bitmap_ops operator"
+            " (canal_clickhouse_spark registry) for the cardinality"
+            " algebra, or count(DISTINCT x) for plain columns"
+        )
     if low in ("position", "positionutf8"):
         # position(haystack, needle[, start]) -> locate. Spark strings are
         # UTF-8 native and locate counts characters, which is CH's *UTF8
@@ -2180,7 +2194,11 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"approx_count_distinct({args[0]})"
     if low == "uniqexactordefault":
         return f"count(DISTINCT {args[0]})"
-    if low.endswith("ordefault") and low != "accuratecastordefault":
+    if low.endswith("ordefault") and low not in (
+            "accuratecastordefault",
+            # IPv4's type default IS statically 0 (0.0.0.0) — handled in
+            # the toIPv4 family branch (r10 continuation)
+            "ipv4stringtonumordefault", "toipv4ordefault"):
         # (accurateCastOrDefault carries an EXPLICIT default in its 3-arg
         # form — handled with the accurateCast family below)
         raise ValueError(
@@ -2913,21 +2931,21 @@ def _translate_call(name: str, args: list[str]) -> str:
         if low == "formatreadablesize":
             steps = [(60, "EiB"), (50, "PiB"), (40, "TiB"), (30, "GiB"),
                      (20, "MiB"), (10, "KiB")]
-            expr = f"concat(format_number({x}, 2), ' B')"
+            expr = f"concat(format_string('%.2f', {x}), ' B')"
             for p, unit in reversed(steps):
                 expr = (
                     f"IF(abs({x}) >= POW(2, {p}),"
-                    f" concat(format_number({x} / POW(2, {p}), 2),"
+                    f" concat(format_string('%.2f', {x} / POW(2, {p})),"
                     f" ' {unit}'), {expr})"
                 )
             return f"({expr})"
         steps2 = [(12, "trillion"), (9, "billion"), (6, "million"),
                   (3, "thousand")]
-        expr = f"format_number({x}, 2)"
+        expr = f"format_string('%.2f', {x})"
         for p, unit in reversed(steps2):
             expr = (
                 f"IF(abs({x}) >= POW(10, {p}),"
-                f" concat(format_number({x} / POW(10, {p}), 2),"
+                f" concat(format_string('%.2f', {x} / POW(10, {p})),"
                 f" ' {unit}'), {expr})"
             )
         return f"({expr})"
@@ -3582,6 +3600,21 @@ def _translate_call(name: str, args: list[str]) -> str:
     # Catalyst's common-subexpression elimination handles the column case,
     # and the translation layer has no way to introduce a binding.
     if low in ("dotproduct", "scalarproduct"):
+        # CH accepts tuples AND arrays; literal tuples (arity in the SQL
+        # text) expand to an inline sum of products, everything else is
+        # the zip_with array form (r10 continuation probe: the tuple
+        # spelling reached zip_with-over-structs and died)
+        ta, tb = _tuple_literal_elems(args[0]), _tuple_literal_elems(args[1])
+        if ta is not None and tb is not None:
+            if len(ta) != len(tb):
+                raise ValueError(
+                    f"{name}: tuple arities differ"
+                    f" ({len(ta)} vs {len(tb)})"
+                )
+            return "(" + " + ".join(
+                f"CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+                for a, b in zip(ta, tb)
+            ) + ")"
         return _vec_dot(args[0], args[1])
     if low == "l2squareddistance":
         return _vec_l2sq(args[0], args[1])
@@ -3988,6 +4021,24 @@ def _translate_call(name: str, args: list[str]) -> str:
             " Spark-expressible inline; the agg_bitmap_ops operator"
             " implements the bitmap family over array states"
         )
+    if low == "pointinellipses":
+        # pointInEllipses(x, y, x₀, y₀, a₀, b₀, …): true if (x, y) lies
+        # inside ANY ellipse — pure arithmetic, no geometry lib needed
+        # (r10 continuation probe: was a silent passthrough)
+        if len(args) < 6 or (len(args) - 2) % 4:
+            raise ValueError(
+                "pointInEllipses expects (x, y, x0, y0, a0, b0, …) — 2"
+                " point coordinates then 4 parameters per ellipse"
+            )
+        x, y = f"CAST({args[0]} AS DOUBLE)", f"CAST({args[1]} AS DOUBLE)"
+        terms = []
+        for i in range(2, len(args), 4):
+            cx, cy, a_, b_ = args[i], args[i + 1], args[i + 2], args[i + 3]
+            terms.append(
+                f"(POW(({x} - ({cx})) / ({a_}), 2)"
+                f" + POW(({y} - ({cy})) / ({b_}), 2) <= 1.0D)"
+            )
+        return "(" + " OR ".join(terms) + ")"
     if low in ("pointinpolygon", "geohashencode", "geohashdecode",
                "geohashesinbox", "readwktpoint", "readwktpolygon",
                "readwktmultipolygon", "readwktring", "wkt",
@@ -4273,9 +4324,14 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"aggregate(split({args[0]}, ':'), CAST(0 AS BIGINT),"
             f" (_a, _p) -> _a * 256 + CAST(conv(_p, 16, 10) AS BIGINT))"
         )
-    if low in ("toipv4", "toipv4ornull", "toipv4orzero"):
+    if low in ("toipv4", "toipv4ornull", "toipv4orzero",
+               "toipv4ordefault",
+               "ipv4stringtonumornull", "ipv4stringtonumordefault"):
         # the IPv4 type surfaces as its UInt32 value (same convention as
-        # IPv4StringToNum); render with IPv4NumToString
+        # IPv4StringToNum); render with IPv4NumToString. The
+        # IPv4StringToNumOr* variants share the toIPv4Or* contract (r10
+        # continuation probe: OrNull was a silent passthrough while the
+        # base name was mapped).
         num = (
             f"aggregate(transform(split({args[0]}, '\\\\.'),"
             " _p -> CAST(_p AS BIGINT)), CAST(0 AS BIGINT),"
@@ -4290,6 +4346,14 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
         fb = "NULL" if low.endswith("ornull") else "0"
         return f"IF({valid}, {num}, {fb})"
+    if low == "ipv4numtostringclassc":
+        # renders the /24 with the host octet masked to 'xxx'
+        n = f"CAST({args[0]} AS BIGINT)"
+        return (
+            f"concat(CAST(({n} div 16777216) % 256 AS STRING), '.',"
+            f" CAST(({n} div 65536) % 256 AS STRING), '.',"
+            f" CAST(({n} div 256) % 256 AS STRING), '.xxx')"
+        )
     if low == "isipaddressinrange":
         # IPv4 CIDR containment via prefix compare (IPv6 needs 128-bit
         # arithmetic — guided through the IPv6 family below)
@@ -4369,14 +4433,14 @@ def _translate_call(name: str, args: list[str]) -> str:
         x = f"CAST({args[0]} AS DOUBLE)"
         return (
             f"(CASE WHEN abs({x}) >= 1e12 THEN"
-            f" concat(format_number({x} / 1e12, 2), ' TB')"
+            f" concat(format_string('%.2f', {x} / 1e12), ' TB')"
             f" WHEN abs({x}) >= 1e9 THEN"
-            f" concat(format_number({x} / 1e9, 2), ' GB')"
+            f" concat(format_string('%.2f', {x} / 1e9), ' GB')"
             f" WHEN abs({x}) >= 1e6 THEN"
-            f" concat(format_number({x} / 1e6, 2), ' MB')"
+            f" concat(format_string('%.2f', {x} / 1e6), ' MB')"
             f" WHEN abs({x}) >= 1e3 THEN"
-            f" concat(format_number({x} / 1e3, 2), ' KB')"
-            f" ELSE concat(format_number({x}, 2), ' B') END)"
+            f" concat(format_string('%.2f', {x} / 1e3), ' KB')"
+            f" ELSE concat(format_string('%.2f', {x}), ' B') END)"
         )
     if low == "parsereadablesize":
         s_ = args[0]
@@ -4947,7 +5011,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "singlevalueornull", "maxintersections", "intervallengthsum",
     "materialize", "identity", "ignore", "indexhint", "currentuser",
     "initialuser", "macnumtostring", "macstringtonum", "toipv4",
-    "toipv4ornull", "toipv4orzero", "isipaddressinrange", "bar",
+    "toipv4ornull", "toipv4orzero", "toipv4ordefault",
+    "isipaddressinrange", "bar",
     "formatreadabledecimalsize", "parsereadablesize", "randcanonical",
     "randuniform", "randnormal", "randbernoulli", "randexponential",
     "randlognormal", "generateuuidv7", "snowflaketodatetime",
@@ -4973,6 +5038,10 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # r10 continuation: current snowflake 64-bit forms + tuple intdiv
     "snowflakeidtodatetime64", "datetime64tosnowflakeid",
     "tupleintdivorzero", "tupleintdivbynumber", "tuplemodulobynumber",
+    # r10 continuation probe batch 2: runtime-failure fixes
+    "pointinellipses", "ipv4stringtonumornull", "ipv4stringtonumordefault",
+    "ipv4numtostringclassc", "groupbitmap", "groupbitmapand",
+    "groupbitmapor", "groupbitmapxor",
     "blocknumber", "rownumberinblock", "blocksize",
     # r7 sixth probe batch (mapped)
     "jsonextract", "jsonextractkeysandvalues", "jsonextractkeys",
@@ -7134,11 +7203,31 @@ def translate(ch_query: str) -> str:
             f"{pm.group(1)} = …, or execute(stmt, params={{...}})"
         )
     return _rewrite_distinct_over(
-        _translate_fns(_rewrite_clauses(ch_query))
+        _translate_fns(_rewrite_clauses(_rewrite_float_keywords(ch_query)))
         .replace("__spark_range__", "range")
         .replace("__spark_values__", "VALUES")
         .replace("__spark_rand__", "rand")
     )
+
+
+def _rewrite_float_keywords(q: str) -> str:
+    """CH's bare special-float literals ``nan`` / ``inf`` / ``-inf`` →
+    explicit DOUBLE casts (r10 continuation probe: they reached Spark as
+    unresolved column references). CH lexes these as keywords
+    case-insensitively, so a column could never be named ``nan`` in a CH
+    query — the token rewrite is safe. Function spellings (isNaN(…)) and
+    qualified/backticked names are excluded."""
+    masked = _mask_literals(q)
+    out, off = q, 0
+    for m in re.finditer(
+        r"(?i)(?<![\w.`])(nan|inf)(?![\w.`])(?!\s*\()", masked
+    ):
+        rep = ("CAST('NaN' AS DOUBLE)" if m.group(1).lower() == "nan"
+               else "CAST('Infinity' AS DOUBLE)")
+        a, b = m.span(1)
+        out = out[: a + off] + rep + out[b + off:]
+        off += len(rep) - (b - a)
+    return out
 
 
 def _scan_group(s: str, start: int) -> int:

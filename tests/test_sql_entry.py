@@ -3490,3 +3490,47 @@ def test_chsql_r10_ip_and_snowflake_ids(spark):
     assert one("shiftright(dateTimeToSnowflakeID("
                "toDateTime('2021-08-15 18:57:56'), 1000), 22)") \
         == one("unix_millis(toDateTime('2021-08-15 18:57:56'))") - 1000
+
+
+def test_chsql_r10_probe_batch2_runtime_fixes(spark):
+    """r10 continuation probe batch 2 — forms that TRANSLATED but died at
+    Spark runtime (the silent-passthrough class): groupBitmap (= exact
+    distinct cardinality), IPv4StringToNumOrNull/OrDefault +
+    toIPv4OrDefault (IPv4's type default IS statically 0),
+    IPv4NumToStringClassC, bare nan/inf literals, tuple-form dotProduct,
+    pointInEllipses; plus the formatReadableSize thousands-separator
+    divergence (CH prints 1000.00, format_number printed 1,000.00)."""
+    import math
+
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    spark.sql("SELECT * FROM VALUES (1),(2),(2),(3) AS tgb(x)"
+              ).createOrReplaceTempView("tgb")
+    assert spark.sql(translate(
+        "SELECT groupBitmap(x) AS r FROM tgb")).collect()[0].r == 3
+    with _pytest.raises(ValueError, match="agg_bitmap_ops"):
+        translate("SELECT groupBitmapAnd(s) FROM t")
+    assert one("IPv4StringToNumOrNull('bad')") is None
+    assert one("IPv4StringToNumOrNull('1.2.3.4')") == 16909060
+    assert one("IPv4StringToNumOrDefault('bad')") == 0
+    assert one("toIPv4OrDefault('bad')") == 0
+    assert one("IPv4NumToStringClassC(3232235777)") == "192.168.1.xxx"
+    assert math.isnan(one("nan"))
+    assert one("inf") == float("inf")
+    assert one("-inf") == float("-inf")
+    assert one("isNaN(nan)") is True and one("isInfinite(inf)") is True
+    # inf/nan as SUBSTRINGS or identifiers-with-dots stay untouched
+    assert one("isInfinite(1.0)") is False
+    assert one("length('nan inf')") == 7
+    assert one("dotProduct((1, 2), (3, 4))") == 11.0
+    assert one("dotProduct([1, 2], [3, 4])") == 11.0
+    assert one("pointInEllipses(1.0, 1.0, 0.0, 0.0, 3.0, 3.0)") is True
+    assert one("pointInEllipses(10.0, 1.0, 0.0, 0.0, 3.0, 3.0)") is False
+    assert one("pointInEllipses(10.0, 1.0, 0.0, 0.0, 3.0, 3.0,"
+               " 10.0, 1.0, 1.0, 1.0)") is True
+    assert one("formatReadableSize(1024000)") == "1000.00 KiB"
+    assert one("formatReadableQuantity(1234567)") == "1.23 million"
+    assert one("formatReadableDecimalSize(1024000)") == "1.02 MB"
