@@ -594,6 +594,9 @@ _ADD_UNITS = {
     "seconds": "SECOND", "minutes": "MINUTE", "hours": "HOUR",
     "days": "DAY", "weeks": "WEEK", "months": "MONTH",
     "quarters": "QUARTER", "years": "YEAR",
+    # sub-second (r10 runtime battery: silent passthroughs); Spark
+    # timestamps carry µs precision, so both are exact
+    "milliseconds": "MILLISECOND", "microseconds": "MICROSECOND",
 }
 
 # CH parameterized aggregates — `fn(params)(args)` double-call syntax.
@@ -651,6 +654,12 @@ _PARAMETRIC = {
     "grouparrayinsertat", "grouparrayinsertatif",
     # r9: trailing-window folds over the collected list
     "grouparraymovingsum", "grouparraymovingavg",
+    # r10 continuation probes: names whose double-call spelling previously
+    # hit the GENERIC parametric error though named guidance (or a real
+    # mapping) exists — reachable only via this set
+    "largesttrianglethreebuckets", "lttb", "meanztest",
+    "quantiledd", "quantilesdd",
+    "approx_top_k", "approx_top_count", "approx_top_sum",
 }
 
 # CH gives every quantile implementation a `median*` alias (p fixed at 0.5).
@@ -735,15 +744,23 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         )
     if low in ("quantiletiming", "quantilebfloat16",
                "quantileexactexclusive",
-               "quantileexactinclusive", "quantilegk", "quantileddsketch"):
+               "quantileexactinclusive", "quantilegk", "quantileddsketch",
+               "quantiledd"):
         # Approximate impls → exact interpolated percentile
         # (documented divergence, same as quantileExact's treatment;
         # Inclusive IS percentile's interpolation, Exclusive shifts rank
-        # bounds — approximated by the same exact form; GK's accuracy
+        # bounds — approximated by the same exact form; GK/DD's accuracy
         # parameter drops because the exact value subsumes it).
+        if low in ("quantilegk", "quantileddsketch", "quantiledd") and params:
+            # first param is the ACCURACY, not a level: quantileGK(acc[,
+            # p]) / quantileDD(rel_acc[, p]). The accuracy-only spelling
+            # defaults the level to 0.5 (r10 probe: quantileGK(100)(x)
+            # previously emitted percentile(x, 100) — a runtime error).
+            if len(params) > 1:
+                params = params[-1:]
+            else:
+                params = ["0.5"]
         low = "quantile"
-        if params and len(params) > 1:
-            params = params[-1:]  # GK spelled quantileGK(acc, p) one-group
     if low in ("quantilestdigestweighted", "quantilestimingweighted",
                "quantilesinterpolatedweighted", "quantilesexactweighted"):
         # plural weighted impls → Spark's 3-arg percentile with a level
@@ -751,6 +768,9 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         return (
             f"percentile({args[0]}, array({', '.join(params)}), {args[1]})"
         )
+    if low == "quantilesdd":
+        # quantilesDD(rel_acc, p1, p2, …)(x) — accuracy first, then levels
+        return f"percentile({args[0]}, array({', '.join(params[1:])}))"
     if low in ("quantiles", "quantilesexactexclusive",
                "quantilesexactinclusive", "quantilesexact",
                "quantilesexactlow", "quantilesexacthigh",
@@ -847,6 +867,17 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         # percentile is already deterministic, so the second arg drops.
         p = params[0] if params else "0.5"
         return f"percentile({args[0]}, {p})"
+    approx_top_tuples = low in (
+        "approx_top_k", "approx_top_count", "approx_top_sum"
+    )
+    if approx_top_tuples:
+        # approx_top_k(N[, reserved])(x) / approx_top_sum(N[, reserved])
+        # (x, w): the topK/topKWeighted sketch with a (item, count, error)
+        # tuple output shape; the reserved-capacity param drops (the exact
+        # spelling subsumes it), error is exactly 0 here, and the counts
+        # are exact — same approx→exact divergence class as topK.
+        low = "topk" if low != "approx_top_sum" else "topkweighted"
+        params = params[:1] or ["10"]
     if low in ("topk", "topkweighted"):
         # Exact inline spelling (r6 verdict missing #6 — needed so the -If
         # stack translates): sort the collected values, fold into
@@ -905,9 +936,15 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
             " WHEN _a.c < _b.c THEN 1 WHEN _a.v < _b.v THEN -1"
             " WHEN _a.v > _b.v THEN 1 ELSE 0 END"
         )
+        body = (
+            "_s -> named_struct('item', _s.v, 'count', _s.c,"
+            " 'error', CAST(0 AS BIGINT))"
+            if approx_top_tuples
+            else "_s -> _s.v"
+        )
         return (
             f"transform(slice(array_sort({runs}, {cmp_}), 1, {k}),"
-            " _s -> _s.v)"
+            f" {body})"
         )
     if low in ("grouparraymovingsum", "grouparraymovingavg"):
         # groupArrayMovingSum/Avg([n])(x): per-position trailing-window
@@ -1519,8 +1556,9 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "tobool":
         return f"CAST({args[0]} AS BOOLEAN)"
-    if low == "totime":
-        # CH pins the time-of-day onto 1970-01-02
+    if low in ("totime", "totimewithfixeddate"):
+        # CH pins the time-of-day onto 1970-01-02 (toTimeWithFixedDate is
+        # the ≥24.9 rename of the same function)
         return (
             f"to_timestamp(concat('1970-01-02 ',"
             f" date_format({args[0]}, 'HH:mm:ss')))"
@@ -1554,6 +1592,14 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"regexp_extract({args[0]}, {pat}, {grp})"
     if low == "arraywithconstant":  # arrayWithConstant(n, x) — args swap
         return f"array_repeat({args[1]}, CAST({args[0]} AS INT))"
+    if low == "emptyarraytosingle":
+        # emptyArrayToSingle(a): [] → one-element array. CH fills the
+        # element TYPE's default (0/''); NULL is the honest static
+        # stand-in (same convention as groupArrayInsertAt gaps) — get()
+        # is out-of-bounds-NULL under both ANSI modes, and typing the
+        # element off the input keeps the array's element type.
+        a = args[0]
+        return f"IF(size({a}) = 0, array(get({a}, 0)), {a})"
     if low.startswith("emptyarray"):
         spark_t = {
             "string": "STRING", "int8": "TINYINT", "int16": "SMALLINT",
@@ -1941,6 +1987,22 @@ def _translate_call(name: str, args: list[str]) -> str:
         unit = _ADD_UNITS[low.removeprefix("subtract").removeprefix("add")]
         n = args[1] if low.startswith("add") else f"-({args[1]})"
         return f"timestampadd({unit}, {n}, {args[0]})"
+    if low in ("addnanoseconds", "subtractnanoseconds"):
+        raise ValueError(
+            f"{name}: Spark timestamps carry microsecond precision —"
+            " DateTime64(9) nanosecond arithmetic cannot round-trip; keep"
+            " nanoseconds as a separate BIGINT column or use"
+            " addMicroseconds (mapped) at µs granularity"
+        )
+    if low == "timezoneoffset":
+        # offset of the session zone from UTC at the given instant, in
+        # seconds: to_utc_timestamp shifts the instant by exactly that
+        # offset, so the unix_timestamp difference recovers it (DST-aware)
+        x = args[0]
+        return (
+            f"CAST(unix_timestamp({x}) - unix_timestamp("
+            f"to_utc_timestamp({x}, current_timezone())) AS INT)"
+        )
     if low in ("tostartoffiveminute", "tostartoffiveminutes",
                "tostartoffifteenminutes", "tostartoftenminutes"):
         secs = {"tostartoffiveminute": 300, "tostartoffiveminutes": 300,
@@ -2198,7 +2260,10 @@ def _translate_call(name: str, args: list[str]) -> str:
             "accuratecastordefault",
             # IPv4's type default IS statically 0 (0.0.0.0) — handled in
             # the toIPv4 family branch (r10 continuation)
-            "ipv4stringtonumordefault", "toipv4ordefault"):
+            "ipv4stringtonumordefault", "toipv4ordefault",
+            # carries an explicit default argument — handled in the UUID
+            # family branch (r10 runtime battery)
+            "touuidordefault"):
         # (accurateCastOrDefault carries an EXPLICIT default in its 3-arg
         # form — handled with the accurateCast family below)
         raise ValueError(
@@ -2801,7 +2866,7 @@ def _translate_call(name: str, args: list[str]) -> str:
             " and 40 seconds') has no Spark builtin; spell the buckets"
             " with div/% + concat_ws, or keep raw seconds"
         )
-    if low in ("emptyarraytosingle", "addtupleofintervals",
+    if low in ("addtupleofintervals",
                "subtracttupleofintervals", "proportionsztest",
                "wordshingleminhash", "wordshinglesimhash",
                "ngramminhash", "ngramsimhash",
@@ -2809,8 +2874,7 @@ def _translate_call(name: str, args: list[str]) -> str:
                "wordshingleminhashutf8", "wordshinglesimhashutf8"):
         raise ValueError(
             f"{name} has no faithful inline Spark spelling; see the"
-            " nearest operators: emptyArrayToSingle → IF(size(a)=0,"
-            " array(<default>), a) with your element default,"
+            " nearest operators:"
             " tuple-of-intervals → chained +INTERVAL terms,"
             " proportionsZTest → agg_stats building blocks,"
             " wordShingle sketches → dedup_minhash_lsh/dedup_simhash"
@@ -3088,6 +3152,15 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"map_filter({args[0]}, (_k, _v) -> _k LIKE {args[1]})"
     if low == "mapcontainskeylike":
         return f"exists(map_keys({args[0]}), _k -> _k LIKE {args[1]})"
+    if low == "mapcontainsvalue":
+        return f"array_contains(map_values({args[0]}), {args[1]})"
+    if low == "sparsegrams":
+        raise ValueError(
+            "sparseGrams picks substring boundaries off CH's internal"
+            " rolling-hash minima — implementation-defined output with no"
+            " portable spelling; use ngrams(s, n) (mapped) or the"
+            " text_ngrams operator for deterministic shingles"
+        )
     if low == "aggthrow":
         raise ValueError(
             "aggThrow is ClickHouse's fault-injection test aggregate — it"
@@ -4324,6 +4397,12 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"aggregate(split({args[0]}, ':'), CAST(0 AS BIGINT),"
             f" (_a, _p) -> _a * 256 + CAST(conv(_p, 16, 10) AS BIGINT))"
         )
+    if low == "macstringtooui":  # leading 3 octets (the OUI) as a number
+        return (
+            f"aggregate(slice(split({args[0]}, ':'), 1, 3),"
+            f" CAST(0 AS BIGINT),"
+            f" (_a, _p) -> _a * 256 + CAST(conv(_p, 16, 10) AS BIGINT))"
+        )
     if low in ("toipv4", "toipv4ornull", "toipv4orzero",
                "toipv4ordefault",
                "ipv4stringtonumornull", "ipv4stringtonumordefault"):
@@ -4800,6 +4879,12 @@ def _translate_call(name: str, args: list[str]) -> str:
             else "'00000000-0000-0000-0000-000000000000'"
         )
         return f"IF({args[0]} RLIKE {pat}, {args[0]}, {fb})"
+    if low == "touuidordefault":  # (s, default) — default on parse failure
+        pat = (
+            "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'"
+        )
+        return f"IF({args[0]} RLIKE {pat}, {args[0]}, {args[1]})"
     if low in ("uuidnumtostring", "uuidstringtonum", "uuidv7tonum",
                "uuidtonum"):
         raise ValueError(
@@ -5177,10 +5262,15 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arraydifference", "arraycumsum", "arraycompact",
     # date arithmetic spellings
     "age", "dateadd", "datesub", "tomonday", "now64",
+    # r10 runtime battery: names that previously passed through to
+    # UNRESOLVED_ROUTINE
+    "totimewithfixeddate", "timezoneoffset", "macstringtooui",
+    "touuidordefault", "mapcontainsvalue", "sparsegrams",
+    "addnanoseconds", "subtractnanoseconds",
 } | {
     f"{p}{u}" for p in ("add", "subtract")
     for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
-              "quarters", "years")
+              "quarters", "years", "milliseconds", "microseconds")
 }
 
 
@@ -5273,6 +5363,38 @@ def _close_paren(s: str, i: int) -> int:
     raise ValueError(f"unbalanced parens from offset {i} in: {s!r}")
 
 
+# binary-operator / clause keywords that can precede a trailing identifier
+# inside an EXPRESSION — a "bare alias" read there would mangle e.g.
+# `a AND b` into alias `b`
+_BARE_ALIAS_STOP = frozenset(
+    "and or not xor like ilike in is between div mod as else then when"
+    " end over distinct all interval case from array join select union"
+    " by asc desc nulls first last".split()
+)
+
+
+def _item_out_name(item: str) -> str:
+    """The OUTPUT name of one select item, CH rules: explicit ``AS x``,
+    a bare trailing alias (``expr x`` — CH grammar), or the last segment
+    of a plain (dotted) column path. Falls back to the raw item text when
+    no plain name exists (callers validate with ``isidentifier``)."""
+    item = item.strip()
+    am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
+    if am:
+        return am.group(1)
+    if re.fullmatch(r"[\w.]+", item):
+        return item.split(".")[-1]
+    bm = re.match(r"(?s)^(.*?\S)\s+([A-Za-z_]\w*)\s*$", item)
+    if bm:
+        prefix, alias = bm.group(1), bm.group(2)
+        lastword = re.search(r"([A-Za-z_]\w*)\s*$", prefix)
+        if alias.lower() not in _BARE_ALIAS_STOP and not (
+            lastword and lastword.group(1).lower() in _BARE_ALIAS_STOP
+        ):
+            return alias
+    return item
+
+
 def _star_table_cols(q: str, what: str) -> tuple[str, ...]:
     """The column list for expanding a star modifier: requires the query's
     FROM clauses to name exactly one (known) fixture table — with joins or
@@ -5314,8 +5436,9 @@ def _star_table_cols(q: str, what: str) -> tuple[str, ...]:
             inner_sel = inner_sel[: fm2.start()]
         cols = []
         for item in _split_args(inner_sel):
-            am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
-            nm_ = am.group(1) if am else item.strip().split(".")[-1]
+            # bare trailing aliases (`SELECT 1 a`) count as plain output
+            # names too (r10 probe: only the AS form was recognized)
+            nm_ = _item_out_name(item)
             if not nm_.isidentifier():
                 break
             cols.append(nm_)
@@ -5419,7 +5542,12 @@ _COLUMNS_RE = re.compile(
     re.IGNORECASE,
 )
 _STAR_MOD_START_RE = re.compile(
-    r"(?<![\w.)])\*\s*(?=EXCEPT\b|REPLACE\s*\(|APPLY\s*\()", re.IGNORECASE
+    # optional qualifier (`t.* APPLY(...)` — r10 probe: the qualified form
+    # previously never matched the scanner and passed through verbatim to
+    # a Spark parse error)
+    r"(?<![\w.)])(?:(?P<qual>\w+(?:\s*\.\s*\w+)*)\s*\.\s*)?"
+    r"\*\s*(?=EXCEPT\b|REPLACE\s*\(|APPLY\s*\()",
+    re.IGNORECASE,
 )
 
 
@@ -5465,6 +5593,8 @@ def _rewrite_star_modifiers(q: str) -> str:
     out, pos = [], 0
     while (m := _STAR_MOD_START_RE.search(mq, pos)) is not None:
         out.append(q[pos : m.start()])
+        qual = m["qual"]
+        pref = f"{qual}." if qual else ""
         i = m.end()
         exc: list[str] = []
         rep: dict[str, str] = {}
@@ -5494,11 +5624,12 @@ def _rewrite_star_modifiers(q: str) -> str:
             fn = fm.group(1)
             i += fm.end()
         if not rep and fn is None:
-            # pure EXCEPT — Spark-native; just guarantee the paren form.
+            # pure EXCEPT — Spark-native (qualified too); just guarantee
+            # the paren form.
             out.append(
                 q[m.start() : i]
                 if exc_parens
-                else f"* EXCEPT({', '.join(exc)})"
+                else f"{pref}* EXCEPT({', '.join(exc)})"
             )
         else:
             items = []
@@ -5506,13 +5637,13 @@ def _rewrite_star_modifiers(q: str) -> str:
             for c in _star_table_cols(q, "star modifier"):
                 if c.lower() in dropped:
                     continue
-                expr = rep.get(c.lower(), c)
+                expr = rep.get(c.lower(), f"{pref}{c}")
                 if fn is not None:
                     items.append(f"{fn}({expr}) AS {fn.lower()}_{c}")
-                elif expr != c:
+                elif expr != f"{pref}{c}":
                     items.append(f"{expr} AS {c}")
                 else:
-                    items.append(c)
+                    items.append(f"{pref}{c}")
             out.append(", ".join(items))
         pos = i
     out.append(q[pos:])
@@ -6078,11 +6209,13 @@ _TOTALS_RE = re.compile(
     r"\bGROUP\s+BY\s+(?P<cols>.+?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL
 )
 _WITH_FILL_RE = re.compile(
-    r"\bORDER\s+BY\s+(?P<col>\w+)\s+WITH\s+FILL"
+    r"\bORDER\s+BY\s+(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(?P<frm>-?\d+))?(?:\s+TO\s+(?P<to>-?\d+))?"
     r"(?:\s+STEP\s+(?P<step>-?\d+))?"
     r"(?:\s+STALENESS\s+(?P<stale>\d+))?"
-    r"(?:\s+INTERPOLATE\s*\((?P<interp>[^)]*)\))?\s*$",
+    r"(?:\s+INTERPOLATE\s*\((?P<interp>[^)]*)\))?"
+    r"(?:\s+LIMIT\s+(?P<lim1>\d+)(?:\s*,\s*(?P<lim2>\d+)"
+    r"|\s+OFFSET\s+(?P<off>\d+))?)?\s*$",
     re.IGNORECASE,
 )
 _SELECT_ITEMS_RE = re.compile(
@@ -6101,7 +6234,11 @@ _NUMBERS_RE = re.compile(
 _ZEROS_RE = re.compile(
     r"\bFROM\s+zeros\s*\(\s*(\d+)\s*\)", re.IGNORECASE
 )
-_SYSTEM_ONE_RE = re.compile(r"\bFROM\s+system\.one\b", re.IGNORECASE)
+_SYSTEM_ONE_RE = re.compile(
+    # the bare `FROM one` spelling is CH's reserved default-db table for
+    # the same one-row relation (r10 runtime battery)
+    r"\bFROM\s+(?:system\s*\.\s*)?one\b(?!\s*\.)", re.IGNORECASE
+)
 _SYSTEM_NUMBERS_RE = re.compile(
     r"\bFROM\s+system\.numbers(?:_mt)?\b", re.IGNORECASE
 )
@@ -6111,7 +6248,8 @@ _GENSERIES_RE = re.compile(
     re.IGNORECASE,
 )
 _GLOBAL_JOIN_RE = re.compile(
-    r"\bGLOBAL\s+(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|JOIN))",
+    r"\bGLOBAL\s+"
+    r"(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|ANY|ASOF|JOIN))",
     re.IGNORECASE,
 )
 # `expr GLOBAL [NOT] IN (subquery)` — CH's distributed-IN idiom (broadcast
@@ -6252,6 +6390,17 @@ def _rewrite_asof_join(q: str) -> str:
     """
     m = _lit_search(_ASOF_RE, q)
     if not m:
+        # never let an unparsed ASOF reach Spark (it would misparse ASOF
+        # as a table alias and die with a misleading UNRESOLVED_COLUMN)
+        if _lit_search(
+            re.compile(r"(?i)\bASOF\s+(?:LEFT\s+)?(?:INNER\s+)?JOIN"), q
+        ):
+            raise ValueError(
+                "ASOF JOIN: unsupported shape — supported is FROM <table>"
+                " [alias] ASOF [LEFT] JOIN <table> [alias] ON <cond> over"
+                " fixture tables; subquery sources or USING lists need the"
+                " join_asof operator (operators/joins.py)"
+            )
         return q
     lt, rt = m["lt"], m["rt"]
     la, ra = m["la"] or lt, m["ra"] or rt
@@ -6304,6 +6453,18 @@ def _rewrite_any_join(q: str) -> str:
     """
     m = _lit_search(_ANY_JOIN_RE, q)
     if not m:
+        # same no-passthrough contract as ASOF (r10 runtime battery: a
+        # subquery-sourced ANY JOIN reached Spark's parser verbatim)
+        if _lit_search(
+            re.compile(r"(?i)\bANY\s+(?:LEFT\s+)?(?:INNER\s+)?JOIN"), q
+        ):
+            raise ValueError(
+                "ANY JOIN: unsupported shape — supported is FROM <table>"
+                " [alias] ANY [LEFT] JOIN <table> [alias] ON <cond> over"
+                " fixture tables (key metadata drives the first-match"
+                " rank); rewrite subquery sources as plain JOIN +"
+                " row_number() = 1"
+            )
         return q
     lt, rt = m["lt"], m["rt"]
     la, ra = m["la"] or lt, m["ra"] or rt
@@ -6445,22 +6606,49 @@ def _rewrite_with_fill(q: str) -> str:
             )
         return q
     col = m["col"]
+    desc = (m["dir"] or "").upper() == "DESC"
+    order_dir = " DESC" if desc else ""
+    # trailing LIMIT applies AFTER the fill inserts rows (CH's clause
+    # order), so which rows survive depends on the filled ordering —
+    # both CH offset spellings accepted (r10 probe: a LIMIT after the
+    # fill tail previously failed the whole clause parse).
+    tail_limit = ""
+    if m["lim1"] is not None:
+        if m["lim2"] is not None:  # LIMIT off, n
+            off_, n_ = m["lim1"], m["lim2"]
+        else:
+            off_, n_ = (m["off"] or "0"), m["lim1"]
+        tail_limit = f" LIMIT {n_}" + (
+            f" OFFSET {off_}" if off_ != "0" else ""
+        )
     inner = q[: m.start()].strip()
     sel = _lit_match(_SELECT_ITEMS_RE, inner)
     if not sel:
         raise ValueError("WITH FILL: cannot locate the select list")
-    names = []
-    for item in _split_args(sel["items"]):
-        am = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
-        names.append(am.group(1) if am else item.strip().split(".")[-1])
+    names = [_item_out_name(item) for item in _split_args(sel["items"])]
     if col not in names:
         raise ValueError(f"WITH FILL column {col!r} not in select list {names}")
     if any(not n.isidentifier() for n in names):
         raise ValueError(f"WITH FILL needs plain output names, got {names}")
-    frm = m["frm"] or f"(SELECT MIN({col}) FROM _q)"
-    to_incl = m["to"] is None
-    to = m["to"] or f"(SELECT MAX({col}) FROM _q)"
-    step = m["step"] or "1"
+    if desc:
+        # DESC WITH FILL (r10 probe: ASC/DESC before WITH FILL failed the
+        # clause parse): the grid runs downward — FROM defaults to the
+        # max, TO to the min, STEP to -1; an explicit non-negative step
+        # contradicts the direction.
+        frm = m["frm"] or f"(SELECT MAX({col}) FROM _q)"
+        to_incl = m["to"] is None
+        to = m["to"] or f"(SELECT MIN({col}) FROM _q)"
+        step = m["step"] or "-1"
+        if int(step) >= 0:
+            raise ValueError(
+                "WITH FILL DESC needs a negative STEP (the grid runs"
+                f" downward), got STEP {step}"
+            )
+    else:
+        frm = m["frm"] or f"(SELECT MIN({col}) FROM _q)"
+        to_incl = m["to"] is None
+        to = m["to"] or f"(SELECT MAX({col}) FROM _q)"
+        step = m["step"] or "1"
     stale = m["stale"]
     if stale is not None:
         # STALENESS n (r8 verdict missing #2: previously emitted verbatim
@@ -6522,7 +6710,8 @@ def _rewrite_with_fill(q: str) -> str:
         f" {step})) AS {col}"
     )
     if not to_incl:  # CH's TO bound is exclusive; sequence() is inclusive
-        spine = f"SELECT * FROM ({spine}) WHERE {col} < {m['to']}"
+        cmp_op = ">" if desc else "<"
+        spine = f"SELECT * FROM ({spine}) WHERE {col} {cmp_op} {m['to']}"
     joined = (
         f"WITH _q AS ({inner}) SELECT {proj} FROM ({spine}) _s "
         f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
@@ -6541,10 +6730,12 @@ def _rewrite_with_fill(q: str) -> str:
             f"WITH _q AS ({inner}) SELECT {proj} FROM ({spine}) _s "
             f"FULL OUTER JOIN _q ON _s.{col} = _q.{col}"
         )
-        return f"{joined} ORDER BY {col}"
+        return f"{joined} ORDER BY {col}{order_dir}{tail_limit}"
     if interp:
-        w = (f"OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING"
-             " AND CURRENT ROW)")
+        # carry-forward runs in FILL direction (DESC carries from the
+        # larger value downward)
+        w = (f"OVER (ORDER BY {col}{order_dir} ROWS BETWEEN UNBOUNDED"
+             " PRECEDING AND CURRENT ROW)")
         items_out = []
         needs_rn = any(c is not None for c in interp.values())
         for n in names:
@@ -6565,13 +6756,14 @@ def _rewrite_with_fill(q: str) -> str:
         src = joined
         if needs_rn:
             src = (
-                f"SELECT *, ROW_NUMBER() OVER (ORDER BY {col}) AS _rn"
-                f" FROM ({joined})"
+                f"SELECT *, ROW_NUMBER() OVER (ORDER BY {col}{order_dir})"
+                f" AS _rn FROM ({joined})"
             )
         return (
-            f"SELECT {', '.join(items_out)} FROM ({src}) ORDER BY {col}"
+            f"SELECT {', '.join(items_out)} FROM ({src}) ORDER BY"
+            f" {col}{order_dir}{tail_limit}"
         )
-    return f"{joined} ORDER BY {col}"
+    return f"{joined} ORDER BY {col}{order_dir}{tail_limit}"
 
 
 def _rewrite_qualify(q: str) -> str:
@@ -7201,6 +7393,25 @@ def translate(ch_query: str) -> str:
             f"unbound query parameter {{{pm.group(1)}:…}} — parameters"
             " bind through ChSession: SET param_"
             f"{pm.group(1)} = …, or execute(stmt, params={{...}})"
+        )
+    # CH EXPLAIN modes → the closest Spark EXPLAIN form (r10 runtime
+    # battery: the CH keyword reached Spark's parser verbatim). SYNTAX/
+    # AST/QUERY TREE show rewritten/parsed trees → EXTENDED; PIPELINE is
+    # the physical operator view → FORMATTED; ESTIMATE is the cost view →
+    # COST; PLAN is the default.
+    em = re.match(
+        r"(?is)^\s*EXPLAIN\s+"
+        r"(SYNTAX|AST|QUERY\s+TREE|PIPELINE|ESTIMATE|PLAN)\s+(?=SELECT\b|\()",
+        ch_query,
+    )
+    if em:
+        mode = {
+            "syntax": "EXTENDED", "ast": "EXTENDED",
+            "query tree": "EXTENDED", "pipeline": "FORMATTED",
+            "estimate": "COST", "plan": "",
+        }[re.sub(r"\s+", " ", em.group(1).lower())]
+        ch_query = (
+            "EXPLAIN " + (mode + " " if mode else "") + ch_query[em.end():]
         )
     return _rewrite_distinct_over(
         _translate_fns(_rewrite_clauses(_rewrite_float_keywords(ch_query)))

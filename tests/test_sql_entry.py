@@ -3534,3 +3534,130 @@ def test_chsql_r10_probe_batch2_runtime_fixes(spark):
     assert one("formatReadableSize(1024000)") == "1000.00 KiB"
     assert one("formatReadableQuantity(1234567)") == "1.23 million"
     assert one("formatReadableDecimalSize(1024000)") == "1.02 MB"
+
+
+def test_chsql_r10_probe_batch3_parametrics_and_scalars(spark):
+    """r10 continuation probe batch 3 — parametric spellings whose named
+    guidance (or real mapping) was unreachable, plus scalar silent
+    passthroughs found by the 350-statement runtime battery."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    # quantileGK/DD: the leading param is the ACCURACY — accuracy-only
+    # spellings default the level to 0.5 (previously percentile(x, 100))
+    spark.sql("SELECT * FROM VALUES (1.0),(2.0),(3.0) AS tq(x)"
+              ).createOrReplaceTempView("tq")
+    q = lambda e: spark.sql(
+        translate(f"SELECT {e} AS r FROM tq")).collect()[0].r
+    assert q("quantileGK(100)(x)") == 2.0
+    assert q("quantileGK(100, 1)(x)") == 3.0
+    assert q("quantileDD(0.01)(x)") == 2.0
+    assert q("quantileDD(0.01, 0.5)(x)") == 2.0
+    assert q("quantilesDD(0.01, 0, 1)(x)") == [1.0, 3.0]
+    # approx_top_k/_sum: topK with the (item, count, error) tuple shape
+    r = q("approx_top_k(2)(x)")
+    assert [(e["item"], e["count"], e["error"]) for e in r] == [
+        (1.0, 1, 0), (2.0, 1, 0)]
+    r = q("approx_top_sum(1)(x, 2)")
+    assert (r[0]["item"], r[0]["count"]) == (1.0, 2)
+    # unreachable named guidance now reachable
+    for stmt, pat in [
+        ("SELECT largestTriangleThreeBuckets(3)(a, b) FROM t", "downsampler"),
+        ("SELECT meanZTest(1.0, 1.0, 0.95)(a, b) FROM t", "KNOWN population"),
+    ]:
+        with _pytest.raises(ValueError, match=pat):
+            translate(stmt)
+    # emptyArrayToSingle: real mapping (NULL stand-in for the type default)
+    assert one("emptyArrayToSingle(emptyArrayUInt8())") == [None]
+    assert one("emptyArrayToSingle([1, 2])") == [1, 2]
+    # scalar silent passthroughs
+    assert str(one("toTimeWithFixedDate(toDateTime('2024-01-01 10:22:33'))")
+               ) == "1970-01-02 10:22:33"
+    assert one("timeZoneOffset(toDateTime('2024-07-15 00:00:00'))") == \
+        spark.sql("SELECT CAST(unix_timestamp(TIMESTAMP'2024-07-15 00:00:00')"
+                  " - unix_timestamp(to_utc_timestamp("
+                  "TIMESTAMP'2024-07-15 00:00:00', current_timezone()))"
+                  " AS INT) AS r").collect()[0].r
+    assert str(one("addMicroseconds(toDateTime64('2024-01-01 00:00:00', 6),"
+                   " 5)")) == "2024-01-01 00:00:00.000005"
+    assert str(one("subtractMilliseconds(toDateTime64("
+                   "'2024-01-01 00:00:00', 3), 5)")) == \
+        "2023-12-31 23:59:59.995000"
+    with _pytest.raises(ValueError, match="microsecond precision"):
+        translate("SELECT addNanoseconds(t, 5) FROM t")
+    assert one("mapContainsValue(map('a', 1), 1)") is True
+    assert one("mapContainsValue(map('a', 1), 2)") is False
+    assert one("toUUIDOrDefault('bad',"
+               " '00000000-0000-0000-0000-000000000001')") == \
+        "00000000-0000-0000-0000-000000000001"
+    assert one("MACStringToOUI('01:02:03:04:05:06')") == 66051
+    with _pytest.raises(ValueError, match="rolling-hash"):
+        translate("SELECT sparseGrams('hello', 3)")
+    # FROM one (bare): CH's reserved one-row relation
+    assert spark.sql(translate("SELECT dummy FROM one")).collect()[0][0] == 0
+    assert spark.sql(translate("SELECT 1 FROM one")).count() == 1
+    # CH EXPLAIN modes map to Spark EXPLAIN forms
+    for stmt, frag in [
+        ("EXPLAIN SYNTAX SELECT 1", "EXPLAIN EXTENDED"),
+        ("EXPLAIN AST SELECT 1", "EXPLAIN EXTENDED"),
+        ("EXPLAIN PIPELINE SELECT 1", "EXPLAIN FORMATTED"),
+        ("EXPLAIN ESTIMATE SELECT 1", "EXPLAIN COST"),
+        ("EXPLAIN PLAN SELECT 1", "EXPLAIN SELECT"),
+    ]:
+        t = translate(stmt)
+        assert t.startswith(frag), (stmt, t)
+        assert spark.sql(t).count() >= 1
+    # unparsed ANY/ASOF JOIN shapes raise instead of passing through
+    for stmt, pat in [
+        ("SELECT x FROM (SELECT 1 x) a ANY LEFT JOIN (SELECT 1 x) b"
+         " USING x", "ANY JOIN"),
+        ("SELECT x FROM (SELECT 1 x) a ASOF JOIN (SELECT 1 x) b"
+         " ON a.x = b.x", "ASOF JOIN"),
+    ]:
+        with _pytest.raises(ValueError, match=pat):
+            translate(stmt)
+
+
+def test_chsql_r10_fill_dir_limit_and_star_mods(spark):
+    """WITH FILL with ASC/DESC and a trailing LIMIT; star modifiers over
+    bare-aliased subqueries and with table qualifiers."""
+    from canal_clickhouse_spark.chsql import translate
+
+    rows = lambda s: [r[0] for r in spark.sql(translate(s)).collect()]
+    spark.sql("SELECT * FROM VALUES (1), (4), (7) AS tf(v)"
+              ).createOrReplaceTempView("tf")
+    # TO is exclusive on both directions (CH contract)
+    assert rows("SELECT v FROM tf ORDER BY v ASC WITH FILL FROM 1 TO 6") == \
+        [1, 2, 3, 4, 5, 7]
+    assert rows("SELECT v FROM tf ORDER BY v DESC WITH FILL"
+                " FROM 7 TO 3 STEP -2") == [7, 5, 4, 1]
+    assert rows("SELECT v FROM tf ORDER BY v WITH FILL FROM 1 TO 8"
+                " LIMIT 4") == [1, 2, 3, 4]
+    assert rows("SELECT v FROM tf ORDER BY v WITH FILL FROM 1 TO 8"
+                " LIMIT 2, 3") == [3, 4, 5]
+    assert rows("SELECT v FROM tf ORDER BY v WITH FILL FROM 1 TO 8"
+                " LIMIT 3 OFFSET 2") == [3, 4, 5]
+    # DESC carry-forward interpolates downward
+    spark.sql("SELECT * FROM VALUES (1, 10.0), (4, 40.0) AS tg(v, m)"
+              ).createOrReplaceTempView("tg")
+    got = spark.sql(translate(
+        "SELECT v, m FROM tg ORDER BY v DESC WITH FILL FROM 4 TO 1 STEP -1"
+        " INTERPOLATE (m)")).collect()
+    assert [(r.v, r.m) for r in got] == [
+        (4, 40.0), (3, 40.0), (2, 40.0), (1, 10.0)]
+    # star modifiers: bare-aliased subquery width + qualified stars
+    one_row = spark.sql(translate(
+        "SELECT * APPLY (sum) FROM (SELECT 1 a, 2 b) t")).collect()[0]
+    assert (one_row.sum_a, one_row.sum_b) == (1, 2)
+    one_row = spark.sql(translate(
+        "SELECT t.* APPLY (max) FROM (SELECT 1 AS a, 2 AS b) t"
+    )).collect()[0]
+    assert (one_row.max_a, one_row.max_b) == (1, 2)
+    one_row = spark.sql(translate(
+        "SELECT t.* EXCEPT (a) REPLACE (b * 2 AS b)"
+        " FROM (SELECT 1 a, 2 b, 3 c) t")).collect()[0]
+    assert (one_row.b, one_row.c) == (4, 3)
+    assert spark.sql(translate(
+        "SELECT t.* EXCEPT a FROM (SELECT 1 a, 2 b) t")).columns == ["b"]
