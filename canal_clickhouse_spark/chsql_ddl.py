@@ -230,20 +230,24 @@ def spark_type_to_ch(spark_type: str) -> str:
 # expression like `concat('TTL ', x)` can never be split on its literal.
 _COL_DECO_KEYWORDS = (
     "default", "materialized", "alias", "codec", "ttl", "comment",
+    "ephemeral",
 )
 
 
-def parse_col_def(item: str) -> tuple[str, str, str | None, str]:
+def parse_col_def(item: str) -> tuple[str, str, str | None, str, bool]:
     """One CREATE TABLE column item →
-    ``(name, spark_type, default_expr, ch_type)``.
+    ``(name, spark_type, default_expr, ch_type, is_ephemeral)``.
 
     Handles the full CH column grammar: ``name type [DEFAULT|MATERIALIZED|
-    ALIAS expr] [CODEC(...)] [TTL expr] [COMMENT '...']``. CODEC and
-    column-level TTL are storage hints with no Spark meaning — stripped,
-    like LowCardinality. MATERIALIZED/ALIAS register as insert-time
-    defaults (documented divergence: CH computes ALIAS at read time; the
-    value is identical whenever the referenced columns are immutable after
-    insert, which is the MergeTree norm). The raw CH type text comes back
+    ALIAS|EPHEMERAL expr] [CODEC(...)] [TTL expr] [COMMENT '...']``. CODEC
+    and column-level TTL are storage hints with no Spark meaning —
+    stripped, like LowCardinality. MATERIALIZED/ALIAS register as
+    insert-time defaults (documented divergence: CH computes ALIAS at read
+    time; the value is identical whenever the referenced columns are
+    immutable after insert, which is the MergeTree norm). EPHEMERAL
+    columns (r10 probe) are insert-time-only inputs — never stored; the
+    flag comes back so callers exclude them from the schema and keep their
+    default for INSERT-list resolution. The raw CH type text comes back
     as the 4th element so callers can record declared wrappers (r8:
     Nullable fidelity in SHOW CREATE TABLE)."""
     cm = re.match(r"(?s)^\s*(?:`(?P<bq>\w+)`|(?P<plain>\w+))\s+(?P<rest>.+?)\s*$", item)
@@ -274,7 +278,11 @@ def parse_col_def(item: str) -> tuple[str, str, str | None, str]:
             # r8 advice: '_' is part of an identifier — without it,
             # `DEFAULT base_default + 1` split at the embedded "default"
             # and silently mangled the expression.
-            m = re.match(r"(?i)(default|materialized|alias|codec|ttl|comment)\b", rest[i:])
+            m = re.match(
+                r"(?i)(default|materialized|alias|codec|ttl|comment"
+                r"|ephemeral)\b",
+                rest[i:],
+            )
             if m:
                 segs.append((m.group(1).lower(), i))
                 i += len(m.group(1))
@@ -288,13 +296,77 @@ def parse_col_def(item: str) -> tuple[str, str, str | None, str]:
             " declare an explicit type"
         )
     default: str | None = None
+    ephemeral = False
     for (kw, off), end in zip(segs, bounds[1:]):
         body = rest[off:end]
         body = re.sub(rf"(?is)^{kw}\s*", "", body).strip()
         if kw in ("default", "materialized", "alias"):
             default = body
+        elif kw == "ephemeral":
+            ephemeral = True
+            if body:  # EPHEMERAL <expr>: the fill when the INSERT omits it
+                default = body
         # codec / ttl / comment: storage/metadata hints — stripped
-    return name, ch_type_to_spark(ch_type), default, ch_type
+    return name, ch_type_to_spark(ch_type), default, ch_type, ephemeral
+
+
+def parse_create_body(cols_text: str) -> tuple[
+    list[str], dict, set, dict
+]:
+    """The full CREATE TABLE body → ``(select_exprs, defaults, nullable,
+    extras)``.
+
+    Beyond plain columns, a CH body carries table-level entries (r10
+    probe: these previously died in the column-type parser):
+    ``CONSTRAINT n CHECK|ASSUME expr`` (CHECK recorded for INSERT-time
+    enforcement, ASSUME is an optimizer hint — recorded, not enforced),
+    ``INDEX n expr TYPE …`` / ``PROJECTION n (…)`` (metadata, same store
+    ALTER ADD INDEX/PROJECTION uses), and an in-body ``PRIMARY KEY (…)``
+    (the trailer spelling's metadata twin). EPHEMERAL columns land in
+    ``extras['ephemeral']`` with their Spark type + translated fill
+    expression — never in the stored schema."""
+    from .chsql import translate
+
+    cols: list[str] = []
+    defaults: dict[str, str] = {}
+    nullable: set[str] = set()
+    extras: dict = {"constraints": {}, "checks": {}, "indexes": {},
+                    "projections": {}, "ephemeral": {}}
+    for item in _split_top_commas(cols_text):
+        it = item.strip()
+        m = re.match(
+            r"(?is)^CONSTRAINT\s+(?:`(?P<bq>\w+)`|(?P<nm>\w+))\s+"
+            r"(?P<kind>CHECK|ASSUME)\s+(?P<expr>.+)$", it)
+        if m:
+            cname = m.group("bq") or m.group("nm")
+            extras["constraints"][cname] = m.group("expr").strip()
+            if m.group("kind").upper() == "CHECK":
+                extras["checks"][cname] = translate(m.group("expr"))
+            continue
+        m = re.match(r"(?is)^INDEX\s+(?:`(\w+)`|(\w+))\s+(.+)$", it)
+        if m:
+            extras["indexes"][m.group(1) or m.group(2)] = m.group(3).strip()
+            continue
+        m = re.match(r"(?is)^PROJECTION\s+(?:`(\w+)`|(\w+))\s*(.+)$", it)
+        if m:
+            extras["projections"][m.group(1) or m.group(2)] = (
+                m.group(3).strip())
+            continue
+        if re.match(r"(?is)^PRIMARY\s+KEY\b", it):
+            continue  # metadata twin of the PRIMARY KEY trailer
+        col, spark_t, dflt, ch_t, eph = parse_col_def(item)
+        if eph:
+            extras["ephemeral"][col] = {
+                "type": spark_t,
+                "default": translate(dflt) if dflt is not None else None,
+            }
+            continue
+        cols.append(f"CAST(NULL AS {spark_t}) AS {col}")
+        if dflt is not None:
+            defaults[col] = translate(dflt)
+        if _ch_declared_nullable(ch_t):
+            nullable.add(col)
+    return cols, defaults, nullable, extras
 
 
 # ---------------------------------------------------------------------------
@@ -890,6 +962,18 @@ class ChSession:
         # applies mutations synchronously, so every row is is_done=1
         self.settings: dict[str, str] = {}
         self.mutations_log: list[tuple[str, str, str]] = []
+        # r10: databases are accepted as NAMESPACE LABELS over the single
+        # physical namespace (CH dumps open with CREATE DATABASE + use
+        # db-qualified names everywhere; refusing them failed paste-compat
+        # on line 1). Qualifiers of known databases strip before dispatch;
+        # table_db remembers each table's label so DROP DATABASE / SHOW
+        # TABLES FROM scope correctly. Name collisions ACROSS databases
+        # are refused (single namespace), which CH itself never produces
+        # in a dump of one server.
+        self.databases: set[str] = {"default"}
+        self.current_db: str = "default"
+        self.table_db: dict[str, str] = {}
+        self._pending_db: tuple[str, str] | None = None
 
     # -- helpers ----------------------------------------------------------
 
@@ -1334,6 +1418,36 @@ class ChSession:
                 }
                 s = self._substitute_params(s, extra)
 
+        # REPLACE TABLE t … is CH's spelling of CREATE OR REPLACE TABLE
+        s = re.sub(
+            r"(?is)^\s*REPLACE\s+TABLE\b", "CREATE OR REPLACE TABLE", s
+        )
+        # database-qualifier pre-pass (r10): remember which db a CREATE
+        # addresses (committed by _check_new on success), then strip every
+        # known-db qualifier
+        cm = re.match(
+            r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+            r"(?:TABLE|DICTIONARY|(?:MATERIALIZED\s+|LIVE\s+|WINDOW\s+)?"
+            r"VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?:(?P<db>\w+)\s*\.\s*)?(?P<t>\w+)", s,
+        )
+        self._pending_db = None
+        if cm:
+            db = (cm.group("db") or self.current_db).lower()
+            if db not in ("default", "system") and db in self.databases:
+                self._pending_db = (db, cm.group("t"))
+            elif cm.group("db") and db not in self.databases and (
+                db != "system"
+            ):
+                raise ValueError(
+                    f"unknown database {cm.group('db')!r} — CREATE"
+                    f" DATABASE {cm.group('db')} first"
+                )
+        if len(self.databases) > 1 or re.search(
+            r"(?i)(?<![\w.`$])default\s*\.", s
+        ):
+            s = self._strip_db_quals(s)
+
         if re.match(
             r"(?is)^\s*(CREATE|ALTER|DROP|RENAME|EXCHANGE|TRUNCATE|"
             r"OPTIMIZE|DETACH|ATTACH|KILL|SYSTEM|DELETE)\b", s
@@ -1419,14 +1533,8 @@ class ChSession:
             if self._create_skip_or_replace(m):
                 return None
             self._check_new(name)
-            cols, defaults, nullable = [], {}, set()
-            for item in _split_top_commas(m.group("cols")):
-                col, spark_t, dflt, ch_t = parse_col_def(item)
-                cols.append(f"CAST(NULL AS {spark_t}) AS {col}")
-                if dflt is not None:
-                    defaults[col] = translate(dflt)
-                if _ch_declared_nullable(ch_t):
-                    nullable.add(col)
+            cols, defaults, nullable, extras = parse_create_body(
+                m.group("cols"))
             empty = self.spark.sql(
                 f"SELECT {', '.join(cols)} WHERE 1 = 0"
             )
@@ -1436,6 +1544,7 @@ class ChSession:
                 self.meta[name]["column_defaults"] = defaults
             if nullable:
                 self.meta[name]["nullable_cols"] = nullable
+            self._record_body_extras(name, extras)
             return None
 
         m = _CREATE_NOENGINE_RE.match(s)
@@ -1460,14 +1569,8 @@ class ChSession:
                 return None
             name = m.group("name")
             self._check_new(name)
-            cols, defaults, nullable = [], {}, set()
-            for item in _split_top_commas(m.group("cols")):
-                col, spark_t, dflt, ch_t = parse_col_def(item)
-                cols.append(f"CAST(NULL AS {spark_t}) AS {col}")
-                if dflt is not None:
-                    defaults[col] = translate(dflt)
-                if _ch_declared_nullable(ch_t):
-                    nullable.add(col)
+            cols, defaults, nullable, extras = parse_create_body(
+                m.group("cols"))
             empty = self.spark.sql(
                 f"SELECT {', '.join(cols)} WHERE 1 = 0"
             )
@@ -1477,6 +1580,7 @@ class ChSession:
                 self.meta[name]["column_defaults"] = defaults
             if nullable:
                 self.meta[name]["nullable_cols"] = nullable
+            self._record_body_extras(name, extras)
             return None
 
         m = _MODIFY_TTL_RE.match(s)
@@ -1923,6 +2027,28 @@ class ChSession:
             )
             return None
 
+        m = re.match(
+            r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+MODIFY\s+QUERY\s+"
+            r"(?P<sel>.+)$", s,
+        )
+        if m:
+            # MODIFY QUERY re-points a materialized view's transformation
+            # for FUTURE inserts (CH contract — existing target rows stay);
+            # this engine re-runs the stored select per source insert, so
+            # swapping the stored text is the exact semantic (r10 probe).
+            name = m.group("name")
+            if name not in self.mvs:
+                raise ValueError(
+                    f"ALTER TABLE {name} MODIFY QUERY: {name!r} is not a"
+                    " materialized view — MODIFY QUERY applies only to"
+                    " MATERIALIZED VIEWs"
+                )
+            # stored form is the TRANSLATED select (same as CREATE MV);
+            # translating now also validates eagerly — fail here, not on
+            # the next source insert
+            self.mvs[name]["select"] = translate(m.group("sel").strip())
+            return None
+
         m = _ALTER_DELETE_RE.match(s)
         if m:
             name = m.group("name")
@@ -2033,14 +2159,22 @@ class ChSession:
         if m:
             from .catalog import TABLES
 
-            if m.group("db") and m.group("db").lower() not in (
-                "default", "system"
-            ):
+            db = (m.group("db") or "").lower()
+            if db and db != "system" and db not in self.databases:
                 raise ValueError(
-                    f"SHOW TABLES FROM {m.group('db')}: single-database"
-                    " engine — only 'default' exists"
+                    f"SHOW TABLES FROM {m.group('db')}: unknown database"
                 )
             names = sorted(set(TABLES) | set(self.tables) | set(self.views))
+            if db and db != "default":
+                # a created database lists only its labeled members
+                names = [
+                    n for n in names if self.table_db.get(n) == db
+                ] if db != "system" else []
+            elif db == "default":
+                names = [
+                    n for n in names
+                    if self.table_db.get(n, "default") == "default"
+                ]
             if m.group("pat") is not None:
                 # CH LIKE pattern → anchored regex (%/_ wildcards); ILIKE
                 # folds case
@@ -2348,62 +2482,91 @@ class ChSession:
 
         m = re.match(r"(?is)^\s*USE\s+(?P<db>\w+)\s*$", s)
         if m:
-            if m.group("db").lower() not in ("default", "system"):
+            db = m.group("db").lower()
+            if db not in self.databases and db != "system":
                 raise ValueError(
-                    f"USE {m.group('db')}: single-database engine —"
-                    " only 'default' (and the system views) exist"
+                    f"USE {m.group('db')}: unknown database — CREATE"
+                    f" DATABASE {m.group('db')} first"
                 )
+            self.current_db = db
             return None
 
         if re.match(r"(?is)^\s*SHOW\s+DATABASES\s*$", s):
+            rows = sorted(self.databases | {"system"})
             return self.spark.createDataFrame(
-                [("default",), ("system",)], "name string"
+                [(d,) for d in rows], "name string"
             )
 
         m = re.match(
             r"(?is)^\s*CREATE\s+DATABASE\s+(?P<ifne>IF\s+NOT\s+EXISTS\s+)?"
-            r"(?P<db>\w+)\s*(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s*)?"
+            r"(?P<db>\w+)\s*(?:ENGINE\s*=\s*(?P<eng>\w+)(?:\([^)]*\))?\s*)?"
             r"(?:COMMENT\s+'[^']*'\s*)?$", s,
         )
         if m:
-            # single-database engine (r10 probe): the two virtual
-            # databases already "exist", so creating them (the common
-            # dump prologue `CREATE DATABASE IF NOT EXISTS default`) is a
-            # no-op; any other name gets the same guidance USE gives.
-            if m.group("db").lower() in ("default", "system"):
-                return None
-            raise ValueError(
-                f"CREATE DATABASE {m.group('db')}: single-database engine"
-                " — only 'default' (and the system views) exist; drop the"
-                " database qualifier and create tables directly"
-            )
+            # databases are namespace labels over the single physical
+            # namespace (r10: CH dumps open with CREATE DATABASE — see
+            # __init__). Atomic/Ordinary/Memory/Lazy are local engines;
+            # the replication/federation engines have no runtime here.
+            db = m.group("db").lower()
+            eng = (m.group("eng") or "").lower()
+            if eng and eng not in ("atomic", "ordinary", "memory", "lazy"):
+                raise ValueError(
+                    f"CREATE DATABASE … ENGINE = {m.group('eng')}: no"
+                    " replica/external runtime to attach here; use the"
+                    " default (Atomic) database engine and the source"
+                    " operators (sources.py) for external data"
+                )
+            if db == "system":
+                raise ValueError("CREATE DATABASE system: reserved name")
+            if db in self.databases:
+                if m.group("ifne"):
+                    return None
+                raise ValueError(
+                    f"CREATE DATABASE {m.group('db')}: database exists"
+                )
+            self.databases.add(db)
+            return None
 
         m = re.match(
             r"(?is)^\s*DROP\s+DATABASE\s+(?P<ife>IF\s+EXISTS\s+)?"
-            r"(?P<db>\w+)\s*$", s,
+            r"(?P<db>\w+)\s*(?:SYNC\s*)?$", s,
         )
         if m:
-            if m.group("db").lower() in ("default", "system"):
+            db = m.group("db").lower()
+            if db in ("default", "system"):
                 raise ValueError(
                     f"DROP DATABASE {m.group('db')}: cannot drop the"
-                    " engine's only namespace; DROP its tables"
+                    " engine's base namespace; DROP its tables"
                     " individually"
                 )
-            if m.group("ife"):
-                return None  # it never existed — IF EXISTS: silent no-op
-            raise ValueError(
-                f"DROP DATABASE {m.group('db')}: unknown database —"
-                " single-database engine (only 'default' exists)"
-            )
+            if db not in self.databases:
+                if m.group("ife"):
+                    return None  # IF EXISTS: silent no-op
+                raise ValueError(
+                    f"DROP DATABASE {m.group('db')}: unknown database"
+                )
+            # drop the label's members (tables, views, MVs), then the label
+            for t, d in sorted(self.table_db.items()):
+                if d != db:
+                    continue
+                if t in self.views or t in self.mvs:
+                    self.execute(f"DROP VIEW IF EXISTS {t}")
+                else:
+                    self.execute(f"DROP TABLE IF EXISTS {t}")
+                self.table_db.pop(t, None)
+            self.databases.discard(db)
+            if self.current_db == db:
+                self.current_db = "default"
+            return None
 
         m = re.match(
             r"(?is)^\s*SHOW\s+CREATE\s+DATABASE\s+(?P<db>\w+)\s*$", s
         )
         if m:
-            if m.group("db").lower() not in ("default", "system"):
+            if m.group("db").lower() not in self.databases | {"system"}:
                 raise ValueError(
                     f"SHOW CREATE DATABASE {m.group('db')}: unknown"
-                    " database — single-database engine"
+                    " database"
                 )
             return self.spark.createDataFrame(
                 [(f"CREATE DATABASE {m.group('db')}",)], "statement string"
@@ -2420,16 +2583,18 @@ class ChSession:
             r"(?:IF\s+EXISTS\s+)?(?P<db>\w+)\s*$", s,
         )
         if m:
-            if m.group("db").lower() != "default":
+            db = m.group("db").lower()
+            if db not in self.databases:
                 raise ValueError(
                     f"TRUNCATE ALL TABLES FROM {m.group('db')}:"
-                    " single-database engine — only 'default' exists"
+                    " unknown database"
                 )
             # session tables truncate; the driver's fixture tables are
             # external read-only parquet inputs (CH likewise refuses to
             # TRUNCATE engines it cannot clear), so they stay
             for t in list(self.tables):
-                self.execute(f"TRUNCATE TABLE {t}")
+                if self.table_db.get(t, "default") == db:
+                    self.execute(f"TRUNCATE TABLE {t}")
             return None
 
         if re.match(r"(?is)^\s*CREATE\s+(LIVE|WINDOW)\s+VIEW\b", s):
@@ -2506,10 +2671,21 @@ class ChSession:
         m = re.match(r"(?is)^\s*SYSTEM\s+(?P<cmd>.+?)\s*$", s)
         if m:
             cmd = re.sub(r"\s+", " ", m.group("cmd")).upper()
+            # maintenance commands accept an optional [db.]table scope
+            # (r10 probe: `SYSTEM STOP MERGES t` — the table-scoped form
+            # production scripts pair with OPTIMIZE — previously refused)
+            scoped = re.sub(
+                r"^((?:START|STOP) (?:TTL )?(?:MERGES|MOVES|FETCHES|"
+                r"REPLICATED SENDS|DISTRIBUTED SENDS|REPLICATION QUEUES))"
+                r" [\w.]+$",
+                r"\1", cmd,
+            )
             noop = (
-                cmd in ("FLUSH LOGS", "RELOAD DICTIONARIES",
-                        "START MERGES", "STOP MERGES", "START TTL MERGES",
-                        "STOP TTL MERGES", "FLUSH DISTRIBUTED")
+                scoped in ("FLUSH LOGS", "RELOAD DICTIONARIES",
+                           "START MERGES", "STOP MERGES",
+                           "START TTL MERGES", "STOP TTL MERGES",
+                           "FLUSH DISTRIBUTED", "START MOVES", "STOP MOVES",
+                           "START FETCHES", "STOP FETCHES")
                 or cmd.startswith("RELOAD DICTIONARY")
                 or cmd.startswith("DROP ") and cmd.endswith(" CACHE")
             )
@@ -2522,8 +2698,11 @@ class ChSession:
             )
 
         if re.match(
-            r"(?is)^\s*(GRANT|REVOKE|CREATE\s+(USER|ROLE|QUOTA|ROW\s+POLICY"
-            r"|SETTINGS\s+PROFILE))\b", s
+            r"(?is)^\s*(GRANT|REVOKE|SET\s+(?:DEFAULT\s+)?ROLE"
+            r"|CREATE\s+(USER|ROLE|QUOTA|ROW\s+POLICY"
+            r"|SETTINGS\s+PROFILE)"
+            r"|ALTER\s+(USER|ROLE|QUOTA)"
+            r"|DROP\s+(USER|ROLE|QUOTA|ROW\s+POLICY))\b", s
         ):
             raise ValueError(
                 "access control statements have no model in this engine;"
@@ -3036,6 +3215,9 @@ class ChSession:
             raise ValueError(f"{name!r} shadows a fixture table")
         if name in self.tables:
             raise ValueError(f"table {name!r} already exists")
+        self.table_db.pop(name, None)  # a re-created name re-labels
+        if self._pending_db and self._pending_db[1] == name:
+            self.table_db[name] = self._pending_db[0]
 
     def _create_skip_or_replace(self, m) -> bool:
         """IF NOT EXISTS → skip silently when the table already exists;
@@ -3049,10 +3231,50 @@ class ChSession:
             self.execute(f"DROP TABLE {name}")
         return False
 
+    def _strip_db_quals(self, s: str) -> str:
+        """Strip ``<db>.`` qualifiers of KNOWN databases (created ones +
+        default) ahead of dispatch — the single-namespace model makes the
+        qualifier a label, not an address. ``system.`` is untouched (the
+        system views have dedicated routing). For INSERT … FORMAT the raw
+        data block is excluded: inline payloads may legitimately contain
+        ``db.``-looking text outside single-quoted literals."""
+        from .chsql import _mask_literals
+
+        head, tail = s, ""
+        if re.match(r"(?is)^\s*INSERT\b", s):
+            fm = re.match(
+                r"(?is)^(\s*INSERT\s+INTO\s+.+?\bFORMAT\s+\w+)(.*)$", s
+            )
+            if fm:
+                head, tail = fm.group(1), fm.group(2)
+        names = sorted(self.databases, key=len, reverse=True)
+        pat = re.compile(
+            r"(?i)(?<![\w.`$])(" + "|".join(map(re.escape, names))
+            + r")\s*\.\s*(?=`?[A-Za-z_])"
+        )
+        masked = _mask_literals(head)
+        out, last = [], 0
+        for m in pat.finditer(masked):
+            out.append(head[last : m.start()])
+            last = m.end()
+        out.append(head[last:])
+        return "".join(out) + tail
+
+    def _record_body_extras(self, name: str, extras: dict) -> None:
+        """CREATE-body table-level entries → the same meta stores the
+        ALTER forms use (indexes/projections), plus CHECK constraints for
+        INSERT-time enforcement and EPHEMERAL column definitions."""
+        meta = self.meta[name]
+        for k in ("constraints", "checks", "indexes", "projections",
+                  "ephemeral"):
+            if extras.get(k):
+                meta[k] = extras[k]
+
     def _insert(self, name: str, block: DataFrame, cols: str | None):
         if name not in self.tables:
             raise ValueError(f"INSERT into unknown table {name!r}")
         target = self.tables[name]
+        ephemeral = self.meta.get(name, {}).get("ephemeral") or {}
         if cols:
             names = [c.strip() for c in cols.split(",")]
             if len(names) != len(block.columns):
@@ -3067,6 +3289,18 @@ class ChSession:
             col_defaults = (
                 self.meta.get(name, {}).get("column_defaults") or {}
             )
+            # EPHEMERAL columns may be LISTED (their whole purpose: feed
+            # sibling DEFAULT expressions) but are never stored; an
+            # omitted ephemeral that some default references fills with
+            # its own EPHEMERAL expression (NULL when none)
+            for ename, spec in ephemeral.items():
+                if ename in names:
+                    continue
+                block = block.withColumn(
+                    ename, F.expr(spec["default"])
+                    if spec["default"] is not None
+                    else F.lit(None).cast(spec["type"])
+                )
             missing = [c for c in target.columns if c not in names]
             # Two passes (r6 advice): NULL-fill every missing column FIRST
             # so a DEFAULT expression that references another omitted
@@ -3106,6 +3340,19 @@ class ChSession:
                 for c, t in zip(target.columns, [t for _, t in target.dtypes])
             ]
         )
+        # CHECK constraints reject the whole block when any row violates
+        # (CH's INSERT-time contract; NULL predicate rows don't count as
+        # violations, matching CH's UInt8-cast treatment). One scalar
+        # count per constraint — driver-side by necessity, same class as
+        # the CHECK TABLE readability probe.
+        checks = self.meta.get(name, {}).get("checks") or {}
+        for cname, expr in checks.items():
+            n_bad = block.filter(f"NOT ({expr})").count()
+            if n_bad:
+                raise ValueError(
+                    f"constraint {cname!r} violated by {n_bad} row(s) of"
+                    f" the INSERT block: CHECK {expr}"
+                )
         if self.parts_dir is not None:
             self._append_part(name, block)  # the MergeTree parts model
         else:

@@ -358,12 +358,12 @@ def test_r8_advice_fixes(spark, sf_dir):
     from canal_clickhouse_spark.chsql_ddl import parse_col_def, spark_type_to_ch
 
     # 1 — identifier with an embedded decoration keyword in the DEFAULT
-    name, t, dflt, ch_t = parse_col_def("x Int64 DEFAULT base_default + 1")
+    name, t, dflt, ch_t, _eph = parse_col_def("x Int64 DEFAULT base_default + 1")
     assert (name, dflt, ch_t) == ("x", "base_default + 1", "Int64")
-    name, t, dflt, _ = parse_col_def("x Int64 DEFAULT session_ttl * 2")
+    name, t, dflt, _, _eph = parse_col_def("x Int64 DEFAULT session_ttl * 2")
     assert dflt == "session_ttl * 2"
     # ...while real decorations after an identifier still split
-    name, t, dflt, _ = parse_col_def("x Int64 DEFAULT y + 1 COMMENT 'c'")
+    name, t, dflt, _, _eph = parse_col_def("x Int64 DEFAULT y + 1 COMMENT 'c'")
     assert dflt == "y + 1"
 
     # 2 — nested containers with commas inverse-map
@@ -1446,7 +1446,7 @@ def test_ddl_r7_statement_surface(spark, sf_dir):
     with _pytest.raises(ValueError, match="NULL-fill"):
         run("SET join_use_nulls = 0")
     run("USE default")
-    with _pytest.raises(ValueError, match="single-database"):
+    with _pytest.raises(ValueError, match="unknown database"):
         run("USE analytics")
     assert rows("SHOW DATABASES") == [("default",), ("system",)]
     assert rows("SHOW PROCESSLIST") == []
@@ -1534,7 +1534,7 @@ def test_show_filters_and_modify_order_by(spark, sf_dir):
     assert rows("SHOW TABLES ILIKE 'ST8%'") == [("st8",)]
     assert ("st8",) not in rows("SHOW TABLES NOT LIKE 'st8%'")
     assert ("orders",) in rows("SHOW TABLES FROM default")
-    with _pytest.raises(ValueError, match="single-database"):
+    with _pytest.raises(ValueError, match="unknown database"):
         ch.execute("SHOW TABLES FROM elsewhere")
     assert ("nations",) in rows("SHOW DICTIONARIES")
     assert rows("SHOW SETTINGS LIKE 'max%'") == []
@@ -2043,9 +2043,7 @@ def test_r10_partition_ops_and_database_statements(spark, sf_dir):
         "SHOW CREATE DATABASE default"
     ).collect()[0].statement == "CREATE DATABASE default"
     assert ch.execute("SHOW CLUSTERS").count() == 0
-    with _pytest.raises(ValueError, match="single-database"):
-        ch.execute("CREATE DATABASE analytics")
-    with _pytest.raises(ValueError, match="only namespace"):
+    with _pytest.raises(ValueError, match="base namespace"):
         ch.execute("DROP DATABASE default")
     ch.execute("TRUNCATE ALL TABLES FROM default")
     assert ch.tables["p1"].count() == 0 and ch.tables["p2"].count() == 0
@@ -2111,3 +2109,123 @@ def test_r10_mysql_prologue_and_introspection(spark, sf_dir):
     assert got[0] == ("PRIMARY", "a")
     assert ("ix_b", "b TYPE minmax GRANULARITY 4") in got
     assert ch.execute("SHOW MERGES").count() == 0
+
+
+def test_r10_create_body_extras_and_ephemeral(spark, sf_dir):
+    """CREATE-body table-level entries (r10 probe batch 3): CONSTRAINT
+    CHECK enforced at INSERT, ASSUME recorded-only, in-body INDEX /
+    PROJECTION / PRIMARY KEY accepted, EPHEMERAL columns feed sibling
+    defaults without being stored."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute(
+        "CREATE TABLE cb (x UInt32, hexed String DEFAULT hex(unhexed),"
+        " unhexed String EPHEMERAL,"
+        " CONSTRAINT pos CHECK x > 0,"
+        " CONSTRAINT hint ASSUME x < 1000000,"
+        " INDEX ix x TYPE minmax GRANULARITY 1,"
+        " PROJECTION pj (SELECT x ORDER BY x),"
+        " PRIMARY KEY (x)"
+        ") ENGINE = MergeTree ORDER BY x"
+    )
+    # ephemeral column is not stored
+    assert ch.tables["cb"].columns == ["x", "hexed"]
+    assert "unhexed" in ch.meta["cb"]["ephemeral"]
+    assert "ix" in ch.meta["cb"]["indexes"]
+    assert "pj" in ch.meta["cb"]["projections"]
+    # listed ephemeral feeds the sibling DEFAULT, then drops
+    ch.execute("INSERT INTO cb (x, unhexed) VALUES (1, '48')")
+    row = ch.tables["cb"].collect()[0]
+    assert (row.x, row.hexed) == (1, "48".upper() and "48") or row.hexed
+    assert row.hexed == spark.sql("SELECT hex('48') AS h").collect()[0].h
+    # CHECK violation rejects the whole block
+    with _pytest.raises(ValueError, match="constraint 'pos' violated"):
+        ch.execute("INSERT INTO cb (x) VALUES (0)")
+    assert ch.tables["cb"].count() == 1
+    ch.execute("INSERT INTO cb (x) VALUES (2)")
+    assert ch.tables["cb"].count() == 2
+
+
+def test_r10_databases_as_labels(spark, sf_dir):
+    """CREATE/USE/DROP DATABASE as namespace labels (r10): qualifiers of
+    known databases strip, members are scoped for DROP DATABASE and SHOW
+    TABLES FROM, unknown databases stay loud."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    with _pytest.raises(ValueError, match="CREATE\\s+DATABASE"):
+        ch.execute("CREATE TABLE nodb.t (x UInt32) ENGINE = Memory")
+    ch.execute("CREATE DATABASE analytics")
+    with _pytest.raises(ValueError, match="exists"):
+        ch.execute("CREATE DATABASE analytics")
+    ch.execute("CREATE DATABASE IF NOT EXISTS analytics")
+    dbs = [r.name for r in ch.execute("SHOW DATABASES").collect()]
+    assert "analytics" in dbs and "default" in dbs
+    ch.execute("CREATE TABLE analytics.ev (x UInt32) ENGINE = Memory")
+    ch.execute("INSERT INTO analytics.ev VALUES (1), (2)")
+    assert ch.execute("SELECT count() AS c FROM analytics.ev"
+                      ).collect()[0].c == 2
+    assert [r.name for r in ch.execute(
+        "SHOW TABLES FROM analytics").collect()] == ["ev"]
+    # USE scopes unqualified creates
+    ch.execute("USE analytics")
+    ch.execute("CREATE TABLE ev2 (x UInt32) ENGINE = Memory")
+    ch.execute("USE default")
+    assert sorted(r.name for r in ch.execute(
+        "SHOW TABLES FROM analytics").collect()) == ["ev", "ev2"]
+    assert "ev" not in [r.name for r in ch.execute(
+        "SHOW TABLES FROM default").collect()]
+    assert ch.execute("SHOW CREATE DATABASE analytics"
+                      ).collect()[0].statement == "CREATE DATABASE analytics"
+    # DROP DATABASE drops exactly its members
+    ch.execute("CREATE TABLE keep (x UInt32) ENGINE = Memory")
+    ch.execute("DROP DATABASE analytics")
+    assert "ev" not in ch.tables and "ev2" not in ch.tables
+    assert "keep" in ch.tables
+    assert "analytics" not in [
+        r.name for r in ch.execute("SHOW DATABASES").collect()]
+    with _pytest.raises(ValueError, match="unknown database"):
+        ch.execute("USE analytics")
+    with _pytest.raises(ValueError, match="no replica/external runtime"):
+        ch.execute("CREATE DATABASE rep ENGINE = Replicated('/x', 'a', 'b')")
+    # default-qualified spellings always work
+    ch.execute("CREATE TABLE default.dq (x UInt32) ENGINE = Memory")
+    ch.execute("INSERT INTO default.dq VALUES (7)")
+    assert ch.execute("SELECT x FROM default.dq").collect()[0].x == 7
+
+
+def test_r10_replace_table_system_scope_modify_query(spark, sf_dir):
+    """REPLACE TABLE = CREATE OR REPLACE TABLE; table-scoped SYSTEM
+    maintenance no-ops; SET ROLE → access-control guidance; ALTER TABLE
+    <mv> MODIFY QUERY swaps the transformation for future inserts."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE rt (x UInt32) ENGINE = Memory")
+    ch.execute("REPLACE TABLE rt (y String) ENGINE = Memory")
+    assert ch.tables["rt"].columns == ["y"]
+    ch.execute("SYSTEM STOP MERGES rt")
+    ch.execute("SYSTEM START TTL MERGES rt")
+    ch.execute("SYSTEM STOP FETCHES")
+    with _pytest.raises(ValueError, match="access control"):
+        ch.execute("SET ROLE readonly")
+    with _pytest.raises(ValueError, match="access control"):
+        ch.execute("DROP USER u1")
+    # MODIFY QUERY on a real MV: future inserts use the new select
+    ch.execute("CREATE TABLE src (x Int64) ENGINE = Memory")
+    ch.execute("CREATE TABLE agg (v Int64) ENGINE = Memory")
+    ch.execute("CREATE MATERIALIZED VIEW mv1 TO agg AS"
+               " SELECT x AS v FROM src")
+    ch.execute("INSERT INTO src VALUES (1)")
+    ch.execute("ALTER TABLE mv1 MODIFY QUERY SELECT x * 10 AS v FROM src")
+    ch.execute("INSERT INTO src VALUES (2)")
+    assert sorted(r.v for r in ch.tables["agg"].collect()) == [1, 20]
+    with _pytest.raises(ValueError, match="not a materialized view"):
+        ch.execute("ALTER TABLE src MODIFY QUERY SELECT 1")
