@@ -660,6 +660,9 @@ _PARAMETRIC = {
     "largesttrianglethreebuckets", "lttb", "meanztest",
     "quantiledd", "quantilesdd",
     "approx_top_k", "approx_top_count", "approx_top_sum",
+    # r10: quantile -State/-Merge (the AggregatingMergeTree MV pattern)
+    "quantilestate", "quantilemerge", "quantiletdigeststate",
+    "quantiletdigestmerge",
 }
 
 # CH gives every quantile implementation a `median*` alias (p fixed at 0.5).
@@ -771,6 +774,23 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     if low == "quantilesdd":
         # quantilesDD(rel_acc, p1, p2, …)(x) — accuracy first, then levels
         return f"percentile({args[0]}, array({', '.join(params[1:])}))"
+    if low in ("quantilestate", "quantiletdigeststate"):
+        # quantile's mergeable state = the value multiset itself (the
+        # same mergeable-value convention as sumState/uniqExactState;
+        # TDigest's sketch compression is the usual approx→exact
+        # divergence). The level parameter is a property of the READ
+        # (-Merge) side and drops here.
+        return f"collect_list(CAST({args[0]} AS DOUBLE))"
+    if low in ("quantilemerge", "quantiletdigestmerge"):
+        # exact interpolated percentile over the flattened partials —
+        # identical linear interpolation to percentile(); Catalyst dedups
+        # the repeated aggregate expression.
+        p = params[0] if params else "0.5"
+        srt = f"array_sort(flatten(collect_list({args[0]})))"
+        idx = f"(({p}) * (size({srt}) - 1))"
+        lo = f"get({srt}, CAST(floor({idx}) AS INT))"
+        hi = f"get({srt}, CAST(ceil({idx}) AS INT))"
+        return f"({lo} + ({idx} - floor({idx})) * ({hi} - {lo}))"
     if low in ("quantiles", "quantilesexactexclusive",
                "quantilesexactinclusive", "quantilesexact",
                "quantilesexactlow", "quantilesexacthigh",
@@ -1178,11 +1198,25 @@ def _vec_l2sq(a: str, b: str) -> str:
     )
 
 
+def _pred_lambda(lam: str) -> str:
+    """A CH lambda in a PREDICATE position: CH applies integer truthiness
+    (nonzero = true — ``arrayFilter(x -> x % 2, …)``), while Spark's
+    filter/exists/forall demand a BOOLEAN lambda (r10 runtime battery:
+    truthy-int lambdas died at analysis). The body wraps in a BOOLEAN
+    cast — Spark's int→bool cast IS the nonzero rule, and it is a no-op
+    for already-boolean bodies. Non-lambda text passes through unchanged
+    (the engine's own loud error is better than a mangle)."""
+    m = re.match(r"(?s)^\s*\(?\s*(\w+)\s*\)?\s*->\s*(.+)$", lam)
+    if not m:
+        return lam
+    return f"{m.group(1)} -> CAST(({m.group(2).strip()}) AS BOOLEAN)"
+
+
 def _keyed_array_sort(name: str, lam: str, arr: str, desc: bool) -> str:
     """CH keyed-sort form (x -> key) → Spark comparator lambda (rename the
     key var into each comparand). Shared by arraySort / arrayReverseSort /
     arrayPartialSort / arrayPartialReverseSort."""
-    lam_m = re.match(r"(?s)^\s*(\w+)\s*->\s*(.+)$", lam)
+    lam_m = re.match(r"(?s)^\s*\(?\s*(\w+)\s*\)?\s*->\s*(.+)$", lam)
     if not lam_m:
         raise ValueError(f"{name}: keyed form expects 'var -> key' lambda")
     v, body = lam_m.group(1), lam_m.group(2).strip()
@@ -1335,7 +1369,8 @@ def _translate_call(name: str, args: list[str]) -> str:
         fn = _IF_AGG_BASES[low[: -len("if")]]
         ins = ", ".join(f"IF({args[-1]}, {a}, NULL)" for a in args[:-1])
         return f"{fn}({ins})"
-    if low in ("summap", "minmap", "maxmap", "avgmap"):
+    if low in ("summap", "minmap", "maxmap", "avgmap",
+               "summappedarrays", "minmappedarrays", "maxmappedarrays"):
         raise ValueError(
             f"{name} aggregates per-key values into parallel arrays —"
             " not expressible as one scalar rewrite; explode the"
@@ -1684,25 +1719,26 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"zip_with({a1}, {a2}, ({x_}, {y_}) ->"
             f" named_struct('v', {x_}, 'p', {body}))"
         )
+        zp = "_z -> CAST(_z.p AS BOOLEAN)"  # CH truthiness, see _pred_lambda
         if low == "arrayexists":
-            return f"exists({pair}, _z -> _z.p)"
+            return f"exists({pair}, {zp})"
         if low == "arrayall":
-            return f"forall({pair}, _z -> _z.p)"
+            return f"forall({pair}, {zp})"
         if low == "arraycount":
-            return f"size(filter({pair}, _z -> _z.p))"
+            return f"size(filter({pair}, {zp}))"
         if low == "arrayfilter":
-            return f"transform(filter({pair}, _z -> _z.p), _z -> _z.v)"
+            return f"transform(filter({pair}, {zp}), _z -> _z.v)"
         if low == "arrayfirst":
-            return f"transform(filter({pair}, _z -> _z.p), _z -> _z.v)[0]"
+            return f"transform(filter({pair}, {zp}), _z -> _z.v)[0]"
         if low == "arraylast":
             return (
-                f"element_at(transform(filter({pair}, _z -> _z.p),"
+                f"element_at(transform(filter({pair}, {zp}),"
                 " _z -> _z.v), -1)"
             )
         if low == "arrayfirstindex":
             # 1-based index of the first match, 0 when none
             return (
-                f"COALESCE(array_position(transform({pair}, _z -> _z.p),"
+                f"COALESCE(array_position(transform({pair}, {zp}),"
                 " true), 0)"
             )
         # arraySort / arrayReverseSort: sort the FIRST array by the
@@ -1721,11 +1757,11 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "arraymap":  # arrayMap(x -> e, arr) -> transform(arr, x -> e)
         return f"transform({args[1]}, {args[0]})"
     if low == "arrayfilter":
-        return f"filter({args[1]}, {args[0]})"
+        return f"filter({args[1]}, {_pred_lambda(args[0])})"
     if low == "arrayexists":
-        return f"exists({args[1]}, {args[0]})"
+        return f"exists({args[1]}, {_pred_lambda(args[0])})"
     if low == "arrayall":
-        return f"forall({args[1]}, {args[0]})"
+        return f"forall({args[1]}, {_pred_lambda(args[0])})"
     if low in ("arraysum", "arrayavg", "arraymin", "arraymax",
                "arrayproduct") and len(args) == 2:
         # CH keyed form arraySum(x -> key, arr): aggregate the MAPPED
@@ -1738,7 +1774,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         return args[0]
     if low == "arraycount":  # arrayCount(lambda, arr) / arrayCount(arr)
         if len(args) == 2:
-            return f"size(filter({args[1]}, {args[0]}))"
+            return f"size(filter({args[1]}, {_pred_lambda(args[0])}))"
         return f"size(filter({args[0]}, x -> x <> 0))"
     if low in ("arrayfirst", "arrayfirstornull"):
         # first element satisfying the lambda (or NULL). CH's bare
@@ -1746,7 +1782,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         # engine's Nullable-faithful convention for both spellings (same
         # note as arrayLast; try_element_at so an empty match set is NULL,
         # not an index error).
-        return f"try_element_at(filter({args[1]}, {args[0]}), 1)"
+        return f"try_element_at(filter({args[1]}, {_pred_lambda(args[0])}), 1)"
     if low == "arrayavg":
         return (
             f"(aggregate({args[0]}, 0D, (acc, x) -> acc + x)"
@@ -1914,7 +1950,10 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "arrayfirstindex":  # 1-based index of first lambda match; 0
         # when none (array_position's own not-found contract); NULL array
         # propagates NULL, as CH.
-        return f"array_position(transform({args[1]}, {args[0]}), true)"
+        return (
+            f"array_position(transform({args[1]},"
+            f" {_pred_lambda(args[0])}), true)"
+        )
     if low in ("sha224", "sha256", "sha512"):
         # binary digest, like CH's FixedString result — hex(SHA256(x))
         # round-trips to the same uppercase hex CH prints.
@@ -3031,7 +3070,7 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" _i -> slice({a}, _i, size({b})) = {b}))"
         )
     if low in ("arraylast", "arraylastornull", "arraylastindex"):
-        f_lam, arr = args[0], args[1]
+        f_lam, arr = _pred_lambda(args[0]), args[1]
         if low != "arraylastindex":  # last match or NULL
             return f"try_element_at(filter({arr}, {f_lam}), -1)"
         rpos = f"array_position(reverse(transform({arr}, {f_lam})), true)"
@@ -4731,10 +4770,14 @@ def _translate_call(name: str, args: list[str]) -> str:
         # -Distinct combinator; min/max are distinct-invariant
         return f"{low[: -len('distinct')]}(DISTINCT {args[0]})"
     if low in ("sumsimplestate", "minsimplestate", "maxsimplestate",
-               "avgsimplestate", "anysimplestate", "countsimplestate"):
+               "avgsimplestate", "anysimplestate", "countsimplestate",
+               "anylastsimplestate", "groupbitorsimplestate",
+               "groupbitandsimplestate", "groupbitxorsimplestate"):
         # SimpleAggregateFunction states ARE the plain value
         base = low[: -len("simplestate")]
-        return f"{'any_value' if base == 'any' else base}({args[0]})"
+        return _translate_call(name[: -len("simplestate")], args) \
+            if base.startswith("groupbit") or base == "anylast" \
+            else f"{'any_value' if base == 'any' else base}({args[0]})"
     if low in ("initializeaggregation", "finalizeaggregation"):
         raise ValueError(
             f"{name} manipulates CH aggregate-state blobs; on Spark"
@@ -4899,6 +4942,42 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "totime64":
         return _translate_call("toTime", [args[0]])
+    stack_m = re.fullmatch(
+        r"(sum|avg|min|max|count|any|anylast|uniqexact)"
+        r"((?:if|distinct|state|simplestate|merge){2,})", low,
+    )
+    if stack_m:
+        # Stacked aggregate combinators the specific branches above don't
+        # spell (r10 runtime battery: sumStateIf / countIfDistinct /
+        # sumIfDistinct were silent passthroughs). Semantics compose
+        # order-independently for this family: -If folds the trailing
+        # condition (NULL-skip convention), -Distinct dedups, -State /
+        # -SimpleState are the mergeable-value identity, -Merge re-merges
+        # (sum for count partials). avg's partial state is a (sum, count)
+        # struct — its -State/-Merge stacks stay with the specific
+        # branches, combos raise.
+        base, suf = stack_m.group(1), stack_m.group(2)
+        sufs = set(re.findall(r"simplestate|distinct|state|merge|if", suf))
+        if base == "avg" and sufs & {"state", "merge", "simplestate"}:
+            raise ValueError(
+                f"{name}: avg's partial state is a (sum, count) struct —"
+                " stack the combinators on sumState/countState instead"
+                " and divide at merge time"
+            )
+        fn = {"any": "any_value", "anylast": "last",
+              "uniqexact": "count"}.get(base, base)
+        if base == "count" and "merge" in sufs:
+            fn = "sum"  # count partials merge by summing
+        d = "DISTINCT " if ("distinct" in sufs or base == "uniqexact") \
+            else ""
+        vals = [a for a in args if a]
+        if "if" in sufs:
+            cond = vals[-1]
+            rest = vals[:-1]
+            x = f"IF({cond}, {rest[0] if rest else '1'}, NULL)"
+        else:
+            x = vals[0] if vals else "*"
+        return f"{fn}({d}{x})"
     if low in _PARAMETRIC and low not in _RENAME:
         # Bare single-call form: quantile(x) → CH's median default,
         # uniqUpTo(x) → default N=5, and the sketch/sequence names raise
@@ -5157,6 +5236,10 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "multifuzzymatchallindices",
     # r7 fifth probe batch (mapped)
     "sumdistinct", "avgdistinct", "mindistinct", "maxdistinct",
+    "anylastsimplestate", "groupbitorsimplestate",
+    "groupbitandsimplestate", "groupbitxorsimplestate",
+    "summappedarrays", "minmappedarrays", "maxmappedarrays",
+    "uniqexactif",
     "sumsimplestate", "minsimplestate", "maxsimplestate",
     "avgsimplestate", "anysimplestate", "countsimplestate",
     "tointerval", "timestampadd", "timestampsub", "torelativeyearnum",
@@ -5271,6 +5354,16 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     f"{p}{u}" for p in ("add", "subtract")
     for u in ("seconds", "minutes", "hours", "days", "weeks", "months",
               "quarters", "years", "milliseconds", "microseconds")
+} | {
+    # two-deep stacked aggregate combinators (r10): every pair routes to
+    # the generic stack handler in _translate_call (avg×-State/-Merge
+    # combos raise its guided error)
+    f"{b}{s1}{s2}"
+    for b in ("sum", "avg", "min", "max", "count", "any", "anylast",
+              "uniqexact")
+    for s1 in ("if", "distinct", "state", "simplestate", "merge")
+    for s2 in ("if", "distinct", "state", "simplestate", "merge")
+    if s1 != s2
 }
 
 
@@ -6176,8 +6269,12 @@ def _rewrite_array_join(q: str) -> str:
         q = q[: fm.start()] + "FROM " + wrap + " " + q[b1:]
     raise ValueError("more than 16 ARRAY JOIN clauses — refusing to rewrite")
 _PREWHERE_RE = re.compile(
+    # a second PREWHERE stops the capture so repeated clauses merge
+    # instead of emitting WHERE twice (r10 battery; CH itself rejects the
+    # repetition, the merge is a tolerant refinement)
     r"\bPREWHERE\s+(?P<cond>.+?)"
-    r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    r"(?=\bPREWHERE\b|\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+    r"|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _WHERE_RE = re.compile(
@@ -6861,6 +6958,18 @@ def _rewrite_prewhere(q: str) -> str:
     rewrite (r6 self-probe fix — previously the capture swallowed
     ``) sub WHERE ...`` and emitted broken SQL).
     """
+    masked0 = _mask_literals(q)
+    top = [
+        m for m in re.finditer(r"(?i)\bPREWHERE\b", masked0)
+        if _paren_depth_at(masked0, m.start()) == 0
+    ]
+    if len(top) > 1:
+        # CH itself rejects a repeated PREWHERE; the old rewrite emitted
+        # WHERE twice (r10 battery — a Spark parse error)
+        raise ValueError(
+            "repeated PREWHERE in one query — ClickHouse rejects this"
+            " too; combine the predicates with AND"
+        )
     for _ in range(16):  # one iteration per PREWHERE occurrence
         masked = _mask_literals(q)
         m = _PREWHERE_RE.search(masked)

@@ -2710,15 +2710,93 @@ class ChSession:
             )
 
         if re.match(r"(?is)^\s*(SELECT|WITH)\b", s):
+            m = re.search(
+                r"(?is)\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'"
+                r"(?:\s+(?P<trunc>TRUNCATE|APPEND)\b)?"
+                r"(?:\s+COMPRESSION\s+'\w+'(?:\s+LEVEL\s+\d+)?)?"
+                r"(?:\s+FORMAT\s+(?P<fmt>\w+))?\s*$", s,
+            )
+            if m:
+                return self._into_outfile(
+                    s[: m.start()], m.group("path"),
+                    (m.group("fmt") or "TabSeparated"),
+                    (m.group("trunc") or "").upper(),
+                )
             if re.search(r"(?i)\bINTO\s+OUTFILE\b", s):
                 raise ValueError(
-                    "INTO OUTFILE is a client-side file write; use the"
-                    " sink writers (sink_parquet / DataFrame.write) on"
-                    " the returned DataFrame instead"
+                    "INTO OUTFILE: unsupported clause shape — supported is"
+                    " SELECT … INTO OUTFILE '<path>' [TRUNCATE|APPEND]"
+                    " [COMPRESSION '<codec>'] [FORMAT <fmt>] with a"
+                    " literal path"
                 )
             return self._run_select(s)
 
         raise ValueError(f"unsupported statement: {s[:120]!r}")
+
+    def _into_outfile(
+        self, select: str, path: str, fmt: str, mode: str
+    ) -> None:
+        """``SELECT … INTO OUTFILE`` — CH writes ONE file where the CLIENT
+        runs (r10: previously a guided refusal; the semantics are entirely
+        expressible: collect through Arrow, serialize driver-side). This
+        is deliberately NOT a distributed write — CH's contract is a
+        single local file, and the sink writers (sinks/writers.py) remain
+        the scale path. Formats: TabSeparated[WithNames[AndTypes]]
+        (default, \\t + CH text escapes), CSV[WithNames], JSONEachRow,
+        Parquet. CH errors when the file exists unless TRUNCATE/APPEND
+        says otherwise — same here."""
+        import os
+
+        low = fmt.lower()
+        if low not in ("parquet", "csv", "csvwithnames", "jsoneachrow",
+                       "tabseparated", "tsv", "tabseparatedwithnames",
+                       "tsvwithnames", "tabseparatedwithnamesandtypes"):
+            raise ValueError(
+                f"INTO OUTFILE FORMAT {fmt}: unsupported format — use"
+                " TabSeparated[WithNames], CSV[WithNames], JSONEachRow or"
+                " Parquet (or the sink writers for distributed output)"
+            )
+        if os.path.exists(path) and mode not in ("TRUNCATE", "APPEND"):
+            raise ValueError(
+                f"INTO OUTFILE: file {path!r} exists — add TRUNCATE (or"
+                " APPEND) as in ClickHouse"
+            )
+        df = self._run_select(select)
+        if low == "parquet":
+            import pyarrow.parquet as pq
+
+            pq.write_table(df.toArrow(), path)
+            return None
+        pdf = df.toPandas()
+        append = mode == "APPEND"
+        openmode = "a" if append else "w"
+        if low in ("csv", "csvwithnames"):
+            pdf.to_csv(path, index=False, header=low.endswith("withnames"),
+                       mode=openmode)
+            return None
+        if low == "jsoneachrow":
+            pdf.to_json(path, orient="records", lines=True,
+                        mode=openmode if append else "w",
+                        date_format="iso")
+            return None
+        if low in ("tabseparated", "tsv", "tabseparatedwithnames",
+                   "tsvwithnames", "tabseparatedwithnamesandtypes"):
+            def esc(v):
+                if v is None:
+                    return "\\N"
+                return (str(v).replace("\\", "\\\\").replace("\t", "\\t")
+                        .replace("\n", "\\n"))
+
+            with open(path, openmode) as fh:
+                if "withnames" in low:
+                    fh.write("\t".join(pdf.columns) + "\n")
+                    if low.endswith("andtypes"):
+                        fh.write("\t".join(
+                            spark_type_to_ch(t) for _, t in df.dtypes
+                        ) + "\n")
+                for row in pdf.itertuples(index=False):
+                    fh.write("\t".join(esc(v) for v in row) + "\n")
+        return None
 
     def _alter_misc(self, name: str, rest: str) -> None:
         """Metadata-only ALTER decorations + CLEAR COLUMN + partition

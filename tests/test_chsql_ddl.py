@@ -1492,8 +1492,11 @@ def test_ddl_insert_format_variants(spark, sf_dir):
                     (6, "f"), (7, "g")]
     with _pytest.raises(ValueError, match="JSONEachRow"):
         s.execute("INSERT INTO tfv FORMAT Parquet xx")
+    # INTO OUTFILE writes for real since r10 — see test_r10_into_outfile;
+    # the unsupported-format spelling still routes to the sink guidance
     with _pytest.raises(ValueError, match="sink"):
-        s.execute("SELECT * FROM tfv INTO OUTFILE '/tmp/x.csv'")
+        s.execute("SELECT * FROM tfv INTO OUTFILE '/tmp/x.csv'"
+                  " TRUNCATE FORMAT Native")
 
 
 def test_exists_statement(spark, sf_dir):
@@ -2229,3 +2232,39 @@ def test_r10_replace_table_system_scope_modify_query(spark, sf_dir):
     assert sorted(r.v for r in ch.tables["agg"].collect()) == [1, 20]
     with _pytest.raises(ValueError, match="not a materialized view"):
         ch.execute("ALTER TABLE src MODIFY QUERY SELECT 1")
+
+
+def test_r10_into_outfile(spark, sf_dir, tmp_path):
+    """SELECT … INTO OUTFILE writes ONE client-side file (CH contract):
+    TabSeparated default with \\N nulls and tab/newline escapes,
+    CSV[WithNames], JSONEachRow, Parquet; existing files refuse without
+    TRUNCATE/APPEND, exactly as ClickHouse does."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    tsv = str(tmp_path / "o.tsv")
+    ch.execute(f"SELECT number, toString(number) AS s FROM numbers(3)"
+               f" INTO OUTFILE '{tsv}'")
+    assert open(tsv).read() == "0\t0\n1\t1\n2\t2\n"
+    with _pytest.raises(ValueError, match="TRUNCATE"):
+        ch.execute(f"SELECT 1 INTO OUTFILE '{tsv}'")
+    ch.execute(f"SELECT 'a\tb' AS v, NULL AS n INTO OUTFILE '{tsv}'"
+               f" TRUNCATE FORMAT TabSeparatedWithNames")
+    assert open(tsv).read() == "v\tn\na\\tb\t\\N\n"
+    csv = str(tmp_path / "o.csv")
+    ch.execute(f"SELECT 1 AS a, 2 AS b INTO OUTFILE '{csv}'"
+               f" FORMAT CSVWithNames")
+    assert open(csv).read().splitlines() == ["a,b", "1,2"]
+    jl = str(tmp_path / "o.jsonl")
+    ch.execute(f"SELECT 1 AS a, NULL AS n INTO OUTFILE '{jl}'"
+               f" FORMAT JSONEachRow")
+    assert open(jl).read().strip() == '{"a":1,"n":null}'
+    pqf = str(tmp_path / "o.parquet")
+    ch.execute(f"SELECT 42 AS a INTO OUTFILE '{pqf}' FORMAT Parquet")
+    assert pq.read_table(pqf).to_pydict() == {"a": [42]}
+    with _pytest.raises(ValueError, match="unsupported format"):
+        ch.execute(f"SELECT 1 INTO OUTFILE '{str(tmp_path / 'x')}'"
+                   f" FORMAT Native")

@@ -169,11 +169,14 @@ def test_chsql_clause_rewrites():
     # test_chsql_doc_example_pins for the value pins
     assert "array_position" in translate("indexOf(arr, 3)")
     assert "<=>" in translate("indexOf(arr, 3)")
-    assert translate("arrayCount(x -> x > 2, arr)") == "size(filter(arr, x -> x > 2))"
+    # the BOOLEAN cast is the CH-truthiness wrapper (r10) — a no-op for
+    # boolean bodies, the nonzero rule for integer ones
+    assert translate("arrayCount(x -> x > 2, arr)") == \
+        "size(filter(arr, x -> CAST((x > 2) AS BOOLEAN)))"
     # r9: try_element_at so an empty match set is NULL, not an ANSI
     # index error (see test_chsql_qualify_and_array_batch value pins)
     assert translate("arrayFirst(x -> x > 2, arr)") == \
-        "try_element_at(filter(arr, x -> x > 2), 1)"
+        "try_element_at(filter(arr, x -> CAST((x > 2) AS BOOLEAN)), 1)"
     assert translate("arrayUniq(arr)") == "size(array_distinct(arr))"
     assert translate("arrayEnumerate(arr)") == "sequence(1, size(arr))"
     assert translate("yesterday()") == "date_sub(current_date(), 1)"
@@ -3661,3 +3664,54 @@ def test_chsql_r10_fill_dir_limit_and_star_mods(spark):
     assert (one_row.b, one_row.c) == (4, 3)
     assert spark.sql(translate(
         "SELECT t.* EXCEPT a FROM (SELECT 1 a, 2 b) t")).columns == ["b"]
+
+
+def test_chsql_r10_stacked_combinators_and_truthy_lambdas(spark):
+    """r10 probe batch 4: stacked aggregate combinators (-State×-If,
+    -If×-Distinct), quantileState/Merge (the AggregatingMergeTree MV
+    pattern), CH integer-truthiness in predicate lambdas, parenthesized
+    single-var keyed-sort lambdas, and the repeated-PREWHERE guard."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    spark.sql("SELECT * FROM VALUES (1,'a'),(2,'a'),(2,'b'),(5,'b')"
+              " AS tsc(x, g)").createOrReplaceTempView("tsc")
+    q = lambda e: spark.sql(
+        translate(f"SELECT {e} AS r FROM tsc")).collect()[0].r
+    assert q("sumIfDistinct(x, x < 5)") == 3          # distinct {1,2}
+    assert q("sumDistinctIf(x, x < 5)") == 3
+    assert q("countIfDistinct(x, x < 5)") == 2
+    assert q("countDistinctIf(x, x < 5)") == 2
+    assert q("sumStateIf(x, x < 5)") == 5             # state = value
+    assert q("sumIfState(x, x < 5)") == 5
+    assert q("uniqExactIf(g, x = 2)") == 2
+    assert q("anyLastSimpleState(x)") in (1, 2, 5)
+    # quantileState partials merge to the exact global quantile
+    got = spark.sql(translate(
+        "SELECT quantileMerge(0.5)(s) AS r FROM"
+        " (SELECT quantileState(0.5)(x) AS s FROM tsc GROUP BY g)"
+    )).collect()[0].r
+    assert got == spark.sql(
+        "SELECT percentile(x, 0.5) AS r FROM tsc").collect()[0].r
+    with _pytest.raises(ValueError, match="sum, count"):
+        translate("SELECT avgStateIf(x, x < 5) FROM t")
+    # CH truthiness in predicate lambdas (nonzero = true)
+    assert one("arrayFilter(x -> x, [1, 0, 2])") == [1, 2]
+    assert one("arrayFilter(x -> x % 2, [1, 2, 3])") == [1, 3]
+    assert one("arrayExists(x -> x, [0, 1])") is True
+    assert one("arrayAll(x -> x, [1, 1])") is True
+    assert one("arrayAll(x -> x, [1, 0])") is False
+    assert one("arrayFirst(x -> x, [0, 5])") == 5
+    assert one("arrayLast(x -> x, [0, 5, 0])") == 5
+    assert one("arrayCount(x -> x, [0, 5, 6])") == 2
+    assert one("arrayFirstIndex(x -> x, [0, 5])") == 2
+    assert one("arrayLastIndex(x -> x, [0, 5, 6])") == 3
+    # multi-array predicate forms share the truthiness rule
+    assert one("arrayFilter((x, y) -> y, ['a', 'b'], [1, 0])") == ["a"]
+    assert one("arrayExists((x, y) -> y, [1, 2], [0, 1])") is True
+    # parenthesized single-var lambda in the keyed-sort form
+    assert one("arraySort((x) -> -x, [1, 3, 2])") == [3, 2, 1]
+    with _pytest.raises(ValueError, match="repeated PREWHERE"):
+        translate("SELECT count() FROM orders PREWHERE a PREWHERE b")
