@@ -123,6 +123,10 @@ EXTENDED: tuple[str, ...] = (
     # birth (1.55 s median — mostly the per-call ch_sql fixture
     # registration, same class as chsql_table_fns)
     "chsql_arrayjoin_nested",
+    # r10 continuation: database labels + CREATE-body constraint/
+    # materialized/ephemeral columns script (~1.0 s median at birth — the
+    # INSERT SELECT over orders plus the per-block CHECK scan)
+    "chsql_db_labels",
     # r9: QUALIFY post-window filter key (2.0 s median at birth — same
     # ch_sql harness-registration class)
     "chsql_qualify",

@@ -4086,3 +4086,55 @@ def chsql_partition_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages over the base table: t1 = A[p∈{0,3}] ∪ B[p∈{0,1}] minus the
     %5 stripe; t2 = B ∪ A[p=2]."""
     return ch_execute_script(spark, sf_dir, _CH_PARTITION_SURGERY_SCRIPT)
+
+
+_CH_DB_LABELS_SCRIPT = """
+CREATE DATABASE IF NOT EXISTS analytics;
+USE analytics;
+
+CREATE TABLE ev (
+  k Int64,
+  status String,
+  price Decimal(18, 2),
+  price2x Decimal(18, 2) MATERIALIZED price * 2,
+  raw Int64 EPHEMERAL,
+  doubled Int64 DEFAULT raw * 2,
+  CONSTRAINT pos CHECK price >= 0,
+  INDEX ix k TYPE minmax GRANULARITY 1
+) ENGINE = MergeTree ORDER BY k;
+
+INSERT INTO analytics.ev (k, status, price, raw)
+SELECT o_orderkey, o_orderstatus, toDecimal64(o_totalprice, 2),
+       o_orderkey % 7
+FROM default.orders WHERE o_orderkey % 5 = 0;
+
+USE default;
+
+SELECT status, toInt64(count()) AS n,
+       toFloat64(round(sum(price2x), 2)) AS total2x,
+       toInt64(sum(doubled)) AS dsum
+FROM analytics.ev GROUP BY status ORDER BY status;
+"""
+
+
+@query(
+    "chsql_db_labels",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 2), 2)
+                AS DOUBLE) AS total2x,
+           CAST(SUM((o_orderkey % 7) * 2) AS BIGINT) AS dsum
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY status ORDER BY status
+    """,
+)
+def chsql_db_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 database-label + CREATE-body surface end-to-end: CREATE
+    DATABASE / USE scope a qualified CREATE, the body carries a CHECK
+    constraint (every inserted price passes), an in-body INDEX, a
+    MATERIALIZED column (price2x computed at insert), and an EPHEMERAL
+    column feeding a sibling DEFAULT (doubled = raw * 2 where raw is the
+    insert-time-only %7 stripe). The final aggregate reads through the
+    db-qualified spelling; the oracle recomputes everything from orders
+    directly."""
+    return ch_execute_script(spark, sf_dir, _CH_DB_LABELS_SCRIPT)

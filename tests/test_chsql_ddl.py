@@ -527,6 +527,13 @@ _OPS = st.lists(
         st.tuples(st.just("deletefrom"), st.integers(0, 3)),
         st.tuples(st.just("optimizepart"), st.integers(0, 2)),
         st.tuples(st.just("tempstage"), st.integers(1, 5)),
+        # r10 continuation: database labels (default-qualified spellings
+        # strip; created-db members scope to DROP DATABASE), CREATE-body
+        # CHECK constraints (violating INSERT rejected whole), and INTO
+        # OUTFILE Parquet round-trip (file row count == model count).
+        st.tuples(st.just("dbqual"), st.integers(0, 3)),
+        st.tuples(st.just("constraintstage"), st.integers(1, 5)),
+        st.tuples(st.just("outfile")),
     ),
     min_size=1, max_size=6,
 )
@@ -655,6 +662,47 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
             c = ch.execute("SELECT count() AS c FROM fzt").collect()[0].c
             assert c == 1
             ch.execute("DROP TABLE fzt")
+        elif op[0] == "dbqual":
+            _, r = op
+            ch.execute(f"INSERT INTO default.fz (k, ver, s)"
+                       f" VALUES ({100 + r}, 1, 'db')")
+            model.append((100 + r, 1, "db"))
+            ch.execute("CREATE DATABASE IF NOT EXISTS fuzzdb")
+            ch.execute("CREATE TABLE IF NOT EXISTS fuzzdb.fm (x Int64)"
+                       " ENGINE = Memory")
+            ch.execute(f"INSERT INTO fuzzdb.fm VALUES ({r})")
+            assert ch.execute(
+                "SELECT count() AS c FROM fuzzdb.fm").collect()[0].c >= 1
+            ch.execute("DROP DATABASE fuzzdb")
+        elif op[0] == "constraintstage":
+            _, n = op
+            ch.execute("CREATE TEMPORARY TABLE fcs (x Int64,"
+                       " CONSTRAINT pos CHECK x > 0)")
+            ch.execute(f"INSERT INTO fcs VALUES ({n})")
+            try:
+                ch.execute(f"INSERT INTO fcs VALUES ({-n})")
+                raise AssertionError("CHECK constraint must reject")
+            except ValueError:
+                pass
+            assert ch.execute(
+                "SELECT count() AS c FROM fcs").collect()[0].c == 1
+            ch.execute("DROP TABLE fcs")
+        elif op[0] == "outfile":
+            import os
+            import tempfile
+
+            import pyarrow.parquet as pq
+
+            fd, pth = tempfile.mkstemp(suffix=".parquet")
+            os.close(fd)
+            os.remove(pth)
+            try:
+                ch.execute(f"SELECT k, ver, s FROM fz INTO OUTFILE"
+                           f" '{pth}' FORMAT Parquet")
+                assert pq.read_table(pth).num_rows == len(model)
+            finally:
+                if os.path.exists(pth):
+                    os.remove(pth)
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")
