@@ -3715,3 +3715,104 @@ def test_chsql_r10_stacked_combinators_and_truthy_lambdas(spark):
     assert one("arraySort((x) -> -x, [1, 3, 2])") == [3, 2, 1]
     with _pytest.raises(ValueError, match="repeated PREWHERE"):
         translate("SELECT count() FROM orders PREWHERE a PREWHERE b")
+
+
+def test_chsql_r10_doc_value_pins_batch4(spark):
+    """Fourth CH-docs value-pin battery (r10 continuation): functions the
+    earlier batteries verified only for runability — string metrics/
+    padding, year-zero day counts, dateName, bit tests, array rotation/
+    shift/fold, URL surgery, transform, map combinators, and the
+    interval-geometry aggregates. Expected values are ClickHouse's own
+    documented outputs (year-zero counts: 0000-01-01 is day 0, so
+    2023-09-08 = 719528 + 19608 = 739136; arrayShift pads follow the
+    repo's documented NULL stand-in for type defaults unless the explicit
+    fill argument is given)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(expr, from_=""):
+        q = f"SELECT {expr} AS r" + (f" FROM {from_}" if from_ else "")
+        return spark.sql(translate(q)).collect()[0].r
+
+    assert one("levenshteinDistance('kitten', 'sitting')") == 3
+    assert one("editDistance('clickhouse', 'mouse')") == 6
+    assert one("stringJaccardIndex('clickhouse', 'mouse')") == 0.4
+    assert one("substringIndex('www.clickhouse.com', '.', 2)") == \
+        "www.clickhouse"
+    assert one("substringIndex('www.clickhouse.com', '.', -2)") == \
+        "clickhouse.com"
+    assert one("countSubstrings('aaaa', 'aa')") == 2
+    assert one("countMatches('foobar.com', 'o+')") == 2
+    assert one("soundex('Robert')") == "R163"
+    assert one("leftPad('abc', 7, '*')") == "****abc"
+    assert one("rightPad('abc', 7, '*')") == "abc****"
+    assert one("leftPad('abc', 2)") == "ab"
+    assert one("initcap('hello world')") == "Hello World"
+    assert one("concatWithSeparator('a', '1', '2')") == "1a2"
+    assert one("toDaysSinceYearZero(toDate('2023-09-08'))") == 739136
+    assert str(one("fromDaysSinceYearZero(739136)")) == "2023-09-08"
+    assert one("toModifiedJulianDay('2020-01-01')") == 58849
+    assert str(one("fromModifiedJulianDay(58849)")) == "2020-01-01"
+    assert one("dateName('year', toDate('2021-04-14'))") == "2021"
+    assert one("dateName('month', toDate('2021-04-14'))") == "April"
+    assert one("dateName('weekday', toDate('2021-04-14'))") == "Wednesday"
+    assert one("monthName(toDate('2021-04-14'))") == "April"
+    assert one("age('hour', toDateTime('2018-01-01 22:30:00'),"
+               " toDateTime('2018-01-02 23:00:00'))") == 24
+    assert one("age('day', toDate('2021-01-01'), toDate('2021-03-01'))") \
+        == 59
+    assert str(one("timeSlot(toDateTime('2000-01-02 03:23:33'))")) == \
+        "2000-01-02 03:00:00"
+    assert one("bitTest(43, 1)") == 1 and one("bitTest(43, 2)") == 0
+    assert one("bitCount(333)") == 5
+    assert one("bitTestAll(43, 0, 1, 3, 5)") == 1
+    assert one("bitTestAny(43, 4, 2)") == 0
+    assert one("arrayRotateLeft([1,2,3,4,5], 2)") == [3, 4, 5, 1, 2]
+    assert one("arrayRotateRight([1,2,3,4,5], 2)") == [4, 5, 1, 2, 3]
+    assert one("arrayCompact([1,1,2,2,1])") == [1, 2, 1]
+    assert one("arrayDifference([1,4,9])") == [0, 3, 5]
+    assert one("arrayCumSumNonNegative([1,1,-4,1])") == [1, 2, 0, 1]
+    assert one("round(arrayJaccardIndex([1,2],[2,3]), 4)") == 0.3333
+    assert one("arrayFold((acc, x) -> acc + x, [1,2,3,4],"
+               " toInt64(3))") == 13
+    assert one("arrayDotProduct([1,2,3],[4,5,6])") == 32
+    # shift pads: NULL stand-in without the fill arg (documented), the
+    # explicit fill is exact
+    assert one("arrayShiftLeft([1,2,3,4,5], 2)") == [3, 4, 5, None, None]
+    assert one("arrayShiftLeft([1,2,3], 1, 9)") == [2, 3, 9]
+    assert one("arrayShiftRight([1,2,3], 1, 9)") == [9, 1, 2]
+    assert one("extractURLParameter('http://e.com/?a=1&b=2', 'b')") == "2"
+    assert one("cutQueryString('http://e.com/path?a=1')") == \
+        "http://e.com/path"
+    assert one("netloc('https://u:p@ex.com:80/a?b=1')") == "u:p@ex.com:80"
+    assert one("path('https://ex.com/a/b?c=1')") == "/a/b"
+    assert one("pathFull('https://ex.com/a/b?c=1')") == "/a/b?c=1"
+    assert one("protocol('https://ex.com/a')") == "https"
+    assert one("fragment('https://ex.com/a#frag')") == "frag"
+    assert one("queryString('https://ex.com/a?b=1&c=2')") == "b=1&c=2"
+    assert one("widthBucket(10.15, 0, 100, 10)") == 2
+    assert one("transform(2, [1,2], ['a','b'], 'z')") == "b"
+    assert one("transform(5, [1,2], ['a','b'], 'z')") == "z"
+    assert one("toDecimalString(64.32, 5)") == "64.32000"
+    assert one("char(72, 105)") == "Hi"
+    assert one("ascii('A')") == 65
+    assert one("toUnixTimestamp64Milli(fromUnixTimestamp64Milli("
+               "1234567891011))") == 1234567891011
+    assert one("MACNumToString(1108152157446)") == "01:02:03:04:05:06"
+    assert one("MACStringToNum('01:02:03:04:05:06')") == 1108152157446
+    assert one("hex(255)") == "FF"
+    assert one("bin(5)") == "00000101"
+    assert dict(one("mapPopulateSeries(map(1, 10, 5, 20))")) == \
+        {1: 10, 2: 0, 3: 0, 4: 0, 5: 20}
+    assert one("mapApply((k, v) -> (k, v * 2), map('a', 1))['a']") == 2
+    assert one("mapUpdate(map('a', 1, 'b', 2), map('a', 9))['a']") == 9
+    assert one("entropy(n)",
+               "(SELECT arrayJoin([1,1,2,2]) AS n)") == 1.0
+    assert one("skewPop(n)", "(SELECT arrayJoin([1,2,3]) AS n)") == 0.0
+    assert one("boundingRatio(a, b)",
+               "(SELECT arrayJoin([(1,1),(3,5)]) AS t, t.1 AS a,"
+               " t.2 AS b)") == 2.0
+    assert one("maxIntersections(a, b)",
+               "(SELECT arrayJoin([(1,3),(2,4)]) AS t, t.1 AS a,"
+               " t.2 AS b)") == 2
+    assert abs(one("sumKahan(n)",
+                   "(SELECT arrayJoin([0.1,0.2,0.3]) AS n)") - 0.6) < 1e-12
