@@ -2019,7 +2019,33 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "tomonday":  # week floor to DATE, Monday start (both engines)
         return f"to_date(date_trunc('week', {args[0]}))"
     if low == "now64":  # precision arg is display-only here
+        if len(args) > 1 and args[1].strip():
+            # now64(p, tz): rendering-use map, same as toTimeZone
+            return f"from_utc_timestamp(now(), {args[1]})"
         return "now()"
+    if low == "now" and args and args[0].strip():
+        # now(tz): CH renders the same instant in tz; the session is
+        # pinned UTC, so the tz-shifted wall clock is the faithful
+        # rendering-use map (the toTimeZone convention)
+        return f"from_utc_timestamp(now(), {args[0]})"
+    if low == "todatetime" and len(args) > 1 and not re.fullmatch(
+        r"\s*\d+\s*", args[1]
+    ):
+        # toDateTime(s, tz): parse the wall clock in tz → instant (exact
+        # for string inputs, the form scripts use; a DateTime first arg
+        # re-shifts — CH's display-only tz has no instant-level analog,
+        # documented divergence). Session is pinned UTC, so
+        # to_timestamp(s) is the UTC wall clock and to_utc_timestamp
+        # relocates it into tz.
+        return f"to_utc_timestamp(to_timestamp({args[0]}), {args[1]})"
+    if low == "todate" and len(args) > 1:
+        # toDate(x, tz): the date in tz of the instant x (the "what day
+        # is it in Tokyo" form; for string inputs tz is a no-op at UTC
+        # sessions, matching CH's parse-then-truncate)
+        return (
+            f"to_date(from_utc_timestamp(CAST({args[0]} AS TIMESTAMP),"
+            f" {args[1]}))"
+        )
     if low.startswith(("add", "subtract")) and (
         low.removeprefix("subtract").removeprefix("add") in _ADD_UNITS
     ):
@@ -6945,6 +6971,44 @@ def _rewrite_bare_int_predicates(q: str) -> str:
     return out
 
 
+def _rewrite_in_collections(q: str) -> str:
+    """CH's collection spellings after IN (r10 battery): ``x IN [a, b]``
+    (array literal) and ``x IN tuple(a, b)`` both mean the plain value
+    list ``x IN (a, b)``. Rewritten before function translation so
+    ``tuple`` never becomes ``named_struct`` in IN position; mask-aware;
+    the bracket scan is quote-safe via the masked text."""
+    pat = re.compile(r"(?i)\b((?:GLOBAL\s+)?(?:NOT\s+)?IN)\s*(\[|tuple\s*\()")
+    for _ in range(64):
+        masked = _mask_literals(q)
+        m = pat.search(masked)
+        if not m:
+            return q
+        opener_at = m.end() - 1
+        if masked[opener_at] == "[":
+            depth, j = 0, opener_at
+            while j < len(masked):
+                if masked[j] == "[":
+                    depth += 1
+                elif masked[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                return q  # unbalanced — leave for the engine's own error
+            q = (
+                q[: m.start()] + m.group(1) + " ("
+                + q[opener_at + 1 : j] + ")" + q[j + 1 :]
+            )
+        else:  # tuple(
+            close = _scan_group(q, opener_at)
+            q = (
+                q[: m.start()] + m.group(1) + " ("
+                + q[opener_at + 1 : close] + ")" + q[close + 1 :]
+            )
+    return q
+
+
 def _rewrite_prewhere(q: str) -> str:
     """``PREWHERE cond`` → merged into ``WHERE``. CH evaluates PREWHERE
     before column materialization as an I/O optimization; Spark's parquet
@@ -7287,6 +7351,7 @@ def _rewrite_clauses(q: str) -> str:
         else:
             q = rest.rstrip() + f" LIMIT 1 BY {cols}"
     q = _rewrite_scalar_with(q)
+    q = _rewrite_in_collections(q)
     q = _rewrite_star_modifiers(q)
     q = _rewrite_asof_join(q)
     q = _rewrite_any_join(q)

@@ -3816,3 +3816,36 @@ def test_chsql_r10_doc_value_pins_batch4(spark):
                " t.2 AS b)") == 2
     assert abs(one("sumKahan(n)",
                    "(SELECT arrayJoin([0.1,0.2,0.3]) AS n)") - 0.6) < 1e-12
+
+
+def test_chsql_r10_in_collections_and_tz_args(spark):
+    """r10 probe batch 6: CH's collection spellings after IN (array
+    literal, tuple(...) call) rewrite to plain value lists BEFORE the
+    tuple→named_struct mapping; timezone-argument constructor forms
+    (now(tz), now64(p, tz), toDateTime(s, tz), toDate(x, tz)) take the
+    toTimeZone rendering-use convention over the UTC-pinned session."""
+    from canal_clickhouse_spark.chsql import translate
+
+    rows = lambda s: [r[0] for r in spark.sql(translate(s)).collect()]
+    spark.sql("SELECT * FROM VALUES (1),(2),(3),(9) AS tic(v)"
+              ).createOrReplaceTempView("tic")
+    assert rows("SELECT v FROM tic WHERE v IN [1, 2] ORDER BY v") == [1, 2]
+    assert rows("SELECT v FROM tic WHERE v IN tuple(1, 3)"
+                " ORDER BY v") == [1, 3]
+    assert rows("SELECT v FROM tic WHERE v NOT IN [1, 2, 3]") == [9]
+    assert rows("SELECT v FROM tic WHERE v GLOBAL IN [9]") == [9]
+    # literal brackets inside strings stay untouched
+    assert rows("SELECT 'IN [1]'")[0] == "IN [1]"
+    # tz-argument forms
+    assert rows("SELECT now('UTC') IS NOT NULL")[0] is True
+    assert rows("SELECT now64(3, 'UTC') IS NOT NULL")[0] is True
+    assert str(rows("SELECT toDateTime('2024-01-01 00:00:00', 'UTC')")[0]
+               ) == "2024-01-01 00:00:00"
+    assert str(rows("SELECT toDate('2024-01-01', 'UTC')")[0]) == \
+        "2024-01-01"
+    # the instant 2024-01-01 23:30 UTC is already Jan 2 in Tokyo
+    assert str(rows("SELECT toDate(toDateTime('2024-01-01 23:30:00'),"
+                    " 'Asia/Tokyo')")[0]) == "2024-01-02"
+    # parse-in-tz: midnight Tokyo is 15:00 prior-day UTC
+    assert str(rows("SELECT toDateTime('2024-01-02 00:00:00',"
+                    " 'Asia/Tokyo')")[0]) == "2024-01-01 15:00:00"
