@@ -126,12 +126,53 @@ def ch_type_to_spark(ch_type: str) -> str:
     if m:
         # storage wrapper: the column holds plain values of the inner type
         return ch_type_to_spark(m.group(1))
-    if re.fullmatch(r"(?is)AggregateFunction\s*\(.*\)", t):
+    m = re.fullmatch(
+        r"(?is)AggregateFunction\s*\(\s*(\w+)(?:\s*\([^)]*\))?\s*"
+        r"(?:,(.*))?\)", t
+    )
+    if m:
+        # AggregateFunction(fn, T): CH's engine-private state blob maps
+        # to this engine's MERGEABLE-VALUE convention — the exact type
+        # the -State combinator translations emit (r10 probe: the
+        # standard `CREATE TABLE tgt (… AggregateFunction(avg, UInt64))`
+        # AggregatingMergeTree target previously refused, breaking the
+        # canonical MV-rollup script even though the avgState/avgMerge
+        # spellings themselves translate). sum keeps full precision in
+        # the widest decimal; avg is the (sum, count) struct; uniqExact
+        # the distinct set; quantile the value multiset. States this
+        # convention can't carry (HLL sketches) stay loud.
+        fn = m.group(1).lower()
+        inner = (m.group(2) or "").strip()
+        if inner:
+            # multi-arg states (argMax(T, U)): the stored value is T
+            inner = _split_top_commas(inner)[0].strip()
+        inner_t = ch_type_to_spark(inner) if inner else "DOUBLE"
+        state = {
+            "sum": ("DOUBLE" if inner_t in ("FLOAT", "DOUBLE")
+                    else "DECIMAL(38,0)" if "DECIMAL" in inner_t
+                    or "INT" in inner_t else inner_t),
+            "count": "BIGINT",
+            "avg": "STRUCT<s: DOUBLE, c: BIGINT>",
+            "min": inner_t, "max": inner_t,
+            "any": inner_t, "anylast": inner_t,
+            "argmax": inner_t, "argmin": inner_t,
+            "uniqexact": f"ARRAY<{inner_t}>",
+            "grouparray": f"ARRAY<{inner_t}>",
+            "groupuniqarray": f"ARRAY<{inner_t}>",
+            "quantile": "ARRAY<DOUBLE>",
+            "quantiletdigest": "ARRAY<DOUBLE>",
+            "quantiles": "ARRAY<DOUBLE>",
+            "groupbitor": inner_t, "groupbitand": inner_t,
+            "groupbitxor": inner_t,
+        }.get(fn)
+        if state is not None:
+            return state
         raise ValueError(
-            "AggregateFunction columns hold engine-private binary states"
-            " with no Spark representation; model the partial-aggregate"
-            " contract with the -State/-Merge combinator operators"
-            " (chsql_state_merge) over plain typed columns instead"
+            f"AggregateFunction({m.group(1)}, …) holds an engine-private"
+            " sketch state with no mergeable-value spelling here; model"
+            " the partial-aggregate contract with the -State/-Merge"
+            " combinator operators (chsql_state_merge) over plain typed"
+            " columns, or agg_hll_merge for uniq sketches"
         )
     m = re.fullmatch(r"(?is)DateTime\s*\(\s*'[^']*'\s*\)", t)
     if m:  # DateTime('Asia/Tokyo') — tz is display metadata; engine is UTC
@@ -366,6 +407,12 @@ def parse_create_body(cols_text: str) -> tuple[
             defaults[col] = translate(dflt)
         if _ch_declared_nullable(ch_t):
             nullable.add(col)
+        if re.fullmatch(r"(?i)(nullable\s*\(\s*)?ipv4\s*\)?",
+                        ch_t.strip()):
+            # IPv4 columns surface as their UInt32 value; INSERTed string
+            # spellings coerce at insert time (r10 probe: the positional
+            # BIGINT cast silently NULLed '1.2.3.4')
+            extras.setdefault("ipv4_cols", set()).add(col)
     return cols, defaults, nullable, extras
 
 
@@ -590,6 +637,37 @@ _INSERT_VALUES_RE = re.compile(
     r"(?is)^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
     r"(?:\((?P<cols>[\w,\s]+)\)\s*)?VALUES\s+(?P<values>\(.*\))\s*$"
 )
+
+
+def _tupleize_values(payload: str) -> str:
+    """Inside a VALUES payload, a parenthesized group at depth ≥ 1 that is
+    not a function call is CH's bare TUPLE literal — spell it ``tuple(``
+    so the translator renders the named_struct (r10 probe: ``(7, 'x')``
+    for a Tuple column previously hit Spark's parser raw). Depth-0 parens
+    are the row delimiters; a '(' preceded by an identifier char, ')',
+    or a quote is a call/parametric form and stays."""
+    from .chsql import _mask_literals
+
+    masked = _mask_literals(payload)
+    out: list[str] = []
+    depth = 0
+    last = ""  # last non-space char
+    for i, c in enumerate(masked):
+        if c == "(":
+            if depth >= 1 and not (
+                last.isalnum() or last in "_.)'\""
+            ):
+                out.append("tuple(")
+            else:
+                out.append(payload[i])
+            depth += 1
+        else:
+            if c == ")":
+                depth -= 1
+            out.append(payload[i])
+        if not c.isspace():
+            last = c
+    return "".join(out)
 
 _DROP_RE = re.compile(
     r"(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$"
@@ -1743,9 +1821,17 @@ class ChSession:
                 if m.group("cols") else self.tables[name].columns
             )
             alias = ", ".join(cols)
-            block = self.spark.sql(
-                f"SELECT * FROM VALUES {m.group('values')} AS _v({alias})"
-            )
+            # the payload routes through the TRANSLATOR (r10 probe: CH
+            # collection literals — [1,2] arrays, map(...), bare (a, b)
+            # tuples — previously reached Spark's VALUES parser verbatim
+            # and died); __spark_values__ survives translate() untouched
+            # and resolves to VALUES at the end, the values() table
+            # function convention.
+            block = self.spark.sql(translate(
+                "SELECT * FROM __spark_values__ "
+                + _tupleize_values(m.group("values"))
+                + f" AS _v({alias})"
+            ))
             return self._insert(name, block, ", ".join(cols))
 
         m = _CREATE_DICT_RE.match(s)
@@ -3344,7 +3430,7 @@ class ChSession:
         INSERT-time enforcement and EPHEMERAL column definitions."""
         meta = self.meta[name]
         for k in ("constraints", "checks", "indexes", "projections",
-                  "ephemeral"):
+                  "ephemeral", "ipv4_cols"):
             if extras.get(k):
                 meta[k] = extras[k]
 
@@ -3411,6 +3497,16 @@ class ChSession:
             block = block.select(*target.columns)
         else:
             block = block.toDF(*target.columns)
+        # IPv4 columns: dotted-quad strings coerce to the UInt32 value at
+        # insert, as CH does (CREATE-body declarations only; see
+        # parse_create_body)
+        for c in self.meta.get(name, {}).get("ipv4_cols") or ():
+            if c in block.columns and dict(block.dtypes).get(c) == "string":
+                block = block.withColumn(c, F.expr(
+                    f"aggregate(transform(split({c}, '\\\\.'),"
+                    " _p -> CAST(_p AS BIGINT)), CAST(0 AS BIGINT),"
+                    " (_a, _x) -> _a * 256 + _x)"
+                ))
         # positional type alignment (CH inserts coerce to column types)
         block = block.select(
             *[

@@ -28,9 +28,12 @@ def test_type_mapper():
     assert ch_type_to_spark("Decimal64(4)") == "DECIMAL(18,4)"
     assert ch_type_to_spark("DateTime64(3)") == "TIMESTAMP"
     assert ch_type_to_spark("FixedString(16)") == "STRING"
-    # r7: AggregateFunction now raises a NAMED guided error (was generic)
-    with pytest.raises(ValueError, match="state_merge"):
-        ch_type_to_spark("AggregateFunction(sum, UInt64)")
+    # r10: mergeable-value AggregateFunction states map to real types
+    # (sketch states keep the named guided error)
+    assert ch_type_to_spark("AggregateFunction(sum, UInt64)") == \
+        "DECIMAL(38,0)"
+    with pytest.raises(ValueError, match="sketch state"):
+        ch_type_to_spark("AggregateFunction(uniq, UInt64)")
     # r8: geo compound aliases are now mapped (see
     # test_type_map_r8_additions); a truly unknown type still raises
     with pytest.raises(ValueError, match="unsupported"):
@@ -1342,8 +1345,11 @@ def test_ch_type_widening_r7(spark, sf_dir):
     assert ch_type_to_spark("UInt256") == "DECIMAL(38,0)"
     assert ch_type_to_spark("IPv6") == "STRING"
     assert ch_type_to_spark("Object('json')") == "STRING"
-    with pytest.raises(ValueError, match="state_merge"):
-        ch_type_to_spark("AggregateFunction(sum, Int64)")
+    # r10: mergeable-value states map for real; only sketch states raise
+    assert ch_type_to_spark("AggregateFunction(sum, Int64)") == \
+        "DECIMAL(38,0)"
+    with pytest.raises(ValueError, match="sketch state"):
+        ch_type_to_spark("AggregateFunction(uniq, Int64)")
     # inverse map round-trips the container types
     assert spark_type_to_ch("struct<name: string, age: int>") == \
         "Tuple(name String, age Int32)"
@@ -2316,3 +2322,57 @@ def test_r10_into_outfile(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="unsupported format"):
         ch.execute(f"SELECT 1 INTO OUTFILE '{str(tmp_path / 'x')}'"
                    f" FORMAT Native")
+
+
+def test_r10_values_collections_ipv4_aggfn_columns(spark, sf_dir):
+    """r10 probe batch 7: INSERT VALUES with CH collection literals
+    (arrays, maps, bare tuples) route through the translator; IPv4
+    columns coerce dotted-quad strings to their UInt32 value at insert;
+    AggregateFunction(fn, T) columns map to the mergeable-value state
+    types, so the canonical AggregatingMergeTree MV script runs
+    verbatim."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession, ch_type_to_spark
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE tarr (id UInt32, xs Array(Int64),"
+               " m Map(String, UInt32), t Tuple(a Int64, b String))"
+               " ENGINE = Memory")
+    ch.execute("INSERT INTO tarr VALUES (1, [1,2], map('k', 5), (7, 'x'))")
+    ch.execute("INSERT INTO tarr VALUES (2, [], map(), (0, ''))")
+    got = ch.execute("SELECT id, xs[1] AS x1, m['k'] AS mk, t.a AS ta"
+                     " FROM tarr ORDER BY id").collect()
+    assert [(r.id, r.x1, r.mk, r.ta) for r in got] == [
+        (1, 1, 5, 7), (2, None, None, 0)]
+    ch.execute("CREATE TABLE tn (a Array(Array(Int32))) ENGINE = Memory")
+    ch.execute("INSERT INTO tn VALUES ([[1],[2,3]])")
+    assert ch.execute("SELECT a[2][1] AS v FROM tn").collect()[0].v == 2
+    # IPv4 insert coercion
+    ch.execute("CREATE TABLE tip (ip IPv4) ENGINE = Memory")
+    ch.execute("INSERT INTO tip VALUES ('1.2.3.4')")
+    assert ch.execute("SELECT IPv4NumToString(ip) AS s FROM tip"
+                      ).collect()[0].s == "1.2.3.4"
+    # AggregateFunction state-type mapping
+    assert ch_type_to_spark("AggregateFunction(avg, UInt64)") == \
+        "STRUCT<s: DOUBLE, c: BIGINT>"
+    assert ch_type_to_spark("AggregateFunction(uniqExact, String)") == \
+        "ARRAY<STRING>"
+    assert ch_type_to_spark("AggregateFunction(quantile(0.5),"
+                            " Float64)") == "ARRAY<DOUBLE>"
+    with _pytest.raises(ValueError, match="sketch state"):
+        ch_type_to_spark("AggregateFunction(uniq, String)")
+    # the canonical AggregatingMergeTree rollup, target declared FIRST
+    ch.execute("CREATE TABLE src8 (k UInt32, v UInt64) ENGINE = Memory")
+    ch.execute("CREATE TABLE tgt8 (k UInt32,"
+               " s AggregateFunction(avg, UInt64),"
+               " mx AggregateFunction(max, UInt64))"
+               " ENGINE = AggregatingMergeTree ORDER BY k")
+    ch.execute("CREATE MATERIALIZED VIEW mv8 TO tgt8 AS SELECT k,"
+               " avgState(v) AS s, maxState(v) AS mx FROM src8 GROUP BY k")
+    ch.execute("INSERT INTO src8 VALUES (1, 10), (1, 20), (2, 5)")
+    ch.execute("INSERT INTO src8 VALUES (1, 30)")
+    got = ch.execute("SELECT k, avgMerge(s) AS a, maxMerge(mx) AS m"
+                     " FROM tgt8 GROUP BY k ORDER BY k").collect()
+    assert [(r.k, float(r.a), int(r.m)) for r in got] == [
+        (1, 20.0, 30), (2, 5.0, 5)]
