@@ -219,6 +219,20 @@ def ch_type_to_spark(ch_type: str) -> str:
     low = t.lower()
     if low in _CH_SCALAR_TYPES:
         return _CH_SCALAR_TYPES[low]
+    if re.fullmatch(r"(?is)variant\s*\(.*\)", t) or low == "dynamic":
+        # r10 probe: previously the generic unsupported-type error
+        raise ValueError(
+            f"{t}: CH's union types have no Spark column analog — Spark"
+            " columns are monomorphic; model the variants as separate"
+            " Nullable columns, or serialize through a JSON/STRING column"
+            " and extract with fn_json"
+        )
+    if low == "time" or re.fullmatch(r"(?is)time64\s*\(.*\)", t):
+        raise ValueError(
+            f"{t}: Spark has no time-of-day type; store seconds-of-day as"
+            " an integer (toTime/toTimeWithFixedDate give the fixed-date"
+            " TIMESTAMP rendering) or keep the HH:MM:SS string"
+        )
     raise ValueError(f"unsupported ClickHouse column type: {ch_type!r}")
 
 
@@ -1476,10 +1490,21 @@ class ChSession:
     def execute(
         self, statement: str, params: dict | None = None
     ) -> DataFrame | None:
-        """Execute one statement; returns a DataFrame for SELECTs."""
+        """Execute one statement; returns a DataFrame for SELECTs. A
+        multi-statement string (clickhouse-client's multiquery paste)
+        splits on top-level ';' and returns the LAST statement's result
+        (r10 probe: a two-statement line previously mis-parsed as one
+        CREATE swallowing the INSERT)."""
         s = statement.strip().rstrip(";").strip()
         if not s:
             return None
+        if ";" in s:
+            stmts = split_statements(s)
+            if len(stmts) > 1:
+                out: DataFrame | None = None
+                for st in stmts:
+                    out = self.execute(st, params)
+                return out
         m = re.match(r"(?is)^\s*SET\s+param_(\w+)\s*=\s*(.+)$", s)
         if m:
             self.params[m.group(1)] = m.group(2).strip()
@@ -1800,8 +1825,14 @@ class ChSession:
                         "raw", schema, {"sep": "\t"}
                     ).alias("r")
                 )
-            else:  # CSV — positional against the parse-order column list
-                parsed = raw.select(F.from_csv("raw", schema).alias("r"))
+            else:  # CSV — positional against the parse-order column list;
+                # escape='"' selects RFC-4180 doubled-quote handling (CH's
+                # CSV dialect — r10 probe: `"with ""quotes"""` previously
+                # kept its outer quotes verbatim under the default
+                # backslash escape)
+                parsed = raw.select(
+                    F.from_csv("raw", schema, {"escape": '"'}).alias("r")
+                )
             block = parsed.select("r.*").select(*cols)
             return self._insert(name, block, ", ".join(cols))
 

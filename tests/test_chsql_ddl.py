@@ -2376,3 +2376,37 @@ def test_r10_values_collections_ipv4_aggfn_columns(spark, sf_dir):
                      " FROM tgt8 GROUP BY k ORDER BY k").collect()
     assert [(r.k, float(r.a), int(r.m)) for r in got] == [
         (1, 20.0, 30), (2, 5.0, 5)]
+
+
+def test_r10_multiquery_csv_quotes_new_types(spark, sf_dir):
+    """r10 probe batch 8: multi-statement strings split on top-level ';'
+    (clickhouse-client multiquery paste) with literals untouched; FORMAT
+    CSV payloads unescape RFC-4180 doubled quotes; Variant/Dynamic/Time
+    types raise NAMED guidance instead of the generic type error."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE tm9 (x Int64) ENGINE = Memory;"
+               " INSERT INTO tm9 VALUES (1); INSERT INTO tm9 VALUES (2)")
+    assert [r.x for r in ch.execute(
+        "SELECT x FROM tm9 ORDER BY x").collect()] == [1, 2]
+    ch.execute("CREATE TABLE tsem (s String) ENGINE = Memory;"
+               " INSERT INTO tsem VALUES ('a;b')")
+    assert ch.execute("SELECT s FROM tsem").collect()[0].s == "a;b"
+    ch.execute("CREATE TABLE tcsv9 (a UInt32, b String) ENGINE = Memory")
+    ch.execute('INSERT INTO tcsv9 FORMAT CSV\n'
+               '1,"hello, world"\n2,"with ""quotes"""')
+    assert [tuple(r) for r in ch.execute(
+        "SELECT a, b FROM tcsv9 ORDER BY a").collect()] == [
+        (1, "hello, world"), (2, 'with "quotes"')]
+    for ddl, pat in [
+        ("CREATE TABLE tv9 (v Variant(UInt64, String)) ENGINE = Memory",
+         "union types"),
+        ("CREATE TABLE td9 (d Dynamic) ENGINE = Memory", "union types"),
+        ("CREATE TABLE tt9 (t Time) ENGINE = Memory", "time-of-day"),
+        ("CREATE TABLE tt10 (t Time64(3)) ENGINE = Memory", "time-of-day"),
+    ]:
+        with _pytest.raises(ValueError, match=pat):
+            ch.execute(ddl)
