@@ -448,7 +448,7 @@ _RENAME = {
     "groupuniqarray": "collect_set",
     "argmax": "max_by",
     "argmin": "min_by",
-    "countif": "count_if",
+    # countif: bespoke branch (cond truthiness + the 2-arg form)
     "has": "array_contains",
     "arrayjoin": "explode",
     "arraydistinct": "array_distinct",
@@ -687,6 +687,7 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
     # be collected.
     if low.endswith("if") and low[: -len("if")] in _PARAMETRIC:
         base, cond = low[: -len("if")], args[-1]
+        cond = _cond(cond)
         if base in ("topkweighted", "quantileexactweighted",
                     "quantiletimingweighted",
                     "quantileinterpolatedweighted"):
@@ -1198,6 +1199,27 @@ def _vec_l2sq(a: str, b: str) -> str:
     )
 
 
+_BOOLISH_RE = re.compile(
+    r"(?i)(?:[<>=!]|\bLIKE\b|\bILIKE\b|\bIN\b|\bIS\b|\bAND\b|\bOR\b"
+    r"|\bNOT\b|\bBETWEEN\b|\bRLIKE\b|\bEXISTS\b)"
+)
+
+
+def _cond(c: str) -> str:
+    """A CH CONDITION argument (if/multiIf/and/or/-If combinators): CH
+    applies integer truthiness (nonzero = true) while Spark demands
+    BOOLEAN (r10 battery: ``sumIf(x, x % 2)`` died at analysis). The
+    BOOLEAN cast is Spark's nonzero rule and a no-op for boolean
+    expressions; conditions already carrying a comparison/boolean
+    operator at any depth skip the wrap so the common spellings translate
+    byte-identically (a boolean-returning function under the wrap is
+    still a no-op cast)."""
+    c = c.strip()
+    if _BOOLISH_RE.search(_mask_literals(c)):
+        return c
+    return f"CAST(({c}) AS BOOLEAN)"
+
+
 def _pred_lambda(lam: str) -> str:
     """A CH lambda in a PREDICATE position: CH applies integer truthiness
     (nonzero = true — ``arrayFilter(x -> x % 2, …)``), while Spark's
@@ -1321,13 +1343,14 @@ def _translate_call(name: str, args: list[str]) -> str:
     ):
         # -Array∘-If: an empty array is the identity of every -Array fold
         return _translate_call(
-            name[:-2], [f"IF({args[-1]}, {args[0]}, array())"]
+            name[:-2], [f"IF({_cond(args[-1])}, {args[0]}, array())"]
         )
     if low.endswith("distinctif") and low[: -len("if")] in (
         "sumdistinct", "avgdistinct", "mindistinct", "maxdistinct",
     ):
         return _translate_call(
-            name[: -len("if")], [f"IF({args[-1]}, {args[0]}, NULL)"]
+            name[: -len("if")],
+            [f"IF({_cond(args[-1])}, {args[0]}, NULL)"]
         )
     if low.endswith(("ifornull", "iforzero", "ifordefault")):
         # -If∘-OrNull/-OrZero/-OrDefault: fold the condition (always the
@@ -1335,7 +1358,7 @@ def _translate_call(name: str, args: list[str]) -> str:
         # default) into the values, then recurse on the -OrNull/... base
         # (whose empty-group fallback now also covers nothing-matched).
         cut = 9 if low.endswith("ifordefault") else 6
-        cond = args[-1]
+        cond = _cond(args[-1])
         if len(args) == 1:
             # One-arg -If form: the sole argument IS the condition. Only
             # the counting family has this spelling in CH (countIf(cond));
@@ -1354,20 +1377,24 @@ def _translate_call(name: str, args: list[str]) -> str:
         return _translate_call(name[: -2 - cut] + name[-cut:], inner)
     if low in ("sumif", "avgif", "minif", "maxif"):
         agg = low[:-2]
-        return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
+        return f"{agg}(IF({_cond(args[1])}, {args[0]}, NULL))"
     # CH's -If combinator generalizes to any aggregate: aggIf(args..., cond)
     # = agg over rows where cond holds. NULL-skipping aggregates make the
     # IF(cond, x, NULL) rewrite exact.
     if low == "uniqexactif":
-        return f"count(DISTINCT IF({args[-1]}, {args[0]}, NULL))"
+        return f"count(DISTINCT IF({_cond(args[-1])}, {args[0]}, NULL))"
     if low == "uniqif":  # approximate, like bare uniq()
-        return f"approx_count_distinct(IF({args[-1]}, {args[0]}, NULL))"
+        return (
+            f"approx_count_distinct(IF({_cond(args[-1])}, {args[0]},"
+            " NULL))"
+        )
     if low.endswith("if") and low[: -len("if")] in _IF_AGG_BASES:
         # generic -If combinator: NULL-skipping aggregates make the
         # IF(cond, x, NULL) rewrite exact for every listed base; multi-arg
         # bases (corr/covar) null out EVERY argument under the condition.
         fn = _IF_AGG_BASES[low[: -len("if")]]
-        ins = ", ".join(f"IF({args[-1]}, {a}, NULL)" for a in args[:-1])
+        cnd = _cond(args[-1])
+        ins = ", ".join(f"IF({cnd}, {a}, NULL)" for a in args[:-1])
         return f"{fn}({ins})"
     if low in ("summap", "minmap", "maxmap", "avgmap",
                "summappedarrays", "minmappedarrays", "maxmappedarrays"):
@@ -1378,20 +1405,45 @@ def _translate_call(name: str, args: list[str]) -> str:
             " then collect (see the fn_map / agg_pivot operators)"
         )
     if low == "medianif":
-        return f"percentile(IF({args[-1]}, {args[0]}, NULL), 0.5)"
+        return f"percentile(IF({_cond(args[-1])}, {args[0]}, NULL), 0.5)"
     if low in ("argmaxif", "argminif"):
         agg = "max_by" if low == "argmaxif" else "min_by"
-        return f"{agg}(IF({args[2]}, {args[0]}, NULL), IF({args[2]}, {args[1]}, NULL))"
+        cnd = _cond(args[2])
+        return (
+            f"{agg}(IF({cnd}, {args[0]}, NULL),"
+            f" IF({cnd}, {args[1]}, NULL))"
+        )
     if low == "anylastif":
-        return f"last(IF({args[1]}, {args[0]}, NULL), true)"
+        return f"last(IF({_cond(args[1])}, {args[0]}, NULL), true)"
     if low == "avgweighted":
         return f"(sum(({args[0]}) * ({args[1]})) / sum({args[1]}))"
     if low == "multiif":  # multiIf(c1, v1, c2, v2, ..., else)
         parts = ["CASE"]
         for i in range(0, len(args) - 1, 2):
-            parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+            parts.append(f"WHEN {_cond(args[i])} THEN {args[i + 1]}")
         parts.append(f"ELSE {args[-1]} END")
         return " ".join(parts)
+    if low == "if" and len(args) == 3:
+        # CH if(cond, a, b) with integer-truthy cond (Spark's own if()
+        # would otherwise reject the INT condition)
+        return f"IF({_cond(args[0])}, {args[1]}, {args[2]})"
+    if low == "countif":
+        # countIf(cond) / countIf(x, cond) — both with CH truthiness;
+        # the old straight count_if rename broke the INT-cond and the
+        # 2-arg spellings
+        if len(args) == 1:
+            return f"count_if({_cond(args[0])})"
+        return f"count(IF({_cond(args[-1])}, 1, NULL))"
+    if low in ("chand", "chor"):
+        # CH's variadic and()/or() function spellings over UInt8
+        # truthiness (renamed by _rewrite_bool_fn_calls — the bare names
+        # cannot be function-scanned: whitespace-tolerant call matching
+        # would swallow infix `a AND (b)`); the 1-arg form is the bare
+        # truthiness coercion
+        op = " AND " if low == "chand" else " OR "
+        return "(" + op.join(f"({_cond(a)})" for a in args) + ")"
+    if low == "chnot":
+        return f"(NOT ({_cond(args[0])}))"
     if low == "toint32":
         return f"CAST({args[0]} AS INT)"
     if low == "toint64":
@@ -1993,7 +2045,7 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "grouparrayarray":  # aggregate arrays by concatenation
         return f"flatten(collect_list({args[0]}))"
     if low == "anyif":
-        return f"any_value(IF({args[1]}, {args[0]}, NULL))"
+        return f"any_value(IF({_cond(args[1])}, {args[0]}, NULL))"
     if low in ("datediff", "date_diff"):
         # dateDiff('unit', start, end): CH counts CROSSED unit boundaries
         # (dateDiff('day', 23:00 d1, 01:00 d2) = 1), while Spark's
@@ -3219,6 +3271,21 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"exists(map_keys({args[0]}), _k -> _k LIKE {args[1]})"
     if low == "mapcontainsvalue":
         return f"array_contains(map_values({args[0]}), {args[1]})"
+    if low == "countdigits":
+        # decimal digits of the value's integer text (CH counts the
+        # underlying scaled integer for Decimals — digits-only filter
+        # covers both int and decimal renderings)
+        return (
+            f"CAST(length(regexp_replace(CAST(abs({args[0]}) AS STRING),"
+            " '[^0-9]', '')) AS INT)"
+        )
+    if low == "isdecimaloverflow":
+        raise ValueError(
+            "isDecimalOverflow introspects CH's per-width decimal storage"
+            " bounds; Spark decimals carry one 38-digit representation —"
+            " compare against the target precision explicitly"
+            " (abs(x) < 1e<digits>)"
+        )
     if low == "sparsegrams":
         raise ValueError(
             "sparseGrams picks substring boundaries off CH's internal"
@@ -4998,7 +5065,7 @@ def _translate_call(name: str, args: list[str]) -> str:
             else ""
         vals = [a for a in args if a]
         if "if" in sufs:
-            cond = vals[-1]
+            cond = _cond(vals[-1])
             rest = vals[:-1]
             x = f"IF({cond}, {rest[0] if rest else '1'}, NULL)"
         else:
@@ -5264,6 +5331,11 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "sumdistinct", "avgdistinct", "mindistinct", "maxdistinct",
     "anylastsimplestate", "groupbitorsimplestate",
     "groupbitandsimplestate", "groupbitxorsimplestate",
+    # r10: truthiness-aware conditional routing (if/countif are safe to
+    # function-scan; chAnd/chOr/chNot are the _rewrite_bool_fn_calls
+    # internal names for the and()/or()/not() function spellings)
+    "if", "countif", "chand", "chor", "chnot",
+    "countdigits", "isdecimaloverflow",
     "summappedarrays", "minmappedarrays", "maxmappedarrays",
     "uniqexactif",
     "sumsimplestate", "minsimplestate", "maxsimplestate",
@@ -6045,7 +6117,7 @@ def _rewrite_ternary(q: str) -> str:
             )
         q = (
             q[:start]
-            + f" IF({cond}, {t_branch}, {f_branch}) "
+            + f" IF({_cond(cond)}, {t_branch}, {f_branch}) "
             + q[end:]
         )
     raise ValueError("more than 16 ternary operators — refusing to rewrite")
@@ -6971,6 +7043,41 @@ def _rewrite_bare_int_predicates(q: str) -> str:
     return out
 
 
+def _rewrite_bool_fn_calls(q: str) -> str:
+    """CH's and()/or()/not() FUNCTION spellings → internal chAnd/chOr/
+    chNot names the function scanner can route (r10 battery: the bare
+    names passed through and died on Spark's infix parse with integer
+    operands). Infix uses must survive untouched, so a call is recognized
+    only when the keyword starts an expression: preceded by nothing, an
+    opener/comma/comparison, or an expression-starting keyword. A left
+    OPERAND before the word (identifier, number, ')', quote) means infix
+    — skipped. A prefix-NOT false positive is harmless: NOT(x) and NOT x
+    are the same operator."""
+    masked = _mask_literals(q)
+    starts = []
+    for m in re.finditer(r"(?i)\b(and|or|not)\s*\(", masked):
+        prefix = masked[: m.start()].rstrip()
+        prev = prefix[-1:]
+        ok = not prev or prev in "(,=<>+-*/%"
+        if not ok and (prev.isalpha() or prev == "_"):
+            wm = re.search(r"(\w+)$", prefix)
+            ok = wm is not None and wm.group(1).lower() in (
+                "select", "when", "then", "else", "where", "having",
+                "on", "by", "all", "and", "or", "not", "xor", "if",
+            )
+        if ok:
+            starts.append((m.start(1), m.end(1), m.group(1).lower()))
+    if not starts:
+        return q
+    out, last = [], 0
+    for a, b, w in starts:
+        out.append(q[last:a])
+        out.append({"and": "chAnd", "or": "chOr", "not": "chNot"}[w])
+        last = b
+    out.append(q[last:])
+    return "".join(out)
+
+
 def _rewrite_in_collections(q: str) -> str:
     """CH's collection spellings after IN (r10 battery): ``x IN [a, b]``
     (array literal) and ``x IN tuple(a, b)`` both mean the plain value
@@ -7351,6 +7458,7 @@ def _rewrite_clauses(q: str) -> str:
         else:
             q = rest.rstrip() + f" LIMIT 1 BY {cols}"
     q = _rewrite_scalar_with(q)
+    q = _rewrite_bool_fn_calls(q)
     q = _rewrite_in_collections(q)
     q = _rewrite_star_modifiers(q)
     q = _rewrite_asof_join(q)

@@ -63,7 +63,11 @@ def test_chsql_translate_units():
         "arraySum(arrayMap(x -> 1.0, splitByChar(' ', t)))":
             "aggregate(transform(split(t, ' '), x -> 1.0), 0D,"
             " (acc, x) -> acc + x)",
-        "multiIf(a, 1, b, 2, 3)": "CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END",
+        # bare-identifier conditions take the truthiness cast (r10: a
+        # UInt8 flag column is the CH norm; no-op for boolean columns)
+        "multiIf(a, 1, b, 2, 3)":
+            "CASE WHEN CAST((a) AS BOOLEAN) THEN 1"
+            " WHEN CAST((b) AS BOOLEAN) THEN 2 ELSE 3 END",
         "toStartOfMonth(d)": "CAST(date_trunc('month', d) AS DATE)",
         "sumIf(x, y > position(s, 'a'))": "sum(IF(y > locate('a', s), x, NULL))",
         "SELECT unknownFn(a, b) FROM t": "SELECT unknownFn(a, b) FROM t",
@@ -188,16 +192,23 @@ def test_chsql_clause_rewrites():
         "regexp_replace(s, 'a+', 'b')"
     assert translate("median(x)") == "percentile(x, 0.5)"
     assert translate("uniqUpTo(5)(device)") == "LEAST(count(DISTINCT device), 5 + 1)"
-    assert translate("anyIf(x, c)") == "any_value(IF(c, x, NULL))"
+    # bare-identifier conditions carry the r10 truthiness cast (UInt8
+    # flags are the CH norm; no-op for booleans)
+    assert translate("anyIf(x, c)") == \
+        "any_value(IF(CAST((c) AS BOOLEAN), x, NULL))"
     assert translate("groupArrayArray(arr)") == "flatten(collect_list(arr))"
     assert translate("dateDiff('day', a, b)") == (
         "timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b))"
     )
     # -If combinator family + weighted average
-    assert translate("uniqExactIf(x, c)") == "count(DISTINCT IF(c, x, NULL))"
-    assert translate("argMaxIf(v, k, c)") == \
-        "max_by(IF(c, v, NULL), IF(c, k, NULL))"
-    assert translate("medianIf(x, c)") == "percentile(IF(c, x, NULL), 0.5)"
+    assert translate("uniqExactIf(x, c)") == \
+        "count(DISTINCT IF(CAST((c) AS BOOLEAN), x, NULL))"
+    assert translate("argMaxIf(v, k, c)") == (
+        "max_by(IF(CAST((c) AS BOOLEAN), v, NULL),"
+        " IF(CAST((c) AS BOOLEAN), k, NULL))"
+    )
+    assert translate("medianIf(x, c)") == \
+        "percentile(IF(CAST((c) AS BOOLEAN), x, NULL), 0.5)"
     assert translate("avgWeighted(x, w)") == "(sum((x) * (w)) / sum(w))"
     # date arithmetic + time buckets + hash-intent renames
     assert translate("addDays(ts, 3)") == "timestampadd(DAY, 3, ts)"
@@ -3849,3 +3860,33 @@ def test_chsql_r10_in_collections_and_tz_args(spark):
     # parse-in-tz: midnight Tokyo is 15:00 prior-day UTC
     assert str(rows("SELECT toDateTime('2024-01-02 00:00:00',"
                     " 'Asia/Tokyo')")[0]) == "2024-01-01 15:00:00"
+
+
+def test_chsql_r10_condition_truthiness(spark):
+    """CH integer truthiness in CONDITION positions (r10 battery): bare
+    if(), multiIf, the whole -If combinator family, the ternary, and the
+    and()/or()/not() function spellings (routed around the infix parser
+    by _rewrite_bool_fn_calls). Comparison conditions stay untouched —
+    the wrap only fires when no boolean operator appears."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(
+        translate(f"SELECT {e} AS r FROM (SELECT 3 x)")).collect()[0].r
+    assert one("if(x % 2, 'odd', 'even')") == "odd"
+    assert one("if(1, 'y', 'n')") == "y"
+    assert one("multiIf(x % 2, 'odd', 'even')") == "odd"
+    assert one("x % 2 ? 'o' : 'e'") == "o"
+    assert one("countIf(x % 2)") == 1
+    assert one("countIf(x, x % 2)") == 1
+    assert one("sumIf(x, x % 2)") == 3
+    assert one("avgIfOrNull(x, x % 2)") == 3.0
+    assert one("argMaxIf(x, x, x % 2)") == 3
+    assert one("and(1, 0)") is False
+    assert one("or(1, 0, 1)") is True
+    assert one("not(1)") is False
+    assert one("and(x > 1, x % 2)") is True
+    # infix spellings must be untouched by the call rewrite
+    assert one("if(x > 1 AND (x < 5), 'in', 'out')") == "in"
+    assert one("if(NOT (x > 5), 'no', 'yes')") == "no"
+    assert one("countDigits(12345)") == 5
+    assert one("countDigits(-307)") == 3
