@@ -7043,6 +7043,50 @@ def _rewrite_bare_int_predicates(q: str) -> str:
     return out
 
 
+_TRUTHY_CLAUSE_END_RE = re.compile(
+    r"(?i)\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|SETTINGS|UNION"
+    r"|INTERSECT|EXCEPT|WINDOW|QUALIFY|FORMAT)\b"
+)
+
+
+def _rewrite_truthy_predicates(q: str) -> str:
+    """Top-level ``WHERE``/``HAVING`` predicates with NO boolean operator
+    take the CH truthiness cast (r10: ``WHERE x % 2`` is standard CH —
+    nonzero = true — and previously died at Spark analysis). Predicates
+    already carrying a comparison/boolean operator pass through
+    byte-identical (the _cond heuristic); runs AFTER the PREWHERE merge
+    so both spellings are covered."""
+    masked = _mask_literals(q)
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"(?i)\b(WHERE|HAVING)\s+", masked):
+        d0 = _paren_depth_at(masked, m.start())
+        start = m.end()
+        end = len(q)
+        for e in _TRUTHY_CLAUSE_END_RE.finditer(masked, start):
+            if _paren_depth_at(masked, e.start()) == d0:
+                end = e.start()
+                break
+        # subquery clauses clip at the paren closing their scope
+        depth, i = d0, start
+        while i < end:
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < d0:
+                    end = i
+                    break
+            i += 1
+        spans.append((start, end))
+    for start, end in reversed(spans):
+        pred = q[start:end].strip()
+        wrapped = _cond(pred)
+        if wrapped != pred:
+            q = q[:start] + wrapped + " " + q[end:]
+    return q
+
+
 def _rewrite_bool_fn_calls(q: str) -> str:
     """CH's and()/or()/not() FUNCTION spellings → internal chAnd/chOr/
     chNot names the function scanner can route (r10 battery: the bare
@@ -7470,6 +7514,7 @@ def _rewrite_clauses(q: str) -> str:
     q = _rewrite_array_join(q)
     q = _rewrite_bare_int_predicates(q)
     q = _rewrite_prewhere(q)
+    q = _rewrite_truthy_predicates(q)
     # CH aliases are expression macros valid in any clause: expand
     # top-level-WHERE references (after the PREWHERE merge so both
     # predicate clauses are covered, before the LIMIT BY restructure

@@ -255,7 +255,10 @@ class Gen:
             c = r.choice(self.t["int"])
             vals = sorted({r.randint(0, 300) for _ in range(r.randint(2, 5))})
             lst = ", ".join(map(str, vals))
-            return f"({c} IN ({lst}))", f"({c} IN ({lst}))"
+            # r10: CH's three IN-collection spellings — plain list, array
+            # literal, tuple() call — all one value list
+            spell = r.choice([f"({lst})", f"[{lst}]", f"tuple({lst})"])
+            return f"({c} IN {spell})", f"({c} IN ({lst}))"
         if pick == 5:
             (a_ch, a_dk), (b_ch, b_dk) = (
                 self.bool_expr(d - 1),
@@ -354,8 +357,17 @@ def q_flat(rng: random.Random) -> tuple[str, str]:
         dk += f" WHERE ({w1[1]}) AND ({w2[1]})"
     elif w1:
         kw = "PREWHERE" if rng.random() < 0.5 else "WHERE"
-        ch += f" {kw} {w1[0]}"
-        dk += f" WHERE {w1[1]}"
+        if rng.random() < 0.15:
+            # r10: bare integer-truthy predicate (CH nonzero = true) —
+            # SOLO clause only: truthiness is resolved at the clause
+            # level, a truthy TERM under AND/OR has no textual spelling
+            c = g.rng.choice(g.t["int"])
+            k = g.rng.randint(2, 9)
+            ch += f" {kw} {c} % {k}"
+            dk += f" WHERE ({c} % {k}) <> 0"
+        else:
+            ch += f" {kw} {w1[0]}"
+            dk += f" WHERE {w1[1]}"
     return ch, dk
 
 

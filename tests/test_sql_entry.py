@@ -3890,3 +3890,21 @@ def test_chsql_r10_condition_truthiness(spark):
     assert one("if(NOT (x > 5), 'no', 'yes')") == "no"
     assert one("countDigits(12345)") == 5
     assert one("countDigits(-307)") == 3
+
+
+def test_chsql_r10_truthy_where_clauses(spark):
+    """Bare integer-truthy WHERE/HAVING/PREWHERE predicates (CH nonzero =
+    true) — clause-level wrap, subquery scopes clipped correctly."""
+    from canal_clickhouse_spark.chsql import translate
+
+    rows = lambda s: [r[0] for r in spark.sql(translate(s)).collect()]
+    spark.sql("SELECT * FROM VALUES (1),(2),(3),(4) AS ttw(v)"
+              ).createOrReplaceTempView("ttw")
+    assert rows("SELECT v FROM ttw WHERE v % 2 ORDER BY v") == [1, 3]
+    assert rows("SELECT v FROM ttw PREWHERE v % 2 ORDER BY v") == [1, 3]
+    assert rows("SELECT v FROM (SELECT v FROM ttw WHERE v % 2) s"
+                " WHERE v > 1") == [3]
+    assert rows("SELECT v % 3 AS g, count() AS c FROM ttw GROUP BY g"
+                " HAVING count() % 2 ORDER BY g") == [0, 2]
+    # operator-carrying predicates stay untouched
+    assert rows("SELECT v FROM ttw WHERE v % 2 = 0 ORDER BY v") == [2, 4]
