@@ -3324,6 +3324,13 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "tostartofinterval":
         return _to_start_of_interval(args)
+    if low == "fromunixtimestamp" and len(args) > 1:
+        # fromUnixTimestamp(ts, fmt): the 2-arg form RENDERS through the
+        # %-code formatter (r10 probe: the bare timestamp_seconds rename
+        # rejected the second argument)
+        return _translate_call(
+            "formatDateTime", [f"timestamp_seconds({args[0]})", args[1]]
+        )
     if low == "formatdatetime":
         return f"date_format({args[0]}, '{_ch_format(args[1])}')"
     if low in ("touint8", "touint16"):
@@ -7049,6 +7056,39 @@ _TRUTHY_CLAUSE_END_RE = re.compile(
 )
 
 
+_HAVING_AGG_RE = re.compile(
+    r"(?i)\b(count|sum|avg|min|max|any|anylast|uniq\w*|quantile\w*"
+    r"|median\w*|grouparray\w*|topk\w*|argmax|argmin|corr|covar\w*"
+    r"|stddev\w*|var\w*|percentile|entropy|skew\w*|kurt\w*)\s*\("
+)
+
+
+def _rewrite_groupless_having(q: str) -> str:
+    """CH accepts ``HAVING`` without GROUP BY as an alias-aware
+    post-projection filter (``SELECT x AS k FROM t HAVING k < 3`` — r10
+    probe: Spark rejects it with MISSING_GROUP_BY). Non-aggregate
+    predicates lift into an outer WHERE over the projected output;
+    aggregate predicates keep Spark's own global-aggregation HAVING."""
+    masked = _mask_literals(q)
+    m = re.search(r"(?i)\bHAVING\s+", masked)
+    if not m or _paren_depth_at(masked, m.start()) != 0:
+        return q
+    for g in re.finditer(r"(?i)\bGROUP\s+BY\b", masked[: m.start()]):
+        if _paren_depth_at(masked, g.start()) == 0:
+            return q
+    end = len(q)
+    for e in _TRUTHY_CLAUSE_END_RE.finditer(masked, m.end()):
+        if _paren_depth_at(masked, e.start()) == 0:
+            end = e.start()
+            break
+    pred = q[m.end() : end].strip()
+    if _HAVING_AGG_RE.search(_mask_literals(pred)):
+        return q  # global-aggregate HAVING — Spark-native
+    inner = q[: m.start()].strip()
+    tail = q[end:]
+    return f"SELECT * FROM ({inner}) _h WHERE {pred} {tail}"
+
+
 def _rewrite_truthy_predicates(q: str) -> str:
     """Top-level ``WHERE``/``HAVING`` predicates with NO boolean operator
     take the CH truthiness cast (r10: ``WHERE x % 2`` is standard CH —
@@ -7514,6 +7554,7 @@ def _rewrite_clauses(q: str) -> str:
     q = _rewrite_array_join(q)
     q = _rewrite_bare_int_predicates(q)
     q = _rewrite_prewhere(q)
+    q = _rewrite_groupless_having(q)
     q = _rewrite_truthy_predicates(q)
     # CH aliases are expression macros valid in any clause: expand
     # top-level-WHERE references (after the PREWHERE merge so both

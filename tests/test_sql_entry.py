@@ -3908,3 +3908,22 @@ def test_chsql_r10_truthy_where_clauses(spark):
                 " HAVING count() % 2 ORDER BY g") == [0, 2]
     # operator-carrying predicates stay untouched
     assert rows("SELECT v FROM ttw WHERE v % 2 = 0 ORDER BY v") == [2, 4]
+
+
+def test_chsql_r10_groupless_having_and_fromunix_fmt(spark):
+    """CH's HAVING-without-GROUP-BY (an alias-aware post-projection
+    filter — lifts to an outer WHERE unless the predicate aggregates)
+    and the 2-arg fromUnixTimestamp(ts, '%-format') render form."""
+    from canal_clickhouse_spark.chsql import translate
+
+    rows = lambda s: [r[0] for r in spark.sql(translate(s)).collect()]
+    spark.sql("SELECT * FROM VALUES (1),(2),(5) AS thv(v)"
+              ).createOrReplaceTempView("thv")
+    assert rows("SELECT v AS k FROM thv HAVING k < 3 ORDER BY k") == [1, 2]
+    assert rows("SELECT v * 2 AS k FROM thv HAVING k <= 4 ORDER BY k"
+                " LIMIT 1") == [2]
+    # aggregate predicates keep Spark's global-aggregation HAVING
+    assert rows("SELECT sum(v) AS s FROM thv HAVING sum(v) > 1") == [8]
+    assert rows("SELECT fromUnixTimestamp(1704067200, '%Y-%m-%d')") == \
+        [spark.sql("SELECT date_format(timestamp_seconds(1704067200),"
+                   " 'yyyy-MM-dd')").collect()[0][0]]
