@@ -7089,6 +7089,42 @@ def _rewrite_groupless_having(q: str) -> str:
     return f"SELECT * FROM ({inner}) _h WHERE {pred} {tail}"
 
 
+def _rewrite_case_when_truthiness(q: str) -> str:
+    """SEARCHED-form ``CASE WHEN <cond> THEN`` conditions take the CH
+    truthiness cast (``CASE WHEN x % 2 THEN …`` — r10 battery). A small
+    token scanner tracks CASE nesting so simple-form ``CASE x WHEN v``
+    value matches are never touched and nested CASEs inside result
+    expressions resolve at their own depth; conditions already carrying
+    a boolean operator pass through byte-identical (_cond)."""
+    masked = _mask_literals(q)
+    if not re.search(r"(?i)\bCASE\s+WHEN\b", masked):
+        return q
+    frames: list[bool] = []
+    pending: tuple[int, int] | None = None  # (frame depth, cond start)
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"(?i)\b(CASE|WHEN|THEN|END)\b", masked):
+        tok = m.group(1).upper()
+        if tok == "CASE":
+            after = masked[m.end():].lstrip()[:5]
+            frames.append(after.upper().startswith("WHEN"))
+        elif tok == "WHEN":
+            if frames and frames[-1] and pending is None:
+                pending = (len(frames), m.end())
+        elif tok == "THEN":
+            if pending and pending[0] == len(frames):
+                spans.append((pending[1], m.start()))
+                pending = None
+        elif tok == "END":
+            if frames:
+                frames.pop()
+    for start, end in reversed(spans):
+        cond = q[start:end].strip()
+        wrapped = _cond(cond)
+        if wrapped != cond:
+            q = q[:start] + f" {wrapped} " + q[end:]
+    return q
+
+
 def _rewrite_truthy_predicates(q: str) -> str:
     """Top-level ``WHERE``/``HAVING`` predicates with NO boolean operator
     take the CH truthiness cast (r10: ``WHERE x % 2`` is standard CH —
@@ -7556,6 +7592,7 @@ def _rewrite_clauses(q: str) -> str:
     q = _rewrite_prewhere(q)
     q = _rewrite_groupless_having(q)
     q = _rewrite_truthy_predicates(q)
+    q = _rewrite_case_when_truthiness(q)
     # CH aliases are expression macros valid in any clause: expand
     # top-level-WHERE references (after the PREWHERE merge so both
     # predicate clauses are covered, before the LIMIT BY restructure

@@ -3927,3 +3927,26 @@ def test_chsql_r10_groupless_having_and_fromunix_fmt(spark):
     assert rows("SELECT fromUnixTimestamp(1704067200, '%Y-%m-%d')") == \
         [spark.sql("SELECT date_format(timestamp_seconds(1704067200),"
                    " 'yyyy-MM-dd')").collect()[0][0]]
+
+
+def test_chsql_r10_case_when_truthiness(spark):
+    """Searched-CASE WHEN conditions take CH integer truthiness; simple
+    CASE value-matches and nested CASEs stay exact."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e, f="": spark.sql(translate(
+        f"SELECT {e} AS r" + (f" FROM {f}" if f else ""))).collect()[0].r
+    assert one("CASE WHEN 1 THEN 'a' ELSE 'b' END") == "a"
+    assert one("CASE WHEN 0 THEN 'a' ELSE 'b' END") == "b"
+    assert one("CASE WHEN x % 2 THEN 'odd' WHEN x % 3 THEN 'x3'"
+               " ELSE 'e' END", "(SELECT 4 x)") == "x3"
+    assert one("CASE WHEN x > 1 THEN 'g' ELSE 'l' END",
+               "(SELECT 3 x)") == "g"
+    # simple (value-match) form untouched
+    assert one("CASE x WHEN 3 THEN 'three' ELSE 'o' END",
+               "(SELECT 3 x)") == "three"
+    # nested: searched-in-result and simple-in-condition
+    assert one("CASE WHEN x % 2 THEN CASE x WHEN 3 THEN 'i3' ELSE 'io'"
+               " END ELSE 'e' END", "(SELECT 3 x)") == "i3"
+    assert one("CASE WHEN CASE x WHEN 3 THEN 1 ELSE 0 END THEN 'y'"
+               " ELSE 'n' END", "(SELECT 3 x)") == "y"
