@@ -3271,6 +3271,52 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"exists(map_keys({args[0]}), _k -> _k LIKE {args[1]})"
     if low == "mapcontainsvalue":
         return f"array_contains(map_values({args[0]}), {args[1]})"
+    if low == "identity":
+        return args[0]
+    if low in ("shardnum", "shardcount"):
+        # the engine IS the whole "cluster" (same model as the ON
+        # CLUSTER strip): one logical shard
+        return "CAST(1 AS INT)"
+    if low == "throwif":
+        # throwIf(cond[, msg]): 0 when the condition is false, an error
+        # otherwise — Spark's raise_error under the truthiness rule
+        msg = args[1] if len(args) > 1 else "'throwIf condition met'"
+        return (
+            f"IF({_cond(args[0])},"
+            f" CAST(raise_error({msg}) AS INT), 0)"
+        )
+    if low in ("mysql", "postgresql", "mongodb", "redis", "sqlite",
+               "odbc", "jdbc"):
+        raise ValueError(
+            f"{name}() reads an external store inline; use the"
+            " source_jdbc operator (sources.py) — spark.read.jdbc with"
+            " partitioned bounds — or a dedicated Spark connector for"
+            " the store"
+        )
+    if low in ("iceberg", "deltalake", "deltalakelocal", "hudi"):
+        raise ValueError(
+            f"{name}(): open-table formats read natively in Spark —"
+            " spark.read.format('iceberg'|'delta'|'hudi').load(path)"
+            " (wire it through the scan operators in sources.py)"
+        )
+    if low in ("input", "executable", "executablepool", "loop",
+               "fuzzquery", "fuzzjson", "viewifpermitted",
+               "timeseriesdata", "timeseriestags", "timeseriesmetrics"):
+        raise ValueError(
+            f"{name}() is a server-side table-function runtime this"
+            " engine does not model; stage the data through a table or"
+            " the source operators (sources.py) instead"
+        )
+    if low in ("currentschemas", "currentcatalogs"):
+        raise ValueError(
+            f"{name}() is a PostgreSQL-compatibility stub; the engine's"
+            " namespace listing is SHOW DATABASES / system.tables"
+        )
+    if low == "replicate":
+        raise ValueError(
+            "replicate() is CH's internal block-broadcast primitive;"
+            " array_repeat / explode compose the same shapes in Spark"
+        )
     if low == "countdigits":
         # decimal digits of the value's integer text (CH counts the
         # underlying scaled integer for Decimals — digits-only filter
@@ -5343,6 +5389,13 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # internal names for the and()/or()/not() function spellings)
     "if", "countif", "chand", "chor", "chnot",
     "countdigits", "isdecimaloverflow",
+    "identity", "shardnum", "shardcount", "throwif",
+    "mysql", "postgresql", "mongodb", "redis", "sqlite", "odbc", "jdbc",
+    "iceberg", "deltalake", "deltalakelocal", "hudi",
+    "input", "executable", "executablepool", "loop", "fuzzquery",
+    "fuzzjson", "viewifpermitted", "timeseriesdata", "timeseriestags",
+    "timeseriesmetrics", "currentschemas", "currentcatalogs",
+    "replicate",
     "summappedarrays", "minmappedarrays", "maxmappedarrays",
     "uniqexactif",
     "sumsimplestate", "minsimplestate", "maxsimplestate",
