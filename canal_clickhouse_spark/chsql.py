@@ -1553,6 +1553,14 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"{args[0]}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
             " '\"', '&quot;'), '''', '&apos;')"
         )
+    if low == "isvalidascii":
+        return f"({args[0]} RLIKE '^[\\\\x00-\\\\x7F]*$')"
+    if low == "decodexmlcomponent":
+        # XML's five entities + numeric references — routed through the
+        # HTML decoder (a superset: named entities beyond the XML five
+        # also decode; documented divergence, same stand-in class as
+        # arrayPartialSort's full sort)
+        return _translate_call("decodeHTMLComponent", args)
     if low == "decodehtmlcomponent":
         # Decode named basic entities + numeric &#N;/&#xN; below 128
         # (Spark's char() wraps mod 256 and emits raw bytes above ASCII,
@@ -2156,10 +2164,16 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "multisearchany":  # multiSearchAny(haystack, [n1, n2, ...])
         return f"exists({args[1]}, p -> locate(p, {args[0]}) > 0)"
-    if low == "hastoken":  # token = maximal [A-Za-z0-9] run
-        return (
-            f"array_contains(split({args[0]}, '[^A-Za-z0-9]+'), {args[1]})"
-        )
+    if low in ("hastoken", "hastokenornull"):
+        # token = maximal [A-Za-z0-9] run; the OrNull form yields NULL
+        # when the needle is not itself one token (CH's contract for a
+        # needle containing separators)
+        hit = f"array_contains(split({args[0]}, '[^A-Za-z0-9]+'), {args[1]})"
+        if low.endswith("ornull"):
+            return (
+                f"IF({args[1]} RLIKE '^[A-Za-z0-9]+$', {hit}, NULL)"
+            )
+        return hit
     if low == "hasall":  # hasAll(a, b): a ⊇ b
         return f"(size(array_except({args[1]}, {args[0]})) = 0)"
     if low == "extractall":
@@ -2238,8 +2252,12 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"transform(sequence(1, size({parts})), _i -> concat({base},"
             f" '/', array_join(slice({parts}, 1, _i), '/')))"
         )
-    if low == "multisearchallpositions":
-        return f"transform({args[1]}, _p -> locate(_p, {args[0]}))"
+    if low in ("multisearchallpositions",
+               "multisearchallpositionscaseinsensitive"):
+        h, n = args[0], args[1]
+        if low.endswith("caseinsensitive"):
+            h, n = f"lower({h})", f"transform({n}, _n -> lower(_n))"
+        return f"transform({n}, _p -> locate(_p, {h}))"
     if low == "multisearchfirstindex":
         return (
             f"coalesce(array_position(transform({args[1]},"
@@ -2793,12 +2811,17 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"trim(TRAILING '=' FROM"
             f" translate(base64({args[0]}), '+/', '-_'))"
         )
-    if low == "base64urldecode":
+    if low in ("base64urldecode", "trybase64urldecode"):
         s = args[0]
         rp = (
             f"rpad(translate({s}, '-_', '+/'),"
             f" CAST(ceil(length({s}) / 4.0) * 4 AS INT), '=')"
         )
+        if low.startswith("try"):  # '' on invalid, like tryBase64Decode
+            return (
+                f"COALESCE(CAST(try_to_binary({rp}, 'base64')"
+                " AS STRING), '')"
+            )
         return f"CAST(unbase64({rp}) AS STRING)"
     if low in ("corrstable", "covarpopstable", "covarsampstable",
                "stddevpopstable", "stddevsampstable", "varpopstable",
@@ -5389,6 +5412,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # internal names for the and()/or()/not() function spellings)
     "if", "countif", "chand", "chor", "chnot",
     "countdigits", "isdecimaloverflow",
+    "hastokenornull", "multisearchallpositionscaseinsensitive",
+    "trybase64urldecode", "isvalidascii", "decodexmlcomponent",
     "identity", "shardnum", "shardcount", "throwif",
     "mysql", "postgresql", "mongodb", "redis", "sqlite", "odbc", "jdbc",
     "iceberg", "deltalake", "deltalakelocal", "hudi",

@@ -3950,3 +3950,29 @@ def test_chsql_r10_case_when_truthiness(spark):
                " END ELSE 'e' END", "(SELECT 3 x)") == "i3"
     assert one("CASE WHEN CASE x WHEN 3 THEN 1 ELSE 0 END THEN 'y'"
                " ELSE 'n' END", "(SELECT 3 x)") == "y"
+
+
+def test_chsql_r10_variant_spellings_batch(spark):
+    """Final r10 probe sweep: variant spellings of mapped bases that
+    previously passed through verbatim — hasTokenOrNull (NULL when the
+    needle is not one token), CaseInsensitive multiSearchAllPositions,
+    tryBase64URLDecode ('' on invalid), isValidASCII, decodeXMLComponent
+    (routed through the HTML decoder — documented superset)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    assert one("hasTokenOrNull('a b', 'b')") is True
+    assert one("hasTokenOrNull('a b', 'b c')") is None
+    assert list(one("multiSearchAllPositionsCaseInsensitive('Hello',"
+                    " ['hE', 'x'])")) == [1, 0]
+    assert one("tryBase64URLDecode('YStiL2M')") == "a+b/c"
+    assert one("tryBase64URLDecode('!!bad!!')") == ""
+    assert one("isValidASCII('abc')") is True
+    assert one("isValidASCII('héllo')") is False
+    assert one("decodeXMLComponent('&lt;a&gt;')") == "<a>"
+    assert one("identity(5)") == 5
+    assert one("shardNum()") == 1 and one("shardCount()") == 1
+    assert one("throwIf(1 > 2, 'no')") == 0
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="boom"):
+        spark.sql(translate("SELECT throwIf(2 > 1, 'boom')")).collect()
