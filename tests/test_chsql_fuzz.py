@@ -174,7 +174,12 @@ class Gen:
                 c = r.choice(self.t["str"])
                 return c, c
             pool = POISON_LITERALS if r.random() < 0.5 else PLAIN_LITERALS
-            lit = r.choice(pool).replace("'", "''")
+            raw = r.choice(pool)
+            lit = raw.replace("'", "''")
+            if "$" not in raw and r.random() < 0.25:
+                # r11: CH dollar-quoted spelling — raw body, no escaping;
+                # the oracle side stays standard-quoted (same value)
+                return f"$${raw}$$", f"'{lit}'"
             return f"'{lit}'", f"'{lit}'"
         pick = r.randrange(4)
         if pick == 0:

@@ -3609,9 +3609,12 @@ def test_chsql_r10_probe_batch3_parametrics_and_scalars(spark):
     assert one("MACStringToOUI('01:02:03:04:05:06')") == 66051
     with _pytest.raises(ValueError, match="rolling-hash"):
         translate("SELECT sparseGrams('hello', 3)")
-    # FROM one (bare): CH's reserved one-row relation
-    assert spark.sql(translate("SELECT dummy FROM one")).collect()[0][0] == 0
-    assert spark.sql(translate("SELECT 1 FROM one")).count() == 1
+    # FROM system.one — the qualified spelling only (r10 ADVICE: bare
+    # `FROM one` must NOT be hijacked; a user table named `one` wins)
+    assert spark.sql(
+        translate("SELECT dummy FROM system.one")).collect()[0][0] == 0
+    assert spark.sql(translate("SELECT 1 FROM system.one")).count() == 1
+    assert "FROM one" in translate("SELECT x FROM one")
     # CH EXPLAIN modes map to Spark EXPLAIN forms
     for stmt, frag in [
         ("EXPLAIN SYNTAX SELECT 1", "EXPLAIN EXTENDED"),
@@ -3976,3 +3979,60 @@ def test_chsql_r10_variant_spellings_batch(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="boom"):
         spark.sql(translate("SELECT throwIf(2 > 1, 'boom')")).collect()
+
+
+def test_r11_countif_null_x(spark):
+    """r10 ADVICE low: CH's count(x)-If combinator counts rows where the
+    condition holds AND x is non-NULL — countIf(x, cond) must emit
+    count(IF(cond, x, NULL)), not count(IF(cond, 1, NULL))."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT countIf(x, c > 0) AS n FROM v")
+    assert "count(IF" in t and ", x, NULL" in t
+    spark.sql("SELECT * FROM VALUES (NULL, 1), (5, 1), (NULL, 0), (7, 0)"
+              " AS v(x, c)").createOrReplaceTempView("v_r11_cif")
+    n = spark.sql(translate(
+        "SELECT countIf(x, c > 0) AS n FROM v_r11_cif")).collect()[0].n
+    assert n == 1  # only (5, 1): NULL x under a true cond must not count
+
+
+def test_r11_truthy_nested_spans(spark):
+    """r10 ADVICE medium: nested WHERE/HAVING spans went stale under the
+    collect-then-edit-in-reverse rewrite — `WHERE (SELECT … WHERE v % 2)`
+    emitted mangled SQL. The one-edit-per-pass re-scan must wrap BOTH
+    clauses and produce runnable SQL."""
+    from canal_clickhouse_spark.chsql import translate
+
+    t = translate("SELECT * FROM t WHERE (SELECT max(v) FROM u WHERE"
+                  " v % 2)")
+    assert "CAST((v % 2) AS BOOLEAN)" in t and "WHERE CAST(((SELECT" in t
+    spark.sql("SELECT * FROM VALUES (1), (2), (3) AS t(v)"
+              ).createOrReplaceTempView("tn_r11")
+    spark.sql("SELECT * FROM VALUES (0), (5) AS u(v)"
+              ).createOrReplaceTempView("un_r11")
+    got = spark.sql(translate(
+        "SELECT count(*) AS n FROM tn_r11 WHERE"
+        " (SELECT max(v) FROM un_r11 WHERE v % 2)")).collect()[0].n
+    assert got == 3  # inner max = 5 (truthy) → outer keeps all rows
+    # idempotence guard: an already-wrapped whole-expression boolean cast
+    # must not wrap again
+    t2 = translate("SELECT * FROM t WHERE x % 2")
+    assert t2.count("AS BOOLEAN") == 1
+
+
+def test_r11_dollar_quoted_strings(spark):
+    """r10 verdict missing #3: $$…$$ and tagged $tag$…$tag$ dollar-quoted
+    literals parse as strings everywhere the translator runs; ';' and
+    quotes inside are data."""
+    from canal_clickhouse_spark.chsql import translate
+
+    assert translate("SELECT $$it's raw$$ AS s") == \
+        "SELECT 'it''s raw' AS s"
+    assert spark.sql(translate(
+        "SELECT $tag$has $$ inside$tag$ AS s")).collect()[0].s == \
+        "has $$ inside"
+    # a '$' inside an ordinary literal is NOT an opener
+    assert spark.sql(translate(
+        "SELECT '$5 and $$' AS s")).collect()[0].s == "$5 and $$"
+    # unterminated tag passes through for the engine's own loud error
+    assert "$$oops" in translate("SELECT $$oops AS s")
