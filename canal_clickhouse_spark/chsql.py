@@ -550,10 +550,16 @@ _RENAME = {
     # with col1/col2/... fields so CH tuple access `.1` → `.col1`
     # composes); only the Unaligned variant is a straight rename.
     # numbers
+    # NOTE (r11): CH's plain round() uses BANKER'S rounding for Float
+    # inputs but half-away for Decimals; Spark round() is half-up for
+    # both. The rename keeps half-up — a type-blind textual pass cannot
+    # split the cases, DuckDB oracles agree with half-up, and exact
+    # .5 halves are measure-zero on real data. roundBankers is exact.
     "roundbankers": "bround",
     "bitcount": "bit_count",
     # arrays / maps
-    "arrayelement": "element_at",  # both 1-based, both negative-from-end
+    # arrayElement is a handler, not a rename: index 0 must yield NULL
+    # (CH: type default) instead of Spark's INVALID_INDEX_OF_ZERO error
     "hasany": "arrays_overlap",
     "mapcontains": "map_contains_key",
     "mapkeys": "map_keys",
@@ -1446,6 +1452,24 @@ def _translate_call(name: str, args: list[str]) -> str:
         # CH if(cond, a, b) with integer-truthy cond (Spark's own if()
         # would otherwise reject the INT condition)
         return f"IF({_cond(args[0])}, {args[1]}, {args[2]})"
+    if low in ("trimboth", "trimleft", "trimright") and len(args) == 2:
+        # CH trim*(s, chars) vs Spark: two-arg ltrim/rtrim take
+        # (trimStr, srcStr) — REVERSED — and two-arg trim() does too
+        # (r11 probe: trim('xxhixx', 'x') silently returned ''). btrim
+        # keeps (str, trimStr), so route through btrim/ltrim/rtrim with
+        # the right order.
+        if low == "trimboth":
+            return f"btrim({args[0]}, {args[1]})"
+        fn = "ltrim" if low == "trimleft" else "rtrim"
+        return f"{fn}({args[1]}, {args[0]})"
+    if low == "randconstant":
+        # CH: one random value shared by every row of the result (block-
+        # constant; this engine's block is the whole result). A whole-
+        # result window aggregate over rand() yields one shared value —
+        # a scalar subquery does NOT (Spark re-evaluates nondeterministic
+        # subqueries per row, r11 probe: 3 rows → 3 distinct values).
+        # CH's UInt32 range is kept via the same floor(rand()*2^32).
+        return "CAST(min(floor(rand() * 4294967296)) OVER () AS BIGINT)"
     if low == "countif":
         # countIf(cond) / countIf(x, cond) — both with CH truthiness;
         # the old straight count_if rename broke the INT-cond and the
@@ -1552,8 +1576,17 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"(({args[0]}) - ({args[1]}))"
     if low == "multiply":
         return f"(({args[0]}) * ({args[1]}))"
-    if low == "divide":  # CH divide() is always float division
-        return f"(CAST({args[0]} AS DOUBLE) / ({args[1]}))"
+    if low == "divide":
+        # CH divide() is always FLOAT division with IEEE zero-divisor
+        # semantics: x/0 → ±Inf, 0/0 → NaN (r11 probe: Spark's Divide
+        # returns NULL on a zero divisor). x * Inf reproduces all three
+        # cases; the infix `/` spelling keeps Spark's NULL (documented
+        # divergence — rewriting every division would bloat plans).
+        return (
+            f"(CASE WHEN ({args[1]}) = 0 THEN CAST({args[0]} AS DOUBLE)"
+            f" * CAST('Infinity' AS DOUBLE)"
+            f" ELSE CAST({args[0]} AS DOUBLE) / ({args[1]}) END)"
+        )
     if low == "negate":
         return f"(- ({args[0]}))"
     if low == "xxhash32":
@@ -1904,10 +1937,17 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"sequence(1, size({args[0]}))"
     if low == "yesterday":
         return "date_sub(current_date(), 1)"
-    if low in ("touint32", "touint64"):
+    if low == "touint64":
         return f"CAST({args[0]} AS BIGINT)"  # Spark has no unsigned; widen
+    if low == "touint32":
+        # CH integer casts WRAP modulo 2^width (r11 probe:
+        # toUInt32(2^32) = 0 in CH). Inner exact-width cast wraps two's-
+        # complement (ANSI off), the mask recovers the unsigned value,
+        # and the outer type stays the engine's widened signed map.
+        return f"(CAST(CAST({args[0]} AS INT) AS BIGINT) & 4294967295)"
     if low in ("toint8", "toint16"):
-        return f"CAST({args[0]} AS INT)"
+        inner = "TINYINT" if low == "toint8" else "SMALLINT"
+        return f"CAST(CAST({args[0]} AS {inner}) AS INT)"
     if low in ("jsonextractstring", "jsonextractraw", "visitparamextractstring"):
         return f"get_json_object({args[0]}, {_json_path_multi(args[1:])})"
     if low in ("jsonextractint", "jsonextractuint"):
@@ -3284,10 +3324,16 @@ def _translate_call(name: str, args: list[str]) -> str:
         if low == "arraysplit":
             return groups
         return f"reverse(transform({groups}, _g -> reverse(_g)))"
+    if low == "arrayelement":
+        # both 1-based, both negative-from-end; index 0 routes through
+        # nullif → NULL (r11 probe: Spark raises INVALID_INDEX_OF_ZERO
+        # even non-ANSI, where CH returns the type default — NULL is the
+        # engine's documented out-of-bounds posture)
+        return f"element_at({args[0]}, nullif({args[1]}, 0))"
     if low == "arrayelementornull":
         # arrayElement's explicit-NULL sibling; negative indexes count
         # from the end, matching try_element_at exactly
-        return f"try_element_at({args[0]}, {args[1]})"
+        return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
     if low == "bithammingdistance":
         # integer form: popcount of the XOR (CH also accepts strings —
         # byte-wise; the integer contract is the one the fixtures use)
@@ -3424,7 +3470,11 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "formatdatetime":
         return f"date_format({args[0]}, '{_ch_format(args[1])}')"
     if low in ("touint8", "touint16"):
-        return f"CAST({args[0]} AS INT)"
+        # modulo-2^width wrap, CH's unsigned-cast contract (see toUInt32)
+        inner, mask = (
+            ("TINYINT", 255) if low == "touint8" else ("SMALLINT", 65535)
+        )
+        return f"(CAST(CAST({args[0]} AS {inner}) AS INT) & {mask})"
     if low == "todate32":
         return f"to_date({args[0]})"
     if low == "todatetime64":  # precision arg is display-only; Spark
@@ -3442,8 +3492,13 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "isinfinite":
         return f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
     if low == "ifnotfinite":
+        # NULL counts as non-finite here (r11 probe): Spark's division
+        # yields NULL where CH yields ±Inf/NaN, so the canonical CH
+        # safe-division idiom `ifNotFinite(x / y, alt)` must still take
+        # the alternative. Documented divergence: a genuinely-NULL x
+        # returns alt where CH propagates NULL.
         return (
-            f"IF(isnan({args[0]})"
+            f"IF(({args[0]}) IS NULL OR isnan({args[0]})"
             f" OR abs({args[0]}) = CAST('Infinity' AS DOUBLE),"
             f" {args[1]}, {args[0]})"
         )
@@ -5190,6 +5245,7 @@ _OR_CAST_NAMES = {
 }
 
 _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
+    "randconstant", "arrayelement",
     "uniq", "uniqcombined", "uniqexact", "position", "positionutf8",
     "splitbychar", "splitbyregexp", "frombase64", "empty",
     "notempty", "sumif", "avgif", "minif", "maxif", "multiif", "toint32",
@@ -5962,6 +6018,8 @@ _TABLE_META: dict[str, dict[str, str]] = {
     "customer": {"key": "c_custkey"},
     "part": {"key": "p_partkey"},
     "supplier": {"key": "s_suppkey"},
+    "nation": {"key": "n_nationkey"},
+    "region": {"key": "r_regionkey"},
     "events": {"key": "event_id"},
     "documents": {"key": "doc_id"},
     "embeddings": {"key": "vec_id"},
@@ -6417,8 +6475,138 @@ def _random_gen(spark_type: str, seed: str | None, idx: int) -> str:
 
 
 _TF_CALL_RE = re.compile(
-    r"\bFROM\s+(?P<fn>values|null|generateRandom|view)\s*\(", re.IGNORECASE
+    r"\bFROM\s+(?P<fn>values|null|generateRandom|view|format)\s*\(",
+    re.IGNORECASE,
 )
+
+
+def _unquote_sql_str(s: str, what: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1].replace(s[0] * 2, s[0]).replace("\\" + s[0], s[0])
+    raise ValueError(f"{what}: expected a string literal, got {s[:60]!r}")
+
+
+def _py_to_sql_lit(v) -> str:
+    import json as _json
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (list, dict)):
+        # nested JSON stays as its JSON text (fn_json extracts), the
+        # same posture as the Object('json') column map
+        v = _json.dumps(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _format_tf(args: list) -> str:
+    """``format(FormatName[, 'structure'], 'data')`` — CH's inline-data
+    table function (r11 probe: previously mis-routed to the {}-template
+    format() STRING function and errored). The data argument is a query-
+    text literal, so parsing it at translate time is the statement's own
+    semantics (client-side constant data, the INSERT FORMAT posture);
+    schema inference mirrors CH's: explicit structure wins, else column
+    order of first appearance with int/float/string sniffing."""
+    import csv as _csv
+    import io as _io
+    import json as _json
+
+    if len(args) < 2 or len(args) > 3:
+        raise ValueError(
+            "format(): expected format(Format, 'data') or"
+            " format(Format, 'structure', 'data')"
+        )
+    name = args[0].strip().strip("'\"").upper()
+    cols = (
+        _parse_tf_schema(args[1], "format") if len(args) == 3 else None
+    )
+    data = _unquote_sql_str(args[-1], "format() data")
+    lines = [ln for ln in data.splitlines() if ln.strip()]
+    names: list = [n for n, _ in cols] if cols else []
+    rows: list = []
+
+    def sniff(tok: str) -> str:
+        t = tok.strip()
+        try:
+            int(t)
+            return str(int(t))
+        except ValueError:
+            pass
+        try:
+            float(t)
+            return repr(float(t))
+        except ValueError:
+            pass
+        return "'" + t.replace("'", "''") + "'"
+
+    if name == "JSONEACHROW":
+        recs = [_json.loads(ln) for ln in lines]
+        if not cols:
+            for r in recs:
+                for k in r:
+                    if k not in names:
+                        names.append(k)
+        rows = [
+            "(" + ", ".join(_py_to_sql_lit(r.get(n)) for n in names) + ")"
+            for r in recs
+        ]
+    elif name == "JSONCOMPACTEACHROW":
+        recs = [_json.loads(ln) for ln in lines]
+        width = max((len(r) for r in recs), default=0)
+        if not cols:
+            names = [f"c{i + 1}" for i in range(width)]
+        rows = [
+            "(" + ", ".join(
+                _py_to_sql_lit(r[i] if i < len(r) else None)
+                for i in range(len(names))
+            ) + ")"
+            for r in recs
+        ]
+    elif name in ("CSV", "TSV", "TABSEPARATED", "CSVWITHNAMES",
+                  "TSVWITHNAMES", "TABSEPARATEDWITHNAMES"):
+        delim = "," if name.startswith("CSV") else "\t"
+        parsed = list(_csv.reader(_io.StringIO("\n".join(lines)),
+                                  delimiter=delim))
+        if name.endswith("WITHNAMES") and parsed:
+            hdr = parsed.pop(0)
+            if not cols:
+                names = [h.strip() for h in hdr]
+        width = max((len(r) for r in parsed), default=0)
+        if not names:
+            names = [f"c{i + 1}" for i in range(width)]
+        rows = [
+            "(" + ", ".join(
+                sniff(r[i]) if i < len(r) else "NULL"
+                for i in range(len(names))
+            ) + ")"
+            for r in parsed
+        ]
+    elif name == "LINEASSTRING":
+        names = names or ["line"]
+        rows = ["('" + ln.replace("'", "''") + "')" for ln in lines]
+    else:
+        raise ValueError(
+            f"format({args[0].strip()}): supported inline formats are"
+            " JSONEachRow / JSONCompactEachRow / CSV[WithNames] /"
+            " TSV|TabSeparated[WithNames] / LineAsString"
+        )
+    if not rows:
+        if cols:
+            sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+            return f"FROM (SELECT {sel} WHERE FALSE)"
+        raise ValueError("format(): empty data needs an explicit structure")
+    if cols:
+        sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    else:
+        sel = "*"
+    return (
+        f"FROM (SELECT {sel} FROM __spark_values__"
+        f" {', '.join(rows)} AS _ftf({', '.join(names)}))"
+    )
 
 
 def _rewrite_table_fns(q: str) -> str:
@@ -6450,6 +6638,9 @@ def _rewrite_table_fns(q: str) -> str:
             q = q[: m.start()] + "FROM (" + body + ")" + q[rp + 1 :]
             continue
         args = _split_args(body)
+        if fn == "format":
+            q = q[: m.start()] + _format_tf(args) + " " + q[rp + 1 :]
+            continue
         if fn == "null":
             cols = _parse_tf_schema(args[0], "null")
             sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
@@ -6626,8 +6817,12 @@ _ASOF_RE = re.compile(
 _ANY_JOIN_RE = re.compile(
     r"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ANY\b)(?P<la>\w+))?\s+"
     r"ANY\s+(?P<left>LEFT\s+)?(?:INNER\s+)?JOIN\s+"
-    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+ON\s+(?P<cond>.+?)"
-    r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(?P<ra>\w+))?\s+"
+    r"(?:ON\s+(?P<cond>.+?)"
+    r"|USING\s*\(\s*(?P<using>[\w,\s]+?)\s*\)"
+    r"|USING\s+(?P<using2>\w+(?:\s*,\s*\w+)*))"
+    r"(?=\s*\bWHERE\b|\s*\bGROUP\s+BY\b|\s*\bHAVING\b|\s*\bORDER\s+BY\b"
+    r"|\s*\bLIMIT\b|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 _TOTALS_RE = re.compile(
@@ -6903,11 +7098,20 @@ def _rewrite_any_join(q: str) -> str:
         f"{ra}.{c.strip()}"
         for c in rmeta.get("uniq", rmeta["key"]).split(",")
     )
-    cond = m["cond"].strip()
+    using = m["using"] or m["using2"]
+    if using:
+        # USING (k, …) — CH exposes ONE copy of each key (r11 probe: the
+        # spelling previously hit the unsupported-shape error)
+        keys = [c.strip() for c in using.split(",") if c.strip()]
+        cond = " AND ".join(f"{la}.{k} = {ra}.{k}" for k in keys)
+        right_star = f"{ra}.* EXCEPT ({', '.join(keys)})"
+    else:
+        cond = m["cond"].strip()
+        right_star = f"{ra}.*"
     jtype = "LEFT JOIN" if m["left"] else "JOIN"
     sub = (
         f"FROM (SELECT * EXCEPT(_anyrn) FROM ("
-        f"SELECT {la}.*, {ra}.*, ROW_NUMBER() OVER"
+        f"SELECT {la}.*, {right_star}, ROW_NUMBER() OVER"
         f" (PARTITION BY {la}.{lpk} ORDER BY {rorder}) AS _anyrn"
         f" FROM {lt} {la} {jtype} {rt} {ra} ON {cond}"
         f") WHERE _anyrn = 1) "

@@ -1766,6 +1766,23 @@ class ChSession:
                 s = s[:a] + s[b:]
             if spans:
                 masked = _mask_literals(s)
+            # SYNC / NO DELAY drop modifiers (r11 probe): CH's synchronous-
+            # drop request — every drop here IS synchronous, so the
+            # modifier strips. Anchored after the object NAME so a table
+            # actually called `sync` is never eaten.
+            s = re.sub(
+                r"(?is)^(\s*(?:DROP|DETACH|TRUNCATE)\s+(?:TEMPORARY\s+)?"
+                r"(?:TABLE|VIEW|DATABASE|DICTIONARY)\s+"
+                r"(?:IF\s+EXISTS\s+)?[\w.]+)\s+(?:SYNC|NO\s+DELAY)\s*$",
+                r"\1", s,
+            )
+            # trailing SETTINGS knobs on OPTIMIZE — same accepted-and-
+            # dropped class as SET/SETTINGS everywhere else (r11 probe)
+            s = re.sub(
+                r"(?is)^(\s*OPTIMIZE\s+TABLE\b.*?)\s+SETTINGS\s+"
+                r"\w+\s*=\s*[^,\s]+(?:\s*,\s*\w+\s*=\s*[^,\s]+)*\s*$",
+                r"\1", s,
+            )
             # ENGINE = Distributed(cluster, db, table[, key]) cannot be
             # modeled: there is no second namespace to route to, and every
             # table here is already partitioned across executors. Named
@@ -2707,6 +2724,11 @@ class ChSession:
             if tr["ttl"]:
                 meta["ttl"] = _parse_ttl_clause(tr["ttl"])
             self.meta[name] = meta
+            if self._implicit_replacing(name):
+                # clones start EMPTY — seed the insert-order shadow
+                self._ins_shadow[name] = self.tables[name].withColumn(
+                    "_ch_ins_seq", F.lit(0).cast("long")
+                )
             return None
 
         m = _ALTER_MISC_RE.match(s)
@@ -3856,17 +3878,17 @@ class ChSession:
             self._append_part(name, block)  # the MergeTree parts model
         else:
             self._register(name, target.unionByName(block))
-        if self._implicit_replacing(name):
+        if self._implicit_replacing(name) and prev_shadow is not None:
             # version-less Replacing: tag the block with its insert
             # generation so FINAL can collapse to the last-inserted row
-            # (the parts model's generation sequence, carried explicitly)
+            # (the parts model's generation sequence, carried explicitly).
+            # A None shadow means a mutation invalidated it — it must
+            # STAY invalid: re-seeding from this block alone would make
+            # FINAL silently drop every pre-mutation row.
             seq = self._iseq.get(name, 0) + 1
             self._iseq[name] = seq
             tagged = block.withColumn("_ch_ins_seq", F.lit(seq).cast("long"))
-            self._ins_shadow[name] = (
-                tagged if prev_shadow is None
-                else prev_shadow.unionByName(tagged)
-            )
+            self._ins_shadow[name] = prev_shadow.unionByName(tagged)
         self._fire_mvs(name, block)
         return None
 

@@ -200,13 +200,23 @@ def test_optimize_summing_merges_partials(spark, sf_dir):
 
 
 def test_optimize_replacing_requires_version(spark, sf_dir):
+    """r11: version-less ReplacingMergeTree OPTIMIZE FINAL now runs by
+    INSERT order (implicit generation counter); the guided error moved to
+    where order is genuinely unrecoverable — after a mutation rewrote the
+    table (see test_r11_versionless_replacing_final)."""
     ch = ChSession(spark, sf_dir)
     ch.execute(
         "CREATE TABLE nv (k Int64, v Int64) "
         "ENGINE = ReplacingMergeTree() ORDER BY k"
     )
     ch.execute("INSERT INTO nv VALUES (1, 1)")
-    with pytest.raises(ValueError, match="version column"):
+    ch.execute("INSERT INTO nv VALUES (1, 7)")
+    ch.execute("OPTIMIZE TABLE nv FINAL")
+    assert [(r.k, r.v) for r in ch.execute(
+        "SELECT k, v FROM nv").collect()] == [(1, 7)]
+    ch.execute("ALTER TABLE nv UPDATE v = 8 WHERE k = 1")
+    ch.execute("INSERT INTO nv VALUES (1, 9)")
+    with pytest.raises(ValueError, match="INSERT order"):
         ch.execute("OPTIMIZE TABLE nv FINAL")
 
 
@@ -2723,3 +2733,26 @@ def test_r11_mv_trailer_any_order(spark, sf_dir):
         (1, 30)]
     assert ch.meta["mvp11"]["engine"] == "SummingMergeTree"
     assert ch.meta["mvp11"]["partition_by_ch"] == "k"
+
+
+def test_r11_drop_sync_optimize_settings(spark, sf_dir):
+    """r11 probe: DROP/TRUNCATE/DETACH accept CH's SYNC / NO DELAY
+    modifier (drops here are already synchronous) without eating a table
+    actually named `sync`; OPTIMIZE accepts trailing SETTINGS knobs
+    (accepted-and-dropped, like SET)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE pts11 (k UInt32, v String) ENGINE ="
+               " ReplacingMergeTree(k) ORDER BY k")
+    ch.execute("INSERT INTO pts11 VALUES (1, 'a'), (1, 'b')")
+    ch.execute("OPTIMIZE TABLE pts11 FINAL SETTINGS alter_sync = 2,"
+               " optimize_skip_merged_partitions = 1")
+    assert ch.execute("SELECT count() AS n FROM pts11").collect()[0].n == 1
+    ch.execute("DROP TABLE IF EXISTS nosuch11 SYNC")
+    ch.execute("TRUNCATE TABLE IF EXISTS nosuch11 SYNC")
+    ch.execute("CREATE TABLE sync (x Int64) ENGINE = Memory")
+    ch.execute("DROP TABLE sync")
+    assert "sync" not in ch.tables
+    ch.execute("DROP TABLE pts11 NO DELAY")
+    assert "pts11" not in ch.tables

@@ -162,6 +162,14 @@ class Gen:
             c = r.choice(self.t["double"])
             # floor(double) is BIGINT in Spark, DOUBLE in DuckDB.
             return f"floor({c})", f"CAST(floor({c}) AS BIGINT)"
+        if pick == 7 and r.random() < 0.5:
+            # r11: modulo-2^width wrapping casts (CH's overflow contract)
+            a_ch, a_dk = self.int_expr(d - 1)
+            w, fn = r.choice([(256, "toUInt8"), (65536, "toUInt16")])
+            return (
+                f"toInt64({fn}({a_ch}))",
+                f"CAST((({a_dk}) % {w} + {w}) % {w} AS BIGINT)",
+            )
         (a_ch, a_dk), (b_ch, b_dk) = self.int_expr(d - 1), self.int_expr(0)
         fn = r.choice(["greatest", "least"])
         return f"{fn}({a_ch}, {b_ch})", f"{fn}({a_dk}, {b_dk})"
@@ -191,6 +199,18 @@ class Gen:
             return f"{fn}({a_ch})", f"{fn}({a_dk})"
         if pick == 2:
             a_ch, a_dk = self.str_expr(d - 1)
+            if r.random() < 0.3:
+                # r11: two-arg trim family — Spark's ltrim/rtrim argument
+                # order is reversed vs CH; DuckDB's matches CH
+                ch_fn, dk_fn = r.choice(
+                    [("trimBoth", "trim"), ("trimLeft", "ltrim"),
+                     ("trimRight", "rtrim")]
+                )
+                tc = r.choice(["x", "A", " "])
+                return (
+                    f"{ch_fn}({a_ch}, '{tc}')",
+                    f"{dk_fn}({a_dk}, '{tc}')",
+                )
             i, n = r.randint(1, 3), r.randint(2, 5)
             return (
                 f"substring({a_ch}, {i}, {n})",

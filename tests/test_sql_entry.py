@@ -4036,3 +4036,127 @@ def test_r11_dollar_quoted_strings(spark):
         "SELECT '$5 and $$' AS s")).collect()[0].s == "$5 and $$"
     # unterminated tag passes through for the engine's own loud error
     assert "$$oops" in translate("SELECT $$oops AS s")
+
+
+def test_r11_probe_batch1(spark):
+    """r11 probe battery: two-arg trim family (Spark's ltrim/rtrim take
+    (trimStr, srcStr) — REVERSED vs CH — and two-arg trim() silently
+    returned ''), randConstant (one shared value per result, was an
+    unresolved passthrough), and the format() TABLE function (was
+    mis-routed to the {}-template string format())."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
+
+    assert one("trimBoth('xxhixx', 'x')") == "hi"
+    assert one("trimLeft('xxhix', 'x')") == "hix"
+    assert one("trimRight('hixxx', 'x')") == "hi"
+    assert one("trimBoth('  hi  ')") == "hi"
+    rows = spark.sql(translate(
+        "SELECT randConstant() AS a FROM numbers(5)")).collect()
+    assert len(rows) == 5 and len({r.a for r in rows}) == 1
+    assert 0 <= rows[0].a < 2 ** 32
+    # format() table function: JSONEachRow inference, CSV sniffing,
+    # explicit structure, WithNames headers; string format() untouched
+    q = ('SELECT * FROM format(JSONEachRow, \'{"a": 1, "b": "x"}\n'
+         '{"a": 2, "b": "y"}\') ORDER BY a')
+    assert [tuple(r) for r in spark.sql(translate(q)).collect()] == [
+        (1, "x"), (2, "y")]
+    assert spark.sql(translate(
+        "SELECT sum(c1) AS s FROM format(CSV, '1,hello\n2,world')"
+    )).collect()[0].s == 3
+    q3 = ("SELECT * FROM format(JSONCompactEachRow, 'a UInt32, s String',"
+          " '[1, \"x\"]\n[2, \"y\"]') ORDER BY a")
+    got = spark.sql(translate(q3))
+    assert [tuple(r) for r in got.collect()] == [(1, "x"), (2, "y")]
+    assert dict(got.dtypes)["a"] == "bigint"
+    assert [tuple(r) for r in spark.sql(translate(
+        "SELECT * FROM format(CSVWithNames, 'x,y\n1,2')")).collect()] == [
+        (1, 2)]
+    assert spark.sql(translate(
+        "SELECT format('{}-{}', 'a', 'b') AS f")).collect()[0].f == "a-b"
+
+
+def test_r11_division_finiteness(spark):
+    """r11 probe: CH divide() has IEEE zero-divisor semantics (x/0 →
+    ±Inf, 0/0 → NaN) where Spark's Divide yields NULL; ifNotFinite
+    treats NULL as non-finite so the canonical safe-division idiom
+    `ifNotFinite(x / y, alt)` takes the alternative under Spark's NULL
+    too (documented divergence for genuinely-NULL x)."""
+    import math
+
+    from canal_clickhouse_spark.chsql import translate
+
+    r = spark.sql(translate(
+        "SELECT divide(1, 0) AS a, divide(-1, 0) AS b,"
+        " divide(0, 0) AS c, divide(7, 2) AS d")).collect()[0]
+    assert r.a == float("inf") and r.b == float("-inf")
+    assert math.isnan(r.c) and r.d == 3.5
+    assert spark.sql(translate(
+        "SELECT ifNotFinite(1/0, 42) AS r")).collect()[0].r == 42.0
+    assert spark.sql(translate(
+        "SELECT ifNotFinite(divide(5, 0), 99) AS r")).collect()[0].r == 99.0
+    assert spark.sql(translate(
+        "SELECT ifNotFinite(2.5, 99) AS r")).collect()[0].r == 2.5
+
+
+def test_r11_any_join_using(spark, sf_dir):
+    """r11 probe: ANY [LEFT] JOIN accepts the USING (k, ...) spelling
+    (both parenthesized and bare), exposing ONE copy of each key; the
+    same flattening caveats as the ON form apply (disjoint non-key
+    column names)."""
+    from canal_clickhouse_spark.catalog import register_views
+    from canal_clickhouse_spark.chsql import translate
+
+    register_views(spark, sf_dir)
+    q = ("SELECT count(*) AS n FROM orders ANY LEFT JOIN orders o2"
+         " USING (o_orderkey)")
+    n_orders = spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+    assert spark.sql(translate(q)).collect()[0].n == n_orders
+    q2 = ("SELECT count(*) AS n FROM orders ANY LEFT JOIN orders o2"
+          " USING o_orderkey")
+    assert spark.sql(translate(q2)).collect()[0].n == n_orders
+    # one copy of the key survives (no AMBIGUOUS_REFERENCE on the key)
+    q3 = ("SELECT o_orderkey FROM orders ANY LEFT JOIN orders o2"
+          " USING (o_orderkey) ORDER BY o_orderkey LIMIT 1")
+    assert spark.sql(translate(q3)).collect()[0].o_orderkey is not None
+
+
+def test_r11_int_cast_wrapping(spark):
+    """r11 probe: CH's toInt*/toUInt* casts WRAP modulo 2^width on
+    overflow (toUInt8(256) = 0, toInt8(128) = -128); the widened signed
+    output types stay unchanged."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
+
+    assert one("toUInt8(256)") == 0
+    assert one("toUInt8(257)") == 1
+    assert one("toUInt8(-1)") == 255
+    assert one("toUInt8(200)") == 200
+    assert one("toInt8(128)") == -128
+    assert one("toInt8(-129)") == 127
+    assert one("toInt16(40000)") == -25536
+    assert one("toUInt16(65536)") == 0
+    assert one("toUInt32(4294967296)") == 0
+    assert one("toUInt32(4294967295)") == 4294967295
+    assert one("toInt8('5')") == 5
+    assert one("toUInt8(3.9)") == 3  # truncation toward zero, then wrap
+
+
+def test_r11_array_element_zero_index(spark):
+    """r11 probe: arrayElement index 0 must not raise (Spark's
+    INVALID_INDEX_OF_ZERO fires even non-ANSI); it yields NULL — the
+    engine's documented out-of-bounds posture (CH returns the type
+    default)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
+
+    assert one("arrayElement([1,2], 0)") is None
+    assert one("arrayElement([1,2], -1)") == 2
+    assert one("arrayElement([1,2], 5)") is None
+    assert one("arrayElementOrNull([1,2], 0)") is None
