@@ -1553,6 +1553,13 @@ def _translate_call(name: str, args: list[str]) -> str:
             raise ValueError(f"{name} needs a literal integer scale")
         return f"CAST({args[0]} AS DECIMAL({digits}, {args[1].strip()}))"
     if low == "tostring":
+        if len(args) == 2:
+            # toString(DateTime, 'tz') renders the instant in that zone
+            # (r11 probe: the tz argument was silently dropped)
+            return (
+                f"date_format(from_utc_timestamp({args[0]}, {args[1]}),"
+                f" 'yyyy-MM-dd HH:mm:ss')"
+            )
         return f"CAST({args[0]} AS STRING)"
     if low == "intdiv":
         # CAST makes the rewrite type-safe: Spark's `div` is integral-only
@@ -3730,10 +3737,26 @@ def _translate_call(name: str, args: list[str]) -> str:
             except ValueError:
                 return t
 
+        def _emit(expr: str, tname: str) -> str:
+            # narrow-int targets WRAP modulo 2^width like the to*-cast
+            # family (r11: CAST(300, 'UInt8') is 44 in CH, same contract)
+            wrap = {
+                "uint8": ("TINYINT", 255, "INT"),
+                "uint16": ("SMALLINT", 65535, "INT"),
+                "uint32": ("INT", 4294967295, "BIGINT"),
+                "int8": ("TINYINT", None, "INT"),
+                "int16": ("SMALLINT", None, "INT"),
+            }.get(tname.strip().lower())
+            if wrap:
+                inner, mask, outer = wrap
+                base = f"CAST(CAST({expr} AS {inner}) AS {outer})"
+                return f"({base} & {mask})" if mask is not None else base
+            return f"CAST({expr} AS {_map_type(tname)})"
+
         if len(args) == 2:
             m = re.fullmatch(r"(?s)\s*'([^']+)'\s*", args[1])
             if m:
-                return f"CAST({args[0]} AS {_map_type(m.group(1))})"
+                return _emit(args[0], m.group(1))
         if len(args) == 1:
             s = args[0]
             masked_s = _mask_literals(s)
@@ -3743,7 +3766,7 @@ def _translate_call(name: str, args: list[str]) -> str:
                     pos = mm
             if pos:
                 e = s[: pos.start()].rstrip()
-                return f"CAST({e} AS {_map_type(s[pos.end():].strip())})"
+                return _emit(e, s[pos.end():].strip())
         return f"CAST({', '.join(args)})"
     if low == "notlike":
         return f"(NOT ({args[0]} LIKE {args[1]}))"
@@ -7816,7 +7839,11 @@ def _rewrite_clauses(q: str) -> str:
     # `expr :: ChType` — Spark supports :: natively, but the TYPE NAME may
     # be a CH spelling (x::UInt32, x::Nullable(String)). Map the mappable
     # ones through the DDL type mapper; names it doesn't know are left for
-    # Spark (x::INT untouched).
+    # Spark (x::INT untouched). Known divergence (r11): the suffix form
+    # does NOT wrap on narrow-int overflow (the cast target widens, so
+    # 300::UInt8 stays 300) — the expression's extent can't be bounded
+    # textually to wrap it safely; CAST(x, 'UInt8') / CAST(x AS UInt8) /
+    # toUInt8(x) all wrap per CH's modulo-2^width contract.
     masked = _mask_literals(q)
     cc_out, cc_last = [], 0
     for ccm in re.finditer(

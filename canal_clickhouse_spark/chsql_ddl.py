@@ -313,7 +313,12 @@ def parse_col_def(item: str) -> tuple[str, str, str | None, str, bool]:
     default for INSERT-list resolution. The raw CH type text comes back
     as the 4th element so callers can record declared wrappers (r8:
     Nullable fidelity in SHOW CREATE TABLE)."""
-    cm = re.match(r"(?s)^\s*(?:`(?P<bq>\w+)`|(?P<plain>\w+))\s+(?P<rest>.+?)\s*$", item)
+    cm = re.match(
+        # backticked names may hold ANY chars incl. spaces (r11 probe:
+        # `weird name` UInt32 was unparseable under the \w-only pattern)
+        r"(?s)^\s*(?:`(?P<bq>[^`]+)`|(?P<plain>\w+))\s+(?P<rest>.+?)\s*$",
+        item,
+    )
     if not cm:
         raise ValueError(f"unparseable column def: {item!r}")
     name = cm.group("bq") or cm.group("plain")
@@ -424,7 +429,8 @@ def parse_create_body(cols_text: str) -> tuple[
                 "default": translate(dflt) if dflt is not None else None,
             }
             continue
-        cols.append(f"CAST(NULL AS {spark_t}) AS {col}")
+        col_sql = col if re.fullmatch(r"\w+", col) else f"`{col}`"
+        cols.append(f"CAST(NULL AS {spark_t}) AS {col_sql}")
         if dflt is not None:
             defaults[col] = translate(dflt)
         if _ch_declared_nullable(ch_t):
@@ -877,10 +883,19 @@ _ALTER_COLUMN_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+"
     r"(?P<ops>(?:ADD|DROP|MODIFY|RENAME)\s+COLUMN\b.*)$"
 )
+# COMMENT/CODEC/TTL column decorations parse-and-drop, the same posture
+# as parse_col_def (r11 probe: `ADD COLUMN c UInt8 DEFAULT 0 COMMENT 'c'`
+# swallowed the COMMENT into the DEFAULT expression and died at analysis)
+_COL_DECOR = (
+    r"(?:\s+(?:COMMENT\s+'(?:[^']|'')*'"
+    r"|CODEC\s*\((?:[^()]|\([^()]*\))*\)"
+    r"|TTL\s+[^,]+?))*"
+)
 _ADD_COL_ACTION_RE = re.compile(
     r"(?is)^ADD\s+COLUMN\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<col>\w+)\s+"
     r"(?P<type>.+?)"
     r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+    + _COL_DECOR +
     r"(?:\s+AFTER\s+(?P<after>\w+)|\s+(?P<first>FIRST))?\s*$"
 )
 _DROP_COL_ACTION_RE = re.compile(
@@ -896,6 +911,7 @@ _MODIFY_COL_ACTION_RE = re.compile(
     # into the type text and refused as an unknown CH type)
     r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
     r"(?P<type>.+?)(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+    + _COL_DECOR +
     r"(?:\s+AFTER\s+(?P<after>\w+)|\s+(?P<first>FIRST))?\s*$"
 )
 _RENAME_COL_ACTION_RE = re.compile(
@@ -2116,7 +2132,9 @@ class ChSession:
                 [c.strip() for c in m.group("cols").split(",")]
                 if m.group("cols") else self.tables[name].columns
             )
-            alias = ", ".join(cols)
+            alias = ", ".join(
+                c if re.fullmatch(r"\w+", c) else f"`{c}`" for c in cols
+            )
             # the payload routes through the TRANSLATOR (r10 probe: CH
             # collection literals — [1,2] arrays, map(...), bare (a, b)
             # tuples — previously reached Spark's VALUES parser verbatim
@@ -4592,3 +4610,103 @@ def chsql_db_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     db-qualified spelling; the oracle recomputes everything from orders
     directly."""
     return ch_execute_script(spark, sf_dir, _CH_DB_LABELS_SCRIPT)
+
+
+_CH_CREATE_FUNCTION_SCRIPT = """
+CREATE OR REPLACE FUNCTION order_bucket AS (k) -> if(k % 2, 'odd', 'even');
+CREATE OR REPLACE FUNCTION wkey AS (k, w) -> k * w + 1;
+
+SELECT order_bucket(o_orderkey) AS bucket,
+       toInt64(count()) AS n,
+       toInt64(sum(wkey(o_orderkey, 3))) AS wsum
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY bucket ORDER BY bucket;
+"""
+
+
+@query(
+    "chsql_create_function",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'odd' ELSE 'even' END
+             AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey * 3 + 1) AS BIGINT) AS wsum
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def chsql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 verdict missing #1: ``CREATE FUNCTION name AS (args) -> expr``
+    SQL lambda UDFs — registered server-global (CH's own scope), expanded
+    textually through the translator so the CH-dialect body (integer
+    truthiness in ``if``) takes the full pipeline. OR REPLACE keeps the
+    script idempotent across driver re-runs; the oracle inlines both
+    lambda bodies by hand."""
+    return ch_execute_script(spark, sf_dir, _CH_CREATE_FUNCTION_SCRIPT)
+
+
+_CH_VERSIONLESS_FINAL_SCRIPT = """
+CREATE TABLE ur_nov (k Int64, status String, ck Int64)
+ORDER BY k PARTITION BY modulo(k, 2) ENGINE = ReplacingMergeTree;
+
+INSERT INTO ur_nov
+SELECT o_orderkey, o_orderstatus, o_custkey
+FROM orders WHERE o_orderkey % 4 = 0;
+
+INSERT INTO ur_nov
+SELECT o_orderkey, concat(o_orderstatus, '+'), o_custkey * 2
+FROM orders WHERE o_orderkey % 8 = 0;
+
+SELECT status, toInt64(count()) AS n, toInt64(sum(ck)) AS cksum
+FROM ur_nov FINAL GROUP BY status ORDER BY status;
+"""
+
+
+@query(
+    "chsql_versionless_final",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 8 = 0
+                  THEN o_orderstatus || '+' ELSE o_orderstatus END
+               AS status,
+             CASE WHEN o_orderkey % 8 = 0
+                  THEN o_custkey * 2 ELSE o_custkey END AS ck
+      FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT status, COUNT(*) AS n, CAST(SUM(ck) AS BIGINT) AS cksum
+    FROM base GROUP BY status ORDER BY status
+    """,
+)
+def chsql_versionless_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 verdict missing #2 + the clause-order fix in one script: the
+    CREATE spells its storage trailer in HOSTILE order (ORDER BY before
+    PARTITION BY before ENGINE — ClickHouse's ParserStorage accepts any
+    order), and the version-less ReplacingMergeTree collapses FINAL by
+    INSERT order via the implicit generation counter: the second INSERT's
+    rows (keys % 8 == 0) win over the first generation's."""
+    return ch_execute_script(spark, sf_dir, _CH_VERSIONLESS_FINAL_SCRIPT)
+
+
+_CH_FORMAT_TF_SCRIPT = """
+SELECT c AS cat, toInt64(sum(m)) AS s
+FROM format(JSONEachRow, $${"m": 0, "c": "even"}
+{"m": 1, "c": "odd"}
+{"m": 2, "c": "even"}$$)
+GROUP BY cat ORDER BY cat;
+"""
+
+
+@query(
+    "chsql_format_tf",
+    oracle="""
+    SELECT c AS cat, CAST(SUM(m) AS BIGINT) AS s
+    FROM (VALUES (0, 'even'), (1, 'odd'), (2, 'even')) AS t(m, c)
+    GROUP BY cat ORDER BY cat
+    """,
+)
+def chsql_format_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 probe batch: the ``format(Format, data)`` TABLE function over
+    an inline dollar-quoted JSONEachRow literal — schema inference by
+    first-appearance key order, data parsed at translate time (client-
+    side constant, the INSERT FORMAT posture)."""
+    return ch_execute_script(spark, sf_dir, _CH_FORMAT_TF_SCRIPT)

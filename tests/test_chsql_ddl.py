@@ -2756,3 +2756,30 @@ def test_r11_drop_sync_optimize_settings(spark, sf_dir):
     assert "sync" not in ch.tables
     ch.execute("DROP TABLE pts11 NO DELAY")
     assert "pts11" not in ch.tables
+
+
+def test_r11_column_decorations_and_backticks(spark, sf_dir):
+    """r11 probe: ALTER ADD/MODIFY COLUMN accept trailing COMMENT /
+    CODEC / TTL decorations (parse-and-drop, the parse_col_def posture);
+    backticked column names may contain spaces end-to-end (CREATE /
+    INSERT VALUES / SELECT)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    ch = ChSession(spark, sf_dir)
+    ch.execute("CREATE TABLE dec11 (k UInt32, v UInt32) ENGINE ="
+               " MergeTree ORDER BY k")
+    ch.execute("ALTER TABLE dec11 ADD COLUMN c UInt8 DEFAULT 9"
+               " COMMENT 'the c' CODEC(ZSTD(3))")
+    ch.execute("INSERT INTO dec11 (k, v) VALUES (1, 2)")
+    assert [tuple(r) for r in ch.execute(
+        "SELECT k, v, c FROM dec11").collect()] == [(1, 2, 9)]
+    ch.execute("ALTER TABLE dec11 MODIFY COLUMN c Int64 DEFAULT 7"
+               " COMMENT 'x'")
+    ch.execute("ALTER TABLE dec11 RENAME COLUMN c TO c2")
+    ch.execute("ALTER TABLE dec11 DROP COLUMN c2")
+    assert ch.tables["dec11"].columns == ["k", "v"]
+    ch.execute("CREATE TABLE bt11 (`weird name` UInt32, ok UInt8)"
+               " ENGINE = Memory")
+    ch.execute("INSERT INTO bt11 VALUES (5, 1)")
+    assert ch.execute(
+        "SELECT `weird name` AS w FROM bt11").collect()[0].w == 5

@@ -1152,7 +1152,7 @@ def test_chsql_r8_clause_batch(spark):
     # CAST spellings: two-arg form, CH type names, :: with CH type
     one = lambda e: spark.sql(translate(f"SELECT {e} AS v")).collect()[0].v
     assert one("CAST('7', 'Int64')") == 7
-    assert one("CAST(300 AS UInt8)") == 300  # widened to SMALLINT, no wrap
+    assert one("CAST(300 AS UInt8)") == 44  # r11: wraps mod 2^8, as CH
     assert one("CAST(3.9 AS Nullable(String))") == "3.9"
     assert one("'11'::UInt32 + 1") == 12
     assert one("CAST(CAST('8' AS Int32) AS Int64)") == 8
@@ -4160,3 +4160,23 @@ def test_r11_array_element_zero_index(spark):
     assert one("arrayElement([1,2], -1)") == 2
     assert one("arrayElement([1,2], 5)") is None
     assert one("arrayElementOrNull([1,2], 0)") is None
+
+
+def test_r11_cast_spellings_wrap_and_tz(spark):
+    """r11 probe: the CAST(x, 'Type') and CAST(x AS Type) spellings wrap
+    narrow-int targets modulo 2^width like the to*-cast family;
+    toString(DateTime, tz) renders in that zone (tz was dropped)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
+
+    assert one("CAST(300, 'UInt8')") == 44
+    assert one("CAST(300 AS UInt8)") == 44
+    assert one("CAST(-1, 'UInt16')") == 65535
+    assert one("CAST('abc', 'UInt8')") is None  # non-ANSI parse fail
+    assert one("CAST('12', 'Int64')") == 12
+    assert list(one("CAST([1,2], 'Array(String)')")) == ["1", "2"]
+    assert one("toString(toDateTime('2024-01-01 00:00:00'),"
+               " 'Asia/Tokyo')") == "2024-01-01 09:00:00"
+    assert one("toString(42)") == "42"
