@@ -1421,10 +1421,62 @@ def _translate_call(name: str, args: list[str]) -> str:
         cnd = _cond(args[-1])
         ins = ", ".join(f"IF({cnd}, {a}, NULL)" for a in args[:-1])
         return f"{fn}({ins})"
-    if low in ("summap", "minmap", "maxmap", "avgmap",
+    if low in ("summap", "minmap", "maxmap",
+               "summapif", "minmapif", "maxmapif",
                "summappedarrays", "minmappedarrays", "maxmappedarrays"):
+        # Per-key merge of the group's maps: collect the maps, fold with
+        # map_zip_with, and emit keys sorted ascending (CH's output
+        # order). Map-argument form returns a Map; the (keys, values)
+        # two-array form — and the *MappedArrays aliases — return CH's
+        # tuple-of-parallel-arrays. Like uniqArray above, collect_list
+        # holds one group's maps in the aggregation state: fine for the
+        # bounded key cardinalities sumMap is built for; for unbounded
+        # keys explode + GROUP BY key is the scale path (the rewriter
+        # cannot restructure the enclosing GROUP BY). r11 probe: this
+        # family was a guided refusal, but the fold spelling is exact.
+        cond = None
+        if low.endswith("mapif"):
+            # -If combinator: collect_list skips NULLs, so gating the
+            # collected map on the condition is exact.
+            cond, args = _cond(args[-1]), args[:-1]
+        base = low.replace("mappedarrays", "map").removesuffix("if")
+        two_arr = low.endswith("mappedarrays") or len(args) == 2
+        m_in = (
+            f"map_from_arrays({args[0]}, {args[1]})" if two_arr
+            else args[0]
+        )
+        if cond is not None:
+            m_in = f"IF({cond}, {m_in}, NULL)"
+        ms = f"collect_list({m_in})"
+        if base == "summap":
+            seed = (
+                f"transform_values(element_at({ms}, 1),"
+                f" (_k, _v) -> CAST(_v AS DOUBLE))"
+            )
+            lam = (
+                "(_k, _a, _b) -> coalesce(_a, 0D)"
+                " + coalesce(CAST(_b AS DOUBLE), 0D)"
+            )
+        else:
+            seed = f"element_at({ms}, 1)"
+            cmp_ = "least" if base == "minmap" else "greatest"
+            # Spark least/greatest skip NULLs, so a key missing from one
+            # side keeps the present side's value — CH's merge rule.
+            lam = f"(_k, _a, _b) -> {cmp_}(_a, _b)"
+        merged = (
+            f"aggregate(slice({ms}, 2, greatest(size({ms}) - 1, 0)),"
+            f" {seed}, (_acc, _m) -> map_zip_with(_acc, _m, {lam}))"
+        )
+        sorted_entries = f"array_sort(map_entries({merged}))"
+        if two_arr:
+            return (
+                f"struct(transform({sorted_entries}, _e -> _e.key) AS keys,"
+                f" transform({sorted_entries}, _e -> _e.value) AS values)"
+            )
+        return f"map_from_entries({sorted_entries})"
+    if low == "avgmap":
         raise ValueError(
-            f"{name} aggregates per-key values into parallel arrays —"
+            "avgMap aggregates per-key values into parallel arrays —"
             " not expressible as one scalar rewrite; explode the"
             " key/value arrays, GROUP BY key with the base aggregate,"
             " then collect (see the fn_map / agg_pivot operators)"
@@ -2272,14 +2324,36 @@ def _translate_call(name: str, args: list[str]) -> str:
             f"regexp_extract(parse_url({args[0]}, 'HOST'), '([^.]+)$', 1)"
         )
     if low in ("firstsignificantsubdomain", "cuttofirstsignificantsubdomain"):
-        # Approximation (documented divergence): CH resolves these against
-        # its embedded public-suffix list (so co.uk counts as a suffix);
-        # this maps the common single-label-TLD case — last two host
-        # labels, or their first label.
-        two = f"regexp_extract(parse_url({args[0]}, 'HOST'), '([^.]+\\\\.[^.]+)$', 1)"
+        # CH resolves these against its embedded public-suffix list; this
+        # models the two dominant shapes of that list — single-label TLDs
+        # and the <generic>.<2-letter-cc> second-level suffixes (co.uk,
+        # com.tr, ac.jp, …) via the curated generic-label set below
+        # (documented divergence: exotic publicsuffix.org entries beyond
+        # these shapes fall back to the single-label rule). r11 probe:
+        # the old last-two-labels rule returned 'com' for
+        # news.clickhouse.com.tr where CH returns 'clickhouse'.
+        labels = f"split(parse_url({args[0]}, 'HOST'), '\\\\.')"
+        sld = (
+            "('ac','co','com','edu','gob','gouv','gov','go','mil','ne',"
+            "'net','nom','or','org','sch','asn','id','ltd','plc')"
+        )
+        two_level = (
+            f"(size({labels}) >= 3"
+            f" AND length(element_at({labels}, -1)) = 2"
+            f" AND element_at({labels}, -2) IN {sld})"
+        )
         if low == "cuttofirstsignificantsubdomain":
-            return two
-        return f"split({two}, '\\\\.')[0]"
+            return (
+                f"IF(size({labels}) < 2, '',"
+                f" concat_ws('.', slice({labels},"
+                f" size({labels}) - IF({two_level}, 2, 1),"
+                f" IF({two_level}, 3, 2))))"
+            )
+        return (
+            f"IF(size({labels}) < 2, '',"
+            f" element_at({labels},"
+            f" size({labels}) - IF({two_level}, 2, 1)))"
+        )
     if low == "cutquerystring":  # removes '?query', keeps any fragment
         return f"regexp_replace({args[0]}, '\\\\?[^#]*', '')"
     if low == "cutfragment":
@@ -2631,16 +2705,30 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "nan":
         return "CAST('NaN' AS DOUBLE)"
     if low == "totypename":  # runtime Spark type → CH spelling
-        cases = " ".join(
-            f"WHEN '{sp.lower()}' THEN '{chn}'" for sp, chn in [
-                ("tinyint", "Int8"), ("smallint", "Int16"),
-                ("int", "Int32"), ("bigint", "Int64"),
-                ("float", "Float32"), ("double", "Float64"),
-                ("string", "String"), ("date", "Date"),
-                ("timestamp", "DateTime"), ("boolean", "Bool"),
-            ]
-        )
-        return f"(CASE typeof({args[0]}) {cases} ELSE typeof({args[0]}) END)"
+        # token-level rename + structural rewrite so PARAMETRIC types
+        # render in CH spelling too: decimal(10,2) → Decimal(10, 2),
+        # array<map<string,int>> → Array(Map(String, Int32)), struct →
+        # Tuple (r11 probe: the old scalar-only CASE printed Spark names
+        # for every container type). Nullability is not visible through
+        # typeof() — Nullable(…) wrappers don't render (documented).
+        expr = f"typeof({args[0]})"
+        for sp, chn in [
+            ("tinyint", "Int8"), ("smallint", "Int16"),
+            ("bigint", "Int64"), ("int", "Int32"),
+            ("float", "Float32"), ("double", "Float64"),
+            ("string", "String"), ("date", "Date"),
+            ("timestamp_ntz", "DateTime"), ("timestamp", "DateTime"),
+            ("boolean", "Bool"), ("binary", "String"),
+            ("void", "Nothing"),
+        ]:
+            expr = f"regexp_replace({expr}, '\\\\b{sp}\\\\b', '{chn}')"
+        for a_, b_ in [
+            ("array<", "Array("), ("map<", "Map("),
+            ("struct<", "Tuple("), (">", ")"),
+            ("decimal(", "Decimal("), (":", " "), (",", ", "),
+        ]:
+            expr = f"replace({expr}, '{a_}', '{b_}')"
+        return expr
     if low == "char" and len(args) > 1:  # CH char() is variadic
         return f"concat({', '.join(f'chr({a})' for a in args)})"
     if low == "ipv4numtostring":
@@ -3397,7 +3485,7 @@ def _translate_call(name: str, args: list[str]) -> str:
             " (wire it through the scan operators in sources.py)"
         )
     if low in ("input", "executable", "executablepool", "loop",
-               "fuzzquery", "fuzzjson", "viewifpermitted",
+               "fuzzquery", "fuzzjson", "viewifpermitted", "viewexplain",
                "timeseriesdata", "timeseriestags", "timeseriesmetrics"):
         raise ValueError(
             f"{name}() is a server-side table-function runtime this"
@@ -3841,14 +3929,34 @@ def _translate_call(name: str, args: list[str]) -> str:
                "parsedatetime64besteffortornull",
                "parsedatetimebesteffortus",
                "parsedatetimebesteffortusornull"):
-        # CH's best-effort parser accepts many human formats; Spark's CAST
-        # covers the ISO-ish subset (the common CDC payload shapes).
-        # Documented partial: exotic spellings (e.g. '12 Mar 2024') need an
-        # explicit to_timestamp(fmt). The OrNull forms map to try_cast;
-        # the width-suffixed 32/64 spellings (r9 probe: passthrough) are
-        # the same parser at a different storage width.
-        op = "try_cast" if low.endswith("ornull") else "CAST"
-        return f"{op}({args[0]} AS TIMESTAMP)"
+        # CH's best-effort parser accepts many human formats. Spark's CAST
+        # covers the ISO-ish subset (the common CDC payload shapes); the
+        # coalesce chain below adds the next most common wild spellings —
+        # Apache/CLF `17/May/2023:14:33:21 +0000`, slashed D/M/Y (the US
+        # variant flips to M/D/Y, CH's documented difference), compact
+        # yyyyMMddHHmmss, and bare 9-10 digit unix-seconds strings.
+        # Documented partial: spellings beyond these need an explicit
+        # to_timestamp(fmt). Failure yields NULL on both forms (the
+        # engine's CAST convention); the width-suffixed 32/64 spellings
+        # (r9 probe: passthrough) are the same parser at a different
+        # storage width.
+        x = args[0]
+        dmy = "MM/dd" if "us" in low else "dd/MM"
+        chain = ", ".join(
+            [
+                f"try_cast({x} AS TIMESTAMP)",
+                f"try_to_timestamp({x}, 'dd/MMM/yyyy:HH:mm:ss Z')",
+                f"try_to_timestamp({x}, 'dd/MMM/yyyy:HH:mm:ss')",
+                f"try_to_timestamp({x}, '{dmy}/yyyy HH:mm:ss')",
+                f"try_to_timestamp({x}, '{dmy}/yyyy')",
+                f"try_to_timestamp({x}, 'dd MMM yyyy HH:mm:ss')",
+                f"try_to_timestamp({x}, 'dd MMM yyyy')",
+                f"try_to_timestamp({x}, 'yyyyMMddHHmmss')",
+                f"IF(CAST({x} AS STRING) RLIKE '^[0-9]{{9,10}}$',"
+                f" timestamp_seconds(try_cast({x} AS BIGINT)), NULL)",
+            ]
+        )
+        return f"coalesce({chain})"
     if low in ("formatdatetimeinjodasyntax", "parsedatetimeinjodasyntax",
                "parsedatetimeinjodasyntaxornull"):
         # Joda-style patterns are (for the yyyy/MM/dd/HH/mm/ss core) the
@@ -3912,11 +4020,17 @@ def _translate_call(name: str, args: list[str]) -> str:
             f" trim(substr(_s, locate('{kvq}', _s) + {len(kv)})))))"
         )
     if low == "retention":
-        raise ValueError(
-            "retention(...) has no inline Spark-SQL spelling; use the"
-            " `retention_cohort` operator (canal_clickhouse_spark registry)"
-            " which implements cohort return rates"
-        )
+        # retention(c1, …, cN) → Array(UInt8): r[0] = 1 if c1 held on any
+        # row of the group; r[i] = 1 if c1 AND c_i each held on some row
+        # (independently — CH's documented semantics). Pure aggregate
+        # composition, order-free, so the inline spelling is exact (the
+        # old guided refusal pointed at the registry operator; r11 probe).
+        firsts = f"max(IF({_cond(args[0])}, 1, 0))"
+        elems = [f"CAST({firsts} AS INT)"] + [
+            f"CAST({firsts} * max(IF({_cond(c)}, 1, 0)) AS INT)"
+            for c in args[1:]
+        ]
+        return f"array({', '.join(elems)})"
     if low == "arraypushback":
         return f"concat({args[0]}, array({args[1]}))"
     if low == "arraypushfront":
@@ -4023,7 +4137,9 @@ def _translate_call(name: str, args: list[str]) -> str:
         return (
             f"aggregate({args[0]}, 0D, (s, x) -> s + abs(CAST(x AS DOUBLE)))"
         )
-    if low == "l2normalize":
+    if low in ("l2normalize", "normalizel2"):
+        # normalizeL2 is CH's documented alias of L2Normalize (r11 probe:
+        # the alias spelling was an unrecognized-name passthrough).
         return (
             f"transform({args[0]}, x -> CAST(x AS DOUBLE)"
             f" / sqrt({_vec_dot(args[0], args[0])}))"
@@ -5047,10 +5163,31 @@ def _translate_call(name: str, args: list[str]) -> str:
             if base.startswith("groupbit") or base == "anylast" \
             else f"{'any_value' if base == 'any' else base}({args[0]})"
     if low in ("initializeaggregation", "finalizeaggregation"):
+        # The one composable case: the argument is ITSELF a -State call
+        # spelled inline (CH docs idiom `finalizeAggregation(sumState(x))`,
+        # `initializeAggregation('sumState', x)`). There the state is this
+        # engine's own mergeable representation, and finalize = run the
+        # plain aggregate (r11 probe: was an unconditional refusal).
+        # (arguments arrive already translated, bottom-up — so match the
+        # TRANSLATED state representations, not the CH spellings)
+        if low == "finalizeaggregation" and len(args) == 1:
+            a0 = args[0].strip()
+            if re.match(
+                r"(?is)^(sum|min|max|count|last|first|any_value)\s*\(", a0
+            ):
+                return a0  # these states ARE the finalized value here
+            if re.match(r"(?is)^named_struct\s*\(\s*'s'\s*,", a0):
+                # avgState's (sum, count) struct
+                return f"(({a0}).s / ({a0}).c)"
+        if low == "initializeaggregation" and len(args) >= 2:
+            fm_ = re.fullmatch(r"\s*'(\w+State)'\s*", args[0])
+            if fm_:
+                return _translate_call(fm_.group(1), args[1:])
         raise ValueError(
             f"{name} manipulates CH aggregate-state blobs; on Spark"
             " compute the aggregate directly (the -Merge spellings map to"
-            " the plain aggregates; sketch states → agg_hll_merge)"
+            " the plain aggregates — finalizeAggregation over an INLINE"
+            " xState(...) call is mapped; sketch states → agg_hll_merge)"
         )
     if low == "runningconcurrency":
         raise ValueError(
@@ -5138,13 +5275,13 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
     if low == "l2squarednorm":
         return _vec_dot(args[0], args[0])
-    if low == "l1normalize":
+    if low in ("l1normalize", "normalizel1"):
         a = args[0]
         n_ = (
             f"aggregate({a}, 0D, (_s, _x) -> _s + abs(CAST(_x AS DOUBLE)))"
         )
         return f"transform({a}, _x -> CAST(_x AS DOUBLE) / {n_})"
-    if low == "linfnormalize":
+    if low in ("linfnormalize", "normalizelinf"):
         # r10 probe: the third normalize of the family was an
         # unrecognized-name passthrough
         a = args[0]
@@ -5309,6 +5446,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arraylastindex", "arraypartialsort", "arrayenumerateuniq",
     "arrayfill", "arrayreversefill", "countdistinct", "touuid", "notilike",
     "uniqif", "summap", "minmap", "maxmap", "avgmap",
+    "summapif", "minmapif", "maxmapif",
     "firstvalue", "lastvalue", "xor",
     "bitmapbuild", "bitmaptoarray", "bitmapcontains", "bitmapcardinality",
     "bitmapand", "bitmapor", "bitmapandnot", "bitmapxor",
@@ -5518,6 +5656,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "mysql", "postgresql", "mongodb", "redis", "sqlite", "odbc", "jdbc",
     "iceberg", "deltalake", "deltalakelocal", "hudi",
     "input", "executable", "executablepool", "loop", "fuzzquery",
+    "viewexplain",
     "fuzzjson", "viewifpermitted", "timeseriesdata", "timeseriestags",
     "timeseriesmetrics", "currentschemas", "currentcatalogs",
     "replicate",
@@ -5531,6 +5670,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "bitpositionstoarray", "tolowcardinality", "visiblewidth",
     "tocolumntypename", "lpnorm", "linfnorm", "l2squarednorm",
     "l1normalize", "linfnormalize", "lpdistance",
+    "normalizel1", "normalizel2", "normalizelinf",
     "positioncaseinsensitiveutf8",
     "countsubstringscaseinsensitive", "startswithutf8", "endswithutf8",
     "touuidornull", "touuidorzero", "totime64",
@@ -5913,8 +6053,12 @@ def _rewrite_scalar_with(q: str) -> str:
 
 
 _COLUMNS_RE = re.compile(
+    # fn accepts a bare function name OR a one-arg lambda `x -> expr`
+    # (body may nest parens one level — enough for round(x, 2) etc.)
     r"\bCOLUMNS\s*\(\s*'(?P<pat>[^']+)'\s*\)"
-    r"(?:\s+APPLY\s*\(\s*(?P<fn>\w+)\s*\))?",
+    r"(?:\s+APPLY\s*\(\s*(?P<fn>\w+"
+    r"(?:\s*->\s*[^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*)?"
+    r")\s*\))?",
     re.IGNORECASE,
 )
 _STAR_MOD_START_RE = re.compile(
@@ -5951,6 +6095,15 @@ def _rewrite_star_modifiers(q: str) -> str:
             raise ValueError(f"COLUMNS({m['pat']!r}) matched no columns")
         fn = m["fn"]
         if fn:
+            lam = re.match(r"(?s)^(\w+)\s*->\s*(.+)$", fn.strip())
+            if lam:
+                p, b = lam.group(1), lam.group(2).strip()
+                return ", ".join(
+                    "("
+                    + re.sub(rf"\b{re.escape(p)}\b", lambda _m, c=c: c, b)
+                    + f") AS {c}"
+                    for c in cols
+                )
             return ", ".join(f"{fn}({c}) AS {fn.lower()}_{c}" for c in cols)
         return ", ".join(cols)
 
@@ -5974,7 +6127,6 @@ def _rewrite_star_modifiers(q: str) -> str:
         i = m.end()
         exc: list[str] = []
         rep: dict[str, str] = {}
-        fn = None
         exc_parens = False
         if (em := re.match(r"EXCEPT\s*", mq[i:], re.IGNORECASE)) is not None:
             j = i + em.end()
@@ -5996,10 +6148,26 @@ def _rewrite_star_modifiers(q: str) -> str:
                     raise ValueError(f"REPLACE item needs 'expr AS col': {item!r}")
                 rep[am.group(2).lower()] = am.group(1).strip()
             i = close + 1
-        if (fm := re.match(r"\s*APPLY\s*\(\s*(\w+)\s*\)", mq[i:], re.IGNORECASE)) is not None:
-            fn = fm.group(1)
-            i += fm.end()
-        if not rep and fn is None:
+        applies: list = []
+        while (fm := re.match(r"\s*APPLY\s*\(", mq[i:], re.IGNORECASE)) is not None:
+            j = i + fm.end() - 1
+            close = _close_paren(q, j)
+            body = q[j + 1 : close].strip()
+            lm = re.match(r"(?s)^(\w+)\s*->\s*(.+)$", body)
+            if lm:
+                # one-arg lambda APPLY (r11 probe: was a raw parse error);
+                # the result keeps the source column's name (CH names it
+                # by the expression text, unquotable here — documented)
+                applies.append((lm.group(1), lm.group(2).strip()))
+            elif re.fullmatch(r"\w+", body):
+                applies.append(body)
+            else:
+                raise ValueError(
+                    "APPLY takes a function name or a one-argument"
+                    f" lambda, got: {body!r}"
+                )
+            i = close + 1
+        if not rep and not applies:
             # pure EXCEPT — Spark-native (qualified too); just guarantee
             # the paren form.
             out.append(
@@ -6014,10 +6182,21 @@ def _rewrite_star_modifiers(q: str) -> str:
                 if c.lower() in dropped:
                     continue
                 expr = rep.get(c.lower(), f"{pref}{c}")
-                if fn is not None:
-                    items.append(f"{fn}({expr}) AS {fn.lower()}_{c}")
-                elif expr != f"{pref}{c}":
-                    items.append(f"{expr} AS {c}")
+                name = c
+                for ap in applies:
+                    if isinstance(ap, str):
+                        expr = f"{ap}({expr})"
+                        name = f"{ap.lower()}_{name}"
+                    else:
+                        p_, b_ = ap
+                        wrapped = expr
+                        expr = "(" + re.sub(
+                            rf"\b{re.escape(p_)}\b",
+                            lambda _m, w=wrapped: f"({w})",
+                            b_,
+                        ) + ")"
+                if expr != f"{pref}{c}":
+                    items.append(f"{expr} AS {name}")
                 else:
                     items.append(f"{pref}{c}")
             out.append(", ".join(items))
@@ -7210,6 +7389,27 @@ def _rewrite_with_totals(q: str) -> str:
             raise ValueError(
                 "WITH TOTALS ... HAVING could not locate its FROM clause"
             )
+        # the HAVING may reference SELECT-list aliases (Spark resolves
+        # those natively in a plain HAVING, but the semi-join subquery
+        # built below selects only the group keys — r11 probe: `count()
+        # AS c ... WITH TOTALS HAVING c > 1` died unresolved). Expand
+        # them textually, CH's own macro model.
+        sm_ = None
+        for cand in re.finditer(r"(?i)\bSELECT\b", masked[: fm.start()]):
+            if _paren_depth_at(masked, cand.start()) == depth:
+                sm_ = cand
+        if sm_ is not None:
+            aliases: dict[str, str] = {}
+            for item in _split_args(q[sm_.end() : fm.start()]):
+                am_ = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", item.strip())
+                if am_:
+                    aliases[am_.group(2)] = am_.group(1).strip()
+            for alias, expr in aliases.items():
+                having = re.sub(
+                    rf"\b{re.escape(alias)}\b(?!\s*\()",
+                    lambda _m: f"({expr})",
+                    having,
+                )
         srcwhere = q[fm.end() : m.start()].strip()
         src_masked = masked[fm.end() : m.start()]
         has_where = any(
@@ -8048,6 +8248,11 @@ def _rewrite_clauses(q: str) -> str:
     q = _rewrite_bool_fn_calls(q)
     q = _rewrite_in_collections(q)
     q = _rewrite_star_modifiers(q)
+    # GLOBAL strips BEFORE the ASOF/ANY join restructures: those parse the
+    # left relation textually, and `FROM t GLOBAL ANY JOIN …` read GLOBAL
+    # as t's alias (r11 probe: emitted `GLOBAL.*`). The strip itself is
+    # semantics-free here — distribution is Catalyst's decision.
+    q = _lit_sub(_GLOBAL_JOIN_RE, "", q)
     q = _rewrite_asof_join(q)
     q = _rewrite_any_join(q)
     q = _lit_sub(_FROM_RE, from_sub, q)
@@ -11275,3 +11480,94 @@ def chsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH binding rewrite (which previously refused it as unparseable).
     The oracle is the near-verbatim statement on the second engine."""
     return ch_sql(spark, sf_dir, _CH_RECURSIVE_CTE)
+
+
+_CH_MAP_RETENTION = """
+SELECT o_orderpriority AS pri,
+       mapKeys(sumMap(map(o_orderstatus, 1))) AS ks,
+       mapValues(sumMap(map(o_orderstatus, 1))) AS vs,
+       mapValues(minMap(map(o_orderstatus, o_orderkey))) AS mins,
+       retention(o_orderkey % 2 = 0, o_orderkey % 4 = 0) AS ret
+FROM orders
+GROUP BY pri ORDER BY pri
+"""
+
+
+@query(
+    "chsql_map_retention",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS k,
+             CAST(COUNT(*) AS DOUBLE) AS v,
+             MIN(o_orderkey) AS mn
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri, list(k ORDER BY k) AS ks, list(v ORDER BY k) AS vs,
+             list(mn ORDER BY k) AS mins
+      FROM per GROUP BY pri
+    ), r AS (
+      SELECT o_orderpriority AS pri,
+             [CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                   AS INT),
+              CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                   * MAX(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                   AS INT)] AS ret
+      FROM orders GROUP BY 1
+    )
+    SELECT m.pri AS pri, ks, vs, mins, ret
+    FROM m JOIN r ON m.pri = r.pri ORDER BY pri
+    """,
+)
+def chsql_map_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 probe batch 1: the sumMap/minMap/maxMap family (collect_list +
+    map_zip_with fold, keys sorted ascending) and retention() (pure
+    aggregate composition) — both were guided refusals with exact inline
+    spellings. The oracle recomputes the per-key merge relationally
+    (explode → GROUP BY key → list), which is also this engine's
+    documented scale path for unbounded key cardinalities."""
+    return ch_sql(spark, sf_dir, _CH_MAP_RETENTION)
+
+
+_CH_R11_PROBE2 = """
+SELECT o_orderkey AS k,
+       toString(parseDateTimeBestEffort(toString(o_orderdate))) AS ts,
+       firstSignificantSubdomain(concat('https://shop',
+           toString(o_custkey % 5), '.example.co.uk/x')) AS fsd,
+       cutToFirstSignificantSubdomain(concat('https://shop',
+           toString(o_custkey % 5), '.example.com/x')) AS ctf,
+       toTypeName(o_orderkey) AS tn,
+       arrayStringConcat(arrayMap(x -> toString(round(x, 2)),
+           normalizeL2([toFloat64(o_custkey % 3) + 1, 1.0])), ',') AS nl
+FROM orders WHERE o_orderkey % 97 = 0 ORDER BY k
+"""
+
+
+@query(
+    "chsql_r11_probe2",
+    oracle="""
+    SELECT o_orderkey AS k,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts,
+           'example' AS fsd,
+           'example.com' AS ctf,
+           'Int64' AS tn,
+           CAST(ROUND((CAST(o_custkey % 3 AS DOUBLE) + 1)
+                / SQRT((CAST(o_custkey % 3 AS DOUBLE) + 1)
+                       * (CAST(o_custkey % 3 AS DOUBLE) + 1) + 1.0), 2)
+               AS VARCHAR)
+           || ','
+           || CAST(ROUND(1.0
+                / SQRT((CAST(o_custkey % 3 AS DOUBLE) + 1)
+                       * (CAST(o_custkey % 3 AS DOUBLE) + 1) + 1.0), 2)
+               AS VARCHAR) AS nl
+    FROM orders WHERE o_orderkey % 97 = 0 ORDER BY k
+    """,
+)
+def chsql_r11_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 probe batch 2/3 fixes live vs DuckDB: parseDateTimeBestEffort's
+    widened format chain (ISO branch here — the wild formats are pinned in
+    tests/test_sql_entry.py), the public-suffix-aware
+    firstSignificantSubdomain / cutToFirstSignificantSubdomain (co.uk is a
+    two-level suffix, .com a one-level one), CH-spelled toTypeName, and
+    the normalizeL2 alias (rendered to rounded strings — float formatting
+    is engine-specific, the VALUES are what's pinned)."""
+    return ch_sql(spark, sf_dir, _CH_R11_PROBE2)

@@ -435,6 +435,17 @@ def parse_create_body(cols_text: str) -> tuple[
             defaults[col] = translate(dflt)
         if _ch_declared_nullable(ch_t):
             nullable.add(col)
+        nm_ = re.fullmatch(r"(?is)Nested\s*\((.*)\)", ch_t.strip())
+        if nm_:
+            # remember the subcolumn names: INSERT arrives in CH's
+            # parallel-array shape and zips back into the stored
+            # array-of-structs (see ChSession._insert)
+            subs = [
+                sm_.group(1)
+                for sub in _split_top_commas(nm_.group(1))
+                if (sm_ := re.match(r"(?s)^\s*(\w+)\s+", sub))
+            ]
+            extras.setdefault("nested_cols", {})[col] = subs
         if re.fullmatch(r"(?i)(nullable\s*\(\s*)?ipv4\s*\)?",
                         ch_t.strip()):
             # IPv4 columns surface as their UInt32 value; INSERTed string
@@ -796,7 +807,7 @@ _INSERT_FORMAT_RE = re.compile(
 
 _INSERT_VALUES_RE = re.compile(
     r"(?is)^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
-    r"(?:\((?P<cols>[\w,\s]+)\)\s*)?VALUES\s+(?P<values>\(.*\))\s*$"
+    r"(?:\((?P<cols>[\w.,`\s]+)\)\s*)?VALUES\s+(?P<values>\(.*\))\s*$"
 )
 
 
@@ -2128,10 +2139,19 @@ class ChSession:
             name = m.group("name")
             if name not in self.tables:
                 raise ValueError(f"INSERT VALUES into unknown table {name!r}")
-            cols = (
-                [c.strip() for c in m.group("cols").split(",")]
-                if m.group("cols") else self.tables[name].columns
-            )
+            if m.group("cols"):
+                cols = [c.strip() for c in m.group("cols").split(",")]
+            else:
+                # positional VALUES arrive in CH's physical column order —
+                # for Nested columns that is one parallel-array value PER
+                # SUBCOLUMN (n.a, n.b), not one per stored column
+                nested_ = self.meta.get(name, {}).get("nested_cols") or {}
+                cols = []
+                for c in self.tables[name].columns:
+                    if c in nested_:
+                        cols += [f"{c}.{s}" for s in nested_[c]]
+                    else:
+                        cols.append(c)
             alias = ", ".join(
                 c if re.fullmatch(r"\w+", c) else f"`{c}`" for c in cols
             )
@@ -3794,7 +3814,7 @@ class ChSession:
         INSERT-time enforcement and EPHEMERAL column definitions."""
         meta = self.meta[name]
         for k in ("constraints", "checks", "indexes", "projections",
-                  "ephemeral", "ipv4_cols"):
+                  "ephemeral", "ipv4_cols", "nested_cols"):
             if extras.get(k):
                 meta[k] = extras[k]
 
@@ -3803,6 +3823,55 @@ class ChSession:
             raise ValueError(f"INSERT into unknown table {name!r}")
         target = self.tables[name]
         ephemeral = self.meta.get(name, {}).get("ephemeral") or {}
+        # Nested(a T, b U) columns store as ONE array-of-structs here but
+        # INSERT in CH's parallel-array shape — one value per subcolumn
+        # (r11 probe: the positional form died on column-count mismatch).
+        # Zip the parallel arrays back into the stored shape, for both the
+        # positional form and an explicit `(id, n.a, n.b)` column list.
+        nested = self.meta.get(name, {}).get("nested_cols") or {}
+
+        def _bq(c: str):
+            return F.col(f"`{c}`") if "." in c else F.col(c)
+
+        if nested and cols and "." in cols:
+            names = [c.strip().strip("`") for c in cols.split(",")]
+            src = list(block.columns)
+            sel, new_names, i = [], [], 0
+            while i < len(names):
+                nm = names[i]
+                base = nm.split(".", 1)[0]
+                if "." in nm and base in nested:
+                    parts = []
+                    while i < len(names) and names[i].startswith(base + "."):
+                        parts.append((names[i].split(".", 1)[1], src[i]))
+                        i += 1
+                    order = {s: k for k, s in enumerate(nested[base])}
+                    parts.sort(key=lambda p: order.get(p[0], 99))
+                    sel.append(F.arrays_zip(
+                        *[_bq(p[1]) for p in parts]).alias(base))
+                    new_names.append(base)
+                else:
+                    sel.append(_bq(src[i]).alias(nm))
+                    new_names.append(nm)
+                    i += 1
+            block = block.select(*sel)
+            cols = ", ".join(new_names)
+        elif nested and not cols and len(block.columns) == (
+            len(target.columns) - len(nested)
+            + sum(len(v) for v in nested.values())
+        ):
+            src = list(block.columns)
+            sel, i = [], 0
+            for c in target.columns:
+                if c in nested:
+                    k = len(nested[c])
+                    sel.append(F.arrays_zip(
+                        *[_bq(p) for p in src[i : i + k]]).alias(c))
+                    i += k
+                else:
+                    sel.append(_bq(src[i]).alias(c))
+                    i += 1
+            block = block.select(*sel)
         if cols:
             names = [c.strip() for c in cols.split(",")]
             if len(names) != len(block.columns):

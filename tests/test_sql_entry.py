@@ -925,7 +925,7 @@ def test_chsql_r6_gap_batches(spark):
                " FROM (SELECT 1 AS x UNION ALL SELECT 2"
                " UNION ALL SELECT 2)") == (1, 2.0)
     with _pytest.raises(ValueError, match="explode"):
-        translate("SELECT sumMap([1],[2]) FROM orders")
+        translate("SELECT avgMap([1],[2]) FROM orders")
     # result-changing SETTINGS refuse loudly; neutral knobs still strip
     with _pytest.raises(ValueError, match="FROM t FINAL"):
         translate("SELECT x FROM t SETTINGS final = 1")
@@ -4180,3 +4180,142 @@ def test_r11_cast_spellings_wrap_and_tz(spark):
     assert one("toString(toDateTime('2024-01-01 00:00:00'),"
                " 'Asia/Tokyo')") == "2024-01-01 09:00:00"
     assert one("toString(42)") == "42"
+
+
+def test_r11_probe_batch4_map_aggs_and_retention(spark):
+    """r11 probe battery 4: sumMap/minMap/maxMap (both the Map-argument
+    and (keys, values) two-array forms, plus the -If combinator and the
+    *MappedArrays aliases) were guided refusals but have an exact
+    collect_list + map_zip_with fold spelling; retention(...) is pure
+    aggregate composition (r[i] = max(c1) * max(c_i))."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT sumMap(m) AS s FROM (SELECT map('a', 1) AS m"
+               " UNION ALL SELECT map('a', 3, 'b', 5))") == (
+        {"a": 4.0, "b": 5.0},)
+    # keys come out sorted ascending (CH's output order)
+    assert one("SELECT map_keys(sumMap(m)) AS k FROM"
+               " (SELECT map('b', 1, 'a', 2) AS m)") == (["a", "b"],)
+    kv = one("SELECT sumMap(k, v) AS s FROM (SELECT ['a','b'] AS k,"
+             " [1,2] AS v UNION ALL SELECT ['b'], [10])")[0]
+    assert list(kv.keys) == ["a", "b"] and list(kv.values) == [1.0, 12.0]
+    assert one("SELECT minMap(m) AS lo, maxMap(m) AS hi FROM"
+               " (SELECT map('a', 5) AS m"
+               " UNION ALL SELECT map('a', 3, 'b', 7))") == (
+        {"a": 3, "b": 7}, {"a": 5, "b": 7})
+    assert one("SELECT sumMapIf(m, c) AS s FROM (SELECT map('a', 1) AS m,"
+               " 1 AS c UNION ALL SELECT map('a', 9), 0)") == ({"a": 1.0},)
+    ma = one("SELECT sumMappedArrays(k, v) AS s FROM (SELECT ['x'] AS k,"
+             " [1] AS v UNION ALL SELECT ['x','y'], [2, 3])")[0]
+    assert list(ma.keys) == ["x", "y"] and list(ma.values) == [3.0, 3.0]
+    assert one("SELECT retention(x >= 1, x >= 2, x >= 9) AS r FROM"
+               " (SELECT arrayJoin([1, 2]) AS x)") == ([1, 1, 0],)
+    # truthy integer conditions get the boolean wrap like any condition
+    assert one("SELECT retention(x, x - 1) AS r FROM"
+               " (SELECT arrayJoin([1, 2]) AS x)") == ([1, 1],)
+
+
+def test_r11_probe_batch4_url_norms_datetime(spark):
+    """r11 probe battery 4: normalizeL1/L2/Linf are CH's documented
+    aliases of the *Normalize family (were unresolved passthroughs);
+    firstSignificantSubdomain must honour two-level public suffixes
+    (co.uk, com.tr — old rule returned 'com' for news.clickhouse.com.tr);
+    parseDateTimeBestEffort gains the common wild formats (Apache CLF,
+    D/M/Y slashed, compact-14-digit, bare unix seconds)."""
+    import datetime as _dt
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    n2 = one("SELECT normalizeL2([3.0, 4.0]) AS a,"
+             " normalizeL1([1.0, 3.0]) AS b, normalizeLinf([2.0, 4.0]) AS c")
+    assert n2[0] == [0.6, 0.8] and n2[1] == [0.25, 0.75] \
+        and n2[2] == [0.5, 1.0]
+    assert one(
+        "SELECT firstSignificantSubdomain('https://news.clickhouse.com.tr/')"
+        " AS a, cutToFirstSignificantSubdomain("
+        "'https://news.clickhouse.com.tr/') AS b,"
+        " firstSignificantSubdomain('https://www.example.co.uk/x') AS c,"
+        " firstSignificantSubdomain('https://news.clickhouse.com/') AS d,"
+        " cutToFirstSignificantSubdomain('https://news.clickhouse.com/')"
+        " AS e, firstSignificantSubdomain('http://localhost') AS f"
+    ) == ("clickhouse", "clickhouse.com.tr", "example", "clickhouse",
+          "clickhouse.com", "")
+    ts = _dt.datetime(2023, 5, 17, 14, 33, 21)
+    assert one("SELECT parseDateTimeBestEffort("
+               "'17/May/2023:14:33:21 +0000') AS r") == (ts,)
+    assert one("SELECT parseDateTimeBestEffort('20230517143321')"
+               " AS r") == (ts,)
+    assert one("SELECT parseDateTimeBestEffort('1684334001') AS r") == (ts,)
+    # D/M/Y default vs the US variant's M/D/Y (CH's documented difference)
+    assert one("SELECT parseDateTimeBestEffort('12/05/2023 14:33:21') AS a,"
+               " parseDateTimeBestEffortUS('12/05/2023 14:33:21') AS b"
+               ) == (_dt.datetime(2023, 5, 12, 14, 33, 21),
+                     _dt.datetime(2023, 12, 5, 14, 33, 21))
+    assert one("SELECT parseDateTimeBestEffortOrNull('garbage') AS r"
+               ) == (None,)
+    assert one("SELECT parseDateTimeBestEffort('2023-05-17 14:33:21') AS r"
+               ) == (ts,)
+
+
+def test_r11_probe_batch7_grammar(spark, sf_dir):
+    """r11 probe battery 7 (statement grammar): WITH TOTALS + HAVING on a
+    SELECT-list alias (the semi-join restructure lost the alias scope);
+    GLOBAL before ANY/ASOF join (the ANY rewrite read GLOBAL as the left
+    table's alias and emitted `GLOBAL.*`); `* APPLY(lambda)` and chained
+    APPLY (were raw parse errors); finalizeAggregation over an inline
+    xState(...) call; CH-spelled toTypeName for parametric types."""
+    from canal_clickhouse_spark.chsql import translate
+    from canal_clickhouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+
+    def rows(sql):
+        return [tuple(r) for r in spark.sql(translate(sql)).collect()]
+
+    got = rows("SELECT n_regionkey, count() AS c FROM nation"
+               " GROUP BY n_regionkey WITH TOTALS HAVING c > 4"
+               " ORDER BY n_regionkey")
+    assert (None, 25) in got and (0, 5) in got and len(got) == 6
+    assert rows("SELECT count() FROM nation GLOBAL ANY LEFT JOIN region"
+                " ON n_regionkey = r_regionkey") == [(25,)]
+    assert rows("SELECT * APPLY(x -> x + 1) FROM"
+                " (SELECT 1 AS a, 10 AS b)") == [(2, 11)]
+    assert rows("SELECT * APPLY(max) APPLY(toString) FROM region") == [
+        ("4", "MIDDLE EAST")]
+    assert rows("SELECT COLUMNS('key') APPLY(x -> round(x / 2, 0)) FROM"
+                " region ORDER BY 1 LIMIT 2") == [(0.0,), (1.0,)]
+    assert rows("SELECT finalizeAggregation(sumState(n_nationkey)),"
+                " finalizeAggregation(avgState(n_nationkey))"
+                " FROM nation") == [(300, 12.0)]
+    assert rows("SELECT initializeAggregation('sumState', 5)") == [(5,)]
+    assert rows("SELECT toTypeName([1, 2]), toTypeName(map('a', 1)),"
+                " toTypeName(toDecimal64('1.5', 2))") == [
+        ("Array(Int32)", "Map(String, Int32)", "Decimal(18, 2)")]
+
+
+def test_r11_probe_batch8_nested_columns(spark, sf_dir):
+    """r11 probe battery 8: Nested(a T, b U) columns INSERT in CH's
+    parallel-array shape (one value per subcolumn, positional or the
+    dotted `(id, n.a, n.b)` column list) and zip back into the stored
+    array-of-structs; subcolumn reads (`n.a`) and ARRAY JOIN compose."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE nestt (id UInt32,"
+                 " n Nested(a UInt32, b String)) ENGINE = Memory")
+    sess.execute("INSERT INTO nestt VALUES (1, [1,2], ['x','y'])")
+    sess.execute("INSERT INTO nestt (id, n.a, n.b) VALUES (2, [3], ['z'])")
+    sess.execute("INSERT INTO nestt SELECT 3, [7], ['q']")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT id, n.a, n.b FROM nestt ORDER BY id").collect()]
+    assert got == [(1, [1, 2], ["x", "y"]), (2, [3], ["z"]),
+                   (3, [7], ["q"])]
+    aj = [tuple(r) for r in sess.execute(
+        "SELECT id, na FROM nestt ARRAY JOIN n.a AS na"
+        " ORDER BY id, na").collect()]
+    assert aj == [(1, 1), (1, 2), (2, 3), (3, 7)]
