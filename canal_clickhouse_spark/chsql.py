@@ -1209,20 +1209,97 @@ _BOOLISH_RE = re.compile(
     r"(?i)(?:[<>=!]|\bLIKE\b|\bILIKE\b|\bIN\b|\bIS\b|\bAND\b|\bOR\b"
     r"|\bNOT\b|\bBETWEEN\b|\bRLIKE\b|\bEXISTS\b)"
 )
+_LEAF_BOOLISH_RE = re.compile(
+    r"(?i)(?:[<>=!]|\bLIKE\b|\bILIKE\b|\bRLIKE\b|\bIN\b|\bIS\b"
+    r"|\bBETWEEN\b|\bEXISTS\b|\bTRUE\b|\bFALSE\b)"
+)
+
+
+def _mask_case_spans(masked: str) -> str:
+    """Blank depth-0 ``CASE … END`` spans so their internal WHEN/AND/OR
+    tokens don't participate in the boolean-operator split below."""
+    if not re.search(r"(?i)\bCASE\b", masked):
+        return masked
+    out = list(masked)
+    case_depth, start = 0, 0
+    for m in re.finditer(r"(?i)\b(CASE|END)\b", masked):
+        if _paren_depth_at(masked, m.start()) != 0:
+            continue
+        if m.group(1).upper() == "CASE":
+            case_depth += 1
+            if case_depth == 1:
+                start = m.start()
+        elif case_depth > 0:
+            case_depth -= 1
+            if case_depth == 0:
+                for j in range(start, m.end()):
+                    out[j] = "x"
+    return "".join(out)
+
+
+def _split_bool_parts(c: str, masked: str, op: str) -> list[str]:
+    """Split on depth-0 infix AND/OR, pairing each BETWEEN with its own
+    AND first (so ``x BETWEEN 1 AND 5 AND y`` splits only at the second
+    AND)."""
+    cm = _mask_case_spans(masked)
+    parts, last, between = [], 0, 0
+    for m in re.finditer(r"(?i)\b(AND|OR|BETWEEN)\b", cm):
+        if _paren_depth_at(cm, m.start()) != 0:
+            continue
+        w = m.group(1).upper()
+        if w == "BETWEEN":
+            between += 1
+        elif w == "AND" and between:
+            between -= 1
+        elif w == op:
+            parts.append(c[last : m.start()])
+            last = m.end()
+    parts.append(c[last:])
+    return parts
 
 
 def _cond(c: str) -> str:
-    """A CH CONDITION argument (if/multiIf/and/or/-If combinators): CH
-    applies integer truthiness (nonzero = true) while Spark demands
-    BOOLEAN (r10 battery: ``sumIf(x, x % 2)`` died at analysis). The
-    BOOLEAN cast is Spark's nonzero rule and a no-op for boolean
-    expressions; conditions already carrying a comparison/boolean
-    operator at any depth skip the wrap so the common spellings translate
-    byte-identically (a boolean-returning function under the wrap is
-    still a no-op cast)."""
+    """A CH CONDITION argument (if/multiIf/and/or/-If combinators, the
+    WHERE/HAVING/PREWHERE clause wrap): CH applies integer truthiness
+    (nonzero = true) while Spark demands BOOLEAN (r10 battery:
+    ``sumIf(x, x % 2)`` died at analysis). RECURSIVE over the depth-0
+    boolean operators (r11 battery: ``WHERE flag AND ts > 0`` died — the
+    old any-depth boolish test treated the whole conjunction as boolean
+    while its integer LEAF still reached Spark's AND): split on top-level
+    OR/AND (BETWEEN's own AND excluded, CASE…END opaque), recurse through
+    a leading NOT, and wrap only non-boolean leaves in the BOOLEAN cast —
+    Spark's int→bool cast IS the nonzero rule and a no-op for boolean
+    leaves, so the common spellings still translate byte-identically."""
     c = c.strip()
-    if _BOOLISH_RE.search(_mask_literals(c)):
+    if not c:
         return c
+    masked = _mask_literals(c)
+    # strip a redundant FULL outer paren pair (recurse inside, keep parens)
+    if c.startswith("("):
+        depth = 0
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    if i == len(masked) - 1:
+                        return f"({_cond(c[1:i])})"
+                    break
+    for op in ("OR", "AND"):
+        parts = _split_bool_parts(c, masked, op)
+        if len(parts) > 1:
+            return f" {op} ".join(_cond(p) for p in parts)
+    nm = re.match(r"(?is)^NOT\s+(.+)$", c)
+    if nm:
+        return f"NOT {_cond(nm.group(1))}"
+    # leaf: boolean already when a comparison/predicate operator sits at
+    # depth 0 (a CASE…END leaf stays opaque — its BRANCH VALUES type it,
+    # so an integer-valued CASE still gets the truthy wrap)
+    leaf_masked = _mask_case_spans(masked)
+    for m in _LEAF_BOOLISH_RE.finditer(leaf_masked):
+        if _paren_depth_at(leaf_masked, m.start()) == 0:
+            return c
     if re.match(r"(?is)^CAST\s*\(", c):
         # idempotence: a WHOLE-expression `CAST(… AS BOOLEAN)` — our own
         # wrap included — is already boolean. Required by the re-scanning
@@ -2140,6 +2217,11 @@ def _translate_call(name: str, args: list[str]) -> str:
         return f"unhex(sha2({args[0]}, {low[3:]}))"
     if low == "sha1":
         return f"unhex(sha1({args[0]}))"
+    if low == "md5":
+        # binary digest like the SHA family — CH's hex(MD5(x)) idiom
+        # round-trips to the same uppercase hex (r11 probe: Spark's md5
+        # returns a lowercase hex STRING, so hex() re-hexed the text)
+        return f"unhex(md5({args[0]}))"
     if low == "transform":
         if len(args) == 2:  # Spark's own HOF spelling — pass through
             return f"transform({args[0]}, {args[1]})"
@@ -5084,7 +5166,19 @@ def _translate_call(name: str, args: list[str]) -> str:
         if low in ("siphash128", "murmurhash3_128"):
             return f"md5(CAST({args[0]} AS STRING))"  # 128-bit analogue
         return f"xxhash64({', '.join(args)})"
-    if low in ("javahash", "hivehash", "gccmurmurhash", "kafkamurmurhash"):
+    if low in ("javahash", "hivehash"):
+        # EXACT Java String.hashCode fold (h = h*31 + unit): these two are
+        # cross-system interop contracts (Kafka/Hive partitioning), unlike
+        # the cityHash-family sketches above. Spark's non-ANSI INT
+        # arithmetic wraps like Java's, so the fold is bit-exact for BMP
+        # strings (surrogate pairs diverge — documented). hiveHash is the
+        # same fold with the sign bit cleared (CH's documented contract).
+        jh = (
+            f"aggregate(split(CAST({args[0]} AS STRING), ''),"
+            " 0, (_h, _c) -> _h * 31 + ascii(_c))"
+        )
+        return jh if low == "javahash" else f"int({jh} & 2147483647)"
+    if low in ("gccmurmurhash", "kafkamurmurhash"):
         return f"hash({', '.join(args)})"  # 32-bit murmur analogue
     if low in ("encrypt", "decrypt", "trydecrypt"):
         mm = re.fullmatch(
@@ -5419,7 +5513,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "median", "grouparrayarray", "anyif", "datediff", "date_diff",
     # r6 gap batch (found by executing 75 common-CH-name probes on Spark)
     "jsonextractbool", "jsonhas", "jsonlength", "jsonextractarrayraw",
-    "arrayfirstindex", "sha224", "sha256", "sha512", "sha1", "transform",
+    "arrayfirstindex", "sha224", "sha256", "sha512", "sha1", "md5",
+    "transform",
     "rounddown", "extract", "length",
     # r6 gap batch 2
     "plus", "minus", "multiply", "divide", "negate", "xxhash32", "max2",
@@ -5694,7 +5789,9 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # r7 probe batch: guided-error spellings
     "uptime", "sleep", "sleepeachrow", "formatrow", "formatrownonewline",
     "generateulid", "normalizequery", "normalizedqueryhash", "stem",
-    "lemmatize", "synonyms", "detectlanguage", "erf", "erfc", "lgamma",
+    "lemmatize", "synonyms", "detectlanguage", "detectlanguagemixed",
+    "detectlanguageunknown", "detecttonality", "detectprogramminglanguage",
+    "erf", "erfc", "lgamma",
     "tgamma", "emptyarraytosingle", "addtupleofintervals",
     "subtracttupleofintervals", "proportionsztest", "wordshingleminhash",
     "wordshinglesimhash", "formatreadabletimedelta",
@@ -7777,6 +7874,68 @@ def _rewrite_case_when_truthiness(q: str) -> str:
     return q
 
 
+def _rewrite_truthy_select_items(q: str) -> str:
+    """Top-level SELECT items built from bare infix logic over integers
+    (``SELECT flag AND ready``, ``SELECT NOT x``) take the same recursive
+    truthy wrap as condition positions (r11 probe: these died at Spark
+    analysis; CH evaluates them as UInt8 logic). Items without a depth-0
+    AND/OR/leading-NOT pass through byte-identical; subquery items keep
+    their own scope (their parens hide the operators)."""
+    masked = _mask_literals(q)
+    sm = re.search(r"(?i)\bSELECT\b(?:\s+DISTINCT\b)?", masked)
+    if not sm or _paren_depth_at(masked, sm.start()) != 0:
+        return q
+    fm = next(
+        (f for f in re.finditer(
+            r"(?i)\b(FROM|WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION"
+            r"|INTERSECT|EXCEPT|WINDOW|FORMAT|INTO)\b", masked)
+         if f.start() > sm.end()
+         and _paren_depth_at(masked, f.start()) == 0),
+        None,
+    )
+    start, end = sm.end(), fm.start() if fm else len(q)
+    body = q[start:end]
+    if not re.search(r"(?i)\b(AND|OR|NOT)\b", _mask_literals(body)):
+        return q
+    out_items, changed = [], False
+    for item in _split_args(body):
+        it = item.strip()
+        if not it:
+            out_items.append(item)
+            continue
+        am = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", it)
+        expr, alias = (am.group(1), am.group(2)) if am else (it, None)
+
+        def _has_bare_logic(e: str) -> bool:
+            e = e.strip()
+            em_ = _mask_literals(e)
+            if re.match(r"(?is)^NOT\s", e):
+                return True
+            if any(len(_split_bool_parts(e, em_, op)) > 1
+                   for op in ("AND", "OR")):
+                return True
+            if e.startswith("("):  # fully parenthesized item — look inside
+                depth = 0
+                for i, ch in enumerate(em_):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            return (i == len(em_) - 1
+                                    and _has_bare_logic(e[1:i]))
+            return False
+
+        if _has_bare_logic(expr):
+            w = _cond(expr)
+            if w != expr:
+                expr, changed = w, True
+        out_items.append(expr + (f" AS {alias}" if alias else ""))
+    if not changed:
+        return q
+    return q[:start] + " " + ", ".join(out_items) + " " + q[end:]
+
+
 def _rewrite_truthy_predicates(q: str) -> str:
     """Top-level ``WHERE``/``HAVING`` predicates with NO boolean operator
     take the CH truthiness cast (r10: ``WHERE x % 2`` is standard CH —
@@ -8127,6 +8286,21 @@ def _rewrite_clauses(q: str) -> str:
     # without union_default_mode, so no CH query relies on a default.
     # Literal-aware (r4 advice) via the shared mask, like every rewrite here.
     q = _lit_sub(_SETOP_RE, lambda m: f"{m.group(1)} ALL{m.group(2)}", q)
+    # `expr [NOT] IN numbers(…)` — table-FUNCTION membership, expanded to
+    # the subquery form BEFORE the FROM-position rewrites below so the
+    # spliced `FROM numbers(…)` gets the range translation (r11 probe:
+    # the bare-identifier IN sugar's call-form exclusion skipped it and
+    # Spark's parser died).
+    q = _lit_sub(
+        re.compile(
+            r"\b(?:GLOBAL\s+)?(NOT\s+)?IN\s+"
+            r"((?:numbers(?:_mt)?|generate_series|generateSeries)"
+            r"\s*\([^()]*\))",
+            re.IGNORECASE,
+        ),
+        lambda m: f"{m.group(1) or ''}IN (SELECT * FROM {m.group(2)})",
+        q,
+    )
     # numbers(N) table function → Spark's range(N) (id column renamed to
     # CH's `number`). numbers(off, N) takes the half-open [off, off+N) form.
     # Emitted as a placeholder name because CH also has a SCALAR range()
@@ -8265,6 +8439,7 @@ def _rewrite_clauses(q: str) -> str:
     q = _rewrite_groupless_having(q)
     q = _rewrite_truthy_predicates(q)
     q = _rewrite_case_when_truthiness(q)
+    q = _rewrite_truthy_select_items(q)
     # CH aliases are expression macros valid in any clause: expand
     # top-level-WHERE references (after the PREWHERE merge so both
     # predicate clauses are covered, before the LIMIT BY restructure
@@ -8564,7 +8739,32 @@ def _rewrite_float_keywords(q: str) -> str:
         a, b = m.span(1)
         out = out[: a + off] + rep + out[b + off:]
         off += len(rep) - (b - a)
-    return out
+    # CH hex/binary integer literals (r11 probe: `0x1F` reached Spark as
+    # an unresolved column reference). Same keyword-lexing argument: a CH
+    # identifier can't start with a digit, so the token rewrite is safe.
+    masked = _mask_literals(out)
+    q2, off = out, 0
+    for m in re.finditer(
+        r"(?<![\w.`])0([xX][0-9a-fA-F]+|[bB][01]+)(?![\w.`])", masked
+    ):
+        tok = m.group(1)
+        rep = str(int(tok[1:], 16 if tok[0] in "xX" else 2))
+        a, b = m.span()
+        q2 = q2[: a + off] + rep + q2[b + off:]
+        off += len(rep) - (b - a)
+    # infix MOD (CH operator keyword; Spark only parses the infix `div`
+    # twin and the % spelling — r11 probe: `number MOD 3` was a parse
+    # error). Operand lookaround keeps `mod(a, b)` calls and identifiers
+    # containing 'mod' untouched.
+    masked = _mask_literals(q2)
+    out2, off = q2, 0
+    for m in re.finditer(
+        r"(?i)(?<=[\w)\]'`])\s+MOD\s+(?=[\w('\[`+-])", masked
+    ):
+        a, b = m.span()
+        out2 = out2[: a + off] + " % " + out2[b + off:]
+        off += 3 - (b - a)
+    return out2
 
 
 def _scan_group(s: str, start: int) -> int:
@@ -11484,10 +11684,13 @@ def chsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CH_MAP_RETENTION = """
 SELECT o_orderpriority AS pri,
-       mapKeys(sumMap(map(o_orderstatus, 1))) AS ks,
-       mapValues(sumMap(map(o_orderstatus, 1))) AS vs,
-       mapValues(minMap(map(o_orderstatus, o_orderkey))) AS mins,
-       retention(o_orderkey % 2 = 0, o_orderkey % 4 = 0) AS ret
+       arrayStringConcat(mapKeys(sumMap(map(o_orderstatus, 1))), ',') AS ks,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           mapValues(sumMap(map(o_orderstatus, 1)))), ',') AS vs,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           mapValues(minMap(map(o_orderstatus, o_orderkey)))), ',') AS mins,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           retention(o_orderkey % 2 = 0, o_orderkey % 4 = 0)), ',') AS ret
 FROM orders
 GROUP BY pri ORDER BY pri
 """
@@ -11502,16 +11705,19 @@ GROUP BY pri ORDER BY pri
              MIN(o_orderkey) AS mn
       FROM orders GROUP BY 1, 2
     ), m AS (
-      SELECT pri, list(k ORDER BY k) AS ks, list(v ORDER BY k) AS vs,
-             list(mn ORDER BY k) AS mins
+      SELECT pri,
+             string_agg(k, ',' ORDER BY k) AS ks,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS vs,
+             string_agg(CAST(mn AS VARCHAR), ',' ORDER BY k) AS mins
       FROM per GROUP BY pri
     ), r AS (
       SELECT o_orderpriority AS pri,
-             [CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
-                   AS INT),
-              CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
-                   * MAX(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
-                   AS INT)] AS ret
+             CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS VARCHAR)
+             || ','
+             || CAST(MAX(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                     * MAX(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                     AS VARCHAR) AS ret
       FROM orders GROUP BY 1
     )
     SELECT m.pri AS pri, ks, vs, mins, ret

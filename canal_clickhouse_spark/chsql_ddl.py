@@ -219,9 +219,10 @@ def ch_type_to_spark(ch_type: str) -> str:
     m = re.fullmatch(r"(?is)FixedString\s*\(\s*\d+\s*\)", t)
     if m:
         return "STRING"
-    m = re.fullmatch(r"(?is)Enum8?16?\s*\(.*\)", t) or re.fullmatch(
-        r"(?is)Enum(8|16)\s*\(.*\)", t
-    )
+    # bare Enum(...) is CH's width-inferring spelling (r11 probe: the old
+    # pattern `Enum8?16?` accidentally required the literal '1', so only
+    # the width-suffixed forms matched)
+    m = re.fullmatch(r"(?is)Enum(8|16)?\s*\(.*\)", t)
     if m:
         return "STRING"
     low = t.lower()
@@ -903,9 +904,12 @@ _COL_DECOR = (
     r"|TTL\s+[^,]+?))*"
 )
 _ADD_COL_ACTION_RE = re.compile(
+    # MATERIALIZED/ALIAS take the same insert-time-default posture as
+    # parse_col_def (r11 probe: `ADD COLUMN e UInt8 MATERIALIZED a*2`
+    # refused as an unknown type)
     r"(?is)^ADD\s+COLUMN\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<col>\w+)\s+"
     r"(?P<type>.+?)"
-    r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+    r"(?:\s+(?:DEFAULT|MATERIALIZED|ALIAS)\s+(?P<dflt>.+?))?"
     + _COL_DECOR +
     r"(?:\s+AFTER\s+(?P<after>\w+)|\s+(?P<first>FIRST))?\s*$"
 )
@@ -917,11 +921,20 @@ _REMOVE_PROP_ACTION_RE = re.compile(
     r"REMOVE\s+(?P<what>DEFAULT|MATERIALIZED|EPHEMERAL|ALIAS|COMMENT"
     r"|CODEC|TTL|SETTINGS)\s*$"
 )
+_MODIFY_COL_PROPONLY_RE = re.compile(
+    # type-less property change: `MODIFY COLUMN c DEFAULT expr` keeps the
+    # type and swaps the default (r11 probe: previously parsed `DEFAULT
+    # 'ee'` as a CH type); CODEC/TTL/COMMENT-only modifications are
+    # storage/metadata hints — accepted as no-ops, parse_col_def's posture
+    r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
+    r"(?P<dkw>DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)"
+    r"(?:\s+|(?=\())(?P<dflt>.+?)\s*$"
+)
 _MODIFY_COL_ACTION_RE = re.compile(
     # AFTER/FIRST reposition the column (r10 probe: previously swallowed
     # into the type text and refused as an unknown CH type)
     r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s+"
-    r"(?P<type>.+?)(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+    r"(?P<type>.+?)(?:\s+(?:DEFAULT|MATERIALIZED|ALIAS)\s+(?P<dflt>.+?))?"
     + _COL_DECOR +
     r"(?:\s+AFTER\s+(?P<after>\w+)|\s+(?P<first>FIRST))?\s*$"
 )
@@ -963,6 +976,14 @@ def parse_alter_column_actions(ops_text: str) -> list[dict]:
                 "op": "remove_prop", "col": m.group("col"),
                 "what": m.group("what").upper(),
             })
+        elif (m := _MODIFY_COL_PROPONLY_RE.match(item)) is not None:
+            kw = m.group("dkw").upper()
+            if kw in ("DEFAULT", "MATERIALIZED", "ALIAS"):
+                actions.append({
+                    "op": "modify_default", "col": m.group("col"),
+                    "default": m.group("dflt").strip(),
+                })
+            # CODEC/TTL/COMMENT-only: storage/metadata hints — no action
         elif (m := _MODIFY_COL_ACTION_RE.match(item)) is not None:
             actions.append({
                 "op": "modify", "col": m.group("col"),
@@ -1008,6 +1029,13 @@ def apply_alter_column_actions(
                     f"MODIFY COLUMN REMOVE on unknown column {a['col']!r}"
                 )
             continue  # metadata-only; the session handler drops the default
+        if a["op"] == "modify_default":
+            if idx(a["col"]) < 0:
+                raise ValueError(
+                    f"MODIFY COLUMN DEFAULT on unknown column {a['col']!r}"
+                )
+            defaults[a["col"]] = translate(a["default"])
+            continue  # type and data unchanged
         if a["op"] == "add":
             if idx(a["col"]) >= 0:
                 if a.get("if_not_exists"):
@@ -1279,6 +1307,16 @@ class ChSession:
         return (
             (meta.get("engine") or "").lower() == "replacingmergetree"
             and not meta.get("engine_args")
+        )
+
+    def _tracks_insert_order(self, name: str) -> bool:
+        """True for engines whose FINAL semantics need the insert-order
+        shadow: version-less Replacing (last-inserted row wins) and
+        Collapsing (last state / first cancel row within a key)."""
+        meta = self.meta.get(name) or {}
+        return (
+            self._implicit_replacing(name)
+            or (meta.get("engine") or "").lower() == "collapsingmergetree"
         )
 
     def _rewrite_generation(self, name: str, df: DataFrame) -> None:
@@ -1584,10 +1622,13 @@ class ChSession:
             if name not in self.tables:
                 return m.group(0)  # not ours; translate() handles fixtures
             meta = self.meta.get(name, {})
-            if (meta.get("engine") or "").lower() != "replacingmergetree":
+            engine = (meta.get("engine") or "").lower()
+            if engine not in ("replacingmergetree", "collapsingmergetree",
+                              "versionedcollapsingmergetree"):
                 raise ValueError(
-                    f"FINAL on {name!r}: only ReplacingMergeTree session "
-                    "tables support read-time collapse"
+                    f"FINAL on {name!r}: only Replacing/Collapsing/"
+                    "VersionedCollapsing session tables support read-time"
+                    " collapse"
                 )
             args_ = meta.get("engine_args") or []
             if not meta.get("order_by"):
@@ -1596,6 +1637,57 @@ class ChSession:
                 )
             keys = ", ".join(meta["order_by"])
             cols = ", ".join(self.tables[name].columns)
+            if engine == "versionedcollapsingmergetree":
+                # collapse pairs with the SAME version: per (key, ver)
+                # group keep one row carrying the majority sign when the
+                # signs don't cancel (the canonical one-state-one-cancel
+                # usage), drop the group when they do. Order-free — no
+                # insert shadow needed (r11 probe: was a refusal).
+                if len(args_) < 2:
+                    raise ValueError(
+                        f"FINAL on {name!r}:"
+                        " VersionedCollapsingMergeTree(sign, version)"
+                        " needs both engine arguments"
+                    )
+                sign, ver = args_[0], args_[1]
+                return (
+                    f"FROM (SELECT {cols} FROM (SELECT *, ROW_NUMBER()"
+                    f" OVER (PARTITION BY {keys}, {ver} ORDER BY"
+                    f" (CASE WHEN _ch_d > 0 THEN {sign} ELSE -({sign}) END)"
+                    f" DESC) AS _rn FROM (SELECT *, sum({sign}) OVER"
+                    f" (PARTITION BY {keys}, {ver}) AS _ch_d FROM {name}))"
+                    f" WHERE _ch_d != 0 AND _rn = 1) {name}"
+                )
+            if engine == "collapsingmergetree":
+                # CH's merge rule needs ROW ORDER (one extra state row →
+                # keep the LAST state row; one extra cancel → the FIRST
+                # cancel row) — carried by the same insert-generation
+                # shadow the version-less Replacing path maintains
+                # (r11 probe: was a refusal).
+                sign = (args_ or ["sign"])[0]
+                shadow = self._ins_shadow.get(name)
+                if shadow is None:
+                    raise ValueError(
+                        f"FINAL on {name!r}: CollapsingMergeTree collapses"
+                        " by INSERT order, which is unrecoverable after a"
+                        " mutation/TRUNCATE rewrote the table in this"
+                        " session; read with GROUP BY"
+                        f" … HAVING sum({sign}) > 0 instead"
+                    )
+                src = f"__ch_ins_shadow_{name}"
+                shadow.createOrReplaceTempView(src)
+                return (
+                    f"FROM (SELECT {cols} FROM (SELECT *, ROW_NUMBER()"
+                    f" OVER (PARTITION BY {keys} ORDER BY"
+                    f" (CASE WHEN _ch_d > 0 THEN {sign} ELSE -({sign}) END)"
+                    f" DESC, (CASE WHEN _ch_d > 0 THEN -_ch_ins_seq"
+                    f" ELSE _ch_ins_seq END) ASC, (CASE WHEN _ch_d > 0"
+                    f" THEN -_ch_ins_row ELSE _ch_ins_row END) ASC)"
+                    f" AS _rn FROM"
+                    f" (SELECT *, sum({sign}) OVER (PARTITION BY {keys})"
+                    f" AS _ch_d FROM {src})) WHERE _ch_d != 0 AND _rn = 1)"
+                    f" {name}"
+                )
             if args_:
                 ver, src = args_[0], name
             else:
@@ -1612,7 +1704,8 @@ class ChSession:
                         " ENGINE = ReplacingMergeTree(<version_col>) for"
                         " an explicit, mutation-stable version"
                     )
-                ver, src = "_ch_ins_seq", f"__ch_ins_shadow_{name}"
+                ver = "_ch_ins_seq DESC, _ch_ins_row"
+                src = f"__ch_ins_shadow_{name}"
                 shadow.createOrReplaceTempView(src)
             return (
                 f"FROM (SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER ("
@@ -1947,9 +2040,11 @@ class ChSession:
                 df = self._run_select(ct["select"])
                 self._register(name, df)
                 self.meta[name] = self._table_meta(ml)
-                if self._implicit_replacing(name):
+                if self._tracks_insert_order(name):
                     self._ins_shadow[name] = df.withColumn(
                         "_ch_ins_seq", F.lit(1).cast("long")
+                    ).withColumn(
+                        "_ch_ins_row", F.monotonically_increasing_id()
                     )
                     self._iseq[name] = 1
                 return None
@@ -1960,11 +2055,13 @@ class ChSession:
             )
             self._register(name, empty)
             self.meta[name] = self._table_meta(ml)
-            if self._implicit_replacing(name):
+            if self._tracks_insert_order(name):
                 # seed an EMPTY generation shadow so FINAL on a fresh
                 # version-less Replacing table reads empty, not guided
                 self._ins_shadow[name] = empty.withColumn(
                     "_ch_ins_seq", F.lit(0).cast("long")
+                ).withColumn(
+                    "_ch_ins_row", F.monotonically_increasing_id()
                 )
             if defaults:
                 self.meta[name]["column_defaults"] = defaults
@@ -2762,10 +2859,12 @@ class ChSession:
             if tr["ttl"]:
                 meta["ttl"] = _parse_ttl_clause(tr["ttl"])
             self.meta[name] = meta
-            if self._implicit_replacing(name):
+            if self._tracks_insert_order(name):
                 # clones start EMPTY — seed the insert-order shadow
                 self._ins_shadow[name] = self.tables[name].withColumn(
                     "_ch_ins_seq", F.lit(0).cast("long")
+                ).withColumn(
+                    "_ch_ins_row", F.monotonically_increasing_id()
                 )
             return None
 
@@ -3649,7 +3748,7 @@ class ChSession:
                         " declare ENGINE ="
                         " ReplacingMergeTree(<version_col>)"
                     )
-                ver = "_ch_ins_seq"
+                ver = "_ch_ins_seq DESC, _ch_ins_row"
                 src = shadow
                 if part is not None:
                     shadow_keep = shadow.filter(F.expr(f"NOT {cond}"))
@@ -3671,6 +3770,8 @@ class ChSession:
                 self._iseq[name] = seq
                 tagged = merged.withColumn(
                     "_ch_ins_seq", F.lit(seq).cast("long")
+                ).withColumn(
+                    "_ch_ins_row", F.monotonically_increasing_id()
                 )
                 new_shadow = (
                     shadow_keep.unionByName(tagged)
@@ -3682,6 +3783,72 @@ class ChSession:
                     self._register(name, merged)
                 self._ins_shadow[name] = new_shadow
                 return
+        elif engine == "versionedcollapsingmergetree":
+            args = meta.get("engine_args") or []
+            if len(args) < 2:
+                raise ValueError(
+                    f"OPTIMIZE FINAL on {name!r}:"
+                    " VersionedCollapsingMergeTree(sign, version) needs"
+                    " both engine arguments"
+                )
+            sign, ver = args[0], args[1]
+            cols = ", ".join(work.columns)
+            work.createOrReplaceTempView("_optimize_work")
+            merged = self.spark.sql(
+                f"SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER ("
+                f"PARTITION BY {key_list}, {ver} ORDER BY (CASE WHEN"
+                f" _ch_d > 0 THEN {sign} ELSE -({sign}) END) DESC) AS _rn"
+                f" FROM (SELECT *, sum({sign}) OVER (PARTITION BY"
+                f" {key_list}, {ver}) AS _ch_d FROM _optimize_work))"
+                f" WHERE _ch_d != 0 AND _rn = 1"
+            )
+        elif engine == "collapsingmergetree":
+            # same insert-order contract as the FINAL read path (r11)
+            sign = (meta.get("engine_args") or ["sign"])[0]
+            shadow = self._ins_shadow.get(name)
+            if shadow is None:
+                raise ValueError(
+                    f"OPTIMIZE FINAL on {name!r}: CollapsingMergeTree"
+                    " collapses by INSERT order, which is unrecoverable"
+                    " after a mutation/TRUNCATE rewrote the table in this"
+                    " session"
+                )
+            src = shadow
+            shadow_keep = None
+            if part is not None:
+                shadow_keep = shadow.filter(F.expr(f"NOT {cond}"))
+                src = shadow.filter(F.expr(cond))
+            if meta.get("ttl"):
+                src = self._apply_ttl(name, src, meta["ttl"]["expr"])
+            cols = ", ".join(work.columns)
+            src.createOrReplaceTempView("_optimize_work")
+            merged = self.spark.sql(
+                f"SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER ("
+                f"PARTITION BY {key_list} ORDER BY (CASE WHEN _ch_d > 0"
+                f" THEN {sign} ELSE -({sign}) END) DESC, (CASE WHEN"
+                f" _ch_d > 0 THEN -_ch_ins_seq ELSE _ch_ins_seq END) ASC,"
+                f" (CASE WHEN _ch_d > 0 THEN -_ch_ins_row"
+                f" ELSE _ch_ins_row END) ASC)"
+                f" AS _rn FROM (SELECT *, sum({sign}) OVER (PARTITION BY"
+                f" {key_list}) AS _ch_d FROM _optimize_work))"
+                f" WHERE _ch_d != 0 AND _rn = 1"
+            )
+            seq = self._iseq.get(name, 0) + 1
+            self._iseq[name] = seq
+            tagged = merged.withColumn(
+                "_ch_ins_seq", F.lit(seq).cast("long")
+            ).withColumn("_ch_ins_row", F.monotonically_increasing_id())
+            new_shadow = (
+                shadow_keep.unionByName(tagged)
+                if shadow_keep is not None else tagged
+            )
+            # register FIRST (it voids the shadow), then re-seed it
+            self._register(
+                name,
+                keep.unionByName(merged) if keep is not None else merged,
+            )
+            self._ins_shadow[name] = new_shadow
+            return
         elif engine in ("summingmergetree", "aggregatingmergetree"):
             numeric = {
                 "tinyint", "smallint", "int", "bigint", "float", "double",
@@ -3965,7 +4132,7 @@ class ChSession:
             self._append_part(name, block)  # the MergeTree parts model
         else:
             self._register(name, target.unionByName(block))
-        if self._implicit_replacing(name) and prev_shadow is not None:
+        if self._tracks_insert_order(name) and prev_shadow is not None:
             # version-less Replacing: tag the block with its insert
             # generation so FINAL can collapse to the last-inserted row
             # (the parts model's generation sequence, carried explicitly).
@@ -3974,7 +4141,9 @@ class ChSession:
             # FINAL silently drop every pre-mutation row.
             seq = self._iseq.get(name, 0) + 1
             self._iseq[name] = seq
-            tagged = block.withColumn("_ch_ins_seq", F.lit(seq).cast("long"))
+            tagged = block.withColumn(
+                "_ch_ins_seq", F.lit(seq).cast("long")
+            ).withColumn("_ch_ins_row", F.monotonically_increasing_id())
             self._ins_shadow[name] = prev_shadow.unionByName(tagged)
         self._fire_mvs(name, block)
         return None

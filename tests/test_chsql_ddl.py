@@ -473,7 +473,7 @@ def test_select_final_on_session_replacing_table(spark, sf_dir):
     # non-Replacing engine refuses FINAL loudly
     ch.execute("CREATE TABLE plain (x Int64) ENGINE = MergeTree() ORDER BY x")
     ch.execute("INSERT INTO plain VALUES (1)")
-    with pytest.raises(ValueError, match="ReplacingMergeTree"):
+    with pytest.raises(ValueError, match="read-time collapse"):
         ch.execute("SELECT * FROM plain FINAL")
 
 
@@ -2783,3 +2783,93 @@ def test_r11_column_decorations_and_backticks(spark, sf_dir):
     ch.execute("INSERT INTO bt11 VALUES (5, 1)")
     assert ch.execute(
         "SELECT `weird name` AS w FROM bt11").collect()[0].w == 5
+
+
+def test_r11_collapsing_final(spark, sf_dir):
+    """r11 probe battery 10: CollapsingMergeTree and
+    VersionedCollapsingMergeTree FINAL / OPTIMIZE FINAL. Collapsing
+    follows CH's merge rule exactly — one extra state row keeps the LAST
+    state row (by insert order, within one block too, via the
+    (_ch_ins_seq, _ch_ins_row) shadow), one extra cancel keeps the first
+    cancel row, balanced signs drop the key. VersionedCollapsing cancels
+    pairs with the same version, order-free."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE ccol (k UInt32, v UInt32, sign Int8)"
+                 " ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+    sess.execute("INSERT INTO ccol VALUES (1, 10, 1), (1, 10, -1),"
+                 " (1, 20, 1), (2, 5, 1)")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v FROM ccol FINAL ORDER BY k").collect()]
+    assert got == [(1, 20), (2, 5)]  # last state row of key 1 wins
+    sess.execute("INSERT INTO ccol VALUES (2, 5, -1), (3, 7, -1)")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v, sign FROM ccol FINAL ORDER BY k").collect()]
+    assert got == [(1, 20, 1), (3, 7, -1)]  # key 2 cancelled; lone -1 kept
+    sess.execute("OPTIMIZE TABLE ccol FINAL")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v, sign FROM ccol ORDER BY k").collect()]
+    assert got == [(1, 20, 1), (3, 7, -1)]
+    # FINAL still reads after the physical merge (shadow re-seeded)
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v FROM ccol FINAL ORDER BY k").collect()]
+    assert got == [(1, 20), (3, 7)]
+
+    sess.execute("CREATE TABLE vcc (k UInt32, v UInt32, sign Int8,"
+                 " ver UInt32) ENGINE ="
+                 " VersionedCollapsingMergeTree(sign, ver) ORDER BY k")
+    sess.execute("INSERT INTO vcc VALUES (1, 10, 1, 1), (1, 10, -1, 1),"
+                 " (1, 30, 1, 2)")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v FROM vcc FINAL ORDER BY k").collect()]
+    assert got == [(1, 30)]
+    sess.execute("OPTIMIZE TABLE vcc FINAL")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v, ver FROM vcc ORDER BY k").collect()]
+    assert got == [(1, 30, 2)]
+
+
+def test_r11_versionless_replacing_block_order(spark, sf_dir):
+    """Within ONE insert block the LAST row per key wins (CH's rule) —
+    previously the whole block shared one generation so the tie was
+    arbitrary (caught by the r11 collapsing probe)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE vrb (k UInt32, v String)"
+                 " ENGINE = ReplacingMergeTree ORDER BY k")
+    sess.execute("INSERT INTO vrb VALUES (1, 'first'), (1, 'second'),"
+                 " (2, 'a')")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, v FROM vrb FINAL ORDER BY k").collect()]
+    assert got == [(1, "second"), (2, "a")]
+
+
+def test_r11_alter_materialized_default_enum(spark, sf_dir):
+    """r11 probe battery 10: ALTER ADD COLUMN … MATERIALIZED expr (insert-
+    time default posture, backfills existing rows), type-less MODIFY
+    COLUMN c DEFAULT expr (keeps type, swaps default), CODEC-only MODIFY
+    as a no-op, and the bare Enum(...) spelling in CAST (the old pattern
+    required a width suffix)."""
+    from canal_clickhouse_spark.chsql import translate
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE altx (a UInt32, b String)"
+                 " ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO altx VALUES (1, 'x')")
+    sess.execute("ALTER TABLE altx ADD COLUMN e UInt64 MATERIALIZED a * 2")
+    sess.execute("INSERT INTO altx (a, b) VALUES (5, 'y')")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT a, toInt64(e) AS e FROM altx ORDER BY a").collect()]
+    assert got == [(1, 2), (5, 10)]
+    sess.execute("ALTER TABLE altx MODIFY COLUMN b DEFAULT 'zz'")
+    sess.execute("INSERT INTO altx (a) VALUES (9)")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT a, b FROM altx ORDER BY a").collect()]
+    assert got == [(1, "x"), (5, "y"), (9, "zz")]
+    sess.execute("ALTER TABLE altx MODIFY COLUMN b CODEC(ZSTD)")  # no-op
+    assert [tuple(r) for r in spark.sql(translate(
+        "SELECT CAST('x' AS Enum('x' = 1, 'y' = 2)) AS r")).collect()
+    ] == [("x",)]

@@ -4005,7 +4005,10 @@ def test_r11_truthy_nested_spans(spark):
 
     t = translate("SELECT * FROM t WHERE (SELECT max(v) FROM u WHERE"
                   " v % 2)")
-    assert "CAST((v % 2) AS BOOLEAN)" in t and "WHERE CAST(((SELECT" in t
+    # both clauses wrapped (exact paren placement is the r11 recursive
+    # _cond's business — only the semantics are pinned here)
+    assert "CAST((v % 2) AS BOOLEAN)" in t
+    assert re.search(r"WHERE \(?CAST\(\(+SELECT", t)
     spark.sql("SELECT * FROM VALUES (1), (2), (3) AS t(v)"
               ).createOrReplaceTempView("tn_r11")
     spark.sql("SELECT * FROM VALUES (0), (5) AS u(v)"
@@ -4319,3 +4322,64 @@ def test_r11_probe_batch8_nested_columns(spark, sf_dir):
         "SELECT id, na FROM nestt ARRAY JOIN n.a AS na"
         " ORDER BY id, na").collect()]
     assert aj == [(1, 1), (1, 2), (2, 3), (3, 7)]
+
+
+def test_r11_probe_batch11_hashes(spark):
+    """r11 probe battery 11: MD5 returns the binary digest so CH's
+    hex(MD5(x)) idiom round-trips (Spark's md5 is a lowercase hex STRING,
+    so hex() re-hexed the text); javaHash/hiveHash are the EXACT Java
+    String.hashCode fold (cross-system interop contracts, unlike the
+    cityHash-family sketches); detectTonality joins the NLP guidance."""
+    import pytest as _pytest
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
+
+    assert one("hex(MD5('abc'))") == "900150983CD24FB0D6963F7D28E17F72"
+    assert one("lower(hex(MD5('')))") == "d41d8cd98f00b204e9800998ecf8427e"
+    assert one("javaHash('abc')") == 96354
+    assert one("javaHash('hello')") == 99162322
+    assert one("javaHash('')") == 0
+    assert one("hiveHash('abc')") == 96354
+    with _pytest.raises(ValueError, match="NLP"):
+        translate("SELECT detectTonality('x')")
+    with _pytest.raises(ValueError, match="NLP"):
+        translate("SELECT detectProgrammingLanguage('x')")
+
+
+def test_r11_probe_batch13_literals_and_truthy_compound(spark):
+    """r11 probe battery 13: hex/binary integer literals (0x1F, 0b101 —
+    CH keywords, were unresolved columns), infix MOD (Spark parses only
+    the div twin), IN numbers(…) table-function membership, RECURSIVE
+    integer truthiness through depth-0 AND/OR/NOT (``WHERE flag AND
+    ts > 0`` died: the old any-depth boolish test passed the whole
+    conjunction while its integer leaf reached Spark's AND), and the same
+    wrap for bare-logic SELECT items."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def rows(sql):
+        return [tuple(r) for r in spark.sql(translate(sql)).collect()]
+
+    assert rows("SELECT 0x1F AS a, 0b101 AS b, 0xff AS c") == [(31, 5, 255)]
+    assert rows("SELECT number MOD 3 AS m, number DIV 2 AS d FROM"
+                " numbers(4) ORDER BY number") == [
+        (0, 0), (1, 0), (2, 1), (0, 1)]
+    assert rows("SELECT x IN numbers(5) AS r FROM (SELECT 3 AS x)") == [
+        (True,)]
+    assert rows("SELECT x NOT IN numbers(3) AS r FROM (SELECT 3 AS x)") == [
+        (True,)]
+    assert rows("SELECT count() FROM numbers(5) WHERE number % 2"
+                " AND number > 1") == [(1,)]
+    assert rows("SELECT count() FROM numbers(5) WHERE NOT number") == [(1,)]
+    assert rows("SELECT count() FROM numbers(10) WHERE number BETWEEN 1"
+                " AND 5 AND number % 2") == [(3,)]
+    assert rows("SELECT if(number AND 1, 'y', 'n') AS r FROM numbers(2)"
+                " ORDER BY r") == [("n",), ("y",)]
+    assert rows("SELECT NOT 0 AS a, (1 AND 2) AS b, (1 AND 0) AS c,"
+                " (2 OR 0) AS d") == [(True, True, False, True)]
+    # boolean-operator spellings that must stay byte-identical
+    assert rows("SELECT count() FROM numbers(5) WHERE number > 1"
+                " AND number < 4") == [(2,)]
+    assert rows("SELECT count() FROM numbers(5) WHERE number IN (1, 2)"
+                " OR number = 4") == [(3,)]
