@@ -8714,8 +8714,8 @@ def translate(ch_query: str) -> str:
             "EXPLAIN " + (mode + " " if mode else "") + ch_query[em.end():]
         )
     return _rewrite_distinct_over(
-        _translate_fns(_rewrite_clauses(_rewrite_float_keywords(
-            _rewrite_user_functions(ch_query))))
+        _translate_fns(_rewrite_clauses(_rewrite_datetime_int_arith(
+            _rewrite_float_keywords(_rewrite_user_functions(ch_query)))))
         .replace("__spark_range__", "range")
         .replace("__spark_values__", "VALUES")
         .replace("__spark_rand__", "rand")
@@ -8765,6 +8765,51 @@ def _rewrite_float_keywords(q: str) -> str:
         out2 = out2[: a + off] + " % " + out2[b + off:]
         off += 3 - (b - a)
     return out2
+
+
+_DT_ARITH_FUNCS_RE = re.compile(
+    r"(?i)\b(?:now|now64|toDateTime|toDateTime64|toDateTimeOrNull"
+    r"|toDateTimeOrZero|parseDateTime[A-Za-z0-9]*|toStartOfHour"
+    r"|toStartOfMinute|toStartOfDay|toStartOfSecond|toStartOfFiveMinutes"
+    r"|toStartOfTenMinutes|toStartOfFifteenMinutes|toStartOfInterval"
+    r"|UTCTimestamp|nowInBlock)\s*\("
+)
+
+
+def _rewrite_datetime_int_arith(q: str) -> str:
+    """CH ``DateTime ± Int`` adds SECONDS (``WHERE ts > now() - 3600`` is
+    the standard recency filter); Spark refuses timestamp ± integer at
+    analysis (r11 probe). Typed textually for the common case — a
+    DATETIME-RETURNING function call immediately followed by ± an integer
+    literal — by splicing the interval form. Date-typed functions need no
+    rewrite (Spark's DATE ± INT is already days, same as CH); bare COLUMN
+    ± int can't be typed from text and keeps Spark's loud error."""
+    for _ in range(32):
+        masked = _mask_literals(q)
+        edited = False
+        for m in _DT_ARITH_FUNCS_RE.finditer(masked):
+            close = _scan_group(q, m.end() - 1)
+            if close >= len(q):
+                continue
+            # capture a whole literal multiplicative chain so the common
+            # `now() - 10 * 60` spelling keeps CH's grouping (the product
+            # binds tighter than the subtraction — all 600 are seconds)
+            am = re.compile(
+                r"\s*([+-])\s*(\d+(?:\s*[*/%]\s*\d+)*)(?![\w.*/%])"
+            ).match(masked, close + 1)
+            if not am:
+                continue
+            call = q[m.start() : close + 1]
+            repl = (
+                f"({call} {am.group(1)}"
+                f" make_interval(0, 0, 0, 0, 0, 0, {am.group(2)}))"
+            )
+            q = q[: m.start()] + repl + q[am.end() :]
+            edited = True
+            break
+        if not edited:
+            return q
+    return q
 
 
 def _scan_group(s: str, start: int) -> int:

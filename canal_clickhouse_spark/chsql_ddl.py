@@ -2225,6 +2225,22 @@ class ChSession:
             block = parsed.select("r.*").select(*cols)
             return self._insert(name, block, ", ".join(cols))
 
+        # leading-WITH INSERT (CH grammar: `WITH … INSERT INTO t SELECT …`)
+        # rearranges to the WITH-after-table form the regex handles — the
+        # bindings scope to the SELECT either way (r11 probe).
+        wm_ = re.match(r"(?is)^\s*(WITH\s+.+?)\s+(INSERT\s+INTO\s+.+)$", s)
+        if wm_ and "SELECT" in wm_.group(2).upper():
+            from .chsql import _mask_literals as _ml
+            from .chsql import _paren_depth_at as _pda
+            if not re.search(
+                r"(?i)\bINSERT\b", _ml(wm_.group(1)) + " "
+            ) and _pda(_ml(s), wm_.end(1)) == 0:
+                im_ = re.match(
+                    r"(?is)^(INSERT\s+INTO\s+\w+\s*(?:\([\w.,`\s]+\)\s*)?)"
+                    r"(SELECT\b.*)$", wm_.group(2))
+                if im_:
+                    s = f"{im_.group(1)} {wm_.group(1)} {im_.group(2)}"
+
         m = _INSERT_SELECT_RE.match(s)
         if m:
             name = m.group("name")

@@ -2873,3 +2873,41 @@ def test_r11_alter_materialized_default_enum(spark, sf_dir):
     assert [tuple(r) for r in spark.sql(translate(
         "SELECT CAST('x' AS Enum('x' = 1, 'y' = 2)) AS r")).collect()
     ] == [("x",)]
+
+
+def test_r11_datetime_int_arith_and_with_insert(spark, sf_dir):
+    """r11 probe batch 14: CH ``DateTime ± Int`` adds SECONDS (the
+    ``now() - 3600`` recency idiom) — spliced as make_interval for
+    datetime-returning function calls; and the leading-WITH INSERT form
+    (``WITH … INSERT INTO t SELECT …``) whose bindings scope to the
+    SELECT."""
+    from canal_clickhouse_spark.chsql import translate
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    q = translate("SELECT * FROM events WHERE ts > now() - 3600")
+    assert "make_interval(0, 0, 0, 0, 0, 0, 3600)" in q
+    # literal multiplicative chains keep CH's grouping (all seconds)
+    q = translate("SELECT now() - 10 * 60 AS t")
+    assert "make_interval(0, 0, 0, 0, 0, 0, 10 * 60)" in q
+    # pure-number arithmetic untouched
+    assert translate("SELECT 1 - 2 AS x") == "SELECT 1 - 2 AS x"
+    # toUnixTimestamp(...) - int is numeric, untouched
+    assert "make_interval" not in translate(
+        "SELECT toUnixTimestamp(now()) - 10")
+    got = [tuple(r) for r in spark.sql(translate(
+        "SELECT toDateTime('2023-01-01 00:10:00') - 600 AS d")).collect()]
+    assert got[0][0].strftime("%H:%M:%S") == "00:00:00"
+    got = [tuple(r) for r in spark.sql(translate(
+        "SELECT now() - 10 <= now() AS a, now() + 3600 > now() AS b"
+    )).collect()]
+    assert got == [(True, True)]
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE mwi (k UInt32, v UInt32) ENGINE = Memory")
+    sess.execute("WITH 5 AS five INSERT INTO mwi SELECT 100 + five, five")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT * FROM mwi").collect()] == [(105, 5)]
+    sess.execute(
+        "WITH cte AS (SELECT 7 AS x) INSERT INTO mwi SELECT x, x FROM cte")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT count() AS c FROM mwi").collect()] == [(2,)]
