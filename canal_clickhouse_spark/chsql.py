@@ -7086,6 +7086,162 @@ def _rewrite_array_join(q: str) -> str:
         )
         q = q[: fm.start()] + "FROM " + wrap + " " + q[b1:]
     raise ValueError("more than 16 ARRAY JOIN clauses — refusing to rewrite")
+
+
+_ARRAYJOIN_FN_RE = re.compile(r"(?i)\barrayJoin\s*\(")
+_AJF_CLAUSE_KW_RE = re.compile(
+    r"(?i)\b(?:WHERE|PREWHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY"
+    r"|LIMIT|OFFSET|SETTINGS|FORMAT|UNION|EXCEPT|INTERSECT|INTO\s+OUTFILE)\b"
+)
+
+
+def _rewrite_arrayjoin_fn(q: str) -> str:
+    """CH's ``arrayJoin(arr)`` FUNCTION form multiplies rows like the
+    ARRAY JOIN clause but lives INSIDE expressions (``SELECT arrayJoin(a)
+    + 1``, ``WHERE arrayJoin(ids) = 7``) and may appear several times.
+    Spark's ``explode`` is a generator — it refuses nesting in expressions
+    and allows one per select list — so each call lifts to a ``LATERAL
+    VIEW explode(arg)`` on its query block's FROM and the call sites
+    become the generated column:
+
+    - textually identical args share ONE lateral view (CH collapses
+      identical arrayJoin expressions via common-subexpression
+      elimination — probed semantics, not an optimization choice here);
+    - DISTINCT args get independent lateral views, i.e. the cartesian
+      expansion CH produces for independent arrayJoin calls;
+    - a block with no FROM gains ``FROM (SELECT 1)`` (CH's implicit
+      one-row source).
+
+    The single bare-select-item spelling (``SELECT arrayJoin(a) AS x FROM
+    t``) is left to the plain ``explode`` function mapping so existing
+    result column naming is unchanged."""
+    for _ in range(16):
+        masked = _mask_literals(q)
+        # depth prefix over the masked text (one pass per iteration)
+        depth = [0] * (len(masked) + 1)
+        d = 0
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            depth[i + 1] = d
+
+        calls = []  # (start, open_idx, close_idx, arg_text)
+        for m in _ARRAYJOIN_FN_RE.finditer(masked):
+            o = m.end() - 1
+            c = _scan_group(q, o)
+            if c >= len(q):
+                raise ValueError("unbalanced arrayJoin( call")
+            if _ARRAYJOIN_FN_RE.search(masked[o + 1 : c]):
+                raise ValueError(
+                    "arrayJoin nested inside another arrayJoin's argument"
+                    " — flatten with arrayFlatten/array concat first"
+                )
+            calls.append((m.start(), o, c, q[o + 1 : c].strip()))
+        if not calls:
+            return q
+
+        # enclosing SELECT of a position: the NEAREST preceding SELECT from
+        # which the paren depth never dips below the SELECT's own (i.e.
+        # the position is inside that block, not a sibling subquery)
+        sel_marks = list(re.finditer(r"(?i)\bSELECT\b", masked))
+
+        def _encl(pos: int) -> re.Match | None:
+            best = None
+            for sm in sel_marks:
+                if sm.start() >= pos:
+                    break
+                if min(depth[sm.start() : pos + 1]) >= depth[sm.start()]:
+                    best = sm
+            return best
+
+        sel = _encl(calls[0][0])
+        if sel is None:
+            raise ValueError("arrayJoin call outside any SELECT block")
+        bd = depth[sel.start()]
+        # block end: first position after SELECT where depth drops below bd
+        bend = len(q)
+        for i in range(sel.end(), len(masked)):
+            if depth[i + 1] < bd:
+                bend = i
+                break
+
+        # only calls whose OWN enclosing block is this one (a call inside
+        # a nested subquery lifts to that subquery's FROM on a later pass)
+        block_calls = [
+            c
+            for c in calls
+            if sel.end() <= c[0]
+            and c[2] < bend
+            and (e := _encl(c[0])) is not None
+            and e.start() == sel.start()
+        ]
+        # bare single select item → leave to the explode function mapping
+        if len(block_calls) == 1:
+            s0, _, c0, _ = block_calls[0]
+            pre = masked[sel.end() : s0].rstrip()
+            post = masked[c0 + 1 : bend].lstrip()
+            whole_item = (
+                depth[s0] == bd
+                and (pre.endswith(",") or pre.upper() in ("", "DISTINCT"))
+                and (
+                    post == ""
+                    or post.startswith(",")
+                    or re.match(r"(?i)^(AS\b|FROM\b)", post)
+                )
+            )
+            if whole_item:
+                # no other blocks may still need the lift — recurse on the
+                # text outside this block by masking the call name
+                rest = (
+                    q[: s0]
+                    + "__ajfn__" + q[s0 + 9 : ]
+                )
+                rest = _rewrite_arrayjoin_fn(rest)
+                return rest.replace("__ajfn__", "arrayJoin", 1) \
+                    if "__ajfn__" in rest else rest
+
+        # FROM of this block (at block depth, before any block clause kw)
+        fm = None
+        for cand in re.finditer(r"(?i)\bFROM\b", masked[sel.end() : bend]):
+            if depth[sel.end() + cand.start()] == bd:
+                fm = sel.end() + cand.start()
+                break
+        # insertion point: first block-level clause keyword after the FROM
+        # source (or after the select list when FROM is absent)
+        scan_from = (fm + 4) if fm is not None else sel.end()
+        ins = bend
+        for kw in _AJF_CLAUSE_KW_RE.finditer(masked[scan_from:bend]):
+            p = scan_from + kw.start()
+            if depth[p] == bd:
+                ins = p
+                break
+
+        # distinct args (textual), in first-appearance order
+        seen: dict[str, str] = {}
+        base = 0
+        for am in re.finditer(r"__ajf(\d+)\b", q):
+            base = max(base, int(am.group(1)) + 1)
+        for _, _, _, arg in block_calls:
+            if arg not in seen:
+                seen[arg] = f"__ajf{base + len(seen)}"
+        laterals = "".join(
+            f" LATERAL VIEW explode({arg}) _aj{alias[2:]} AS {alias}"
+            for arg, alias in seen.items()
+        )
+        prefix = "" if fm is not None else " FROM (SELECT 1)"
+        # splice call sites FIRST, right-to-left, tracking how much the
+        # insertion point shifts (calls may sit AFTER it — WHERE/GROUP BY)
+        out = q
+        for s0, _, c0, arg in sorted(block_calls, reverse=True):
+            out = out[:s0] + seen[arg] + out[c0 + 1 :]
+            if c0 < ins:
+                ins += len(seen[arg]) - (c0 + 1 - s0)
+        q = out[:ins] + prefix + laterals + " " + out[ins:]
+    raise ValueError("more than 16 arrayJoin blocks — refusing to rewrite")
+
+
 _PREWHERE_RE = re.compile(
     # a second PREWHERE stops the capture so repeated clauses merge
     # instead of emitting WHERE twice (r10 battery; CH itself rejects the
@@ -8434,6 +8590,9 @@ def _rewrite_clauses(q: str) -> str:
     # between the table and the predicates, and neither rewrite touches the
     # other's text. `LEFT ARRAY JOIN` keeps empty-array rows.
     q = _rewrite_array_join(q)
+    # the FUNCTION form after the clause form: both lift to LATERAL VIEW
+    # and neither touches the other's text
+    q = _rewrite_arrayjoin_fn(q)
     q = _rewrite_bare_int_predicates(q)
     q = _rewrite_prewhere(q)
     q = _rewrite_groupless_having(q)

@@ -4964,3 +4964,38 @@ def chsql_format_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-appearance key order, data parsed at translate time (client-
     side constant, the INSERT FORMAT posture)."""
     return ch_execute_script(spark, sf_dir, _CH_FORMAT_TF_SCRIPT)
+
+
+_CH_ARRAYJOIN_EXPR_SCRIPT = """
+SELECT n_regionkey AS rk,
+       toInt64(sum((arrayJoin([1, 2, 3]) + arrayJoin([1, 2, 3])) * 10
+                   + arrayJoin([0, 1]))) AS s,
+       toInt64(count()) AS n
+FROM nation
+WHERE arrayJoin([1, 2, 3]) >= 2
+GROUP BY rk ORDER BY rk;
+"""
+
+
+@query(
+    "chsql_arrayjoin_expr",
+    oracle="""
+    SELECT n_regionkey AS rk,
+           CAST(SUM((v + v) * 10 + w) AS BIGINT) AS s,
+           COUNT(*) AS n
+    FROM nation
+    CROSS JOIN (VALUES (1), (2), (3)) AS tv(v)
+    CROSS JOIN (VALUES (0), (1)) AS tw(w)
+    WHERE v >= 2
+    GROUP BY rk ORDER BY rk
+    """,
+)
+def chsql_arrayjoin_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 probe batch 14: CH's ``arrayJoin()`` FUNCTION form nested in
+    expressions — every call lifts to a ``LATERAL VIEW explode`` on the
+    block's FROM (`chsql._rewrite_arrayjoin_fn`). The three identical
+    ``arrayJoin([1,2,3])`` spellings (select list AND WHERE) collapse to
+    ONE expansion (CH's common-subexpression rule); the distinct
+    ``arrayJoin([0,1])`` multiplies independently (cartesian), and the
+    WHERE filters on the expanded element."""
+    return ch_execute_script(spark, sf_dir, _CH_ARRAYJOIN_EXPR_SCRIPT)

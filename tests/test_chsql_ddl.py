@@ -2911,3 +2911,41 @@ def test_r11_datetime_int_arith_and_with_insert(spark, sf_dir):
         "WITH cte AS (SELECT 7 AS x) INSERT INTO mwi SELECT x, x FROM cte")
     assert [tuple(r) for r in sess.execute(
         "SELECT count() AS c FROM mwi").collect()] == [(2,)]
+
+
+def test_r11_arrayjoin_in_expressions(spark, sf_dir):
+    """r11 probe batch 14: arrayJoin() nested in expressions lifts to
+    LATERAL VIEW explode — identical args share one expansion (CH's CSE
+    rule), distinct args multiply (cartesian), WHERE filters on the
+    expanded element, and the bare single-item spelling keeps the plain
+    explode mapping."""
+    from canal_clickhouse_spark.chsql import translate
+
+    run = lambda c: [tuple(r) for r in spark.sql(translate(c)).collect()]
+    assert run("SELECT arrayJoin([1,2]) + 1 AS v ORDER BY v") == [(2,), (3,)]
+    assert run("SELECT sum(arrayJoin([1,2,3])) AS s") == [(6,)]
+    # distinct args → cartesian (CH independent expansion)
+    assert run(
+        "SELECT arrayJoin([1,2]) + arrayJoin([10,20]) AS s ORDER BY s"
+    ) == [(11,), (12,), (21,), (22,)]
+    # identical args → ONE expansion (CH common-subexpression rule)
+    assert run(
+        "SELECT arrayJoin(a) + arrayJoin(a) AS s"
+        " FROM (SELECT [1,2] AS a) ORDER BY s"
+    ) == [(2,), (4,)]
+    # arrayJoin in WHERE filters after expansion
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation")
+    assert run(
+        "SELECT count() AS c FROM nation WHERE arrayJoin([0,1])"
+        " = n_regionkey"
+    )[0][0] == run(
+        "SELECT count() AS c FROM nation WHERE n_regionkey IN (0, 1)"
+    )[0][0]
+    # bare single item keeps explode (unchanged naming)
+    q = translate("SELECT arrayJoin([1,2]) AS x FROM nation")
+    assert "LATERAL VIEW" not in q and "explode" in q
+    # inner-subquery call lifts to the INNER block's FROM
+    assert run(
+        "SELECT (SELECT sum(arrayJoin([1,2]))) AS s, 5 AS o"
+    ) == [(3, 5)]
