@@ -3908,6 +3908,16 @@ def _translate_call(name: str, args: list[str]) -> str:
                 return t
 
         def _emit(expr: str, tname: str) -> str:
+            # a parenthesized top-level-comma source is CH's tuple literal
+            # (`CAST((1, 'x') AS Tuple(…))`) — name the fields col1..colN
+            # so the struct cast lines up with the tuple() value form
+            e = expr.strip()
+            if e.startswith("(") and _scan_group(e, 0) == len(e) - 1:
+                inner = _split_args(e[1:-1])
+                if len(inner) > 1:
+                    expr = "named_struct(" + ", ".join(
+                        f"'col{i + 1}', {a}" for i, a in enumerate(inner)
+                    ) + ")"
             # narrow-int targets WRAP modulo 2^width like the to*-cast
             # family (r11: CAST(300, 'UInt8') is 44 in CH, same contract)
             wrap = {
@@ -3982,6 +3992,20 @@ def _translate_call(name: str, args: list[str]) -> str:
             "HLL partials with the documented union contract"
         )
     if low == "tuple":
+        # The TYPE spelling first: CH is case-sensitive — `Tuple(…)` (capital
+        # T) is the type constructor used inside CAST, `tuple(…)` the value
+        # function. Inner-first fn translation reaches the type text before
+        # the CAST handler can, so a capital-T call whose every argument
+        # parses as a CH type (bare or `name Type`) emits the mapped Spark
+        # struct type (r11 probe: `CAST((1,'x') AS Tuple(id UInt8, s
+        # String))` previously mangled the type into named_struct garbage).
+        if name.startswith("T"):
+            from .chsql_ddl import ch_type_to_spark  # local: avoids cycle
+
+            try:
+                return ch_type_to_spark(f"Tuple({', '.join(args)})")
+            except ValueError:
+                pass  # not a type list — fall through to the value form
         # CH tuples are positional; Spark's bare struct() keeps source
         # COLUMN names as field names, so positional tupleElement access
         # needs explicit col1..colN naming.

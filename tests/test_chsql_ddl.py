@@ -2949,3 +2949,31 @@ def test_r11_arrayjoin_in_expressions(spark, sf_dir):
     assert run(
         "SELECT (SELECT sum(arrayJoin([1,2]))) AS s, 5 AS o"
     ) == [(3, 5)]
+
+
+def test_r11_named_tuple_cast(spark, sf_dir):
+    """r11 probe batch 15: ``CAST(x AS Tuple(...))`` — CH's capital-T
+    TYPE spelling must survive inner-first function translation (it
+    previously mangled into named_struct garbage in type position); both
+    the AS form and the 2-arg string form, named and positional fields,
+    with `.field` / `.N` / tupleElement access."""
+    from canal_clickhouse_spark.chsql import translate
+
+    run = lambda c: [tuple(r) for r in spark.sql(translate(c)).collect()]
+    assert run(
+        "SELECT CAST((1, 'x') AS Tuple(id UInt8, s String)).s AS s"
+    ) == [("x",)]
+    assert run(
+        "SELECT CAST((1, 'x'), 'Tuple(id UInt8, s String)').id AS i"
+    ) == [(1,)]
+    assert run(
+        "SELECT CAST((1, 'x') AS Tuple(UInt8, String)).2 AS s"
+    ) == [("x",)]
+    assert run(
+        "SELECT tupleElement("
+        "CAST(tuple(1, 'x') AS Tuple(id UInt8, s String)), 's') AS s"
+    ) == [("x",)]
+    # the VALUE function spelling (lowercase) is untouched
+    assert run("SELECT tuple(1, 2).1 AS a") == [(1,)]
+    q = translate("SELECT tuple(n_name, 1) FROM nation")
+    assert "named_struct" in q and "STRUCT<" not in q
