@@ -187,6 +187,15 @@ def ch_type_to_spark(ch_type: str) -> str:
         return "TIMESTAMP"
     if re.fullmatch(r"(?is)Object\s*\(\s*'json'\s*\)", t):
         return "STRING"  # raw JSON text; fn_json extracts
+    if re.fullmatch(
+        r"(?is)(?:JSON|Dynamic)\s*\(.*\)|Dynamic|Variant\s*\(.*\)", t
+    ):
+        # parameterized JSON(max_dynamic_paths=…, a.b UInt32), Dynamic and
+        # Variant(T1, T2, …) all carry per-VALUE typing CH resolves at
+        # read; this engine's uniform representation is the raw JSON/text
+        # form (same posture as bare JSON above) — `col.path` access
+        # rewrites to get_json_object via the json_cols session meta
+        return "STRING"
     m = re.fullmatch(r"(?is)Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
     if m:
         return f"DECIMAL({m.group(1)},{m.group(2)})"
@@ -228,14 +237,6 @@ def ch_type_to_spark(ch_type: str) -> str:
     low = t.lower()
     if low in _CH_SCALAR_TYPES:
         return _CH_SCALAR_TYPES[low]
-    if re.fullmatch(r"(?is)variant\s*\(.*\)", t) or low == "dynamic":
-        # r10 probe: previously the generic unsupported-type error
-        raise ValueError(
-            f"{t}: CH's union types have no Spark column analog — Spark"
-            " columns are monomorphic; model the variants as separate"
-            " Nullable columns, or serialize through a JSON/STRING column"
-            " and extract with fn_json"
-        )
     if low == "time" or re.fullmatch(r"(?is)time64\s*\(.*\)", t):
         raise ValueError(
             f"{t}: Spark has no time-of-day type; store seconds-of-day as"
@@ -453,6 +454,17 @@ def parse_create_body(cols_text: str) -> tuple[
             # spellings coerce at insert time (r10 probe: the positional
             # BIGINT cast silently NULLed '1.2.3.4')
             extras.setdefault("ipv4_cols", set()).add(col)
+        if re.fullmatch(
+            r"(?is)(?:nullable\s*\(\s*)?(?:json(?:\s*\(.*\))?"
+            r"|object\s*\(\s*'json'\s*\)|dynamic(?:\s*\(.*\))?"
+            r"|variant\s*\(.*\))\s*\)?",
+            ch_t.strip(),
+        ):
+            # JSON/Dynamic/Variant columns are raw JSON text here (the
+            # fn_json posture); remember them so `col.path` subcolumn
+            # access rewrites to get_json_object (r11 probe batch 18:
+            # `SELECT j.a.b FROM jt` previously died on STRING extract)
+            extras.setdefault("json_cols", set()).add(col)
     return cols, defaults, nullable, extras
 
 
@@ -1449,7 +1461,45 @@ class ChSession:
         self._refresh_views()
         ch_select = self._bind_param_views(ch_select)
         ch_select = self._bind_system_views(ch_select)
+        ch_select = self._rewrite_json_paths(ch_select)
         return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
+
+    def _rewrite_json_paths(self, s: str) -> str:
+        """``j.a.b`` subcolumn access on a JSON/Dynamic/Variant column →
+        ``get_json_object(j, '$.a.b')`` (r11 probe batch 18: previously a
+        raw STRING-extract AnalysisException). The typed spelling
+        ``j.a.b.:Int64`` CASTs through the CH type map. Values surface as
+        JSON text (numbers as their digits, strings unquoted — matching
+        CH's Dynamic display form); only columns DECLARED with a JSON-family
+        type in THIS session rewrite, so structs/maps keep native access."""
+        from .chsql import _mask_literals
+
+        cols = {
+            c
+            for t, meta in self.meta.items()
+            for c in (meta.get("json_cols") or ())
+        }
+        if not cols:
+            return s
+        masked = _mask_literals(s)
+        for c in sorted(cols):
+            pat = re.compile(
+                rf"(?<![\w.`$]){c}\s*\.\s*(\w+(?:\.\w+)*)"
+                rf"(?:\.:\s*(\w+(?:\s*\([^()]*\))?))?(?![\w(])"
+            )
+            out, last = [], 0
+            for m in pat.finditer(masked):
+                expr = f"get_json_object({c}, '$.{m.group(1)}')"
+                if m.group(2):
+                    expr = f"CAST({expr} AS {ch_type_to_spark(m.group(2))})"
+                out.append(s[last : m.start()])
+                out.append(expr)
+                last = m.end()
+            if out:
+                out.append(s[last:])
+                s = "".join(out)
+                masked = _mask_literals(s)
+        return s
 
     # CH's introspection schema (the subset operators actually query); each
     # materializes fresh per read so it reflects the live catalog.
@@ -3997,7 +4047,7 @@ class ChSession:
         INSERT-time enforcement and EPHEMERAL column definitions."""
         meta = self.meta[name]
         for k in ("constraints", "checks", "indexes", "projections",
-                  "ephemeral", "ipv4_cols", "nested_cols"):
+                  "ephemeral", "ipv4_cols", "nested_cols", "json_cols"):
             if extras.get(k):
                 meta[k] = extras[k]
 

@@ -2471,10 +2471,13 @@ def test_r10_multiquery_csv_quotes_new_types(spark, sf_dir):
     assert [tuple(r) for r in ch.execute(
         "SELECT a, b FROM tcsv9 ORDER BY a").collect()] == [
         (1, "hello, world"), (2, 'with "quotes"')]
+    # Variant/Dynamic now land as raw JSON-text columns (r11 — see
+    # test_r11_json_dynamic_variant_columns); only the time-of-day types
+    # keep their guided refusal
+    ch.execute("CREATE TABLE tv9 (v Variant(UInt64, String))"
+               " ENGINE = Memory")
+    ch.execute("CREATE TABLE td9 (d Dynamic) ENGINE = Memory")
     for ddl, pat in [
-        ("CREATE TABLE tv9 (v Variant(UInt64, String)) ENGINE = Memory",
-         "union types"),
-        ("CREATE TABLE td9 (d Dynamic) ENGINE = Memory", "union types"),
         ("CREATE TABLE tt9 (t Time) ENGINE = Memory", "time-of-day"),
         ("CREATE TABLE tt10 (t Time64(3)) ENGINE = Memory", "time-of-day"),
     ]:
@@ -2977,3 +2980,42 @@ def test_r11_named_tuple_cast(spark, sf_dir):
     assert run("SELECT tuple(1, 2).1 AS a") == [(1,)]
     q = translate("SELECT tuple(n_name, 1) FROM nation")
     assert "named_struct" in q and "STRUCT<" not in q
+
+
+def test_r11_json_dynamic_variant_columns(spark, sf_dir):
+    """r11 probe batch 18: JSON/Dynamic/Variant column types land as raw
+    JSON text (the fn_json posture), and ``col.path`` subcolumn access
+    rewrites to get_json_object — bare (JSON-text values), typed
+    (``.:Int64`` CASTs through the CH type map), in WHERE, and compared
+    against numbers via Spark's string-number coercion."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE jt2 (id UInt32, j JSON) ENGINE = Memory")
+    sess.execute(
+        'INSERT INTO jt2 VALUES (1, \'{"a": {"b": 1}, "s": "x"}\'),'
+        ' (2, \'{"a": {"b": 7}, "s": "y"}\')'
+    )
+    got = [tuple(r) for r in sess.execute(
+        "SELECT id, j.a.b AS b, j.s AS s FROM jt2 ORDER BY id").collect()]
+    assert got == [(1, "1", "x"), (2, "7", "y")]
+    got = [tuple(r) for r in sess.execute(
+        "SELECT id, j.a.b.:Int64 + 1 AS v FROM jt2 ORDER BY id").collect()]
+    assert got == [(1, 2), (2, 8)]
+    assert [tuple(r) for r in sess.execute(
+        "SELECT count() AS c FROM jt2 WHERE j.a.b = 7").collect()] == [(1,)]
+    assert [tuple(r) for r in sess.execute(
+        "SELECT id FROM jt2 WHERE j.s = 'x'").collect()] == [(1,)]
+    # Variant / Dynamic declare and round-trip as text
+    sess.execute(
+        "CREATE TABLE vt2 (v Variant(UInt8, String), d Dynamic)"
+        " ENGINE = Memory")
+    sess.execute("INSERT INTO vt2 VALUES ('5', 'hello')")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT v, d FROM vt2").collect()] == [("5", "hello")]
+    # CAST to Variant maps through the same posture
+    from canal_clickhouse_spark.chsql import translate
+
+    assert [tuple(r) for r in spark.sql(translate(
+        "SELECT CAST(5 AS Variant(UInt8, String)) AS v")).collect()
+    ] == [("5",)]
