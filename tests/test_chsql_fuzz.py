@@ -544,6 +544,59 @@ def q_array_join(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_arrayjoin_fn(rng: random.Random) -> tuple[str, str]:
+    """arrayJoin() FUNCTION form in expressions (r11): lifts to LATERAL
+    VIEW — identical args share one expansion (CSE), distinct args
+    multiply, WHERE filters post-expansion, aggregates see expanded rows."""
+    k = rng.randint(5, 60)
+    a, b = rng.randint(1, 9), rng.randint(10, 99)
+    vals = f"(VALUES ({a}), ({b})) AS t(v)"
+    pick = rng.random()
+    if pick < 0.3:
+        ch = (
+            f"SELECT doc_id AS c0, arrayJoin([{a}, {b}]) * doc_id AS c1"
+            f" FROM documents WHERE doc_id < {k}"
+        )
+        dk = (
+            f"SELECT doc_id AS c0, v * doc_id AS c1 FROM documents,"
+            f" {vals} WHERE doc_id < {k}"
+        )
+    elif pick < 0.55:
+        # CSE: two textually identical calls = ONE expansion
+        ch = (
+            "SELECT doc_id AS c0,"
+            " length(arrayJoin(splitByChar(' ', text)))"
+            " + length(arrayJoin(splitByChar(' ', text))) AS c1"
+            f" FROM documents WHERE doc_id < {k}"
+        )
+        dk = (
+            "SELECT doc_id AS c0, 2 * length(u.tok) AS c1 FROM documents,"
+            f" UNNEST(string_split(text, ' ')) AS u(tok) WHERE doc_id < {k}"
+        )
+    elif pick < 0.8:
+        # post-expansion WHERE filter
+        ch = (
+            f"SELECT doc_id AS c0 FROM documents"
+            f" WHERE arrayJoin([{a}, {b}]) % 2 = doc_id % 2"
+            f" AND doc_id < {k}"
+        )
+        dk = (
+            f"SELECT doc_id AS c0 FROM documents, {vals}"
+            f" WHERE v % 2 = doc_id % 2 AND doc_id < {k}"
+        )
+    else:
+        # aggregate over the expanded rows
+        ch = (
+            f"SELECT toInt64(sum(arrayJoin([{a}, {b}]) + doc_id)) AS c0"
+            f" FROM documents WHERE doc_id < {k}"
+        )
+        dk = (
+            f"SELECT CAST(SUM(v + doc_id) AS BIGINT) AS c0"
+            f" FROM documents, {vals} WHERE doc_id < {k}"
+        )
+    return ch, dk
+
+
 def q_distinct(rng: random.Random) -> tuple[str, str]:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
@@ -1127,6 +1180,7 @@ QUERY_GENS = [
     (q_with_ties, 8),
     (q_setop, 12),
     (q_array_join, 8),
+    (q_arrayjoin_fn, 6),
     (q_distinct, 8),
     (q_join, 12),
     (q_any_join, 6),
