@@ -4383,3 +4383,95 @@ def test_r11_probe_batch13_literals_and_truthy_compound(spark):
                 " AND number < 4") == [(2,)]
     assert rows("SELECT count() FROM numbers(5) WHERE number IN (1, 2)"
                 " OR number = 4") == [(3,)]
+
+
+def test_chsql_r11_probe_pins_batch5(spark):
+    """Fifth value-pin battery: OK rows from the r11 probe batches 15-17
+    (quantile/groupArray/bit/stat long tail, map/JSON/encoding, URL/
+    tokenize/datetime) hand-checked against CH semantics during the
+    probes, pinned so regressions stay loud."""
+    import datetime
+
+    from canal_clickhouse_spark.chsql import translate
+
+    one = lambda e: spark.sql(translate(f"SELECT {e} AS r")).collect()[0].r
+    pins = [
+        # batch 15: rounding buckets / interval / tuple / week math
+        ("roundToExp2(20)", 16),
+        ("roundDuration(45)", 30),
+        ("roundAge(25)", 25),
+        ("tupleElement(tuple(1, 'a'), 2)", "a"),
+        ("toStartOfWeek(toDate('2023-05-17'))",
+         datetime.date(2023, 5, 14)),
+        ("toStartOfWeek(toDate('2023-05-17'), 1)",
+         datetime.date(2023, 5, 15)),
+        ("toLastDayOfWeek(toDate('2023-05-17'))",
+         datetime.date(2023, 5, 20)),
+        ("dateDiff('week', toDate('2023-01-01'), toDate('2023-01-20'))", 3),
+        ("age('year', toDate('2020-02-29'), toDate('2023-02-28'))", 2),
+        ("extractAllGroupsVertical('k=1,m=2', '(\\\\w)=(\\\\d)')",
+         [["k", "1"], ["m", "2"]]),
+        ("bitTest(5, 0)", 1),
+        ("bitHammingDistance(5, 6)", 2),
+        ("bitRotateLeft(toUInt8(1), 1)", 2),
+        ("defaultValueOfTypeName('UInt8')", 0),
+        ("defaultValueOfTypeName('String')", ""),
+        ("soundex('Robert')", "R163"),
+        # batch 16: math/map/JSON/encodings
+        ("intExp2(10)", 1024),
+        ("countDigits(toDecimal64(1.25, 2))", 3),
+        ("factorial(5)", 120),
+        ("mapPopulateSeries(map(1, 10, 4, 40))",
+         {1: 10, 2: 0, 3: 0, 4: 40}),
+        ("mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%')", {"abc": 1}),
+        ("JSONType('{\"a\": [1]}', 'a')", "Array"),
+        ("JSONLength('{\"a\": [1,2,3]}', 'a')", 3),
+        ("simpleJSONExtractInt('{\"a\": 7}', 'a')", 7),
+        ("visitParamExtractString('{\"a\": \"v\"}', 'a')", "v"),
+        ("toJSONString([1,2])", "[1,2]"),
+        ("base64URLEncode('ab?cd')", "YWI_Y2Q"),
+        ("tryBase64Decode('###')", ""),
+        ("arrayRotateRight([1,2,3,4], 1)", [4, 1, 2, 3]),
+        # batch 17: URL / tokenize / id
+        ("URLPathHierarchy('http://a.com/p1/p2')", ["/p1/", "/p1/p2"]),
+        ("netloc('http://user:pw@a.com:8080/p')", "user:pw@a.com:8080"),
+        ("port('http://a.com:8080/p')", 8080),
+        ("cutQueryStringAndFragment('http://a.com/p?x=1#f')",
+         "http://a.com/p"),
+        ("encodeURLFormComponent('a b')", "a+b"),
+        ("pathFull('http://a.com/p?x=1')", "/p?x=1"),
+        ("splitByNonAlpha('a1b c')", ["a1b", "c"]),
+        ("ngrams('abcd', 2)", ["ab", "bc", "cd"]),
+        ("monthName(toDate('2023-05-17'))", "May"),
+        ("dateName('weekday', toDate('2023-05-17'))", "Wednesday"),
+        ("toModifiedJulianDay('2023-05-17')", 60081),
+        ("fromModifiedJulianDay(60081)", datetime.date(2023, 5, 17)),
+        ("toYYYYMMDDhhmmss(toDateTime('2023-05-17 13:14:15'))",
+         20230517131415),
+        ("YYYYMMDDToDate(20230517)", datetime.date(2023, 5, 17)),
+        ("toStartOfISOYear(toDate('2023-05-17'))",
+         datetime.date(2023, 1, 2)),
+        ("hasSubsequence('hello world', 'hlo')", True),
+    ]
+    for expr, want in pins:
+        got = one(expr)
+        assert got == want, f"{expr}: {got!r} != {want!r}"
+    agg = lambda q: spark.sql(translate(q)).collect()[0].r
+    assert agg("SELECT groupArrayLast(2)(number) AS r FROM numbers(5)") == [
+        3, 4]
+    assert agg("SELECT groupArrayInsertAt(3)(toString(number), number) AS r"
+               " FROM numbers(3)") == ["0", "1", "2"]
+    assert agg("SELECT groupBitAnd(number + 12) AS r FROM numbers(3)") == 12
+    assert agg("SELECT topKWeighted(2)(number % 3, number) AS r"
+               " FROM numbers(10)") == [0, 2]
+    assert agg("SELECT maxIntersections(number, number + 2) AS r"
+               " FROM numbers(5)") == 2
+    assert agg("SELECT boundingRatio(number, number * 3) AS r"
+               " FROM numbers(5)") == 3.0
+    assert agg("SELECT uniqUpTo(5)(number) AS r FROM numbers(10)") == 6
+    assert agg("SELECT singleValueOrNull(number) AS r FROM numbers(3)"
+               ) is None
+    sv = spark.sql(translate(
+        "SELECT simpleLinearRegression(number, number * 2 + 1) AS r"
+        " FROM numbers(10)")).collect()[0].r
+    assert (sv.k, sv.b) == (2.0, 1.0)
