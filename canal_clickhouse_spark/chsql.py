@@ -8777,6 +8777,49 @@ def _rewrite_clauses(q: str) -> str:
     return q
 
 
+_RANK_OVER_RE = re.compile(
+    r"(?is)\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile"
+    r"|lag|lead|leadInFrame|lagInFrame)\s*\("
+)
+
+
+def _rewrite_orderless_rank_windows(q: str) -> str:
+    """Ranking/offset window functions with NO ORDER BY in their OVER
+    spec (``row_number() OVER ()``, ``… OVER (PARTITION BY k)``) — legal
+    in CH with arbitrary in-partition order, rejected by Spark's analyzer
+    (r11 probe batch 19). Inject the constant ``ORDER BY 1`` (before any
+    frame spec), which Spark accepts and which IS an arbitrary order —
+    the same contract CH gives. Named ``OVER w`` references stay loud:
+    the WINDOW clause is where the user should add the order."""
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _RANK_OVER_RE.search(masked, pos)
+        if not m:
+            return q
+        close = _scan_group(q, m.end() - 1)
+        if close >= len(q):
+            return q
+        om = re.compile(r"(?is)\s*OVER\s*\(").match(masked, close + 1)
+        if not om:
+            pos = close + 1
+            continue
+        o_open = om.end() - 1
+        o_close = _scan_group(q, o_open)
+        if o_close >= len(q):
+            return q
+        body = masked[o_open + 1 : o_close]
+        if re.search(r"(?is)\bORDER\s+BY\b", body):
+            pos = o_close + 1
+            continue
+        fm = re.search(r"(?is)\b(?:ROWS|RANGE|GROUPS)\b", body)
+        at = o_open + 1 + (fm.start() if fm else len(body))
+        pad = " ORDER BY 1 " if fm else (" ORDER BY 1" if body.strip()
+                                         else "ORDER BY 1")
+        q = q[:at] + pad + q[at:]
+        pos = o_close + len(pad) + 1
+
+
 def _rewrite_distinct_over(q: str) -> str:
     """``count(DISTINCT x) OVER (w)`` → ``size(collect_set(x) OVER (w))``
     (r8 probe: CH's uniqExact/countDistinct are legal window functions but
@@ -8897,8 +8940,9 @@ def translate(ch_query: str) -> str:
             "EXPLAIN " + (mode + " " if mode else "") + ch_query[em.end():]
         )
     return _rewrite_distinct_over(
-        _translate_fns(_rewrite_clauses(_rewrite_datetime_int_arith(
-            _rewrite_float_keywords(_rewrite_user_functions(ch_query)))))
+        _rewrite_orderless_rank_windows(
+            _translate_fns(_rewrite_clauses(_rewrite_datetime_int_arith(
+                _rewrite_float_keywords(_rewrite_user_functions(ch_query))))))
         .replace("__spark_range__", "range")
         .replace("__spark_values__", "VALUES")
         .replace("__spark_rand__", "rand")

@@ -3019,3 +3019,33 @@ def test_r11_json_dynamic_variant_columns(spark, sf_dir):
     assert [tuple(r) for r in spark.sql(translate(
         "SELECT CAST(5 AS Variant(UInt8, String)) AS v")).collect()
     ] == [("5",)]
+
+
+def test_r11_orderless_rank_windows(spark, sf_dir):
+    """r11 probe batch 19: ranking/offset window functions with no ORDER
+    BY in the OVER spec (legal in CH, arbitrary in-partition order) gain
+    the constant ORDER BY 1 — before any frame spec; ordered specs and
+    non-ranking window aggregates stay untouched."""
+    from canal_clickhouse_spark.chsql import translate
+
+    run = lambda c: [tuple(r) for r in spark.sql(translate(c)).collect()]
+    assert run(
+        "SELECT number, row_number() OVER () AS r FROM numbers(3)"
+        " ORDER BY number") == [(0, 1), (1, 2), (2, 3)]
+    assert run(
+        "SELECT number % 2 AS p, row_number()"
+        " OVER (PARTITION BY number % 2) AS rn FROM numbers(4)"
+        " ORDER BY p, rn") == [(0, 1), (0, 2), (1, 1), (1, 2)]
+    assert run(
+        "SELECT number, ntile(2) OVER () AS t FROM numbers(4)"
+        " ORDER BY number") == [(0, 1), (1, 1), (2, 2), (3, 2)]
+    # ordered spec untouched; non-rank aggregate OVER () untouched
+    q = translate("SELECT rank() OVER (ORDER BY number) FROM numbers(3)")
+    assert "ORDER BY 1" not in q
+    q = translate("SELECT sum(number) OVER () FROM numbers(3)")
+    assert "ORDER BY 1" not in q
+    # frame spec stays AFTER the injected order
+    q = translate(
+        "SELECT lag(number) OVER (PARTITION BY number % 2"
+        " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM numbers(4)")
+    assert "ORDER BY 1 ROWS BETWEEN" in q
