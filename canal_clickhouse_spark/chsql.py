@@ -8373,6 +8373,18 @@ def _rewrite_clauses(q: str) -> str:
                 " NULL-fill convention (join_use_nulls = 1) only —"
                 " coalesce() the joined columns for default-fill behavior"
             )
+        if re.search(r"(?i)\bgroup_by_use_nulls\s*=\s*0\b", body):
+            # same divergence family for ROLLUP/CUBE/GROUPING SETS
+            # subtotal keys: CH's default fills grouped-out keys with the
+            # TYPE default (0, ''), this engine produces ANSI NULLs
+            # (= group_by_use_nulls 1, and what the oracles agree on)
+            raise ValueError(
+                "SETTINGS group_by_use_nulls = 0 selects ClickHouse's"
+                " type-default fill for ROLLUP/CUBE subtotal keys; this"
+                " engine implements the ANSI NULL convention"
+                " (group_by_use_nulls = 1) only — coalesce() the grouping"
+                " keys for default-fill behavior"
+            )
     q = _lit_sub(_SETTINGS_RE, "", q)
     q = _lit_sub(_FORMAT_TRAIL_RE, "", q)
     # `expr :: ChType` — Spark supports :: natively, but the TYPE NAME may
@@ -10133,7 +10145,14 @@ def chsql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins that the translator leaves it intact (no TOTALS/FILL regex bites)
     and that both engines agree on the NULL-keyed subtotal rows. Rollup is
     a single partial-agg exchange in Spark (Expand feeds one aggregate) —
-    the grouping-set fan-out happens map-side."""
+    the grouping-set fan-out happens map-side.
+
+    Documented divergence (r11): ClickHouse's DEFAULT
+    ``group_by_use_nulls = 0`` fills grouped-out subtotal keys with the
+    TYPE default (0, '') — this engine and the DuckDB oracles implement
+    the ANSI NULL convention (= ``group_by_use_nulls = 1``); the
+    explicit ``SETTINGS group_by_use_nulls = 0`` spelling refuses with
+    named guidance rather than silently changing fill values."""
     return ch_sql(spark, sf_dir, _CH_ROLLUP)
 
 

@@ -3049,3 +3049,20 @@ def test_r11_orderless_rank_windows(spark, sf_dir):
         "SELECT lag(number) OVER (PARTITION BY number % 2"
         " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM numbers(4)")
     assert "ORDER BY 1 ROWS BETWEEN" in q
+
+
+def test_r11_group_by_use_nulls_guard(spark, sf_dir):
+    """r11: explicit ``SETTINGS group_by_use_nulls = 0`` (CH's
+    type-default subtotal-key fill) refuses with named guidance — this
+    engine implements the ANSI NULL convention only; ``= 1`` (our
+    behavior) strips like any other knob."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    with _pytest.raises(ValueError, match="group_by_use_nulls"):
+        translate("SELECT a, count() FROM t GROUP BY ROLLUP(a)"
+                  " SETTINGS group_by_use_nulls = 0")
+    q = translate("SELECT a, count() AS c FROM t GROUP BY ROLLUP(a)"
+                  " SETTINGS group_by_use_nulls = 1")
+    assert "SETTINGS" not in q and "ROLLUP(a)" in q
