@@ -8358,9 +8358,19 @@ def _rewrite_clauses(q: str) -> str:
     # table and `join_use_nulls = 0` selects CH's type-default outer-join
     # fill (this engine always NULL-fills, = join_use_nulls 1) — stripping
     # those would silently change results, so they refuse loudly.
+    union_mode = None
     sm = _lit_search(_SETTINGS_RE, q)
     if sm:
         body = sm.group(0)
+        um = re.search(
+            r"(?i)\bunion_default_mode\s*=\s*'?(ALL|DISTINCT)\b", body
+        )
+        if um:
+            # the ONLY setting this engine honors rather than strips or
+            # refuses: CH refuses bare UNION without it, and Spark's bare
+            # UNION is DISTINCT — passing a requested ALL through silently
+            # would be a row-count wrong answer (r11 probe batch 21)
+            union_mode = um.group(1).upper()
         if re.search(r"(?i)\bfinal\s*=\s*1\b", body):
             raise ValueError(
                 "SETTINGS final = 1 auto-FINALs every table — spell FINAL"
@@ -8385,8 +8395,52 @@ def _rewrite_clauses(q: str) -> str:
                 " (group_by_use_nulls = 1) only — coalesce() the grouping"
                 " keys for default-fill behavior"
             )
+        # r11 probe batch 21: the remaining RESULT-CHANGING knobs must not
+        # silently strip — each refuses with the spelling that reproduces
+        # the requested behavior (or names the fixed convention).
+        for knob, why in (
+            (r"\blimit\s*=\s*[1-9]", "SETTINGS limit = N caps the result"
+             " rows — spell LIMIT N on the query itself"),
+            (r"\boffset\s*=\s*[1-9]", "SETTINGS offset = N skips result"
+             " rows — spell OFFSET N on the query itself"),
+            (r"\btotals_mode\s*=\s*'?(?!after_having_exclusive)\w",
+             "non-default totals_mode changes the WITH TOTALS row under"
+             " HAVING; this engine pins ClickHouse's default"
+             " after_having_exclusive"),
+            (r"\baggregate_functions_null_for_empty\s*=\s*1",
+             "aggregate_functions_null_for_empty = 1 turns empty-set"
+             " sum()/max() into NULL; this engine implements the default"
+             " (0 / type default) — wrap with nullIf/if(count() = 0, …)"),
+            (r"\bempty_result_for_aggregation_by_empty_set\s*=\s*1",
+             "empty_result_for_aggregation_by_empty_set = 1 drops the"
+             " single global-aggregate row on empty input; filter on"
+             " count() instead"),
+            (r"\bsession_timezone\s*=",
+             "session_timezone changes DateTime rendering per query; set"
+             " spark.sql.session.timeZone on the session instead"),
+            (r"\bcount_distinct_implementation\s*=\s*'?uniq\b(?!Exact)",
+             "count_distinct_implementation = 'uniq*' makes COUNT"
+             "(DISTINCT) approximate; spell uniq()/uniqCombined()"
+             " explicitly where approximation is wanted"),
+            (r"\bprefer_column_name_to_alias\s*=\s*1",
+             "prefer_column_name_to_alias = 1 flips CH's alias-macro"
+             " resolution this engine implements; rename the alias"
+             " instead"),
+            (r"\bany_join_distinct_right_table_keys\s*=\s*1",
+             "any_join_distinct_right_table_keys = 1 selects the legacy"
+             " ANY JOIN semantics; this engine implements the modern"
+             " first-matching-row contract only"),
+        ):
+            if re.search(r"(?i)" + knob, body):
+                raise ValueError(why)
     q = _lit_sub(_SETTINGS_RE, "", q)
     q = _lit_sub(_FORMAT_TRAIL_RE, "", q)
+    if union_mode:
+        # resolve bare UNIONs to the declared default mode
+        q = _lit_sub(
+            re.compile(r"(?i)\bUNION\b(?!\s+(?:ALL|DISTINCT)\b)"),
+            f"UNION {union_mode}", q,
+        )
     # `expr :: ChType` — Spark supports :: natively, but the TYPE NAME may
     # be a CH spelling (x::UInt32, x::Nullable(String)). Map the mappable
     # ones through the DDL type mapper; names it doesn't know are left for

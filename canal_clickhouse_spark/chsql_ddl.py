@@ -380,6 +380,27 @@ def parse_col_def(item: str) -> tuple[str, str, str | None, str, bool]:
     return name, ch_type_to_spark(ch_type), default, ch_type, ephemeral
 
 
+def _has_readonly_decor(item: str) -> bool:
+    """True when a column item carries a depth-0 MATERIALIZED or ALIAS
+    decoration (quote-masked, so the words inside DEFAULT-expression
+    string literals never count)."""
+    from .chsql import _mask_literals
+
+    masked = _mask_literals(item)
+    depth = 0
+    for m in re.finditer(
+        r"[()\[\]]|\b(?:MATERIALIZED|ALIAS)\b", masked, re.IGNORECASE
+    ):
+        tok = m.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
 def parse_create_body(cols_text: str) -> tuple[
     list[str], dict, set, dict
 ]:
@@ -454,6 +475,12 @@ def parse_create_body(cols_text: str) -> tuple[
             # spellings coerce at insert time (r10 probe: the positional
             # BIGINT cast silently NULLed '1.2.3.4')
             extras.setdefault("ipv4_cols", set()).add(col)
+        if _has_readonly_decor(item):
+            # MATERIALIZED/ALIAS columns: always computed, never part of
+            # CH's positional INSERT order, excluded from SELECT * (r11
+            # probe batch 21) — the stored-column-with-default posture
+            # itself is parse_col_def's documented divergence
+            extras.setdefault("readonly_cols", set()).add(col)
         if re.fullmatch(
             r"(?is)(?:nullable\s*\(\s*)?(?:json(?:\s*\(.*\))?"
             r"|object\s*\(\s*'json'\s*\)|dynamic(?:\s*\(.*\))?"
@@ -1462,7 +1489,62 @@ class ChSession:
         ch_select = self._bind_param_views(ch_select)
         ch_select = self._bind_system_views(ch_select)
         ch_select = self._rewrite_json_paths(ch_select)
+        ch_select = self._rewrite_star_readonly(ch_select)
         return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
+
+    def _rewrite_star_readonly(self, s: str) -> str:
+        """CH excludes MATERIALIZED/ALIAS columns from ``SELECT *`` (they
+        stay reachable by name). This engine stores them as real columns,
+        so the star must drop them: the common shapes ``SELECT * FROM
+        <tbl>`` and ``<tbl>.*`` gain a ``* EXCEPT (…)`` modifier (the
+        star-modifier rewrite emits the Spark form). Conservative by
+        design — a star that is not immediately ``FROM``-adjacent (mixed
+        select lists, multi-table joins where the JOINED side carries the
+        readonly column) keeps the stored-column divergence documented in
+        parse_col_def."""
+        ro = {
+            t: meta["readonly_cols"]
+            for t, meta in self.meta.items()
+            if meta.get("readonly_cols")
+        }
+        if not ro:
+            return s
+        from .chsql import _mask_literals
+
+        def _star_sub(pattern: str, tbl_group: int) -> str:
+            nonlocal s
+            masked = _mask_literals(s)
+            out, last = [], 0
+            for m in re.finditer(pattern, masked, re.IGNORECASE | re.DOTALL):
+                tbl = m.group(tbl_group)
+                if tbl not in ro:
+                    continue
+                cols = ", ".join(sorted(ro[tbl]))
+                out.append(s[last : m.end(1)])
+                out.append(f" EXCEPT ({cols})")
+                last = m.end(1)
+            if out:
+                out.append(s[last:])
+                s = "".join(out)
+            return s
+
+        # SELECT * FROM tbl   (the EXCEPT splices after the star)
+        s = _star_sub(r"\bSELECT\s+(\*)\s+FROM\s+(\w+)\b", 2)
+        # tbl.*
+        masked = _mask_literals(s)
+        out, last = [], 0
+        for m in re.finditer(r"\b(\w+)\.\*", masked):
+            tbl = m.group(1)
+            if tbl not in ro:
+                continue
+            cols = ", ".join(sorted(ro[tbl]))
+            out.append(s[last : m.end()])
+            out.append(f" EXCEPT ({cols})")
+            last = m.end()
+        if out:
+            out.append(s[last:])
+            s = "".join(out)
+        return s
 
     def _rewrite_json_paths(self, s: str) -> str:
         """``j.a.b`` subcolumn access on a JSON/Dynamic/Variant column →
@@ -2186,9 +2268,13 @@ class ChSession:
                 )
             kind, has_header = known[fmt]
             tbl = self._require_table(name, f"INSERT FORMAT {m.group('fmt')}")
+            ro_ = self.meta.get(name, {}).get("readonly_cols") or set()
             cols = (
                 [c.strip() for c in m.group("cols").split(",")]
-                if m.group("cols") else list(tbl.columns)
+                if m.group("cols")
+                # positional formats cover only the insertable columns —
+                # MATERIALIZED/ALIAS fill from their defaults (r11)
+                else [c for c in tbl.columns if c not in ro_]
             )
             dt = dict(tbl.dtypes)
             unknown = sorted(set(cols) - set(dt))
@@ -2309,8 +2395,14 @@ class ChSession:
                 # for Nested columns that is one parallel-array value PER
                 # SUBCOLUMN (n.a, n.b), not one per stored column
                 nested_ = self.meta.get(name, {}).get("nested_cols") or {}
+                # MATERIALIZED/ALIAS columns are not part of the
+                # positional order (r11 probe batch 21) — they fill from
+                # their registered defaults in _insert
+                ro_ = self.meta.get(name, {}).get("readonly_cols") or set()
                 cols = []
                 for c in self.tables[name].columns:
+                    if c in ro_:
+                        continue
                     if c in nested_:
                         cols += [f"{c}.{s}" for s in nested_[c]]
                     else:
@@ -4047,7 +4139,8 @@ class ChSession:
         INSERT-time enforcement and EPHEMERAL column definitions."""
         meta = self.meta[name]
         for k in ("constraints", "checks", "indexes", "projections",
-                  "ephemeral", "ipv4_cols", "nested_cols", "json_cols"):
+                  "ephemeral", "ipv4_cols", "nested_cols", "json_cols",
+                  "readonly_cols"):
             if extras.get(k):
                 meta[k] = extras[k]
 
@@ -4105,6 +4198,16 @@ class ChSession:
                     sel.append(_bq(src[i]).alias(c))
                     i += 1
             block = block.select(*sel)
+        # MATERIALIZED/ALIAS columns are NOT part of CH's positional
+        # INSERT order (r11 probe: `CREATE (a, m MATERIALIZED a*2)` +
+        # `INSERT VALUES (3)` died on column-count mismatch) — a bare
+        # VALUES/SELECT covers only the insertable columns; the readonly
+        # ones fill from their registered default expressions below.
+        readonly = self.meta.get(name, {}).get("readonly_cols") or set()
+        if not cols and readonly:
+            insertable = [c for c in target.columns if c not in readonly]
+            if len(block.columns) == len(insertable):
+                cols = ", ".join(insertable)
         if cols:
             names = [c.strip() for c in cols.split(",")]
             if len(names) != len(block.columns):

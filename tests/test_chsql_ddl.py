@@ -3066,3 +3066,67 @@ def test_r11_group_by_use_nulls_guard(spark, sf_dir):
     q = translate("SELECT a, count() AS c FROM t GROUP BY ROLLUP(a)"
                   " SETTINGS group_by_use_nulls = 1")
     assert "SETTINGS" not in q and "ROLLUP(a)" in q
+
+
+def test_r11_materialized_alias_readonly(spark, sf_dir):
+    """r11 probe batch 21: CREATE-body MATERIALIZED/ALIAS columns follow
+    CH's readonly contract — excluded from the positional INSERT order
+    (VALUES / SELECT / FORMAT payloads cover only insertable columns) and
+    from ``SELECT *`` / ``tbl.*`` (still reachable by name, computed from
+    their expressions); an explicit column list keeps working."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE mro (a UInt32, m UInt64 MATERIALIZED a * 2,"
+                 " al UInt64 ALIAS a + 1) ENGINE = Memory")
+    sess.execute("INSERT INTO mro VALUES (3), (4)")
+    d = sess.execute("SELECT * FROM mro ORDER BY a")
+    assert d.columns == ["a"]
+    assert [tuple(r) for r in d.collect()] == [(3,), (4,)]
+    assert sess.execute("SELECT mro.* FROM mro").columns == ["a"]
+    assert [tuple(r) for r in sess.execute(
+        "SELECT a, toInt64(m) AS m, toInt64(al) AS al FROM mro ORDER BY a"
+    ).collect()] == [(3, 6, 4), (4, 8, 5)]
+    sess.execute("INSERT INTO mro SELECT 7")
+    sess.execute('INSERT INTO mro FORMAT JSONEachRow {"a": 9}')
+    sess.execute("INSERT INTO mro (a) VALUES (11)")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT a, toInt64(m) AS m FROM mro ORDER BY a").collect()] == [
+        (3, 6), (4, 8), (7, 14), (9, 18), (11, 22)]
+
+
+def test_r11_result_changing_settings_guards(spark, sf_dir):
+    """r11 probe batch 21: result-changing SETTINGS knobs refuse loudly
+    instead of silently stripping; union_default_mode is HONORED (bare
+    UNION resolves to the declared mode — Spark's bare UNION is DISTINCT,
+    CH refuses bare UNION without the setting)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql import translate
+
+    for bad, pat in [
+        ("limit = 10", "caps the result"),
+        ("offset = 5", "skips result"),
+        ("totals_mode = 'before_having'", "totals_mode"),
+        ("aggregate_functions_null_for_empty = 1", "empty-set"),
+        ("empty_result_for_aggregation_by_empty_set = 1", "global-agg"),
+        ("session_timezone = 'Asia/Tokyo'", "session.timeZone"),
+        ("count_distinct_implementation = 'uniq'", "approximate"),
+        ("prefer_column_name_to_alias = 1", "alias"),
+        ("any_join_distinct_right_table_keys = 1", "legacy"),
+    ]:
+        with _pytest.raises(ValueError, match=pat):
+            translate(f"SELECT 1 SETTINGS {bad}")
+    # defaults / equivalent spellings strip like any knob
+    for ok in ["limit = 0", "totals_mode = 'after_having_exclusive'",
+               "count_distinct_implementation = 'uniqExact'",
+               "group_by_use_nulls = 1", "max_threads = 8"]:
+        assert translate(f"SELECT 1 SETTINGS {ok}") == "SELECT 1"
+    assert translate(
+        "SELECT 1 AS x UNION SELECT 1 AS x"
+        " SETTINGS union_default_mode = 'ALL'"
+    ).count("UNION ALL") == 1
+    got = [tuple(r) for r in spark.sql(translate(
+        "SELECT 1 AS x UNION SELECT 1 AS x"
+        " SETTINGS union_default_mode = 'ALL'")).collect()]
+    assert got == [(1,), (1,)]
