@@ -380,9 +380,9 @@ def parse_col_def(item: str) -> tuple[str, str, str | None, str, bool]:
     return name, ch_type_to_spark(ch_type), default, ch_type, ephemeral
 
 
-def _has_readonly_decor(item: str) -> bool:
-    """True when a column item carries a depth-0 MATERIALIZED or ALIAS
-    decoration (quote-masked, so the words inside DEFAULT-expression
+def _readonly_decor_kw(item: str) -> str | None:
+    """The depth-0 MATERIALIZED / ALIAS decoration keyword of a column
+    item, or None (quote-masked, so the words inside DEFAULT-expression
     string literals never count)."""
     from .chsql import _mask_literals
 
@@ -397,8 +397,8 @@ def _has_readonly_decor(item: str) -> bool:
         elif tok in ")]":
             depth -= 1
         elif depth == 0:
-            return True
-    return False
+            return tok.upper()
+    return None
 
 
 def parse_create_body(cols_text: str) -> tuple[
@@ -475,12 +475,13 @@ def parse_create_body(cols_text: str) -> tuple[
             # spellings coerce at insert time (r10 probe: the positional
             # BIGINT cast silently NULLed '1.2.3.4')
             extras.setdefault("ipv4_cols", set()).add(col)
-        if _has_readonly_decor(item):
+        if (ro_kw := _readonly_decor_kw(item)) is not None:
             # MATERIALIZED/ALIAS columns: always computed, never part of
             # CH's positional INSERT order, excluded from SELECT * (r11
             # probe batch 21) — the stored-column-with-default posture
-            # itself is parse_col_def's documented divergence
-            extras.setdefault("readonly_cols", set()).add(col)
+            # itself is parse_col_def's documented divergence; the kw is
+            # kept so SHOW CREATE re-emits the decoration
+            extras.setdefault("readonly_cols", {})[col] = ro_kw
         if re.fullmatch(
             r"(?is)(?:nullable\s*\(\s*)?(?:json(?:\s*\(.*\))?"
             r"|object\s*\(\s*'json'\s*\)|dynamic(?:\s*\(.*\))?"
@@ -3809,7 +3810,10 @@ class ChSession:
                 ch_t = f"Nullable({ch_t})"
             line = f"    `{c}` {ch_t}"
             if c in defaults:
-                line += f" DEFAULT {defaults[c]}"
+                # readonly columns re-emit their DECORATION so a dump
+                # re-executes with CH's insertable/star contract intact
+                kw = (meta.get("readonly_cols") or {}).get(c, "DEFAULT")
+                line += f" {kw} {defaults[c]}"
             col_lines.append(line)
         engine = meta.get("engine") or "MergeTree"
         eargs = meta.get("engine_args") or []

@@ -3130,3 +3130,24 @@ def test_r11_result_changing_settings_guards(spark, sf_dir):
         "SELECT 1 AS x UNION SELECT 1 AS x"
         " SETTINGS union_default_mode = 'ALL'")).collect()]
     assert got == [(1,), (1,)]
+
+
+def test_r11_show_create_readonly_decorations(spark, sf_dir):
+    """SHOW CREATE re-emits MATERIALIZED/ALIAS decorations (not DEFAULT),
+    and the dump re-executes in a fresh session with CH's insertable/star
+    contract intact."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s1 = ChSession(spark, sf_dir)
+    s1.execute("CREATE TABLE mrt (a UInt32, m UInt64 MATERIALIZED a * 2,"
+               " al UInt64 ALIAS a + 1) ENGINE = Memory")
+    dump = s1.execute("SHOW CREATE TABLE mrt").collect()[0][0]
+    assert "MATERIALIZED a * 2" in dump and "ALIAS a + 1" in dump
+    assert "DEFAULT" not in dump
+    s2 = ChSession(spark, sf_dir)
+    s2.execute(dump)
+    s2.execute("INSERT INTO mrt VALUES (5)")
+    d = s2.execute("SELECT * FROM mrt")
+    assert d.columns == ["a"]
+    assert [tuple(r) for r in s2.execute(
+        "SELECT a, toInt64(m) AS m FROM mrt").collect()] == [(5, 10)]
