@@ -949,7 +949,7 @@ _ADD_COL_ACTION_RE = re.compile(
     # refused as an unknown type)
     r"(?is)^ADD\s+COLUMN\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<col>\w+)\s+"
     r"(?P<type>.+?)"
-    r"(?:\s+(?:DEFAULT|MATERIALIZED|ALIAS)\s+(?P<dflt>.+?))?"
+    r"(?:\s+(?P<dkw>DEFAULT|MATERIALIZED|ALIAS)\s+(?P<dflt>.+?))?"
     + _COL_DECOR +
     r"(?:\s+AFTER\s+(?P<after>\w+)|\s+(?P<first>FIRST))?\s*$"
 )
@@ -998,6 +998,7 @@ def parse_alter_column_actions(ops_text: str) -> list[dict]:
                 "op": "add", "col": m.group("col"),
                 "type": m.group("type").strip(),
                 "default": (m.group("dflt") or "").strip() or None,
+                "decor": (m.group("dkw") or "DEFAULT").upper(),
                 "after": m.group("after"),
                 "first": bool(m.group("first")),
                 "if_not_exists": bool(m.group("ine")),
@@ -2637,6 +2638,7 @@ class ChSession:
             meta = self.meta.setdefault(name, {})
             col_defaults = dict(meta.get("column_defaults") or {})
             nullable = set(meta.get("nullable_cols") or set())
+            readonly = dict(meta.get("readonly_cols") or {})
             for a in actions:
                 if a["op"] == "rename":
                     # the default follows the column to its new name
@@ -2646,18 +2648,35 @@ class ChSession:
                     if a["col"] in nullable:
                         nullable.discard(a["col"])
                         nullable.add(a["new"])
+                    if a["col"] in readonly:
+                        readonly[a["new"]] = readonly.pop(a["col"])
                 elif a["op"] == "drop":
                     col_defaults.pop(a["col"], None)
                     nullable.discard(a["col"])
-                elif a["op"] == "remove_prop" and a["what"] == "DEFAULT":
-                    col_defaults.pop(a["col"], None)
+                    readonly.pop(a["col"], None)
+                elif a["op"] == "remove_prop":
+                    if a["what"] == "DEFAULT":
+                        col_defaults.pop(a["col"], None)
+                    if a["what"] in ("MATERIALIZED", "ALIAS"):
+                        # the column becomes an ordinary (insertable) one
+                        readonly.pop(a["col"], None)
+                        col_defaults.pop(a["col"], None)
                 elif a["op"] in ("add", "modify") and a.get("type"):
                     if _ch_declared_nullable(a["type"]):
                         nullable.add(a["col"])
                     else:
                         nullable.discard(a["col"])
+                    # ALTER-added MATERIALIZED/ALIAS columns take the same
+                    # readonly contract as CREATE-body ones (r11); the
+                    # existing-row backfill stays (apply_alter's posture)
+                    if a.get("decor") in ("MATERIALIZED", "ALIAS"):
+                        readonly[a["col"]] = a["decor"]
             col_defaults.update(dflts)
             meta["column_defaults"] = col_defaults
+            if readonly:
+                meta["readonly_cols"] = readonly
+            else:
+                meta.pop("readonly_cols", None)
             if nullable:
                 meta["nullable_cols"] = nullable
             else:

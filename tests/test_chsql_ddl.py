@@ -1021,7 +1021,8 @@ def test_alter_column_parser_matches_cdc_envelope_shape(spark, sf_dir):
     acts = parse_alter_column_actions("ADD COLUMN c7 BIGINT")
     assert acts == [{
         "op": "add", "col": "c7", "type": "BIGINT", "default": None,
-        "after": None, "first": False, "if_not_exists": False,
+        "decor": "DEFAULT", "after": None, "first": False,
+        "if_not_exists": False,
     }]
     # the shapes cdc_parse_ddl synthesizes (envelope.py) parse cleanly
     assert parse_alter_column_actions("DROP COLUMN c4")[0]["op"] == "drop"
@@ -3151,3 +3152,24 @@ def test_r11_show_create_readonly_decorations(spark, sf_dir):
     assert d.columns == ["a"]
     assert [tuple(r) for r in s2.execute(
         "SELECT a, toInt64(m) AS m FROM mrt").collect()] == [(5, 10)]
+
+
+def test_r11_alter_materialized_readonly(spark, sf_dir):
+    """ALTER-added MATERIALIZED columns take the same readonly contract
+    as CREATE-body ones (star-excluded, positional-insert-excluded,
+    backfill of existing rows kept); MODIFY COLUMN … REMOVE MATERIALIZED
+    returns the column to ordinary insertable status."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE axr (a UInt32, b String)"
+                 " ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO axr VALUES (1, 'x')")
+    sess.execute("ALTER TABLE axr ADD COLUMN e UInt64 MATERIALIZED a * 2")
+    assert sess.execute("SELECT * FROM axr").columns == ["a", "b"]
+    sess.execute("INSERT INTO axr VALUES (5, 'y')")  # positional: (a, b)
+    assert [tuple(r) for r in sess.execute(
+        "SELECT a, b, toInt64(e) AS e FROM axr ORDER BY a").collect()] == [
+        (1, "x", 2), (5, "y", 10)]
+    sess.execute("ALTER TABLE axr MODIFY COLUMN e REMOVE MATERIALIZED")
+    assert sess.execute("SELECT * FROM axr").columns == ["a", "b", "e"]
