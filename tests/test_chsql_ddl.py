@@ -569,6 +569,11 @@ _OPS = st.lists(
         # in the insert payload (both r10 verdict tasks).
         st.tuples(st.just("createfunction"), st.integers(1, 5)),
         st.tuples(st.just("versionless"), st.integers(1, 4)),
+        # r11 continuation: MATERIALIZED/ALIAS readonly contract —
+        # positional INSERT covers only insertable columns, SELECT *
+        # excludes the computed ones, SHOW CREATE round-trips the
+        # decoration into a second table with identical behavior.
+        st.tuples(st.just("matalias"), st.integers(1, 4)),
     ),
     min_size=1, max_size=6,
 )
@@ -776,6 +781,32 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
             assert (1, f"g{vn - 1}") in rows and len(rows) == vn + 1
             assert (2, "d;0") in rows
             ch.execute("DROP TABLE fzvl")
+        elif op[0] == "matalias":
+            _, vn = op
+            ch.execute("DROP TABLE IF EXISTS fzm")
+            ch.execute("DROP TABLE IF EXISTS fzm2")
+            ch.execute("CREATE TABLE fzm (k Int64,"
+                       " m Int64 MATERIALIZED k * 3,"
+                       " al Int64 ALIAS k + 7) ENGINE = Memory")
+            ch.execute("INSERT INTO fzm VALUES "
+                       + ", ".join(f"({i})" for i in range(vn)))
+            star = ch.execute("SELECT * FROM fzm ORDER BY k")
+            assert star.columns == ["k"]
+            assert [r.k for r in star.collect()] == list(range(vn))
+            got = [(r.k, r.m, r.al) for r in ch.execute(
+                "SELECT k, toInt64(m) AS m, toInt64(al) AS al FROM fzm"
+                " ORDER BY k").collect()]
+            assert got == [(i, i * 3, i + 7) for i in range(vn)]
+            dump = ch.execute("SHOW CREATE TABLE fzm").collect()[0][0]
+            assert "MATERIALIZED" in dump and "ALIAS" in dump
+            ch.execute(dump.replace("fzm", "fzm2"))
+            ch.execute(f"INSERT INTO fzm2 SELECT k + 100 FROM fzm")
+            assert ch.execute("SELECT * FROM fzm2").columns == ["k"]
+            assert [tuple(r) for r in ch.execute(
+                "SELECT toInt64(max(m)) AS m FROM fzm2").collect()] == [
+                ((vn - 1 + 100) * 3,)]
+            ch.execute("DROP TABLE fzm")
+            ch.execute("DROP TABLE fzm2")
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")
