@@ -8975,10 +8975,35 @@ def _rewrite_dollar_strings(q: str) -> str:
     return "".join(out)
 
 
+def _rewrite_double_quoted_idents(q: str) -> str:
+    """CH parses double-quoted tokens as IDENTIFIERS, never strings
+    (ANSI style; CH strings are single-quoted/dollar-quoted only) — Spark
+    wants backticks (r11 probe batch 22: ``SELECT "k" FROM "dq"`` died
+    raw). Runs AFTER the dollar-string normalize so a ``"`` inside a
+    ``$$…$$`` body is already masked as literal content."""
+    if '"' not in q:
+        return q
+    masked = _mask_literals(q)
+    out, last = [], 0
+    for m in re.finditer(r'"[\x01]+"', masked):
+        ident = q[m.start() + 1 : m.end() - 1]
+        ident = ident.replace('""', '"').replace("`", "")
+        out.append(q[last : m.start()])
+        # plain words emit bare (the DDL dispatch regexes take \w+ names);
+        # anything else keeps the backtick quoting
+        out.append(ident if re.fullmatch(r"\w+", ident) else f"`{ident}`")
+        last = m.end()
+    if not out:
+        return q
+    out.append(q[last:])
+    return "".join(out)
+
+
 def translate(ch_query: str) -> str:
     """CH-dialect → Spark SQL: clause-level rewrites (FINAL / SAMPLE /
     LIMIT BY) on the raw text first, then the recursive function rewrite."""
     ch_query = _rewrite_dollar_strings(ch_query)
+    ch_query = _rewrite_double_quoted_idents(ch_query)
     pm = re.search(r"\{(\w+)\s*:\s*[^{}]+\}", _mask_literals(ch_query))
     if pm:
         raise ValueError(
@@ -9021,12 +9046,21 @@ def _rewrite_float_keywords(q: str) -> str:
     unresolved column references). CH lexes these as keywords
     case-insensitively, so a column could never be named ``nan`` in a CH
     query — the token rewrite is safe. Function spellings (isNaN(…)) and
-    qualified/backticked names are excluded."""
+    qualified/backticked names are excluded, and so are TABLE positions
+    (FROM/JOIN/INTO/TABLE/EXISTS … inf) — CH itself parses an identifier
+    there, so a table named ``inf`` stays a table (r11 probe batch 22:
+    ``SELECT * FROM inf`` previously became FROM CAST('Infinity'…))."""
     masked = _mask_literals(q)
     out, off = q, 0
     for m in re.finditer(
         r"(?i)(?<![\w.`])(nan|inf)(?![\w.`])(?!\s*\()", masked
     ):
+        prev = re.search(r"(\w+)\s*$", masked[: m.start(1)])
+        if prev and prev.group(1).upper() in (
+            "FROM", "JOIN", "INTO", "TABLE", "EXISTS", "DESCRIBE", "DESC",
+            "OPTIMIZE", "TRUNCATE", "UPDATE",
+        ):
+            continue
         rep = ("CAST('NaN' AS DOUBLE)" if m.group(1).lower() == "nan"
                else "CAST('Infinity' AS DOUBLE)")
         a, b = m.span(1)

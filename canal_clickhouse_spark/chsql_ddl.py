@@ -1441,6 +1441,14 @@ class ChSession:
             if re.search(r"\{\w+\s*:", sel):
                 continue  # parameterized view: binds at use time
             self.spark.sql(translate(sel)).createOrReplaceTempView(name)
+        # Buffer(db, target, …) reads resolve to the TARGET's content —
+        # inserts write through (see _insert), so the buffer's own store
+        # is permanently empty and the flushed state is the whole truth
+        for name, meta in self.meta.items():
+            if (meta.get("engine") or "").lower() == "buffer":
+                eargs = meta.get("engine_args") or []
+                if len(eargs) >= 2 and eargs[1] in self.tables:
+                    self.tables[eargs[1]].createOrReplaceTempView(name)
 
     def _bind_param_views(self, s: str) -> str:
         """``FROM v(p = 5, …)`` over a parameterized view (a CREATE VIEW
@@ -1492,7 +1500,71 @@ class ChSession:
         ch_select = self._bind_system_views(ch_select)
         ch_select = self._rewrite_json_paths(ch_select)
         ch_select = self._rewrite_star_readonly(ch_select)
+        ch_select = self._rewrite_joinget(ch_select)
         return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
+
+    def _rewrite_joinget(self, s: str) -> str:
+        """``joinGet('jtbl', 'val', key…)`` over a session Join-engine
+        table (``ENGINE = Join(ANY, LEFT, k…)``) → a correlated scalar
+        subquery: the inner relation projects RENAMED columns only
+        (``__jg_k0/__jg_v``), so key arguments referencing outer columns
+        with the same names as the join table's resolve to the OUTER
+        scope, as CH evaluates them. joinGet falls back to the value
+        column's type default on a missing key (CH's contract);
+        joinGetOrNull yields NULL. Table/column args accept quoted or
+        bare spellings; unknown tables keep the guided translator error."""
+        if not re.search(r"(?i)\bjoinGet(?:OrNull)?\s*\(", s):
+            return s
+        from .chsql import _mask_literals, _scan_group, _split_args
+
+        for _ in range(16):
+            masked = _mask_literals(s)
+            m = re.search(r"(?i)\bjoinGet(OrNull)?\s*\(", masked)
+            if not m:
+                return s
+            close = _scan_group(s, m.end() - 1)
+            if close >= len(s):
+                return s
+            args = _split_args(s[m.end() : close])
+            if len(args) < 3:
+                return s
+            tbl = args[0].strip().strip("'\"`")
+            if "." in tbl:
+                tbl = tbl.split(".")[-1]
+            val = args[1].strip().strip("'\"`")
+            keys = [a.strip() for a in args[2:]]
+            meta = self.meta.get(tbl) or {}
+            if tbl not in self.tables or (
+                (meta.get("engine") or "").lower() != "join"
+            ):
+                raise ValueError(
+                    f"joinGet: {tbl!r} is not a Join-engine table in this"
+                    " session — CREATE TABLE … ENGINE = Join(ANY, LEFT,"
+                    " key) first, or use dictGet / a plain LEFT JOIN"
+                )
+            kcols = (meta.get("engine_args") or [])[2:]
+            if len(kcols) != len(keys):
+                raise ValueError(
+                    f"joinGet: {tbl!r} declares {len(kcols)} key column(s)"
+                    f" {kcols}, got {len(keys)} key argument(s)"
+                )
+            inner = ", ".join(
+                [f"{k} AS __jg_k{i}" for i, k in enumerate(kcols)]
+                + [f"{val} AS __jg_v"]
+            )
+            cond = " AND ".join(
+                f"__jg_k{i} = ({k})" for i, k in enumerate(keys)
+            )
+            sub = (
+                f"(SELECT any(__jg_v) FROM"
+                f" (SELECT {inner} FROM {tbl}) WHERE {cond})"
+            )
+            if not m.group(1):  # joinGet: type-default on missing key
+                vt = dict(self.tables[tbl].dtypes).get(val, "string")
+                dflt = "''" if vt == "string" else "0"
+                sub = f"coalesce({sub}, {dflt})"
+            s = s[: m.start()] + sub + s[close + 1 :]
+        raise ValueError("more than 16 joinGet calls — refusing to rewrite")
 
     def _rewrite_star_readonly(self, s: str) -> str:
         """CH excludes MATERIALIZED/ALIAS columns from ``SELECT *`` (they
@@ -1698,15 +1770,20 @@ class ChSession:
             rows = []
             for n, df, meta in all_tables():
                 defaults = meta.get("column_defaults") or {}
+                readonly = meta.get("readonly_cols") or {}
                 for pos, (c, t) in enumerate(df.dtypes, start=1):
+                    kind = ""
+                    if c in defaults:
+                        kind = readonly.get(c, "DEFAULT")
                     rows.append((
                         "default", n, c, pos, spark_type_to_ch(t),
-                        defaults.get(c, ""),
+                        kind, defaults.get(c, ""),
                     ))
             return self.spark.createDataFrame(
                 rows,
                 "database string, table string, name string, position int,"
-                " type string, default_expression string",
+                " type string, default_kind string,"
+                " default_expression string",
             )
         if which == "parts":
             # parts mode: the actual parquet part files of the current
@@ -1966,6 +2043,17 @@ class ChSession:
                 }
                 s = self._substitute_params(s, extra)
 
+        # Double-quoted IDENTIFIERS (CH's ANSI spelling) → backticks so
+        # the DDL dispatch regexes see them (r11 probe batch 22: CREATE
+        # TABLE "dq" fell to the generic unsupported error). Skipped when
+        # the statement carries raw FORMAT data or dollar bodies — those
+        # own their double quotes; translate() converts SELECT text.
+        if '"' in s and "$" not in s and not re.match(
+            r"(?is)^\s*INSERT\b.*\bFORMAT\s+\w+", s
+        ):
+            from .chsql import _rewrite_double_quoted_idents
+
+            s = _rewrite_double_quoted_idents(s)
         # REPLACE TABLE t … is CH's spelling of CREATE OR REPLACE TABLE
         s = re.sub(
             r"(?is)^\s*REPLACE\s+TABLE\b", "CREATE OR REPLACE TABLE", s
@@ -2229,6 +2317,63 @@ class ChSession:
             r"\1",
             s,
         )
+        m = re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
+            r"(?:\((?P<cols>[\w,\s]+)\)\s*)?"
+            r"FROM\s+INFILE\s+'(?P<path>[^']+)'\s*"
+            r"(?:COMPRESSION\s+'(?P<comp>\w+)'\s*)?"
+            r"(?:FORMAT\s+(?P<fmt>\w+))?\s*$",
+            s,
+        )
+        if m:
+            # INSERT … FROM INFILE (r11 probe batch 22): clickhouse-client
+            # reads the file client-side — here the driver does. Format
+            # defaults from the extension (CH's inference); Parquet loads
+            # natively, text formats splice into the inline-FORMAT path.
+            import gzip as _gzip
+            import os as _os
+
+            path = m.group("path")
+            fmt = (m.group("fmt") or "").strip()
+            base = path[:-3] if path.endswith(".gz") else path
+            if not fmt:
+                fmt = {
+                    ".csv": "CSV", ".tsv": "TSV", ".jsonl": "JSONEachRow",
+                    ".ndjson": "JSONEachRow", ".json": "JSONEachRow",
+                    ".parquet": "Parquet",
+                }.get(_os.path.splitext(base)[1].lower(), "")
+                if not fmt:
+                    raise ValueError(
+                        f"INSERT FROM INFILE: cannot infer a format from"
+                        f" {path!r} — add FORMAT <name>"
+                    )
+            comp = (m.group("comp") or "").lower()
+            if comp and comp not in ("gzip", "gz", "none", "auto"):
+                raise ValueError(
+                    f"INSERT FROM INFILE COMPRESSION {comp!r}: only gzip"
+                    " (or the .gz extension) is supported here"
+                )
+            if not _os.path.exists(path):
+                raise ValueError(f"INSERT FROM INFILE: no such file {path!r}")
+            clause = f"({m.group('cols')}) " if m.group("cols") else ""
+            if fmt.lower() == "parquet":
+                block = self.spark.read.parquet(path)
+                return self._insert(
+                    m.group("name"), block,
+                    m.group("cols") or ", ".join(block.columns),
+                )
+            opener = (
+                _gzip.open
+                if path.endswith(".gz") or comp in ("gzip", "gz")
+                else open
+            )
+            with opener(path, "rt") as fh:
+                data = fh.read()
+            return self.execute(
+                f"INSERT INTO {m.group('name')} {clause}FORMAT {fmt}\n"
+                + data
+            )
+
         m = _INSERT_FORMAT_RE.match(s)
         if m:
             # The canal→ClickHouse adapter's actual wire protocol: INSERT
@@ -2990,8 +3135,21 @@ class ChSession:
                 df = fixture_table(self.spark, self.sf_dir, name)
             else:
                 raise ValueError(f"DESCRIBE: unknown table {name!r}")
+            # CH's DESCRIBE carries the default decoration columns —
+            # tools parse them (r11 probe batch 22)
+            meta = self.meta.get(name, {})
+            defaults = meta.get("column_defaults") or {}
+            readonly = meta.get("readonly_cols") or {}
+            rows = [
+                (c, t,
+                 (readonly.get(c, "DEFAULT") if c in defaults else ""),
+                 defaults.get(c, ""))
+                for c, t in df.dtypes
+            ]
             return self.spark.createDataFrame(
-                list(df.dtypes), "name string, type string"
+                rows,
+                "name string, type string, default_type string,"
+                " default_expression string",
             )
 
         m = re.match(r"(?is)^\s*EXISTS\s+(?:TABLE\s+)?(?P<name>\w+)\s*$", s)
@@ -4319,6 +4477,23 @@ class ChSession:
                     f"constraint {cname!r} violated by {n_bad} row(s) of"
                     f" the INSERT block: CHECK {expr}"
                 )
+        engine = (self.meta.get(name, {}).get("engine") or "").lower()
+        if engine == "null":
+            # CH's Null engine DISCARDS inserts (r11 probe batch 22:
+            # previously stored like Memory — a silent wrong answer).
+            # Attached MVs still fire: insert-into-Null + MV is CH's
+            # standard transform-only ingestion shape.
+            self._fire_mvs(name, block)
+            return None
+        if engine == "buffer":
+            # Buffer(db, target, …) writes through to its target (the
+            # buffering itself is a flush-latency detail with no batch
+            # analog); reads on the buffer table resolve to its own
+            # (empty) content UNION the target's via _refresh_views —
+            # simplest faithful form: forward the block.
+            eargs = self.meta.get(name, {}).get("engine_args") or []
+            if len(eargs) >= 2 and eargs[1] in self.tables:
+                return self._insert(eargs[1], block, ", ".join(block.columns))
         prev_shadow = self._ins_shadow.get(name)
         if self.parts_dir is not None:
             self._append_part(name, block)  # the MergeTree parts model

@@ -1556,7 +1556,8 @@ def test_ddl_r7_statement_surface(spark, sf_dir):
     assert rows("SELECT count() AS c FROM tp7") == [(4,)]
     run("CREATE OR REPLACE TABLE tpr7 (x Int32) ENGINE = Memory")
     run("CREATE OR REPLACE TABLE tpr7 (y String) ENGINE = Memory")
-    assert rows("DESCRIBE tpr7") == [("y", "string")]
+    # r11: DESCRIBE grew CH's default_type/default_expression columns
+    assert rows("DESCRIBE tpr7") == [("y", "string", "", "")]
     run("CREATE TEMPORARY TABLE tt7 (x Int32) ENGINE = Memory")
     # structure clone inherits schema AND column defaults
     run("CREATE TABLE tclone7 AS tp7")
@@ -3204,3 +3205,93 @@ def test_r11_alter_materialized_readonly(spark, sf_dir):
         (1, "x", 2), (5, "y", 10)]
     sess.execute("ALTER TABLE axr MODIFY COLUMN e REMOVE MATERIALIZED")
     assert sess.execute("SELECT * FROM axr").columns == ["a", "b", "e"]
+
+
+def test_r11_special_engines_and_infile(spark, sf_dir, tmp_path):
+    """r11 probe batch 22: ENGINE = Null DISCARDS inserts but still fires
+    attached MVs (CH's transform-only ingestion shape — previously stored
+    like Memory, a silent wrong answer); Buffer(db, target, …) writes
+    through and reads the target; joinGet/joinGetOrNull over Join-engine
+    tables (correlated, type-default on miss); INSERT FROM INFILE with
+    extension-inferred formats incl. gzip and Parquet; a table named
+    `inf` stays a table in FROM position."""
+    import gzip
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE nulle (x UInt32) ENGINE = Null")
+    sess.execute("CREATE MATERIALIZED VIEW nulle_mv ENGINE = Memory"
+                 " AS SELECT x * 10 AS y FROM nulle")
+    sess.execute("INSERT INTO nulle VALUES (1), (2)")
+    assert sess.execute("SELECT count() AS c FROM nulle").collect()[0].c == 0
+    assert [r.y for r in sess.execute(
+        "SELECT y FROM nulle_mv ORDER BY y").collect()] == [10, 20]
+
+    sess.execute("CREATE TABLE bt (x UInt32) ENGINE = Memory")
+    sess.execute("CREATE TABLE buf (x UInt32) ENGINE = Buffer(default, bt,"
+                 " 16, 10, 100, 10000, 1000000, 10000000, 100000000)")
+    sess.execute("INSERT INTO buf VALUES (5), (6)")
+    assert [r.x for r in sess.execute(
+        "SELECT x FROM buf ORDER BY x").collect()] == [5, 6]
+    assert [r.x for r in sess.execute(
+        "SELECT x FROM bt ORDER BY x").collect()] == [5, 6]
+
+    sess.execute("CREATE TABLE jd (k UInt32, v String)"
+                 " ENGINE = Join(ANY, LEFT, k)")
+    sess.execute("INSERT INTO jd VALUES (0, 'zero'), (1, 'one')")
+    assert sess.execute(
+        "SELECT joinGet('jd', 'v', toUInt32(1)) AS r").collect()[0].r == "one"
+    assert sess.execute(
+        "SELECT joinGet(jd, 'v', toUInt32(9)) AS r").collect()[0].r == ""
+    assert sess.execute(
+        "SELECT joinGetOrNull('jd', 'v', toUInt32(9)) AS r"
+    ).collect()[0].r is None
+    assert [tuple(r) for r in sess.execute(
+        "SELECT joinGet('jd', 'v', toUInt32(n_regionkey % 2)) AS v"
+        " FROM nation WHERE n_nationkey < 2 ORDER BY n_nationkey"
+    ).collect()] == [("zero",), ("one",)]
+
+    csv = tmp_path / "d.csv"
+    csv.write_text('1,hello\n2,"with, comma"\n')
+    gz = tmp_path / "d2.csv.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("3,gz\n")
+    jl = tmp_path / "d3.jsonl"
+    jl.write_text('{"a": 9, "b": "j"}\n')
+    sess.execute("CREATE TABLE inf (a UInt32, b String) ENGINE = Memory")
+    sess.execute(f"INSERT INTO inf FROM INFILE '{csv}'")
+    sess.execute(f"INSERT INTO inf FROM INFILE '{gz}' FORMAT CSV")
+    sess.execute(f"INSERT INTO inf FROM INFILE '{jl}'")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT * FROM inf ORDER BY a").collect()] == [
+        (1, "hello"), (2, "with, comma"), (3, "gz"), (9, "j")]
+
+    # DESCRIBE / system.columns carry the default decoration
+    sess.execute("CREATE TABLE dmt (a UInt32, m UInt64 MATERIALIZED a * 2,"
+                 " d String DEFAULT 'x') ENGINE = Memory")
+    rows = [tuple(r) for r in sess.execute("DESCRIBE TABLE dmt").collect()]
+    assert rows[1][2:] == ("MATERIALIZED", "a * 2")
+    assert rows[2][2:] == ("DEFAULT", "'x'")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT name, default_kind FROM system.columns"
+        " WHERE table = 'dmt' ORDER BY position").collect()] == [
+        ("a", ""), ("m", "MATERIALIZED"), ("d", "DEFAULT")]
+
+
+def test_r11_double_quoted_identifiers(spark, sf_dir):
+    """CH parses double-quoted tokens as identifiers (never strings) —
+    DDL, INSERT, SELECT, names with spaces; dollar bodies and single-
+    quoted strings keep their double quotes."""
+    from canal_clickhouse_spark.chsql import translate
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute('CREATE TABLE "dq" ("k" UInt32, "v s" String)'
+                 " ENGINE = Memory")
+    sess.execute("INSERT INTO \"dq\" VALUES (1, 'a')")
+    assert [tuple(r) for r in sess.execute(
+        'SELECT "k", "v s" FROM "dq"').collect()] == [(1, "a")]
+    assert translate('SELECT "k" FROM "dq" WHERE "v s" = \'a "q" s\'') == (
+        "SELECT k FROM dq WHERE `v s` = 'a \"q\" s'")
+    assert translate('SELECT $$a "b"$$ AS t') == "SELECT 'a \"b\"' AS t"
