@@ -919,6 +919,7 @@ _ALTER_MISC_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+(?P<rest>"
     r"(?:CLEAR|COMMENT|MODIFY\s+COMMENT|ADD\s+INDEX|DROP\s+INDEX|"
     r"MATERIALIZE\s+INDEX|CLEAR\s+INDEX|MATERIALIZE\s+COLUMN|"
+    r"MATERIALIZE\s+TTL|"
     r"ADD\s+PROJECTION|DROP\s+PROJECTION|"
     r"MATERIALIZE\s+PROJECTION|CLEAR\s+PROJECTION|MODIFY\s+SETTING|"
     r"RESET\s+SETTING|DETACH\s+PARTITION|ATTACH\s+PARTITION|FREEZE|"
@@ -1501,7 +1502,86 @@ class ChSession:
         ch_select = self._rewrite_json_paths(ch_select)
         ch_select = self._rewrite_star_readonly(ch_select)
         ch_select = self._rewrite_joinget(ch_select)
+        ch_select = self._rewrite_file_tf(ch_select)
         return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
+
+    def _rewrite_file_tf(self, s: str) -> str:
+        """``FROM file('path'[, 'Format'[, 'a T, b U']])`` reads the local
+        file through spark.read and splices a temp view (r11 probe batch
+        23; the INFILE/OUTFILE counterpart of the read side). Formats:
+        CSV/TSV (+WithNames), JSONEachRow, Parquet; format defaults from
+        the extension, the structure string maps through the CH type map.
+        Scalar-position ``file()`` keeps the translator's guided error."""
+        import os as _os
+
+        if not re.search(r"(?i)\bfile\s*\(", s):
+            return s
+        from .chsql import _mask_literals, _scan_group, _split_args
+
+        for _ in range(8):
+            masked = _mask_literals(s)
+            hit = None
+            for m in re.finditer(r"(?i)\bfile\s*\(", masked):
+                prev = re.search(r"(\w+)\s*$", masked[: m.start()])
+                if prev and prev.group(1).upper() in ("FROM", "JOIN"):
+                    hit = m
+                    break
+            if hit is None:
+                return s
+            close = _scan_group(s, hit.end() - 1)
+            if close >= len(s):
+                return s
+            args = [
+                a.strip().strip("'\"")
+                for a in _split_args(s[hit.end() : close])
+            ]
+            path = args[0]
+            fmt = (args[1] if len(args) > 1 else "").lower()
+            if not fmt:
+                fmt = {
+                    ".csv": "csv", ".tsv": "tsv", ".jsonl": "jsoneachrow",
+                    ".ndjson": "jsoneachrow", ".json": "jsoneachrow",
+                    ".parquet": "parquet",
+                }.get(_os.path.splitext(path)[1].lower(), "")
+            schema = None
+            if len(args) > 2 and args[2]:
+                parts = []
+                for item in _split_top_commas(args[2]):
+                    cm = re.match(r"(?s)^\s*`?([\w ]+?)`?\s+(.+)$", item)
+                    if not cm:
+                        raise ValueError(
+                            f"file(): unparseable structure item {item!r}"
+                        )
+                    parts.append(
+                        f"`{cm.group(1)}` {ch_type_to_spark(cm.group(2))}"
+                    )
+                schema = ", ".join(parts)
+            r = self.spark.read
+            if fmt == "parquet":
+                df = r.parquet(path)
+            elif fmt in ("csv", "csvwithnames", "tsv", "tabseparated",
+                         "tsvwithnames", "tabseparatedwithnames"):
+                header = fmt.endswith("withnames")
+                sep = "\t" if fmt.startswith(("tsv", "tab")) else ","
+                opts = r.option("header", header).option("sep", sep)
+                df = (
+                    opts.schema(schema).csv(path)
+                    if schema
+                    else opts.option("inferSchema", True).csv(path)
+                )
+            elif fmt == "jsoneachrow":
+                df = r.schema(schema).json(path) if schema else r.json(path)
+            else:
+                raise ValueError(
+                    f"file(): unsupported/uninferable format {fmt!r} for"
+                    f" {path!r} — pass CSV/TSV[WithNames]/JSONEachRow/"
+                    "Parquet explicitly"
+                )
+            self._ftf_n = getattr(self, "_ftf_n", 0) + 1
+            vname = f"__file_tf_{self._ftf_n}"
+            df.createOrReplaceTempView(vname)
+            s = s[: hit.start()] + vname + " " + s[close + 1 :]
+        return s
 
     def _rewrite_joinget(self, s: str) -> str:
         """``joinGet('jtbl', 'val', key…)`` over a session Join-engine
@@ -3751,6 +3831,18 @@ class ChSession:
             if m.group("col") not in tbl.columns:
                 raise ValueError(
                     f"MATERIALIZE COLUMN: unknown column {m.group('col')!r}"
+                )
+            return None
+        if re.match(r"(?is)^MATERIALIZE\s+TTL\s*(?:IN\s+PARTITION\s+.+)?$",
+                    r):
+            # CH re-applies the table TTL to existing parts — here the
+            # same max-anchored expiry merge OPTIMIZE FINAL runs (r11
+            # probe batch 23: previously the generic unsupported error)
+            meta_ = self.meta.get(name) or {}
+            if meta_.get("ttl"):
+                self._register(
+                    name,
+                    self._apply_ttl(name, tbl, meta_["ttl"]["expr"]),
                 )
             return None
         m = re.match(r"(?is)^MODIFY\s+ORDER\s+BY\s+(?P<key>.+)$", r)

@@ -3295,3 +3295,30 @@ def test_r11_double_quoted_identifiers(spark, sf_dir):
     assert translate('SELECT "k" FROM "dq" WHERE "v s" = \'a "q" s\'') == (
         "SELECT k FROM dq WHERE `v s` = 'a \"q\" s'")
     assert translate('SELECT $$a "b"$$ AS t') == "SELECT 'a \"b\"' AS t"
+
+
+def test_r11_file_tf_and_materialize_ttl(spark, sf_dir, tmp_path):
+    """r11 probe batch 23: ``FROM file('path', 'Format', 'structure')``
+    reads through spark.read (the read-side counterpart of INFILE/
+    OUTFILE); ``ALTER TABLE … MATERIALIZE TTL`` runs the same
+    max-anchored expiry merge OPTIMIZE FINAL applies."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    p = tmp_path / "ftf.csv"
+    p.write_text("1,aa\n2,bb\n")
+    assert [tuple(r) for r in sess.execute(
+        f"SELECT * FROM file('{p}', 'CSV', 'a UInt32, b String')"
+        " ORDER BY a").collect()] == [(1, "aa"), (2, "bb")]
+    j = tmp_path / "ftf.jsonl"
+    j.write_text('{"a": 7}\n')
+    assert sess.execute(
+        f"SELECT a FROM file('{j}', 'JSONEachRow', 'a UInt32')"
+    ).collect()[0].a == 7
+    sess.execute("CREATE TABLE mtt (k UInt32, d Date)"
+                 " ENGINE = MergeTree ORDER BY k TTL d + INTERVAL 30 DAY")
+    sess.execute("INSERT INTO mtt VALUES (1, '2020-01-01'),"
+                 " (2, '2024-01-01')")
+    sess.execute("ALTER TABLE mtt MATERIALIZE TTL")
+    assert [r.k for r in sess.execute(
+        "SELECT k FROM mtt ORDER BY k").collect()] == [2]
