@@ -73,7 +73,9 @@ site; everything not listed here is intended to be value-identical):
     roundBankers (mapped to bround) when CH's float tie-break matters.
   - out-of-bounds array subscripts return NULL (try_element_at); CH
     returns the element type's default (0 / '') — noted again at the
-    subscript rewrite.
+    subscript rewrite. Same posture for map subscripts on a missing key
+    (m['absent'] → NULL here, type default in CH): ifNull(...) restores
+    CH's fill.
   - date arithmetic on Date values (addWeeks/subtractDays/`+ INTERVAL`)
     widens to DateTime (midnight time part); CH keeps the Date type for
     day-or-coarser units. Values agree — wrap with toDate() where the
@@ -8407,10 +8409,12 @@ def _rewrite_clauses(q: str) -> str:
              "non-default totals_mode changes the WITH TOTALS row under"
              " HAVING; this engine pins ClickHouse's default"
              " after_having_exclusive"),
-            (r"\baggregate_functions_null_for_empty\s*=\s*1",
-             "aggregate_functions_null_for_empty = 1 turns empty-set"
-             " sum()/max() into NULL; this engine implements the default"
-             " (0 / type default) — wrap with nullIf/if(count() = 0, …)"),
+            (r"\baggregate_functions_null_for_empty\s*=\s*0",
+             "aggregate_functions_null_for_empty = 0 selects ClickHouse's"
+             " type-default fill for empty-set aggregates (sum() = 0);"
+             " this engine (and the oracles) return NULL — the = 1"
+             " convention — so spell coalesce(sum(x), 0) for the"
+             " default-fill value"),
             (r"\bempty_result_for_aggregation_by_empty_set\s*=\s*1",
              "empty_result_for_aggregation_by_empty_set = 1 drops the"
              " single global-aggregate row on empty input; filter on"

@@ -3141,7 +3141,7 @@ def test_r11_result_changing_settings_guards(spark, sf_dir):
         ("limit = 10", "caps the result"),
         ("offset = 5", "skips result"),
         ("totals_mode = 'before_having'", "totals_mode"),
-        ("aggregate_functions_null_for_empty = 1", "empty-set"),
+        ("aggregate_functions_null_for_empty = 0", "empty-set"),
         ("empty_result_for_aggregation_by_empty_set = 1", "global-agg"),
         ("session_timezone = 'Asia/Tokyo'", "session.timeZone"),
         ("count_distinct_implementation = 'uniq'", "approximate"),
