@@ -817,7 +817,10 @@ _OPTIMIZE_RE = re.compile(
     r"(?is)^\s*OPTIMIZE\s+TABLE\s+(?P<name>\w+)"
     r"(?:\s+PARTITION\s+(?P<pid>ID\s+)?(?P<part>'[^']*'|\w+))?"
     r"\s*(?P<final>FINAL)?"
-    r"\s*(?:(?P<dedup>DEDUPLICATE)(?:\s+BY\s+(?P<dedupcols>[\w,\s]+?))?)?"
+    r"\s*(?:(?P<dedup>DEDUPLICATE)(?:\s+BY\s+(?:"
+    r"COLUMNS\s*\(\s*'(?P<deduprx>[^']*)'\s*\)"
+    r"(?:\s+EXCEPT\s+(?:\(\s*)?(?P<dedupexc>[\w,\s]+?)(?:\s*\))?)?"
+    r"|(?P<dedupcols>[\w,\s]+?)))?)?"
     r"\s*$"
 )
 
@@ -1437,11 +1440,25 @@ class ChSession:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    def _session_rewrites(self, s: str) -> str:
+        """The catalog-aware pre-translate passes shared by ad-hoc
+        SELECTs (_run_select) and stored VIEW bodies (_refresh_views) —
+        r11 probe batch 25: view bodies previously skipped them, so a
+        ``CREATE VIEW v AS SELECT * FROM t`` leaked MATERIALIZED columns
+        into the view's star."""
+        s = self._rewrite_json_paths(s)
+        s = self._rewrite_star_readonly(s)
+        s = self._rewrite_joinget(s)
+        s = self._rewrite_file_tf(s)
+        return self._rewrite_session_final(s)
+
     def _refresh_views(self) -> None:
         for name, sel in self.views.items():  # insertion order: view-on-view ok
             if re.search(r"\{\w+\s*:", sel):
                 continue  # parameterized view: binds at use time
-            self.spark.sql(translate(sel)).createOrReplaceTempView(name)
+            self.spark.sql(
+                translate(self._session_rewrites(sel))
+            ).createOrReplaceTempView(name)
         # Buffer(db, target, …) reads resolve to the TARGET's content —
         # inserts write through (see _insert), so the buffer's own store
         # is permanently empty and the flushed state is the whole truth
@@ -1499,11 +1516,7 @@ class ChSession:
         self._refresh_views()
         ch_select = self._bind_param_views(ch_select)
         ch_select = self._bind_system_views(ch_select)
-        ch_select = self._rewrite_json_paths(ch_select)
-        ch_select = self._rewrite_star_readonly(ch_select)
-        ch_select = self._rewrite_joinget(ch_select)
-        ch_select = self._rewrite_file_tf(ch_select)
-        return self.spark.sql(translate(self._rewrite_session_final(ch_select)))
+        return self.spark.sql(translate(self._session_rewrites(ch_select)))
 
     def _rewrite_file_tf(self, s: str) -> str:
         """``FROM file('path'[, 'Format'[, 'a T, b U']])`` reads the local
@@ -2929,6 +2942,19 @@ class ChSession:
             unknown = sorted(set(assigns) - set(dtypes))
             if unknown:
                 raise ValueError(f"UPDATE of unknown column(s) {unknown}")
+            # MATERIALIZED/ALIAS columns can't be assigned (CH's own
+            # refusal) — they RECOMPUTE from their expressions on the
+            # rewritten rows instead (CH rewrites whole parts, so a
+            # mutation of a source column updates its dependents; r11
+            # probe batch 25: previously left stale)
+            readonly = self.meta.get(name, {}).get("readonly_cols") or {}
+            bad = sorted(set(assigns) & set(readonly))
+            if bad:
+                raise ValueError(
+                    f"UPDATE of {readonly[bad[0]]} column(s) {bad}: CH"
+                    " refuses assigning computed columns — update their"
+                    " source columns; the computed value follows"
+                )
             proj = [
                 (
                     f"CAST(CASE WHEN ({pred}) THEN ({assigns[c]}) "
@@ -2938,9 +2964,27 @@ class ChSession:
                 for c in tbl.columns
             ]
             tbl.createOrReplaceTempView(name)
-            self._register(
-                name, self.spark.sql(f"SELECT {', '.join(proj)} FROM {name}")
+            updated = self.spark.sql(
+                f"SELECT {', '.join(proj)} FROM {name}"
             )
+            # second stage: recompute the computed columns UNCONDITIONALLY
+            # over the post-assignment rows (identity on untouched rows,
+            # and the expressions must see the NEW source values)
+            col_defaults = self.meta.get(name, {}).get(
+                "column_defaults") or {}
+            reexprs = {
+                c: f"CAST(({col_defaults[c]}) AS {dtypes[c]}) AS {c}"
+                for c in readonly
+                if c in col_defaults
+            }
+            if reexprs:
+                updated.createOrReplaceTempView(name)
+                updated = self.spark.sql(
+                    "SELECT "
+                    + ", ".join(reexprs.get(c, c) for c in tbl.columns)
+                    + f" FROM {name}"
+                )
+            self._register(name, updated)
             self.mutations_log.append(
                 (name, f"mutation_{len(self.mutations_log) + 1}.txt",
                  re.sub(r"(?is)^\s*ALTER\s+TABLE\s+\w+\s+", "", s)[:200])
@@ -3012,6 +3056,26 @@ class ChSession:
                 # the named partition when given.
                 tbl = self._require_table(name, "OPTIMIZE DEDUPLICATE")
                 cols = m.group("dedupcols")
+                if m.group("deduprx") is not None:
+                    # DEDUPLICATE BY COLUMNS('regex') [EXCEPT (c, …)]:
+                    # CH matches the regex against column names (r11
+                    # probe batch 25: previously unsupported)
+                    rx = re.compile(m.group("deduprx"))
+                    exc = {
+                        c.strip()
+                        for c in (m.group("dedupexc") or "").split(",")
+                        if c.strip()
+                    }
+                    picked = [
+                        c for c in tbl.columns
+                        if rx.search(c) and c not in exc
+                    ]
+                    if not picked:
+                        raise ValueError(
+                            "DEDUPLICATE BY COLUMNS"
+                            f"('{m.group('deduprx')}'): no column matches"
+                        )
+                    cols = ", ".join(picked)
                 deduped = (
                     tbl.dropDuplicates([c.strip() for c in cols.split(",")])
                     if cols else tbl.dropDuplicates()

@@ -3322,3 +3322,37 @@ def test_r11_file_tf_and_materialize_ttl(spark, sf_dir, tmp_path):
     sess.execute("ALTER TABLE mtt MATERIALIZE TTL")
     assert [r.k for r in sess.execute(
         "SELECT k FROM mtt ORDER BY k").collect()] == [2]
+
+
+def test_r11_mutation_recompute_and_view_readonly(spark, sf_dir):
+    """r11 probe batch 25: ALTER UPDATE recomputes MATERIALIZED/ALIAS
+    columns from the UPDATED source values (CH rewrites whole parts —
+    previously left stale) and refuses assigning them directly (CH's own
+    refusal); stored VIEW bodies run the session rewrites, so a view's
+    ``SELECT *`` excludes readonly columns; OPTIMIZE DEDUPLICATE BY
+    COLUMNS('regex') [EXCEPT (…)] expands against the live schema."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE mru (a UInt32, m UInt64 MATERIALIZED a * 2)"
+                 " ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO mru VALUES (1), (2), (3)")
+    sess.execute("ALTER TABLE mru UPDATE a = a + 10 WHERE a = 1")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT a, toInt64(m) AS m FROM mru ORDER BY a").collect()] == [
+        (2, 4), (3, 6), (11, 22)]
+    with _pytest.raises(ValueError, match="MATERIALIZED column"):
+        sess.execute("ALTER TABLE mru UPDATE m = 5 WHERE 1")
+    sess.execute("CREATE VIEW vru AS SELECT * FROM mru")
+    d = sess.execute("SELECT * FROM vru ORDER BY a LIMIT 1")
+    assert d.columns == ["a"]
+
+    sess.execute("CREATE TABLE ddrx (ka UInt32, kb UInt32, v UInt32)"
+                 " ENGINE = MergeTree ORDER BY ka")
+    sess.execute("INSERT INTO ddrx VALUES (1, 1, 9), (1, 1, 8), (2, 1, 7)")
+    sess.execute("OPTIMIZE TABLE ddrx DEDUPLICATE BY COLUMNS('^k')")
+    assert sess.execute("SELECT count() AS c FROM ddrx").collect()[0].c == 2
+    with _pytest.raises(ValueError, match="no column matches"):
+        sess.execute("OPTIMIZE TABLE ddrx DEDUPLICATE BY COLUMNS('zz9')")
