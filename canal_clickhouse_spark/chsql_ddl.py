@@ -2316,6 +2316,10 @@ class ChSession:
             }
             if not m.group("to"):  # implicit target inherits the MV's engine
                 self.meta[target] = self._table_meta(_MatchLike(tr))
+            else:
+                # CH lets you read a TO-target MV by ITS name — it proxies
+                # the target table (r11 probe batch 26)
+                self.views[name] = f"SELECT * FROM {target}"
             if m.group("populate"):
                 if m.group("to"):
                     raise ValueError(

@@ -3356,3 +3356,18 @@ def test_r11_mutation_recompute_and_view_readonly(spark, sf_dir):
     assert sess.execute("SELECT count() AS c FROM ddrx").collect()[0].c == 2
     with _pytest.raises(ValueError, match="no column matches"):
         sess.execute("OPTIMIZE TABLE ddrx DEDUPLICATE BY COLUMNS('zz9')")
+
+
+def test_r11_mv_to_target_readable(spark, sf_dir):
+    """A TO-target materialized view is readable by ITS name (CH proxies
+    the target table) — r11 probe batch 26."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE s26 (k UInt32) ENGINE = Memory")
+    sess.execute("CREATE TABLE t26 (kk UInt64) ENGINE = Memory")
+    sess.execute(
+        "CREATE MATERIALIZED VIEW m26 TO t26 AS SELECT k * 2 AS kk FROM s26")
+    sess.execute("INSERT INTO s26 VALUES (3), (4)")
+    assert [int(r.kk) for r in sess.execute(
+        "SELECT kk FROM m26 ORDER BY kk").collect()] == [6, 8]
