@@ -2767,6 +2767,20 @@ class ChSession:
                 self._store[a], self._store[b] = (
                     self._store[b], self._store[a],
                 )
+            # the version-less Replacing insert-order shadow travels WITH
+            # the content it orders (r11 probe batch 27: FINAL after an
+            # EXCHANGE read the stale empty shadow and returned nothing)
+            sa, sb = self._ins_shadow.pop(a, None), self._ins_shadow.pop(
+                b, None)
+            if sb is not None:
+                self._ins_shadow[a] = sb
+            if sa is not None:
+                self._ins_shadow[b] = sa
+            qa, qb = self._iseq.pop(a, None), self._iseq.pop(b, None)
+            if qb is not None:
+                self._iseq[a] = qb
+            if qa is not None:
+                self._iseq[b] = qa
             self.tables[a].createOrReplaceTempView(a)
             self.tables[b].createOrReplaceTempView(b)
             self._retarget_dicts({a: b, b: a})
@@ -2802,7 +2816,15 @@ class ChSession:
                 self.spark.catalog.dropTempView(old)
                 if old in self._store:  # parts mode: pointer move, no I/O
                     self._store[new] = self._store.pop(old)
+                moved_shadow = self._ins_shadow.pop(old, None)
+                if old in self._iseq:
+                    self._iseq[new] = self._iseq.pop(old)
                 self._point_at(new, df)
+                if moved_shadow is not None:
+                    # AFTER _point_at: the pointer update clears the
+                    # target's shadow slot, and the insert-order shadow
+                    # must FOLLOW the content it orders (r11 batch 27)
+                    self._ins_shadow[new] = moved_shadow
             # MVs bind by NAME (as in CH): an MV whose source/target was
             # renamed keeps pointing at the old name — the blue-green idiom
             # uses EXCHANGE precisely so names stay stable. Dictionaries DO

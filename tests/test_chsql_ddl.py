@@ -3371,3 +3371,28 @@ def test_r11_mv_to_target_readable(spark, sf_dir):
     sess.execute("INSERT INTO s26 VALUES (3), (4)")
     assert [int(r.kk) for r in sess.execute(
         "SELECT kk FROM m26 ORDER BY kk").collect()] == [6, 8]
+
+
+def test_r11_insert_order_shadow_follows_swaps(spark, sf_dir):
+    """r11 probe batch 27: the version-less ReplacingMergeTree
+    insert-order shadow travels with the content through EXCHANGE TABLES
+    and RENAME TABLE — FINAL after a swap previously read the stale
+    (empty) shadow and returned nothing."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE sv1 (k UInt32, s String)"
+                 " ENGINE = ReplacingMergeTree ORDER BY k")
+    sess.execute("INSERT INTO sv1 VALUES (1, 'a')")
+    sess.execute("INSERT INTO sv1 VALUES (1, 'b')")
+    sess.execute("CREATE TABLE sv2 (k UInt32, s String)"
+                 " ENGINE = ReplacingMergeTree ORDER BY k")
+    sess.execute("EXCHANGE TABLES sv1 AND sv2")
+    assert [r.s for r in sess.execute(
+        "SELECT s FROM sv2 FINAL").collect()] == ["b"]
+    sess.execute("RENAME TABLE sv2 TO sv3")
+    assert [r.s for r in sess.execute(
+        "SELECT s FROM sv3 FINAL").collect()] == ["b"]
+    sess.execute("INSERT INTO sv3 VALUES (1, 'c')")
+    assert [r.s for r in sess.execute(
+        "SELECT s FROM sv3 FINAL").collect()] == ["c"]
