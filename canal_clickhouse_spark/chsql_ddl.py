@@ -2855,6 +2855,16 @@ class ChSession:
                     return None  # TRUNCATE TABLE IF EXISTS: silent no-op
                 raise ValueError(f"TRUNCATE unknown table {name!r}")
             self._register(name, self.tables[name].limit(0))
+            if self._tracks_insert_order(name):
+                # unlike a mutation, a truncate leaves NOTHING whose
+                # insert order could be lost — reseed the generation
+                # shadow so version-less FINAL works again (r11 batch 28)
+                self._iseq.pop(name, None)
+                self._ins_shadow[name] = self.tables[name].withColumn(
+                    "_ch_ins_seq", F.lit(0).cast("long")
+                ).withColumn(
+                    "_ch_ins_row", F.monotonically_increasing_id()
+                )
             return None
 
         m = _CREATE_VIEW_RE.match(s)

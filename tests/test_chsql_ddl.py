@@ -3396,3 +3396,25 @@ def test_r11_insert_order_shadow_follows_swaps(spark, sf_dir):
     sess.execute("INSERT INTO sv3 VALUES (1, 'c')")
     assert [r.s for r in sess.execute(
         "SELECT s FROM sv3 FINAL").collect()] == ["c"]
+
+
+def test_r11_truncate_reseeds_insert_order(spark, sf_dir):
+    """TRUNCATE leaves nothing whose insert order could be lost — the
+    version-less Replacing generation shadow reseeds so FINAL works again
+    (mutations keep the documented guided poisoning)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE tvr (k UInt32, s String)"
+                 " ENGINE = ReplacingMergeTree ORDER BY k")
+    sess.execute("INSERT INTO tvr VALUES (1, 'a')")
+    sess.execute("TRUNCATE TABLE tvr")
+    sess.execute("INSERT INTO tvr VALUES (1, 'x')")
+    sess.execute("INSERT INTO tvr VALUES (1, 'y')")
+    assert [r.s for r in sess.execute(
+        "SELECT s FROM tvr FINAL").collect()] == ["y"]
+    sess.execute("ALTER TABLE tvr DELETE WHERE 0")
+    with _pytest.raises(ValueError, match="INSERT order"):
+        sess.execute("SELECT s FROM tvr FINAL")
