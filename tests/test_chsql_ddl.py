@@ -780,7 +780,17 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
                 "SELECT * FROM fzvl FINAL").collect()}
             assert (1, f"g{vn - 1}") in rows and len(rows) == vn + 1
             assert (2, "d;0") in rows
-            ch.execute("DROP TABLE fzvl")
+            # r11 batch 27/28: the insert-order shadow FOLLOWS renames
+            # and survives a truncate-reseed round trip
+            ch.execute("RENAME TABLE fzvl TO fzvl_x")
+            rows2 = {(r.k, r.s) for r in ch.execute(
+                "SELECT * FROM fzvl_x FINAL").collect()}
+            assert rows2 == rows
+            ch.execute("TRUNCATE TABLE fzvl_x")
+            ch.execute("INSERT INTO fzvl_x VALUES (1, 'post')")
+            assert [(r.k, r.s) for r in ch.execute(
+                "SELECT * FROM fzvl_x FINAL").collect()] == [(1, "post")]
+            ch.execute("DROP TABLE fzvl_x")
         elif op[0] == "matalias":
             _, vn = op
             ch.execute("DROP TABLE IF EXISTS fzm")
