@@ -2309,7 +2309,12 @@ class ChSession:
                 raise ValueError(f"materialized view {name}: no FROM table")
             source = src.group(1)
             target = m.group("to") or name
-            translated = translate(select)
+            # MV bodies take the same catalog-aware pre-passes as ad-hoc
+            # SELECTs (r11 probe batch 29: a json-path or readonly-star
+            # body previously reached Spark raw); the rewritten text still
+            # names the SOURCE table, so block substitution at fire time
+            # composes (the block carries all stored columns).
+            translated = translate(self._session_rewrites(select))
             self.mvs[name] = {
                 "source": source, "select": translated, "target": target,
                 "engine": (tr["engine"] or "MergeTree"),

@@ -3428,3 +3428,25 @@ def test_r11_truncate_reseeds_insert_order(spark, sf_dir):
     sess.execute("ALTER TABLE tvr DELETE WHERE 0")
     with _pytest.raises(ValueError, match="INSERT order"):
         sess.execute("SELECT s FROM tvr FINAL")
+
+
+def test_r11_mv_bodies_session_rewrites(spark, sf_dir):
+    """r11 probe batch 29: MATERIALIZED VIEW bodies take the catalog-
+    aware pre-passes — json-path access works, and a star body excludes
+    readonly columns (CH's SELECT * contract holds in MV context too)."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE jsrc (j JSON) ENGINE = Memory")
+    sess.execute("CREATE MATERIALIZED VIEW jmv29 ENGINE = Memory"
+                 " AS SELECT toInt64(j.a) AS a FROM jsrc")
+    sess.execute('INSERT INTO jsrc VALUES (\'{"a": 5}\')')
+    assert [r.a for r in sess.execute(
+        "SELECT a FROM jmv29").collect()] == [5]
+    sess.execute("CREATE TABLE rsrc (a UInt32,"
+                 " m UInt64 MATERIALIZED a * 2) ENGINE = Memory")
+    sess.execute("CREATE MATERIALIZED VIEW rmv29 ENGINE = Memory"
+                 " AS SELECT * FROM rsrc")
+    sess.execute("INSERT INTO rsrc VALUES (4)")
+    d = sess.execute("SELECT * FROM rmv29")
+    assert d.columns == ["a"] and [r.a for r in d.collect()] == [4]
