@@ -3048,10 +3048,12 @@ class ChSession:
                     " materialized view — MODIFY QUERY applies only to"
                     " MATERIALIZED VIEWs"
                 )
-            # stored form is the TRANSLATED select (same as CREATE MV);
-            # translating now also validates eagerly — fail here, not on
-            # the next source insert
-            self.mvs[name]["select"] = translate(m.group("sel").strip())
+            # stored form is the TRANSLATED select (same as CREATE MV,
+            # incl. the catalog-aware session rewrites); translating now
+            # also validates eagerly — fail here, not on the next insert
+            self.mvs[name]["select"] = translate(
+                self._session_rewrites(m.group("sel").strip())
+            )
             return None
 
         m = _ALTER_DELETE_RE.match(s)
