@@ -4181,6 +4181,14 @@ class ChSession:
         col_lines = []
         for c, t in df.dtypes:
             ch_t = spark_type_to_ch(t)
+            # declared special families re-emit their CH spelling so the
+            # dump round-trips WITH their session contracts (r11 batch
+            # 31: `j JSON` previously dumped as String, losing j.path
+            # access on re-execute; same for IPv4's insert coercion)
+            if c in (meta.get("json_cols") or ()):
+                ch_t = "JSON"
+            elif c in (meta.get("ipv4_cols") or ()):
+                ch_t = "IPv4"
             if c in nullable:
                 # r8 verdict #5: re-emit the declared Nullable() wrapper
                 ch_t = f"Nullable({ch_t})"

@@ -3450,3 +3450,29 @@ def test_r11_mv_bodies_session_rewrites(spark, sf_dir):
     sess.execute("INSERT INTO rsrc VALUES (4)")
     d = sess.execute("SELECT * FROM rmv29")
     assert d.columns == ["a"] and [r.a for r in d.collect()] == [4]
+
+
+def test_r11_show_create_special_families_roundtrip(spark, sf_dir):
+    """SHOW CREATE re-emits the declared JSON / IPv4 spellings so a dump
+    re-executes WITH their session contracts (json-path access, IPv4
+    insert coercion) — r11 probe batch 31; clones via CREATE TABLE AS
+    <table> carry the same meta."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s1 = ChSession(spark, sf_dir)
+    s1.execute("CREATE TABLE b31 (a UInt32, m UInt64 MATERIALIZED a * 2,"
+               " j JSON, ip IPv4) ENGINE = Memory")
+    dump = s1.execute("SHOW CREATE TABLE b31").collect()[0][0]
+    assert "`j` JSON" in dump and "`ip` IPv4" in dump
+    s2 = ChSession(spark, sf_dir)
+    s2.execute(dump.replace("b31", "b31c"))
+    s2.execute("INSERT INTO b31c VALUES (1, '{\"x\": 9}', '1.2.3.4')")
+    assert s2.execute("SELECT j.x AS x FROM b31c").collect()[0].x == "9"
+    assert s2.execute(
+        "SELECT IPv4NumToString(ip) AS ip FROM b31c").collect()[0].ip == (
+        "1.2.3.4")
+    # clone carries the contracts
+    s1.execute("CREATE TABLE b31cl AS b31")
+    s1.execute("INSERT INTO b31cl VALUES (2, '{\"x\": 1}', '0.0.0.1')")
+    assert s1.execute("SELECT * FROM b31cl").columns == ["a", "j", "ip"]
+    assert s1.execute("SELECT j.x AS x FROM b31cl").collect()[0].x == "1"
