@@ -130,6 +130,9 @@ EXTENDED: tuple[str, ...] = (
     # r9: QUALIFY post-window filter key (2.0 s median at birth — same
     # ch_sql harness-registration class)
     "chsql_qualify",
+    # r11: MATERIALIZED-column contract script (0.59 s median at birth —
+    # INSERT SELECT over orders + mutation recompute)
+    "chsql_readonly_columns",
 )
 
 

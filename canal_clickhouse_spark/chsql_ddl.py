@@ -5557,3 +5557,41 @@ def chsql_arrayjoin_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``arrayJoin([0,1])`` multiplies independently (cartesian), and the
     WHERE filters on the expanded element."""
     return ch_execute_script(spark, sf_dir, _CH_ARRAYJOIN_EXPR_SCRIPT)
+
+
+_CH_READONLY_COLUMNS_SCRIPT = """
+CREATE TABLE ro_ord (k Int64, status String,
+                     trip Int64 MATERIALIZED k * 3)
+ENGINE = MergeTree ORDER BY k;
+
+INSERT INTO ro_ord
+SELECT o_orderkey, o_orderstatus
+FROM orders WHERE o_orderkey % 7 = 0;
+
+ALTER TABLE ro_ord UPDATE k = k + 1 WHERE k % 14 = 0;
+
+SELECT status, toInt64(count()) AS n, toInt64(sum(trip)) AS tsum
+FROM ro_ord GROUP BY status ORDER BY status;
+"""
+
+
+@query(
+    "chsql_readonly_columns",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN o_orderkey % 14 = 0
+                  THEN o_orderkey + 1 ELSE o_orderkey END AS k,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT status, COUNT(*) AS n, CAST(SUM(k * 3) AS BIGINT) AS tsum
+    FROM base GROUP BY status ORDER BY status
+    """,
+)
+def chsql_readonly_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 batches 21/25 in one script: a MATERIALIZED column is excluded
+    from the positional INSERT order (the INSERT-SELECT covers only the
+    insertable columns), computed from its expression at insert, and
+    RECOMPUTED from the post-assignment source values by ALTER UPDATE
+    (CH rewrites whole parts). The oracle recomputes k*3 over the mutated
+    keys directly."""
+    return ch_execute_script(spark, sf_dir, _CH_READONLY_COLUMNS_SCRIPT)
