@@ -133,6 +133,9 @@ EXTENDED: tuple[str, ...] = (
     # r11: MATERIALIZED-column contract script (0.59 s median at birth —
     # INSERT SELECT over orders + mutation recompute)
     "chsql_readonly_columns",
+    # r12: ENGINE = Merge live-union script (three INSERT SELECTs over
+    # orders + two union reads)
+    "chsql_engine_merge",
 )
 
 
@@ -201,6 +204,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # Fixed calibration row (r11 verdict task 6): a bare parquet
+    # count(lineitem) — byte-identical work every round, so a noisy
+    # driver window (BASELINE.md measured ±80% ambient swing across
+    # back-to-back identical runs) can be normalized: divide any key's
+    # round-over-round ratio by the calibration ratio before reading it
+    # as a code regression.
+    def calibrate(runs: int = 3) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calibration = calibrate()
     times = {key: best_of(key) for key in HEADLINE}
     extended = {key: best_of(key) for key in EXTENDED}
 
@@ -216,6 +234,7 @@ def main() -> None:
                 "queries": times,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "calibration_sec": calibration,
                 "sf": sf,
             }
         )

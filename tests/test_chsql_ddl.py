@@ -3476,3 +3476,201 @@ def test_r11_show_create_special_families_roundtrip(spark, sf_dir):
     s1.execute("INSERT INTO b31cl VALUES (2, '{\"x\": 1}', '0.0.0.1')")
     assert s1.execute("SELECT * FROM b31cl").columns == ["a", "j", "ip"]
     assert s1.execute("SELECT j.x AS x FROM b31cl").collect()[0].x == "1"
+
+
+def test_r12_engine_whitelist(spark, sf_dir):
+    """r11 verdict wrong #2: unknown/consumer/external engines refuse at
+    CREATE with named guidance instead of silently becoming stored
+    tables; Replicated* wrappers map to their base engine with the
+    zk-path/replica arguments stripped."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    for ddl, pat in [
+        ("CREATE TABLE k (a UInt32) ENGINE ="
+         " Kafka('b:9092', 't', 'g', 'JSONEachRow')", "source_kafka"),
+        ("CREATE TABLE f (a UInt32) ENGINE = File(CSV)", "file\\("),
+        ("CREATE TABLE u (a UInt32) ENGINE = URL('http://x', CSV)",
+         "file\\("),
+        ("CREATE TABLE my (a UInt32) ENGINE ="
+         " MySQL('h:3306', 'd', 't', 'u', 'p')", "source_jdbc"),
+        ("CREATE TABLE st (a UInt32) ENGINE = Set", "IN-membership"),
+        ("CREATE TABLE rk (a UInt32) ENGINE = EmbeddedRocksDB"
+         " PRIMARY KEY a", "ReplacingMergeTree"),
+        ("CREATE TABLE zz (a UInt32) ENGINE = FrobnicateTree ORDER BY a",
+         "supported engines"),
+    ]:
+        with _pytest.raises(ValueError, match=pat):
+            sess.execute(ddl)
+    # Replicated wrapper: base-engine semantics with the replication
+    # args stripped — the Replacing version column survives
+    sess.execute(
+        "CREATE TABLE rwl (k Int64, v Int64) ENGINE ="
+        " ReplicatedReplacingMergeTree('/ch/{shard}/rwl', '{replica}', v)"
+        " ORDER BY k"
+    )
+    sess.execute("INSERT INTO rwl VALUES (1, 1), (1, 7), (2, 2)")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT k, toInt64(v) AS v FROM rwl FINAL ORDER BY k"
+    ).collect()] == [(1, 7), (2, 2)]
+    assert "ReplacingMergeTree(v)" in sess.execute(
+        "SHOW CREATE TABLE rwl").collect()[0][0]
+
+
+def test_r12_engine_merge_live_union(spark, sf_dir):
+    """ENGINE = Merge(db, 'regexp') is a LIVE union view: tables created
+    after it are picked up per read, `_table` labels rows but never
+    expands from *, and INSERT refuses (read-only view). The merge()
+    table function is the inline twin (fixtures included)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE ml_a (k Int64, s String)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO ml_a VALUES (1, 'a')")
+    sess.execute("CREATE TABLE ml (k Int64, s String)"
+                 " ENGINE = Merge(currentDatabase(), '^ml_')")
+    assert sess.execute("SELECT count() AS c FROM ml").collect()[0][0] == 1
+    # live: created AFTER the merge table, still read
+    sess.execute("CREATE TABLE ml_b (k Int64, s String)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO ml_b VALUES (2, 'b'), (3, 'b2')")
+    assert sess.execute("SELECT count() AS c FROM ml").collect()[0][0] == 3
+    assert [tuple(r) for r in sess.execute(
+        "SELECT _table, k FROM ml ORDER BY k").collect()] == [
+        ("ml_a", 1), ("ml_b", 2), ("ml_b", 3)]
+    # the virtual column never expands from a star
+    assert sess.execute("SELECT * FROM ml").columns == ["k", "s"]
+    with _pytest.raises(ValueError, match="read-only"):
+        sess.execute("INSERT INTO ml VALUES (9, 'x')")
+    # a column the underlying table lacks NULL-fills (schema drift)
+    sess.execute("CREATE TABLE ml_c (k Int64)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO ml_c VALUES (4)")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT k, s FROM ml WHERE k = 4").collect()] == [(4, None)]
+    # merge() table function: 1-arg defaults to the current database,
+    # structure from the first match, fixture tables match too
+    assert sess.execute(
+        "SELECT count() AS c FROM merge('^ml_[ab]$')"
+    ).collect()[0][0] == 3
+    assert sess.execute(
+        "SELECT count() AS c FROM merge(currentDatabase(), '^nation$')"
+    ).collect()[0][0] == 25
+    with _pytest.raises(ValueError, match="no table matches"):
+        sess.execute("SELECT * FROM merge('^nosuch_prefix_')")
+    with _pytest.raises(ValueError, match="bad tables_regexp"):
+        sess.execute("CREATE TABLE mbad (k Int64) ENGINE ="
+                     " Merge(currentDatabase(), '[unclosed')")
+
+
+def test_r12_set_settings_parity(spark, sf_dir):
+    """r11 verdict wrong #1: the session-level SET statement runs the
+    SAME result-changing guard list as the trailing SETTINGS clause, and
+    `SET union_default_mode` is HONORED by bare-UNION resolution (with
+    the query-level SETTINGS clause taking precedence)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    for bad, pat in [
+        ("SET limit = 1", "caps the result"),
+        ("SET offset = 5", "skips result"),
+        ("SET session_timezone = 'Asia/Tokyo'", "session.timeZone"),
+        ("SET final = 1", "auto-FINALs"),
+        ("SET totals_mode = 'before_having'", "totals_mode"),
+        ("SET count_distinct_implementation = 'uniq'", "approximate"),
+    ]:
+        with _pytest.raises(ValueError, match=pat):
+            sess.execute(bad)
+    # performance knobs still record-and-drop
+    sess.execute("SET max_threads = 8, max_memory_usage = 1000000")
+    # union_default_mode is honored session-wide
+    sess.execute("SET union_default_mode = 'ALL'")
+    assert sess.execute(
+        "SELECT 1 AS x UNION SELECT 1 AS x").count() == 2
+    # ... and introspectable
+    assert [tuple(r) for r in sess.execute(
+        "SELECT value FROM system.settings WHERE name ="
+        " 'union_default_mode'").collect()] == [("'ALL'",)]
+    # the query-level SETTINGS clause overrides the session SET
+    assert sess.execute(
+        "SELECT 1 AS x UNION SELECT 1 AS x"
+        " SETTINGS union_default_mode = 'DISTINCT'").count() == 1
+    sess.execute("SET union_default_mode = 'DISTINCT'")
+    assert sess.execute(
+        "SELECT 1 AS x UNION SELECT 1 AS x").count() == 1
+
+
+def test_r12_datetime_col_arith(spark, sf_dir):
+    """r11 verdict missing #3/#4: ChSession rewrites DateTime-column ±
+    Int seconds (catalog-aware — it knows the schema) and numeric RANGE
+    frames over a DateTime ORDER BY; the bare translator keeps its loud
+    error (it cannot type a bare column)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE dta (k Int64, t DateTime, v Float64)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO dta VALUES"
+                 " (1, '2024-01-01 00:00:00', 1.0),"
+                 " (2, '2024-01-01 00:30:00', 2.0),"
+                 " (3, '2024-01-01 02:00:00', 4.0)")
+    # col - int is seconds, both operand orders, chains keep grouping
+    assert [tuple(r) for r in sess.execute(
+        "SELECT k, toString(t - 3600) AS a, toString(60 + t) AS b,"
+        " toString(t - 10 * 60) AS c FROM dta WHERE k = 1").collect()] == [
+        (1, "2023-12-31 23:00:00", "2024-01-01 00:01:00",
+         "2023-12-31 23:50:00")]
+    # numeric RANGE frame over the DateTime ORDER BY counts seconds:
+    # rows 1-2 are 1800 s apart (within 3600), row 3 is 5400 s from row 2
+    assert [tuple(r) for r in sess.execute(
+        "SELECT k, sum(v) OVER (ORDER BY t RANGE BETWEEN 3600 PRECEDING"
+        " AND CURRENT ROW) AS s FROM dta ORDER BY k").collect()] == [
+        (1, 1.0), (2, 3.0), (3, 4.0)]
+    # an integer column named like nothing in scope is untouched; a
+    # NON-timestamp minus stays numeric
+    assert [tuple(r) for r in sess.execute(
+        "SELECT k - 1 AS km FROM dta WHERE k = 3").collect()] == [(2,)]
+    # translator-only path (no catalog): loud analysis error, not silent
+    from canal_clickhouse_spark.chsql import translate
+    with _pytest.raises(Exception):
+        spark.sql(translate("SELECT ts - 3600 FROM events")).collect()
+
+
+def test_r12_collapsing_equal_count_last_state(spark, sf_dir):
+    """r11 advice: CollapsingMergeTree's merge rule for a key whose state
+    and cancel counts MATCH keeps the first cancel row AND the last state
+    row when the chronologically last row is a state row (the in-flight
+    re-insert shape); only balanced-last-is-cancel removes the key."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE cem (k Int64, v Int64, sign Int8)"
+                 " ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+    # k=1: state, cancel, state-again → balanced? no: 2 state 1 cancel →
+    #      one extra state → LAST state row (v=30)
+    # k=2: state then cancel (balanced, last is cancel) → collapses away
+    # k=3: cancel first then state (balanced, LAST IS STATE) → keep BOTH
+    sess.execute("INSERT INTO cem VALUES"
+                 " (1, 10, 1), (2, 20, 1)")
+    sess.execute("INSERT INTO cem VALUES"
+                 " (1, 10, -1), (2, 20, -1), (3, 5, -1)")
+    sess.execute("INSERT INTO cem VALUES (1, 30, 1), (3, 7, 1)")
+    got = [tuple(r) for r in sess.execute(
+        "SELECT k, toInt64(v) AS v, toInt64(sign) AS s"
+        " FROM cem FINAL ORDER BY k, s").collect()]
+    assert got == [(1, 30, 1), (3, 5, -1), (3, 7, 1)]
+    # OPTIMIZE FINAL materializes the same rule
+    sess.execute("OPTIMIZE TABLE cem FINAL")
+    got2 = [tuple(r) for r in sess.execute(
+        "SELECT k, toInt64(v) AS v, toInt64(sign) AS s"
+        " FROM cem ORDER BY k, s").collect()]
+    assert got2 == got

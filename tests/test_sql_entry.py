@@ -4196,24 +4196,34 @@ def test_r11_probe_batch4_map_aggs_and_retention(spark):
     def one(sql):
         return tuple(spark.sql(translate(sql)).collect()[0])
 
+    # integer-valued maps sum as integers (CH widens Int* to Int64 —
+    # r11 advice: the old DOUBLE fold rendered '4.0' vs CH's '4')
     assert one("SELECT sumMap(m) AS s FROM (SELECT map('a', 1) AS m"
                " UNION ALL SELECT map('a', 3, 'b', 5))") == (
-        {"a": 4.0, "b": 5.0},)
+        {"a": 4, "b": 5},)
+    # ... and big int sums keep exact precision past 2^53
+    assert one("SELECT sumMap(m) AS s FROM"
+               " (SELECT map('a', 9007199254740993) AS m"
+               " UNION ALL SELECT map('a', 2))") == (
+        {"a": 9007199254740995},)
+    # float-valued maps still sum as double
+    assert one("SELECT sumMap(m) AS s FROM (SELECT map('a', 1.5) AS m"
+               " UNION ALL SELECT map('a', 2.0))") == ({"a": 3.5},)
     # keys come out sorted ascending (CH's output order)
     assert one("SELECT map_keys(sumMap(m)) AS k FROM"
                " (SELECT map('b', 1, 'a', 2) AS m)") == (["a", "b"],)
     kv = one("SELECT sumMap(k, v) AS s FROM (SELECT ['a','b'] AS k,"
              " [1,2] AS v UNION ALL SELECT ['b'], [10])")[0]
-    assert list(kv.keys) == ["a", "b"] and list(kv.values) == [1.0, 12.0]
+    assert list(kv.keys) == ["a", "b"] and list(kv.values) == [1, 12]
     assert one("SELECT minMap(m) AS lo, maxMap(m) AS hi FROM"
                " (SELECT map('a', 5) AS m"
                " UNION ALL SELECT map('a', 3, 'b', 7))") == (
         {"a": 3, "b": 7}, {"a": 5, "b": 7})
     assert one("SELECT sumMapIf(m, c) AS s FROM (SELECT map('a', 1) AS m,"
-               " 1 AS c UNION ALL SELECT map('a', 9), 0)") == ({"a": 1.0},)
+               " 1 AS c UNION ALL SELECT map('a', 9), 0)") == ({"a": 1},)
     ma = one("SELECT sumMappedArrays(k, v) AS s FROM (SELECT ['x'] AS k,"
              " [1] AS v UNION ALL SELECT ['x','y'], [2, 3])")[0]
-    assert list(ma.keys) == ["x", "y"] and list(ma.values) == [3.0, 3.0]
+    assert list(ma.keys) == ["x", "y"] and list(ma.values) == [3, 3]
     assert one("SELECT retention(x >= 1, x >= 2, x >= 9) AS r FROM"
                " (SELECT arrayJoin([1, 2]) AS x)") == ([1, 1, 0],)
     # truthy integer conditions get the boolean wrap like any condition
@@ -4475,3 +4485,64 @@ def test_chsql_r11_probe_pins_batch5(spark):
         "SELECT simpleLinearRegression(number, number * 2 + 1) AS r"
         " FROM numbers(10)")).collect()[0].r
     assert (sv.k, sv.b) == (2.0, 1.0)
+
+
+def test_r12_summap_filtered(spark):
+    """r11 verdict missing #5: sumMapFiltered(keys)(…) and friends are
+    real mappings now — map_filter drops non-whitelisted keys before the
+    sumMap fold; both the (keys, values) two-array and Map-argument forms
+    work, and min/max twins ride the same kernel."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    r = one("SELECT sumMapFiltered([1, 3])(k, v) AS s FROM"
+            " (SELECT [1,2,3] AS k, [10,20,30] AS v"
+            " UNION ALL SELECT [1], [5])")[0]
+    assert list(r.keys) == [1, 3] and [int(x) for x in r.values] == [15, 30]
+    assert one("SELECT sumMapFiltered(['a'])(m) AS s FROM"
+               " (SELECT map('a', 1, 'b', 9) AS m)") == ({"a": 1},)
+    r3 = one("SELECT minMapFiltered([1])(k, v) AS s FROM"
+             " (SELECT [1,2] AS k, [10,20] AS v"
+             " UNION ALL SELECT [1], [3])")[0]
+    assert list(r3.keys) == [1] and list(r3.values) == [3]
+    r4 = one("SELECT sumMapFilteredWithOverflow([2])(k, v) AS s FROM"
+             " (SELECT [2] AS k, [7] AS v)")[0]
+    assert [int(x) for x in r4.values] == [7]
+
+
+def test_r12_contingency_aggregates(spark):
+    """r12: cramersV / cramersVBiasCorrected / contingency are real
+    mappings now (χ² fold over observed cells via the n·(Σn_ij²/(n_i·n_j)
+    − 1) identity, so zero cells need no cross-product); values pinned
+    against the hand-computed table (n=6, r=3, c=2, χ²=4/3)."""
+    import math
+
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    base = ("FROM (SELECT arrayJoin([(1,'a'),(1,'b'),(2,'a'),(2,'a'),"
+            "(2,'b'),(3,'b')]) AS t)")
+    got = one(f"SELECT cramersV(t.1, t.2) AS v, contingency(t.1, t.2)"
+              f" AS c, cramersVBiasCorrected(t.1, t.2) AS bc {base}")
+    chi2, n, r, c = 4 / 3, 6, 3, 2
+    assert got[0] == _pytest_approx(math.sqrt((chi2 / n) / min(r - 1, c - 1)))
+    assert got[1] == _pytest_approx(math.sqrt(chi2 / (chi2 + n)))
+    assert got[2] == _pytest_approx(0.0)
+    # perfect association → V = 1
+    assert one("SELECT cramersV(x, y) AS v FROM (SELECT"
+               " arrayJoin([(1,'a'),(2,'b'),(1,'a'),(2,'b')]) AS t,"
+               " t.1 AS x, t.2 AS y)") == (1.0,)
+    # the statistical-test family keeps its named guidance
+    import pytest as _pt
+    with _pt.raises(ValueError, match="agg_stats"):
+        translate("SELECT theilsU(a, b) FROM t")
+
+
+def _pytest_approx(x):
+    import pytest as _pt
+
+    return _pt.approx(x, rel=1e-9)
