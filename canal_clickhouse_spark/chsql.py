@@ -633,6 +633,10 @@ _PARAMETRIC = {
     "quantiletiming", "quantilebfloat16", "quantileexactlow",
     "quantileexacthigh", "quantiletimingweighted",
     "quantileinterpolatedweighted",
+    # r12: the 24.x alias family of the interpolated-weighted pair
+    "quantileexactweightedinterpolated",
+    "quantileexactweightedinterpolatedif",
+    "quantilesexactweightedinterpolated",
     # r7: groupConcat (parametric separator form + -If stack)
     "groupconcat", "groupconcatif",
     # r7: render-helper parametric — guided error
@@ -702,7 +706,8 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         cond = _cond(cond)
         if base in ("topkweighted", "quantileexactweighted",
                     "quantiletimingweighted",
-                    "quantileinterpolatedweighted"):
+                    "quantileinterpolatedweighted",
+                    "quantileexactweightedinterpolated"):
             inner = [args[0], f"IF({cond}, {args[1]}, 0)"]
         elif base in ("histogram", "sequencematch", "sequencecount",
                       "windowfunnel"):
@@ -764,7 +769,8 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
         # into the quantile paths below.
         params = params or ["0.5"]
         low = "quantile" + low[len("median"):]
-    if low in ("quantiletimingweighted", "quantileinterpolatedweighted"):
+    if low in ("quantiletimingweighted", "quantileinterpolatedweighted",
+               "quantileexactweightedinterpolated"):
         # (p)(x, w): weight-interpolating quantiles — exactly Spark's 3-arg
         # percentile(x, p, w) (frequency-weighted interpolation). Timing's
         # bucketing approximation maps to the exact value, same divergence
@@ -810,7 +816,8 @@ def _translate_parametric(name: str, params: list[str], args: list[str]) -> str:
                 params = ["0.5"]
         low = "quantile"
     if low in ("quantilestdigestweighted", "quantilestimingweighted",
-               "quantilesinterpolatedweighted", "quantilesexactweighted"):
+               "quantilesinterpolatedweighted", "quantilesexactweighted",
+               "quantilesexactweightedinterpolated"):
         # plural weighted impls → Spark's 3-arg percentile with a level
         # array (same exact-value divergence note as the scalar impls)
         return (
@@ -3660,6 +3667,18 @@ def _translate_call(name: str, args: list[str]) -> str:
             "aggThrow is ClickHouse's fault-injection test aggregate — it"
             " exists to throw; nothing to translate"
         )
+    if low == "logtrace":
+        # writes its message to the SERVER log and returns 0; there is no
+        # server log here, so only the return value survives (r12 probe)
+        return "0"
+    if low == "timestamp" and len(args) == 2:
+        # CH's 2-arg timestamp(date_expr, time_expr): add the
+        # time-of-day to the date (r12 probe; the 1-arg form is Spark's
+        # own and passes through)
+        return (
+            f"(CAST({args[0]} AS TIMESTAMP)"
+            f" + CAST({args[1]} AS INTERVAL HOUR TO SECOND))"
+        )
     if low in ("analysisofvariance", "anovatest"):
         raise ValueError(
             "analysisOfVariance (anovaTest) needs the F-distribution"
@@ -4412,15 +4431,77 @@ def _translate_call(name: str, args: list[str]) -> str:
         return (
             f"sqrt({phi2c} / nullif(least({rc}, {cc}) - 1, 0))"
         )
+    if low == "theilsu":
+        # CH's theilsU(x, y) = −(H(X) − H(X|Y)) / H(X) with NATURAL log —
+        # the sign-flipped uncertainty coefficient (pinned to the CH docs
+        # example: theilsU(number % 10, number % 4) over numbers(150) =
+        # −0.30195720557678846; the unflipped standard U gives +0.3019…).
+        # Computed as −MI/H(X) over the observed contingency cells — the
+        # mutual-information identity needs no zero cells, like the χ²
+        # fold above. Same collect_list caveat: bounded categorical
+        # cardinalities.
+        pr = (
+            f"collect_list(IF(({args[0]}) IS NOT NULL AND"
+            f" ({args[1]}) IS NOT NULL,"
+            f" named_struct('a', {args[0]}, 'b', {args[1]}), NULL))"
+        )
+        n = f"CAST(size({pr}) AS DOUBLE)"
+        nij = f"CAST(size(filter({pr}, _q -> _q <=> _c)) AS DOUBLE)"
+        na = f"CAST(size(filter({pr}, _q -> _q.a <=> _c.a)) AS DOUBLE)"
+        nb = f"CAST(size(filter({pr}, _q -> _q.b <=> _c.b)) AS DOUBLE)"
+        mi = (
+            f"aggregate(array_distinct({pr}), 0D, (_s, _c) -> _s +"
+            f" ({nij} / {n}) * ln({nij} * {n} / ({na} * {nb})))"
+        )
+        na2 = f"CAST(size(filter({pr}, _q -> _q.a <=> _u)) AS DOUBLE)"
+        hx = (
+            f"aggregate(array_distinct(transform({pr}, _p -> _p.a)), 0D,"
+            f" (_s, _u) -> _s - ({na2} / {n}) * ln({na2} / {n}))"
+        )
+        return f"(-({mi}) / nullif({hx}, 0))"
+    if low == "rankcorr":
+        # Spearman's rank correlation with average (mid) ranks — Pearson
+        # over the rank vectors, via the n·Σxy − Σx·Σy closed form. The
+        # mid-rank of v is (#strictly-less + #less-or-equal + 1)/2. Same
+        # collected-group caveat as the folds above; for huge groups the
+        # win_rank + corr() composition is the scale spelling.
+        pr = (
+            f"collect_list(IF(({args[0]}) IS NOT NULL AND"
+            f" ({args[1]}) IS NOT NULL, named_struct("
+            f"'a', CAST({args[0]} AS DOUBLE),"
+            f" 'b', CAST({args[1]} AS DOUBLE)), NULL))"
+        )
+        n = f"CAST(size({pr}) AS DOUBLE)"
+
+        def ranks(field: str) -> str:
+            vs = f"transform({pr}, _p -> _p.{field})"
+            return (
+                f"transform({vs}, _x ->"
+                f" (CAST(size(filter({vs}, _w -> _w < _x)) AS DOUBLE)"
+                f" + CAST(size(filter({vs}, _w -> _w <= _x)) AS DOUBLE)"
+                f" + 1) / 2)"
+            )
+
+        rx, ry = ranks("a"), ranks("b")
+        s_ = "aggregate({0}, 0D, (_s, _x) -> _s + _x)"
+        sx, sy = s_.format(rx), s_.format(ry)
+        sxx = s_.format(f"transform({rx}, _a -> _a * _a)")
+        syy = s_.format(f"transform({ry}, _a -> _a * _a)")
+        sxy = s_.format(f"zip_with({rx}, {ry}, (_a, _b) -> _a * _b)")
+        return (
+            f"(({n} * {sxy} - {sx} * {sy}) /"
+            f" nullif(sqrt(({n} * {sxx} - {sx} * {sx})"
+            f" * ({n} * {syy} - {sy} * {sy})), 0))"
+        )
     if low in ("studentttest", "welchttest", "mannwhitneyutest",
-               "kolmogorovsmirnovtest", "rankcorr", "theilsu",
+               "kolmogorovsmirnovtest",
                "meanztest", "studentttestonesample",
                "categoricalinformationvalue"):
         raise ValueError(
-            f"{name} needs a significance-table lookup or rank/contingency"
-            " machinery with no inline Spark spelling; build it from the"
-            " agg_stats building blocks (avg/stddev/corr + win_rank for"
-            " rank statistics)"
+            f"{name} needs a significance-table lookup (p-values require"
+            " distribution CDFs with no Spark SQL builtin); the test"
+            " STATISTIC is buildable from the agg_stats building blocks"
+            " (avg/stddev/corr + win_rank for rank statistics)"
         )
     if low in ("stochasticlinearregression",
                "stochasticlogisticregression"):
@@ -5614,7 +5695,7 @@ _OR_CAST_NAMES = {
 }
 
 _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
-    "randconstant", "arrayelement",
+    "randconstant", "arrayelement", "logtrace", "timestamp",
     "uniq", "uniqcombined", "uniqexact", "position", "positionutf8",
     "splitbychar", "splitbyregexp", "frombase64", "empty",
     "notempty", "sumif", "avgif", "minif", "maxif", "multiif", "toint32",
@@ -6053,6 +6134,13 @@ def _json_path_multi(keys: list[str]) -> str:
 # Fixture-table column lists — the DDL knowledge a live ClickHouse reads
 # from system.columns; required to EXPAND star modifiers (`* REPLACE`,
 # `COLUMNS('re')`, `APPLY`) that Spark SQL has no native form for.
+# Session-table column lists: ChSession._session_rewrites refreshes this
+# snapshot of its live catalog before every translate, so star modifiers
+# expand against session DDL exactly like fixtures (process-global, the
+# same registry posture as _CH_DICTS/_CH_UDFS — one live session at a
+# time, like one CH server catalog).
+_SESSION_TABLE_COLS: dict[str, tuple[str, ...]] = {}
+
 _TABLE_COLS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey", "r_name"),
     "nation": ("n_nationkey", "n_name", "n_regionkey"),
@@ -6149,6 +6237,11 @@ def _star_table_cols(q: str, what: str) -> tuple[str, ...]:
         t = next(iter(tables))
         if t in _TABLE_COLS:
             return _TABLE_COLS[t]
+        if t in _SESSION_TABLE_COLS:
+            # session-created tables (ChSession syncs its live catalog
+            # here per statement, readonly columns already excluded —
+            # r12 probe: `* APPLY(f)` on a session table refused)
+            return _SESSION_TABLE_COLS[t]
     # FROM (SELECT …) subquery source (r8 probe 5: the star modifier used
     # to refuse any subquery): when every top-level select item of the
     # subquery carries a plain output name (alias or bare column), that
@@ -8571,6 +8664,29 @@ def _rewrite_clauses(q: str) -> str:
         cc_last = ccm.end(1)
     if cc_out:
         q = "".join(cc_out) + q[cc_last:]
+    # CH tolerates a trailing comma in the SELECT list (`SELECT a, b,
+    # FROM t`); Spark's parser refuses it (r12 probe). A depth-free
+    # rewrite is safe: a comma directly before the FROM keyword is never
+    # valid otherwise (in-literal commas are masked).
+    q = _lit_sub(re.compile(r",\s*(?=FROM\b)", re.IGNORECASE), " ", q)
+
+    # CH tuple-of-intervals arithmetic (r12 probe): `d + (INTERVAL 1
+    # MONTH, INTERVAL 1 DAY)` applies each interval in turn — unfold to
+    # chained ± terms. Only parens whose EVERY comma item starts with
+    # INTERVAL rewrite; anything else (a real tuple) is left alone.
+    def _unfold_intervals(m: re.Match) -> str:
+        items = [i.strip() for i in m.group(2).split(",")]
+        if len(items) < 2 or not all(
+            re.match(r"(?i)^INTERVAL\b", i) for i in items
+        ):
+            return m.group(0)
+        op = m.group(1)
+        return " " + " ".join(f"{op} {i}" for i in items)
+
+    q = _lit_sub(
+        re.compile(r"([+-])\s*\(\s*(INTERVAL\b[^()]*)\)", re.IGNORECASE),
+        _unfold_intervals, q,
+    )
     # r8 clause batch (probe sweep): CH spellings Spark's parser refuses.
     # SELECT TOP n ≡ LIMIT n (CH forbids combining TOP with LIMIT, so the
     # appended LIMIT can't collide with an existing one).

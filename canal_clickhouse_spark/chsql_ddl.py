@@ -1607,6 +1607,18 @@ class ChSession:
         r11 probe batch 25: view bodies previously skipped them, so a
         ``CREATE VIEW v AS SELECT * FROM t`` leaked MATERIALIZED columns
         into the view's star."""
+        # sync the translator's session-table column registry so star
+        # modifiers (* APPLY/REPLACE, COLUMNS('re')) expand against
+        # session DDL like they do against fixtures (r12 probe);
+        # readonly (MATERIALIZED/ALIAS) columns never join a star
+        from .chsql import _SESSION_TABLE_COLS
+
+        _SESSION_TABLE_COLS.clear()
+        for t, df in self.tables.items():
+            ro = (self.meta.get(t) or {}).get("readonly_cols") or ()
+            _SESSION_TABLE_COLS[t] = tuple(
+                c for c in df.columns if c not in ro
+            )
         # session-level `SET union_default_mode` resolves bare UNIONs the
         # same way the trailing-SETTINGS spelling does (r11 verdict wrong
         # #1); a query-level union_default_mode SETTINGS clause wins —
@@ -2148,6 +2160,36 @@ class ChSession:
                 s = "".join(out)
             return s
 
+        # SELECT * EXCEPT (…) FROM tbl — the user's own EXCEPT list gains
+        # the readonly columns (r12 probe: the Spark-native pure-EXCEPT
+        # path previously leaked MATERIALIZED columns into the star)
+        masked0 = _mask_literals(s)
+        out0, last0 = [], 0
+        for m in re.finditer(
+            r"(?is)\bSELECT\s+\*\s+EXCEPT\s*(?:\(([^()]*)\)|(\w+))"
+            r"\s+FROM\s+(\w+)\b", masked0,
+        ):
+            tbl = m.group(3)
+            if tbl not in ro:
+                continue
+            have = m.group(1) if m.group(1) is not None else m.group(2)
+            listed = {c.strip().strip("`").lower()
+                      for c in have.split(",") if c.strip()}
+            extra = [c for c in sorted(ro[tbl]) if c.lower() not in listed]
+            if not extra:
+                continue
+            if m.group(1) is not None:
+                a, b = m.span(1)
+                out0.append(s[last0:b])
+                out0.append(", " + ", ".join(extra))
+            else:  # bare `EXCEPT col` gains parens around the grown list
+                a, b = m.span(2)
+                out0.append(s[last0:a])
+                out0.append("(" + s[a:b] + ", " + ", ".join(extra) + ")")
+            last0 = b
+        if out0:
+            out0.append(s[last0:])
+            s = "".join(out0)
         # SELECT * FROM tbl   (the EXCEPT splices after the star)
         s = _star_sub(r"\bSELECT\s+(\*)\s+FROM\s+(\w+)\b", 2)
         # tbl.*
@@ -4156,6 +4198,18 @@ class ChSession:
         if re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*$", s):
             return self.spark.createDataFrame(
                 [], "query_id string, user string, query string"
+            )
+
+        if re.match(r"(?is)^\s*CHECK\s+ALL\s+TABLES\s*$", s):
+            # CHECK ALL TABLES (CH 23.11+): one readability row per
+            # session table, name-sorted (fixtures excluded — CH scopes
+            # it to the current database's own tables)
+            rows = []
+            for t in sorted(self.tables):
+                self.tables[t].count()
+                rows.append((t, 1))
+            return self.spark.createDataFrame(
+                rows, "table string, result int"
             )
 
         m = re.match(r"(?is)^\s*CHECK\s+TABLE\s+(?P<name>\w+)\s*$", s)

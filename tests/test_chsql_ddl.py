@@ -3674,3 +3674,34 @@ def test_r12_collapsing_equal_count_last_state(spark, sf_dir):
         "SELECT k, toInt64(v) AS v, toInt64(sign) AS s"
         " FROM cem ORDER BY k, s").collect()]
     assert got2 == got
+
+
+def test_r12_session_star_modifiers(spark, sf_dir):
+    """r12 probe batch 2: star modifiers (* APPLY lambda/fn, COLUMNS,
+    * EXCEPT forms) expand against SESSION tables (the translator's
+    column registry syncs from the live catalog) and never include
+    MATERIALIZED/ALIAS columns; trailing comma before FROM parses;
+    CHECK ALL TABLES reports one row per session table."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE smt (a Int64, b String,"
+                 " m Int64 MATERIALIZED a * 10)"
+                 " ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO smt VALUES (1, 'x'), (2, 'yy')")
+
+    def rows(q):
+        return [tuple(r) for r in sess.execute(q).collect()]
+
+    assert rows("SELECT * APPLY(x -> length(toString(x)))"
+                " FROM smt ORDER BY 1") == [(1, 1), (1, 2)]
+    assert rows("SELECT * APPLY(max) FROM smt") == [(2, "yy")]
+    assert rows("SELECT COLUMNS('^[ab]$') APPLY(count) FROM smt") == [(2, 2)]
+    # user EXCEPT lists gain the readonly columns (both spellings)
+    assert sess.execute("SELECT * EXCEPT(b) FROM smt").columns == ["a"]
+    assert sess.execute("SELECT * EXCEPT b FROM smt").columns == ["a"]
+    assert sess.execute(
+        "SELECT * REPLACE(a + 1 AS a) FROM smt").columns == ["a", "b"]
+    # CH tolerates the trailing comma in the select list
+    assert rows("SELECT a, b, FROM smt ORDER BY a LIMIT 1") == [(1, "x")]
+    assert rows("CHECK ALL TABLES") == [("smt", 1)]

@@ -4536,13 +4536,65 @@ def test_r12_contingency_aggregates(spark):
     assert one("SELECT cramersV(x, y) AS v FROM (SELECT"
                " arrayJoin([(1,'a'),(2,'b'),(1,'a'),(2,'b')]) AS t,"
                " t.1 AS x, t.2 AS y)") == (1.0,)
-    # the statistical-test family keeps its named guidance
+    # the p-value test family keeps its named guidance (CDFs have no
+    # Spark SQL builtin)
     import pytest as _pt
     with _pt.raises(ValueError, match="agg_stats"):
-        translate("SELECT theilsU(a, b) FROM t")
+        translate("SELECT mannWhitneyUTest(a, b) FROM t")
 
 
 def _pytest_approx(x):
     import pytest as _pt
 
     return _pt.approx(x, rel=1e-9)
+
+
+def test_r12_theilsu_rankcorr(spark):
+    """r12: theilsU and rankCorr are real mappings. theilsU pins CH's
+    documented (sign-flipped) uncertainty coefficient — the docs example
+    theilsU(number % 10, number % 4) over numbers(150) =
+    -0.30195720557678846 (natural log, -MI/H(X)); rankCorr is Spearman
+    with average mid-ranks, pinned on a hand-computed ties case."""
+    import pytest as _pt
+
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT theilsU(number % 10, number % 4) AS u"
+               " FROM numbers(150)") == (
+        _pt.approx(-0.30195720557678846, rel=1e-12),)
+    assert one("SELECT rankCorr(x, x * 2 + 1) AS r FROM"
+               " (SELECT arrayJoin([1.0,2.0,3.0,4.0]) AS x)") == (1.0,)
+    assert one("SELECT rankCorr(x, -x) AS r FROM"
+               " (SELECT arrayJoin([1.0,2.0,3.0,4.0]) AS x)") == (-1.0,)
+    # ties: x=[1,2,2,3] mid-ranks [1,2.5,2.5,4]; y=[2,1,4,3] → 0.3162…
+    assert one("SELECT rankCorr(x, y) AS r FROM (SELECT arrayJoin("
+               "[(1.0,2.0),(2.0,1.0),(2.0,4.0),(3.0,3.0)]) AS t,"
+               " t.1 AS x, t.2 AS y)") == (
+        _pt.approx(0.31622776601683794, rel=1e-12),)
+
+
+def test_r12_probe_tail(spark):
+    """r12 probe tail: tuple-of-intervals arithmetic unfolds to chained
+    ± terms; 2-arg timestamp(date, time) adds the time of day;
+    logTrace returns its CH value (0 — the message went to a server log
+    that doesn't exist here); quantileExactWeightedInterpolated is the
+    24.x alias of the interpolated-weighted percentile."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT toString(toDate('2024-01-01')"
+               " + (INTERVAL 1 MONTH, INTERVAL 1 DAY)) AS s") == (
+        "2024-02-02",)
+    assert one("SELECT toString(toDateTime('2024-03-15 00:00:00')"
+               " - (INTERVAL 1 MONTH, INTERVAL 2 DAY)) AS s") == (
+        "2024-02-13 00:00:00",)
+    assert one("SELECT toString(timestamp('2024-01-01', '01:02:03'))"
+               " AS s") == ("2024-01-01 01:02:03",)
+    assert one("SELECT logTrace('msg') AS s") == (0,)
+    assert one("SELECT quantileExactWeightedInterpolated(0.5)(x, 1) AS q"
+               " FROM (SELECT arrayJoin([1.0, 2.0, 3.0]) AS x)") == (2.0,)
