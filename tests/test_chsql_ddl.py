@@ -574,6 +574,11 @@ _OPS = st.lists(
         # excludes the computed ones, SHOW CREATE round-trips the
         # decoration into a second table with identical behavior.
         st.tuples(st.just("matalias"), st.integers(1, 4)),
+        # r12: ENGINE = Merge live union view — members created BEFORE
+        # and AFTER the Merge table both read; _table filters to one
+        # member; INSERT refuses; engine whitelist refuses a consumer
+        # engine mid-sequence.
+        st.tuples(st.just("mergeview"), st.integers(1, 4)),
     ),
     min_size=1, max_size=6,
 )
@@ -817,6 +822,38 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
                 ((vn - 1 + 100) * 3,)]
             ch.execute("DROP TABLE fzm")
             ch.execute("DROP TABLE fzm2")
+        elif op[0] == "mergeview":
+            _, vn = op
+            for t in ("fzu_a", "fzu_b", "fzu_c", "fzu"):
+                ch.execute(f"DROP TABLE IF EXISTS {t}")
+            ch.execute("CREATE TABLE fzu_a (k Int64)"
+                       " ENGINE = MergeTree ORDER BY k")
+            ch.execute("INSERT INTO fzu_a VALUES "
+                       + ", ".join(f"({i})" for i in range(vn)))
+            ch.execute("CREATE TABLE fzu (k Int64)"
+                       " ENGINE = Merge(currentDatabase(), '^fzu_')")
+            # liveness: a member created AFTER the Merge table reads too
+            ch.execute("CREATE TABLE fzu_b (k Int64)"
+                       " ENGINE = MergeTree ORDER BY k")
+            ch.execute("INSERT INTO fzu_b VALUES "
+                       + ", ".join(f"({i + 100})" for i in range(vn)))
+            got_u = sorted(
+                r.k for r in ch.execute("SELECT k FROM fzu").collect()
+            )
+            assert got_u == sorted(
+                list(range(vn)) + [i + 100 for i in range(vn)]
+            )
+            assert [tuple(r) for r in ch.execute(
+                "SELECT count() AS c FROM fzu WHERE _table = 'fzu_b'"
+            ).collect()] == [(vn,)]
+            assert ch.execute("SELECT * FROM fzu").columns == ["k"]
+            with pytest.raises(ValueError, match="read-only"):
+                ch.execute("INSERT INTO fzu VALUES (1)")
+            with pytest.raises(ValueError, match="source_kafka"):
+                ch.execute("CREATE TABLE fzu_c (k Int64) ENGINE ="
+                           " Kafka('b:9092', 't', 'g', 'JSONEachRow')")
+            for t in ("fzu", "fzu_a", "fzu_b"):
+                ch.execute(f"DROP TABLE {t}")
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
             ch.execute("RENAME TABLE fz_old TO fz2")

@@ -285,3 +285,36 @@ def test_ts_subsequence_single_exchange_topk(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_engine_union_prunes_on_table_filter(spark, sf_dir):
+    """ENGINE = Merge's union is a plain multi-branch UNION ALL, so a
+    `_table = 'x'` filter must CONSTANT-FOLD the other branches away —
+    at 100 TB a Merge over N member tables filtered to one member scans
+    one member, like ClickHouse. Predicate pushdown on data columns must
+    reach every surviving branch's scan."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE mp_a (k Int64, v Float64)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("CREATE TABLE mp_b (k Int64, v Float64)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO mp_a SELECT o_orderkey, o_totalprice"
+                 " FROM orders WHERE o_orderkey % 2 = 0")
+    sess.execute("INSERT INTO mp_b SELECT o_orderkey, o_totalprice"
+                 " FROM orders WHERE o_orderkey % 2 = 1")
+    sess.execute("CREATE TABLE mp (k Int64, v Float64)"
+                 " ENGINE = Merge(currentDatabase(), '^mp_')")
+    pruned = plan_of(
+        sess.execute("SELECT sum(v) AS s FROM mp WHERE _table = 'mp_a'")
+    )
+    # the mp_b branch folds away: exactly one Union input survives, so
+    # no Union node remains in the optimized plan
+    assert "Union" not in pruned
+    both = plan_of(sess.execute("SELECT sum(v) AS s FROM mp WHERE k > 5"))
+    assert "Union" in both
+    # the data-column predicate is pushed into each surviving branch
+    assert both.count("(k#") >= 2 or both.count("k > 5") >= 2 or (
+        both.count("GreaterThan") >= 2
+    )
