@@ -156,10 +156,34 @@ def _paren_balanced(s: str) -> bool:
     return depth == 0
 
 
-def _array_reduce_form(agg: str, a: str, caller: str) -> str:
+def _array_reduce_form(
+    agg: str, a: str, caller: str, cond: str | None = None
+) -> str:
     """Inline Spark spelling of CH ``arrayReduce('<agg>', arr)`` for the
     aggregate names with a clean per-array form; shared by arrayReduce and
-    arrayReduceInRanges."""
+    arrayReduceInRanges. ``cond`` carries the flag array of an ``-If``
+    combinator spelling (``arrayReduce('sumIf', vals, flags)`` — r12
+    probe: previously the whole -If family was refused): the value array
+    is pre-filtered to the truthy-flag positions, which matches CH
+    because every base aggregate here already skips NULLs."""
+    low = agg.lower()
+    if low.endswith("if") and len(low) > 2:
+        if cond is None:
+            raise ValueError(
+                f"{caller}('{agg}', …): the -If combinator takes a second"
+                " flag array — arrayReduce('sumIf', values, flags)"
+            )
+        a = (
+            f"filter(zip_with({a}, {cond},"
+            f" (_rv, _rc) -> IF(CAST(_rc AS BOOLEAN), _rv, NULL)),"
+            f" _rf -> _rf IS NOT NULL)"
+        )
+        low = low[:-2]
+    elif cond is not None:
+        raise ValueError(
+            f"{caller}('{agg}', …): a second array argument needs an -If"
+            " aggregate name (e.g. 'sumIf')"
+        )
     forms = {
         "sum": f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
         "max": f"array_max({a})",
@@ -170,12 +194,17 @@ def _array_reduce_form(agg: str, a: str, caller: str) -> str:
             f" / size({a}))"
         ),
         "uniqexact": f"size(array_distinct({a}))",
+        # order-deterministic here (the array IS the order): any = first,
+        # anyLast = last, groupArray = identity
+        "any": f"try_element_at({a}, 1)",
+        "anylast": f"try_element_at({a}, -1)",
+        "grouparray": a,
+        "groupuniqarray": f"array_distinct({a})",
     }
-    low = agg.lower()
     if low not in forms:
         raise ValueError(
             f"{caller}('{agg}', …): unsupported aggregate; "
-            f"supported: {sorted(forms)}"
+            f"supported: {sorted(forms)} (+ their -If combinators)"
         )
     return forms[low]
 
@@ -520,7 +549,6 @@ _RENAME = {
     "crc32ieee": "crc32",
     "crc64": "xxhash64",
     "siphash64keyed": "xxhash64",
-    "siphash128keyed": "xxhash64",
     # trim / substring / case family — pure renames, same argument order
     "trimboth": "trim",
     "trimleft": "ltrim",
@@ -3845,7 +3873,10 @@ def _translate_call(name: str, args: list[str]) -> str:
         m = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
         if not m:
             raise ValueError("arrayReduce needs a literal aggregate name")
-        return _array_reduce_form(m.group(1), args[1], "arrayReduce")
+        return _array_reduce_form(
+            m.group(1), args[1], "arrayReduce",
+            cond=args[2] if len(args) > 2 else None,
+        )
     if low == "arrayreduceinranges":
         # arrayReduceInRanges('agg', ranges, arr): re-aggregate each
         # (index, length) range of arr — one transform over the ranges
@@ -4496,7 +4527,8 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low in ("studentttest", "welchttest", "mannwhitneyutest",
                "kolmogorovsmirnovtest",
                "meanztest", "studentttestonesample",
-               "categoricalinformationvalue"):
+               "categoricalinformationvalue",
+               "analysisofvariance", "anova"):
         raise ValueError(
             f"{name} needs a significance-table lookup (p-values require"
             " distribution CDFs with no Spark SQL builtin); the test"
@@ -4839,9 +4871,11 @@ def _translate_call(name: str, args: list[str]) -> str:
         return "current_timezone()"  # engine pins one session tz
     if low == "tomillisecond":
         return f"CAST(date_format({args[0]}, 'SSS') AS INT)"
-    if low == "tomodifiedjulianday":
+    if low in ("tomodifiedjulianday", "tomodifiedjuliandayornull"):
+        # the OrNull twin rides try-cast semantics: to_date() yields NULL
+        # on an unparseable string (ANSI off), which datediff propagates
         return f"datediff(to_date({args[0]}), DATE'1858-11-17')"
-    if low == "frommodifiedjulianday":
+    if low in ("frommodifiedjulianday", "frommodifiedjuliandayornull"):
         return f"date_add(DATE'1858-11-17', CAST({args[0]} AS INT))"
     if low in ("utctimestamp", "nowinblock"):
         # session tz is pinned UTC; nowInBlock's per-block re-evaluation
@@ -5254,6 +5288,14 @@ def _translate_call(name: str, args: list[str]) -> str:
             " randUniform/randNormal/randExponential (mapped) or a Pandas"
             " UDF with numpy.random"
         )
+    if low == "fuzzbits":
+        # r12 probe: was Spark's raw unresolved-routine error
+        raise ValueError(
+            "fuzzBits flips random BITS inside a byte string (a test-data"
+            " fuzzer over CH's FixedString layout) — no Spark builtin"
+            " mutates binary in place; use randCanonical/randBernoulli"
+            " (mapped) for randomized columns or a Pandas UDF over binary"
+        )
     if low == "generateuuidv7":
         # uuid() is v4 — unique but NOT time-ordered (documented
         # divergence; order by an explicit timestamp column instead)
@@ -5355,12 +5397,20 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "tounixtimestamp64nano":
         return f"(unix_micros({args[0]}) * 1000)"
     if low in ("siphash128", "murmurhash3_128", "metrohash64", "wyhash64",
-               "xxh3", "xxhash64", "farmfingerprint64", "urlhash"):
+               "xxh3", "xxhash64", "farmfingerprint64", "urlhash",
+               "siphash128keyed", "siphash128reference",
+               "siphash128referencekeyed"):
         # same convention as sipHash64/cityHash64: a stable 64-bit JVM
         # hash replaces CH's specific algorithm (values differ from CH —
         # documented; hashes are compared within ONE engine, never across)
-        if low in ("siphash128", "murmurhash3_128"):
-            return f"md5(CAST({args[0]} AS STRING))"  # 128-bit analogue
+        if low.startswith("siphash128") or low == "murmurhash3_128":
+            # 128-bit analogue — md5's 32 hex chars match CH's width
+            # (r12 probe: the keyed rename printed 16 chars, and extra
+            # args of the multi-arg form were silently dropped); multi-
+            # arg and keyed forms hash the JSON canon of all args
+            if len(args) == 1:
+                return f"md5(CAST({args[0]} AS STRING))"
+            return f"md5(to_json(struct({', '.join(args)})))"
         return f"xxhash64({', '.join(args)})"
     if low in ("javahash", "hivehash"):
         # EXACT Java String.hashCode fold (h = h*31 + unit): these two are
@@ -5841,6 +5891,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     # r8 probe batch 2: guided
     "approx_top_k", "approx_top_count", "approx_top_sum",
     "meanztest", "studentttestonesample", "categoricalinformationvalue",
+    "analysisofvariance", "anova", "fuzzbits",
     "bitmapmin", "bitmapmax", "bitmapandcardinality", "bitmaporcardinality",
     "bitmapandnotcardinality", "bitmapxorcardinality", "bitmaphasall",
     "bitmaphasany", "bitmapsubsetinrange", "bitmapsubsetlimit",
@@ -5858,7 +5909,9 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "h3togeoboundary", "h3getresolution",
     # r7 fourth probe batch (mapped)
     "totimezone", "timezoneof", "tomillisecond", "tomodifiedjulianday",
-    "frommodifiedjulianday", "utctimestamp", "nowinblock", "addinterval",
+    "frommodifiedjulianday", "tomodifiedjuliandayornull",
+    "frommodifiedjuliandayornull", "utctimestamp", "nowinblock",
+    "addinterval",
     "tolastdayofweek", "tostartofmillisecond", "tostartofmicrosecond",
     "tostartofnanosecond", "editdistance", "editdistanceutf8",
     "levenshteindistance", "stringjaccardindex", "bytehammingdistance",
@@ -5996,7 +6049,8 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "base32encode", "base32decode", "sqidencode", "sqiddecode",
     "obfuscatequeries", "kql", "prql", "tobfloat16",
     "icebergtruncate", "crc32ieee", "crc64", "siphash64keyed",
-    "siphash128keyed", "stringtoh3",
+    "siphash128keyed", "siphash128reference", "siphash128referencekeyed",
+    "stringtoh3",
     "ngramminhash", "ngramsimhash", "jsonextractkeysandvaluesraw",
 } | set(_CMP_FN_OPS) | {f"{b}if" for b in _IF_AGG_BASES} | {
     "uniqexactif", "medianif", "argmaxif", "argminif", "anylastif",

@@ -939,7 +939,8 @@ _DROP_PARTITION_RE = re.compile(
 )
 
 _CREATE_VIEW_RE = re.compile(
-    r"(?is)^\s*CREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?is)^\s*CREATE\s+(?P<orrep>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<ifne>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"AS\s+(?P<select>SELECT\b.*)$"
 )
 
@@ -1088,7 +1089,8 @@ _ALTER_MISC_RE = re.compile(
     r"MATERIALIZE\s+PROJECTION|CLEAR\s+PROJECTION|MODIFY\s+SETTING|"
     r"RESET\s+SETTING|DETACH\s+PARTITION|ATTACH\s+PARTITION|FREEZE|"
     r"REPLACE\s+PARTITION|MOVE\s+PARTITION|FETCH\s+PARTITION|"
-    r"MODIFY\s+ORDER\s+BY)\b.*)$"
+    r"MODIFY\s+ORDER\s+BY|MODIFY\s+SAMPLE\s+BY|REMOVE\s+SAMPLE\s+BY|"
+    r"APPLY\s+DELETED\s+MASK)\b.*)$"
 )
 
 # ALTER TABLE t ADD|DROP|MODIFY|RENAME COLUMN ... — CH's schema-evolution
@@ -3403,9 +3405,30 @@ class ChSession:
         m = _CREATE_VIEW_RE.match(s)
         if m:
             name = m.group("name")
-            self._check_new(name)
+            if m.group("ifne") and name in self.views:
+                return None
+            if m.group("orrep") and name in self.views:
+                pass  # CREATE OR REPLACE VIEW swaps an existing view
+            else:
+                # OR REPLACE over a TABLE still errors, as in CH (a view
+                # cannot replace a table) — r12 probe: OR REPLACE
+                # previously fell to the generic unsupported error, and
+                # plain CREATE over an existing view silently replaced it
+                self._check_new(name)
+                if name in self.views:
+                    raise ValueError(f"view {name!r} already exists")
+            prev = self.views.get(name)
             self.views[name] = m.group("select")
-            self._refresh_views()  # fail fast on an invalid select
+            try:
+                self._refresh_views()  # fail fast on an invalid select
+            except Exception:
+                # atomic like CH: an invalid replacement keeps the old
+                # view (and a failed plain CREATE leaves no broken view)
+                if prev is not None:
+                    self.views[name] = prev
+                else:
+                    self.views.pop(name, None)
+                raise
             return None
 
         m = _DROP_PARTITION_RE.match(s)
@@ -3753,6 +3776,39 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(n,) for n in names], "name string"
             )
+
+        if re.match(r"(?is)^\s*SHOW\s+ENGINES\s*$", s):
+            # the implemented storage engines (r12 probe) — the same set
+            # the CREATE whitelist enforces, canonical capitalization
+            names = sorted(
+                ("MergeTree", "ReplacingMergeTree", "SummingMergeTree",
+                 "AggregatingMergeTree", "CollapsingMergeTree",
+                 "VersionedCollapsingMergeTree", "Memory", "Null",
+                 "Buffer", "Join", "Merge", "Log", "TinyLog", "StripeLog")
+            )
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
+
+        m = re.match(
+            r"(?is)^\s*RENAME\s+DICTIONARY\s+(?P<a>\w+)\s+TO\s+"
+            r"(?P<b>\w+)\s*$", s,
+        )
+        if m:
+            # registry rename (r12 probe: was the generic unsupported
+            # error); dictGet resolves by name, so the binding moves
+            from .chsql import _CH_DICTS
+
+            a, b = m.group("a"), m.group("b")
+            if a not in _CH_DICTS:
+                raise ValueError(f"RENAME DICTIONARY: unknown {a!r}")
+            if b in _CH_DICTS:
+                raise ValueError(f"RENAME DICTIONARY: {b!r} already exists")
+            _CH_DICTS[b] = _CH_DICTS.pop(a)
+            if a in self.dicts:
+                self.dicts.discard(a)
+                self.dicts.add(b)
+            return None
 
         m = re.match(
             r"(?is)^\s*SHOW\s+SETTINGS(?:\s+LIKE\s+'(?P<pat>[^']*)')?\s*$",
@@ -4514,13 +4570,35 @@ class ChSession:
                 )
             meta["order_by"] = cols
             return None
+        m = re.match(r"(?is)^MODIFY\s+SAMPLE\s+BY\s+(?P<key>.+)$", r)
+        if m:
+            # sampling-key metadata (CH requires it inside the primary
+            # key; SAMPLE reads here hash deterministically, so the key
+            # is SHOW CREATE fidelity) — r12 probe: was the generic
+            # unsupported error, like the trailer's SAMPLE BY twin
+            key = m.group("key").strip()
+            col = key.strip("()").split(",")[0].strip()
+            if re.fullmatch(r"\w+", col) and col not in tbl.columns:
+                raise ValueError(
+                    f"MODIFY SAMPLE BY: unknown column {col!r}"
+                )
+            meta["sample_by"] = key
+            return None
+        if re.match(r"(?is)^REMOVE\s+SAMPLE\s+BY\s*$", r):
+            meta.pop("sample_by", None)
+            return None
+        if re.match(r"(?is)^APPLY\s+DELETED\s+MASK"
+                    r"(?:\s+IN\s+PARTITION\s+.+)?\s*$", r):
+            # CH compacts lightweight-deleted rows out of parts; deletes
+            # here apply immediately at statement time — correct no-op
+            return None
         if re.match(r"(?is)^FREEZE\b", r):
             return None  # backup hardlink — no logical effect
         m = re.match(
             r"(?is)^(?:(?P<op>REPLACE|ATTACH)\s+PARTITION\s+"
-            r"(?P<val>'[^']*'|\w+)\s+FROM\s+(?P<src>\w+)"
-            r"|MOVE\s+PARTITION\s+(?P<mval>'[^']*'|\w+)\s+TO\s+TABLE\s+"
-            r"(?P<dst>\w+))$", r
+            r"(?P<val>'[^']*'|tuple\s*\(\s*\)|\w+)\s+FROM\s+(?P<src>\w+)"
+            r"|MOVE\s+PARTITION\s+(?P<mval>'[^']*'|tuple\s*\(\s*\)|\w+)"
+            r"\s+TO\s+TABLE\s+(?P<dst>\w+))$", r
         )
         if m:
             # Cross-table partition ops (r10 probe batch — the partition
@@ -4540,7 +4618,14 @@ class ChSession:
             otbl = self._require_table(other, "cross-table PARTITION op")
             pexpr = meta.get("partition_by")
             ometa = self.meta.get(other) or {}
-            if not pexpr or not ometa.get("partition_by"):
+            # unpartitioned MergeTree = ONE all-rows partition that CH
+            # names tuple(); the cross-table ops address it by that
+            # spelling (r12 probe: previously refused)
+            whole = (
+                re.fullmatch(r"(?i)tuple\s*\(\s*\)", val) is not None
+                and not pexpr and not ometa.get("partition_by")
+            )
+            if not whole and (not pexpr or not ometa.get("partition_by")):
                 raise ValueError(
                     f"PARTITION op between {name!r} and {other!r}: both"
                     " tables need a PARTITION BY key"
@@ -4555,7 +4640,7 @@ class ChSession:
                     f"PARTITION op between {name!r} and {other!r}:"
                     " partition keys differ"
                 )
-            cond = f"({pexpr}) <=> {val}"
+            cond = "TRUE" if whole else f"({pexpr}) <=> {val}"
             if moving:
                 part = tbl.filter(F.expr(cond)).localCheckpoint(eager=True)
                 self._register(other, otbl.unionByName(part))
@@ -4759,9 +4844,12 @@ class ChSession:
         order = meta.get("order_by") or []
         if order:
             out.append(f"ORDER BY ({', '.join(order)})")
-        elif engine.lower() != "memory":
-            # Memory tables have no sort key clause in CH; MergeTree-family
-            # tables print CH's explicit no-key spelling
+        elif engine.lower() not in (
+            "memory", "merge", "null", "buffer", "join", "log", "tinylog",
+            "stripelog",
+        ):
+            # non-MergeTree engines have no sort key clause in CH;
+            # MergeTree-family tables print CH's explicit no-key spelling
             out.append("ORDER BY tuple()")
         if meta.get("ttl"):
             out.append(f"TTL {meta['ttl']['expr']}")
@@ -6263,3 +6351,76 @@ def chsql_datetime_col_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     bare column and keeps its loud analysis error). Timestamps surface as
     epoch seconds so the comparison is timezone-invariant."""
     return ch_execute_script(spark, sf_dir, _CH_DT_COL_ARITH_SCRIPT)
+
+
+_CH_CONTINGENCY_SCRIPT = """
+SELECT round(cramersV(o_orderstatus, o_orderpriority), 7) AS v,
+       round(cramersVBiasCorrected(o_orderstatus, o_orderpriority), 7)
+           AS vbc,
+       round(contingency(o_orderstatus, o_orderpriority), 7) AS cont,
+       round(theilsU(o_orderstatus, o_orderpriority), 7) AS u,
+       round(rankCorr(o_totalprice, o_custkey), 7) AS rho
+FROM orders WHERE o_orderkey % 37 = 0;
+"""
+
+
+@query(
+    "chsql_contingency_stats",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(o_custkey AS DOUBLE) AS y
+      FROM orders WHERE o_orderkey % 37 = 0
+    ), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pr),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS nij FROM pr GROUP BY a, b
+    ), nas AS (
+      SELECT a, CAST(COUNT(*) AS DOUBLE) AS na FROM pr GROUP BY a
+    ), nbs AS (
+      SELECT b, CAST(COUNT(*) AS DOUBLE) AS nb FROM pr GROUP BY b
+    ), chi AS (
+      SELECT (SELECT n FROM tot)
+             * (SUM(nij * nij / (nas.na * nbs.nb)) - 1) AS chi2
+      FROM cells JOIN nas USING (a) JOIN nbs USING (b)
+    ), dims AS (
+      SELECT CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+             CAST(COUNT(DISTINCT b) AS DOUBLE) AS c
+      FROM pr
+    ), mi AS (
+      SELECT SUM((nij / (SELECT n FROM tot))
+                 * LN(nij * (SELECT n FROM tot) / (nas.na * nbs.nb)))
+                 AS mi
+      FROM cells JOIN nas USING (a) JOIN nbs USING (b)
+    ), hx AS (
+      SELECT -SUM((na / (SELECT n FROM tot))
+                  * LN(na / (SELECT n FROM tot))) AS hx
+      FROM nas
+    ), rk AS (
+      SELECT (RANK() OVER (ORDER BY x)
+              + (CAST(COUNT(*) OVER (PARTITION BY x) AS DOUBLE) - 1) / 2)
+                 AS rx,
+             (RANK() OVER (ORDER BY y)
+              + (CAST(COUNT(*) OVER (PARTITION BY y) AS DOUBLE) - 1) / 2)
+                 AS ry
+      FROM pr
+    )
+    SELECT ROUND(SQRT((chi2 / n) / LEAST(r - 1, c - 1)), 7) AS v,
+           ROUND(SQRT(GREATEST(0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+                 / (LEAST(r - POWER(r - 1, 2) / (n - 1),
+                          c - POWER(c - 1, 2) / (n - 1)) - 1)), 7) AS vbc,
+           ROUND(SQRT(chi2 / (chi2 + n)), 7) AS cont,
+           ROUND(-(SELECT mi FROM mi) / (SELECT hx FROM hx), 7) AS u,
+           (SELECT ROUND(corr(rx, ry), 7) FROM rk) AS rho
+    FROM chi, tot, dims
+    """,
+)
+def chsql_contingency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the contingency/rank statistics live vs DuckDB's relational
+    recomputation — cramersV / biasCorrected / contingency from the χ²
+    identity, theilsU (CH's sign-flipped −MI/H(X), natural log), and
+    rankCorr as Pearson over average mid-ranks (DuckDB: RANK() +
+    (ties−1)/2 then corr). Row-filtered to ~9% (the rank fold is O(n²)
+    in the group; GROUP BY value + win_rank is the documented scale
+    spelling)."""
+    return ch_execute_script(spark, sf_dir, _CH_CONTINGENCY_SCRIPT)

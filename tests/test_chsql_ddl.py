@@ -3742,3 +3742,89 @@ def test_r12_session_star_modifiers(spark, sf_dir):
     # CH tolerates the trailing comma in the select list
     assert rows("SELECT a, b, FROM smt ORDER BY a LIMIT 1") == [(1, "x")]
     assert rows("CHECK ALL TABLES") == [("smt", 1)]
+
+
+def test_r12_alter_tail_and_show_engines(spark, sf_dir):
+    """r12 probe batch 3 (ALTER/SHOW tail): MODIFY/REMOVE SAMPLE BY
+    record sampling-key meta, APPLY DELETED MASK is a correct no-op
+    (deletes apply immediately here), SHOW ENGINES lists the implemented
+    whitelist, and RENAME DICTIONARY moves the registry binding."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    sess = ChSession(spark, sf_dir)
+    sess.execute("CREATE TABLE smp (k Int64, v Int64)"
+                 " ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO smp VALUES (1, 10)")
+    sess.execute("ALTER TABLE smp MODIFY SAMPLE BY k")
+    assert sess.meta["smp"]["sample_by"] == "k"
+    with _pytest.raises(ValueError, match="unknown column"):
+        sess.execute("ALTER TABLE smp MODIFY SAMPLE BY nope")
+    sess.execute("ALTER TABLE smp REMOVE SAMPLE BY")
+    assert "sample_by" not in sess.meta["smp"]
+    sess.execute("DELETE FROM smp WHERE k = 1")
+    sess.execute("ALTER TABLE smp APPLY DELETED MASK")
+    assert sess.execute("SELECT count() AS c FROM smp").collect()[0][0] == 0
+    engines = [r.name for r in sess.execute("SHOW ENGINES").collect()]
+    assert "Merge" in engines and "MergeTree" in engines
+    assert "Kafka" not in engines
+    sess.execute("CREATE TABLE dsrc (k Int64, nm String) ENGINE = Memory")
+    sess.execute("INSERT INTO dsrc VALUES (1, 'one')")
+    sess.execute("CREATE DICTIONARY rdict (k Int64, nm String DEFAULT '?')"
+                 " PRIMARY KEY k"
+                 " SOURCE(CLICKHOUSE(TABLE 'dsrc')) LAYOUT(FLAT())"
+                 " LIFETIME(300)")
+    sess.execute("RENAME DICTIONARY rdict TO rdict2")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT dictGet('rdict2', 'nm', toInt64(1)) AS s").collect()] == [
+        ("one",)]
+    with _pytest.raises(ValueError, match="unknown"):
+        sess.execute("RENAME DICTIONARY rdict TO rdict3")
+
+
+def test_r12_create_or_replace_view_and_tuple_partition(spark, sf_dir):
+    """r12 probe batch 5: CREATE OR REPLACE VIEW swaps atomically (an
+    invalid replacement keeps the old view; plain CREATE over an existing
+    view now errors like CH instead of silently replacing); cross-table
+    REPLACE/ATTACH/MOVE PARTITION accept CH's tuple() spelling on
+    unpartitioned tables (one all-rows partition)."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s = ChSession(spark, sf_dir)
+
+    def rows(q):
+        return [tuple(r) for r in s.execute(q).collect()]
+
+    s.execute("CREATE OR REPLACE VIEW crv AS SELECT 1 AS x")
+    s.execute("CREATE OR REPLACE VIEW crv AS SELECT 2 AS x")
+    assert rows("SELECT x FROM crv") == [(2,)]
+    with _pytest.raises(Exception):
+        s.execute("CREATE OR REPLACE VIEW crv AS SELECT y FROM no_tbl_xyz")
+    assert rows("SELECT x FROM crv") == [(2,)]  # old view survives
+    with _pytest.raises(ValueError, match="already exists"):
+        s.execute("CREATE VIEW crv AS SELECT 3 AS x")
+    s.execute("CREATE VIEW IF NOT EXISTS crv AS SELECT 4 AS x")
+    assert rows("SELECT x FROM crv") == [(2,)]  # IF NOT EXISTS: kept
+    s.execute("CREATE TABLE crt (a Int64) ENGINE = Memory")
+    with _pytest.raises(ValueError):
+        s.execute("CREATE OR REPLACE VIEW crt AS SELECT 1 AS x")
+
+    s.execute("CREATE TABLE ap1 (a Int64) ENGINE = MergeTree ORDER BY a")
+    s.execute("CREATE TABLE ap2 (a Int64) ENGINE = MergeTree ORDER BY a")
+    s.execute("INSERT INTO ap1 VALUES (1), (2)")
+    s.execute("ALTER TABLE ap2 ATTACH PARTITION tuple() FROM ap1")
+    assert rows("SELECT count() AS c FROM ap2") == [(2,)]  # copied
+    assert rows("SELECT count() AS c FROM ap1") == [(2,)]  # src kept
+    s.execute("ALTER TABLE ap2 REPLACE PARTITION tuple() FROM ap1")
+    assert rows("SELECT count() AS c FROM ap2") == [(2,)]
+    s.execute("ALTER TABLE ap1 MOVE PARTITION tuple() TO TABLE ap2")
+    assert rows("SELECT count() AS c FROM ap1") == [(0,)]
+    assert rows("SELECT count() AS c FROM ap2") == [(4,)]
+    # partitioned × unpartitioned still refuses
+    s.execute("CREATE TABLE ap3 (a Int64) ENGINE = MergeTree"
+              " PARTITION BY a ORDER BY a")
+    with _pytest.raises(ValueError, match="PARTITION BY"):
+        s.execute("ALTER TABLE ap3 ATTACH PARTITION tuple() FROM ap1")

@@ -4598,3 +4598,48 @@ def test_r12_probe_tail(spark):
     assert one("SELECT logTrace('msg') AS s") == (0,)
     assert one("SELECT quantileExactWeightedInterpolated(0.5)(x, 1) AS q"
                " FROM (SELECT arrayJoin([1.0, 2.0, 3.0]) AS x)") == (2.0,)
+
+
+def test_r12_probe_batch4_fn_tail(spark):
+    """r12 probe batch 4 (function tail): arrayReduce gains the -If
+    combinators (flag-array prefilter; the base aggregates skip NULLs,
+    matching CH) plus any/anyLast/groupArray/groupUniqArray — the array
+    IS the row order, so 'any' is deterministic here; sipHash128Keyed /
+    sipHash128Reference return the 128-bit md5 analogue (32 hex chars,
+    CH's hex() width — the old 64-bit rename printed 16) and multi-arg
+    sipHash128 hashes ALL args (extra args were silently dropped);
+    anova/fuzzBits get named refusals instead of Spark's raw
+    unresolved-routine error."""
+    import pytest as _pt
+
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT arrayReduce('sumIf', [1,2,3], [1,0,1]) AS s") == (
+        4.0,)
+    assert one("SELECT arrayReduce('maxIf', [1,2,3], [1,1,0]) AS m") == (2,)
+    assert one("SELECT arrayReduce('countIf', [9,9,9], [1,0,1]) AS c") == (
+        2,)
+    assert one("SELECT arrayReduce('avgIf', [2.0,4.0,9.0], [1,1,0])"
+               " AS a") == (3.0,)
+    assert one("SELECT arrayReduce('any', [7,8]) AS a,"
+               " arrayReduce('anyLast', [7,8]) AS b") == (7, 8)
+    assert one("SELECT arraySort(arrayReduce('groupUniqArray', [2,1,2]))"
+               " AS g") == ([1, 2],)
+    with _pt.raises(Exception, match="-If combinator takes"):
+        translate("SELECT arrayReduce('sumIf', [1,2,3])")
+    with _pt.raises(Exception, match="unsupported aggregate"):
+        translate("SELECT arrayReduce('medianIf', [1], [1])")
+    # 128-bit family width + multi-arg sensitivity
+    assert one("SELECT length(sipHash128Keyed((toUInt64(1), toUInt64(2)),"
+               " 'x')) AS n") == (32,)
+    assert one("SELECT length(sipHash128Reference('a')) AS n") == (32,)
+    assert one("SELECT length(sipHash128('a', 'b')) AS n,"
+               " sipHash128('a', 'b') != sipHash128('ab') AS d") == (
+        32, True)
+    with _pt.raises(ValueError, match="significance-table"):
+        translate("SELECT anova(x, g) FROM t")
+    with _pt.raises(ValueError, match="fuzzBits flips random"):
+        translate("SELECT fuzzBits('abc', 0.1)")
