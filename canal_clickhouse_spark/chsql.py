@@ -514,8 +514,10 @@ _RENAME = {
     "rightpad": "rpad",
     "startswith": "startswith",
     "endswith": "endswith",
-    "any": "any_value",
-    "anylast": "last",
+    # NOTE: any/anyLast/first_value/last_value are NOT renames — CH skips
+    # NULLs in every aggregate by default while Spark's first/last/
+    # any_value RESPECT them; the _translate_call branches pass
+    # ignoreNulls=true (r12 probe batch 6)
     "stddevpop": "stddev_pop",
     "stddevsamp": "stddev_samp",
     "varpop": "var_pop",
@@ -603,8 +605,7 @@ _RENAME = {
     # CH anyHeavy is an approximate heavy-hitter (any value that dominates);
     # Spark's mode() (most frequent) satisfies the same contract exactly.
     "anyheavy": "mode",
-    "firstvalue": "first_value",  # aggregate AND window spelling
-    "lastvalue": "last_value",
+    # firstValue/lastValue: branch-handled (ignoreNulls=true, CH default)
     "tonullable": "",  # identity: every Spark column is nullable
     "arrayreverse": "reverse",
     "arrayconcat": "concat",
@@ -2336,10 +2337,31 @@ def _translate_call(name: str, args: list[str]) -> str:
         # -Array combinator on groupUniqArray: the distinct elements
         # across all input arrays (r9 probe: silent passthrough)
         return f"array_distinct(flatten(collect_list({args[0]})))"
-    if low == "grouparrayarray":  # aggregate arrays by concatenation
+    if low in ("grouparrayarray", "arrayconcatagg"):
+        # aggregate arrays by concatenation (arrayConcatAgg is the
+        # CH 23.10 alias — r12 probe: was a raw passthrough)
         return f"flatten(collect_list({args[0]}))"
     if low == "anyif":
-        return f"any_value(IF({_cond(args[1])}, {args[0]}, NULL))"
+        return f"any_value(IF({_cond(args[1])}, {args[0]}, NULL), true)"
+    if low in ("any", "anylast", "firstvalue", "lastvalue",
+               "first_value", "last_value"):
+        # CH skips NULLs in EVERY aggregate by default (first_value/
+        # last_value are documented aliases of any/anyLast); Spark's
+        # first/last/any_value/first_value/last_value RESPECT them —
+        # ignoreNulls=true restores CH semantics, in both aggregate and
+        # window position (r12 probe batch 6)
+        fn = {"any": "any_value", "anylast": "last",
+              "firstvalue": "first_value", "first_value": "first_value",
+              "lastvalue": "last_value", "last_value": "last_value"}[low]
+        return f"{fn}({args[0]}, true)"
+    if low in ("any_respect_nulls", "anyrespectnulls",
+               "first_value_respect_nulls", "firstvaluerespectnulls"):
+        # the RESPECT NULLS twins (CH 23.5 alias family + the postfix
+        # `RESPECT NULLS` modifier, rewritten to these names upstream)
+        return f"first_value({args[0]})"
+    if low in ("anylast_respect_nulls", "anylastrespectnulls",
+               "last_value_respect_nulls", "lastvaluerespectnulls"):
+        return f"last_value({args[0]})"
     if low in ("datediff", "date_diff"):
         # dateDiff('unit', start, end): CH counts CROSSED unit boundaries
         # (dateDiff('day', 23:00 d1, 01:00 d2) = 1), while Spark's
@@ -2720,7 +2742,7 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low in ("sumornull", "minornull", "maxornull", "avgornull"):
         return f"{low[: -len('ornull')]}({args[0]})"
     if low == "anyornull":
-        return f"any_value({args[0]})"
+        return f"any_value({args[0]}, true)"
     if low == "countornull":
         inner = f"count({args[0]})" if args and args[0] else "count(*)"
         return f"nullif({inner}, 0)"
@@ -5500,8 +5522,8 @@ def _translate_call(name: str, args: list[str]) -> str:
         # SimpleAggregateFunction states ARE the plain value
         base = low[: -len("simplestate")]
         return _translate_call(name[: -len("simplestate")], args) \
-            if base.startswith("groupbit") or base == "anylast" \
-            else f"{'any_value' if base == 'any' else base}({args[0]})"
+            if base.startswith("groupbit") or base in ("any", "anylast") \
+            else f"{base}({args[0]})"
     if low in ("initializeaggregation", "finalizeaggregation"):
         # The one composable case: the argument is ITSELF a -State call
         # spelled inline (CH docs idiom `finalizeAggregation(sumState(x))`,
@@ -5722,6 +5744,13 @@ def _translate_call(name: str, args: list[str]) -> str:
             x = f"IF({cond}, {rest[0] if rest else '1'}, NULL)"
         else:
             x = vals[0] if vals else "*"
+        if base in ("any", "anylast"):
+            # CH's NULL-skip default; also what makes the IF-NULL
+            # -If spelling above correct for these two. DISTINCT drops:
+            # it cannot change which value any/anyLast picks (the first/
+            # last non-NULL is identical with or without dedup), and
+            # Spark's any_value can't combine DISTINCT with ignoreNulls.
+            return f"{fn}({x}, true)"
         return f"{fn}({d}{x})"
     if low in _PARAMETRIC and low not in _RENAME:
         # Bare single-call form: quantile(x) → CH's median default,
@@ -5788,7 +5817,12 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "arrayfill", "arrayreversefill", "countdistinct", "touuid", "notilike",
     "uniqif", "summap", "minmap", "maxmap", "avgmap",
     "summapif", "minmapif", "maxmapif",
-    "firstvalue", "lastvalue", "xor",
+    "firstvalue", "lastvalue", "first_value", "last_value", "any",
+    "anylast", "any_respect_nulls", "anyrespectnulls",
+    "anylast_respect_nulls", "anylastrespectnulls",
+    "first_value_respect_nulls", "firstvaluerespectnulls",
+    "last_value_respect_nulls", "lastvaluerespectnulls",
+    "arrayconcatagg", "xor",
     "bitmapbuild", "bitmaptoarray", "bitmapcontains", "bitmapcardinality",
     "bitmapand", "bitmapor", "bitmapandnot", "bitmapxor",
     "groupbitmapstate",
@@ -9386,6 +9420,42 @@ def _rewrite_float_keywords(q: str) -> str:
         a, b = m.span()
         out2 = out2[: a + off] + " % " + out2[b + off:]
         off += 3 - (b - a)
+    # postfix RESPECT NULLS / IGNORE NULLS on the NULL-skip aggregate
+    # family (any/anyLast/first_value/last_value) folds into the
+    # *_respect_nulls twin / the default (r12 probe batch 6). Spark DOES
+    # parse the postfix natively — but an explicit ignoreNulls argument
+    # silently WINS over it, so `any(x) RESPECT NULLS` left in place
+    # would collide with the `any_value(x, true)` mapping and keep
+    # skipping NULLs. Other names (lead/lag/nth_value) pass through to
+    # Spark's own postfix handling.
+    masked = _mask_literals(out2)
+    fam = {"any", "anylast", "first_value", "last_value",
+           "firstvalue", "lastvalue"}
+    edits = []
+    for m in re.finditer(r"(?i)\)\s*(RESPECT|IGNORE)\s+NULLS\b", masked):
+        depth, i = 0, m.start()
+        while i >= 0:
+            if masked[i] == ")":
+                depth += 1
+            elif masked[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i <= 0:
+            continue
+        idm = re.search(r"(\w+)\s*$", masked[:i])
+        if not idm or idm.group(1).lower() not in fam:
+            continue
+        edits.append((idm.start(1), idm.end(1), m.start() + 1, m.end(),
+                      m.group(1).upper()))
+    prev_a = len(out2) + 1
+    for a, b, c, d, kind in sorted(edits, reverse=True):
+        if d > prev_a:  # nested/overlapping spellings: leave the outer
+            continue
+        prev_a = a
+        nm = out2[a:b] + ("_respect_nulls" if kind == "RESPECT" else "")
+        out2 = out2[:a] + nm + out2[b:c] + out2[d:]
     return out2
 
 
@@ -9685,8 +9755,46 @@ def _rewrite_select_alias_macros(q: str) -> str:
         out.append(body[last:])
         body = "".join(out)
         mbody = _mask_literals(body)
+    tail = q[fm.start():]
+    if re.search(r"(?i)\bgrouping\s*\(", mbody):
+        # grouping(alias) got its argument macro-expanded above; Spark
+        # only matches grouping(expr) against grouping COLUMNS spelled
+        # with the same expr, so ROLLUP/CUBE/GROUPING SETS over the alias
+        # must expand identically (r12 probe batch 6: GROUP BY ROLLUP(g)
+        # + grouping(g) raised GROUPING_COLUMN_MISMATCH)
+        mtail = _mask_literals(tail)
+        gm = re.search(r"(?i)\bGROUP\s+BY\b", mtail)
+        if gm and _paren_depth_at(mtail, gm.start()) == 0:
+            em = re.search(
+                r"(?i)\b(HAVING|QUALIFY|ORDER\s+BY|LIMIT|SETTINGS|"
+                r"WINDOW|UNION|INTERSECT|EXCEPT|FORMAT|INTO)\b",
+                mtail[gm.end():],
+            )
+            gend = gm.end() + (em.start() if em else len(mtail) - gm.end())
+            seg = tail[gm.end():gend]
+            mseg = _mask_literals(seg)
+            for alias, expr in aliases.items():
+                if re.search(
+                    rf"\b{re.escape(alias)}\b", _mask_literals(expr)
+                ):
+                    continue
+                out, last = [], 0
+                for mm in re.finditer(rf"\b{re.escape(alias)}\b", mseg):
+                    a, b = mm.span()
+                    prev = mseg[:a].rstrip()[-1:]
+                    nxt = mseg[b:].lstrip()[:1]
+                    if prev in (".", "`") or nxt == "(":
+                        continue
+                    out.append(seg[last:a])
+                    out.append(f"({expr})")
+                    last = b
+                    changed = True
+                out.append(seg[last:])
+                seg = "".join(out)
+                mseg = _mask_literals(seg)
+            tail = tail[: gm.end()] + seg + tail[gend:]
     if changed:
-        return q[: sm.end()] + body + q[fm.start() :]
+        return q[: sm.end()] + body + tail
     return q
 
 

@@ -195,7 +195,7 @@ def test_chsql_clause_rewrites():
     # bare-identifier conditions carry the r10 truthiness cast (UInt8
     # flags are the CH norm; no-op for booleans)
     assert translate("anyIf(x, c)") == \
-        "any_value(IF(CAST((c) AS BOOLEAN), x, NULL))"
+        "any_value(IF(CAST((c) AS BOOLEAN), x, NULL), true)"
     assert translate("groupArrayArray(arr)") == "flatten(collect_list(arr))"
     assert translate("dateDiff('day', a, b)") == (
         "timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b))"
@@ -4643,3 +4643,56 @@ def test_r12_probe_batch4_fn_tail(spark):
         translate("SELECT anova(x, g) FROM t")
     with _pt.raises(ValueError, match="fuzzBits flips random"):
         translate("SELECT fuzzBits('abc', 0.1)")
+
+
+def test_r12_probe_batch6_null_skip_family(spark):
+    """r12 probe batch 6: CH skips NULLs in every aggregate by default —
+    any/anyLast/first_value/last_value (and firstValue/lastValue) now
+    pass ignoreNulls=true to Spark's respect-by-default first/last/
+    any_value/first_value/last_value, in aggregate, window, -If, -OrNull,
+    -SimpleState and stacked-combinator position; the *_respect_nulls
+    alias family and the postfix RESPECT NULLS / IGNORE NULLS modifiers
+    map onto the same branch (postfix must fold BEFORE call translation:
+    Spark's own postfix parser silently loses to an explicit ignoreNulls
+    argument). arrayConcatAgg = groupArrayArray; grouping(alias) expands
+    the alias in ROLLUP/CUBE too."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    src = "(SELECT x FROM (SELECT arrayJoin([NULL, 1, 2]) AS x))"
+    tail = "(SELECT arrayJoin([1, 2, NULL]) AS x)"
+    assert one(f"SELECT any(x) AS a FROM {src}") == (1,)
+    assert one(f"SELECT anyLast(x) AS a FROM {tail}") == (2,)
+    assert one(f"SELECT first_value(x) AS a FROM {src}") == (1,)
+    assert one(f"SELECT firstValue(x) AS a FROM {src}") == (1,)
+    assert one(f"SELECT last_value(x) AS a FROM {tail}") == (2,)
+    assert one(f"SELECT any_respect_nulls(x) AS a FROM {src}") == (None,)
+    assert one(f"SELECT any(x) RESPECT NULLS AS a FROM {src}") == (None,)
+    assert one(f"SELECT first_value(x) RESPECT NULLS AS a FROM {src}") == (
+        None,)
+    assert one(f"SELECT first_value(x) IGNORE NULLS AS a FROM {src}") == (
+        1,)
+    # the -If spelling builds IF(cond, x, NULL) — only correct because
+    # the base now skips NULLs
+    assert one("SELECT anyIf(x, x > 1) AS a FROM"
+               " (SELECT arrayJoin([1, 2, 3]) AS x)") == (2,)
+    assert one("SELECT anyIfDistinct(x, x > 1) AS a FROM"
+               " (SELECT arrayJoin([1, 2, 2]) AS x)") == (2,)
+    assert one(f"SELECT anySimpleState(x) AS a FROM {src}") == (1,)
+    assert one("SELECT anyOrNull(x) AS a FROM"
+               " (SELECT arrayJoin([1]) AS x) WHERE x > 5") == (None,)
+    # window position: both the skip default and the postfix twin
+    assert one(
+        "SELECT first_value(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND UNBOUNDED FOLLOWING) AS a FROM (SELECT 0 AS o,"
+        " CAST(NULL AS Nullable(Int32)) AS x UNION ALL SELECT 1, 7)"
+        " ORDER BY a LIMIT 1") == (7,)
+    assert one("SELECT arrayConcatAgg(a) AS s FROM"
+               " (SELECT arrayJoin([[1,2],[3]]) AS a)") == ([1, 2, 3],)
+    rows = [tuple(r) for r in spark.sql(translate(
+        "SELECT number % 2 AS g, grouping(g) AS gr, count() AS c"
+        " FROM numbers(4) GROUP BY ROLLUP(g)"
+        " ORDER BY g NULLS LAST, gr")).collect()]
+    assert rows == [(0, 0, 2), (1, 0, 2), (None, 1, 4)]
