@@ -4185,12 +4185,15 @@ def _translate_call(name: str, args: list[str]) -> str:
         )
         return f"coalesce({chain})"
     if low in ("formatdatetimeinjodasyntax", "parsedatetimeinjodasyntax",
-               "parsedatetimeinjodasyntaxornull"):
+               "parsedatetimeinjodasyntaxornull",
+               "fromunixtimestampinjodasyntax"):
         # Joda-style patterns are (for the yyyy/MM/dd/HH/mm/ss core) the
         # same tokens Spark's own DateTimeFormatter uses — direct map
-        # (r9 probe: passthrough).
+        # (r9 probe: passthrough; r12 probe: the fromUnixTimestamp twin).
         if low.startswith("format"):
             return f"date_format({args[0]}, {args[1]})"
+        if low.startswith("fromunix"):
+            return f"from_unixtime({args[0]}, {args[1]})"
         op = "try_to_timestamp" if low.endswith("ornull") else "to_timestamp"
         return f"{op}({args[0]}, {args[1]})"
     if low == "parsetimedelta":
@@ -5892,6 +5895,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "changeyear", "changemonth", "changeday", "changehour", "changeminute",
     "changesecond", "parsedatetime", "parsedatetimeornull",
     "parsedatetimeorzero", "parsedatetimeinjodasyntax",
+    "fromunixtimestampinjodasyntax",
     "parsedatetimeinjodasyntaxornull", "base64urlencode", "base64urldecode",
     "corrstable", "covarpopstable", "covarsampstable", "stddevpopstable",
     "stddevsampstable", "varpopstable", "varsampstable", "iszeroornull",
@@ -7685,7 +7689,8 @@ _SETOP_RE = re.compile(
     r"\b(INTERSECT|EXCEPT)(\s+(?:SELECT\b|\(\s*SELECT\b))", re.IGNORECASE
 )
 _NUMBERS_RE = re.compile(
-    r"\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+    r"\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)",
+    re.IGNORECASE,
 )
 _ZEROS_RE = re.compile(
     r"\bFROM\s+zeros\s*\(\s*(\d+)\s*\)", re.IGNORECASE
@@ -8864,7 +8869,14 @@ def _rewrite_clauses(q: str) -> str:
     q = _lit_sub(
         _NUMBERS_RE,
         lambda m: (
+            # 3-arg numbers(begin, end, step) bounds by EXCLUSIVE end
+            # (CH's PostgreSQL-series addition — deliberately unlike the
+            # 2-arg offset/COUNT form), matching Spark range(b, e, s)
+            # exactly (r12 probe: was a raw unresolvable-TVF error)
             f"FROM (SELECT id AS number FROM __spark_range__({m.group(1)},"
+            f" {m.group(2)}, {m.group(3)}))"
+            if m.group(3)
+            else f"FROM (SELECT id AS number FROM __spark_range__({m.group(1)},"
             f" {int(m.group(1)) + int(m.group(2))}))"
             if m.group(2)
             else f"FROM (SELECT id AS number FROM __spark_range__({m.group(1)}))"
@@ -9319,6 +9331,16 @@ def translate(ch_query: str) -> str:
             f"unbound query parameter {{{pm.group(1)}:…}} — parameters"
             " bind through ChSession: SET param_"
             f"{pm.group(1)} = …, or execute(stmt, params={{...}})"
+        )
+    if re.search(
+        r"(?i)\bGROUPS\s+(BETWEEN|UNBOUNDED|CURRENT|\d+)\b",
+        _mask_literals(ch_query),
+    ):
+        # r12 probe: the GROUPS frame unit reached Spark's parser raw
+        raise ValueError(
+            "GROUPS window frames have no Spark analog; peer groups are"
+            " RANGE's unit here — use RANGE BETWEEN over the ORDER BY"
+            " key, or dense_rank() as the frame key for counted groups"
         )
     # CH EXPLAIN modes → the closest Spark EXPLAIN form (r10 runtime
     # battery: the CH keyword reached Spark's parser verbatim). SYNTAX/

@@ -4358,7 +4358,12 @@ class ChSession:
                 " enforce ACLs in the lakehouse/catalog layer"
             )
 
-        if re.match(r"(?is)^\s*(SELECT|WITH)\b", s):
+        if re.match(r"(?is)^\s*(SELECT|WITH)\b", s) or re.match(
+            # parenthesized first set operand — `(SELECT …) UNION ALL …`
+            # (r12 probe: fell to the generic unsupported error; Spark
+            # parses parenthesized operands natively)
+            r"(?is)^\s*\(\s*(SELECT|WITH)\b", s
+        ):
             m = re.search(
                 r"(?is)\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'"
                 r"(?:\s+(?P<trunc>TRUNCATE|APPEND)\b)?"
@@ -5278,6 +5283,15 @@ class ChSession:
                     break
             block = block.select(*target.columns)
         else:
+            if len(block.columns) != len(target.columns):
+                # named arity error (r12 probe: raw Spark ASSIGNMENT_
+                # ARITY_MISMATCH surfaced from toDF)
+                raise ValueError(
+                    f"INSERT INTO {name}: the source provides"
+                    f" {len(block.columns)} columns for the table's"
+                    f" {len(target.columns)}; list the target columns"
+                    f" (INSERT INTO {name} (c1, …) SELECT …)"
+                )
             block = block.toDF(*target.columns)
         # IPv4 columns: dotted-quad strings coerce to the UInt32 value at
         # insert, as CH does (CREATE-body declarations only; see
@@ -6424,3 +6438,41 @@ def chsql_contingency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the group; GROUP BY value + win_rank is the documented scale
     spelling)."""
     return ch_execute_script(spark, sf_dir, _CH_CONTINGENCY_SCRIPT)
+
+
+_CH_R12_SPELLINGS_SCRIPT = """
+SELECT arrayReduce('sumIf', [1, 2, 3], [1, 0, 1]) AS rif,
+       arrayReduce('anyLast', [7, 8]) AS alast,
+       length(sipHash128Keyed((toUInt64(1), toUInt64(2)), 'x')) AS hw,
+       (SELECT count() FROM numbers(0, 10, 3)) AS nst,
+       fromUnixTimestampInJodaSyntax(1704067200, 'yyyy-MM-dd') AS fj,
+       any(x) AS askip, any(x) RESPECT NULLS IS NULL AS aresp,
+       arrayStringConcat(arrayMap(_x -> toString(_x),
+                        arraySort(arrayConcatAgg(arr))), ',') AS acat
+FROM (SELECT IF(number = 0, NULL, number) AS x,
+             array(number, number * 10) AS arr
+      FROM numbers(3) ORDER BY number);
+"""
+
+
+@query(
+    "chsql_r12_spellings",
+    oracle="""
+    SELECT CAST(4.0 AS DOUBLE) AS rif, 8 AS alast, 32 AS hw, 4 AS nst,
+           '2024-01-01' AS fj,
+           (SELECT min(n) FROM range(1, 3) t(n)) AS askip,
+           TRUE AS aresp,
+           (SELECT array_to_string(list_sort(flatten(list(arr))), ',')
+            FROM (SELECT [n, n * 10] AS arr FROM range(3) t(n))) AS acat
+    """,
+)
+def chsql_r12_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 probe-batch spellings, live vs DuckDB: arrayReduce -If
+    combinators and any/anyLast forms, the 32-hex-char 128-bit keyed
+    hash width, 3-arg numbers(begin, end, step) (exclusive end), the
+    fromUnixTimestamp Joda twin, CH's NULL-skip default for any() vs the
+    postfix RESPECT NULLS twin over a NULL-leading ordered group, and
+    arrayConcatAgg. Oracle values are DuckDB recomputations (askip =
+    first non-NULL of 0→NULL,1,2 = 1) or contract constants where DuckDB
+    lacks the function (hash WIDTH, the Joda format of a fixed epoch)."""
+    return ch_execute_script(spark, sf_dir, _CH_R12_SPELLINGS_SCRIPT)

@@ -3828,3 +3828,31 @@ def test_r12_create_or_replace_view_and_tuple_partition(spark, sf_dir):
               " PARTITION BY a ORDER BY a")
     with _pytest.raises(ValueError, match="PARTITION BY"):
         s.execute("ALTER TABLE ap3 ATTACH PARTITION tuple() FROM ap1")
+
+
+def test_r12_probe_batch7_paren_union_numbers_step(spark, sf_dir):
+    """r12 probe batch 7: a parenthesized first set operand routes to the
+    query path (`(SELECT …) UNION ALL …` fell to the generic unsupported
+    error); 3-arg numbers(begin, end, step) bounds by EXCLUSIVE end (CH's
+    PostgreSQL-series addition, deliberately unlike the 2-arg
+    offset/count form); a column-count mismatch on INSERT … SELECT gets
+    a named error instead of raw ASSIGNMENT_ARITY_MISMATCH."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s = ChSession(spark, sf_dir)
+
+    def rows(q):
+        return [tuple(r) for r in s.execute(q).collect()]
+
+    assert rows("(SELECT 1 AS x) UNION ALL (SELECT 2) ORDER BY x") == [
+        (1,), (2,)]
+    assert rows("(SELECT 1 AS x) UNION DISTINCT (SELECT 1)") == [(1,)]
+    assert rows("SELECT number AS n FROM numbers(0, 10, 3)") == [
+        (0,), (3,), (6,), (9,)]
+    assert rows("SELECT count() AS c FROM numbers(5, 20, 5)") == [(3,)]
+    s.execute("CREATE TABLE ar7 (a Int64, b String, c String)"
+              " ENGINE = Memory")
+    with _pytest.raises(ValueError, match="source provides 2 columns"):
+        s.execute("INSERT INTO ar7 SELECT 1, 'x'")

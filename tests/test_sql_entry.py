@@ -4696,3 +4696,27 @@ def test_r12_probe_batch6_null_skip_family(spark):
         " FROM numbers(4) GROUP BY ROLLUP(g)"
         " ORDER BY g NULLS LAST, gr")).collect()]
     assert rows == [(0, 0, 2), (1, 0, 2), (None, 1, 4)]
+
+
+def test_r12_probe_batch8_tail(spark):
+    """r12 probe batch 8: fromUnixTimestampInJodaSyntax joins its parse/
+    format twins (Spark's own formatter speaks the Joda core tokens);
+    GROUPS window frames refuse with named guidance (Spark has no GROUPS
+    unit — previously a raw parse error)."""
+    import pytest as _pt
+
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT fromUnixTimestampInJodaSyntax(1704067200,"
+               " 'yyyy-MM-dd') AS s") == ("2024-01-01",)
+    with _pt.raises(ValueError, match="GROUPS window frames"):
+        translate("SELECT sum(v) OVER (ORDER BY g GROUPS BETWEEN 1"
+                  " PRECEDING AND CURRENT ROW) FROM t")
+    # GROUPING SETS is untouched by the GROUPS guard
+    assert [tuple(r) for r in spark.sql(translate(
+        "SELECT number % 2 AS g, count() AS c FROM numbers(4)"
+        " GROUP BY GROUPING SETS ((g)) ORDER BY g")).collect()] == [
+        (0, 2), (1, 2)]
