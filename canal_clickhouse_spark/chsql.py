@@ -85,6 +85,16 @@ site; everything not listed here is intended to be value-identical):
     unspecified, so the full sort is a legal deterministic refinement of
     the unspecified tail (same convention as the ANY JOIN / FINAL
     tie-break refinements above).
+  - NaN comparisons: Spark orders NaN as a largest-and-self-equal value
+    (nan = nan → true, nan > 1e300 → true) while CH keeps IEEE-754
+    semantics (every comparison with nan is 0); float division keeps
+    Spark's x/0 → NULL where CH yields ±inf/nan (noted at the `/`
+    rewrite). Filters written against nan/inf sentinels should use
+    isNaN()/isInfinite() (mapped), which agree on both engines.
+  - toUInt8/16/32-OrNull/-OrZero/-OrDefault parse through try_cast to
+    the §1.2 widened type: a parseable NEGATIVE string yields the
+    negative number here, where CH's unsigned parse yields NULL/0/
+    default (r12 probe; same posture as the wrapping toUIntN casts).
 """
 
 from __future__ import annotations
@@ -459,6 +469,11 @@ _IF_AGG_BASES = {
 def _looks_array(expr: str) -> bool:
     e = expr.strip()
     if e.startswith("["):
+        return True
+    if re.match(r"(?is)^CAST\s*\(.*\bAS\s+ARRAY\s*<", e):
+        # typed empty-array constructors and explicit array casts arrive
+        # pre-translated as CAST(… AS ARRAY<T>) (r12 probe:
+        # length(emptyArrayInt64()) routed to the STRING length)
         return True
     if e.split(".")[-1].strip().lower() in _ARRAY_COLS:
         return True
@@ -1738,7 +1753,8 @@ def _translate_call(name: str, args: list[str]) -> str:
         cut = 9 if low.endswith("ordefault") else 6
         target = {
             "toint8": "TINYINT", "toint16": "SMALLINT", "toint32": "INT",
-            "toint64": "BIGINT", "touint32": "BIGINT",
+            "toint64": "BIGINT", "touint8": "SMALLINT",
+            "touint16": "INT", "touint32": "BIGINT",
             "touint64": "DECIMAL(20,0)", "tofloat32": "FLOAT",
             "tofloat64": "DOUBLE", "todate": "DATE",
             "todatetime": "TIMESTAMP",
@@ -5770,7 +5786,8 @@ def _translate_call(name: str, args: list[str]) -> str:
 
 _OR_CAST_NAMES = {
     f"{b}{suffix}"
-    for b in ("toint8", "toint16", "toint32", "toint64", "touint32",
+    for b in ("toint8", "toint16", "toint32", "toint64", "touint8",
+              "touint16", "touint32",
               "touint64", "tofloat32", "tofloat64", "todate", "todatetime",
               "todecimal32", "todecimal64", "todecimal128", "todecimal256")
     for suffix in ("ornull", "orzero", "ordefault")

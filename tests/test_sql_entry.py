@@ -4720,3 +4720,24 @@ def test_r12_probe_batch8_tail(spark):
         "SELECT number % 2 AS g, count() AS c FROM numbers(4)"
         " GROUP BY GROUPING SETS ((g)) ORDER BY g")).collect()] == [
         (0, 2), (1, 2)]
+
+
+def test_r12_probe_batch10_edges(spark):
+    """r12 probe batch 10 (semantic edges): length/empty route typed
+    empty-array constructors (CAST(array() AS ARRAY<T>)) to size();
+    toUInt8/16 gain their -OrNull/-OrZero/-OrDefault twins (widened-type
+    try_cast, negative-string divergence documented in the module doc);
+    ~45 edge spellings re-verified green (intDiv truncation, moduloOrZero,
+    CH substring(-3), position 3-arg start, leftPad truncation, quantile
+    interpolation, empty-set aggregates, tuple compare, toISOWeek …)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT length(emptyArrayInt64()) AS n,"
+               " empty(emptyArrayString()) AS e") == (0, True)
+    assert one("SELECT toUInt8OrNull('x') AS a, toUInt8OrNull('7') AS b,"
+               " toUInt8OrZero('x') AS c,"
+               " toUInt16OrDefault('x', toUInt16(3)) AS d") == (
+        None, 7, 0, 3)
