@@ -136,6 +136,12 @@ EXTENDED: tuple[str, ...] = (
     # r12: ENGINE = Merge live-union script (three INSERT SELECTs over
     # orders + two union reads)
     "chsql_engine_merge",
+    # r12 batch 3: contingency/rank statistics over a 9% orders slice
+    # (χ² cell fold + mid-rank window corr)
+    "chsql_contingency_stats",
+    # r12 batch 8: probe-tail spellings script (numbers-step scan +
+    # NULL-skip aggregate fold — catalog micro-key)
+    "chsql_r12_spellings",
 )
 
 
