@@ -1467,6 +1467,10 @@ class ChSession:
         # applies mutations synchronously, so every row is is_done=1
         self.settings: dict[str, str] = {}
         self.mutations_log: list[tuple[str, str, str]] = []
+        # r12: session query journal behind system.query_log — one row
+        # per executed statement (kind, finish/exception type, duration);
+        # CH clients tail this table for slow-query and audit views
+        self.query_log: list[tuple] = []
         # r10: databases are accepted as NAMESPACE LABELS over the single
         # physical namespace (CH dumps open with CREATE DATABASE + use
         # db-qualified names everywhere; refusing them failed paste-compat
@@ -2251,7 +2255,7 @@ class ChSession:
     # materializes fresh per read so it reflects the live catalog.
     _SYSTEM_TABLES = (
         "tables", "columns", "parts", "dictionaries", "databases", "one",
-        "functions", "settings", "mutations",
+        "functions", "settings", "mutations", "query_log",
     )
 
     def _bind_system_views(self, s: str) -> str:
@@ -2329,6 +2333,21 @@ class ChSession:
                 " command string, is_done int"
             )
             return self.spark.createDataFrame(rows, schema)
+        if which == "query_log":
+            # the session journal execute() maintains (r12); event_seq is
+            # this engine's monotone order key — CH orders by event_time,
+            # whose second granularity can't distinguish a fast burst
+            schema = (
+                "event_seq bigint, query string, query_kind string,"
+                " type string, query_duration_ms bigint, exception string"
+            )
+            rows = [
+                (i, q, k, t, d, e)
+                for i, (q, k, t, d, e) in enumerate(self.query_log)
+            ]
+            return self.spark.createDataFrame(rows, schema) if rows else (
+                self.spark.createDataFrame([], schema)
+            )
         if which == "one":
             # CH's 1-row pseudo-table (SELECT 1 FROM system.one idiom)
             return self.spark.createDataFrame([(0,)], "dummy tinyint")
@@ -2613,6 +2632,34 @@ class ChSession:
                 for st in stmts:
                     out = self.execute(st, params)
                 return out
+        import time as _time
+
+        t0 = _time.time()
+        km = re.match(r"\s*(\w+)", s)
+        kind = km.group(1).upper() if km else ""
+        try:
+            out = self._execute_stmt(s, params)
+        except Exception as ex:
+            self.query_log.append((
+                s, kind, "ExceptionWhileProcessing",
+                int((_time.time() - t0) * 1000),
+                str(ex).splitlines()[0][:200] if str(ex)
+                else type(ex).__name__,
+            ))
+            raise
+        self.query_log.append(
+            (s, kind, "QueryFinish", int((_time.time() - t0) * 1000), "")
+        )
+        return out
+
+    def _execute_stmt(
+        self, s: str, params: dict | None = None
+    ) -> DataFrame | None:
+        """Single-statement dispatch body of execute(), wrapped by the
+        ``system.query_log`` journal above. Internal statement re-entries
+        (rewritten spellings, DROP-loop helpers) go through execute() and
+        journal their own rows — same posture as CH, whose query_log also
+        records internal/rewritten queries alongside the initial one."""
         m = re.match(r"(?is)^\s*SET\s+param_(\w+)\s*=\s*(.+)$", s)
         if m:
             self.params[m.group(1)] = m.group(2).strip()

@@ -3856,3 +3856,33 @@ def test_r12_probe_batch7_paren_union_numbers_step(spark, sf_dir):
               " ENGINE = Memory")
     with _pytest.raises(ValueError, match="source provides 2 columns"):
         s.execute("INSERT INTO ar7 SELECT 1, 'x'")
+
+
+def test_r12_system_query_log(spark, sf_dir):
+    """r12: system.query_log — execute() journals every statement with
+    kind, finish/exception type and duration; event_seq is the monotone
+    order key (CH orders by event_time, too coarse for a fast burst).
+    Internal statement re-entries journal their own rows, same posture
+    as CH's query_log."""
+    import pytest as _pytest
+
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s = ChSession(spark, sf_dir)
+    s.execute("CREATE TABLE ql (a Int64) ENGINE = Memory")
+    s.execute("INSERT INTO ql VALUES (1)")
+    s.execute("SELECT count() AS c FROM ql").collect()
+    with _pytest.raises(Exception):
+        s.execute("SELECT definitely_not_a_function_xyz(1)")
+    rows = [tuple(r) for r in s.execute(
+        "SELECT query_kind, type FROM system.query_log ORDER BY event_seq"
+    ).collect()]
+    assert ("CREATE", "QueryFinish") in rows
+    assert ("INSERT", "QueryFinish") in rows
+    assert ("SELECT", "ExceptionWhileProcessing") in rows
+    # the audit idiom: last failed query text
+    bad = [tuple(r) for r in s.execute(
+        "SELECT query FROM system.query_log WHERE type ="
+        " 'ExceptionWhileProcessing' ORDER BY event_seq DESC LIMIT 1"
+    ).collect()]
+    assert "definitely_not_a_function_xyz" in bad[0][0]
