@@ -95,6 +95,10 @@ site; everything not listed here is intended to be value-identical):
     the §1.2 widened type: a parseable NEGATIVE string yields the
     negative number here, where CH's unsigned parse yields NULL/0/
     default (r12 probe; same posture as the wrapping toUIntN casts).
+  - Enum values are modeled as their STRING names (CAST(x AS Enum(…))
+    validates and yields the name); casting an Enum value onward to a
+    number yields NULL here where CH yields the enum's numeric code —
+    spell the reverse map explicitly: transform(x, ['a','b'], [1,2]).
 """
 
 from __future__ import annotations
@@ -3304,8 +3308,12 @@ def _translate_call(name: str, args: list[str]) -> str:
     if low == "tofixedstring":
         # FixedString is storage-only here (type map → STRING); clamp to
         # the declared width (CH errors on overflow — documented
-        # divergence: we truncate)
-        return f"substr({args[0]}, 1, {args[1]})"
+        # divergence: we truncate) and NUL-pad short values so length()
+        # reports N like CH's FixedString (r12 probe: was unpadded;
+        # toStringCutToZero recovers the logical value, as in CH)
+        return (
+            f"rpad(substr({args[0]}, 1, {args[1]}), {args[1]}, char(0))"
+        )
     if low == "defaultvalueoftypename":
         m_ = re.fullmatch(r"\s*'([^']+)'\s*", args[0])
         if not m_:
@@ -3960,6 +3968,16 @@ def _translate_call(name: str, args: list[str]) -> str:
         a4 = ["0", "0", "0", "0"]
         a4[pos] = f"CAST({args[0]} AS INT)" if pos < 3 else args[0]
         return f"make_dt_interval({', '.join(a4)})"
+    if low in ("tointervalmillisecond", "tointervalmicrosecond",
+               "tointervalnanosecond"):
+        # sub-second constructors (r12 probe: raw passthrough); Spark's
+        # make_dt_interval takes fractional seconds — micros-exact (the
+        # timestamp type's own resolution), nanos truncate (documented,
+        # same class as toDateTime64's micros clamp)
+        div = {"tointervalmillisecond": "1000.0D",
+               "tointervalmicrosecond": "1000000.0D",
+               "tointervalnanosecond": "1000000000.0D"}[low]
+        return f"make_dt_interval(0, 0, 0, ({args[0]}) / {div})"
     if low in ("tointervalmonth", "tointervalyear"):
         y, mth = ("0", args[0]) if low.endswith("month") else (args[0], "0")
         return f"make_ym_interval(CAST({y} AS INT), CAST({mth} AS INT))"
@@ -5986,7 +6004,9 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "formatreadabledecimalsize", "parsereadablesize", "randcanonical",
     "randuniform", "randnormal", "randbernoulli", "randexponential",
     "randlognormal", "generateuuidv7", "snowflaketodatetime",
-    "uuidv7todatetime", "tointervalweek", "accuratecastordefault",
+    "uuidv7todatetime", "tointervalweek", "tointervalmillisecond",
+    "tointervalmicrosecond", "tointervalnanosecond",
+    "accuratecastordefault",
     "datetimetosnowflake",
     # r7 fourth probe batch (guided errors)
     "nonnegativederivative", "dameraulevenshteindistance",

@@ -4741,3 +4741,26 @@ def test_r12_probe_batch10_edges(spark):
                " toUInt8OrZero('x') AS c,"
                " toUInt16OrDefault('x', toUInt16(3)) AS d") == (
         None, 7, 0, 3)
+
+
+def test_r12_probe_batch11_tail(spark):
+    """r12 probe batch 11: sub-second toInterval constructors (micros-
+    exact via make_dt_interval fractional seconds); toFixedString
+    NUL-pads to the declared width so length() reports N like CH's
+    FixedString (toStringCutToZero recovers the logical value)."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one(
+        "SELECT toString(toDateTime64('2024-01-01 00:00:00', 3)"
+        " + toIntervalMillisecond(250)) AS t") == (
+        "2024-01-01 00:00:00.25",)
+    assert one(
+        "SELECT toString(toDateTime64('2024-01-01 00:00:00', 6)"
+        " + toIntervalMicrosecond(1500)) AS t") == (
+        "2024-01-01 00:00:00.0015",)
+    assert one("SELECT length(toFixedString('ab', 4)) AS l,"
+               " toStringCutToZero(toFixedString('ab', 4)) AS s,"
+               " toFixedString('abcdef', 3) AS t") == (4, "ab", "abc")
