@@ -4086,7 +4086,22 @@ def _translate_call(name: str, args: list[str]) -> str:
                 inner, mask, outer = wrap
                 base = f"CAST(CAST({expr} AS {inner}) AS {outer})"
                 return f"({base} & {mask})" if mask is not None else base
-            return f"CAST({expr} AS {_map_type(tname)})"
+            sp = _map_type(tname)
+            lm = re.fullmatch(
+                r"(?s)\s*'(\[(?:[^'\\]|''|\\.)*\])'\s*", expr
+            )
+            if lm and sp.upper().startswith("ARRAY"):
+                # CH parses a STRING literal into the array on cast
+                # (`CAST('[1,2]' AS Array(Int64))`) — Spark can't cast
+                # string→array; parse via from_json. CH spells string
+                # elements with single quotes; JSON wants double (r12
+                # probe batch 12: was a raw CAST_WITHOUT_SUGGESTION).
+                # Scope: element text itself containing quote chars is
+                # beyond the literal rewrite — spell those with array().
+                body = (lm.group(1).replace("''", "'").replace("\\'", "'")
+                        .replace('"', '\\"').replace("'", '"'))
+                return f"from_json('{body}', '{sp.lower()}')"
+            return f"CAST({expr} AS {sp})"
 
         if len(args) == 2:
             m = re.fullmatch(r"(?s)\s*'([^']+)'\s*", args[1])
@@ -9244,6 +9259,65 @@ def _rewrite_orderless_rank_windows(q: str) -> str:
         pos = o_close + len(pad) + 1
 
 
+def _rewrite_lag_frames(q: str) -> str:
+    """CH's lagInFrame/leadInFrame RESPECT the window frame, so the
+    canonical CH spelling carries an explicit full frame (``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``) to get whole-partition
+    lag semantics — and Spark's lag/lead reject ANY frame spec (r12
+    probe batch 12: the canonical spelling died raw). Strip the frame
+    when it is equivalent to plain lag (full partition, or
+    unbounded-preceding..current-row — offsets look backward, inside
+    both), refuse narrower frames loudly (frame-respecting lag has no
+    Spark spelling). Runs on the translated text, after the
+    lagInFrame→lag rename."""
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = re.compile(r"(?is)\b(lag|lead)\s*\(").search(masked, pos)
+        if not m:
+            return q
+        is_lead = m.group(1).lower() == "lead"
+        close = _scan_group(q, m.end() - 1)
+        if close >= len(q):
+            return q
+        om = re.compile(r"(?is)\s*OVER\s*\(").match(masked, close + 1)
+        if not om:
+            pos = close + 1
+            continue
+        o_open = om.end() - 1
+        o_close = _scan_group(q, o_open)
+        if o_close >= len(q):
+            return q
+        body = masked[o_open + 1 : o_close]
+        fm = re.search(r"(?is)\b(?:ROWS|RANGE|GROUPS)\b", body)
+        if not fm:
+            pos = o_close + 1
+            continue
+        frame = body[fm.start():]
+        # lag looks BACKWARD: any UNBOUNDED PRECEDING start contains the
+        # target row, so a CURRENT ROW end is still plain-lag. lead
+        # looks FORWARD: a CURRENT ROW end EXCLUDES the target (CH
+        # returns the default there) — only the full frame is plain-lead.
+        ok_frame = (
+            r"(?is)ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+            r"UNBOUNDED\s+FOLLOWING\s*"
+            if is_lead else
+            r"(?is)ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+            r"(?:UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW)\s*"
+        )
+        if not re.fullmatch(ok_frame, frame):
+            raise ValueError(
+                "lagInFrame/leadInFrame with this window frame RESPECTS"
+                " the frame in CH (offsets outside it yield the default)"
+                " — no Spark spelling (Spark's lag/lead reject frames);"
+                " use ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+                " FOLLOWING for plain lag/lead semantics, or nth_value"
+                " over the frame instead"
+            )
+        q = q[: o_open + 1 + fm.start()].rstrip() + q[o_close:]
+        pos = close + 1
+
+
 def _rewrite_distinct_over(q: str) -> str:
     """``count(DISTINCT x) OVER (w)`` → ``size(collect_set(x) OVER (w))``
     (r8 probe: CH's uniqExact/countDistinct are legal window functions but
@@ -9399,9 +9473,9 @@ def translate(ch_query: str) -> str:
             "EXPLAIN " + (mode + " " if mode else "") + ch_query[em.end():]
         )
     return _rewrite_distinct_over(
-        _rewrite_orderless_rank_windows(
+        _rewrite_lag_frames(_rewrite_orderless_rank_windows(
             _translate_fns(_rewrite_clauses(_rewrite_datetime_int_arith(
-                _rewrite_float_keywords(_rewrite_user_functions(ch_query))))))
+                _rewrite_float_keywords(_rewrite_user_functions(ch_query)))))))
         .replace("__spark_range__", "range")
         .replace("__spark_values__", "VALUES")
         .replace("__spark_rand__", "rand")

@@ -4764,3 +4764,53 @@ def test_r12_probe_batch11_tail(spark):
     assert one("SELECT length(toFixedString('ab', 4)) AS l,"
                " toStringCutToZero(toFixedString('ab', 4)) AS s,"
                " toFixedString('abcdef', 3) AS t") == (4, "ab", "abc")
+
+
+def test_r12_probe_batch12_lag_frames_and_array_cast(spark):
+    """r12 probe batch 12: lagInFrame/leadInFrame's canonical CH
+    spelling carries an explicit full frame (CH's default frame breaks
+    lag, so every real query writes one) — Spark's lag/lead reject ANY
+    frame, so the equivalent-to-plain frames strip (lag: UNBOUNDED
+    PRECEDING start with either end — backward offsets are inside;
+    lead: full frame only — a CURRENT ROW end excludes the forward
+    target in CH) and narrower frames refuse loudly. CAST of a STRING
+    literal to Array(T) parses via from_json (CH parses the literal;
+    Spark can't cast string→array)."""
+    import pytest as _pt
+
+    from canal_clickhouse_spark.chsql import translate
+
+    def rows(sql):
+        return [tuple(r) for r in spark.sql(translate(sql)).collect()]
+
+    assert rows(
+        "SELECT lagInFrame(n, 1, -1) OVER (ORDER BY n ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM"
+        " (SELECT arrayJoin([1,2]) AS n) ORDER BY l") == [(-1,), (1,)]
+    assert rows(
+        "SELECT lagInFrame(n) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS l FROM"
+        " (SELECT arrayJoin([1,2]) AS n) ORDER BY l NULLS FIRST") == [
+        (None,), (1,)]
+    with _pt.raises(ValueError, match="RESPECTS"):
+        translate("SELECT lagInFrame(n) OVER (ORDER BY n ROWS BETWEEN 1"
+                  " PRECEDING AND CURRENT ROW) FROM t")
+    # lead: a CURRENT ROW end is NOT plain lead (CH yields the default)
+    with _pt.raises(ValueError, match="RESPECTS"):
+        translate("SELECT leadInFrame(n) OVER (ORDER BY n ROWS BETWEEN"
+                  " UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert rows(
+        "SELECT leadInFrame(n, 1, 9) OVER (ORDER BY n ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM"
+        " (SELECT arrayJoin([1,2]) AS n) ORDER BY l") == [(2,), (9,)]
+    assert rows("SELECT CAST('[1,2]' AS Array(Int64)) AS a") == [
+        ([1, 2],)]
+    assert rows("SELECT CAST('[''a'',''b'']' AS Array(String)) AS a") == [
+        (["a", "b"],)]
+    # unframed lag and non-lag frames untouched
+    assert rows("SELECT lag(n) OVER (ORDER BY n) AS l FROM"
+                " (SELECT arrayJoin([1,2]) AS n) ORDER BY l NULLS FIRST"
+                ) == [(None,), (1,)]
+    assert rows("SELECT sum(n) OVER (ORDER BY n ROWS BETWEEN 1 PRECEDING"
+                " AND CURRENT ROW) AS s FROM (SELECT arrayJoin([1,2,3])"
+                " AS n) ORDER BY s") == [(1,), (3,), (5,)]
