@@ -4127,9 +4127,15 @@ def _translate_call(name: str, args: list[str]) -> str:
     # avg's a (sum, cnt) struct, uniqExact's the distinct set. The typed
     # opaque-blob encoding CH uses is irrelevant to the semantics.
     if low in ("sumstate", "minstate", "maxstate", "anylaststate",
-               "anystate"):
+               "anystate", "anymerge", "anylastmerge"):
+        # any/anyLast states and merges keep the NULL-skip default (r12
+        # batch 6 convention; anyMerge/anyLastMerge previously passed
+        # through raw — a merge of any-states is any over the states)
         fn = {"sumstate": "sum", "minstate": "min", "maxstate": "max",
-              "anylaststate": "last", "anystate": "any_value"}[low]
+              "anylaststate": "last", "anystate": "any_value",
+              "anymerge": "any_value", "anylastmerge": "last"}[low]
+        if low.startswith("any"):
+            return f"{fn}({args[0]}, true)"
         return f"{fn}({args[0]})"
     if low in ("argmaxstate", "argminstate", "argmaxmerge", "argminmerge"):
         # arg-extremum state = its own (value at extremum) result — the
@@ -6173,6 +6179,7 @@ _CH_NAMES = set(_RENAME) | _PARAMETRIC | _OR_CAST_NAMES | {
     "parsedatetimeinjodasyntax", "parsedatetimeinjodasyntaxornull",
     "parsetimedelta", "extractkeyvaluepairs",
     "sumstate", "minstate", "maxstate", "anylaststate", "anystate",
+    "anymerge", "anylastmerge",
     "argmaxstate", "argminstate", "argmaxmerge", "argminmerge",
     "groupuniqarrayarray", "summerge",
     "minmerge", "maxmerge", "countstate", "countmerge", "avgstate",
@@ -9436,6 +9443,16 @@ def translate(ch_query: str) -> str:
     LIMIT BY) on the raw text first, then the recursive function rewrite."""
     ch_query = _rewrite_dollar_strings(ch_query)
     ch_query = _rewrite_double_quoted_idents(ch_query)
+    if "#" in ch_query:
+        # CH's lexer accepts MySQL-style `#`-to-EOL comments (plus the
+        # `#!` shebang form) — Spark's parser does not (r12 probe batch
+        # 13). Strip on masked text so a '#' inside a string literal
+        # survives. No CH operator or identifier uses '#'.
+        masked = _mask_literals(ch_query)
+        ch_query = "\n".join(
+            o[: m.index("#")].rstrip() if "#" in m else o
+            for o, m in zip(ch_query.split("\n"), masked.split("\n"))
+        )
     pm = re.search(r"\{(\w+)\s*:\s*[^{}]+\}", _mask_literals(ch_query))
     if pm:
         raise ValueError(

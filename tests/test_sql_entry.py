@@ -4814,3 +4814,34 @@ def test_r12_probe_batch12_lag_frames_and_array_cast(spark):
     assert rows("SELECT sum(n) OVER (ORDER BY n ROWS BETWEEN 1 PRECEDING"
                 " AND CURRENT ROW) AS s FROM (SELECT arrayJoin([1,2,3])"
                 " AS n) ORDER BY s") == [(1,), (3,), (5,)]
+
+
+def test_r12_any_state_merge_null_skip(spark):
+    """r12 follow-through of the batch-6 NULL-skip convention: anyState/
+    anyLastState emit the ignoreNulls form, and anyMerge/anyLastMerge
+    (previously raw passthrough) map — a merge of any-states is any over
+    the states, NULL-skipping like every CH aggregate."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    src = "(SELECT x FROM (SELECT arrayJoin([NULL, 4, 5]) AS x))"
+    assert one(f"SELECT anyState(x) AS s FROM {src}") == (4,)
+    assert one(f"SELECT anyMerge(x) AS s FROM {src}") == (4,)
+    assert one(f"SELECT anyLastMerge(x) AS s FROM"
+               " (SELECT arrayJoin([4, 5, NULL]) AS x)") == (5,)
+
+
+def test_r12_hash_comments(spark):
+    """r12 probe batch 13: CH's lexer accepts MySQL-style # line
+    comments — stripped on masked text so a '#' inside a string literal
+    survives."""
+    from canal_clickhouse_spark.chsql import translate
+
+    def one(sql):
+        return tuple(spark.sql(translate(sql)).collect()[0])
+
+    assert one("SELECT 3 AS x # trailing") == (3,)
+    assert one("SELECT '#keep' AS h # strip") == ("#keep",)
+    assert one("SELECT 1 AS x\n# whole-line comment\n, 2 AS y") == (1, 2)
