@@ -1172,6 +1172,70 @@ def q_r8_spellings(rng: random.Random) -> tuple[str, str]:
     return ch, dk
 
 
+def q_r12_spellings(rng: random.Random) -> tuple[str, str]:
+    """r12 surface: arrayReduce -If combinators, the NULL-skip any()
+    default + the *_respect_nulls twin, 3-arg numbers(begin, end, step),
+    toUInt8OrNull, MySQL-style # comments, and lagInFrame's canonical
+    full-frame spelling — each against an independent DuckDB algebra."""
+    table = rng.choice(["orders", "customer", "events", "documents"])
+    t = TABLES[table]
+    ic, sc, uq = rng.choice(t["int"]), rng.choice(t["str"]), t["uniq"]
+    m1, m2 = rng.randint(2, 7), rng.randint(2, 5)
+    pick = rng.randrange(4)
+    if pick == 0:
+        ch = (
+            f"SELECT {uq} AS k, arrayReduce('sumIf',"
+            f" [{ic} % {m1}, 2, 3], [1, 0, {ic} % 2]) AS s"
+            f" FROM {table} ORDER BY k LIMIT 400"
+        )
+        dk = (
+            f"SELECT {uq} AS k, CAST(({ic} % {m1})"
+            f" + 3 * (CASE WHEN {ic} % 2 <> 0 THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) AS s FROM {table} ORDER BY k LIMIT 400"
+        )
+    elif pick == 1:
+        # single-row groups make any() deterministic; the nullIf twin
+        # exercises the NULL-skip default and the respect_nulls spelling;
+        # the trailing # comment exercises the MySQL comment strip
+        ch = (
+            f"SELECT {uq} AS k, any({ic} % {m1}) AS a,"
+            f" any(nullIf({ic}, {ic})) IS NULL AS sk,"
+            f" any_respect_nulls(nullIf({sc}, {sc})) IS NULL AS rn"
+            f" FROM {table} GROUP BY k ORDER BY k LIMIT 500 # r12"
+        )
+        dk = (
+            f"SELECT {uq} AS k, {ic} % {m1} AS a, TRUE AS sk, TRUE AS rn"
+            f" FROM {table} ORDER BY k LIMIT 500"
+        )
+    elif pick == 2:
+        b, step = rng.randint(0, 5), rng.randint(1, 4)
+        e = b + rng.randint(1, 20)
+        n = len(range(b, e, step))
+        ch = (
+            f"SELECT {uq} AS k,"
+            f" (SELECT count() FROM numbers({b}, {e}, {step})) AS n,"
+            f" toUInt8OrNull(toString({ic} % 200)) AS u"
+            f" FROM {table} ORDER BY k LIMIT 300"
+        )
+        dk = (
+            f"SELECT {uq} AS k, CAST({n} AS BIGINT) AS n,"
+            f" TRY_CAST(CAST({ic} % 200 AS VARCHAR) AS SMALLINT) AS u"
+            f" FROM {table} ORDER BY k LIMIT 300"
+        )
+    else:
+        ch = (
+            f"SELECT {uq} AS k, lagInFrame({ic}, 1, -1) OVER"
+            f" (ORDER BY {uq} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            f" UNBOUNDED FOLLOWING) AS l"
+            f" FROM {table} ORDER BY k LIMIT 400"
+        )
+        dk = (
+            f"SELECT {uq} AS k, lag({ic}, 1, -1) OVER (ORDER BY {uq})"
+            f" AS l FROM {table} ORDER BY k LIMIT 400"
+        )
+    return ch, dk
+
+
 QUERY_GENS = [
     (q_flat, 30),
     (q_grouped, 25),
@@ -1199,6 +1263,7 @@ QUERY_GENS = [
     (q_table_fns, 5),
     (q_r8_spellings, 6),
     (q_qualify, 4),
+    (q_r12_spellings, 6),
 ]
 
 
