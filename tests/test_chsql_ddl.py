@@ -579,6 +579,13 @@ _OPS = st.lists(
         # member; INSERT refuses; engine whitelist refuses a consumer
         # engine mid-sequence.
         st.tuples(st.just("mergeview"), st.integers(1, 4)),
+        # r12 batches 5/11: CREATE OR REPLACE VIEW swaps atomically over
+        # live model state (an invalid replacement keeps the old view;
+        # plain CREATE over an existing view errors), and the tuple()
+        # cross-table partition ops address unpartitioned tables as one
+        # all-rows partition (ATTACH copies, MOVE empties the source).
+        st.tuples(st.just("orreplaceview"), st.integers(0, 5)),
+        st.tuples(st.just("tuplepartition"), st.integers(1, 4)),
     ),
     min_size=1, max_size=6,
 )
@@ -853,6 +860,46 @@ def _run_ddl_model(spark, sf_dir, ops, parts_dir):
                 ch.execute("CREATE TABLE fzu_c (k Int64) ENGINE ="
                            " Kafka('b:9092', 't', 'g', 'JSONEachRow')")
             for t in ("fzu", "fzu_a", "fzu_b"):
+                ch.execute(f"DROP TABLE {t}")
+        elif op[0] == "orreplaceview":
+            _, vn = op
+            ch.execute("CREATE OR REPLACE VIEW fzv_r AS"
+                       f" SELECT k FROM fz WHERE k < {vn}")
+            ch.execute("CREATE OR REPLACE VIEW fzv_r AS"
+                       f" SELECT k FROM fz WHERE k >= {vn}")
+            got_v = sorted(
+                r.k for r in ch.execute("SELECT k FROM fzv_r").collect()
+            )
+            assert got_v == sorted(k for k, _v, _s in model if k >= vn)
+            with pytest.raises(ValueError, match="already exists"):
+                ch.execute("CREATE VIEW fzv_r AS SELECT 1 AS x")
+            with pytest.raises(Exception):
+                ch.execute("CREATE OR REPLACE VIEW fzv_r AS"
+                           " SELECT nope FROM fz_missing_xyz")
+            got_v2 = sorted(
+                r.k for r in ch.execute("SELECT k FROM fzv_r").collect()
+            )
+            assert got_v2 == got_v  # atomic: failed swap kept the view
+            ch.execute("DROP VIEW fzv_r")
+        elif op[0] == "tuplepartition":
+            _, vn = op
+            for t in ("fztp_a", "fztp_b"):
+                ch.execute(f"DROP TABLE IF EXISTS {t}")
+                ch.execute(f"CREATE TABLE {t} (k Int64)"
+                           " ENGINE = MergeTree ORDER BY k")
+            ch.execute("INSERT INTO fztp_a VALUES "
+                       + ", ".join(f"({i})" for i in range(vn)))
+            ch.execute("ALTER TABLE fztp_b ATTACH PARTITION tuple()"
+                       " FROM fztp_a")
+            assert ch.execute("SELECT count() AS c FROM fztp_a"
+                              ).collect()[0][0] == vn  # copy keeps src
+            ch.execute("ALTER TABLE fztp_a MOVE PARTITION tuple()"
+                       " TO TABLE fztp_b")
+            assert ch.execute("SELECT count() AS c FROM fztp_a"
+                              ).collect()[0][0] == 0
+            assert ch.execute("SELECT count() AS c FROM fztp_b"
+                              ).collect()[0][0] == 2 * vn
+            for t in ("fztp_a", "fztp_b"):
                 ch.execute(f"DROP TABLE {t}")
         elif op[0] == "bluegreen":
             ch.execute("RENAME TABLE fz TO fz_old, fz2 TO fz")
