@@ -9301,28 +9301,61 @@ def _rewrite_lag_frames(q: str) -> str:
             pos = o_close + 1
             continue
         frame = body[fm.start():]
-        # lag looks BACKWARD: any UNBOUNDED PRECEDING start contains the
-        # target row, so a CURRENT ROW end is still plain-lag. lead
-        # looks FORWARD: a CURRENT ROW end EXCLUDES the target (CH
-        # returns the default there) — only the full frame is plain-lead.
-        ok_frame = (
-            r"(?is)ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
-            r"UNBOUNDED\s+FOLLOWING\s*"
-            if is_lead else
-            r"(?is)ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
-            r"(?:UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW)\s*"
+        # ROWS-frame inclusion is row-independent: the target sits at a
+        # fixed relative offset (−n for lag, +n for lead), so either it
+        # is inside the frame for EVERY row — plain lag/lead, strip the
+        # frame (Spark's lag/lead reject any frame spec) — or outside
+        # for every row, where CH answers the DEFAULT for every row
+        # (partition edges agree: a clipped frame and a missing lag
+        # target both yield the default). RANGE/GROUPS frames and
+        # non-literal offsets are value-dependent — refuse loudly.
+        call_args = _split_args(q[m.end() : close])
+        n_lit = (
+            re.fullmatch(r"\s*(\d+)\s*", call_args[1])
+            if len(call_args) > 1 else None
         )
-        if not re.fullmatch(ok_frame, frame):
+        n_off = int(n_lit.group(1)) if n_lit else (
+            1 if len(call_args) == 1 else None
+        )
+        bound = (
+            r"(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW"
+            r"|\d+\s+FOLLOWING|UNBOUNDED\s+FOLLOWING)"
+        )
+        fb = re.fullmatch(
+            rf"(?is)ROWS\s+BETWEEN\s+{bound}\s+AND\s+{bound}\s*", frame
+        )
+
+        def _rel(tok: str, lo: bool) -> float:
+            t = re.sub(r"\s+", " ", tok.strip().upper())
+            if t == "UNBOUNDED PRECEDING":
+                return float("-inf")
+            if t == "CURRENT ROW":
+                return 0.0
+            if t == "UNBOUNDED FOLLOWING":
+                return float("inf")
+            k = float(t.split(" ")[0])
+            return -k if t.endswith("PRECEDING") else k
+
+        if fb is None or n_off is None:
             raise ValueError(
                 "lagInFrame/leadInFrame with this window frame RESPECTS"
                 " the frame in CH (offsets outside it yield the default)"
-                " — no Spark spelling (Spark's lag/lead reject frames);"
-                " use ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
-                " FOLLOWING for plain lag/lead semantics, or nth_value"
-                " over the frame instead"
+                " — only literal-offset ROWS frames have a Spark"
+                " spelling here; use ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING for plain lag/lead semantics,"
+                " or nth_value over the frame instead"
             )
-        q = q[: o_open + 1 + fm.start()].rstrip() + q[o_close:]
-        pos = close + 1
+        target = float(n_off) * (1 if is_lead else -1)
+        if _rel(fb.group(1), True) <= target <= _rel(fb.group(2), False):
+            q = q[: o_open + 1 + fm.start()].rstrip() + q[o_close:]
+            pos = close + 1
+            continue
+        # target always outside the frame: CH yields the default for
+        # every row — IF(false, x, default) keeps x's type
+        dflt = call_args[2] if len(call_args) > 2 else "NULL"
+        rep = f"IF(1 = 0, {call_args[0]}, {dflt})"
+        q = q[: m.start()] + rep + q[o_close + 1:]
+        pos = m.start() + len(rep)
 
 
 def _rewrite_distinct_over(q: str) -> str:

@@ -3171,11 +3171,22 @@ def test_r11_orderless_rank_windows(spark, sf_dir):
     assert "ORDER BY 1" not in q
     q = translate("SELECT sum(number) OVER () FROM numbers(3)")
     assert "ORDER BY 1" not in q
-    # frame spec stays AFTER the injected order
+    # frame spec stays AFTER the injected order (non-offset aggregate)
+    q = translate(
+        "SELECT sum(number) OVER (PARTITION BY number % 2"
+        " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s,"
+        " row_number() OVER (PARTITION BY number % 2"
+        " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn"
+        " FROM numbers(4)")
+    assert "ORDER BY 1 ROWS BETWEEN" in q
+    # lag keeps the injected order but sheds the frame (r12: Spark's
+    # lag rejects frames; a 1-PRECEDING..CURRENT frame contains the
+    # offset-1 target, so the strip is CH-exact — see
+    # _rewrite_lag_frames)
     q = translate(
         "SELECT lag(number) OVER (PARTITION BY number % 2"
         " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM numbers(4)")
-    assert "ORDER BY 1 ROWS BETWEEN" in q
+    assert "ORDER BY 1" in q and "ROWS BETWEEN" not in q
 
 
 def test_r11_group_by_use_nulls_guard(spark, sf_dir):
@@ -3933,3 +3944,37 @@ def test_r12_system_query_log(spark, sf_dir):
         " 'ExceptionWhileProcessing' ORDER BY event_seq DESC LIMIT 1"
     ).collect()]
     assert "definitely_not_a_function_xyz" in bad[0][0]
+
+
+def test_r12_probe_batch14_lightweight_update_and_tails(spark, sf_dir):
+    """r12 probe batch 14: lightweight UPDATE (CH 25.x `UPDATE t SET …
+    WHERE …`) routes to the ALTER UPDATE mutation path like lightweight
+    DELETE; CLEAR COLUMN fills the TYPE default ('' / 0) like CH, not
+    NULL; SYSTEM RELOAD FUNCTIONS is a correct no-op (the UDF registry
+    is always current); CREATE TABLE t AS <table_function>(…)
+    materializes the function's rows."""
+    from canal_clickhouse_spark.chsql_ddl import ChSession
+
+    s = ChSession(spark, sf_dir)
+
+    def rows(q):
+        return [tuple(r) for r in s.execute(q).collect()]
+
+    s.execute("CREATE TABLE lwu (k Int64, v Int64) ENGINE = MergeTree"
+              " ORDER BY k")
+    s.execute("INSERT INTO lwu VALUES (1, 0), (2, 0)")
+    s.execute("UPDATE lwu SET v = 5 WHERE k = 1")
+    assert rows("SELECT sum(v) AS s FROM lwu") == [(5,)]
+    s.execute("CREATE TABLE cc14 (a Int64, b String, c Int64)"
+              " ENGINE = MergeTree ORDER BY a")
+    s.execute("INSERT INTO cc14 VALUES (1, 'x', 9)")
+    s.execute("ALTER TABLE cc14 CLEAR COLUMN b")
+    s.execute("ALTER TABLE cc14 CLEAR COLUMN c")
+    assert rows("SELECT b, c FROM cc14") == [("", 0)]
+    s.execute("SYSTEM RELOAD FUNCTIONS")
+    s.execute("CREATE TABLE catf14 AS numbers(5)")
+    assert rows("SELECT count() AS c FROM catf14") == [(5,)]
+    s.execute("CREATE TABLE IF NOT EXISTS catf14 AS numbers(9)")
+    assert rows("SELECT count() AS c FROM catf14") == [(5,)]
+    s.execute("CREATE TABLE cc14_clone AS cc14")  # clone path unchanged
+    assert rows("SELECT count() AS c FROM cc14_clone") == [(0,)]

@@ -4792,13 +4792,28 @@ def test_r12_probe_batch12_lag_frames_and_array_cast(spark):
         " PRECEDING AND CURRENT ROW) AS l FROM"
         " (SELECT arrayJoin([1,2]) AS n) ORDER BY l NULLS FIRST") == [
         (None,), (1,)]
+    # ROWS-frame inclusion is row-independent, so the target-in-frame
+    # cases strip to plain lag, and target-outside cases become the
+    # constant default (CH answers the default for every row there)
+    assert rows(
+        "SELECT lagInFrame(n, 1, -1) OVER (ORDER BY n ROWS BETWEEN 1"
+        " PRECEDING AND CURRENT ROW) AS l FROM"
+        " (SELECT arrayJoin([1,2]) AS n) ORDER BY l") == [(-1,), (1,)]
+    # lead: a CURRENT ROW end EXCLUDES the forward target → default
+    assert rows(
+        "SELECT leadInFrame(n, 1, 9) OVER (ORDER BY n ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW) AS l FROM"
+        " (SELECT arrayJoin([1,2]) AS n) ORDER BY l") == [(9,), (9,)]
+    # lag reaching beyond the frame start → default everywhere
+    assert rows(
+        "SELECT lagInFrame(n, 2, -7) OVER (ORDER BY n ROWS BETWEEN 1"
+        " PRECEDING AND CURRENT ROW) AS l FROM"
+        " (SELECT arrayJoin([1,2,3]) AS n) ORDER BY l") == [
+        (-7,), (-7,), (-7,)]
+    # value-dependent frames (RANGE/GROUPS) refuse loudly
     with _pt.raises(ValueError, match="RESPECTS"):
-        translate("SELECT lagInFrame(n) OVER (ORDER BY n ROWS BETWEEN 1"
+        translate("SELECT lagInFrame(n) OVER (ORDER BY n RANGE BETWEEN 1"
                   " PRECEDING AND CURRENT ROW) FROM t")
-    # lead: a CURRENT ROW end is NOT plain lead (CH yields the default)
-    with _pt.raises(ValueError, match="RESPECTS"):
-        translate("SELECT leadInFrame(n) OVER (ORDER BY n ROWS BETWEEN"
-                  " UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
     assert rows(
         "SELECT leadInFrame(n, 1, 9) OVER (ORDER BY n ROWS BETWEEN"
         " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM"
