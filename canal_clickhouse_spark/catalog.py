@@ -103,9 +103,29 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views for the spark.sql entry path."""
+    """Register all fixture tables as temp views for the spark.sql entry path.
+
+    Memoized per (session, name, sf_dir) — r12 optimization, guide §1/§5
+    (driver-side fixed overhead): re-registering 10 identical views costs
+    ~180 ms of py4j/catalog round trips, paid on EVERY SQL-path query and
+    every ChSession construction. The memo records which fixture views this
+    session already has pointing at which sf_dir; only missing/moved ones
+    re-register. Anything that unregisters or repoints one of these names
+    (ChSession DROP/RENAME/DETACH) calls :func:`forget_view` so the next
+    registration restores it — preserving the pre-memo semantics exactly.
+    """
+    sfa = os.path.abspath(sf_dir)
+    memo = spark.__dict__.setdefault("_ccs_view_memo", {})
     for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if memo.get(name) != sfa:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            memo[name] = sfa
+
+
+def forget_view(spark: SparkSession, name: str) -> None:
+    """Drop ``name`` from the registered-view memo (the view was dropped or
+    repointed by a caller); the next register_views restores it."""
+    spark.__dict__.get("_ccs_view_memo", {}).pop(name, None)
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -10219,10 +10219,24 @@ def _translate_fns(ch_query: str) -> str:
 
 def ch_sql(spark: SparkSession, sf_dir: str, ch_query: str) -> DataFrame:
     """Run a ClickHouse-dialect query against the fixture views (plus the
-    ``cdc_changes`` change-log view, the FINAL-able Replacing table)."""
+    ``cdc_changes`` change-log view, the FINAL-able Replacing table).
+
+    The change-log view registration is memoized like the fixture views
+    (r12 optimization): building the 3-branch union plan + the catalog
+    update costs ~200 ms of py4j round trips per call, pure fixed overhead
+    for an identical plan. ChSession DROP/RENAME of a user table named
+    ``cdc_changes`` calls ``forget_view``, which re-arms the registration —
+    the same clobber-on-next-call semantics as the unconditional form.
+    """
+    import os as _os
+
     from .cdc.changes import change_log
 
-    change_log(spark, sf_dir).createOrReplaceTempView("cdc_changes")
+    sfa = _os.path.abspath(sf_dir)
+    memo = spark.__dict__.setdefault("_ccs_view_memo", {})
+    if memo.get("cdc_changes") != sfa:
+        change_log(spark, sf_dir).createOrReplaceTempView("cdc_changes")
+        memo["cdc_changes"] = sfa
     return run_sql(spark, sf_dir, translate(ch_query))
 
 

@@ -47,7 +47,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-exported for users)
 
-from .catalog import register_views
+from .catalog import forget_view, register_views
 from .chsql import translate
 from .registry import query
 from .session import tune
@@ -1497,6 +1497,7 @@ class ChSession:
 
     def _register(self, name: str, df: DataFrame) -> None:
         self._ins_shadow.pop(name, None)  # any rewrite voids insert order
+        forget_view(self.spark, name)  # a session table now owns the name
         if self.parts_dir is not None:
             self._rewrite_generation(name, df)
             return
@@ -1506,6 +1507,7 @@ class ChSession:
     def _point_at(self, name: str, df: DataFrame) -> None:
         """Catalog-pointer update without persistence (parts mode reads)."""
         self._ins_shadow.pop(name, None)
+        forget_view(self.spark, name)
         self.tables[name] = df
         df.createOrReplaceTempView(name)
 
@@ -1827,6 +1829,7 @@ class ChSession:
         for name, sel in self.views.items():  # insertion order: view-on-view ok
             if re.search(r"\{\w+\s*:", sel):
                 continue  # parameterized view: binds at use time
+            forget_view(self.spark, name)  # view owns the name until dropped
             self.spark.sql(
                 translate(self._session_rewrites(sel))
             ).createOrReplaceTempView(name)
@@ -3396,6 +3399,7 @@ class ChSession:
                 if old in self.meta:
                     self.meta[new] = self.meta.pop(old)
                 self.spark.catalog.dropTempView(old)
+                forget_view(self.spark, old)
                 if old in self._store:  # parts mode: pointer move, no I/O
                     self._store[new] = self._store.pop(old)
                 moved_shadow = self._ins_shadow.pop(old, None)
@@ -3425,6 +3429,7 @@ class ChSession:
             self.mvs.pop(name, None)
             self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            forget_view(self.spark, name)
             self._drop_storage(name)
             self._retarget_dicts({name: None})
             return None
@@ -4096,6 +4101,7 @@ class ChSession:
                 self.detached[name] = tbl.localCheckpoint(eager=True)
                 self.tables.pop(name, None)
                 self.spark.catalog.dropTempView(name)
+                forget_view(self.spark, name)
             else:
                 if name not in self.detached:
                     raise ValueError(

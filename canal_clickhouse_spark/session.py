@@ -87,13 +87,25 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable conf to an externally-provided session."""
+    """Apply runtime-settable conf to an externally-provided session.
+
+    Memoized per session object (r12 optimization, guide §1/§5: driver-side
+    work): ``tune`` sits on every ``catalog.table`` call, and the ~9
+    ``conf.set`` py4j round trips cost ~4-30 ms per call — pure fixed
+    overhead re-applying values that never change mid-session (nothing in
+    the engine or the driver contract flips them back; the SET/SETTINGS
+    dialect paths refuse timezone/result-shape knobs). A fresh Python
+    SparkSession object (new driver session) re-tunes.
+    """
+    if spark.__dict__.get("_ccs_tuned"):
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # immutable in some builds — keep going
             pass
     _ship_package(spark)
+    spark.__dict__["_ccs_tuned"] = True
     return spark
 
 
