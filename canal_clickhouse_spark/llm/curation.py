@@ -587,7 +587,6 @@ def _kmeans_assign(vecs: DataFrame) -> DataFrame:
     (``vec_id``, ``emb`` double array) → (``vec_id``, ``cluster``, ``d``).
     Same trajectory as `_km_chain_sql` — see `embed_kmeans` for the
     determinism and scale analysis."""
-    ex = vecs.select("vec_id", F.posexplode("emb").alias("pos", "x"))
     h = F.md5(F.col("vec_id").cast("string").cast("binary"))
     seeds = (
         vecs.select("vec_id", h.alias("h"))
@@ -603,6 +602,15 @@ def _kmeans_assign(vecs: DataFrame) -> DataFrame:
     cent = seeds.join(vecs, "vec_id").select(
         "cluster", F.expr("transform(emb, x -> round(x, 6))").alias("carr")
     )
+    # r12 optimization note (measured, kept as-is): a 64-column
+    # avg(emb[i]) centroid update on one cluster-keyed exchange (no
+    # posexplode, N-row assignment join instead of 64N) was implemented
+    # and interleave-benchmarked at sf0.1 — 2.56s vs 1.74s best-of-5,
+    # consistently SLOWER: the 64-slot aggregate codegen recompiles per
+    # Lloyd round and dwarfs the exchange saved. The posexplode shape
+    # stays; at 100 TB the explode feeds a partial-agg that shrinks to
+    # 64*k rows per map task before the shuffle, so it scales fine.
+    ex = vecs.select("vec_id", F.posexplode("emb").alias("pos", "x"))
     assigned = None
     for _ in range(_KM_ITERS):
         if assigned is not None:

@@ -183,7 +183,21 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is one lazily-planned job.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    # Hash-repartition the exploded tokens on doc_id BEFORE the tf
+    # aggregate (r12 optimization, guide §2.4): HashPartitioning(doc_id)
+    # satisfies the (doc_id, term) grouping AND the doc_id window below, so
+    # ONE exchange serves tf, the df branch (ReusedExchange — the subtree
+    # below the exchange is now identical in both branches, where before
+    # column pruning forced two separate scan+explode passes), and the
+    # top-k window. Plan: 5 exchanges + 2 scan/explodes -> 3 exchanges +
+    # 1 scan/explode. Trade-off at scale: the exchange carries raw tokens
+    # (~2-5x the distinct (doc, term) rows a map-side partial agg would
+    # shuffle), but it replaces TWO full tf shuffles + a second explode
+    # pass, so net bytes moved drop unless per-doc term repetition is
+    # extreme.
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term")).repartition(
+        "doc_id"
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -20,6 +20,32 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+
+def _shuffle_partitions() -> str:
+    """Scale-adaptive shuffle parallelism (r12 optimization, guide §2.2).
+
+    The r1-r11 value was a constant 32 — tuned for neither the bench box
+    nor a cluster. Derive from the core budget instead: 2x the driver-set
+    core count (``SPARK_GRAFT_CPUS``, the same knob the external bench
+    harness scales), floor 16, so the driver's lower-core scaling runs get
+    proportionally fewer, larger partitions instead of a fixed fan-out.
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides outright — on a real
+    cluster set it to ~2-3x total executor cores (or leave AQE's
+    ``coalescePartitions.initialPartitionNum`` to size down from a high
+    initial value); AQE coalescing keeps small stages from over-splitting
+    at any setting.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    try:
+        cpus = int(cpus_env)
+    except ValueError:  # "*" or malformed -> all local cores
+        cpus = os.cpu_count() or 8
+    return str(max(16, 2 * cpus))
+
+
 # Runtime-settable confs: safe to apply to any session, including the driver's.
 RUNTIME_CONF: dict[str, str] = {
     # UTC is load-bearing: parquet timestamps are tz-naive and the DuckDB
@@ -32,7 +58,7 @@ RUNTIME_CONF: dict[str, str] = {
     # Fixture dims (region/nation/customer/part) are far under this; at 100 TB
     # the explicit broadcast() hints in operator code carry the intent.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _shuffle_partitions(),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in catalog.table (ns -> us floor,
