@@ -45,7 +45,7 @@ def main() -> None:
         n_ex = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
         n_bx = len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.M))
         joins = "+".join(sorted(set(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan))))
-        pyn = "+".join(sorted(set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas|PythonMapInArrow)", plan))))
+        pyn = "+".join(sorted(set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas|PythonMapInArrow|ArrowAggregatePython|AggregateInPandas|WindowInPandas|FlatMapGroupsInArrow)", plan))))
         n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
         n_win = len(re.findall(r"^\(\d+\) Window$", plan, re.M))
         n_agg = len(re.findall(r"^\(\d+\) (?:HashAggregate|ObjectHashAggregate|SortAggregate)$", plan, re.M))
