@@ -34,6 +34,16 @@ def _shuffle_partitions() -> str:
     ``coalescePartitions.initialPartitionNum`` to size down from a high
     initial value); AQE coalescing keeps small stages from over-splitting
     at any setting.
+
+    r13 A/B (verdict task 1): the r12 driver bench's iterative-kernel
+    slowdowns at 64 partitions were ambient noise, not this derivation —
+    two interleaved one-JVM A/Bs (16/32/64, both orders, best-of-4) put
+    every suspect key (chsql_parts_persistence, dedup_semantic,
+    embed_kmeans, dedup_substring, dedup_survivors, chsql_mutation_ddl)
+    within 2-5% across all three settings. The derivation stays.
+
+    Resolved at session-setup time (not module import — r12 advice):
+    env changes between sessions in one process are honored.
     """
     explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if explicit:
@@ -47,6 +57,9 @@ def _shuffle_partitions() -> str:
 
 
 # Runtime-settable confs: safe to apply to any session, including the driver's.
+# Static entries only — env-derived values (shuffle partitions) are resolved
+# per call in runtime_conf() so they track the driver's knobs at session-setup
+# time instead of first-import time (r12 advice item 1).
 RUNTIME_CONF: dict[str, str] = {
     # UTC is load-bearing: parquet timestamps are tz-naive and the DuckDB
     # oracle runs in UTC; every date_trunc/window oracle depends on this.
@@ -58,7 +71,6 @@ RUNTIME_CONF: dict[str, str] = {
     # Fixture dims (region/nation/customer/part) are far under this; at 100 TB
     # the explicit broadcast() hints in operator code carry the intent.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": _shuffle_partitions(),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in catalog.table (ns -> us floor,
@@ -73,6 +85,12 @@ RUNTIME_CONF: dict[str, str] = {
     # NULL on bad cast) and DuckDB TRY_CAST is the oracle analog.
     "spark.sql.ansi.enabled": "false",
 }
+
+def runtime_conf() -> dict[str, str]:
+    """RUNTIME_CONF plus the env-derived entries, resolved NOW."""
+    return {**RUNTIME_CONF,
+            "spark.sql.shuffle.partitions": _shuffle_partitions()}
+
 
 _STATIC_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
@@ -124,8 +142,17 @@ def tune(spark: SparkSession) -> SparkSession:
     SparkSession object (new driver session) re-tunes.
     """
     if spark.__dict__.get("_ccs_tuned"):
+        # Cheap re-verify of the one conf the oracle hash depends on (r12
+        # advice item 2): if external driver code flipped the session
+        # timezone mid-session, re-correct it — one conf.get on the fast
+        # path instead of 9 unconditional conf.sets.
+        try:
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
         return spark
-    for k, v in RUNTIME_CONF.items():
+    for k, v in runtime_conf().items():
         try:
             spark.conf.set(k, v)
         except Exception:  # immutable in some builds — keep going
@@ -138,6 +165,6 @@ def tune(spark: SparkSession) -> SparkSession:
 def get_spark(app_name: str = "canal-clickhouse-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for k, v in {**_STATIC_CONF, **RUNTIME_CONF}.items():
+    for k, v in {**_STATIC_CONF, **runtime_conf()}.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
