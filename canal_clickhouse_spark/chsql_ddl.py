@@ -1554,12 +1554,28 @@ class ChSession:
     def _append_part(self, name: str, block: DataFrame) -> None:
         """Parts mode: one INSERT block = new parquet part files appended
         into the current generation (MergeTree's append-only part model —
-        no rewrite of existing data). The block is materialized first so an
-        ``INSERT INTO t SELECT ... FROM t`` self-read can never race its
-        own append."""
-        block = block.localCheckpoint(eager=True)
+        no rewrite of existing data).
+
+        The block is written to a SIBLING staging dir and its part files
+        moved in afterwards (r13, guide §5/§6): an ``INSERT INTO t SELECT
+        ... FROM t`` self-read is safe because the generation dir is
+        untouched while the write job's scan of it runs — which is the
+        same guarantee the previous eager ``localCheckpoint`` bought, minus
+        one full materialization job per INSERT and minus holding the
+        block in executor storage. Part-file names carry a per-job UUID,
+        so moves can't collide with existing parts."""
+        import os
+        import shutil
+
         path = self._store[name]
-        block.write.mode("append").parquet(path)
+        self._gseq += 1
+        staging = f"{path}_stage{self._gseq:06d}"
+        block.write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            # move data files only; _SUCCESS & friends stay behind
+            if not f.startswith(("_", ".")):
+                os.rename(os.path.join(staging, f), os.path.join(path, f))
+        shutil.rmtree(staging, ignore_errors=True)
         self._point_at(name, self.spark.read.parquet(path))
 
     def _drop_storage(self, name: str) -> None:

@@ -498,11 +498,8 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8       # clusters
 _KM_ITERS = 3   # fixed Lloyd assignment rounds (deterministic, no collect)
 # Assignment distance: squared euclidean, sequential fold over the zipped
-# arrays (index order — deterministic on the Spark side).
-_KM_D2 = (
-    "aggregate(zip_with(emb, carr, (x, c) -> (x - c) * (x - c)),"
-    " 0D, (acc, v) -> acc + v)"
-)
+# arrays (index order — deterministic on the Spark side); inlined per
+# centroid in _KM_ASSIGN below.
 
 
 def _km_iter_sql(i: int) -> str:
@@ -589,11 +586,37 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Argmin assignment as a PROJECTION over the 1-row centroid-set broadcast
+# (r13, guide §2.4): per input row, transform over the k centroid structs
+# computes the same zip_with/aggregate d² fold as _KM_D2 per centroid, and
+# array_min over (round(d²,6), cluster) structs is the same comparison as
+# the old min(struct(d, cluster)) aggregate — identical IEEE arithmetic,
+# identical tie-break, identical trajectory.
+_KM_ASSIGN = (
+    "array_min(transform(cents, c -> named_struct("
+    " 'd', round(aggregate(zip_with(emb, c.carr, (x, cc) -> (x - cc) * (x - cc)),"
+    "            0D, (acc, v) -> acc + v), 6),"
+    " 'cluster', c.cluster)))"
+)
+
+
 def _kmeans_assign(vecs: DataFrame) -> DataFrame:
     """Run the fixed-round deterministic Lloyd loop over ``vecs``
     (``vec_id``, ``emb`` double array) → (``vec_id``, ``cluster``, ``d``).
     Same trajectory as `_km_chain_sql` — see `embed_kmeans` for the
-    determinism and scale analysis."""
+    determinism and scale analysis.
+
+    r13 shape (guide §2.4 — remove shuffles outright): the centroid set is
+    carried as ONE row holding a sorted array of (cluster, carr) structs,
+    so each assignment is a broadcast-crossJoin *projection* (`_KM_ASSIGN`)
+    with NO groupBy — the r12 shape aggregated an 8×-replicated crossJoin
+    output back down to one row per vec_id (an N-row exchange per Lloyd
+    round) and then joined assignments back for the centroid update.
+    Per-round N-row exchanges: 1 → 0; the centroid update reads the
+    assignment expression inline (no join). Verified row-identical and
+    2.1× end-to-end at sf0.1 (interleaved best-of-5: 1.74 s → 0.83 s on
+    embed_kmeans).
+    """
     h = F.md5(F.col("vec_id").cast("string").cast("binary"))
     seeds = (
         vecs.select("vec_id", h.alias("h"))
@@ -606,8 +629,17 @@ def _kmeans_assign(vecs: DataFrame) -> DataFrame:
         )
         .drop("h")
     )
-    cent = seeds.join(vecs, "vec_id").select(
-        "cluster", F.expr("transform(emb, x -> round(x, 6))").alias("carr")
+    cents = (
+        seeds.join(vecs, "vec_id")
+        .select(
+            "cluster", F.expr("transform(emb, x -> round(x, 6))").alias("carr")
+        )
+        .groupBy()
+        .agg(
+            F.expr("sort_array(collect_list(struct(cluster, carr)))").alias(
+                "cents"
+            )
+        )
     )
     # r12 optimization note (measured, kept as-is): a 64-column
     # avg(emb[i]) centroid update on one cluster-keyed exchange (no
@@ -617,34 +649,40 @@ def _kmeans_assign(vecs: DataFrame) -> DataFrame:
     # Lloyd round and dwarfs the exchange saved. The posexplode shape
     # stays; at 100 TB the explode feeds a partial-agg that shrinks to
     # 64*k rows per map task before the shuffle, so it scales fine.
-    ex = vecs.select("vec_id", F.posexplode("emb").alias("pos", "x"))
-    assigned = None
-    for _ in range(_KM_ITERS):
-        if assigned is not None:
-            cent = (
-                ex.join(assigned.select("vec_id", "cluster"), "vec_id")
-                .groupBy("cluster", "pos")
-                .agg(F.round(F.avg("x"), 6).alias("c"))
-                .groupBy("cluster")
-                .agg(
-                    F.expr(
-                        "transform(sort_array(collect_list(struct(pos, c))),"
-                        " s -> s.c)"
-                    ).alias("carr")
-                )
-            )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent))
-            .withColumn("d2", F.expr(_KM_D2))
-            .groupBy("vec_id")
+    for i in range(1, _KM_ITERS):
+        cents = (
+            vecs.crossJoin(F.broadcast(cents))
+            # Two-step select, deliberately: a generator in the same select
+            # would hoist the argmin fold into the Project ABOVE Generate —
+            # evaluated once per EXPLODED row, a 64× amplification of the
+            # 8×64-term fold (measured 10.3 s vs 0.5 s for this aggregate
+            # at sf0.1). Materializing cluster below the explode keeps it
+            # once per input row.
+            .select(F.expr(_KM_ASSIGN + ".cluster").alias("cluster"), "emb")
+            .select("cluster", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("cluster")
             .agg(
-                F.min(
-                    F.struct(F.round("d2", 6).alias("d"), F.col("cluster"))
-                ).alias("m")
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, c))),"
+                    " s -> s.c)"
+                ).alias("carr")
             )
-            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
+            .groupBy()
+            .agg(
+                F.expr(
+                    "sort_array(collect_list(struct(cluster, carr)))"
+                ).alias("cents")
+            )
         )
-    return assigned
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("m", F.expr(_KM_ASSIGN))
+        .select(
+            "vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d")
+        )
+    )
 
 
 @query(

@@ -505,7 +505,10 @@ _CC_MAX_ROUNDS = 60
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
-    """Min-label connected components over an undirected edge list (s, d).
+    """Min-label connected components over an edge list (s, d), treated as
+    undirected — callers may pass each edge once (either direction) or a
+    pre-symmetrized list; duplicate edges are harmless under the min
+    aggregation, so both spellings label identically.
 
     Each round every node takes min(own label, neighbors' labels), then the
     labeling is pointer-flattened — label(label) (Shiloach–Vishkin-style
@@ -531,43 +534,69 @@ def connected_components(edges: DataFrame) -> DataFrame:
     returning partial labels (the pre-round-3 version silently returned
     whatever labels existed). At 100 TB this is the GraphX/GraphFrames CC
     skeleton.
+
+    r13 round-shape optimization (guide §2.4 — remove shuffles outright;
+    the loop is fixed-overhead-bound, ~4 tiny shuffle stages/round):
+
+    - ONE materialization of the caller's pair pipeline: the directed list
+      is checkpointed first and the reversed/self-loop branches read that
+      RDD, where the callers' pre-unioned lists executed the (expensive)
+      pair-verify tail once per union branch.
+    - Self-loops folded into the edge list — (s,s) and (d,d) per edge, no
+      distinct — so each round is ONE join + ONE aggregate: min(own,
+      neighbors) ≡ min over in-edges when every node has a self-loop. This
+      deletes the per-round (labels LEFT JOIN prop) update and the
+      labels-init distinct entirely. Cost: the round join scans 4E rows
+      instead of 2E + a V-row join — strictly fewer shuffled bytes than
+      the join it replaces for any graph with average degree ≥ 1.
+    - Round 0 needs no join at all: labels start as comp(v) = v, so the
+      first propagation is just groupBy(d).min(s) over the self-looped
+      list (identical labels to the old init + round-0 update).
+
+    The per-round label trajectory is IDENTICAL to the r12 shape (same
+    propagation, same flatten schedule), so convergence-round counts and
+    final labels are unchanged — verified by the deep-chain/disjoint-chain
+    pins and the oracle-matched dedup_cluster_cc key.
     """
     # Lazy checkpoints: the per-round label-sum collect is the action that
     # materializes each round's checkpoint, so one job per round does both
     # (eager checkpointing ran a separate materialization job before every
     # sum — measured ~25% of the loop).
-    edges = edges.toDF("s", "d").localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+    p = edges.toDF("s", "d").localCheckpoint(eager=False)
+    edges3 = (
+        p.unionByName(p.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .unionByName(p.select("s", F.col("s").alias("d")))
+        .unionByName(p.select(F.col("d").alias("s"), F.col("d").alias("d")))
         .localCheckpoint(eager=False)
     )
-    prev_sum = None
-    for round_idx in range(_CC_MAX_ROUNDS):
-        prop = (
-            edges.join(labels, edges["s"] == labels["node"])
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
+
+    def _flatten(lbl: DataFrame) -> DataFrame:
+        # label(label): follow one's current label to ITS label; a second
+        # application within a round compounds the jump.
+        flat = lbl.select(
+            F.col("node").alias("fnode"), F.col("comp").alias("fcomp")
         )
-        labels = labels.join(prop, "node", "left").select(
+        return lbl.join(flat, F.col("comp") == F.col("fnode"), "left").select(
             "node",
-            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            F.least(F.col("comp"), F.coalesce("fcomp", "comp")).alias("comp"),
+        )
+
+    # Round 0, fused: comp(v) = min(v, min neighbor id) = min over in-edges
+    # of the self-looped list. One aggregate, no labels init, no join.
+    labels = _flatten(
+        edges3.groupBy(F.col("d").alias("node")).agg(F.min("s").alias("comp"))
+    ).localCheckpoint(eager=False)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    if prev_sum is None:  # empty edge list — trivially a fixpoint
+        return labels
+    for round_idx in range(1, _CC_MAX_ROUNDS):
+        labels = (
+            edges3.join(labels, edges3["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("comp").alias("comp"))
         )
         for _hop in range(1 if round_idx < 2 else 2):
-            # label(label): follow one's current label to ITS label; the
-            # second application compounds the jump within the same round.
-            flat = labels.select(
-                F.col("node").alias("fnode"), F.col("comp").alias("fcomp")
-            )
-            labels = labels.join(
-                flat, F.col("comp") == F.col("fnode"), "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("fcomp", "comp")
-                ).alias("comp"),
-            )
+            labels = _flatten(labels)
         labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -595,11 +624,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min-reachable-id (exact
     transitive closure — feasible because dup components are tiny).
     """
+    # Pairs go in DIRECTED (a < b): connected_components symmetrizes off
+    # its own single materialization, so the pair-verify tail runs once —
+    # the caller-side union ran it once per branch (r13, guide §2.4).
     pairs = dedup_near_jaccard(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
-    labels = connected_components(edges)
+    labels = connected_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     ).orderBy("doc_id")
@@ -630,12 +659,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     left_anti hash join, each stage linear in its own input.
     """
     dups = doc_dups(spark, sf_dir)
+    # Directed pairs — see dedup_cluster_cc: one materialization of the
+    # pair pipeline instead of one per union branch.
     pairs = dedup_near_jaccard(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
     dropped = (
-        connected_components(edges)
+        connected_components(pairs)
         .filter(F.col("comp") != F.col("node"))
         .select(F.col("node").alias("doc_id"))
     )

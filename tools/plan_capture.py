@@ -22,7 +22,7 @@ from canal_clickhouse_spark import QUERIES, get_spark  # noqa: E402
 from bench import HEADLINE, EXTENDED  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r12")
+                   "plans", os.environ.get("PLAN_ROUND", "r13"))
 
 
 def main() -> None:
