@@ -195,6 +195,18 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle), but it replaces TWO full tf shuffles + a second explode
     # pass, so net bytes moved drop unless per-doc term repetition is
     # extreme.
+    #
+    # Break-even, measured (r13, verdict task 9; interleaved best-of-3 on
+    # synthetic corpora where the token source is a pre-materialized RDD,
+    # i.e. re-deriving tokens is nearly free): the repartition shape loses
+    # 2.1x already at 2 tokens/(doc,term), 4.6x at 50, 8.9x at 400 —
+    # while on the parquet fixture (scan+split+explode dominates, the
+    # regime this operator actually runs in) the same interleaved A/B is a
+    # wash (1.18 vs 1.22 s). Rule of thumb for production: keep this shape
+    # when tokenization is recomputed per branch (raw text scans); switch
+    # back to the two-shuffle partial-agg shape when tokens come
+    # pre-materialized AND per-(doc,term) repetition is high, because then
+    # the savings is only the exchange and the exchange is the cost.
     tok = docs.select("doc_id", F.explode(tokens()).alias("term")).repartition(
         "doc_id"
     )

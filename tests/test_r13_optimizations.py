@@ -100,6 +100,29 @@ def test_kmeans_argmin_below_generate(spark, sf_dir):
         )
 
 
+def test_decontam_probe_join_has_no_exchange_below(spark, sf_dir):
+    """r12 verdict task 2 pin: the corpus side must feed the broadcast
+    eval-gram probe join directly - no exchange (the old shape ran a full
+    (doc_id, gram) distinct shuffle of the corpus BEFORE the probe); the
+    survivor dedup is the two-phase count(distinct g) ABOVE the join."""
+    from canal_clickhouse_spark.llm.curation import decontam_ngram
+
+    plan = _fmt_plan(decontam_ngram(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    join_lines = [ln for ln in tree.splitlines() if "BroadcastHashJoin" in ln]
+    assert len(join_lines) == 1
+    join_idx = tree.splitlines().index(join_lines[0])
+    # streaming (corpus) branch: lines from the join down to the
+    # BroadcastExchange child - none may be an Exchange.
+    below = tree.splitlines()[join_idx + 1:]
+    bx = next(i for i, ln in enumerate(below) if "BroadcastExchange" in ln)
+    corpus_branch = below[:bx]
+    assert corpus_branch, "unexpected plan shape"
+    assert not any("Exchange" in ln for ln in corpus_branch), (
+        "corpus side shuffles before the probe join:\n" + "\n".join(corpus_branch)
+    )
+
+
 def test_parts_append_self_insert_and_no_staging_leak(spark, sf_dir, tmp_path):
     """INSERT INTO t SELECT ... FROM t in parts mode must read the
     pre-insert snapshot (the staging-dir write keeps the generation dir
