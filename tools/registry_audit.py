@@ -3,7 +3,7 @@
 Builds every QUERIES[key] DataFrame and greps its formatted plan for the
 anti-patterns guide §2-§4 cares about: exchange count, join strategies,
 Python-eval nodes, cartesian products, scan pushdown. The checklist
-artifact for OPTIMIZATION_r12.md — streaming keys that need a streaming
+artifact for the optimization rounds (PLAN_ROUND selects the output dir) — streaming keys that need a streaming
 rig (and therefore return non-DataFrame handles) are reported as SKIP.
 """
 from __future__ import annotations
@@ -25,7 +25,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12", "registry_audit.txt",
+        "plans", os.environ.get("PLAN_ROUND", "r13"), "registry_audit.txt",
     )
     lines = []
     for key in sorted(QUERIES):
