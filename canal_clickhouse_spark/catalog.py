@@ -113,6 +113,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     re-register. Anything that unregisters or repoints one of these names
     (ChSession DROP/RENAME/DETACH) calls :func:`forget_view` so the next
     registration restores it — preserving the pre-memo semantics exactly.
+
+    INVARIANT (r12 advice item 3, documented choice): fixture view names
+    must only be mutated through engine APIs. Driver code that calls
+    ``spark.catalog.dropTempView``/``createOrReplaceTempView`` directly on
+    a fixture name bypasses :func:`forget_view` and the memo will not heal
+    it. The alternative — a ``tableExists()`` probe per name per call —
+    would re-pay ~10 py4j round trips on the fast path this memo exists to
+    remove; the driver contract never mutates catalog names out-of-band.
     """
     sfa = os.path.abspath(sf_dir)
     memo = spark.__dict__.setdefault("_ccs_view_memo", {})
